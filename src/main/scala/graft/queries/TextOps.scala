@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Text / LLM-pipeline operators over the `documents` table (SURVEY.md §2.B
+  * "LLM-pipeline ops" + the north-star training-data operators): word count
+  * (the reference's one demo job, `/root/reference/test/user_tasks.cc:12-33`),
+  * text statistics, quality scoring, exact dedup, document fingerprinting,
+  * TF-IDF scoring, and n-gram Jaccard similarity.
+  *
+  * Probabilistic ops (MinHash-LSH, SimHash) live in graft.dedup with
+  * ScalaTest gates — they are deliberately NOT oracle-declared.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** The reference's demo tokenizer: split on space , . " ' and drop empty
+    * tokens (strtok semantics, `/root/reference/test/user_tasks.cc:15-20`). */
+  val RefDelims = "[ ,.'\"]"
+
+  /** Ref-faithful word count (S1+S3+S4+S5+S6+S8): tokenize every document
+    * on the demo delimiter set, count per token, key-ordered output.
+    * Scale shape: explode → partial map-side count → shuffle by token →
+    * final count. Vocabulary-bounded shuffle, the canonical MR job. */
+  val wcWords: Q = Q(
+    "wc_words",
+    """SELECT tok AS word, count(*) AS cnt FROM (
+      |  SELECT unnest(string_split_regex(text, '[ ,.''"]')) AS tok FROM documents) t
+      |WHERE tok <> '' GROUP BY tok ORDER BY tok""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(explode(split(col("text"), RefDelims)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+  }
+
+  /** Per-document token statistics: counts, distinct ratio, mean token
+    * length — narrow map-only plan (no shuffle except the output sort). */
+  val textStats: Q = Q(
+    "text_stats",
+    """SELECT doc_id, n_chars,
+      | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      | CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_types,
+      | round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |   / len(string_split(text, ' ')), 6) AS type_token_ratio,
+      | round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |   / len(string_split(text, ' ')), 6) AS avg_tok_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    docs(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_types"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+          .as("type_token_ratio"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double")
+          / size(toks), 6).as("avg_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: stopword ratio, char-length band, repetition — the
+    * heuristics a pretraining filter applies per document. Pure map. */
+  val textQuality: Q = Q(
+    "text_quality",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts, n_chars FROM documents)
+      |SELECT doc_id,
+      | round(CAST(len(list_filter(ts, x -> x IN ('the','a'))) AS DOUBLE) / len(ts), 6)
+      |   AS stopword_ratio,
+      | round(1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6) AS repetition,
+      | CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 1 ELSE 0 END AS len_ok
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ts = split(col("text"), " ")
+    docs(s, d)
+      .select(col("doc_id"),
+        round(size(filter(ts, x => x.isin("the", "a"))).cast("double") / size(ts), 6)
+          .as("stopword_ratio"),
+        round(lit(1.0) - size(array_distinct(ts)).cast("double") / size(ts), 6)
+          .as("repetition"),
+        when(col("n_chars").between(200, 2000), 1).otherwise(0).as("len_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus profile per language — the "language filter" aggregate view. */
+  val textLangProfile: Q = Q(
+    "text_lang_profile",
+    """SELECT lang, count(*) AS n_docs,
+      | round(avg(n_chars), 2) AS avg_chars,
+      | count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    docs(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 2).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+  }
+
+  /** Exact dedup by content hash (md5 of raw text): corpus-level dup stats.
+    * Scale shape: map-side partial agg on a 128-bit hash — the standard
+    * exact-dedup pass over 100 TB (hash first, never shuffle raw text). */
+  val dedupExactStats: Q = Q(
+    "dedup_exact_stats",
+    """SELECT count(*) AS n_docs,
+      | count(DISTINCT md5(text)) AS n_distinct,
+      | count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+      |FROM documents""".stripMargin) { (s, d) =>
+    docs(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_distinct"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_docs"))
+  }
+
+  /** Exact dedup, keep-first policy: survivor doc_id per distinct content
+    * hash (min doc_id wins) — the actual dedup operator, not just stats. */
+  val dedupExactKeep: Q = Q(
+    "dedup_exact_keep",
+    """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("h")
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct token set — an
+    * order-insensitive content signature (bag-of-words fingerprint). */
+  val docFingerprint: Q = Q(
+    "doc_fingerprint",
+    """SELECT doc_id,
+      | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+          .as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF: top-3 terms per document (docs 0-99) with idf = ln(N/df) over
+    * the full corpus. Scale shape: token explode → (term,doc) tf agg →
+    * term-level df agg broadcast back (vocab is bounded) → per-doc top-k
+    * window. Ranking uses the ROUNDED score so both engines order alike. */
+  val tfidfTop: Q = Q(
+    "tfidf_top_terms",
+    """WITH tf AS (
+      |  SELECT doc_id, tok AS term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) x
+      |  GROUP BY doc_id, tok),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, score FROM (
+      |  SELECT doc_id, term, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      |  FROM scored WHERE doc_id < 100) t
+      |WHERE rn <= 3 ORDER BY doc_id, score DESC, term""".stripMargin) { (s, d) =>
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.filter(col("doc_id") < 100)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "term", "score")
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
+  /** Token-trigram Jaccard similarity over candidate pairs (docs 0-49,
+    * lower-triangle). The deterministic near-dup kernel that MinHash-LSH
+    * approximates; at scale candidates come from LSH buckets, never from
+    * an all-pairs cross join (this query bounds the pair set explicitly). */
+  val ngramJaccard: Q = Q(
+    "ngram_jaccard_pairs",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(ts) - 1, 1)),
+      |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |        WHERE doc_id < 50 AND len(string_split(text, ' ')) >= 3) t)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |    / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val ts = split(col("text"), " ")
+    val grams = array_distinct(expr(
+      "transform(sequence(0, size(ts) - 3), i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))"))
+    val sh = docs(s, d)
+      .filter(col("doc_id") < 50 && size(ts) >= 3)
+      .select(col("doc_id"), ts.as("ts"))
+      .select(col("doc_id"), grams.as("grams"))
+    val a = sh.select(col("doc_id").as("id_a"), col("grams").as("ga"))
+    val b = sh.select(col("doc_id").as("id_b"), col("grams").as("gb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("ga"), col("gb"))).cast("double")
+          / size(array_union(col("ga"), col("gb"))), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[Q] = Seq(
+    wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
+    dedupExactKeep, docFingerprint, tfidfTop, ngramJaccard)
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Embedding-space operators over `embeddings` (vec_id, embedding:
+  * array<float> dim 64, label) — the similarity-search half of the
+  * LLM-pipeline surface (north star; see SURVEY.md §2.B last row).
+  *
+  * All math is done in DOUBLE on both engines (inputs are float32; mixed
+  * precision would drift between Spark and DuckDB), composed from
+  * codegen'd higher-order functions (`zip_with`/`aggregate`) — no UDFs in
+  * the hot path.
+  *
+  * Scale design: the brute-force top-k broadcasts the (small) query set
+  * and streams the corpus once — a map-only plan plus a per-query top-k
+  * window, which is exactly the 100 TB baseline. The sub-linear variant
+  * (random-hyperplane LSH bucketing) is in graft.ann with ScalaTest
+  * recall gates (probabilistic → not oracle-declared).
+  */
+object VectorOps {
+
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** dot(a, b) over two array<double> columns, computed as a strict left
+    * fold — deterministic accumulation order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Per-label embedding profile: count + mean L2 norm. */
+  val embedStats: Q = Q(
+    "embed_stats",
+    """SELECT label, count(*) AS n,
+      | round(avg(sqrt(list_aggregate(
+      |   list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), 'sum'))), 4) AS avg_norm
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    emb(s, d)
+      .select(col("label"), l2norm(asDouble(col("embedding"))).as("norm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg("norm"), 4).as("avg_norm"))
+      .orderBy("label")
+  }
+
+  /** Brute-force cosine top-3 neighbours for query vectors vec_id < 5.
+    * Broadcast the 5-row query side; corpus scanned once; ranking uses the
+    * ROUNDED cosine (6 dp) with vec_id tie-break so both engines agree. */
+  val cosineTopK: Q = Q(
+    "cosine_topk",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT qid, vec_id,
+      |    round(list_dot_product(qv, cv)
+      |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+      |  FROM q JOIN c ON qid <> vec_id)
+      |SELECT qid, vec_id, cos FROM (
+      |  SELECT qid, vec_id, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      |  FROM scored) t
+      |WHERE rn <= 3 ORDER BY qid, cos DESC, vec_id""".stripMargin) { (s, d) =>
+    val q = emb(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val c = emb(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("qid", "vec_id", "cos")
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+  }
+
+  /** Deterministic pairwise cosine over a fixed candidate set (vec_ids
+    * 0-19, lower triangle) — the exact kernel the ANN path approximates. */
+  val cosinePairs: Q = Q(
+    "cosine_pairs",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+      |           FROM embeddings WHERE vec_id < 20)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.ev, b.ev)
+      |    / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cos
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val v = emb(s, d).filter(col("vec_id") < 20)
+    val a = v.select(col("vec_id").as("id_a"), asDouble(col("embedding")).as("ea"))
+    val b = v.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("eb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("ea"), col("eb")), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[Q] = Seq(embedStats, cosineTopK, cosinePairs)
+}
