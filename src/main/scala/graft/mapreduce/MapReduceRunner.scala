@@ -1,0 +1,102 @@
+package graft.mapreduce
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Spark-native execution of the reference's two-phase job
+  * (SURVEY.md §3): scan → user flatMap → hash shuffle on key →
+  * key-sorted streaming reduce → key-sorted `key,value` text sink.
+  *
+  * Stage map (reference → here):
+  *   - S1/S2 sharded text scan (`/root/reference/src/worker.h:69-79`,
+  *     `src/file_shard.h:43-89`) → `spark.read.textFile` with
+  *     `spark.sql.files.maxPartitionBytes` = mapKilobytes (same greedy
+  *     byte-budget + newline-aligned split + small-file packing).
+  *   - S3 user map → `Dataset.flatMap(job.map)`.
+  *   - S4 hash(key) % R partitioned emit (`src/mr_tasks.h:24-32,45-76`)
+  *     → `repartition(R, $"key")` (Murmur3 instead of the ×131
+  *     polynomial — equal keys still co-locate, which is the contract).
+  *   - S5 sorted group-by-key (`src/worker.h:81-119`, in-memory std::map)
+  *     → `sortWithinPartitions($"key")` + streaming consecutive-key
+  *     grouping: strictly stronger (sort-based, spillable, one group in
+  *     memory at a time vs the reference's whole-bucket map).
+  *   - S6 user reduce → applied per sorted group.
+  *   - S7 sink (`src/mr_tasks.h:123-174`): R text files of `key,value`
+  *     lines (raw bytes, no quoting — values MAY contain commas,
+  *     `src/worker.h:92-94`), keys ascending in byte order within each
+  *     file. One deliberate deviation: Spark's text sink terminates the
+  *     last line with '\n' while the reference omits it
+  *     (`src/mr_tasks.h:161-174`).
+  *
+  * At scale: one shuffle total (the repartition). Map-side combining is
+  * intentionally NOT injected — the reference never combines
+  * (`src/mr_tasks.h:113-115`) and a general reducer need not be
+  * associative; jobs wanting combining express it relationally
+  * (cf. TextOps.wcWords, which Catalyst gives partial aggregation).
+  */
+object MapReduceRunner {
+
+  /** Full job from a spec: read text files, run, write the sink. */
+  def run(spark: SparkSession, spec: MapReduceSpec): Unit = {
+    val prev = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", spec.mapKilobytes * 1024L)
+    try {
+      val lines = spark.read.textFile(spec.inputFiles: _*)
+      val reduced = transform(lines, JobRegistry.get(spec.userId), spec.nOutputFiles)
+      writeSink(reduced, spec.outputDir)
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
+        spark.conf.set("spark.sql.files.maxPartitionBytes", _))
+    }
+  }
+
+  /** The core dataflow on any line source (text files, a parquet string
+    * column, a test fixture): flatMap → shuffle → sorted reduce.
+    * Returns the reduce output; partition i holds bucket hash(key)%R,
+    * rows ordered by ascending input key within each partition. */
+  def transform(
+      lines: Dataset[String],
+      job: MapReduceJob,
+      r: Int): Dataset[(String, String)] = {
+    import lines.sparkSession.implicits._
+    val shuffled = lines
+      .flatMap(job.map(_))                       // S3
+      .toDF("key", "value")
+      .repartition(r, col("key"))                // S4
+      .sortWithinPartitions("key")               // S5 (sort half)
+      .as[(String, String)]
+    shuffled.mapPartitions { it =>               // S5 (group half) + S6
+      groupSorted(it).flatMap { case (k, vs) => job.reduce(k, vs) }
+    }
+  }
+
+  /** Group consecutive equal keys of a key-sorted iterator. One group's
+    * values are buffered at a time (the reference buffers the whole
+    * bucket, `/root/reference/src/worker.h:83`). */
+  private[mapreduce] def groupSorted(
+      it: Iterator[(String, String)]): Iterator[(String, Iterator[String])] = {
+    val b = it.buffered
+    new Iterator[(String, Iterator[String])] {
+      override def hasNext: Boolean = b.hasNext
+      override def next(): (String, Iterator[String]) = {
+        val k = b.head._1
+        val buf = Vector.newBuilder[String]
+        while (b.hasNext && b.head._1 == k) buf += b.next()._2
+        (k, buf.result().iterator)
+      }
+    }
+  }
+
+  /** S7: R text files of raw `key,value` lines (no quoting/escaping). */
+  def writeSink(reduced: Dataset[(String, String)], outputDir: String): Unit = {
+    import reduced.sparkSession.implicits._
+    reduced.map { case (k, v) => s"$k,$v" }.write.text(outputDir)
+  }
+
+  /** Relational view of a job's output (for oracle-checked queries). */
+  def toDataFrame(
+      lines: Dataset[String],
+      job: MapReduceJob,
+      r: Int): DataFrame =
+    transform(lines, job, r).toDF("key", "value")
+}
