@@ -1,0 +1,81 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.queries.VectorOps
+
+/** Approximate nearest neighbour search over an embedding column via
+  * random-hyperplane (sign) LSH — the scale path beside the brute-force
+  * baseline (VectorOps.cosineTopK).
+  *
+  * Index: `tables` independent hash tables, each hashing a vector to a
+  * `bitsPerTable`-bit signature (sign of dot(v, r_i) for seeded random
+  * hyperplanes r_i). Collision probability per bit is 1 - θ/π — vectors
+  * at small angle collide with high probability.
+  *
+  * Query at scale: corpus bucketed once (map-only, then ONE shuffle by
+  * (table, bucket)); each query probes its `tables` buckets — a join on
+  * bucket keys, never a cross join — and only bucket members are
+  * exactly re-ranked by cosine. Recall is tuned by (bitsPerTable ↓,
+  * tables ↑); the ScalaTest gate measures recall@k against brute force.
+  *
+  * 100 TB note: for a production IVF variant the bucketing column is
+  * also the partition/bucketBy key of the stored index, making probes
+  * partition-pruned scans; the plumbing here is the same plan shape.
+  */
+object AnnLsh {
+
+  final case class Params(
+      dim: Int = 64,
+      bitsPerTable: Int = 8,
+      tables: Int = 8,
+      seed: Long = 42L)
+
+  /** Deterministic seeded hyperplanes: tables × bits × dim gaussians. */
+  private def hyperplanes(p: Params): Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(p.seed)
+    Seq.fill(p.tables, p.bitsPerTable, p.dim)(rnd.nextGaussian())
+  }
+
+  /** Signature of one table: bits packed into a long. */
+  private def tableSig(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, i) =>
+      when(VectorOps.dot(vec, typedlit(plane)) > 0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** (id, table, bucket, vec) — the LSH index relation, one row per
+    * vector per table. */
+  def index(vectors: DataFrame, idCol: String, vecCol: String,
+      p: Params = Params()): DataFrame = {
+    val hp = hyperplanes(p)
+    val v = col(vecCol).cast("array<double>")
+    val buckets = array(hp.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("table"), tableSig(v, planes).as("bucket"))
+    }: _*)
+    vectors.select(col(idCol).as("id"), v.as("vec"),
+      explode(buckets).as("tb"))
+      .select(col("id"), col("tb.table"), col("tb.bucket"), col("vec"))
+  }
+
+  /** Approximate top-k neighbours for each query vector: probe the
+    * query's buckets across all tables, union members, exact-rerank by
+    * cosine. Queries and corpus share the same index transformation. */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, p: Params = Params()): DataFrame = {
+    val corpusIdx = index(corpus, idCol, vecCol, p)
+    val queryIdx = index(queries, idCol, vecCol, p)
+      .withColumnRenamed("id", "qid").withColumnRenamed("vec", "qvec")
+    val candidates = corpusIdx.join(queryIdx, Seq("table", "bucket"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("qvec"), col("id"), col("vec"))
+      .dropDuplicates("qid", "id")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    candidates
+      .withColumn("cos", VectorOps.cosine(col("qvec"), col("vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rn"))
+  }
+}

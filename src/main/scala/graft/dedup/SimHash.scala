@@ -1,0 +1,70 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate detection — the complementary sketch to
+  * MinHash (Charikar 2002 / the Google-crawl dedup construction, both
+  * public literature): a single 64-bit signature whose Hamming distance
+  * tracks cosine similarity of the token multiset.
+  *
+  * Signature: for bit j, sum +1/-1 over every token whose xxhash64 has
+  * bit j set/clear; bit j of the signature = sign of the sum. Computed
+  * with `aggregate`/`zip_with` over a 64-wide int array — codegen'd, no
+  * UDF, one narrow pass.
+  *
+  * Candidate generation at scale (pigeonhole): signatures within
+  * Hamming distance d ≤ 3 must agree exactly on at least one of 4
+  * 16-bit chunks → self-join per chunk on the chunk value, then filter
+  * by exact Hamming distance. Never an all-pairs comparison.
+  */
+object SimHash {
+
+  /** 64-bit SimHash of a whitespace-tokenized text column (SQL-expr
+    * form: bit-shift lambdas are native in SQL higher-order functions).
+    * `textCol` must be a plain column name. */
+  def simhashExpr(textCol: String): Column = expr(
+    s"""aggregate(
+       |  zip_with(
+       |    aggregate(
+       |      transform(split($textCol, ' '), t -> xxhash64(t)),
+       |      array_repeat(CAST(0 AS BIGINT), 64),
+       |      (acc, h) -> zip_with(acc,
+       |        transform(sequence(0, 63),
+       |          i -> IF((shiftright(h, i) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
+       |        (a, b) -> a + b)),
+       |    sequence(0, 63),
+       |    (c, i) -> IF(c > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+       |  CAST(0 AS BIGINT), (acc, x) -> acc | x)""".stripMargin)
+
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** (id, simhash) for every document. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), simhashExpr(textCol).as("sh"))
+
+  /** Near-duplicate pairs with Hamming distance ≤ maxDist (≤ 16 needed
+    * for the 4-chunk pigeonhole to be exhaustive; ≤ 3 typical). */
+  def dedupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 16, "4-chunk pigeonhole covers Hamming distance <= 16")
+    val sigs = signatures(docs, idCol, textCol).cache()
+    // 4 chunk keys of 16 bits each.
+    val chunked = sigs.select(col("id"), col("sh"),
+      explode(expr(
+        """transform(sequence(0, 3),
+          |  i -> struct(i AS chunk_idx,
+          |              shiftright(sh, i * 16) & 65535 AS chunk_key))""".stripMargin))
+        .as("c"))
+      .select(col("id"), col("sh"), col("c.chunk_idx"), col("c.chunk_key"))
+    chunked.as("x")
+      .join(chunked.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx")
+          && col("x.chunk_key") === col("y.chunk_key")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hamming(col("x.sh"), col("y.sh")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+}

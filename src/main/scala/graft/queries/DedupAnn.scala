@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ann.AnnLsh
+import graft.dedup.{MinHashLSH, SimHash}
+
+/** Declared queries for the probabilistic dedup / ANN operators.
+  *
+  * minhash_dedup_pairs and minhash_keepfirst ARE oracle-checked: the
+  * LSH verify step computes EXACT shingle Jaccard, so the output equals
+  * the exact ≥-threshold pair set as long as banding recalls every true
+  * pair — with the fixture's pair distribution (true pairs at J ≥ 0.9,
+  * noise < 0.07; 16 bands × 4 rows) the miss probability is < 1e-7 per
+  * pair. SimHash and ANN outputs depend on sketch internals no SQL
+  * oracle can replicate, so they are rows-only here and gated by
+  * planted-duplicate / recall specs in DedupSuite and AnnSuite.
+  */
+object DedupAnn {
+
+  private val mhParams = MinHashLSH.Params(
+    numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+
+  /** Near-dup pairs via MinHash-LSH, verified with exact Jaccard. */
+  val minhashPairs: Q = Q(
+    "minhash_dedup_pairs",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-1,1)),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS grams
+      |  FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents) t)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |    / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |    / len(list_distinct(a.grams || b.grams)) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    MinHashLSH.dedupPairs(Tables.documents(s, d), "doc_id", "text", mhParams)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Keep-first near-dedup: corpus size before/after — the end-to-end
+    * dedup operator a pipeline would run. */
+  val minhashKeepFirst: Q = Q(
+    "minhash_keepfirst",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-1,1)),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS grams
+      |  FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents) t),
+      |dups AS (
+      |  SELECT DISTINCT b.doc_id AS drop_id
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |      / len(list_distinct(a.grams || b.grams)) >= 0.8)
+      |SELECT count(*) AS n_docs,
+      |  count(*) - (SELECT count(*) FROM dups) AS n_kept
+      |FROM documents""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val kept = MinHashLSH.dedupKeepFirst(docs, "doc_id", "text", mhParams)
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+  }
+
+  /** SimHash near-dup pairs (Hamming ≤ 10 of 64 bits) — sketch-defined
+    * output, gated by DedupSuite planted-duplicate specs. */
+  val simhashPairs: Q = Q.noOracle("simhash_dup_pairs") { (s, d) =>
+    SimHash.dedupPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 10)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** LSH-bucketed approximate top-5 cosine neighbours for 5 query
+    * vectors — the sub-linear variant of cosine_topk; recall gated in
+    * AnnSuite. */
+  val annTopK: Q = Q.noOracle("ann_cosine_topk") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    AnnLsh.topK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .select(col("qid"), col("id"), round(col("cos"), 6).as("cos"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, simhashPairs, annTopK)
+}

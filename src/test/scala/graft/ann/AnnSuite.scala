@@ -1,0 +1,63 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{SparkSpec, Tables}
+import graft.queries.VectorOps
+
+/** Recall gate for the LSH ANN index against brute-force cosine. */
+class AnnSuite extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir).cache()
+
+  private def bruteTopK(k: Int, nQueries: Int): Map[Long, Set[Long]] = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    val c = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    c.crossJoin(broadcast(q)).filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        VectorOps.cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q2, rs) =>
+        q2 -> rs.map(_.getLong(1)).toSet
+      }
+  }
+
+  test("ANN recall@10 >= 0.5 vs brute force on fixture embeddings") {
+    val k = 10
+    val exact = bruteTopK(k, nQueries = 10)
+    val approx = AnnLsh.topK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k,
+      AnnLsh.Params(bitsPerTable = 5, tables = 16))
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@$k = $mean < 0.5")
+  }
+
+  test("ANN never returns the query itself and respects k") {
+    val out = AnnLsh.topK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5).collect()
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length <= 5))
+  }
+
+  test("identical vectors collide in every LSH table") {
+    import spark.implicits._
+    val v = Seq((1L, Array.fill(64)(0.5f)), (2L, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val idx = AnnLsh.index(v, "vec_id", "embedding")
+    val collisions = idx.groupBy("table", "bucket")
+      .agg(countDistinct(col("id")).as("n"))
+      .filter(col("n") === 2).count()
+    assert(collisions === 8, "8 tables → 8 shared buckets")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Planted-duplicate gates for the probabilistic dedup sketches.
+  * Fixture docs (sf0.001) are perturbed by replacing a few tokens —
+  * near-dups must be found; unrelated docs must not pair up. */
+class DedupSuite extends SparkSpec {
+
+  /** Replace every perturbStep-th token with a marker — a ~few-% edit. */
+  private def perturb(text: String, step: Int): String = {
+    val ts = text.split(" ")
+    ts.zipWithIndex.map { case (t, i) => if (i % step == step - 1) "zzqx" else t }
+      .mkString(" ")
+  }
+
+  private lazy val planted = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").limit(20)
+    import spark.implicits._
+    val orig = docs.as[(Long, String)].collect()
+    val copies = orig.map { case (id, t) => (id + 100000L, perturb(t, 20)) }
+    spark.createDataFrame(orig ++ copies).toDF("doc_id", "text")
+  }
+
+  test("MinHash-LSH finds every planted near-dup pair, nothing else") {
+    val pairs = MinHashLSH
+      .dedupPairs(planted, "doc_id", "text",
+        MinHashLSH.Params(threshold = 0.5))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val expected = (0 until 20).map(i => (i.toLong, i + 100000L)).toSet
+    val plantedFound = pairs.filter { case (a, b) => b - a == 100000L }
+    assert(plantedFound === expected, "every planted pair must be recalled")
+    // The fixture's own 0.9+ planted dups may also appear; no pair may
+    // join two UNRELATED docs (exact-Jaccard verify forbids it).
+    val sus = pairs -- expected
+    assert(sus.forall { case (a, b) => (b - a) != 1 || a >= 100000L },
+      s"unexpected unrelated pairs: $sus")
+  }
+
+  test("MinHash keep-first drops exactly the id_b side of found pairs") {
+    val p = MinHashLSH.Params(threshold = 0.5)
+    val pairs = MinHashLSH.dedupPairs(planted, "doc_id", "text", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kept = MinHashLSH.dedupKeepFirst(planted, "doc_id", "text", p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectDropped = pairs.map(_._2).toSet
+    assert(kept === planted.select("doc_id").collect().map(_.getLong(0)).toSet
+      -- expectDropped)
+    // every perturbed copy pairs with its original, so none survive
+    assert((0 until 20).forall(i => !kept.contains(i + 100000L)),
+      "perturbed copies (higher ids) are dropped")
+  }
+
+  test("SimHash separates planted near-dups from unrelated docs") {
+    // The fixture vocabulary is ~40 shared words, so unrelated docs are
+    // genuinely similar as bags-of-words — SimHash can only be asserted
+    // as a statistical separator here, not a hard threshold.
+    val sigs = SimHash.signatures(planted, "doc_id", "text").cache()
+    val a = sigs.select(col("id").as("ia"), col("sh").as("sa"))
+    val b = sigs.select(col("id").as("ib"), col("sh").as("sb"))
+    val dists = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        SimHash.hamming(col("sa"), col("sb")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val plantedD = dists.collect { case (x, y, d2) if y - x == 100000L => d2 }
+    val unrelatedD = dists.collect {
+      case (x, y, d2) if y - x != 100000L && y < 100000L => d2
+    }
+    val meanP = plantedD.sum.toDouble / plantedD.length
+    val meanU = unrelatedD.sum.toDouble / unrelatedD.length
+    assert(meanP + 8 < meanU,
+      s"planted mean $meanP not well below unrelated mean $meanU")
+    assert(plantedD.count(_ <= 16).toDouble / plantedD.length >= 0.6,
+      s"too few planted pairs within Hamming 16: ${plantedD.mkString(",")}")
+  }
+
+  test("SimHash: identical texts collide exactly (distance 0)") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "a completely different sentence with other words entirely"))
+      .toDF("doc_id", "text")
+    val pairs = SimHash.dedupPairs(df, "doc_id", "text", maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)))
+  }
+
+  test("shingleSet produces token n-grams (distinct, short-doc safe)") {
+    import spark.implicits._
+    val out = Seq("a b c d", "a b", "x x x x")
+      .toDF("text")
+      .select(MinHashLSH.shingleSet(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq("a b"))
+    assert(out(2) === Seq("x x x"))
+  }
+}
