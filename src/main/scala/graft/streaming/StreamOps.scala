@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Mirror of the `events` fixture schema for typed streaming ops. */
+final case class Event(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+/** One closed (or timed-out) user session. */
+final case class Session(
+    user_id: Long,
+    start_ms: Long,
+    end_ms: Long,
+    n_events: Int,
+    total_value: Double)
+
+/** Structured Streaming surface over the `events` schema (SURVEY.md §2.B
+  * "Streaming" row): event-time windows + watermarks, late-data drop,
+  * stateful dedup, and custom session state via flatMapGroupsWithState.
+  *
+  * Everything is readStream-agnostic: callers pass any streaming
+  * DataFrame with the events schema (MemoryStream in tests, file/kafka
+  * source in production). Watermarks bound state: at 100 TB/day the
+  * state store only holds windows/sessions newer than the watermark
+  * horizon — nothing here accumulates unbounded state.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregate with late-data drop. */
+  def tumblingCounts(events: DataFrame, width: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        col("total"))
+
+  /** Sliding window (width/slide) aggregate. */
+  def slidingCounts(events: DataFrame, width: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("n"))
+
+  /** Built-in session window (gap-based) per user. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("user_id"), col("w.start").as("s_start"),
+        col("w.end").as("s_end"), col("n"), col("total"))
+
+  /** Stateful exact dedup by event_id, state bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom sessionization via flatMapGroupsWithState (the general
+    * stateful-operator form the built-in session_window can't express —
+    * e.g. per-session value totals with custom close rules).
+    *
+    * A session closes when a newer event in the same group arrives more
+    * than gapMs later (emitted immediately) or when event time passes
+    * the watermark with no newer events (EventTimeTimeout). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "30 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Session]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.end_ms <= gapMs =>
+                  open = Some(s.copy(end_ms = math.max(s.end_ms, t),
+                    n_events = s.n_events + 1,
+                    total_value = s.total_value + e.value))
+                case Some(s) =>
+                  closed += s
+                  open = Some(Session(userId, t, t, 1, e.value))
+                case None =>
+                  open = Some(Session(userId, t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end_ms + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.SparkSpec
+
+/** MemoryStream-driven gates for the streaming surface: window emission
+  * on watermark passage, late-data drop, session windows, stateful
+  * dedup, custom flatMapGroupsWithState sessions. */
+class StreamSuite extends SparkSpec {
+
+  /** Minutes after 2024-01-01 00:00:00 UTC. */
+  private def at(min: Int): Timestamp = new Timestamp(1704067200000L + min * 60000L)
+
+  private def ev(id: Long, min: Int, user: Long = 1L, typ: String = "click",
+      value: Double = 1.0): Event = Event(id, at(min), user, typ, value)
+
+  private var qn = 0
+  private def run[T](stream: MemoryStream[Event],
+      out: org.apache.spark.sql.DataFrame,
+      mode: String = "append")(body: (StreamingQuery, String) => T): T = {
+    qn += 1
+    val name = s"stream_sink_$qn"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try body(q, name)
+    finally q.stop()
+  }
+
+  test("tumbling window emits on watermark passage; late data dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    run(in, StreamOps.tumblingCounts(in.toDF(), "10 minutes", "10 minutes")) {
+      (q, name) =>
+        in.addData(ev(1, 1), ev(2, 3, typ = "view"), ev(3, 8))
+        q.processAllAvailable()
+        // watermark still at 8-10 < window end → nothing final yet
+        assert(spark.table(name).count() === 0)
+        // an event at minute 25 pushes the watermark to 15 > 10
+        in.addData(ev(4, 25))
+        q.processAllAvailable()
+        val rows = spark.table(name)
+          .select("event_type", "n").as[(String, Long)].collect().toSet
+        assert(rows === Set(("click", 2L), ("view", 1L)))
+        // minute-5 event arrives AFTER the watermark passed its window:
+        // must be dropped, emitted results must not change
+        in.addData(ev(5, 5))
+        in.addData(ev(6, 40))
+        q.processAllAvailable()
+        val again = spark.table(name)
+          .filter($"w_start" === at(0)).select("event_type", "n")
+          .as[(String, Long)].collect().toSet
+        assert(again === Set(("click", 2L), ("view", 1L)),
+          "late event must not re-open the closed window")
+    }
+  }
+
+  test("sliding window: one event lands in two 10/5-minute windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    run(in, StreamOps.slidingCounts(in.toDF(), "10 minutes", "5 minutes")) {
+      (q, name) =>
+        in.addData(ev(1, 7))      // windows [0,10) and [5,15)
+        in.addData(ev(2, 40))     // advance watermark past both
+        q.processAllAvailable()
+        val got = spark.table(name)
+          .select("w_start", "n").as[(Timestamp, Long)].collect().toMap
+        assert(got.get(at(0)) === Some(1L))
+        assert(got.get(at(5)) === Some(1L))
+    }
+  }
+
+  test("session_window groups by gap per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    run(in, StreamOps.sessionWindows(in.toDF(), "30 minutes", "30 minutes")) {
+      (q, name) =>
+        // user 1: events at 0,10,20 (one session), then 70 (new session)
+        in.addData(ev(1, 0), ev(2, 10), ev(3, 20), ev(4, 70))
+        in.addData(ev(5, 200))  // close everything
+        q.processAllAvailable()
+        val sessions = spark.table(name)
+          .filter($"user_id" === 1L)
+          .select("s_start", "n").as[(Timestamp, Long)].collect().toMap
+        assert(sessions(at(0)) === 3L)
+        assert(sessions(at(70)) === 1L)
+    }
+  }
+
+  test("dropDuplicatesWithinWatermark removes re-delivered event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    run(in, StreamOps.dedupWithinWatermark(in.toDF(), "10 minutes")) {
+      (q, name) =>
+        in.addData(ev(1, 0), ev(2, 1))
+        q.processAllAvailable()
+        in.addData(ev(1, 0))          // duplicate delivery
+        in.addData(ev(3, 2))
+        q.processAllAvailable()
+        val ids = spark.table(name).select("event_id").as[Long].collect().sorted
+        assert(ids === Array(1L, 2L, 3L))
+    }
+  }
+
+  test("flatMapGroupsWithState sessionize: gap close + per-session totals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    run(in, StreamOps.sessionize(in.toDS(), gapMs = 30 * 60000L).toDF()) {
+      (q, name) =>
+        // session A: minutes 0-20 (3 events, value 6); then a 60-min gap
+        // (> 30) → session B opens at minute 80
+        in.addData(ev(1, 0, value = 1), ev(2, 10, value = 2), ev(3, 20, value = 3))
+        q.processAllAvailable()
+        in.addData(ev(4, 80, value = 5))
+        q.processAllAvailable()
+        val sessions = spark.table(name).as[Session].collect()
+        assert(sessions.length === 1, "session A closed by the gap")
+        val a = sessions.head
+        assert(a.user_id === 1L && a.n_events === 3 && a.total_value === 6.0)
+        assert(a.start_ms === at(0).getTime && a.end_ms === at(20).getTime)
+    }
+  }
+}
