@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (north-star op): media as opaque `binary`
+  * payloads + a typed metadata struct, with decode / feature-extract /
+  * resize / frame-sample stages.
+  *
+  * The Spark-side plumbing — schema, partitioning, batch shape, the
+  * binary column flowing through parquet — is real and tested. The
+  * codec step is a DETERMINISTIC FAKE (this container ships no
+  * image/audio libraries): `fakeDecode` derives "pixels" from payload
+  * bytes. A production deployment swaps ONLY that expression for a real
+  * codec (e.g. a JNI/javacv call inside the same `transform` shape);
+  * every other stage is codec-agnostic.
+  *
+  * Scale: payloads never shuffle — all feature stages are map-only
+  * column ops; only extracted (small) features flow into joins/aggs.
+  */
+object Multimodal {
+
+  /** media schema: (media_id, modality, payload, meta{width,height,
+    * n_frames,sample_rate,format}). Fabricated deterministically from
+    * any (id, text) corpus so every sf dir yields a media table. */
+  def fabricate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val payload = encode(col(textCol), "UTF-8")
+    val h = pmod(xxhash64(col(idCol)), lit(3L))
+    docs.select(
+      col(idCol).as("media_id"),
+      when(h === 0, "image").when(h === 1, "audio").otherwise("video")
+        .as("modality"),
+      payload.as("payload"),
+      struct(
+        (pmod(xxhash64(col(textCol)), lit(64L)) + 16).cast("int").as("width"),
+        (pmod(xxhash64(col(textCol), lit(1)), lit(64L)) + 16).cast("int")
+          .as("height"),
+        (pmod(xxhash64(col(idCol), lit(2)), lit(30L)) + 1).cast("int")
+          .as("n_frames"),
+        lit(16000).as("sample_rate"),
+        when(h === 0, "png").when(h === 1, "wav").otherwise("mp4")
+          .as("format")).as("meta"))
+  }
+
+  /** Feature extraction over the decoded sample: mean/min/max byte and
+    * a coarse 4-bucket histogram — the plumbing a real embedding model
+    * would replace. */
+  def featurize(media: DataFrame, sampleBytes: Int = 64): DataFrame = {
+    val px = col("px")
+    media
+      .withColumn("px", decodeBytes(col("payload"), sampleBytes))
+      .select(
+        col("media_id"), col("modality"), col("meta"),
+        length(col("payload")).as("n_bytes"),
+        round(aggregate(px, lit(0L), (a, x) => a + x).cast("double")
+          / greatest(size(px), lit(1)), 4).as("mean_byte"),
+        array_min(px).as("min_byte"),
+        array_max(px).as("max_byte"))
+  }
+
+  /** STUB CODEC — deterministic fake decode: payload → first n bytes as
+    * unsigned ints ("pixels"/"samples"). A real deployment swaps this
+    * one expression for an actual codec; the array<long> + meta-dims
+    * contract downstream stages consume stays identical. */
+  def decodeBytes(payload: Column, n: Int): Column = {
+    // hex → pairs → ints keeps everything in codegen'd functions:
+    // hex(payload) gives 2 chars per byte; conv(pair, 16, 10) → int.
+    val hx = hex(payload)
+    transform(
+      sequence(lit(0), greatest(least(length(payload), lit(n)), lit(1)) - 1),
+      i => conv(substring(hx, lit(1) + i * 2, lit(2)), 16, 10).cast("long"))
+  }
+
+  /** Frame sampling for video payloads: split the payload into
+    * `meta.n_frames` equal byte-ranges and keep every strideth frame's
+    * first-byte feature — the plan shape of real frame extraction. */
+  def sampleFrames(media: DataFrame, stride: Int = 2): DataFrame = {
+    val nf = col("meta.n_frames")
+    val frameLen = greatest((length(col("payload")) / nf).cast("int"), lit(1))
+    media.filter(col("modality") === "video")
+      .select(col("media_id"), nf.as("n_frames"),
+        explode(
+          filter(
+            transform(sequence(lit(0), nf - 1),
+              f => struct(f.as("frame_idx"),
+                conv(substring(hex(col("payload")),
+                  f * frameLen * 2 + lit(1), lit(2)), 16, 10).cast("long")
+                  .as("first_byte"))),
+            s => pmod(s.getField("frame_idx"), lit(stride)) === 0))
+          .as("fr"))
+      .select(col("media_id"), col("n_frames"),
+        col("fr.frame_idx"), col("fr.first_byte"))
+  }
+}

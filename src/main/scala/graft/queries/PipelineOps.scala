@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.text.LangId
+
+/** Declared queries for the remaining LLM-pipeline operators: BPE-ish
+  * token counting, heuristic language ID, and multimodal feature
+  * plumbing. All oracle-checked except where sketch/codec internals are
+  * not SQL-replicable (noted per query). */
+object PipelineOps {
+
+  /** Word-ish/number/punctuation token counting — the regex analogue of
+    * a BPE pre-tokenizer pass. Pure map; counts only. */
+  val tokenCounts: Q = Q(
+    "token_counts",
+    """SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+      | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS n_bpeish,
+      | CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_chars_nospace
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+          .as("n_bpeish"),
+        length(regexp_replace(col("text"), " ", "")).as("n_chars_nospace"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID over documents: predicted language distribution. The
+    * stopword scoring is replicated exactly in the oracle SQL (same
+    * profiles, same tie-break order, same confidence floor). */
+  val langidProfile: Q = Q(
+    "langid_profile",
+    {
+      val profiles = LangId.Profiles
+      val toks = "list_filter(string_split_regex(lower(text), " +
+        "'[ ,.;:!?''\"]+'), x -> x <> '')"
+      val scoreCols = profiles.map { case (lang, words) =>
+        val set = words.map(w => s"'${w}'").mkString(", ")
+        s"CAST(len(list_filter(ts, t -> t IN ($set))) AS DOUBLE) / greatest(len(ts), 1) AS $lang"
+      }.mkString(",\n ")
+      val best = "greatest(" + profiles.map(_._1).mkString(", ") + ")"
+      val caseExpr = profiles.map { case (lang, _) =>
+        s"WHEN $lang = best AND best >= 0.05 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, $toks AS ts FROM documents),
+         |s AS (SELECT doc_id, $scoreCols FROM t),
+         |p AS (SELECT doc_id, $best AS best,
+         |        CASE $caseExpr ELSE 'und' END AS lang FROM s)
+         |SELECT lang, count(*) AS n_docs
+         |FROM p GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (s, d) =>
+    LangId.classify(Tables.documents(s, d), "doc_id", "text")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
+  /** Multimodal feature extraction through the binary-column plumbing.
+    * Oracle covers the codec-agnostic outputs (payload length + decoded
+    * byte stats — fixture text is ASCII, so DuckDB's ascii() equals the
+    * UTF-8 byte Spark reads); modality/meta derive from xxhash64, which
+    * DuckDB lacks, and are gated in MultimodalSuite instead. */
+  val multimodalFeats: Q = Q(
+    "multimodal_feats",
+    """WITH b AS (
+      |  SELECT doc_id AS media_id,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    list_transform(range(1, least(length(text), 64) + 1),
+      |      i -> ascii(substring(text, CAST(i AS INTEGER), 1))) AS px
+      |  FROM documents)
+      |SELECT media_id, n_bytes,
+      |  floor(CAST(list_aggregate(px, 'sum') AS DOUBLE) / len(px) * 10000 + 0.5) / 10000
+      |    AS mean_byte,
+      |  CAST(list_aggregate(px, 'min') AS BIGINT) AS min_byte,
+      |  CAST(list_aggregate(px, 'max') AS BIGINT) AS max_byte
+      |FROM b ORDER BY media_id""".stripMargin) { (s, d) =>
+    val media = Multimodal.fabricate(Tables.documents(s, d), "doc_id", "text")
+    val px = col("px")
+    media
+      .withColumn("px", Multimodal.decodeBytes(col("payload"), 64))
+      .select(col("media_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        (floor(aggregate(px, lit(0L), (a, x) => a + x).cast("double")
+          / size(px) * 10000 + 0.5) / 10000).as("mean_byte"),
+        array_min(px).as("min_byte"),
+        array_max(px).as("max_byte"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(tokenCounts, langidProfile, multimodalFeats)
+}
