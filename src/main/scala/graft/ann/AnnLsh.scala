@@ -71,9 +71,11 @@ object AnnLsh {
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("qvec"), col("id"), col("vec"))
       .dropDuplicates("qid", "id")
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
     candidates
-      .withColumn("cos", VectorOps.cosine(col("qvec"), col("vec")))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosineNative(col("qvec"), col("vec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("id"), col("cos"), col("rn"))

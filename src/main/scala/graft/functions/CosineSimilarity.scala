@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Native Catalyst expression: cosine(a, b) over two array<double>
+  * columns, fused into one loop with whole-stage codegen.
+  *
+  * The composable form (`aggregate(zip_with(a, b, *), ...)`, see
+  * VectorOps.cosine) materializes a zipped intermediate array and folds
+  * it per row; this expression reads both ArrayData buffers directly —
+  * no allocation, one pass — which matters when the ANN rerank computes
+  * millions of cosines per partition. Returns NULL if either vector has
+  * zero norm; truncates to the shorter length (callers pass fixed-dim
+  * embeddings).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) null else dot / d
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xi = $a.getDouble($i);
+         |  double yi = $b.getDouble($i);
+         |  $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
+         |}
+         |double $d = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($d == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / $d; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column-API access for graft's native expressions. */
+object GraftFunctions {
+
+  val CosineName = "graft_cosine"
+
+  private[functions] val cosineBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, s"$CosineName expects 2 arguments")
+    CosineSimilarity(children.head, children(1))
+  }
+
+  /** Idempotently register graft functions in a session (sessions built
+    * outside GraftExtensions — e.g. the driver's own — get them too). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier(CosineName)
+    if (!registry.functionExists(id)) {
+      registry.registerFunction(id,
+        new ExpressionInfo(classOf[CosineSimilarity].getName, CosineName),
+        cosineBuilder)
+    }
+  }
+
+  /** cosine(a, b) through the native expression (vs VectorOps.cosine,
+    * the pure-builtin form). Caller must have run ensureRegistered. */
+  def cosineNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(CosineName, a, b)
+}
+
+/** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.
+  * GraftExtensions` injects the native functions at session build. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.CosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName,
+        GraftFunctions.CosineName),
+      GraftFunctions.cosineBuilder))
+}

@@ -67,13 +67,15 @@ object VectorOps {
       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
       |  FROM scored) t
       |WHERE rn <= 3 ORDER BY qid, cos DESC, vec_id""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val q = emb(s, d).filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
     val c = emb(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("cv"))
     val scored = c.join(broadcast(q), col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+        round(graft.functions.GraftFunctions.cosineNative(col("qv"), col("cv")), 6)
+          .as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
