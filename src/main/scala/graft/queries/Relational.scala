@@ -664,12 +664,18 @@ object Relational {
   }
 
   /** approx_count_distinct (HLL) — approximate by design, so no SQL oracle;
-    * correctness is gated in ScalaTest against exact counts (±5%). */
+    * correctness is gated in ScalaTest against exact counts (±5%).
+    * Deliberately TWO aggregations joined at the end: putting an HLL and
+    * an exact count(distinct) in ONE agg makes Spark carry the 52-word
+    * HLL buffer as group state per (flag, partkey) through the
+    * distinct-expand shuffle — 10× slower at sf0.1, catastrophic at
+    * scale. Split, each aggregate gets its optimal 2-phase plan. */
   val q46ApproxDistinct: Q = Q.noOracle("q46_approx_distinct") { (s, d) =>
-    li(s, d).groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
-      .orderBy("l_returnflag")
+    val approx = li(s, d).groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+    val exact = li(s, d).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    approx.join(exact, "l_returnflag").orderBy("l_returnflag")
   }
 
   val all: Seq[Q] = Seq(

@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, SparkEntry}
+
+/** Battery-level invariants the oracle gate can't see. */
+class BatterySuite extends SparkSpec {
+
+  test("every query runs at sf0.001 and returns rows") {
+    val empties = Seq.newBuilder[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      if (n == 0) empties += name
+    }
+    // simhash/minhash pair queries may legitimately be empty at sf0.001
+    // if no near-dups were planted at this scale; everything else must
+    // produce rows.
+    val allowedEmpty = Set("minhash_dedup_pairs", "simhash_dup_pairs")
+    val bad = empties.result().filterNot(allowedEmpty)
+    assert(bad.isEmpty, s"queries with 0 rows at sf0.001: $bad")
+  }
+
+  test("approx_count_distinct within 5% of exact per group") {
+    val rows = SparkEntry.queries("q46_approx_distinct")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx $approx vs exact $exact for ${r.getString(0)}")
+    }
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
+  test("entry() flagship returns rows (driver t1 smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
