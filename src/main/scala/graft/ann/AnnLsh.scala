@@ -61,19 +61,32 @@ object AnnLsh {
 
   /** Approximate top-k neighbours for each query vector: probe the
     * query's buckets across all tables, union members, exact-rerank by
-    * cosine. Queries and corpus share the same index transformation. */
+    * cosine. Queries and corpus share the same index transformation.
+    *
+    * Plan shape: candidate generation joins ONLY (id, table, bucket)
+    * triples — the 64-dim vectors never ride through the band explode
+    * and bucket shuffle (at 100 TB that's the difference between
+    * shuffling 8×corpus keys and 8×corpus full vectors). Vectors join
+    * back once: corpus side by id for the surviving candidates, query
+    * side as a broadcast (the query set is small by contract). */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, p: Params = Params()): DataFrame = {
-    val corpusIdx = index(corpus, idCol, vecCol, p)
-    val queryIdx = index(queries, idCol, vecCol, p)
-      .withColumnRenamed("id", "qid").withColumnRenamed("vec", "qvec")
-    val candidates = corpusIdx.join(queryIdx, Seq("table", "bucket"))
+    val corpusIdx = index(corpus, idCol, vecCol, p).drop("vec")
+    val queryIdx = index(queries, idCol, vecCol, p).drop("vec")
+      .withColumnRenamed("id", "qid")
+    val candidates = corpusIdx.join(broadcast(queryIdx), Seq("table", "bucket"))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("qvec"), col("id"), col("vec"))
+      .select(col("qid"), col("id"))
       .dropDuplicates("qid", "id")
+    val corpusVecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val queryVecs = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
     candidates
+      .join(corpusVecs, "id")
+      .join(broadcast(queryVecs), "qid")
       .withColumn("cos",
         graft.functions.GraftFunctions.cosineNative(col("qvec"), col("vec")))
       .withColumn("rn", row_number().over(w))

@@ -678,7 +678,58 @@ object Relational {
     approx.join(exact, "l_returnflag").orderBy("l_returnflag")
   }
 
+  /** PIVOT: revenue matrix returnflag × linestatus (explicit value list
+    * — at scale an unbounded pivot would need a values pre-pass). */
+  val q50Pivot: Q = Q(
+    "q50_pivot",
+    """SELECT l_returnflag,
+      | round(sum(l_extendedprice) FILTER (WHERE l_linestatus = 'F'), 2) AS F,
+      | round(sum(l_extendedprice) FILTER (WHERE l_linestatus = 'O'), 2) AS O
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      li(s, d).groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_extendedprice"), 2))
+        .orderBy("l_returnflag")
+  }
+
+  /** UNPIVOT/melt: wide part metrics → long (metric, val) pairs. */
+  val q51Unpivot: Q = Q(
+    "q51_unpivot",
+    """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+      |ORDER BY p_partkey, metric""".stripMargin) { (s, d) =>
+    prt(s, d)
+      .withColumn("p_size", col("p_size").cast("double"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")), "metric", "val")
+      .orderBy("p_partkey", "metric")
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`). */
+  val q52Percentile: Q = Q(
+    "q52_percentile",
+    """SELECT o_orderstatus,
+      | floor(quantile_cont(o_totalprice, 0.25) * 10000 + 0.5) / 10000 AS p25,
+      | floor(quantile_cont(o_totalprice, 0.50) * 10000 + 0.5) / 10000 AS p50,
+      | floor(quantile_cont(o_totalprice, 0.75) * 10000 + 0.5) / 10000 AS p75
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+    (s, d) =>
+      ord(s, d).groupBy("o_orderstatus")
+        .agg(
+          (floor(expr("percentile(o_totalprice, 0.25)") * 10000 + lit(0.5)) / 10000)
+            .as("p25"),
+          (floor(expr("percentile(o_totalprice, 0.50)") * 10000 + lit(0.5)) / 10000)
+            .as("p50"),
+          (floor(expr("percentile(o_totalprice, 0.75)") * 10000 + lit(0.5)) / 10000)
+            .as("p75"))
+        .orderBy("o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(
+    q50Pivot, q51Unpivot, q52Percentile,
     q01PricingSummary, q02ProjectFilter, q03AggStats, q04AggRollup, q05AggCube,
     q06GroupingSets, q10JoinInner, q11JoinLeft, q12JoinRight, q13JoinFull,
     q14JoinSemi, q15JoinAnti, q16JoinCross, q17JoinTheta, q18JoinBroadcastStar,

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.mapreduce.{MapReduceSpec, SpecIni}
+
+/** Scale-mechanics gates: salted joins under skew, bucketed co-located
+  * joins (no shuffle), and reference-format config parsing. */
+class ScaleOpsSuite extends SparkSpec {
+
+  test("saltedJoin returns exactly the plain equi-join result under skew") {
+    import spark.implicits._
+    // one hot key (90% of rows) + a uniform tail
+    val left = spark.range(10000)
+      .select(when(col("id") < 9000, 1L).otherwise(col("id")).as("k"),
+        col("id").as("lv"))
+    val right = spark.range(100)
+      .select(col("id").as("k"), (col("id") * 10).as("rv"))
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv")
+    val salted = SkewJoin.saltedJoin(left, right, "k", salt = 8)
+      .select("k", "lv", "rv")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("saltedJoin preserves left-outer semantics") {
+    import spark.implicits._
+    val left = Seq((1L, "a"), (2L, "b"), (99L, "c")).toDF("k", "lv")
+    val right = Seq((1L, "x"), (2L, "y")).toDF("k", "rv")
+    val out = SkewJoin.saltedJoin(left, right, "k", salt = 4, "left")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSet === Set((1L, "a", "x"), (2L, "b", "y"), (99L, "c", null)))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = tmpDir("wh")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+      spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("a"))
+        .write.bucketBy(8, "k").sortBy("k")
+        .option("path", wh.resolve("a").toString).saveAsTable("graft_bkt_a")
+      spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("b"))
+        .write.bucketBy(8, "k").sortBy("k")
+        .option("path", wh.resolve("b").toString).saveAsTable("graft_bkt_b")
+      val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle, plan:\n$plan")
+      assert(joined.count() === 1000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
+  test("SpecIni parses the reference config format and validates it") {
+    val dir = tmpDir("ini")
+    val in1 = dir.resolve("in1.txt")
+    java.nio.file.Files.writeString(in1, "hello world\n")
+    val ini = dir.resolve("config.ini")
+    java.nio.file.Files.writeString(ini,
+      s"""n_workers=2
+         |worker_ipaddr_ports=localhost:5001,localhost:5002
+         |input_files=$in1
+         |output_dir=${dir.resolve("out")}
+         |n_output_files=8
+         |map_kilobytes=500
+         |user_id=cs6210
+         |""".stripMargin)
+    val spec = SpecIni.fromIni(ini.toString)
+    assert(spec === MapReduceSpec(Seq(in1.toString),
+      dir.resolve("out").toString, 8, 500L, "cs6210"))
+  }
+
+  test("SpecIni rejects invalid configs with the reference's rules") {
+    val dir = tmpDir("ini2")
+    val in1 = dir.resolve("in.txt")
+    java.nio.file.Files.writeString(in1, "x\n")
+    def conf(overrides: (String, String)*): String = {
+      val base = scala.collection.mutable.LinkedHashMap(
+        "n_workers" -> "1",
+        "worker_ipaddr_ports" -> "localhost:5001",
+        "input_files" -> in1.toString,
+        "output_dir" -> dir.resolve("out").toString,
+        "n_output_files" -> "4",
+        "map_kilobytes" -> "100",
+        "user_id" -> "u")
+      overrides.foreach { case (k, v) => base(k) = v }
+      val p = java.nio.file.Files.createTempFile(dir, "c", ".ini")
+      java.nio.file.Files.writeString(p,
+        base.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+      p.toString
+    }
+    def rejects(overrides: (String, String)*): Unit = {
+      val e = intercept[IllegalArgumentException](
+        SpecIni.fromIni(conf(overrides: _*)))
+      assert(e.getMessage.contains("invalid mapreduce config"))
+    }
+    rejects("n_workers" -> "0")
+    rejects("n_workers" -> "3") // address count mismatch
+    rejects("n_output_files" -> "0")
+    rejects("map_kilobytes" -> "-5")
+    rejects("input_files" -> dir.resolve("nope.txt").toString)
+    rejects("output_dir" -> dir.toString) // already exists
+  }
+}
