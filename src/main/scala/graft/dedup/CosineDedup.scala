@@ -1,0 +1,49 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ann.AnnLsh
+import graft.functions.GraftFunctions
+
+/** Embedding-cosine near-duplicate detection — the third dedup sketch
+  * (beside MinHash and SimHash), for corpora deduplicated in embedding
+  * space rather than token space.
+  *
+  * Candidates come from the ANN module's sign-LSH buckets (same index
+  * relation, self-joined), then exact cosine ≥ minCosine verifies — so
+  * precision is exact and only recall is probabilistic. For near-dups
+  * (cosine ≥ 0.95, angle ≤ 18°) the per-table collision probability is
+  * (1-θ/π)^bits; across the default 12 tables the miss probability is
+  * negligible. Never an all-pairs cross join. */
+object CosineDedup {
+
+  def dedupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95,
+      p: AnnLsh.Params = AnnLsh.Params(bitsPerTable = 8, tables = 12)): DataFrame = {
+    val idx = AnnLsh.index(vectors, idCol, vecCol, p).drop("vec")
+    val candidates = idx.as("x")
+      .join(idx.as("y"),
+        col("x.table") === col("y.table")
+          && col("x.bucket") === col("y.bucket")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val vecs = vectors.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    candidates
+      .join(vecs.select(col("vid").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("vid").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.cosineNative(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
+  /** Keep-first policy, mirroring MinHashLSH.dedupKeepFirst. */
+  def dedupKeepFirst(vectors: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95): DataFrame = {
+    val drop = dedupPairs(vectors, idCol, vecCol, minCosine)
+      .select(col("id_b").as(idCol)).distinct()
+    vectors.join(drop, Seq(idCol), "left_anti")
+  }
+}
