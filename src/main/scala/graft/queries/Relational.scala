@@ -525,7 +525,8 @@ object Relational {
       | concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_nat,
       | CAST(length(c_name) AS INTEGER) AS name_len,
       | regexp_extract(c_name, '([0-9]+)', 1) AS digits,
-      | regexp_replace(c_name, '[0-9]', 'x', 'g') AS name_masked
+      | regexp_replace(c_name, '[0-9]', 'x', 'g') AS name_masked,
+      | trim(concat(' ', c_mktsegment, ' ')) AS seg_trim
       |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
     cust(s, d)
       .select(col("c_custkey"),
@@ -536,7 +537,8 @@ object Relational {
           .as("seg_nat"),
         length(col("c_name")).as("name_len"),
         regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
-        regexp_replace(col("c_name"), "[0-9]", "x").as("name_masked"))
+        regexp_replace(col("c_name"), "[0-9]", "x").as("name_masked"),
+        trim(concat(lit(" "), col("c_mktsegment"), lit(" "))).as("seg_trim"))
       .orderBy("c_custkey")
   }
 

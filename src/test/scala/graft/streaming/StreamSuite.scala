@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{coalesce, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.SparkSpec
 
@@ -104,6 +105,22 @@ class StreamSuite extends SparkSpec {
         q.processAllAvailable()
         val ids = spark.table(name).select("event_id").as[Long].collect().sorted
         assert(ids === Array(1L, 2L, 3L))
+    }
+  }
+
+  test("stream-static join enriches events with a dimension table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val users = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val joined = in.toDF().join(users, Seq("user_id"), "left")
+      .select($"event_id", $"user_id", coalesce($"tier", lit("none")).as("tier"))
+    run(in, joined) { (q, name) =>
+      in.addData(ev(1, 0, user = 1), ev(2, 1, user = 2), ev(3, 2, user = 9))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select("event_id", "tier").as[(Long, String)].collect().toMap
+      assert(got === Map(1L -> "gold", 2L -> "silver", 3L -> "none"))
     }
   }
 
