@@ -210,7 +210,52 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken 2003, public
+    * literature): polynomial rolling hash over character 8-grams, then
+    * the minimum hash of every 16-hash window, deduplicated — the
+    * standard local-fingerprint scheme plagiarism/near-dup systems use.
+    * All-integer math (base 31 powers < 2^35, mod 1000003) so both
+    * engines compute identical values exactly. Map-only at scale. */
+  val winnowFingerprint: Q = Q(
+    "winnow_fingerprint",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+      |      i -> list_aggregate(list_transform(range(0, 8),
+      |             j -> ascii(substring(text, CAST(i + j AS INTEGER), 1))
+      |                  * CAST(pow(31, j) AS BIGINT)), 'sum') % 1000003) AS hs
+      |  FROM documents WHERE length(text) >= 8),
+      |w AS (
+      |  SELECT doc_id,
+      |    list_sort(list_distinct(
+      |      list_transform(range(1, greatest(len(hs) - 15, 1) + 1),
+      |        i -> list_aggregate(hs[i:i+15], 'min')))) AS fps
+      |  FROM h)
+      |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp,
+      |  md5(array_to_string(fps, ',')) AS fp_md5
+      |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val hs = expr(
+      """transform(sequence(0, greatest(length(text) - 8, 0)),
+        |  i -> aggregate(transform(sequence(0, 7),
+        |         j -> ascii(substring(text, i + j + 1, 1))
+        |              * CAST(pow(31, j) AS BIGINT)),
+        |       0L, (acc, x) -> acc + x) % 1000003)""".stripMargin)
+    val fps = expr(
+      """array_sort(array_distinct(
+        |  transform(sequence(0, greatest(size(hs) - 16, 0)),
+        |    i -> array_min(slice(hs, i + 1, 16)))))""".stripMargin)
+    docs(s, d)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), fps.as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).as("n_fp"),
+        md5(expr("concat_ws(',', transform(fps, x -> CAST(x AS STRING)))"))
+          .as("fp_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
-    dedupExactKeep, docFingerprint, tfidfTop, ngramJaccard)
+    dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard)
 }
