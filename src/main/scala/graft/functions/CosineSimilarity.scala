@@ -94,17 +94,34 @@ object GraftFunctions {
     CosineSimilarity(children.head, children(1))
   }
 
+  val WinnowName = "graft_winnow"
+
+  private[functions] val winnowBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, s"$WinnowName expects 1 argument")
+    WinnowFingerprint(children.head)
+  }
+
   /** Idempotently register graft functions in a session (sessions built
     * outside GraftExtensions — e.g. the driver's own — get them too). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier(CosineName)
-    if (!registry.functionExists(id)) {
-      registry.registerFunction(id,
+    val cid = FunctionIdentifier(CosineName)
+    if (!registry.functionExists(cid)) {
+      registry.registerFunction(cid,
         new ExpressionInfo(classOf[CosineSimilarity].getName, CosineName),
         cosineBuilder)
     }
+    val wid = FunctionIdentifier(WinnowName)
+    if (!registry.functionExists(wid)) {
+      registry.registerFunction(wid,
+        new ExpressionInfo(classOf[WinnowFingerprint].getName, WinnowName),
+        winnowBuilder)
+    }
   }
+
+  /** Winnowing fingerprint through the native expression. */
+  def winnowNative(text: Column): Column =
+    org.apache.spark.sql.functions.call_function(WinnowName, text)
 
   /** cosine(a, b) through the native expression (vs VectorOps.cosine,
     * the pure-builtin form). Caller must have run ensureRegistered. */
@@ -115,10 +132,16 @@ object GraftFunctions {
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.
   * GraftExtensions` injects the native functions at session build. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier(GraftFunctions.CosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName,
         GraftFunctions.CosineName),
       GraftFunctions.cosineBuilder))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.WinnowName),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName,
+        GraftFunctions.WinnowName),
+      GraftFunctions.winnowBuilder))
+  }
 }

@@ -234,20 +234,15 @@ object TextOps {
       |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp,
       |  md5(array_to_string(fps, ',')) AS fp_md5
       |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val hs = expr(
-      """transform(sequence(0, greatest(length(text) - 8, 0)),
-        |  i -> aggregate(transform(sequence(0, 7),
-        |         j -> ascii(substring(text, i + j + 1, 1))
-        |              * CAST(pow(31, j) AS BIGINT)),
-        |       0L, (acc, x) -> acc + x) % 1000003)""".stripMargin)
-    val fps = expr(
-      """array_sort(array_distinct(
-        |  transform(sequence(0, greatest(size(hs) - 16, 0)),
-        |    i -> array_min(slice(hs, i + 1, 16)))))""".stripMargin)
+    // Native expression (graft.functions.WinnowFingerprint): the
+    // equivalent nested transform/aggregate HOF pipeline is interpreted
+    // (CodegenFallback) and ~30× slower — see WinnowSuite for the
+    // semantic-parity gate between the two forms.
+    graft.functions.GraftFunctions.ensureRegistered(s)
     docs(s, d)
       .filter(length(col("text")) >= 8)
-      .select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"), fps.as("fps"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.winnowNative(col("text")).as("fps"))
       .select(col("doc_id"),
         size(col("fps")).as("n_fp"),
         md5(expr("concat_ws(',', transform(fps, x -> CAST(x AS STRING)))"))
