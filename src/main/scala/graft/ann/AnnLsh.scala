@@ -38,10 +38,14 @@ object AnnLsh {
     Seq.fill(p.tables, p.bitsPerTable, p.dim)(rnd.nextGaussian())
   }
 
-  /** Signature of one table: bits packed into a long. */
+  /** Signature of one table: bits packed into a long. Hyperplane dots
+    * go through the native ArrayDot expression — the HOF fold is
+    * interpreted and this is the index's hot loop (tables × bits dots
+    * per corpus vector). */
   private def tableSig(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (plane, i) =>
-      when(VectorOps.dot(vec, typedlit(plane)) > 0, shiftleft(lit(1L), i))
+      when(graft.functions.GraftFunctions.dotNative(vec, typedlit(plane)) > 0,
+        shiftleft(lit(1L), i))
         .otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
@@ -49,6 +53,7 @@ object AnnLsh {
     * vector per table. */
   def index(vectors: DataFrame, idCol: String, vecCol: String,
       p: Params = Params()): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(vectors.sparkSession)
     val hp = hyperplanes(p)
     val v = col(vecCol).cast("array<double>")
     val buckets = array(hp.zipWithIndex.map { case (planes, t) =>

@@ -94,6 +94,13 @@ object GraftFunctions {
     CosineSimilarity(children.head, children(1))
   }
 
+  val DotName = "graft_dot"
+
+  private[functions] val dotBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, s"$DotName expects 2 arguments")
+    ArrayDot(children.head, children(1))
+  }
+
   val WinnowName = "graft_winnow"
 
   private[functions] val winnowBuilder: Seq[Expression] => Expression = { children =>
@@ -117,7 +124,16 @@ object GraftFunctions {
         new ExpressionInfo(classOf[WinnowFingerprint].getName, WinnowName),
         winnowBuilder)
     }
+    val did = FunctionIdentifier(DotName)
+    if (!registry.functionExists(did)) {
+      registry.registerFunction(did,
+        new ExpressionInfo(classOf[ArrayDot].getName, DotName), dotBuilder)
+    }
   }
+
+  /** dot(a, b) through the native expression (bit-equal to the HOF fold). */
+  def dotNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(DotName, a, b)
 
   /** Winnowing fingerprint through the native expression. */
   def winnowNative(text: Column): Column =
@@ -143,5 +159,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[WinnowFingerprint].getName,
         GraftFunctions.WinnowName),
       GraftFunctions.winnowBuilder))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.DotName),
+      new ExpressionInfo(classOf[ArrayDot].getName, GraftFunctions.DotName),
+      GraftFunctions.dotBuilder))
   }
 }

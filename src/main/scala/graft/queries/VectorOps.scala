@@ -42,8 +42,11 @@ object VectorOps {
       | round(avg(sqrt(list_aggregate(
       |   list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), 'sum'))), 4) AS avg_norm
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val v = asDouble(col("embedding"))
     emb(s, d)
-      .select(col("label"), l2norm(asDouble(col("embedding"))).as("norm"))
+      .select(col("label"),
+        sqrt(graft.functions.GraftFunctions.dotNative(v, v)).as("norm"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"), round(avg("norm"), 4).as("avg_norm"))
       .orderBy("label")
