@@ -65,14 +65,17 @@ object MinHashLSH {
     val rnd = new scala.util.Random(p.seed)
     val as = Seq.fill(p.numHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
     val bs = Seq.fill(p.numHashes)(rnd.nextInt(Int.MaxValue).toLong)
+    // Signature via the native MinHashSig expression — the composable
+    // form `zip_with(lit(as), lit(bs), (a,b) -> array_min(transform(hs,
+    // x -> pmod(a*x+b, P))))` is interpreted (CodegenFallback) and walks
+    // the shingle array k times; the native k-min single pass is
+    // bit-identical (same positive integer math). See MinHashSigSuite.
     docs
       .select(col(idCol).as("id"), shingleSet(col(textCol), p.shingleSize).as("shingles"))
       .withColumn("hs",
         transform(col("shingles"), s => pmod(xxhash64(s), lit(HashSpace))))
       .withColumn("sig",
-        zip_with(typedlit(as), typedlit(bs),
-          (a, b) => array_min(transform(col("hs"),
-            x => pmod(a * x + b, lit(P))))))
+        graft.functions.GraftFunctions.minhashSig(col("hs"), as, bs, P))
       .drop("hs")
   }
 

@@ -139,6 +139,15 @@ object GraftFunctions {
   def winnowNative(text: Column): Column =
     org.apache.spark.sql.functions.call_function(WinnowName, text)
 
+  /** MinHash signature through the native expression (coefficients are
+    * driver-side constants, so this wraps the expression directly
+    * rather than going through the name registry). */
+  def minhashSig(hs: Column, as: Seq[Long], bs: Seq[Long], mod: Long): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      MinHashSig(
+        org.apache.spark.sql.GraftColumnBridge.expression(hs),
+        as.toArray, bs.toArray, mod))
+
   /** cosine(a, b) through the native expression (vs VectorOps.cosine,
     * the pure-builtin form). Caller must have run ensureRegistered. */
   def cosineNative(a: Column, b: Column): Column =
