@@ -39,9 +39,14 @@ object SimHash {
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** (id, simhash) for every document. */
-  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), simhashExpr(textCol).as("sh"))
+  /** (id, simhash) for every document — via the native SimHash64
+    * expression (the SQL-expr form above is interpreted and allocates a
+    * 64-array per token; bit-equality is pinned in SimHashNativeSuite). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.simhashNative(col(textCol)).as("sh"))
+  }
 
   /** Near-duplicate pairs with Hamming distance ≤ maxDist (≤ 16 needed
     * for the 4-chunk pigeonhole to be exhaustive; ≤ 3 typical). */

@@ -101,6 +101,13 @@ object GraftFunctions {
     ArrayDot(children.head, children(1))
   }
 
+  val SimHashName = "graft_simhash"
+
+  private[functions] val simhashBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, s"$SimHashName expects 1 argument")
+    SimHash64(children.head)
+  }
+
   val WinnowName = "graft_winnow"
 
   private[functions] val winnowBuilder: Seq[Expression] => Expression = { children =>
@@ -129,7 +136,17 @@ object GraftFunctions {
       registry.registerFunction(did,
         new ExpressionInfo(classOf[ArrayDot].getName, DotName), dotBuilder)
     }
+    val sid = FunctionIdentifier(SimHashName)
+    if (!registry.functionExists(sid)) {
+      registry.registerFunction(sid,
+        new ExpressionInfo(classOf[SimHash64].getName, SimHashName),
+        simhashBuilder)
+    }
   }
+
+  /** SimHash through the native expression. */
+  def simhashNative(text: Column): Column =
+    org.apache.spark.sql.functions.call_function(SimHashName, text)
 
   /** dot(a, b) through the native expression (bit-equal to the HOF fold). */
   def dotNative(a: Column, b: Column): Column =
@@ -172,5 +189,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier(GraftFunctions.DotName),
       new ExpressionInfo(classOf[ArrayDot].getName, GraftFunctions.DotName),
       GraftFunctions.dotBuilder))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.SimHashName),
+      new ExpressionInfo(classOf[SimHash64].getName, GraftFunctions.SimHashName),
+      GraftFunctions.simhashBuilder))
   }
 }
