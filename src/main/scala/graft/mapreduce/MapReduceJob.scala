@@ -52,4 +52,5 @@ object JobRegistry {
   // (`/root/reference/test/user_tasks.cc:58`).
   register("wordcount", WordCountJob)
   register("identity", IdentityJob)
+  register("inverted_index", InvertedIndexJob)
 }

@@ -32,6 +32,24 @@ object WordCountJob extends MapReduceJob {
     Iterator.single((key, values.map(_.toInt).sum.toString))
 }
 
+/** Inverted index: map emits (token, docId) for `docId<TAB>text` lines;
+  * reduce emits the token with its sorted-distinct document list —
+  * the other classic MapReduce workload beside word count, exercising a
+  * multi-valued, order-insensitive reducer. */
+object InvertedIndexJob extends MapReduceJob {
+  override def map(line: String): Iterator[(String, String)] = {
+    val i = line.indexOf('\t')
+    if (i < 0) Iterator.empty
+    else {
+      val docId = line.substring(0, i)
+      line.substring(i + 1).split("[ ,.'\"]").iterator
+        .filter(_.nonEmpty).map(tok => (tok, docId))
+    }
+  }
+  override def reduce(key: String, values: Iterator[String]): Iterator[(String, String)] =
+    Iterator.single((key, values.toSeq.distinct.sorted.mkString(" ")))
+}
+
 /** Pass-through job: useful for testing the shuffle/sink contract
   * (S4/S5/S7) independently of any aggregation logic. */
 object IdentityJob extends MapReduceJob {

@@ -730,7 +730,61 @@ object Relational {
         .orderBy("o_orderstatus")
   }
 
+  /** Value-bucket quartiles — the scale-safe alternative to q23's global
+    * ntile (which single-partitions): distributed percentile aggregate
+    * for the 3 boundaries, broadcast back, bucket by comparison. Same
+    * output shape as q23; bucket semantics are value-based rather than
+    * equal-count. */
+  val q27QuartileBuckets: Q = Q(
+    "q27_quartile_buckets",
+    """WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS p25,
+      |                  quantile_cont(o_totalprice, 0.50) AS p50,
+      |                  quantile_cont(o_totalprice, 0.75) AS p75 FROM orders)
+      |SELECT CASE WHEN o_totalprice <= p25 THEN 1
+      |            WHEN o_totalprice <= p50 THEN 2
+      |            WHEN o_totalprice <= p75 THEN 3 ELSE 4 END AS bucket,
+      |       count(*) AS n, round(min(o_totalprice), 2) AS lo,
+      |       round(max(o_totalprice), 2) AS hi
+      |FROM orders CROSS JOIN b
+      |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    val b = ord(s, d).agg(
+      expr("percentile(o_totalprice, 0.25)").as("p25"),
+      expr("percentile(o_totalprice, 0.50)").as("p50"),
+      expr("percentile(o_totalprice, 0.75)").as("p75"))
+    ord(s, d).crossJoin(broadcast(b))
+      .select(when(col("o_totalprice") <= col("p25"), 1)
+        .when(col("o_totalprice") <= col("p50"), 2)
+        .when(col("o_totalprice") <= col("p75"), 3)
+        .otherwise(4).as("bucket"), col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
+  /** Correlated EXISTS + scalar subquery through SQL (Catalyst's
+    * subquery decorrelation — the DataFrame semi-join form is q14). */
+  val q28Subqueries: Q = Q(
+    "q28_subqueries",
+    """SELECT o_orderkey, round(o_totalprice, 2) AS total
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o.o_orderkey AND l_extendedprice > 90000)
+      |  AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    ord(s, d).createOrReplaceTempView("graft_q28_orders")
+    li(s, d).createOrReplaceTempView("graft_q28_lineitem")
+    s.sql(
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total
+        |FROM graft_q28_orders o
+        |WHERE EXISTS (SELECT 1 FROM graft_q28_lineitem
+        |              WHERE l_orderkey = o.o_orderkey AND l_extendedprice > 90000)
+        |  AND o_totalprice > (SELECT avg(o_totalprice) FROM graft_q28_orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
+    q27QuartileBuckets, q28Subqueries,
     q50Pivot, q51Unpivot, q52Percentile,
     q01PricingSummary, q02ProjectFilter, q03AggStats, q04AggRollup, q05AggCube,
     q06GroupingSets, q10JoinInner, q11JoinLeft, q12JoinRight, q13JoinFull,

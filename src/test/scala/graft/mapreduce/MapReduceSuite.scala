@@ -125,6 +125,15 @@ class MapReduceSuite extends SparkSpec {
     assert(got === Map("apple" -> "2", "banana" -> "3", "cherry" -> "1", "date" -> "1"))
   }
 
+  test("inverted index job: token → sorted distinct doc list") {
+    import spark.implicits._
+    val lines = Seq("d1\tapple banana", "d2\tbanana cherry", "d3\tapple banana")
+    val got = MapReduceRunner.transform(
+      spark.createDataset(lines), InvertedIndexJob, 2).collect().toMap
+    assert(got === Map(
+      "apple" -> "d1 d3", "banana" -> "d1 d2 d3", "cherry" -> "d2"))
+  }
+
   test("groupSorted streams consecutive runs of a sorted iterator") {
     val it = Iterator("a" -> "1", "a" -> "2", "b" -> "3", "c" -> "4", "c" -> "5")
     val groups = MapReduceRunner.groupSorted(it)
