@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ann.AnnLsh
-import graft.dedup.{MinHashLSH, SimHash}
+import graft.dedup.{CosineDedup, MinHashLSH, SimHash}
 
 /** Declared queries for the probabilistic dedup / ANN operators.
   *
@@ -79,5 +79,19 @@ object DedupAnn {
       .orderBy("qid", "rn")
   }
 
-  val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, simhashPairs, annTopK)
+  /** Embedding-cosine near-dedup over embeddings: pair/keep counts at
+    * the 0.95 threshold (this fixture plants no embedding dups — max
+    * unrelated cosine ≈ 0.51 — so the operator correctly reports zero
+    * drops; planted-duplicate recall is gated in CosineDedupSuite). */
+  val cosineDedupStats: Q = Q.noOracle("cosine_dedup_stats") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val pairs = CosineDedup.dedupPairs(emb, "vec_id", "embedding", 0.95)
+    val kept = CosineDedup.dedupKeepFirst(emb, "vec_id", "embedding", 0.95)
+    emb.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_dup_pairs")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+  }
+
+  val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, simhashPairs, annTopK,
+    cosineDedupStats)
 }
