@@ -783,8 +783,42 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Gap-fill / resample: one row per user per day over the event span,
+    * zeros where no events happened — sequence+explode generates the
+    * calendar (distributed: per-user spine, no driver loop), left join
+    * fills. The time-series resample primitive. */
+  val q29GapFill: Q = Q(
+    "q29_gapfill",
+    """WITH bounds AS (
+      |  SELECT user_id, min(date_trunc('day', ts)) AS d0,
+      |         max(date_trunc('day', ts)) AS d1
+      |  FROM events WHERE user_id < 5 GROUP BY user_id),
+      |spine AS (
+      |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      |  FROM bounds),
+      |daily AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n
+      |  FROM events WHERE user_id < 5 GROUP BY 1, 2)
+      |SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+      |       coalesce(n, 0) AS n_events
+      |FROM spine s LEFT JOIN daily d
+      |  ON s.user_id = d.user_id AND s.day = d.day
+      |ORDER BY s.user_id, day""".stripMargin) { (s, d) =>
+    val evs = ev(s, d).filter(col("user_id") < 5)
+      .withColumn("day", date_trunc("day", col("ts")))
+    val bounds = evs.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val spine = bounds.select(col("user_id"),
+      explode(expr("sequence(d0, d1, INTERVAL 1 DAY)")).as("day"))
+    val daily = evs.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("user_id", "day")
+  }
+
   val all: Seq[Q] = Seq(
-    q27QuartileBuckets, q28Subqueries,
+    q27QuartileBuckets, q28Subqueries, q29GapFill,
     q50Pivot, q51Unpivot, q52Percentile,
     q01PricingSummary, q02ProjectFilter, q03AggStats, q04AggRollup, q05AggCube,
     q06GroupingSets, q10JoinInner, q11JoinLeft, q12JoinRight, q13JoinFull,

@@ -64,6 +64,28 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with event-time bounds: pair each click
+    * with purchases by the same user within `withinMinutes` AFTER the
+    * click. Both sides carry watermarks, so join state is purged once
+    * event time passes the bound — the only stream-stream join shape
+    * that holds state bounded at scale. */
+  def clickToPurchase(events: DataFrame, withinMinutes: Int = 30,
+      watermark: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
+  }
+
   /** Custom sessionization via flatMapGroupsWithState (the general
     * stateful-operator form the built-in session_window can't express —
     * e.g. per-session value totals with custom close rules).

@@ -108,6 +108,27 @@ class StreamSuite extends SparkSpec {
     }
   }
 
+  test("stream-stream join pairs clicks with purchases within the bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    run(in, StreamOps.clickToPurchase(in.toDF(), withinMinutes = 30)) {
+      (q, name) =>
+        in.addData(
+          ev(1, 0, user = 1, typ = "click"),
+          ev(2, 10, user = 1, typ = "purchase", value = 42.0),  // within 30
+          ev(3, 50, user = 1, typ = "purchase", value = 9.0),   // outside 30
+          ev(4, 5, user = 2, typ = "purchase", value = 7.0))    // other user
+        q.processAllAvailable()
+        in.addData(ev(9, 200, user = 9, typ = "click"))          // advance wm
+        q.processAllAvailable()
+        val got = spark.table(name)
+          .select("click_id", "purchase_id", "value")
+          .as[(Long, Long, Double)].collect().toSet
+        assert(got === Set((1L, 2L, 42.0)))
+    }
+  }
+
   test("stream-static join enriches events with a dimension table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
