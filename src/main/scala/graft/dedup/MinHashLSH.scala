@@ -50,14 +50,12 @@ object MinHashLSH {
 
   /** Token n-gram shingle set (distinct) of a text column. Documents
     * shorter than n tokens get their full token sequence as the single
-    * shingle. */
-  def shingleSet(text: Column, n: Int): Column = {
-    val ts = split(text, " ")
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(ts) - n, lit(0))),
-        i => concat_ws(" ", slice(ts, i + lit(1), lit(n)))))
-  }
+    * shingle. Native expression (graft.functions.ShingleSet) — the
+    * composable `array_distinct(transform(sequence(...), i ->
+    * concat_ws(' ', slice(split(text,' '), i+1, n))))` is interpreted
+    * and allocates per shingle; parity pinned in ShingleSuite. */
+  def shingleSet(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.shingles(text, n)
 
   /** (id, shingles, sig) for every document. */
   def signatures(docs: DataFrame, idCol: String, textCol: String,

@@ -156,6 +156,11 @@ object GraftFunctions {
   def winnowNative(text: Column): Column =
     org.apache.spark.sql.functions.call_function(WinnowName, text)
 
+  /** Distinct token-n-gram shingles through the native expression. */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ShingleSet(org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+
   /** MinHash signature through the native expression (coefficients are
     * driver-side constants, so this wraps the expression directly
     * rather than going through the name registry). */
