@@ -156,6 +156,12 @@ object GraftFunctions {
   def winnowNative(text: Column): Column =
     org.apache.spark.sql.functions.call_function(WinnowName, text)
 
+  /** Per-profile stopword-hit ratios through the native expression. */
+  def langScores(text: Column, profiles: Seq[Seq[String]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      LangScores(org.apache.spark.sql.GraftColumnBridge.expression(text),
+        profiles))
+
   /** Distinct token-n-gram shingles through the native expression. */
   def shingles(text: Column, n: Int): Column =
     org.apache.spark.sql.GraftColumnBridge.column(

@@ -52,10 +52,23 @@ object LangId {
     struct(lang.as("lang"), round(best, 6).as("confidence"))
   }
 
-  /** (id, lang, confidence) for a corpus. */
-  def classify(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    docs.select(col(idCol).as("id"), detect(col(textCol)).as("d"))
-      .select(col("id"), col("d.lang").as("lang"),
-        col("d.confidence").as("confidence"))
+  /** (id, lang, confidence) for a corpus — scores via the native
+    * LangScores expression (one token pass, hash-set probes; the HOF
+    * `scores`/`detect` above are the reference form, parity-pinned in
+    * PipelineSuite), argmax/floor logic identical. */
+  def classify(docs: DataFrame, idCol: String, textCol: String,
+      minConfidence: Double = 0.05): DataFrame = {
+    val arr = graft.functions.GraftFunctions
+      .langScores(col(textCol), Profiles.map(_._2))
+    val withScores = docs.select(col(idCol).as("id"), arr.as("sc"))
+    val best = Profiles.indices.map(i => col("sc").getItem(i))
+      .reduce((a, b) => greatest(a, b))
+    val lang = Profiles.zipWithIndex.foldRight(lit("und")) {
+      case (((l, _), i), acc) =>
+        when(col("sc").getItem(i) === best && best >= minConfidence, lit(l))
+          .otherwise(acc)
+    }
+    withScores.select(col("id"), lang.as("lang"),
+      round(best, 6).as("confidence"))
   }
 }

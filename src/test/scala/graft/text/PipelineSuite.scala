@@ -22,6 +22,17 @@ class PipelineSuite extends SparkSpec {
     }
   }
 
+  test("native LangScores classify matches the HOF detect form") {
+    val docs = graft.Tables.documents(spark, sfDir).limit(200)
+    val viaHof = docs
+      .select(col("doc_id").as("id"), LangId.detect(col("text")).as("d"))
+      .select(col("id"), col("d.lang").as("lang"),
+        col("d.confidence").as("confidence"))
+    val viaNative = LangId.classify(docs, "doc_id", "text")
+    assert(viaNative.exceptAll(viaHof).count() === 0)
+    assert(viaHof.exceptAll(viaNative).count() === 0)
+  }
+
   test("LangId yields 'und' below the confidence floor") {
     import spark.implicits._
     val got = LangId.classify(
