@@ -20,7 +20,10 @@ object CosineDedup {
   def dedupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95,
       p: AnnLsh.Params = AnnLsh.Params(bitsPerTable = 8, tables = 12)): DataFrame = {
-    val idx = AnnLsh.index(vectors, idCol, vecCol, p).drop("vec")
+    // cached: the self-join reads the index twice, and the signature
+    // pass (tables × bits hyperplane dots per vector) is the expensive
+    // stage — at scale this materializes as a stored index instead
+    val idx = AnnLsh.index(vectors, idCol, vecCol, p).drop("vec").cache()
     val candidates = idx.as("x")
       .join(idx.as("y"),
         col("x.table") === col("y.table")

@@ -85,11 +85,14 @@ object DedupAnn {
     * drops; planted-duplicate recall is gated in CosineDedupSuite). */
   val cosineDedupStats: Q = Q.noOracle("cosine_dedup_stats") { (s, d) =>
     val emb = Tables.embeddings(s, d)
+    // one dedupPairs pass; kept = vectors minus distinct dropped ids
+    // (identical to dedupKeepFirst's count without re-running the index)
     val pairs = CosineDedup.dedupPairs(emb, "vec_id", "embedding", 0.95)
-    val kept = CosineDedup.dedupKeepFirst(emb, "vec_id", "embedding", 0.95)
     emb.agg(count(lit(1)).as("n_vectors"))
-      .crossJoin(pairs.agg(count(lit(1)).as("n_dup_pairs")))
-      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_dup_pairs"),
+        countDistinct(col("id_b")).as("n_dropped")))
+      .select(col("n_vectors"), col("n_dup_pairs"),
+        (col("n_vectors") - col("n_dropped")).as("n_kept"))
   }
 
   val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, simhashPairs, annTopK,

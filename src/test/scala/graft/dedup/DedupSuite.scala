@@ -87,6 +87,36 @@ class DedupSuite extends SparkSpec {
     assert(pairs.toSet === Set((1L, 2L)))
   }
 
+  test("property: signature agreement estimates Jaccard within ±0.15") {
+    import spark.implicits._
+    // construct doc pairs with known shingle overlap by sharing a prefix
+    val rnd = new scala.util.Random(11)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(5000)).mkString(" ")
+    val pairs = (0 until 10).map { i =>
+      val shared = words(120)
+      val a = shared + " " + words(30)
+      val b = shared + " " + words(30)
+      (i.toLong, a, b)
+    }
+    val df = spark.createDataFrame(
+      pairs.map { case (i, a, _) => (i, a) } ++
+        pairs.map { case (i, _, b) => (i + 1000L, b) })
+      .toDF("doc_id", "text")
+    val p = MinHashLSH.Params()
+    val sigs = MinHashLSH.signatures(df, "doc_id", "text", p)
+      .select(col("id"), col("shingles"), col("sig"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1).toSet, r.getSeq[Long](2))).toMap
+    pairs.foreach { case (i, _, _) =>
+      val (shA, sigA) = sigs(i)
+      val (shB, sigB) = sigs(i + 1000L)
+      val trueJ = shA.intersect(shB).size.toDouble / shA.union(shB).size
+      val estJ = sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / p.numHashes
+      assert(math.abs(trueJ - estJ) <= 0.15,
+        s"pair $i: true=$trueJ est=$estJ")
+    }
+  }
+
   test("shingleSet produces token n-grams (distinct, short-doc safe)") {
     import spark.implicits._
     val out = Seq("a b c d", "a b", "x x x x")
