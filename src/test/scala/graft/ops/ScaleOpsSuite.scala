@@ -58,6 +58,23 @@ class ScaleOpsSuite extends SparkSpec {
     }
   }
 
+  test("partitioned parquet: filters prune partitions at the scan") {
+    import spark.implicits._
+    val dir = tmpDir("part").resolve("events_bydate").toString
+    graft.Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.partitionBy("day").parquet(dir)
+    val filtered = spark.read.parquet(dir).filter(col("day") === "2024-01-05")
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-05"),
+      s"partition filter must reach the scan:\n$scan")
+    // only the matching partition's rows are read
+    val expected = graft.Tables.events(spark, sfDir)
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05").count()
+    assert(filtered.count() === expected)
+    assert(expected > 0)
+  }
+
   test("SpecIni parses the reference config format and validates it") {
     val dir = tmpDir("ini")
     val in1 = dir.resolve("in1.txt")
