@@ -352,7 +352,9 @@ object Relational {
     """SELECT c_mktsegment, c_custkey, c_acctbal,
       | CAST(row_number() OVER w AS INTEGER) AS rn,
       | CAST(rank() OVER w AS INTEGER) AS rk,
-      | CAST(dense_rank() OVER w AS INTEGER) AS drk
+      | CAST(dense_rank() OVER w AS INTEGER) AS drk,
+      | round(percent_rank() OVER w, 6) AS prk,
+      | round(cume_dist() OVER w, 6) AS cd
       |FROM customer
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
       |QUALIFY rn <= 5
@@ -362,7 +364,9 @@ object Relational {
     cust(s, d)
       .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
         row_number().over(w).as("rn"), rank().over(w).as("rk"),
-        dense_rank().over(w).as("drk"))
+        dense_rank().over(w).as("drk"),
+        round(percent_rank().over(w), 6).as("prk"),
+        round(cume_dist().over(w), 6).as("cd"))
       .filter(col("rn") <= 5)
       .orderBy("c_mktsegment", "rn")
   }

@@ -32,6 +32,17 @@ class BatterySuite extends SparkSpec {
     }
   }
 
+  test("percentile_approx tracks exact percentile within 5%") {
+    import spark.implicits._
+    val o = graft.Tables.orders(spark, sfDir)
+    val row = o.agg(
+      expr("percentile(o_totalprice, 0.5)").as("exact"),
+      expr("percentile_approx(o_totalprice, 0.5, 1000)").as("approx"))
+      .as[(Double, Double)].collect().head
+    assert(math.abs(row._2 - row._1) / row._1 <= 0.05,
+      s"approx ${row._2} vs exact ${row._1}")
+  }
+
   test("every oracleSql key has a matching queries entry") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
