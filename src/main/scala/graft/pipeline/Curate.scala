@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.MinHashLSH
+import graft.text.LangId
+
+/** End-to-end training-corpus curation — the composite operator a
+  * pretraining pipeline runs over raw documents, built entirely from
+  * this engine's primitives:
+  *
+  *   1. language filter (LangId confidence ≥ floor),
+  *   2. quality filter (stopword ratio + repetition + length band),
+  *   3. exact dedup (md5 keep-first),
+  *   4. near-dedup (MinHash-LSH keep-first),
+  *   5. token accounting for the surviving corpus.
+  *
+  * Stage order matters at scale: cheap map-only filters (1-2) shrink
+  * the corpus before the hash shuffle (3) and the LSH self-join (4) —
+  * the same cost discipline a 100 TB run needs.
+  */
+object Curate {
+
+  final case class Params(
+      minLangConfidence: Double = 0.02,
+      maxRepetition: Double = 0.6,
+      minChars: Long = 100,
+      maxChars: Long = 100000,
+      minhash: MinHashLSH.Params = MinHashLSH.Params(threshold = 0.8))
+
+  /** Surviving documents with per-doc metadata (lang, n_tokens). */
+  def curate(docs: DataFrame, p: Params = Params()): DataFrame = {
+    val ts = split(col("text"), " ")
+    // 1+2: map-only filters
+    val langed = LangId.classify(docs, "doc_id", "text")
+      .filter(col("confidence") >= p.minLangConfidence)
+      .select(col("id").as("doc_id"), col("lang").as("lang_pred"))
+    val filtered = docs.join(langed, "doc_id")
+      .withColumn("repetition",
+        lit(1.0) - size(array_distinct(ts)).cast("double") / size(ts))
+      .filter(col("repetition") <= p.maxRepetition
+        && col("n_chars").between(p.minChars, p.maxChars))
+    // 3: exact dedup, keep min doc_id per content hash
+    val keepExact = filtered
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val exactDeduped = filtered.join(keepExact, "doc_id")
+    // 4: near-dedup over the survivors
+    val deduped = MinHashLSH.dedupKeepFirst(
+      exactDeduped, "doc_id", "text", p.minhash)
+    // 5: token accounting
+    deduped.select(col("doc_id"), col("lang_pred"),
+      size(split(col("text"), " ")).as("n_tokens"))
+  }
+
+  /** Corpus-level report: docs in/out per stage + surviving tokens. */
+  def report(docs: DataFrame, p: Params = Params()): DataFrame = {
+    val out = curate(docs, p)
+    docs.agg(count(lit(1)).as("n_raw"))
+      .crossJoin(out.agg(count(lit(1)).as("n_kept"),
+        sum("n_tokens").as("total_tokens")))
+  }
+}

@@ -90,5 +90,52 @@ object PipelineOps {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(tokenCounts, langidProfile, multimodalFeats)
+  /** Capstone: the full curation pipeline (language floor → quality
+    * filters → exact dedup → MinHash near-dedup keep-first → token
+    * accounting) with EVERY stage replicated in the oracle SQL. The
+    * near-dedup stage is oracle-valid for the same reason as
+    * minhash_dedup_pairs: exact-Jaccard verification with fixture pairs
+    * far from the threshold. */
+  val curateCorpus: Q = Q(
+    "curate_corpus",
+    {
+      val profiles = LangId.Profiles
+      val scoreExprs = profiles.map { case (_, words) =>
+        val set = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(lts, t2 -> t2 IN ($set))) AS DOUBLE) / greatest(len(lts), 1)"
+      }.mkString(",\n        ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, n_chars,
+         |    list_filter(string_split_regex(lower(text), '[ ,.;:!?''"]+'),
+         |                x -> x <> '') AS lts,
+         |    string_split(text, ' ') AS ts
+         |  FROM documents),
+         |s AS (SELECT doc_id, text, ts, n_chars,
+         |        greatest($scoreExprs) AS best FROM t),
+         |f AS (SELECT doc_id, text, ts FROM s
+         |      WHERE best >= 0.02
+         |        AND (1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) <= 0.6
+         |        AND n_chars BETWEEN 100 AND 100000),
+         |e AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+         |fe AS (SELECT f.doc_id, f.ts FROM f JOIN e USING (doc_id)),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |         range(1, greatest(len(ts) - 1, 1)),
+         |         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS grams
+         |       FROM fe),
+         |drops AS (
+         |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |      / len(list_distinct(a.grams || b.grams)) >= 0.8),
+         |kept AS (SELECT doc_id, len(ts) AS n_tokens FROM fe
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+         |SELECT (SELECT count(*) FROM documents) AS n_raw,
+         |       count(*) AS n_kept,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM kept""".stripMargin
+    }) { (s, d) =>
+    graft.pipeline.Curate.report(Tables.documents(s, d))
+  }
+
+  val all: Seq[Q] = Seq(tokenCounts, langidProfile, multimodalFeats,
+    curateCorpus)
 }
