@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ann.AnnLsh
+import graft.ann.{AnnIvf, AnnLsh}
 import graft.dedup.{CosineDedup, MinHashLSH, SimHash}
 
 /** Declared queries for the probabilistic dedup / ANN operators.
@@ -95,6 +95,16 @@ object DedupAnn {
         (col("n_vectors") - col("n_dropped")).as("n_kept"))
   }
 
+  /** IVF approximate top-5 — the cluster-quantizer scale path beside
+    * LSH; recall gated in AnnSuite. */
+  val ivfTopK: Q = Q.noOracle("ivf_cosine_topk") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    AnnIvf.topK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 5)
+      .select(col("qid"), col("id"), round(col("cos"), 6).as("cos"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, simhashPairs, annTopK,
-    cosineDedupStats)
+    cosineDedupStats, ivfTopK)
 }
