@@ -91,7 +91,9 @@ object Relational {
   val q02ProjectFilter: Q = Q(
     "q02_project_filter",
     """SELECT p_partkey, p_name, p_type, p_size,
-      | round(p_retailprice * 1.1, 2) AS taxed_price
+      | round(p_retailprice * 1.1, 2) AS taxed_price,
+      | CAST(nullif(p_type, 'PROMO') IS NOT DISTINCT FROM 'STANDARD' AS INTEGER)
+      |   AS std_nullsafe
       |FROM part
       |WHERE p_size BETWEEN 10 AND 40
       |  AND p_type IN ('PROMO','STANDARD')
@@ -102,7 +104,9 @@ object Relational {
         && col("p_type").isin("PROMO", "STANDARD")
         && col("p_name").like("%widget%"))
       .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_size"),
-        round(col("p_retailprice") * 1.1, 2).as("taxed_price"))
+        round(col("p_retailprice") * 1.1, 2).as("taxed_price"),
+        (expr("nullif(p_type, 'PROMO')") <=> lit("STANDARD")).cast("int")
+          .as("std_nullsafe"))
       .orderBy("p_partkey")
   }
 
