@@ -621,6 +621,20 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** posexplode: position-aware flattening (generator with ordinality). */
+  val q43bPosExplode: Q = Q(
+    "q43b_posexplode",
+    """SELECT doc_id,
+      | CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+      | unnest(string_split(text, ' ')) AS tok
+      |FROM documents WHERE doc_id < 20 ORDER BY doc_id, pos""".stripMargin) {
+    (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .orderBy("doc_id", "pos")
+  }
+
   /** JSON extraction from events.props + conditional CASE WHEN buckets. */
   val q44ScalarJson: Q = Q(
     "q44_scalar_json",
@@ -834,5 +848,5 @@ object Relational {
     q20WindowRank, q21WindowLag, q22WindowFrames, q23WindowNtile,
     q24TopKPerGroup, q25SortLimit, q30SetUnion, q31SetIntersect, q32SetExcept,
     q33Distinct, q40ScalarString, q41ScalarDate, q42ScalarMath, q43ScalarArray,
-    q44ScalarJson, q45Sessionize, q46ApproxDistinct)
+    q43bPosExplode, q44ScalarJson, q45Sessionize, q46ApproxDistinct)
 }
