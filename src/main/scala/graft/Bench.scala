@@ -46,6 +46,9 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
+        // caching operators must not carry state between queries (fair
+        // timing) or accumulate across the battery (memory)
+        finally spark.catalog.clearCache()
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
