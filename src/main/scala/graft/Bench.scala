@@ -31,6 +31,7 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      finally spark.catalog.clearCache()
     }
 
     // Two measured passes, keep the per-query minimum: single-sample

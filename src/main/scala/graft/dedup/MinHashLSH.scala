@@ -88,7 +88,13 @@ object MinHashLSH {
       .select(col("id"), col("b.band_idx"), col("b.band_key"))
 
   /** Verified near-duplicate pairs: (id_a, id_b, jaccard) with exact
-    * Jaccard ≥ threshold, id_a < id_b. */
+    * Jaccard ≥ threshold, id_a < id_b.
+    *
+    * Cache note: the signature relation is cache()d (read by the band
+    * join and the verify join). Spark SQL's CacheManager holds it until
+    * `spark.catalog.clearCache()`/unpersist — long-lived sessions that
+    * call this repeatedly should clear between invocations, as
+    * Verify/Bench do. */
   def dedupPairs(docs: DataFrame, idCol: String, textCol: String,
       p: Params = Params()): DataFrame = {
     val sigs = signatures(docs, idCol, textCol, p).cache()

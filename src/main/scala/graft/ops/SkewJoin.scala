@@ -15,9 +15,21 @@ import org.apache.spark.sql.functions._
   * exactly those of the plain equi-join. */
 object SkewJoin {
 
+  /** Join types where replicating the right side is sound: the left side
+    * is salted (never duplicated) and unmatched RIGHT rows either don't
+    * appear (inner/left_semi) or are dropped (left/left_anti). Right and
+    * full outer would emit `salt` null-extended copies of every unmatched
+    * right row — rejected. */
+  private val SupportedJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salt: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    require(SupportedJoinTypes(joinType.toLowerCase),
+      s"saltedJoin supports ${SupportedJoinTypes.mkString("/")}; for " +
+        s"'$joinType' the replicated build side would duplicate unmatched rows")
     val l = left.withColumn("__graft_salt",
       pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val r = right.withColumn("__graft_salt",

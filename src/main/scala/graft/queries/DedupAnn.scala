@@ -25,8 +25,8 @@ object DedupAnn {
   val minhashPairs: Q = Q(
     "minhash_dedup_pairs",
     """WITH sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-1,1)),
-      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS grams
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-3, 0) + 2),
+      |    i -> array_to_string(ts[i:i+2], ' '))) AS grams
       |  FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents) t)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
@@ -45,8 +45,8 @@ object DedupAnn {
   val minhashKeepFirst: Q = Q(
     "minhash_keepfirst",
     """WITH sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-1,1)),
-      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS grams
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-3, 0) + 2),
+      |    i -> array_to_string(ts[i:i+2], ' '))) AS grams
       |  FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents) t),
       |dups AS (
       |  SELECT DISTINCT b.doc_id AS drop_id

@@ -119,8 +119,8 @@ object PipelineOps {
          |e AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
          |fe AS (SELECT f.doc_id, f.ts FROM f JOIN e USING (doc_id)),
          |sh AS (SELECT doc_id, list_distinct(list_transform(
-         |         range(1, greatest(len(ts) - 1, 1)),
-         |         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS grams
+         |         range(1, greatest(len(ts) - 3, 0) + 2),
+         |         i -> array_to_string(ts[i:i+2], ' '))) AS grams
          |       FROM fe),
          |drops AS (
          |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
