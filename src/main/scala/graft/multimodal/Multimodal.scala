@@ -71,6 +71,24 @@ object Multimodal {
       i => conv(substring(hx, lit(1) + i * 2, lit(2)), 16, 10).cast("long"))
   }
 
+  /** Resize: downsample the decoded sample to a fixed-length feature
+    * vector by bucketed means — the plan shape of a thumbnail/resample
+    * stage (a real codec swaps the per-bucket reduction, the schema
+    * contract array<double> of length `outLen` stays). */
+  def resize(media: DataFrame, sampleBytes: Int = 64, outLen: Int = 8): DataFrame = {
+    require(sampleBytes % outLen == 0, "sampleBytes must divide into outLen buckets")
+    val bucket = sampleBytes / outLen
+    media
+      .withColumn("px", decodeBytes(col("payload"), sampleBytes))
+      .withColumn("resized",
+        transform(sequence(lit(0), lit(outLen - 1)), b => {
+          val sliceCol = slice(col("px"), b * bucket + lit(1), lit(bucket))
+          aggregate(sliceCol, lit(0L), (a, x) => a + x).cast("double") /
+            greatest(size(sliceCol), lit(1))
+        }))
+      .select(col("media_id"), col("modality"), col("meta"), col("resized"))
+  }
+
   /** Frame sampling for video payloads: split the payload into
     * `meta.n_frames` equal byte-ranges and keep every strideth frame's
     * first-byte feature — the plan shape of real frame extraction. */

@@ -83,6 +83,21 @@ class PipelineSuite extends SparkSpec {
     assert(modalities.subsetOf(Set("image", "audio", "video")))
   }
 
+  test("multimodal: resize downsamples to fixed-length bucketed means") {
+    import spark.implicits._
+    // payload "AAAABBBB…" → buckets of 4 identical bytes → exact means
+    val text = "AAAA" + "BBBB" + "CCCC" + "DDDD"
+    val media = Multimodal.fabricate(Seq((1L, text)).toDF("id", "text"), "id", "text")
+    val out = media.transform(Multimodal.resize(_, sampleBytes = 16, outLen = 4))
+      .select("resized").as[Seq[Double]].collect().head
+    assert(out === Seq(65.0, 66.0, 67.0, 68.0))
+    // short payloads: trailing buckets are empty → mean over empty slice = 0
+    val shortM = Multimodal.fabricate(Seq((2L, "AAAA")).toDF("id", "text"), "id", "text")
+    val shortOut = shortM.transform(Multimodal.resize(_, sampleBytes = 16, outLen = 4))
+      .select("resized").as[Seq[Double]].collect().head
+    assert(shortOut.head === 65.0 && shortOut.length === 4)
+  }
+
   test("multimodal: frame sampling respects stride and frame count") {
     import spark.implicits._
     val df = Seq((7L, "x" * 100)).toDF("id", "text")
