@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   * with `aggregate`/`zip_with` over a 64-wide int array — codegen'd, no
   * UDF, one narrow pass.
   *
-  * Candidate generation at scale (pigeonhole): signatures within
-  * Hamming distance d ≤ 3 must agree exactly on at least one of 4
-  * 16-bit chunks → self-join per chunk on the chunk value, then filter
-  * by exact Hamming distance. Never an all-pairs comparison.
+  * Candidate generation at scale (pigeonhole / multi-index Hamming
+  * search): split the 64 bits into maxDist+1 chunks — two signatures
+  * within Hamming distance maxDist differ in at most maxDist chunks, so
+  * they must agree exactly on at least one chunk → self-join per chunk
+  * on the chunk value, then filter by exact Hamming distance. Exhaustive
+  * for any maxDist < 64; never an all-pairs comparison.
   */
 object SimHash {
 
@@ -48,19 +50,30 @@ object SimHash {
       graft.functions.GraftFunctions.simhashNative(col(textCol)).as("sh"))
   }
 
-  /** Near-duplicate pairs with Hamming distance ≤ maxDist (≤ 16 needed
-    * for the 4-chunk pigeonhole to be exhaustive; ≤ 3 typical). */
+  /** Near-duplicate pairs with Hamming distance ≤ maxDist. Uses
+    * maxDist+1 signature chunks so the pigeonhole candidate join is
+    * exhaustive (a pair at distance ≤ maxDist shares at least one whole
+    * chunk); smaller maxDist → wider chunks → fewer, more selective
+    * buckets. */
   def dedupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 16, "4-chunk pigeonhole covers Hamming distance <= 16")
+    require(maxDist >= 0 && maxDist < 64,
+      "maxDist+1 chunks must each be at least 1 bit wide")
     val sigs = signatures(docs, idCol, textCol).cache()
-    // 4 chunk keys of 16 bits each.
+    // maxDist+1 chunk keys partitioning the 64 signature bits; the
+    // first (64 % n) chunks take the extra bit.
+    val nChunks = maxDist + 1
+    var offset = 0
+    val chunkCols = (0 until nChunks).map { i =>
+      val width = 64 / nChunks + (if (i < 64 % nChunks) 1 else 0)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      val c = struct(lit(i).as("chunk_idx"),
+        shiftright(col("sh"), offset).bitwiseAND(lit(mask)).as("chunk_key"))
+      offset += width
+      c
+    }
     val chunked = sigs.select(col("id"), col("sh"),
-      explode(expr(
-        """transform(sequence(0, 3),
-          |  i -> struct(i AS chunk_idx,
-          |              shiftright(sh, i * 16) & 65535 AS chunk_key))""".stripMargin))
-        .as("c"))
+      explode(array(chunkCols: _*)).as("c"))
       .select(col("id"), col("sh"), col("c.chunk_idx"), col("c.chunk_key"))
     chunked.as("x")
       .join(chunked.as("y"),

@@ -56,8 +56,12 @@ case class WinnowFingerprint(
 
 object WinnowFingerprint {
 
-  /** Shared by interpreted eval and generated code. */
-  def compute(s: String, k: Int, w: Int, base: Long, mod: Long): Array[Long] = {
+  /** Shared by interpreted eval and generated code. Iterates by Unicode
+    * codepoint (not UTF-16 code unit) to match the oracle's
+    * character-based substring/ascii semantics and Spark's
+    * codepoint-counting `length`. */
+  def compute(str: String, k: Int, w: Int, base: Long, mod: Long): Array[Long] = {
+    val s = str.codePoints().toArray
     val n = s.length
     // k-gram polynomial hashes; positions past the end contribute 0,
     // matching ascii(substring(text, i, 1)) = 0 for out-of-range i.
@@ -72,7 +76,7 @@ object WinnowFingerprint {
       var sum = 0L
       var t = 0
       while (t < k) {
-        if (i + t < n) sum += s.charAt(i + t).toLong * pow(t)
+        if (i + t < n) sum += s(i + t).toLong * pow(t)
         t += 1
       }
       hs(i) = sum % mod

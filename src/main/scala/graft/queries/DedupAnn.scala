@@ -62,10 +62,13 @@ object DedupAnn {
       .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
   }
 
-  /** SimHash near-dup pairs (Hamming ≤ 10 of 64 bits) — sketch-defined
-    * output, gated by DedupSuite planted-duplicate specs. */
+  /** SimHash near-dup pairs at Hamming ≤ 3 of 64 bits — the standard
+    * web-dedup threshold (Manku/Jain/Sarma WWW'07), giving 4 16-bit
+    * pigeonhole chunks (exhaustive, selective buckets). Sketch-defined
+    * output, gated by DedupSuite planted-duplicate + exhaustiveness
+    * specs; higher maxDist remains available (maxDist+1 chunks). */
   val simhashPairs: Q = Q.noOracle("simhash_dup_pairs") { (s, d) =>
-    SimHash.dedupPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 10)
+    SimHash.dedupPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
       .orderBy("id_a", "id_b")
   }
 

@@ -794,15 +794,18 @@ object Relational {
       |              WHERE l_orderkey = o.o_orderkey AND l_extendedprice > 90000)
       |  AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-    ord(s, d).createOrReplaceTempView("graft_q28_orders")
-    li(s, d).createOrReplaceTempView("graft_q28_lineitem")
-    s.sql(
-      """SELECT o_orderkey, round(o_totalprice, 2) AS total
-        |FROM graft_q28_orders o
-        |WHERE EXISTS (SELECT 1 FROM graft_q28_lineitem
-        |              WHERE l_orderkey = o.o_orderkey AND l_extendedprice > 90000)
-        |  AND o_totalprice > (SELECT avg(o_totalprice) FROM graft_q28_orders)
-        |ORDER BY o_orderkey""".stripMargin)
+    // EXISTS = left-semi join; the scalar subquery = broadcast of a
+    // 1-row aggregate (no temp views: side-effect-free and safe under
+    // concurrent runs against different sf dirs).
+    val orders = ord(s, d)
+    val avgPrice = orders.agg(avg(col("o_totalprice")).as("graft_avg_price"))
+    orders
+      .join(li(s, d).filter(col("l_extendedprice") > 90000),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("graft_avg_price"))
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderkey")
   }
 
   /** Gap-fill / resample: one row per user per day over the event span,

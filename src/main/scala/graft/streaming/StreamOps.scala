@@ -113,7 +113,10 @@ object StreamOps {
               val t = e.ts.getTime
               open match {
                 case Some(s) if t - s.end_ms <= gapMs =>
-                  open = Some(s.copy(end_ms = math.max(s.end_ms, t),
+                  // start_ms may move backwards: a late-but-within-watermark
+                  // event from an earlier batch can precede the open session.
+                  open = Some(s.copy(start_ms = math.min(s.start_ms, t),
+                    end_ms = math.max(s.end_ms, t),
                     n_events = s.n_events + 1,
                     total_value = s.total_value + e.value))
                 case Some(s) =>

@@ -87,6 +87,21 @@ class DedupSuite extends SparkSpec {
     assert(pairs.toSet === Set((1L, 2L)))
   }
 
+  test("SimHash pigeonhole is exhaustive at maxDist 10 (vs brute force)") {
+    // maxDist+1 chunks guarantee every pair within maxDist shares a
+    // chunk (ADVICE r2: 4 fixed chunks only covered distance <= 3).
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val viaJoin = SimHash.dedupPairs(docs, "doc_id", "text", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = SimHash.signatures(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 10
+    } yield (ia, ib)).toSet
+    assert(viaJoin === brute)
+  }
+
   test("property: signature agreement estimates Jaccard within ±0.15") {
     import spark.implicits._
     // construct doc pairs with known shingle overlap by sharing a prefix

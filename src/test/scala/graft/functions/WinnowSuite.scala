@@ -42,6 +42,25 @@ class WinnowSuite extends SparkSpec {
     assert(got.toSeq === Seq(expected))
   }
 
+  test("non-BMP text: native matches the codepoint-based HOF form") {
+    // Supplementary-plane chars are 2 UTF-16 code units but 1 codepoint;
+    // substring/ascii/length are codepoint-based, so the native loop
+    // must iterate codepoints (ADVICE r2).
+    GraftFunctions.ensureRegistered(spark)
+    val (fps, hs) = hofFingerprint
+    val texts = Seq("math 𝕏 symbols 𝕐 everywhere here",
+      "😀😁😂 emoji run padded with words",
+      "plain ascii control row for the same pipeline")
+    val df = spark.createDataFrame(texts.zipWithIndex.map(_.swap))
+      .toDF("doc_id", "text")
+    val both = df.filter(length(col("text")) >= 8)
+      .select(col("doc_id"), hs.as("hs"),
+        GraftFunctions.winnowNative(col("text")).as("native"))
+      .select(col("doc_id"), fps.as("hof"), col("native"))
+    assert(both.count() === 3)
+    assert(both.filter(col("hof") =!= col("native")).count() === 0)
+  }
+
   test("identical prefixes share fingerprints (local property)") {
     val base = "the quick brown fox jumps over the lazy dog " * 10
     val a = WinnowFingerprint.compute(base + "tail one", 8, 16, 31L, 1000003L).toSet
