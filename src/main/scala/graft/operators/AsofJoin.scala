@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward, inclusive) join: for every left row, attach the
+  * single latest right row whose timestamp is ≤ the left timestamp,
+  * within the same key — the time-series point-in-time lookup (DuckDB
+  * `ASOF JOIN`, pandas `merge_asof`, kdb `aj`). Spark has no built-in,
+  * and the naive formulation (range join + per-left-row max) explodes
+  * into an O(L×R-per-key) theta join.
+  *
+  * Spark-first plan instead: tag and union both sides, hash-partition
+  * by key, sort within each key by (ts, side) — right rows sort before
+  * left rows at equal ts, making the match inclusive — then forward-
+  * fill the right payload with `last(_, ignoreNulls)` over a running
+  * window and keep only left rows. ONE shuffle of L+R rows, no
+  * candidate explosion; at 100 TB this is the same cost envelope as a
+  * sort-merge join, and AQE handles per-key skew like any window op.
+  *
+  * Unmatched left rows keep a null payload (left-outer semantics).
+  * Right rows should be unique per (key, ts) — the caller pre-
+  * aggregates ties — otherwise "the" latest row at a timestamp is
+  * undefined (DuckDB's ASOF has the same caveat).
+  */
+object AsofJoin {
+
+  /** @param rightPayload right-side columns to carry onto left rows
+    *                     (each emitted as `asof_<name>`, null when no
+    *                     right row is ≤ the left timestamp). */
+  def backward(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val payloadStruct = struct(rightPayload.map(col): _*)
+    val payloadType = right.select(payloadStruct).schema.head.dataType
+    val leftCols = left.columns.toSeq
+    val tagged = left
+      .withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(payloadType))
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col("__side"), col("__p"), struct(leftCols.map(col): _*).as("__l"))
+      .unionByName(right
+        .withColumn("__side", lit(0))
+        .withColumn("__p", payloadStruct)
+        .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+          col("__side"), col("__p"), lit(null).cast(
+            left.select(struct(leftCols.map(col): _*)).schema.head.dataType)
+            .as("__l")))
+    val fill = Window.partitionBy("__k")
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = tagged
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(fill))
+      .filter(col("__side") === 1)
+    val out: Seq[Column] =
+      leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightPayload.map(c => col(s"__match.$c").as(s"asof_$c"))
+    filled.select(out: _*)
+  }
+}

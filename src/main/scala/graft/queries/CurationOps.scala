@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.AsofJoin
+
+/** Training-data curation operators, round 3: point-in-time (as-of)
+  * join, benchmark decontamination by n-gram overlap, deterministic
+  * stratified sampling + per-group quotas, PII scrubbing, and
+  * repetition scoring (Gopher-style quality rule). All oracle-checked.
+  */
+object CurationOps {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+
+  /** As-of join: each purchase event picks up the user's latest view at
+    * or before it (`AsofJoin.backward` — single shuffle, no range-join
+    * explosion). Right side pre-aggregated to one row per (user, ts) so
+    * "latest" is well defined; oracle uses DuckDB's native ASOF LEFT
+    * JOIN. Epoch-millis output avoids timestamp formatting drift. */
+  val asofJoin: Q = Q(
+    "asof_join",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts, max(event_id) AS view_id FROM events
+      |      WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id,
+      |  epoch_ms(p.ts) AS purchase_ms,
+      |  epoch_ms(v.ts) AS view_ms,
+      |  epoch_ms(p.ts) - epoch_ms(v.ts) AS gap_ms,
+      |  v.view_id
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("event_id").as("view_id"))
+    AsofJoin.backward(purchases, views, "user_id", "ts", Seq("ts", "view_id"))
+      .select(col("event_id"), col("user_id"),
+        expr("unix_millis(ts)").as("purchase_ms"),
+        expr("unix_millis(asof_ts)").as("view_ms"),
+        (expr("unix_millis(ts)") - expr("unix_millis(asof_ts)")).as("gap_ms"),
+        col("asof_view_id").as("view_id"))
+      .orderBy("event_id")
+  }
+
+  /** Benchmark decontamination: flag training docs sharing any token
+    * 5-gram with the eval split (doc_id % 97 == 0 stands in for the
+    * benchmark). Eval grams are a small distinct set → broadcast join
+    * against exploded train grams; at 100 TB the benchmark side stays
+    * tiny while the scan side streams. The standard n-gram-overlap
+    * decontamination pass (public recipe, e.g. GPT-3/PaLM appendices). */
+  val decontamOverlap: Q = Q(
+    "decontam_overlap",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, len(ts) - 3),
+      |          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+      |               ts[i+3] || ' ' || ts[i+4])) AS grams
+      |      FROM t WHERE len(ts) >= 5),
+      |e AS (SELECT list_distinct(flatten(list(grams))) AS eg FROM g
+      |      WHERE doc_id % 97 = 0),
+      |c AS (SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams,
+      |        CAST(len(list_intersect(grams, eg)) AS INTEGER) AS n_hit
+      |      FROM g, e WHERE doc_id % 97 <> 0)
+      |SELECT doc_id, n_grams, n_hit,
+      |  round(CAST(n_hit AS DOUBLE) / n_grams, 6) AS frac
+      |FROM c WHERE n_hit > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ts = split(col("text"), " ")
+    val grams5 = array_distinct(expr(
+      """transform(sequence(0, size(ts) - 5),
+        |  i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3], ts[i+4]))"""
+        .stripMargin))
+    val g = docs(s, d).filter(size(ts) >= 5)
+      .select(col("doc_id"), ts.as("ts"))
+      .select(col("doc_id"), grams5.as("grams"))
+    val evalGrams = g.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    g.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).cast("int").as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 6).as("frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified Bernoulli sampling: keep a doc iff its
+    * multiplicative hash bucket (Knuth constant, exact BIGINT math in
+    * both engines) falls under the per-language rate. Pure map — no
+    * shuffle, reproducible across runs/engines, the scalable way to
+    * downsample a 100 TB corpus with per-stratum rates. */
+  val sampleStratified: Q = Q(
+    "sample_stratified",
+    """SELECT doc_id, lang, source,
+      |  CAST((doc_id * 2654435761) % 100 AS INTEGER) AS bucket
+      |FROM documents
+      |WHERE (doc_id * 2654435761) % 100 <
+      |  CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 30 END
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bucket = (col("doc_id") * lit(2654435761L)) % 100
+    val rate = expr(
+      "CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 30 END")
+    docs(s, d).filter(bucket < rate)
+      .select(col("doc_id"), col("lang"), col("source"),
+        bucket.cast("int").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-group quota sampling: at most 5 docs per source, chosen by a
+    * deterministic hash order (not "first 5 in file order", which is
+    * ingest-dependent). One shuffle on the stratum key + window; at
+    * scale the quota bounds every group's output regardless of skew. */
+  val sampleQuota: Q = Q(
+    "sample_quota",
+    """SELECT doc_id, source, rn FROM (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY (doc_id * 1099087573) % 1000003, doc_id) AS INTEGER) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 5 ORDER BY source, rn""".stripMargin) { (s, d) =>
+    val hkey = (col("doc_id") * lit(1099087573L)) % 1000003
+    val w = Window.partitionBy("source").orderBy(hkey.asc, col("doc_id").asc)
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        row_number().over(w).cast("int").as("rn"))
+      .filter(col("rn") <= 5)
+      .orderBy("source", "rn")
+  }
+
+  /** PII scrubbing: regex-redact emails and phone numbers, counting
+    * redactions. The fixtures are synthetic word salad, so deterministic
+    * PII is appended per doc before scrubbing — the scrub itself (global
+    * regexp_replace + match counting, map-only at scale) is the operator
+    * under test. Patterns kept in the RE2 ∩ Java-regex dialect so both
+    * engines match identically. */
+  val piiScrub: Q = Q(
+    "pii_scrub",
+    """WITH f AS (SELECT doc_id,
+      |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |  '@mail.example.com or call +1-555-' ||
+      |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS full_text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(full_text,
+      |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(full_text, '\+1-555-[0-9]{4}')) AS INTEGER)
+      |    AS n_phones,
+      |  regexp_replace(regexp_replace(full_text,
+      |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |    '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val full = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@mail.example.com or call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now"))
+    docs(s, d).select(col("doc_id"), full.as("full_text"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("full_text"), lit(emailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("full_text"), lit(phoneRe), lit(0)))
+          .as("n_phones"),
+        regexp_replace(regexp_replace(col("full_text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition scoring (Gopher-style quality rule): distinct-token
+    * fraction and the most-frequent-bigram share per document. Explode +
+    * two-phase aggregation — map-side partials keep the shuffle at
+    * one (doc_id, gram) row per distinct gram, linear at 100 TB. */
+  val repetitionScore: Q = Q(
+    "repetition_score",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |tok AS (SELECT doc_id, n_tokens,
+      |          CAST(count(DISTINCT u) AS INTEGER) AS n_distinct
+      |        FROM (SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens,
+      |                unnest(ts) AS u FROM t)
+      |        GROUP BY 1, 2),
+      |bg AS (SELECT doc_id, g, count(*) AS c
+      |       FROM (SELECT doc_id,
+      |               unnest(list_transform(range(1, len(ts)),
+      |                 i -> ts[i] || ' ' || ts[i+1])) AS g FROM t)
+      |       GROUP BY 1, 2),
+      |top AS (SELECT doc_id, max(c) AS top_cnt FROM bg GROUP BY 1)
+      |SELECT doc_id, n_tokens,
+      |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_frac,
+      |  round(CAST(top_cnt AS DOUBLE) / (n_tokens - 1), 6) AS top_bigram_frac
+      |FROM tok JOIN top USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ts = split(col("text"), " ")
+    val base = docs(s, d).filter(size(ts) >= 2)
+      .select(col("doc_id"), ts.as("ts"))
+    val tok = base
+      .select(col("doc_id"), size(col("ts")).as("n_tokens"),
+        explode(col("ts")).as("tok"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(countDistinct("tok").cast("int").as("n_distinct"))
+    val top = base
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i+1]))"))
+        .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_cnt"))
+    tok.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("distinct_frac"),
+        round(col("top_cnt").cast("double") / (col("n_tokens") - 1), 6)
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(asofJoin, decontamOverlap, sampleStratified,
+    sampleQuota, piiScrub, repetitionScore)
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Semantics gates for AsofJoin.backward: inclusive backward match,
+  * left-outer nulls, per-key isolation, and the single-shuffle plan. */
+class AsofJoinSuite extends SparkSpec {
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  test("backward asof: latest right <= left, inclusive, per key") {
+    import spark.implicits._
+    val left = Seq((1L, ts(100), "l1"), (1L, ts(250), "l2"),
+      (2L, ts(50), "l3"), (3L, ts(500), "l4"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, ts(100), "r-100"), (1L, ts(200), "r-200"),
+      (1L, ts(300), "r-300"), (2L, ts(60), "r-60"))
+      .toDF("k", "t", "rv")
+    val got = AsofJoin.backward(left, right, "k", "t", Seq("rv"))
+      .select(col("lv"), col("asof_rv")).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // equal timestamps match (inclusive); later right rows don't leak back
+    assert(got("l1") === Some("r-100"))
+    assert(got("l2") === Some("r-200"))
+    // key 2's right row is at t=60 > left t=50 → no match, null payload
+    assert(got("l3") === None)
+    // key 3 has no right rows at all
+    assert(got("l4") === None)
+  }
+
+  test("payload carries multiple columns and all left columns survive") {
+    import spark.implicits._
+    val left = Seq((1L, ts(1000), 7.5)).toDF("k", "t", "price")
+    val right = Seq((1L, ts(900), 42L, "x")).toDF("k", "t", "rid", "tag")
+    val row = AsofJoin.backward(left, right, "k", "t", Seq("t", "rid", "tag"))
+      .collect().head
+    assert(row.getAs[Double]("price") === 7.5)
+    assert(row.getAs[Timestamp]("asof_t") === ts(900))
+    assert(row.getAs[Long]("asof_rid") === 42L)
+    assert(row.getAs[String]("asof_tag") === "x")
+  }
+
+  test("plan shuffles once (no join node, no cartesian)") {
+    import spark.implicits._
+    val left = (1 to 100).map(i => (i.toLong % 5, ts(i * 10L), i)).toDF("k", "t", "v")
+    val right = (1 to 50).map(i => (i.toLong % 5, ts(i * 17L), i)).toDF("k", "t", "r")
+    val plan = AsofJoin.backward(left, right, "k", "t", Seq("r"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join node in:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesian"))
+  }
+}
