@@ -164,4 +164,29 @@ class StreamSuite extends SparkSpec {
         assert(a.start_ms === at(0).getTime && a.end_ms === at(20).getTime)
     }
   }
+
+  test("sessionize: late cross-batch event extends an open session backwards") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // generous watermark so the minute-5 event in batch 2 is still live
+    run(in, StreamOps.sessionize(in.toDS(), gapMs = 30 * 60000L,
+      watermark = "2 hours").toDF()) { (q, name) =>
+      in.addData(ev(1, 10, value = 1), ev(2, 20, value = 2))
+      q.processAllAvailable()
+      // batch 2: a late event at minute 5 joins the open session and
+      // must pull start_ms back (ADVICE r2); minute 90 then closes it
+      in.addData(ev(3, 5, value = 4))
+      q.processAllAvailable()
+      in.addData(ev(4, 90, value = 1))
+      q.processAllAvailable()
+      val sessions = spark.table(name).as[Session].collect()
+      assert(sessions.length === 1, "first session closed by the 70-min gap")
+      val a = sessions.head
+      assert(a.n_events === 3 && a.total_value === 7.0)
+      assert(a.start_ms === at(5).getTime,
+        "late minute-5 arrival must move start_ms back")
+      assert(a.end_ms === at(20).getTime)
+    }
+  }
 }
