@@ -204,5 +204,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier(GraftFunctions.SimHashName),
       new ExpressionInfo(classOf[SimHash64].getName, GraftFunctions.SimHashName),
       GraftFunctions.simhashBuilder))
+    // Whole-operator extension: plans graft.plans.GroupedTopKPlan as
+    // the two-phase bounded-heap physical operator.
+    e.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

@@ -1,0 +1,126 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Grouped top-k as a first-class operator: logical plan + planner
+  * strategy + physical plan, registered through
+  * `SparkSessionExtensions`/`experimental.extraStrategies` — the
+  * "whole-operator" extension path (SURVEY §2 preference ladder (c)),
+  * demonstrated on an operator where it genuinely beats composition.
+  *
+  * The composable form (`row_number().over(window) <= k`) sorts every
+  * partition fully: O(n log n) per group and the whole group's rows
+  * shuffle. This operator keeps a k-bounded heap per group — O(n log k)
+  * — in TWO phases: a partial pass on each input partition cuts every
+  * partition's contribution to ≤ k rows per group BEFORE the shuffle
+  * (the heap analogue of map-side partial aggregation), then a final
+  * pass after clustering by the group keys. At 100 TB the shuffle
+  * carries ≤ k·partitions rows per group instead of the full table.
+  *
+  * Top-k = the first k rows of each group under `order` (exactly
+  * `row_number() OVER (PARTITION BY group ORDER BY order) <= k`); ties
+  * beyond the order columns are arbitrary, so callers wanting
+  * determinism end `order` with a unique key, as with row_number.
+  */
+final case class GroupedTopKPlan(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupedTopKPlan =
+    copy(child = newChild)
+}
+
+object GroupedTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case g: GroupedTopKPlan =>
+      val partial =
+        GroupedTopKExec(g.groupExprs, g.order, g.k, partial = true,
+          planLater(g.child))
+      GroupedTopKExec(g.groupExprs, g.order, g.k, partial = false,
+        partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Per-partition bounded-heap top-k. `partial = true` runs on raw input
+  * partitions (no distribution requirement); the final phase requires
+  * clustering on the group keys, so EnsureRequirements inserts the
+  * one shuffle — of the already-pruned partial output. */
+final case class GroupedTopKExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupExprs))
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val (g, o, limit) = (groupExprs, order, k)
+    child.execute().mapPartitions { iter =>
+      val groupProj = UnsafeProjection.create(g, childOutput)
+      val rowOrd = RowOrdering.create(o, childOutput)
+      // PriorityQueue dequeues the MAX under rowOrd = the worst of the
+      // kept k (rowOrd already encodes per-column direction, so "first
+      // k rows in sort order" = "k least rows under rowOrd").
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      while (iter.hasNext) {
+        val row = iter.next()
+        val heap = heaps.getOrElseUpdate(groupProj(row).copy(),
+          mutable.PriorityQueue.empty[InternalRow](rowOrd))
+        if (heap.size < limit) heap.enqueue(row.copy())
+        else if (rowOrd.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupedTopKExec =
+    copy(child = newChild)
+}
+
+object GroupedTopK {
+
+  /** First k rows per group under `orderCols` (use `.desc`/`.asc`
+    * Columns; bare Columns sort ascending). Registers the planner
+    * strategy on the session idempotently, so externally-built sessions
+    * work without `spark.sql.extensions`. */
+  def topK(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column],
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    ensureRegistered(df.sparkSession)
+    val g = groupCols.map(GraftBridge.catalystExpression)
+    val o = orderCols.map(c => GraftBridge.catalystExpression(c) match {
+      case s: SortOrder => s
+      case e => SortOrder(e, Ascending)
+    })
+    GraftBridge.ofRows(df.sparkSession,
+      GroupedTopKPlan(g, o, k, df.queryExecution.analyzed))
+  }
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupedTopKStrategy
+}

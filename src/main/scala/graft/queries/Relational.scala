@@ -459,6 +459,28 @@ object Relational {
         .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** Same result as q24 through the custom whole-operator path:
+    * GroupedTopKPlan → GroupedTopKStrategy → two-phase bounded-heap
+    * GroupedTopKExec (partial per input partition, shuffle ≤ k rows per
+    * partition-group, final per group key) — O(n log k) with no full
+    * partition sort. The custom-SparkPlan capability, correctness-gated
+    * by the same DuckDB oracle as the window form. */
+  val q24bTopkNative: Q = Q(
+    "q24b_topk_native",
+    """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+      | SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_orderstatus
+      |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      | FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin) {
+    (s, d) =>
+      graft.plans.GroupedTopK.topK(
+        ord(s, d).select("o_orderstatus", "o_orderkey", "o_totalprice"),
+        Seq(col("o_orderstatus")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   /** Global ORDER BY + LIMIT → Spark plans TakeOrderedAndProject (per-
     * partition top-k + merge on driver), NOT a global sort: scale-safe. */
   val q25SortLimit: Q = Q(
@@ -848,7 +870,7 @@ object Relational {
     q01PricingSummary, q02ProjectFilter, q03AggStats, q04AggRollup, q05AggCube,
     q06GroupingSets, q10JoinInner, q11JoinLeft, q12JoinRight, q13JoinFull,
     q14JoinSemi, q15JoinAnti, q16JoinCross, q17JoinTheta, q18JoinBroadcastStar,
-    q20WindowRank, q21WindowLag, q22WindowFrames, q23WindowNtile,
+    q20WindowRank, q21WindowLag, q22WindowFrames, q23WindowNtile, q24bTopkNative,
     q24TopKPerGroup, q25SortLimit, q30SetUnion, q31SetIntersect, q32SetExcept,
     q33Distinct, q40ScalarString, q41ScalarDate, q42ScalarMath, q43ScalarArray,
     q43bPosExplode, q44ScalarJson, q45Sessionize, q46ApproxDistinct)

@@ -13,3 +13,21 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Same bridge role, plus the private[sql] Dataset constructor needed
+  * to wrap a custom LogicalPlan (graft.plans.GroupedTopKPlan) back into
+  * a DataFrame. */
+object GraftBridge {
+  def column(e: Expression): Column = GraftColumnBridge.column(e)
+  def expression(c: Column): Expression = GraftColumnBridge.expression(c)
+  /** Eager ColumnNode → catalyst conversion (ExpressionUtils.expression
+    * wraps lazily in a ColumnNodeExpression, which is neither
+    * pattern-matchable as catalyst SortOrder nor serializable — custom
+    * logical plans need the real expression tree up front). */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
