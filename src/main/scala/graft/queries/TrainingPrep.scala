@@ -140,5 +140,55 @@ object TrainingPrep {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(docChunk, packSequences, embedQuantize, textNormalize)
+  /** Dataset mixture allocation: split a global token budget (half the
+    * corpus) across sources by mixture weight, then fill each source's
+    * allocation in deterministic hash order — the mixing step that
+    * builds a training set from weighted sources. All-integer math;
+    * the only shuffles are one tiny weight/total aggregate (broadcast
+    * back) and the per-source window. */
+  val mixtureAllocate: Q = Q(
+    "mixture_allocate",
+    """WITH t AS (SELECT doc_id, source,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |             (doc_id * 1099087573) % 1000003 AS hkey
+      |           FROM documents),
+      |w AS (SELECT source, sum(n_tokens) AS src_tokens,
+      |        CASE WHEN source IN ('src0', 'src1', 'src2') THEN 3 ELSE 1 END
+      |          AS wt
+      |      FROM t GROUP BY source),
+      |g AS (SELECT sum(src_tokens) // 2 AS budget, sum(wt) AS total_wt FROM w),
+      |a AS (SELECT source, wt, budget * wt // total_wt AS alloc FROM w, g),
+      |c AS (SELECT t.doc_id, t.source, t.n_tokens, a.alloc,
+      |        sum(t.n_tokens) OVER (PARTITION BY t.source
+      |          ORDER BY t.hkey, t.doc_id) AS cum
+      |      FROM t JOIN a USING (source))
+      |SELECT source, CAST(max(alloc) AS BIGINT) AS alloc,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+      |FROM c WHERE cum <= alloc
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      ((col("doc_id") * lit(1099087573L)) % 1000003).as("hkey"))
+    val w = t.groupBy("source")
+      .agg(sum("n_tokens").as("src_tokens"))
+      .withColumn("wt",
+        when(col("source").isin("src0", "src1", "src2"), 3L).otherwise(1L))
+    val g = w.agg((sum("src_tokens") / 2).cast("long").as("budget"),
+      sum("wt").as("total_wt"))
+    val a = w.crossJoin(broadcast(g))
+      .select(col("source"), (col("budget") * col("wt") / col("total_wt"))
+        .cast("long").as("alloc"))
+    val cumW = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    t.join(broadcast(a), "source")
+      .withColumn("cum", sum("n_tokens").over(cumW))
+      .filter(col("cum") <= col("alloc"))
+      .groupBy("source")
+      .agg(max("alloc").as("alloc"), count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(docChunk, packSequences, embedQuantize, textNormalize,
+    mixtureAllocate)
 }
