@@ -70,8 +70,10 @@ object MinHashLSH {
     // bit-identical (same positive integer math). See MinHashSigSuite.
     docs
       .select(col(idCol).as("id"), shingleSet(col(textCol), p.shingleSize).as("shingles"))
+      // native per-element hash (== transform(shingles, s ->
+      // pmod(xxhash64(s), HashSpace)), which is interpreted per shingle)
       .withColumn("hs",
-        transform(col("shingles"), s => pmod(xxhash64(s), lit(HashSpace))))
+        graft.functions.GraftFunctions.arrayHashMod(col("shingles"), HashSpace))
       .withColumn("sig",
         graft.functions.GraftFunctions.minhashSig(col("hs"), as, bs, P))
       .drop("hs")

@@ -167,6 +167,11 @@ object GraftFunctions {
     org.apache.spark.sql.GraftColumnBridge.column(
       ShingleSet(org.apache.spark.sql.GraftColumnBridge.expression(text), n))
 
+  /** pmod(xxhash64(elem), mod) per array element, one native pass. */
+  def arrayHashMod(arr: Column, mod: Long): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ArrayHashMod(org.apache.spark.sql.GraftColumnBridge.expression(arr), mod))
+
   /** MinHash signature through the native expression (coefficients are
     * driver-side constants, so this wraps the expression directly
     * rather than going through the name registry). */

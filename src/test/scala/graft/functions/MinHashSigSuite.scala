@@ -24,6 +24,18 @@ class MinHashSigSuite extends SparkSpec {
     assert(both.count() === 100)
   }
 
+  test("arrayHashMod equals the transform(xxhash64 pmod) HOF form") {
+    val P = 2147483647L
+    val sh = graft.dedup.MinHashLSH.shingleSet(col("text"), 3)
+    val both = Tables.documents(spark, sfDir).limit(100)
+      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"),
+        transform(col("sh"), s => pmod(xxhash64(s), lit(P))).as("hof"),
+        GraftFunctions.arrayHashMod(col("sh"), P).as("native"))
+    assert(both.filter(col("hof") =!= col("native")).count() === 0)
+    assert(both.count() === 100)
+  }
+
   test("compute handles empty input with the mod sentinel") {
     val out = MinHashSig.compute(Array.empty[Long], Array(3L, 5L),
       Array(1L, 2L), 97L)
