@@ -46,6 +46,12 @@ class SourcesSuite extends SparkSpec {
     assertSame(li, spark.read.parquet(dir))
   }
 
+  test("ORC sink + source round-trip") {
+    val dir = tmpDir("orc").resolve("li_orc").toString
+    li.write.orc(dir)
+    assertSame(li, spark.read.orc(dir))
+  }
+
   test("CSV schema'd read coerces and preserves predicates pushdown-compatibly") {
     val dir = tmpDir("csv2").resolve("li_csv2").toString
     li.write.option("header", "true").csv(dir)

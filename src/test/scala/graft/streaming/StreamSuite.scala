@@ -189,4 +189,33 @@ class StreamSuite extends SparkSpec {
       assert(a.end_ms === at(20).getTime)
     }
   }
+
+  test("foreachBatch sink: batchId-keyed upsert is replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The exactly-once pattern for non-transactional external stores:
+    // key writes by (batchId) and upsert, so micro-batch replay after a
+    // failure overwrites instead of double-counting.
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
+    def upsert(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      val total = df.agg(coalesce(org.apache.spark.sql.functions.sum("value"),
+        lit(0.0))).collect()(0).getDouble(0)
+      store.put(batchId, total) // idempotent: replay overwrites
+    }
+    val in = MemoryStream[Event]
+    val q = in.toDS().toDF().writeStream.foreachBatch(upsert _).start()
+    try {
+      in.addData(ev(1, 0, value = 2.0), ev(2, 1, value = 3.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, value = 4.0))
+      q.processAllAvailable()
+      val firstTotal = store.values().stream().mapToDouble(identity(_)).sum()
+      assert(firstTotal === 9.0)
+      // simulate a replay of the last batch: same batchId, same rows
+      val lastBatch = store.keySet().stream().mapToLong(identity(_)).max().getAsLong
+      upsert(Seq(ev(3, 2, value = 4.0)).toDF(), lastBatch)
+      val afterReplay = store.values().stream().mapToDouble(identity(_)).sum()
+      assert(afterReplay === 9.0, "replayed batch must not double-count")
+    } finally q.stop()
+  }
 }
