@@ -1,0 +1,55 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-duplicate pair edges — the step that
+  * turns pairwise dedup output into duplicate CLUSTERS (a keeps-one-
+  * per-component policy needs components, not pairs: pairs (a,b),(b,c)
+  * must collapse to one group even though (a,c) was never emitted).
+  *
+  * Min-label propagation: every node starts labeled with its own id;
+  * each round takes the min label across neighbors; fixpoint = each
+  * component labeled by its minimum member id. Each round is one
+  * shuffle join + aggregate; rounds needed = graph diameter, which for
+  * near-dup clusters is tiny (near-dup similarity is almost
+  * transitive). At 100 TB scale this is the standard Spark CC shape
+  * (GraphX/GraphFrames use the same propagation); `localCheckpoint`
+  * truncates the growing lineage each round, and the driver only ever
+  * sees per-round change COUNTS, never data.
+  */
+object ConnectedComponents {
+
+  /** @param pairs undirected edges as (id_a, id_b) columns.
+    * @return (id, label) for every node appearing in `pairs`, label =
+    *         min id of the node's component. */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct()
+      .cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy("src").agg(min("label").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id").as("id"),
+          least(labels("label"), coalesce(col("nbr_min"), labels("label")))
+            .as("label"))
+        .localCheckpoint()
+      changed = next.withColumnRenamed("label", "new_l")
+        .join(labels.withColumnRenamed("label", "old_l"), "id")
+        .filter(col("new_l") =!= col("old_l")).count()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -40,6 +40,41 @@ object DedupAnn {
       .orderBy("id_a", "id_b")
   }
 
+  /** Duplicate clusters: MinHash pair edges → connected components
+    * (min-label propagation; oracle = DuckDB recursive-CTE transitive
+    * closure over the same exact-Jaccard edge set). Turns pairwise
+    * output into the keep-one-per-cluster grouping a pipeline needs. */
+  val dedupComponents: Q = Q(
+    "dedup_components",
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-3, 0) + 2),
+      |    i -> array_to_string(ts[i:i+2], ' '))) AS grams
+      |  FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents) t),
+      |e AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |      / len(list_distinct(a.grams || b.grams)) >= 0.8),
+      |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+      |        UNION SELECT id_b, id_a FROM e),
+      |reach AS (
+      |  SELECT src AS node, src AS r FROM sym
+      |  UNION
+      |  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+      |lbl AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+      |sz AS (SELECT component, CAST(count(*) AS INTEGER) AS csize
+      |       FROM lbl GROUP BY component)
+      |SELECT doc_id, component, csize FROM lbl JOIN sz USING (component)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = MinHashLSH.dedupPairs(Tables.documents(s, d), "doc_id", "text", mhParams)
+    val lbl = graft.dedup.ConnectedComponents.components(pairs)
+      .select(col("id").as("doc_id"), col("label").as("component"))
+    val sz = lbl.groupBy("component").agg(count(lit(1)).cast("int").as("csize"))
+    lbl.join(sz, "component")
+      .select(col("doc_id"), col("component"), col("csize"))
+      .orderBy("doc_id")
+  }
+
   /** Keep-first near-dedup: corpus size before/after — the end-to-end
     * dedup operator a pipeline would run. */
   val minhashKeepFirst: Q = Q(
@@ -108,6 +143,6 @@ object DedupAnn {
       .orderBy("qid", "rn")
   }
 
-  val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, simhashPairs, annTopK,
-    cosineDedupStats, ivfTopK)
+  val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, dedupComponents,
+    simhashPairs, annTopK, cosineDedupStats, ivfTopK)
 }

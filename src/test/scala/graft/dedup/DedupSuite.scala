@@ -102,6 +102,24 @@ class DedupSuite extends SparkSpec {
     assert(viaJoin === brute)
   }
 
+  test("connected components merge pair chains into one cluster") {
+    import spark.implicits._
+    // edges: 1-2, 2-3 (chain → one component labeled 1); 10-11 separate
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = graft.dedup.ConnectedComponents.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: long path converges within maxIter") {
+    import spark.implicits._
+    // a 12-node path needs several propagation rounds
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = graft.dedup.ConnectedComponents.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 12 && got.values.toSet === Set(0L))
+  }
+
   test("property: signature agreement estimates Jaccard within ±0.15") {
     import spark.implicits._
     // construct doc pairs with known shingle overlap by sharing a prefix
