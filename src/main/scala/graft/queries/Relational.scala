@@ -724,6 +724,17 @@ object Relational {
     approx.join(exact, "l_returnflag").orderBy("l_returnflag")
   }
 
+  /** Approximate percentiles (GK/KLL-style sketch) beside the exact
+    * value — the mergeable-sketch quantile path a 100 TB run uses
+    * where q52's exact percentile (whole-group buffer) cannot.
+    * Sketch-defined output → no SQL oracle; ±5% gated in BatterySuite. */
+  val q53ApproxPercentile: Q = Q.noOracle("q53_approx_percentile") { (s, d) =>
+    li(s, d).groupBy("l_returnflag")
+      .agg(expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+      .orderBy("l_returnflag")
+  }
+
   /** PIVOT: revenue matrix returnflag × linestatus (explicit value list
     * — at scale an unbounded pivot would need a values pre-pass). */
   val q50Pivot: Q = Q(
@@ -866,7 +877,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     q27QuartileBuckets, q28Subqueries, q29GapFill,
-    q50Pivot, q51Unpivot, q52Percentile,
+    q50Pivot, q51Unpivot, q52Percentile, q53ApproxPercentile,
     q01PricingSummary, q02ProjectFilter, q03AggStats, q04AggRollup, q05AggCube,
     q06GroupingSets, q10JoinInner, q11JoinLeft, q12JoinRight, q13JoinFull,
     q14JoinSemi, q15JoinAnti, q16JoinCross, q17JoinTheta, q18JoinBroadcastStar,

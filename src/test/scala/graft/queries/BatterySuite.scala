@@ -32,6 +32,14 @@ class BatterySuite extends SparkSpec {
     }
   }
 
+  test("q53_approx_percentile: sketch median within 5% of exact per group") {
+    SparkEntry.queries("q53_approx_percentile")(spark, sfDir).collect()
+      .foreach { r =>
+        val (a, e) = (r.getAs[Double]("approx_p50"), r.getAs[Double]("exact_p50"))
+        assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e")
+      }
+  }
+
   test("percentile_approx tracks exact percentile within 5%") {
     import spark.implicits._
     val o = graft.Tables.orders(spark, sfDir)
