@@ -38,10 +38,18 @@ object ConnectedComponents {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy("src").agg(min("label").as("nbr_min"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val prop = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id").as("id"),
           least(labels("label"), coalesce(col("nbr_min"), labels("label")))
             .as("label"))
+      // pointer jumping: label := label(label). Neighbor-min alone moves
+      // a component's min one hop per round (O(diameter) rounds — a
+      // 1000-doc duplicate chain would need 1000 rounds); the shortcut
+      // doubles the reach per round → O(log n) overall.
+      val l2 = prop.select(col("id").as("pid"), col("label").as("plabel"))
+      val next = prop.join(l2, prop("label") === l2("pid"), "left")
+        .select(prop("id").as("id"),
+          coalesce(col("plabel"), prop("label")).as("label"))
         .localCheckpoint()
       changed = next.withColumnRenamed("label", "new_l")
         .join(labels.withColumnRenamed("label", "old_l"), "id")
@@ -50,6 +58,10 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(still-moving labels would silently split components)")
     labels
   }
 }

@@ -22,7 +22,10 @@ case class ArrayHashMod(child: Expression, mod: Long)
   override def prettyName: String = "graft_array_hash_mod"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, true) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires non-null elements (a null would hash to the " +
+        "seed instead of null, silently diverging from transform(xxhash64))")
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<string>, got ${t.catalogString}")
   }

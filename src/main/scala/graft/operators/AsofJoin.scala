@@ -32,6 +32,10 @@ object AsofJoin {
   def backward(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String,
       rightPayload: Seq[String]): DataFrame = {
+    val reserved = Seq("__side", "__p", "__k", "__ts", "__l", "__match")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"input columns may not use the operator-internal names " +
+        reserved.mkString(", "))
     val payloadStruct = struct(rightPayload.map(col): _*)
     val payloadType = right.select(payloadStruct).schema.head.dataType
     val leftCols = left.columns.toSeq
@@ -53,9 +57,11 @@ object AsofJoin {
     val filled = tagged
       .withColumn("__match", last(col("__p"), ignoreNulls = true).over(fill))
       .filter(col("__side") === 1)
+    // getField, not string paths: column names containing dots must not
+    // be re-parsed as nested access
     val out: Seq[Column] =
-      leftCols.map(c => col(s"__l.$c").as(c)) ++
-        rightPayload.map(c => col(s"__match.$c").as(s"asof_$c"))
+      leftCols.map(c => col("__l").getField(c).as(c)) ++
+        rightPayload.map(c => col("__match").getField(c).as(s"asof_$c"))
     filled.select(out: _*)
   }
 }

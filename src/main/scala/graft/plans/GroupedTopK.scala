@@ -66,15 +66,23 @@ final case class GroupedTopKExec(
 
   override def output: Seq[Attribute] = child.output
 
+  // Group keys normalized (NaN canonical, -0.0 → 0.0) in BOTH the
+  // distribution and the heap key: the optimizer's
+  // NormalizeFloatingNumbers rule only rewrites built-in operators, so
+  // without this 0.0 and -0.0 would hash-partition and bucket as two
+  // groups where the window form sees one.
+  private def normalizedGroup: Seq[Expression] =
+    groupExprs.map(GroupedTopK.normalizeFloats)
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
-    else Seq(ClusteredDistribution(groupExprs))
+    else Seq(ClusteredDistribution(normalizedGroup))
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   protected override def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val (g, o, limit) = (groupExprs, order, k)
+    val (g, o, limit) = (normalizedGroup, order, k)
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(g, childOutput)
       val rowOrd = RowOrdering.create(o, childOutput)
@@ -101,6 +109,14 @@ final case class GroupedTopKExec(
 }
 
 object GroupedTopK {
+
+  private[plans] def normalizeFloats(e: Expression): Expression =
+    e.dataType match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType =>
+        org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(e)
+      case _ => e
+    }
 
   /** First k rows per group under `orderCols` (use `.desc`/`.asc`
     * Columns; bare Columns sort ascending). Registers the planner

@@ -112,13 +112,20 @@ object StreamOps {
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
-                case Some(s) if t - s.end_ms <= gapMs =>
+                case Some(s) if t >= s.start_ms - gapMs && t - s.end_ms <= gapMs =>
                   // start_ms may move backwards: a late-but-within-watermark
-                  // event from an earlier batch can precede the open session.
+                  // event from an earlier batch can precede the open session
+                  // (by at most gapMs, else it is not the same session).
                   open = Some(s.copy(start_ms = math.min(s.start_ms, t),
                     end_ms = math.max(s.end_ms, t),
                     n_events = s.n_events + 1,
                     total_value = s.total_value + e.value))
+                case Some(s) if t < s.start_ms - gapMs =>
+                  // late event more than gapMs BEFORE the open session:
+                  // its own (already-closed) session. Best-effort: equally
+                  // late neighbors that would merge with it are emitted
+                  // separately — matching them would need a session buffer.
+                  closed += Session(userId, t, t, 1, e.value)
                 case Some(s) =>
                   closed += s
                   open = Some(Session(userId, t, t, 1, e.value))
