@@ -421,6 +421,32 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** RANGE frame over event time: trailing-7-day count and spend per
+    * user — the value-based frame (ROWS frames are q22). Both engines
+    * order by epoch-ms and bound the frame with the same 604800000 ms
+    * integer; window money sums in exact DECIMAL (segment-tree vs
+    * incremental accumulation order differs between engines). */
+  val q22bRangeFrames: Q = Q(
+    "q22b_range_frames",
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      | CAST(count(*) OVER w AS BIGINT) AS n_7d,
+      | CAST(round(sum(CAST(value AS DECIMAL(18, 6))) OVER w, 2) AS DOUBLE)
+      |   AS spend_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(expr("unix_millis(ts)"))
+      .rangeBetween(-604800000L, Window.currentRow)
+    ev(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_millis(ts)").as("ts_ms"),
+        count(lit(1)).over(w).as("n_7d"),
+        round(sum(col("value").cast("decimal(18,6)")).over(w), 2)
+          .cast("double").as("spend_7d"))
+      .orderBy("event_id")
+  }
+
   /** ntile + percent_rank (quartiles of order value). */
   val q23WindowNtile: Q = Q(
     "q23_window_ntile",
@@ -881,7 +907,8 @@ object Relational {
     q01PricingSummary, q02ProjectFilter, q03AggStats, q04AggRollup, q05AggCube,
     q06GroupingSets, q10JoinInner, q11JoinLeft, q12JoinRight, q13JoinFull,
     q14JoinSemi, q15JoinAnti, q16JoinCross, q17JoinTheta, q18JoinBroadcastStar,
-    q20WindowRank, q21WindowLag, q22WindowFrames, q23WindowNtile, q24bTopkNative,
+    q20WindowRank, q21WindowLag, q22WindowFrames, q22bRangeFrames,
+    q23WindowNtile, q24bTopkNative,
     q24TopKPerGroup, q25SortLimit, q30SetUnion, q31SetIntersect, q32SetExcept,
     q33Distinct, q40ScalarString, q41ScalarDate, q42ScalarMath, q43ScalarArray,
     q43bPosExplode, q44ScalarJson, q45Sessionize, q46ApproxDistinct)
