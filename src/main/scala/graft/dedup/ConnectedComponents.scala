@@ -24,15 +24,30 @@ object ConnectedComponents {
     * @return (id, label) for every node appearing in `pairs`, label =
     *         min id of the node's component. */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = pairs
+    // Every round references the previous labels relation TWICE (the
+    // neighbor-min join and the pointer-jump self-join), so building
+    // rounds directly on each other doubles the logical plan per round
+    // — Catalyst re-optimizes an exponentially growing tree and the
+    // driver, not the executors, becomes the bottleneck. truncate()
+    // materializes a round into a persisted RDD[Row] and restarts the
+    // plan from a LogicalRDD scan: constant-size plans, and RDD-level
+    // unpersist frees the previous round without the cache-invalidation
+    // cascade that DataFrame unpersist triggers on dependent plans.
+    val handles = scala.collection.mutable.Map.empty[DataFrame, org.apache.spark.rdd.RDD[_]]
+    def truncate(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = df.sparkSession.createDataFrame(rdd, df.schema)
+      handles(out) = rdd
+      out
+    }
+    val sym = truncate(pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs
         .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .distinct()
-      .cache()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      .distinct())
+    var labels = truncate(sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -47,17 +62,16 @@ object ConnectedComponents {
       // 1000-doc duplicate chain would need 1000 rounds); the shortcut
       // doubles the reach per round → O(log n) overall.
       val l2 = prop.select(col("id").as("pid"), col("label").as("plabel"))
-      val next = prop.join(l2, prop("label") === l2("pid"), "left")
+      val next = truncate(prop.join(l2, prop("label") === l2("pid"), "left")
         .select(prop("id").as("id"),
-          coalesce(col("plabel"), prop("label")).as("label"))
-        .localCheckpoint()
+          coalesce(col("plabel"), prop("label")).as("label")))
       changed = next.withColumnRenamed("label", "new_l")
         .join(labels.withColumnRenamed("label", "old_l"), "id")
         .filter(col("new_l") =!= col("old_l")).count()
+      handles.remove(labels).foreach(_.unpersist(blocking = false))
       labels = next
       iter += 1
     }
-    sym.unpersist()
     if (changed > 0)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds " +
