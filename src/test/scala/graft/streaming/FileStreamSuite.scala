@@ -39,4 +39,32 @@ class FileStreamSuite extends SparkSpec {
     assert(fromStream === fromBatch)
     assert(fromStream.nonEmpty)
   }
+
+  test("map-only curation features stream unchanged (incl. native exprs)") {
+    // The curation feature stages (token stats, hash sampling, sketch
+    // signatures) are pure maps, so the same column expressions run in
+    // a readStream append pipeline — pinning that the pipeline ops and
+    // the custom codegen expressions are streaming-compatible.
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    def feats(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"),
+      size(array_distinct(split(col("text"), " "))).as("n_distinct"),
+      graft.functions.GraftFunctions.simhashNative(col("text")).as("sh"))
+      .filter((col("doc_id") * lit(2654435761L)) % 100 < 30)
+    val src = tmpDir("cstream").resolve("docs_src")
+    val batchDf = Tables.documents(spark, sfDir)
+    batchDf.write.parquet(src.toString)
+    val q = feats(spark.readStream.schema(batchDf.schema).parquet(src.toString))
+      .writeStream.format("memory").queryName("cstream_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val fromStream = spark.table("cstream_sink").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    val fromBatch = feats(batchDf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(fromStream === fromBatch)
+    assert(fromStream.nonEmpty)
+  }
 }
