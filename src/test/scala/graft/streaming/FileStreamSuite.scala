@@ -67,4 +67,37 @@ class FileStreamSuite extends SparkSpec {
     assert(fromStream === fromBatch)
     assert(fromStream.nonEmpty)
   }
+
+  test("streaming sketch dedup: duplicate texts collapse on simhash key") {
+    // Streaming near-dedup: exact collision on the 64-bit SimHash
+    // signature (identical/near-identical texts share it) via
+    // dropDuplicates on the sketch column — sketch state instead of
+    // full-text state, the scalable streaming-dedup key.
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val src = tmpDir("sdedup").resolve("docs_src")
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    // duplicate every doc (same text, shifted ids): stream must keep one per text
+    docs.select(col("doc_id"), col("text"))
+      .union(docs.select(col("doc_id") + 100000L, col("text")))
+      .write.parquet(src.toString)
+    val streamed = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(src.toString)
+      .withColumn("sh", graft.functions.GraftFunctions.simhashNative(col("text")))
+      .dropDuplicates("sh")
+    val q = streamed.writeStream.format("memory").queryName("sdedup_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val kept = spark.table("sdedup_sink").select("sh").collect().map(_.getLong(0))
+    assert(kept.length === kept.distinct.length, "one row per signature")
+    val batchSigs = docs
+      .select(graft.functions.GraftFunctions.simhashNative(col("text")))
+      .distinct().count()
+    assert(kept.length === batchSigs)
+  }
 }
