@@ -26,12 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** @param rightPayload right-side columns to carry onto left rows
+  /** Latest right row with ts ≤ the left timestamp (inclusive).
+    * @param rightPayload right-side columns to carry onto left rows
     *                     (each emitted as `asof_<name>`, null when no
-    *                     right row is ≤ the left timestamp). */
+    *                     right row qualifies). */
   def backward(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String]): DataFrame =
+    asof(left, right, keyCol, tsCol, rightPayload, descendingScan = false)
+
+  /** Forward (inclusive) as-of: the EARLIEST right row with ts ≥ the
+    * left timestamp. Same machinery with the scan order reversed —
+    * the fill runs over descending time; right still sorts before left
+    * at equal ts so the match stays inclusive. */
+  def forward(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      rightPayload: Seq[String]): DataFrame =
+    asof(left, right, keyCol, tsCol, rightPayload, descendingScan = true)
+
+  private def asof(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, rightPayload: Seq[String],
+      descendingScan: Boolean): DataFrame = {
     val reserved = Seq("__side", "__p", "__k", "__ts", "__l", "__match")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"input columns may not use the operator-internal names " +
@@ -51,8 +66,9 @@ object AsofJoin {
           col("__side"), col("__p"), lit(null).cast(
             left.select(struct(leftCols.map(col): _*)).schema.head.dataType)
             .as("__l")))
+    val ts = if (descendingScan) col("__ts").desc else col("__ts").asc
     val fill = Window.partitionBy("__k")
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(ts, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = tagged
       .withColumn("__match", last(col("__p"), ignoreNulls = true).over(fill))

@@ -42,6 +42,49 @@ class AsofJoinSuite extends SparkSpec {
     assert(row.getAs[String]("asof_tag") === "x")
   }
 
+  test("forward asof: earliest right >= left, inclusive, per key") {
+    import spark.implicits._
+    val left = Seq((1L, ts(100), "l1"), (1L, ts(250), "l2"),
+      (2L, ts(500), "l3")).toDF("k", "t", "lv")
+    val right = Seq((1L, ts(100), "r-100"), (1L, ts(300), "r-300"),
+      (2L, ts(400), "r-400")).toDF("k", "t", "rv")
+    val got = AsofJoin.forward(left, right, "k", "t", Seq("rv"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(got("l1") === Some("r-100")) // inclusive at equal ts
+    assert(got("l2") === Some("r-300"))
+    assert(got("l3") === None) // right at 400 < 500 → nothing ahead
+  }
+
+  test("property: backward/forward match brute-force on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val leftRows = Seq.fill(300)((rnd.nextInt(5).toLong,
+      ts(rnd.nextInt(1000).toLong), rnd.nextInt(100000)))
+    // distinct (key, ts) on the right: ties at the same instant make
+    // "the" match undefined (documented caveat, same as DuckDB ASOF)
+    val rightRows = Seq.fill(200)((rnd.nextInt(5).toLong,
+      ts(rnd.nextInt(1000).toLong), rnd.nextInt(100000)))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val left = leftRows.toDF("k", "t", "lv")
+    val right = rightRows.toDF("k", "t", "rv")
+    val gotB = AsofJoin.backward(left, right, "k", "t", Seq("rv"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getInt(2)) ->
+        (if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    val gotF = AsofJoin.forward(left, right, "k", "t", Seq("rv"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getInt(2)) ->
+        (if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    leftRows.foreach { case (k, t, lv) =>
+      val befores = rightRows.filter(r => r._1 == k && !r._2.after(t))
+      val expB = if (befores.isEmpty) None
+        else Some(befores.maxBy(_._2.getTime)._3)
+      assert(gotB((k, t, lv)) === expB, s"backward mismatch at ($k,$t)")
+      val afters = rightRows.filter(r => r._1 == k && !r._2.before(t))
+      val expF = if (afters.isEmpty) None
+        else Some(afters.minBy(_._2.getTime)._3)
+      assert(gotF((k, t, lv)) === expF, s"forward mismatch at ($k,$t)")
+    }
+  }
+
   test("plan shuffles once (no join node, no cartesian)") {
     import spark.implicits._
     val left = (1 to 100).map(i => (i.toLong % 5, ts(i * 10L), i)).toDF("k", "t", "v")
