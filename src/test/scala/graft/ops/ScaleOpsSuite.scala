@@ -125,4 +125,35 @@ class ScaleOpsSuite extends SparkSpec {
     rejects("input_files" -> dir.resolve("nope.txt").toString)
     rejects("output_dir" -> dir.toString) // already exists
   }
+
+  test("battery sweep: no cartesian product outside bounded-by-design queries") {
+    // A CartesianProduct/BroadcastNestedLoop node is only acceptable
+    // where the operands are bounded by construction (tiny dims or an
+    // explicitly capped candidate set); anywhere else it would explode
+    // at scale. Sweep EVERY declared query's physical plan.
+    val boundedByDesign = Set(
+      "q16_join_cross",       // 5x25 region x nation, the cross-join demo
+      "q17_join_theta",       // non-equi range join, 25-row broadcast side
+      "ngram_jaccard_pairs",  // doc_id < 50 capped pair set
+      "cosine_pairs",         // 20-vector bounded pair set
+      "cosine_topk",          // 5 broadcast query vectors, theta join
+      "q27_quartile_buckets", // 1-row broadcast of quartile bounds
+      "q28_subqueries",       // 1-row broadcast of the scalar aggregate
+      "curate_corpus",        // 1-row x 1-row report join
+      "mixture_allocate",     // 1-row budget broadcast
+      "tfidf_top_terms",      // 1-row broadcast of the corpus doc count
+      "dedup_exact_stats", "dedup_cosine_stats", "cosine_dedup_stats",
+      "minhash_keepfirst",    // 1-row x 1-row count report
+      "embed_stats",          // bounded label-centroid stats
+      "q53_approx_percentile")
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val hasCartesian = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (hasCartesian && !boundedByDesign.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded cartesian/nested-loop in: ${offenders.mkString(", ")}")
+  }
 }
