@@ -126,6 +126,22 @@ class ScaleOpsSuite extends SparkSpec {
     rejects("output_dir" -> dir.toString) // already exists
   }
 
+  test("hot paths run inside WholeStageCodegen (no interpreted scan-agg)") {
+    // The flagship aggregate and the projection/filter query must keep
+    // their scan→filter→project→partial-agg pipeline inside generated
+    // code; losing the codegen span (e.g. by introducing a
+    // CodegenFallback expression in the hot path) is a silent 5-10x.
+    Seq("q01_pricing_summary", "q02_project_filter", "q42_scalar_math")
+      .foreach { name =>
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        // AQE only finalizes (and codegens) the plan on execution, and
+        // only collect() runs THIS QueryExecution (df.write plans its own)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("*("), s"$name lost whole-stage codegen:\n$plan")
+      }
+  }
+
   test("battery sweep: no cartesian product outside bounded-by-design queries") {
     // A CartesianProduct/BroadcastNestedLoop node is only acceptable
     // where the operands are bounded by construction (tiny dims or an
