@@ -75,6 +75,58 @@ object DedupAnn {
       .orderBy("doc_id")
   }
 
+  /** Keep-BEST near-dedup: one survivor per duplicate cluster, chosen
+    * by quality (longest text, doc_id tie-break) rather than smallest
+    * id — the policy real pipelines want (keep the canonical copy, not
+    * the first-crawled one). Clusters from ConnectedComponents; docs in
+    * no cluster survive untouched. Oracle replays the clustering with a
+    * recursive CTE and the same argmax. */
+  val dedupKeepBest: Q = Q(
+    "dedup_keep_best",
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-3, 0) + 2),
+      |    i -> array_to_string(ts[i:i+2], ' '))) AS grams
+      |  FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents) t),
+      |e AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |      / len(list_distinct(a.grams || b.grams)) >= 0.8),
+      |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+      |        UNION SELECT id_b, id_a FROM e),
+      |reach AS (
+      |  SELECT src AS node, src AS r FROM sym
+      |  UNION
+      |  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+      |lbl AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+      |dropped AS (
+      |  SELECT doc_id FROM (
+      |    SELECT l.doc_id,
+      |      row_number() OVER (PARTITION BY l.component
+      |        ORDER BY length(d.text) DESC, l.doc_id) AS rk
+      |    FROM lbl l JOIN documents d USING (doc_id)) t
+      |  WHERE rk > 1)
+      |SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars
+      |FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = MinHashLSH.dedupPairs(docs, "doc_id", "text", mhParams)
+    val lbl = graft.dedup.ConnectedComponents.components(pairs)
+      .select(col("id").as("doc_id"), col("label").as("component"))
+    // argmax per cluster: longest text wins, smallest doc_id on ties
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(length(col("text")).desc, col("doc_id").asc)
+    val dropped = lbl.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .select("doc_id")
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Keep-first near-dedup: corpus size before/after — the end-to-end
     * dedup operator a pipeline would run. */
   val minhashKeepFirst: Q = Q(
@@ -144,5 +196,5 @@ object DedupAnn {
   }
 
   val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, dedupComponents,
-    simhashPairs, annTopK, cosineDedupStats, ivfTopK)
+    dedupKeepBest, simhashPairs, annTopK, cosineDedupStats, ivfTopK)
 }
