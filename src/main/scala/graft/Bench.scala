@@ -34,11 +34,12 @@ object Bench {
       finally spark.catalog.clearCache()
     }
 
-    // Two measured passes, keep the per-query minimum: single-sample
+    // Three measured passes, keep the per-query minimum: single-sample
     // timings on a shared 32-thread box carry GC/scheduler noise that
-    // can double a sub-second query.
+    // can triple a sub-second query (observed run-to-run swings of 5x
+    // on an otherwise idle box).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
