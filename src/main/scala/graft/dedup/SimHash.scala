@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * public literature): a single 64-bit signature whose Hamming distance
   * tracks cosine similarity of the token multiset.
   *
-  * Signature: for bit j, sum +1/-1 over every token whose xxhash64 has
-  * bit j set/clear; bit j of the signature = sign of the sum. Computed
-  * with `aggregate`/`zip_with` over a 64-wide int array — codegen'd, no
-  * UDF, one narrow pass.
+  * Signature: for bit j, sum +1/-1 over every token whose 64-bit hash
+  * has bit j set/clear; bit j of the signature = sign of the sum. The
+  * token hash is the engine-portable polynomial pack of
+  * [[graft.functions.SimHash64.tokenHash]] (three 31-bit poly hashes
+  * mod 2^31-1 over code points) — pure BIGINT-safe integer math, so a
+  * DuckDB oracle can replay the whole signature bit-for-bit. Computed
+  * with `aggregate`/`zip_with` over a 64-wide int array — no UDF, one
+  * narrow pass.
   *
   * Candidate generation at scale (pigeonhole / multi-index Hamming
   * search): split the 64 bits into maxDist+1 chunks — two signatures
@@ -22,6 +26,26 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
+  /** One 31-bit polynomial code-point hash of lambda-bound token `t`
+    * as a SQL fragment — `(h*m + cp) % (2^31-1)` folded over
+    * `ascii(substr(t, i, 1))`. Guarded for the empty token (Spark's
+    * `sequence(1, 0)` would count DOWN, not produce an empty range). */
+  private def polyHashSql(seed: Int, mult: Int): String =
+    s"""IF(t = '', CAST($seed AS BIGINT),
+       |  aggregate(
+       |    transform(sequence(1, char_length(t)),
+       |      i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
+       |    CAST($seed AS BIGINT),
+       |    (ph, cp) -> (ph * $mult + cp) % 2147483647))""".stripMargin
+
+  /** Portable 64-bit token hash (HOF form) — parity-pinned against
+    * [[graft.functions.SimHash64.tokenHash]] in SimHashNativeSuite.
+    * Kept on one line: a line-leading `|` would be re-stripped by the
+    * enclosing template's stripMargin. */
+  private val tokenHashSql: String =
+    s"${polyHashSql(7, 31)} | shiftleft(${polyHashSql(11, 131)}, 31)" +
+      s" | shiftleft(${polyHashSql(13, 65599)} & 3, 62)"
+
   /** 64-bit SimHash of a whitespace-tokenized text column (SQL-expr
     * form: bit-shift lambdas are native in SQL higher-order functions).
     * `textCol` must be a plain column name. */
@@ -29,7 +53,7 @@ object SimHash {
     s"""aggregate(
        |  zip_with(
        |    aggregate(
-       |      transform(split($textCol, ' '), t -> xxhash64(t)),
+       |      transform(split($textCol, ' '), t -> ($tokenHashSql)),
        |      array_repeat(CAST(0 AS BIGINT), 64),
        |      (acc, h) -> zip_with(acc,
        |        transform(sequence(0, 63),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -11,9 +11,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Bit-identical to the SQL-expr form (`SimHash.simhashExpr`): tokens
   * come from `split(text, ' ')` semantics (single-space regex, empty
-  * tokens KEPT — they hash too), each token hashed with Spark's
-  * xxhash64 (seed 42). The HOF form allocates a 64-element array per
-  * token through interpreted lambdas; this walks the bits of each hash
+  * tokens KEPT — they hash too). The token hash is deliberately
+  * engine-portable: three 31-bit polynomial hashes over Unicode code
+  * points mod p = 2^31-1 (multipliers 31/131/65599, seeds 7/11/13),
+  * packed `h1 | h2<<31 | (h3&3)<<62`. Every intermediate fits in a
+  * signed 64-bit integer (h < 2^31, h*65599 + cp < 2^48), so the exact
+  * same arithmetic runs in DuckDB SQL — which is what makes
+  * `simhash_dup_pairs` oracle-checkable cross-engine rather than
+  * sketch-gated. The HOF form allocates a 64-element array per token
+  * through interpreted lambdas; this walks the bits of each hash
   * directly. */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -41,6 +47,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
 
+  private val P = 2147483647L // 2^31 - 1
+
+  /** Portable 64-bit token hash: three code-point polynomial hashes mod
+    * 2^31-1, bit-packed. Iterates true code points (surrogate pairs are
+    * one step) to match per-character engines like DuckDB's substr. */
+  def tokenHash(t: String): Long = {
+    var h1 = 7L; var h2 = 11L; var h3 = 13L
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      h1 = (h1 * 31L + cp) % P
+      h2 = (h2 * 131L + cp) % P
+      h3 = (h3 * 65599L + cp) % P
+      i += Character.charCount(cp)
+    }
+    h1 | (h2 << 31) | ((h3 & 3L) << 62)
+  }
+
   def compute(s: String): Long = {
     val counts = new Array[Long](64)
     // split(" ", -1): Spark's split keeps empty tokens (leading,
@@ -49,8 +73,7 @@ object SimHash64 {
     val tokens = s.split(" ", -1)
     var t = 0
     while (t < tokens.length) {
-      val h = XxHash64Function.hash(
-        UTF8String.fromString(tokens(t)), StringType, 42L)
+      val h = tokenHash(tokens(t))
       var i = 0
       while (i < 64) {
         if (((h >> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1

@@ -12,9 +12,13 @@ import graft.dedup.{CosineDedup, MinHashLSH, SimHash}
   * the exact ≥-threshold pair set as long as banding recalls every true
   * pair — with the fixture's pair distribution (true pairs at J ≥ 0.9,
   * noise < 0.07; 16 bands × 4 rows) the miss probability is < 1e-7 per
-  * pair. SimHash and ANN outputs depend on sketch internals no SQL
-  * oracle can replicate, so they are rows-only here and gated by
-  * planted-duplicate / recall specs in DedupSuite and AnnSuite.
+  * pair. simhash_dup_pairs is oracle-checked too (portable integer
+  * token hash → full DuckDB signature replica), as is
+  * cosine_dedup_stats (exact post-verify → brute-force oracle). Only
+  * the two ANN top-k queries remain spec-only: their output ranking
+  * depends on which LSH/IVF buckets each query probes — internal index
+  * state no independent SQL replica can reproduce — so they are gated
+  * by recall-vs-exact specs in AnnSuite instead.
   */
 object DedupAnn {
 
@@ -151,10 +155,50 @@ object DedupAnn {
 
   /** SimHash near-dup pairs at Hamming ≤ 3 of 64 bits — the standard
     * web-dedup threshold (Manku/Jain/Sarma WWW'07), giving 4 16-bit
-    * pigeonhole chunks (exhaustive, selective buckets). Sketch-defined
-    * output, gated by DedupSuite planted-duplicate + exhaustiveness
-    * specs; higher maxDist remains available (maxDist+1 chunks). */
-  val simhashPairs: Q = Q.noOracle("simhash_dup_pairs") { (s, d) =>
+    * pigeonhole chunks (exhaustive, selective buckets). Fully
+    * oracle-checked: the token hash is pure BIGINT-safe integer math
+    * (graft.functions.SimHash64.tokenHash), so the oracle replays the
+    * entire 64-bit signature and Hamming join in DuckDB SQL — the
+    * pigeonhole candidate join is exhaustive, so bucketing vs the
+    * oracle's all-pairs scan cannot diverge. Planted-duplicate recall
+    * stays gated in DedupSuite; higher maxDist remains available
+    * (maxDist+1 chunks). Bit 63 is packed via the two's-complement
+    * constant because `1::BIGINT << 63` overflows in DuckDB. */
+  val simhashPairs: Q = Q(
+    "simhash_dup_pairs",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |th AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT), cps),
+      |      (ph, cp) -> (ph * 31 + cp) % 2147483647) AS h1,
+      |    list_reduce(list_prepend(CAST(11 AS BIGINT), cps),
+      |      (ph, cp) -> (ph * 131 + cp) % 2147483647) AS h2,
+      |    list_reduce(list_prepend(CAST(13 AS BIGINT), cps),
+      |      (ph, cp) -> (ph * 65599 + cp) % 2147483647) AS h3
+      |  FROM (SELECT doc_id, list_transform(range(1, length(tok) + 1),
+      |          i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT)) AS cps
+      |        FROM toks)),
+      |bits AS (
+      |  SELECT doc_id, b.bit,
+      |    SUM(CASE WHEN (CASE WHEN b.bit < 31 THEN h1 >> b.bit
+      |                        WHEN b.bit < 62 THEN h2 >> (b.bit - 31)
+      |                        ELSE h3 >> (b.bit - 62) END) & 1 = 1
+      |             THEN 1 ELSE -1 END) AS c
+      |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+      |  GROUP BY doc_id, b.bit),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN c > 0 THEN
+      |        CASE WHEN bit = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |             ELSE CAST(CAST(1 AS BIGINT) << CAST(bit AS INT) AS HUGEINT) END
+      |      ELSE 0 END) AS BIGINT) AS sh
+      |  FROM bits GROUP BY doc_id)
+      |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+      |  CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS dist
+      |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.sh, y.sh)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     SimHash.dedupPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
       .orderBy("id_a", "id_b")
   }
@@ -170,10 +214,24 @@ object DedupAnn {
   }
 
   /** Embedding-cosine near-dedup over embeddings: pair/keep counts at
-    * the 0.95 threshold (this fixture plants no embedding dups — max
-    * unrelated cosine ≈ 0.51 — so the operator correctly reports zero
-    * drops; planted-duplicate recall is gated in CosineDedupSuite). */
-  val cosineDedupStats: Q = Q.noOracle("cosine_dedup_stats") { (s, d) =>
+    * the 0.95 threshold. The LSH stage only generates CANDIDATES — the
+    * exact-cosine verify makes the surviving pair set exact, so the
+    * oracle is the brute-force all-pairs ≥ 0.95 scan (viable at the
+    * oracle's sf0.01; this fixture plants no embedding dups — max
+    * unrelated cosine ≈ 0.51 — and planted-duplicate recall is gated
+    * in CosineDedupSuite). An LSH recall miss would fail this gate,
+    * which is the right failure mode. */
+  val cosineDedupStats: Q = Q(
+    "cosine_dedup_stats",
+    """WITH p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95),
+      |n AS (SELECT count(*) AS n_vectors FROM embeddings)
+      |SELECT n.n_vectors,
+      |  (SELECT count(*) FROM p) AS n_dup_pairs,
+      |  n.n_vectors - (SELECT count(DISTINCT id_b) FROM p) AS n_kept
+      |FROM n""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     // one dedupPairs pass; kept = vectors minus distinct dropped ids
     // (identical to dedupKeepFirst's count without re-running the index)

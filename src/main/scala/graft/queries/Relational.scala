@@ -735,30 +735,44 @@ object Relational {
       .orderBy("user_id", "sess_id")
   }
 
-  /** approx_count_distinct (HLL) — approximate by design, so no SQL oracle;
-    * correctness is gated in ScalaTest against exact counts (±5%).
-    * Deliberately TWO aggregations joined at the end: putting an HLL and
-    * an exact count(distinct) in ONE agg makes Spark carry the 52-word
-    * HLL buffer as group state per (flag, partkey) through the
-    * distinct-expand shuffle — 10× slower at sf0.1, catastrophic at
-    * scale. Split, each aggregate gets its optimal 2-phase plan. */
-  val q46ApproxDistinct: Q = Q.noOracle("q46_approx_distinct") { (s, d) =>
-    val approx = li(s, d).groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
-    val exact = li(s, d).groupBy("l_returnflag")
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-    approx.join(exact, "l_returnflag").orderBy("l_returnflag")
+  /** Multi-column exact distinct counts per group — the oracle-checked
+    * half of the approximate-distinct operator pair. The HLL sketch
+    * itself (approx_count_distinct) is sketch-defined output no SQL
+    * oracle can replicate, so it is gated in BatterySuite against these
+    * exact counts (±5%) instead of here. Two distinct columns in one
+    * agg exercises Spark's Expand-based multi-distinct plan; the HLL
+    * variant must NEVER share an agg with an exact distinct — the
+    * 52-word HLL buffer would ride the distinct-expand shuffle as
+    * per-group state (10× at sf0.1, catastrophic at scale). */
+  val q46DistinctExact: Q = Q(
+    "q46_distinct_exact",
+    """SELECT l_returnflag,
+      | count(DISTINCT l_partkey) AS exact_parts,
+      | count(DISTINCT l_suppkey) AS exact_supps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      li(s, d).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"))
+        .orderBy("l_returnflag")
   }
 
-  /** Approximate percentiles (GK/KLL-style sketch) beside the exact
-    * value — the mergeable-sketch quantile path a 100 TB run uses
-    * where q52's exact percentile (whole-group buffer) cannot.
-    * Sketch-defined output → no SQL oracle; ±5% gated in BatterySuite. */
-  val q53ApproxPercentile: Q = Q.noOracle("q53_approx_percentile") { (s, d) =>
-    li(s, d).groupBy("l_returnflag")
-      .agg(expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_p50"),
-        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
-      .orderBy("l_returnflag")
+  /** Exact per-group median of lineitem prices — the oracle-checked
+    * half of the quantile-sketch operator pair (percentile_approx, the
+    * mergeable-sketch path a 100 TB run uses where whole-group-buffer
+    * exact percentile cannot, is gated ±5% in BatterySuite). Same
+    * floor-rounding recipe as q52 so interpolation math is identical
+    * cross-engine. */
+  val q53PercentileExact: Q = Q(
+    "q53_percentile_exact",
+    """SELECT l_returnflag,
+      | floor(quantile_cont(l_extendedprice, 0.50) * 10000 + 0.5) / 10000 AS exact_p50
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      li(s, d).groupBy("l_returnflag")
+        .agg((floor(expr("percentile(l_extendedprice, 0.50)") * 10000 + lit(0.5)) / 10000)
+          .as("exact_p50"))
+        .orderBy("l_returnflag")
   }
 
   /** PIVOT: revenue matrix returnflag × linestatus (explicit value list
@@ -903,7 +917,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     q27QuartileBuckets, q28Subqueries, q29GapFill,
-    q50Pivot, q51Unpivot, q52Percentile, q53ApproxPercentile,
+    q50Pivot, q51Unpivot, q52Percentile, q53PercentileExact,
     q01PricingSummary, q02ProjectFilter, q03AggStats, q04AggRollup, q05AggCube,
     q06GroupingSets, q10JoinInner, q11JoinLeft, q12JoinRight, q13JoinFull,
     q14JoinSemi, q15JoinAnti, q16JoinCross, q17JoinTheta, q18JoinBroadcastStar,
@@ -911,5 +925,5 @@ object Relational {
     q23WindowNtile, q24bTopkNative,
     q24TopKPerGroup, q25SortLimit, q30SetUnion, q31SetIntersect, q32SetExcept,
     q33Distinct, q40ScalarString, q41ScalarDate, q42ScalarMath, q43ScalarArray,
-    q43bPosExplode, q44ScalarJson, q45Sessionize, q46ApproxDistinct)
+    q43bPosExplode, q44ScalarJson, q45Sessionize, q46DistinctExact)
 }

@@ -160,8 +160,7 @@ class ScaleOpsSuite extends SparkSpec {
       "tfidf_top_terms",      // 1-row broadcast of the corpus doc count
       "dedup_exact_stats", "dedup_cosine_stats", "cosine_dedup_stats",
       "minhash_keepfirst",    // 1-row x 1-row count report
-      "embed_stats",          // bounded label-centroid stats
-      "q53_approx_percentile")
+      "embed_stats")          // bounded label-centroid stats
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -21,19 +21,34 @@ class BatterySuite extends SparkSpec {
   }
 
   test("approx_count_distinct within 5% of exact per group") {
-    val rows = SparkEntry.queries("q46_approx_distinct")(spark, sfDir)
-      .collect()
+    // The HLL sketch is the spec-gated half of the q46 operator pair
+    // (its estimate is sketch-defined — no SQL oracle can replay it).
+    // Deliberately TWO aggregations joined at the end: an HLL sharing
+    // an agg with an exact count(distinct) rides the distinct-expand
+    // shuffle as 52-word per-group state (10x at sf0.1).
+    val lineitem = graft.Tables.lineitem(spark, sfDir)
+    val approx = lineitem.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+    val exact = lineitem.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    val rows = approx.join(exact, "l_returnflag").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"approx $approx vs exact $exact for ${r.getString(0)}")
+      val a = r.getAs[Long]("approx_parts").toDouble
+      val e = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(a - e) / e <= 0.05,
+        s"approx $a vs exact $e for ${r.getString(0)}")
     }
   }
 
-  test("q53_approx_percentile: sketch median within 5% of exact per group") {
-    SparkEntry.queries("q53_approx_percentile")(spark, sfDir).collect()
+  test("percentile_approx sketch median within 5% of exact per group") {
+    // Spec-gated half of the q53 operator pair — the mergeable quantile
+    // sketch a 100 TB run uses where exact percentile's whole-group
+    // buffer cannot.
+    graft.Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg(expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+      .collect()
       .foreach { r =>
         val (a, e) = (r.getAs[Double]("approx_p50"), r.getAs[Double]("exact_p50"))
         assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e")
