@@ -447,7 +447,16 @@ object Relational {
       .orderBy("event_id")
   }
 
-  /** ntile + percent_rank (quartiles of order value). */
+  /** Equal-count quartiles (ntile semantics) — via the DISTRIBUTED
+    * two-pass ntile (range-shuffle global rank + SQL-standard bucket
+    * formula, graft.ops.DistributedNtile), not `ntile OVER (ORDER BY)`:
+    * the empty-partition window funnels the whole table through ONE
+    * task and was round 3's last flagged scale-killer. The oracle stays
+    * plain DuckDB ntile — both sides implement the same SQL-standard
+    * bucket sizes, and (o_totalprice, o_orderkey) is a total order so
+    * ranks are deterministic. NtileSuite pins distributed ≡ window-form
+    * equivalence; the ScaleOpsSuite sweep asserts NO query plans a
+    * partition-less Window. */
   val q23WindowNtile: Q = Q(
     "q23_window_ntile",
     """SELECT quartile, count(*) AS n, round(min(o_totalprice),2) AS lo,
@@ -456,9 +465,10 @@ object Relational {
       |        CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
       |      FROM orders) t
       |GROUP BY quartile ORDER BY quartile""".stripMargin) { (s, d) =>
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    ord(s, d)
-      .select(col("o_totalprice"), ntile(4).over(w).as("quartile"))
+    graft.ops.DistributedNtile.ntile(
+      ord(s, d).select("o_totalprice", "o_orderkey"),
+      Seq(col("o_totalprice"), col("o_orderkey")), 4)
+      .withColumnRenamed("bucket", "quartile")
       .groupBy("quartile")
       .agg(count(lit(1)).as("n"), round(min("o_totalprice"), 2).as("lo"),
         round(max("o_totalprice"), 2).as("hi"))

@@ -171,4 +171,22 @@ class ScaleOpsSuite extends SparkSpec {
     assert(offenders.isEmpty,
       s"unbounded cartesian/nested-loop in: ${offenders.mkString(", ")}")
   }
+
+  test("battery sweep: no partition-less Window in any query plan") {
+    // A Window with an empty partition spec funnels every row through
+    // ONE task — the q23 scale-killer eliminated in round 4. Assert it
+    // never reappears anywhere in the declared battery. (Checked on the
+    // optimized logical plan: Window survives optimization and the
+    // check needs no AQE finalization.)
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"partition-less (single-task) Window in: ${offenders.mkString(", ")}")
+  }
 }
