@@ -29,8 +29,14 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators that cache (LSH signatures/indexes) must not
-      // accumulate across the whole battery in this long-lived session
-      finally spark.catalog.clearCache()
+      // accumulate across the whole battery in this long-lived session;
+      // clearCache only drops DataFrame-level cache, so also sweep
+      // RDD-level persists (ConnectedComponents' label fixpoint)
+      finally {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -76,6 +76,18 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds " +
           "(still-moving labels would silently split components)")
+    // The final `changed` count already materialized the last round, so
+    // the edge relation is no longer needed: free it now rather than
+    // leaking one cached RDD per invocation. (If the labels cache is
+    // ever evicted, recompute walks the un-cached lineage back to the
+    // source — slower, still correct.)
+    handles.remove(sym).foreach(_.unpersist(blocking = false))
+    // The returned relation stays backed by ONE persisted RDD (so the
+    // caller's action reads the computed fixpoint instead of replaying
+    // the loop). It is released by Spark's ContextCleaner once the
+    // caller drops the DataFrame, or deterministically by a
+    // `sparkContext.getPersistentRDDs` sweep (Verify/Bench do this
+    // between queries).
     labels
   }
 }

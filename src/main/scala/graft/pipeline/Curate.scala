@@ -44,7 +44,14 @@ object Curate {
     val keepExact = filtered
       .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
       .select("doc_id")
+    // Materialized stage boundary: exactDeduped feeds BOTH the MinHash
+    // signature pass and the final keep-anti-join — unpersisted, the
+    // whole filter+dedup chain above would execute twice (two scans of
+    // the raw corpus). A production 100 TB run writes this boundary to
+    // parquet between stages; in-session, MEMORY_AND_DISK is the same
+    // idea. Freed by clearCache / the Verify-Bench persist sweep.
     val exactDeduped = filtered.join(keepExact, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 4: near-dedup over the survivors
     val deduped = MinHashLSH.dedupKeepFirst(
       exactDeduped, "doc_id", "text", p.minhash)
@@ -53,7 +60,10 @@ object Curate {
       size(split(col("text"), " ")).as("n_tokens"))
   }
 
-  /** Corpus-level report: docs in/out per stage + surviving tokens. */
+  /** Corpus-level report: docs in/out per stage + surviving tokens.
+    * The n_raw aggregate prunes every column (ReadSchema struct<>), so
+    * for a parquet-backed corpus it touches footers/row-group counts,
+    * not data pages — it is NOT a second full scan of the text. */
   def report(docs: DataFrame, p: Params = Params()): DataFrame = {
     val out = curate(docs, p)
     docs.agg(count(lit(1)).as("n_raw"))

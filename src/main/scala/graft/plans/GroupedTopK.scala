@@ -30,6 +30,20 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * `row_number() OVER (PARTITION BY group ORDER BY order) <= k`); ties
   * beyond the order columns are arbitrary, so callers wanting
   * determinism end `order` with a unique key, as with row_number.
+  *
+  * Memory bound: the partial phase FLUSHES its heap map whenever it
+  * holds more than `graft.topk.maxPartialGroups` groups (session conf,
+  * default 65536) — emitting the current heaps downstream and starting
+  * fresh. Correctness is unaffected (the final phase merges all partial
+  * fragments of a group after the shuffle), so partial-phase memory is
+  * ≤ maxPartialGroups × k rows even when one input partition sees
+  * millions of distinct groups; each flush just forfeits some pre-
+  * shuffle pruning (≤ k rows per group PER FLUSH cross the wire). The
+  * FINAL phase cannot flush (a group's rows must meet one heap), so its
+  * memory is k × groups-per-post-shuffle-partition — the same class as
+  * hash aggregation without spill; for group cardinalities where even
+  * that overflows an executor, use the sort-based window form, which
+  * spills.
   */
 final case class GroupedTopKPlan(
     groupExprs: Seq[Expression],
@@ -44,11 +58,17 @@ final case class GroupedTopKPlan(
 object GroupedTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GroupedTopKPlan =>
+      // partial-phase group-map bound; the final phase must keep every
+      // group of its partition (flushing there would emit >k per group)
+      val flushGroups = SparkSession.getActiveSession
+        .flatMap(s => scala.util.Try(
+          s.conf.get("graft.topk.maxPartialGroups").toInt).toOption)
+        .getOrElse(65536)
       val partial =
         GroupedTopKExec(g.groupExprs, g.order, g.k, partial = true,
-          planLater(g.child))
+          flushGroups, planLater(g.child))
       GroupedTopKExec(g.groupExprs, g.order, g.k, partial = false,
-        partial) :: Nil
+        Int.MaxValue, partial) :: Nil
     case _ => Nil
   }
 }
@@ -62,6 +82,7 @@ final case class GroupedTopKExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    flushGroups: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -82,7 +103,7 @@ final case class GroupedTopKExec(
 
   protected override def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val (g, o, limit) = (normalizedGroup, order, k)
+    val (g, o, limit, maxGroups) = (normalizedGroup, order, k, flushGroups)
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(g, childOutput)
       val rowOrd = RowOrdering.create(o, childOutput)
@@ -90,8 +111,7 @@ final case class GroupedTopKExec(
       // kept k (rowOrd already encodes per-column direction, so "first
       // k rows in sort order" = "k least rows under rowOrd").
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
-        val row = iter.next()
+      def insert(row: InternalRow): Unit = {
         val heap = heaps.getOrElseUpdate(groupProj(row).copy(),
           mutable.PriorityQueue.empty[InternalRow](rowOrd))
         if (heap.size < limit) heap.enqueue(row.copy())
@@ -100,7 +120,32 @@ final case class GroupedTopKExec(
           heap.enqueue(row.copy())
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      def drain(): Iterator[InternalRow] = {
+        val vs = heaps.values.toArray // snapshot: heaps map is reused
+        heaps.clear()
+        vs.iterator.flatMap(_.iterator)
+      }
+      // Streams flushes instead of building one giant map: whenever the
+      // group map exceeds the bound (partial phase only — the final
+      // phase passes Int.MaxValue), current heaps are emitted and the
+      // map restarts. The shuffle merge makes fragments per group safe.
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!out.hasNext && (iter.hasNext || heaps.nonEmpty)) {
+            if (!iter.hasNext) out = drain()
+            else {
+              insert(iter.next())
+              if (heaps.size > maxGroups) out = drain()
+            }
+          }
+          out.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          out.next()
+        }
+      }
     }
   }
 

@@ -48,6 +48,40 @@ object CurationOps {
       .orderBy("event_id")
   }
 
+  /** As-of join with a staleness cap (`merge_asof(tolerance=)`): a view
+    * more than one hour before the purchase no longer qualifies — the
+    * match nulls out rather than filling with arbitrarily stale state.
+    * Oracle: DuckDB's nearest-match ASOF, with the same gap cap applied
+    * as a post-predicate. */
+  val asofJoinTolerance: Q = Q(
+    "asof_join_tolerance",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts, max(event_id) AS view_id FROM events
+      |      WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id,
+      |  epoch_ms(p.ts) AS purchase_ms,
+      |  CASE WHEN epoch_ms(p.ts) - epoch_ms(v.ts) <= 3600000
+      |       THEN epoch_ms(v.ts) END AS view_ms,
+      |  CASE WHEN epoch_ms(p.ts) - epoch_ms(v.ts) <= 3600000
+      |       THEN v.view_id END AS view_id
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("event_id").as("view_id"))
+    AsofJoin.backward(purchases, views, "user_id", "ts", Seq("ts", "view_id"),
+      tolerance = Some(expr("INTERVAL 1 HOUR")))
+      .select(col("event_id"), col("user_id"),
+        expr("unix_millis(ts)").as("purchase_ms"),
+        expr("unix_millis(asof_ts)").as("view_ms"),
+        col("asof_view_id").as("view_id"))
+      .orderBy("event_id")
+  }
+
   /** Benchmark decontamination: flag training docs sharing any token
     * 5-gram with the eval split (doc_id % 97 == 0 stands in for the
     * benchmark). Eval grams are a small distinct set → broadcast join
@@ -90,19 +124,23 @@ object CurationOps {
   }
 
   /** Deterministic stratified Bernoulli sampling: keep a doc iff its
-    * multiplicative hash bucket (Knuth constant, exact BIGINT math in
-    * both engines) falls under the per-language rate. Pure map — no
-    * shuffle, reproducible across runs/engines, the scalable way to
-    * downsample a 100 TB corpus with per-stratum rates. */
+    * multiplicative hash bucket (Knuth constant) falls under the
+    * per-language rate. Pure map — no shuffle, reproducible across
+    * runs/engines, the scalable way to downsample a 100 TB corpus with
+    * per-stratum rates. The id is masked to 31 bits BEFORE multiplying
+    * so the product provably fits signed 64-bit: without the mask,
+    * ids above ~2^32 silently wrap in Spark (negative bucket — always
+    * kept) but RAISE in DuckDB — the engines would diverge exactly
+    * where a 100 TB id space lives. 2^31 * 2654435761 < 2^63. */
   val sampleStratified: Q = Q(
     "sample_stratified",
     """SELECT doc_id, lang, source,
-      |  CAST((doc_id * 2654435761) % 100 AS INTEGER) AS bucket
+      |  CAST(((doc_id & 2147483647) * 2654435761) % 100 AS INTEGER) AS bucket
       |FROM documents
-      |WHERE (doc_id * 2654435761) % 100 <
+      |WHERE ((doc_id & 2147483647) * 2654435761) % 100 <
       |  CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 30 END
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val bucket = (col("doc_id") * lit(2654435761L)) % 100
+    val bucket = (col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)) % 100
     val rate = expr(
       "CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 30 END")
     docs(s, d).filter(bucket < rate)
@@ -114,16 +152,17 @@ object CurationOps {
   /** Per-group quota sampling: at most 5 docs per source, chosen by a
     * deterministic hash order (not "first 5 in file order", which is
     * ingest-dependent). One shuffle on the stratum key + window; at
-    * scale the quota bounds every group's output regardless of skew. */
+    * scale the quota bounds every group's output regardless of skew.
+    * Same 31-bit pre-mask as sample_stratified (overflow-proof hash). */
   val sampleQuota: Q = Q(
     "sample_quota",
     """SELECT doc_id, source, rn FROM (
       |  SELECT doc_id, source,
       |    CAST(row_number() OVER (PARTITION BY source
-      |      ORDER BY (doc_id * 1099087573) % 1000003, doc_id) AS INTEGER) AS rn
+      |      ORDER BY ((doc_id & 2147483647) * 1099087573) % 1000003, doc_id) AS INTEGER) AS rn
       |  FROM documents) t
       |WHERE rn <= 5 ORDER BY source, rn""".stripMargin) { (s, d) =>
-    val hkey = (col("doc_id") * lit(1099087573L)) % 1000003
+    val hkey = (col("doc_id").bitwiseAND(lit(2147483647L)) * lit(1099087573L)) % 1000003
     val w = Window.partitionBy("source").orderBy(hkey.asc, col("doc_id").asc)
     docs(s, d)
       .select(col("doc_id"), col("source"),
@@ -218,6 +257,6 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(asofJoin, decontamOverlap, sampleStratified,
-    sampleQuota, piiScrub, repetitionScore)
+  val all: Seq[Q] = Seq(asofJoin, asofJoinTolerance, decontamOverlap,
+    sampleStratified, sampleQuota, piiScrub, repetitionScore)
 }

@@ -150,7 +150,7 @@ object TrainingPrep {
     "mixture_allocate",
     """WITH t AS (SELECT doc_id, source,
       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |             (doc_id * 1099087573) % 1000003 AS hkey
+      |             ((doc_id & 2147483647) * 1099087573) % 1000003 AS hkey
       |           FROM documents),
       |w AS (SELECT source, sum(n_tokens) AS src_tokens,
       |        CASE WHEN source IN ('src0', 'src1', 'src2') THEN 3 ELSE 1 END
@@ -169,7 +169,7 @@ object TrainingPrep {
       |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
     val t = docs(s, d).select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      ((col("doc_id") * lit(1099087573L)) % 1000003).as("hkey"))
+      ((col("doc_id").bitwiseAND(lit(2147483647L)) * lit(1099087573L)) % 1000003).as("hkey"))
     val w = t.groupBy("source")
       .agg(sum("n_tokens").as("src_tokens"))
       .withColumn("wt",

@@ -85,6 +85,52 @@ class AsofJoinSuite extends SparkSpec {
     }
   }
 
+  test("tolerance caps staleness: matches beyond the gap null out") {
+    import spark.implicits._
+    val left = Seq((1L, ts(1000), "fresh"), (1L, ts(5000), "stale"),
+      (1L, ts(1100), "exact-edge")).toDF("k", "t", "lv")
+    val right = Seq((1L, ts(900), "r-900")).toDF("k", "t", "rv")
+    val got = AsofJoin.backward(left, right, "k", "t", Seq("rv"),
+      tolerance = Some(expr("INTERVAL 200 MILLISECONDS")))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(got("fresh") === Some("r-900")) // gap 100ms <= 200ms
+    assert(got("exact-edge") === Some("r-900")) // gap exactly 200ms: inclusive
+    assert(got("stale") === None) // gap 4100ms
+  }
+
+  test("tolerance applies to forward matches symmetrically") {
+    import spark.implicits._
+    val left = Seq((1L, ts(1000), "near"), (1L, ts(100), "far"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, ts(1050), "r")).toDF("k", "t", "rv")
+    val got = AsofJoin.forward(left, right, "k", "t", Seq("rv"),
+      tolerance = Some(expr("INTERVAL 100 MILLISECONDS")))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(got("near") === Some("r"))
+    assert(got("far") === None)
+  }
+
+  test("null keys and null timestamps never match (SQL predicate semantics)") {
+    import spark.implicits._
+    val left = Seq((Some(1L), Some(ts(100)), "ok"),
+      (None, Some(ts(100)), "null-key"),
+      (Some(1L), None, "null-ts")).toDF("k", "t", "lv")
+    val right = Seq((Some(1L), Some(ts(50)), "r-50"),
+      (None, Some(ts(10)), "r-nullkey"), // must be dropped, not grouped
+      (Some(1L), None, "r-nullts")) // would sort first and fill spuriously
+      .toDF("k", "t", "rv")
+    val got = AsofJoin.backward(left, right, "k", "t", Seq("rv"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(got("ok") === Some("r-50"))
+    assert(got("null-key") === None)
+    assert(got("null-ts") === None)
+    // forward scan: left null ts sorts LAST under desc — still no match
+    val fwd = AsofJoin.forward(left, right, "k", "t", Seq("rv"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(fwd("null-ts") === None)
+    assert(fwd("null-key") === None)
+  }
+
   test("plan shuffles once (no join node, no cartesian)") {
     import spark.implicits._
     val left = (1 to 100).map(i => (i.toLong % 5, ts(i * 10L), i)).toDF("k", "t", "v")

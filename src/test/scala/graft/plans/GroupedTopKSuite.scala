@@ -45,6 +45,26 @@ class GroupedTopKSuite extends SparkSpec {
     assert(top1 === Seq(("a", 1), ("b", 9)))
   }
 
+  test("partial-phase flush bound: many groups, tiny bound, same result") {
+    import spark.implicits._
+    // 1000 distinct groups in few partitions with the flush bound far
+    // below the group count: the partial heap map must flush repeatedly
+    // and the final merge must still reproduce the window-form answer.
+    val df = (1 to 5000).map(i => (i % 1000, i, (i * 7919) % 104729))
+      .toDF("g", "id", "v").repartition(4)
+    spark.conf.set("graft.topk.maxPartialGroups", "16")
+    try {
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+        .orderBy("g", "id").collect().toSeq
+      val viaNative = GroupedTopK.topK(df, Seq(col("g")),
+        Seq(col("v").desc, col("id").asc), 3)
+        .orderBy("g", "id").collect().toSeq
+      assert(viaNative === viaWindow)
+    } finally spark.conf.unset("graft.topk.maxPartialGroups")
+  }
+
   test("null group keys and null order values flow through") {
     import spark.implicits._
     val df = Seq((Some("a"), Some(1)), (None, Some(2)), (None, Some(3)),
