@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions.col
   *   - S7 sink (`src/mr_tasks.h:123-174`): R text files of `key,value`
   *     lines (raw bytes, no quoting — values MAY contain commas,
   *     `src/worker.h:92-94`), keys ascending in byte order within each
-  *     file. One deliberate deviation: Spark's text sink terminates the
-  *     last line with '\n' while the reference omits it
-  *     (`src/mr_tasks.h:161-174`).
+  *     file. BYTE-EXACT, including the reference's newline discipline:
+  *     '\n' is written BEFORE every line except the first
+  *     (`src/mr_tasks.h:161-174`), so the final line is unterminated
+  *     and an empty bucket is an empty file — Spark's own text sink
+  *     terminates every line, hence the direct FileSystem writer.
   *
   * At scale: one shuffle total (the repartition). Map-side combining is
   * intentionally NOT injected — the reference never combines
@@ -87,10 +89,30 @@ object MapReduceRunner {
     }
   }
 
-  /** S7: R text files of raw `key,value` lines (no quoting/escaping). */
+  /** S7: R text files of raw `key,value` lines (no quoting/escaping),
+    * byte-identical to the reference's emit loop: separator-newlines
+    * only (no trailing '\n'), one `part-NNNNN` file per reduce bucket,
+    * empty buckets → empty files (the reference opens every ofstream up
+    * front). Writes through the Hadoop FileSystem API executor-side —
+    * works on any cluster FS, no driver collect; re-executed tasks
+    * overwrite with identical bytes, so speculation is safe. */
   def writeSink(reduced: Dataset[(String, String)], outputDir: String): Unit = {
-    import reduced.sparkSession.implicits._
-    reduced.map { case (k, v) => s"$k,$v" }.write.text(outputDir)
+    val rdd = reduced.rdd
+    rdd.sparkContext.runJob(rdd, (ctx: org.apache.spark.TaskContext,
+        it: Iterator[(String, String)]) => {
+      val path = new org.apache.hadoop.fs.Path(
+        outputDir, f"part-${ctx.partitionId}%05d")
+      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val out = fs.create(path, true)
+      try {
+        var first = true
+        it.foreach { case (k, v) =>
+          if (!first) out.write('\n')
+          out.write(s"$k,$v".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          first = false
+        }
+      } finally out.close()
+    })
   }
 
   /** Relational view of a job's output (for oracle-checked queries). */
