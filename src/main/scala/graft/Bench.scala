@@ -24,12 +24,16 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** Per-query minima from prior BENCH_r*.json artifacts (flat numeric
-    * "name":seconds pairs inside the "queries" object). */
+  /** Per-query minima from prior BENCH_r*.json / BENCH_SELF.json
+    * artifacts: flat numeric "name":seconds pairs, matched with an
+    * optional backslash before each quote because the driver's
+    * artifact embeds the bench line as an escaped-JSON "tail" string
+    * (truncated to its last 2000 chars, hence regex over the text
+    * rather than a JSON parse). */
   private def priorMinima(): Map[String, Double] = {
     val files = new java.io.File(".").listFiles()
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-    val pair = """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+(?:E-?\d+)?)?)""".r
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json|BENCH_SELF\\.json"))
+    val pair = """\\?"([A-Za-z0-9_]+)\\?":(-?\d+(?:\.\d+)?(?:E-?\d+)?)""".r
     val all = files.flatMap { f =>
       val txt = try scala.io.Source.fromFile(f).mkString catch { case _: Throwable => "" }
       pair.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
@@ -101,13 +105,21 @@ object Bench {
       (name, if (ok) sortedT.head else -1.0, if (ok) median else -1.0)
     }
     val loadEnd = loadAvg()
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def fmtMap(f: ((String, Double, Double)) => Double): String =
-      results.map(t => "\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
+      results.map(t => "\"" + t._1 + "\":" + fmt(f(t))).mkString("{", ",", "}")
     val qs = fmtMap(_._2)
     val med = fmtMap(_._3)
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val total = fmt(results.collect { case (_, v, _) if v >= 0 => v }.sum)
     val rr = rerun.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"load_avg":[$loadStart,$loadEnd],"remeasured":$rr,"sf":"$sfDir"}""")
+    // stdout keeps the exact driver-contract shape (one compact line);
+    // the full self-defending artifact (median, load averages, re-
+    // measurement list) goes to BENCH_SELF.json in the working
+    // directory, committed with the round
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"load_avg":[$loadStart,$loadEnd],"remeasured":$rr,"sf":"$sfDir"}""" + "\n")
     spark.stop()
   }
 }

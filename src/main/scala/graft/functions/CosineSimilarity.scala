@@ -185,6 +185,21 @@ object GraftFunctions {
     * the pure-builtin form). Caller must have run ensureRegistered. */
   def cosineNative(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(CosineName, a, b)
+
+  /** Real-codec decodes over binary payloads (graft.multimodal.Codecs):
+    * PCM-WAV → (sample_rate, samples), 24-bit BMP → (width, height,
+    * pixels), YUV4MPEG2 → (width, height, n_frames, frames). */
+  def wavDecode(payload: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      WavDecode(org.apache.spark.sql.GraftColumnBridge.expression(payload)))
+
+  def bmpDecode(payload: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      BmpDecode(org.apache.spark.sql.GraftColumnBridge.expression(payload)))
+
+  def y4mDecode(payload: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Y4mDecode(org.apache.spark.sql.GraftColumnBridge.expression(payload)))
 }
 
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.

@@ -9,11 +9,17 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partitioning, batch shape, the
   * binary column flowing through parquet — is real and tested. The
-  * codec step is a DETERMINISTIC FAKE (this container ships no
-  * image/audio libraries): `fakeDecode` derives "pixels" from payload
-  * bytes. A production deployment swaps ONLY that expression for a real
-  * codec (e.g. a JNI/javacv call inside the same `transform` shape);
-  * every other stage is codec-agnostic.
+  * codec layer is split by what this container can honestly support:
+  *
+  *  - UNCOMPRESSED formats are REAL codecs ([[Codecs]]: RIFF/WAVE PCM,
+  *    24-bit BI_RGB BMP, YUV4MPEG2), decoded by native expressions
+  *    (graft.functions.{WavDecode,BmpDecode,Y4mDecode}) and
+  *    oracle-checked end-to-end via `media_decode_stats`.
+  *  - COMPRESSED formats (PNG/JPEG/H.264) need codec libraries that do
+  *    not ship here; `decodeBytes` below stays a DETERMINISTIC FAKE for
+  *    that path, and a production deployment swaps only that expression
+  *    (e.g. a JNI/javacv call in the same shape) — every other stage is
+  *    codec-agnostic.
   *
   * Scale: payloads never shuffle — all feature stages are map-only
   * column ops; only extracted (small) features flow into joins/aggs.
@@ -42,6 +48,51 @@ object Multimodal {
           .as("format")).as("meta"))
   }
 
+  /** Media table with REAL container bytes — BMP / PCM-WAV / Y4M built
+    * by [[Codecs]] from deterministic text-derived content, so the
+    * decode expressions ([[graft.functions.GraftFunctions.bmpDecode]]
+    * etc.) parse genuine formats and the `media_decode_stats` oracle
+    * can recompute the expected decoded sums straight from the
+    * generation formula (any encode OR decode bug breaks the match).
+    * Generation formulas (replicated in the oracle SQL; text is ASCII
+    * so code point == byte):
+    *   - modality = doc_id % 3 → 0 bmp, 1 wav, 2 y4m
+    *   - bmp: w = 16 + 2*(id%8), h = 16 + 2*((id/8)%8),
+    *     pixel[j] = cp(text[j % len]) for j < w*h*3
+    *   - wav: n = 200 + id%100 samples @16 kHz,
+    *     s[i] = cp(text[i % len]) * 257 - 16384 (Int16-safe: cp <= 121)
+    *   - y4m: 16x16, nf = 1 + id%8 frames, y[k] = cp(text[k % len])
+    * The synthesis UDF is fixture-side only — production payloads
+    * arrive from storage; decode is the operator under test. */
+  def fabricateMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enc = udf { (id: Long, text: String) =>
+      require(text.nonEmpty, "media synthesis needs non-empty text")
+      val len = text.length
+      def cp(j: Int): Int = text.charAt(j % len).toInt
+      (id % 3) match {
+        case 0 =>
+          val w = (16 + 2 * (id % 8)).toInt
+          val h = (16 + 2 * ((id / 8) % 8)).toInt
+          val rgb = Array.tabulate(w * h * 3)(j => cp(j).toByte)
+          graft.multimodal.Codecs.bmpEncode(w, h, rgb)
+        case 1 =>
+          val n = (200 + id % 100).toInt
+          val samples = Array.tabulate(n)(i => (cp(i) * 257 - 16384).toShort)
+          graft.multimodal.Codecs.wavEncode(samples, 16000)
+        case _ =>
+          val nf = (1 + id % 8).toInt
+          val frames = Array.tabulate(nf)(f =>
+            Array.tabulate(256)(j => cp(f * 256 + j).toByte))
+          graft.multimodal.Codecs.y4mEncode(16, 16, frames)
+      }
+    }
+    val m = pmod(col(idCol), lit(3L))
+    docs.select(
+      col(idCol).as("media_id"),
+      when(m === 0, "bmp").when(m === 1, "wav").otherwise("y4m").as("format"),
+      enc(col(idCol), col(textCol)).as("payload"))
+  }
+
   /** Feature extraction over the decoded sample: mean/min/max byte and
     * a coarse 4-bucket histogram — the plumbing a real embedding model
     * would replace. */
@@ -58,9 +109,11 @@ object Multimodal {
         array_max(px).as("max_byte"))
   }
 
-  /** STUB CODEC — deterministic fake decode: payload → first n bytes as
-    * unsigned ints ("pixels"/"samples"). A real deployment swaps this
-    * one expression for an actual codec; the array<long> + meta-dims
+  /** STUB CODEC (compressed-format path only — see the object scaladoc;
+    * uncompressed formats decode for real via graft.functions.*Decode):
+    * deterministic fake decode, payload → first n bytes as unsigned
+    * ints ("pixels"/"samples"). A real deployment swaps this one
+    * expression for an actual codec; the array<long> + meta-dims
     * contract downstream stages consume stays identical. */
   def decodeBytes(payload: Column, n: Int): Column = {
     // hex → pairs → ints keeps everything in codegen'd functions:

@@ -90,6 +90,58 @@ object PipelineOps {
       .orderBy("media_id")
   }
 
+  /** REAL-codec round-trip over the three uncompressed container
+    * formats: documents → BMP / PCM-WAV / Y4M payloads (Codecs.encode)
+    * → native decode expressions → decoded-value stats. The oracle
+    * recomputes n_units and sum_val straight from the generation
+    * formula (Multimodal.fabricateMedia scaladoc) — it never parses a
+    * container, so a bug in EITHER direction of either codec breaks
+    * the hash match. Payloads stay inside the row (map-only; the
+    * 100 TB discipline: only small decoded stats flow onward). */
+  val mediaDecodeStats: Q = Q(
+    "media_decode_stats",
+    """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      |p AS (SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'y4m' END
+      |    AS format,
+      |  CASE doc_id % 3
+      |    WHEN 0 THEN (16 + 2*(doc_id % 8)) * (16 + 2*((doc_id // 8) % 8)) * 3
+      |    WHEN 1 THEN 200 + (doc_id % 100)
+      |    ELSE (1 + (doc_id % 8)) * 256 END AS n_units
+      |  FROM d),
+      |s AS (SELECT d.doc_id,
+      |    CASE WHEN d.doc_id % 3 = 1 THEN
+      |      list_sum(list_transform(range(0, p.n_units),
+      |        i -> unicode(substr(d.text, CAST(i % d.len AS INT) + 1, 1)) * 257
+      |             - 16384))
+      |    ELSE
+      |      list_sum(list_transform(range(0, p.n_units),
+      |        i -> unicode(substr(d.text, CAST(i % d.len AS INT) + 1, 1))))
+      |    END AS sum_val
+      |  FROM d JOIN p USING (doc_id))
+      |SELECT p.doc_id AS media_id, p.format,
+      |  CAST(p.n_units AS BIGINT) AS n_units,
+      |  CAST(s.sum_val AS BIGINT) AS sum_val
+      |FROM p JOIN s USING (doc_id) ORDER BY media_id""".stripMargin) { (s, d) =>
+    import graft.functions.GraftFunctions._
+    val media = Multimodal.fabricateMedia(Tables.documents(s, d), "doc_id", "text")
+    def sumOf(values: org.apache.spark.sql.Column) =
+      aggregate(values, lit(0L), (a, x) => a + x)
+    // CaseWhen evaluates branches lazily, so each payload only ever
+    // meets its own codec
+    val pixels = bmpDecode(col("payload")).getField("pixels")
+    val samples = wavDecode(col("payload")).getField("samples")
+    val luma = flatten(y4mDecode(col("payload")).getField("frames"))
+    media.select(col("media_id"), col("format"),
+      when(col("format") === "bmp", size(pixels))
+        .when(col("format") === "wav", size(samples))
+        .otherwise(size(luma)).cast("long").as("n_units"),
+      when(col("format") === "bmp", sumOf(pixels))
+        .when(col("format") === "wav", sumOf(samples))
+        .otherwise(sumOf(luma)).as("sum_val"))
+      .orderBy("media_id")
+  }
+
   /** Capstone: the full curation pipeline (language floor → quality
     * filters → exact dedup → MinHash near-dedup keep-first → token
     * accounting) with EVERY stage replicated in the oracle SQL. The
@@ -137,5 +189,5 @@ object PipelineOps {
   }
 
   val all: Seq[Q] = Seq(tokenCounts, langidProfile, multimodalFeats,
-    curateCorpus)
+    mediaDecodeStats, curateCorpus)
 }
