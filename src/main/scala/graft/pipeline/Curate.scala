@@ -31,25 +31,33 @@ object Curate {
   /** Surviving documents with per-doc metadata (lang, n_tokens). */
   def curate(docs: DataFrame, p: Params = Params()): DataFrame = {
     val ts = split(col("text"), " ")
-    // 1+2: map-only filters
-    val langed = LangId.classify(docs, "doc_id", "text")
-      .filter(col("confidence") >= p.minLangConfidence)
-      .select(col("id").as("doc_id"), col("lang").as("lang_pred"))
-    val filtered = docs.join(langed, "doc_id")
+    // 1+2: map-only filters. Language is an inline COLUMN
+    // (LangId.detectNative), not a classify-then-join — the join form
+    // scanned the corpus twice for what is a per-row computation.
+    // The filtered relation is persisted because it feeds BOTH the md5
+    // keep-first aggregate and the survivor join below.
+    val filtered = docs
+      .withColumn("__lp", LangId.detectNative(col("text")))
+      .filter(col("__lp.confidence") >= p.minLangConfidence)
+      .withColumn("lang_pred", col("__lp.lang"))
+      .drop("__lp")
       .withColumn("repetition",
         lit(1.0) - size(array_distinct(ts)).cast("double") / size(ts))
       .filter(col("repetition") <= p.maxRepetition
         && col("n_chars").between(p.minChars, p.maxChars))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 3: exact dedup, keep min doc_id per content hash
     val keepExact = filtered
       .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    // Materialized stage boundary: exactDeduped feeds BOTH the MinHash
-    // signature pass and the final keep-anti-join — unpersisted, the
-    // whole filter+dedup chain above would execute twice (two scans of
-    // the raw corpus). A production 100 TB run writes this boundary to
-    // parquet between stages; in-session, MEMORY_AND_DISK is the same
-    // idea. Freed by clearCache / the Verify-Bench persist sweep.
+    // Second materialized stage boundary: exactDeduped feeds BOTH the
+    // MinHash signature pass and the final keep-anti-join — unpersisted,
+    // the md5 shuffle + survivor join would run twice. With `filtered`
+    // cached above, the raw corpus parquet is scanned exactly ONCE with
+    // data columns (PLANS.md pins this); a production 100 TB run writes
+    // these boundaries to parquet between stages — in-session
+    // MEMORY_AND_DISK is the same idea. Freed by clearCache / the
+    // Verify-Bench persist sweep.
     val exactDeduped = filtered.join(keepExact, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 4: near-dedup over the survivors

@@ -52,23 +52,31 @@ object LangId {
     struct(lang.as("lang"), round(best, 6).as("confidence"))
   }
 
+  /** struct(lang, confidence) as a COLUMN via the native LangScores
+    * expression — composable inline so callers (the curate pipeline)
+    * add language without a self-join back onto the corpus: one scan,
+    * map-only. Argmax/floor logic identical to `detect`. */
+  def detectNative(text: Column, minConfidence: Double = 0.05): Column = {
+    val sc = graft.functions.GraftFunctions
+      .langScores(text, Profiles.map(_._2))
+    val best = Profiles.indices.map(i => sc.getItem(i))
+      .reduce((a, b) => greatest(a, b))
+    val lang = Profiles.zipWithIndex.foldRight(lit("und")) {
+      case (((l, _), i), acc) =>
+        when(sc.getItem(i) === best && best >= minConfidence, lit(l))
+          .otherwise(acc)
+    }
+    struct(lang.as("lang"), round(best, 6).as("confidence"))
+  }
+
   /** (id, lang, confidence) for a corpus — scores via the native
     * LangScores expression (one token pass, hash-set probes; the HOF
     * `scores`/`detect` above are the reference form, parity-pinned in
     * PipelineSuite), argmax/floor logic identical. */
   def classify(docs: DataFrame, idCol: String, textCol: String,
-      minConfidence: Double = 0.05): DataFrame = {
-    val arr = graft.functions.GraftFunctions
-      .langScores(col(textCol), Profiles.map(_._2))
-    val withScores = docs.select(col(idCol).as("id"), arr.as("sc"))
-    val best = Profiles.indices.map(i => col("sc").getItem(i))
-      .reduce((a, b) => greatest(a, b))
-    val lang = Profiles.zipWithIndex.foldRight(lit("und")) {
-      case (((l, _), i), acc) =>
-        when(col("sc").getItem(i) === best && best >= minConfidence, lit(l))
-          .otherwise(acc)
-    }
-    withScores.select(col("id"), lang.as("lang"),
-      round(best, 6).as("confidence"))
-  }
+      minConfidence: Double = 0.05): DataFrame =
+    docs.select(col(idCol).as("id"),
+      detectNative(col(textCol), minConfidence).as("lp"))
+      .select(col("id"), col("lp.lang").as("lang"),
+        col("lp.confidence").as("confidence"))
 }
