@@ -7,9 +7,15 @@ import graft.queries.{CurationOps, DedupAnn, Extensibility, MrParity, PipelineOp
   *
   * Every implemented operator from SURVEY.md §2 registers one entry in
   * `queries`; SQL-expressible ones also register matching DuckDB SQL in
-  * `oracleSql` (the t2 correctness gate). Probabilistic operators
-  * (MinHash-LSH, SimHash, LSH-ANN, approx_count_distinct) are declared
-  * without an oracle and gated by ScalaTest instead.
+  * `oracleSql` (the t2 correctness gate). As of round 4 that is 87 of
+  * 88 declared queries — MinHash (exact-Jaccard verify), SimHash
+  * (portable integer token hash), and cosine dedup (exact post-verify)
+  * all carry full oracles. Only `ann_cosine_topk` / `ivf_cosine_topk`
+  * remain spec-gated (AnnSuite recall-vs-exact): their output ranking
+  * depends on which LSH/IVF buckets each query probes — internal index
+  * state no independent SQL replica can reproduce. The sketch halves
+  * of q46/q53 (HLL, percentile_approx) are gated ±5%-vs-exact in
+  * BatterySuite.
   */
 object SparkEntry {
 
