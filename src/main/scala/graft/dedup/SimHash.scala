@@ -10,12 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * Signature: for bit j, sum +1/-1 over every token whose 64-bit hash
   * has bit j set/clear; bit j of the signature = sign of the sum. The
-  * token hash is the engine-portable polynomial pack of
-  * [[graft.functions.SimHash64.tokenHash]] (three 31-bit poly hashes
-  * mod 2^31-1 over code points) — pure BIGINT-safe integer math, so a
-  * DuckDB oracle can replay the whole signature bit-for-bit. Computed
-  * with `aggregate`/`zip_with` over a 64-wide int array — no UDF, one
-  * narrow pass.
+  * token hash is the engine-portable quadratic mix of
+  * [[graft.functions.SimHash64.tokenHash]] (two code-point poly hashes
+  * mod 2^31-1, squared-mixed, packed) — pure BIGINT-safe integer math,
+  * so a DuckDB oracle can replay the whole signature bit-for-bit.
+  * Computed with `aggregate`/`zip_with` over a 64-wide int array — no
+  * UDF, one narrow pass.
   *
   * Candidate generation at scale (pigeonhole / multi-index Hamming
   * search): split the 64 bits into maxDist+1 chunks — two signatures
@@ -38,13 +38,41 @@ object SimHash {
        |    CAST($seed AS BIGINT),
        |    (ph, cp) -> (ph * $mult + cp) % 2147483647))""".stripMargin
 
-  /** Portable 64-bit token hash (HOF form) — parity-pinned against
-    * [[graft.functions.SimHash64.tokenHash]] in SimHashNativeSuite.
-    * Kept on one line: a line-leading `|` would be re-stripped by the
-    * enclosing template's stripMargin. */
-  private val tokenHashSql: String =
-    s"${polyHashSql(7, 31)} | shiftleft(${polyHashSql(11, 131)}, 31)" +
-      s" | shiftleft(${polyHashSql(13, 65599)} & 3, 62)"
+  /** Portable 64-bit token hash (HOF form) — the quadratic-mix
+    * construction of [[graft.functions.SimHash64.tokenHash]], parity-
+    * pinned in SimHashNativeSuite. Intermediates are bound by chaining
+    * named_struct stages (a SQL lambda cannot declare locals, and each
+    * squaring uses its input twice). Kept free of line-leading `|`:
+    * the enclosing template's stripMargin would re-strip them. */
+  private val tokenHashSql: String = {
+    val p = "2147483647"
+    s"aggregate(array(named_struct(" +
+      s"'h1', ${polyHashSql(7, 31)}, 'h2', ${polyHashSql(11, 131)}))," +
+      " CAST(NULL AS BIGINT)," +
+      " (ig, s) -> aggregate(" +
+      "   array(named_struct(" +
+      "     'h1', s.h1, 'h2', s.h2," +
+      s"    'x0', (s.h1 * 2654435761 + s.h2) % $p," +
+      s"    'y0', (s.h2 * 2246822519 + s.h1) % $p))," +
+      "   CAST(NULL AS BIGINT)," +
+      "   (ig2, u) -> aggregate(" +
+      "     array(named_struct(" +
+      "       'h1', u.h1, 'h2', u.h2," +
+      s"      'x1', (u.x0 * u.x0 + u.h1) % $p," +
+      s"      'y1', (u.y0 * u.y0 + u.h2) % $p))," +
+      "     CAST(NULL AS BIGINT)," +
+      "     (ig3, v) -> aggregate(" +
+      "       array(named_struct(" +
+      s"        'x', (v.x1 * v.x1 + v.h2) % $p," +
+      s"        'y', (v.y1 * v.y1 + v.h1) % $p))," +
+      "       CAST(NULL AS BIGINT)," +
+      "       (ig4, w) -> aggregate(" +
+      s"        array(named_struct('x', w.x, 'y', w.y," +
+      s"          'z0', (w.x * 65599 + w.y) % $p))," +
+      "         CAST(NULL AS BIGINT)," +
+      "         (ig5, q) -> q.x | shiftleft(q.y, 31)" +
+      s"          | shiftleft(((q.z0 * q.z0 + q.x) % $p) & 3, 62))))))"
+  }
 
   /** 64-bit SimHash of a whitespace-tokenized text column (SQL-expr
     * form: bit-shift lambdas are native in SQL higher-order functions).

@@ -168,22 +168,32 @@ object DedupAnn {
     "simhash_dup_pairs",
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-      |th AS (
+      |th0 AS (
       |  SELECT doc_id,
       |    list_reduce(list_prepend(CAST(7 AS BIGINT), cps),
       |      (ph, cp) -> (ph * 31 + cp) % 2147483647) AS h1,
       |    list_reduce(list_prepend(CAST(11 AS BIGINT), cps),
-      |      (ph, cp) -> (ph * 131 + cp) % 2147483647) AS h2,
-      |    list_reduce(list_prepend(CAST(13 AS BIGINT), cps),
-      |      (ph, cp) -> (ph * 65599 + cp) % 2147483647) AS h3
+      |      (ph, cp) -> (ph * 131 + cp) % 2147483647) AS h2
       |  FROM (SELECT doc_id, list_transform(range(1, length(tok) + 1),
       |          i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT)) AS cps
       |        FROM toks)),
+      |th1 AS (SELECT doc_id, h1, h2,
+      |    (h1 * 2654435761 + h2) % 2147483647 AS x0,
+      |    (h2 * 2246822519 + h1) % 2147483647 AS y0 FROM th0),
+      |th2 AS (SELECT doc_id, h1, h2,
+      |    (x0 * x0 + h1) % 2147483647 AS x1,
+      |    (y0 * y0 + h2) % 2147483647 AS y1 FROM th1),
+      |th3 AS (SELECT doc_id,
+      |    (x1 * x1 + h2) % 2147483647 AS x,
+      |    (y1 * y1 + h1) % 2147483647 AS y FROM th2),
+      |th AS (SELECT doc_id, x, y,
+      |    (((x * 65599 + y) % 2147483647) * ((x * 65599 + y) % 2147483647)
+      |      + x) % 2147483647 AS z FROM th3),
       |bits AS (
       |  SELECT doc_id, b.bit,
-      |    SUM(CASE WHEN (CASE WHEN b.bit < 31 THEN h1 >> b.bit
-      |                        WHEN b.bit < 62 THEN h2 >> (b.bit - 31)
-      |                        ELSE h3 >> (b.bit - 62) END) & 1 = 1
+      |    SUM(CASE WHEN (CASE WHEN b.bit < 31 THEN x >> b.bit
+      |                        WHEN b.bit < 62 THEN y >> (b.bit - 31)
+      |                        ELSE z >> (b.bit - 62) END) & 1 = 1
       |             THEN 1 ELSE -1 END) AS c
       |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
       |  GROUP BY doc_id, b.bit),
