@@ -77,6 +77,19 @@ class DedupSuite extends SparkSpec {
       s"too few planted pairs within Hamming 16: ${plantedD.mkString(",")}")
   }
 
+  test("SimHash hash quality: fixture pair density stays near the ideal-hash level") {
+    // Regression gate for the token hash's bit quality: with an ideal
+    // (md5) token hash the sf0.001 corpus has 12 pairs at Hamming <= 3;
+    // the first portable hash (linear poly pack) silently inflated that
+    // to 55 (and 18x at sf0.1) — correlated signature bits fatten every
+    // pigeonhole bucket at scale. The quadratic-mix hash measures 20;
+    // the bound leaves headroom but fails on any structural regression.
+    val n = SimHash.dedupPairs(
+      Tables.documents(spark, sfDir), "doc_id", "text", maxDist = 3).count()
+    assert(n <= 36, s"Hamming<=3 pair density regressed: $n pairs (ideal ~12)")
+    assert(n >= 5, s"suspiciously few pairs ($n) — hash or fixture changed?")
+  }
+
   test("SimHash: identical texts collide exactly (distance 0)") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
