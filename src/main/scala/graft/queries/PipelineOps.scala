@@ -142,6 +142,46 @@ object PipelineOps {
       .orderBy("media_id")
   }
 
+  /** Thumbnail/resize over REAL decoded pixels: BMP payloads decode
+    * through the real codec, then a 4x4 block-mean reduction runs as a
+    * fully distributed explode → groupBy (pixel rows shuffle, payloads
+    * do not follow — only (media_id, block) sums). Block membership is
+    * pure integer math (px*4 DIV w), identical in both engines; the
+    * oracle recomputes every pixel from the generation formula, so the
+    * decode → resize chain is verified end-to-end. Exact BIGINT sums
+    * (no float means) keep the compare drift-free. */
+  val mediaThumbnail: Q = Q(
+    "media_thumbnail",
+    """WITH d AS (SELECT doc_id, text, length(text) AS len,
+      |             16 + 2*(doc_id % 8) AS w, 16 + 2*((doc_id // 8) % 8) AS h
+      |           FROM documents WHERE doc_id % 3 = 0),
+      |px AS (SELECT doc_id, w, h, len, text,
+      |         unnest(range(0, w*h*3)) AS j
+      |       FROM d)
+      |SELECT doc_id AS media_id,
+      |  CAST((((j // 3) // w) * 4 // h) * 4 + (((j // 3) % w) * 4 // w)
+      |    AS INTEGER) AS block,
+      |  count(*) AS n_vals,
+      |  CAST(sum(unicode(substr(text, CAST(j % len AS INT) + 1, 1)))
+      |    AS BIGINT) AS val_sum
+      |FROM px GROUP BY 1, 2 ORDER BY media_id, block""".stripMargin) { (s, d) =>
+    import graft.functions.GraftFunctions._
+    val media = Multimodal.fabricateMedia(Tables.documents(s, d), "doc_id", "text")
+    media.filter(col("format") === "bmp")
+      .select(col("media_id"), bmpDecode(col("payload")).as("dec"))
+      .select(col("media_id"), col("dec.width").as("w"),
+        col("dec.height").as("h"),
+        posexplode(col("dec.pixels")).as(Seq("j", "v")))
+      .select(col("media_id"),
+        expr("""CAST((((j DIV 3) DIV w) * 4 DIV h) * 4
+               |  + (((j DIV 3) % w) * 4 DIV w) AS INT)""".stripMargin)
+          .as("block"),
+        col("v"))
+      .groupBy("media_id", "block")
+      .agg(count(lit(1)).as("n_vals"), sum(col("v")).as("val_sum"))
+      .orderBy("media_id", "block")
+  }
+
   /** Capstone: the full curation pipeline (language floor → quality
     * filters → exact dedup → MinHash near-dedup keep-first → token
     * accounting) with EVERY stage replicated in the oracle SQL. The
@@ -189,5 +229,5 @@ object PipelineOps {
   }
 
   val all: Seq[Q] = Seq(tokenCounts, langidProfile, multimodalFeats,
-    mediaDecodeStats, curateCorpus)
+    mediaDecodeStats, mediaThumbnail, curateCorpus)
 }
