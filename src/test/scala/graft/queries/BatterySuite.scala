@@ -66,6 +66,26 @@ class BatterySuite extends SparkSpec {
       s"approx ${row._2} vs exact ${row._1}")
   }
 
+  test("HLL sketch build + union-merge pipeline estimates within 5%") {
+    // The mergeable-sketch REUSE path a 100 TB run depends on:
+    // per-group sketches built once (hll_sketch_agg), persisted as
+    // binary, merged later across groups (hll_union_agg) WITHOUT
+    // re-reading raw data — re-aggregation from a pre-aggregated
+    // sketch table. Estimate-after-merge must track the exact global
+    // distinct count.
+    val lineitem = graft.Tables.lineitem(spark, sfDir)
+    val perGroup = lineitem.groupBy("l_returnflag", "l_linestatus")
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+    // merge the 6 group sketches down to one global sketch
+    val merged = perGroup.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+      .collect().head.getLong(0).toDouble
+    val exact = lineitem.select(countDistinct("l_partkey"))
+      .collect().head.getLong(0).toDouble
+    assert(math.abs(merged - exact) / exact <= 0.05,
+      s"merged-sketch estimate $merged vs exact $exact")
+  }
+
   test("every oracleSql key has a matching queries entry") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
