@@ -182,6 +182,42 @@ object PipelineOps {
       .orderBy("media_id", "block")
   }
 
+  /** Frame sampling over REAL video containers: Y4M payloads decode
+    * through the real codec, every second frame is kept (stride 2 —
+    * the cheap temporal downsample before an expensive per-frame
+    * model), and exact per-frame luma sums come out. posexplode of the
+    * decoded frame array keeps the stage map-side until the final
+    * per-frame row; the oracle replays frame bytes from the generation
+    * formula, closing the loop on the last of the three real-codec
+    * feature stages (decode → resize → frame-sample). */
+  val mediaFrameSample: Q = Q(
+    "media_frame_sample",
+    """WITH d AS (SELECT doc_id, text, length(text) AS len,
+      |             1 + (doc_id % 8) AS nf
+      |           FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT doc_id, text, len,
+      |        unnest(range(0, nf)) AS frame_idx
+      |      FROM d),
+      |s AS (SELECT doc_id, frame_idx,
+      |        (SELECT sum(unicode(substr(f.text,
+      |           CAST((f.frame_idx * 256 + j.j) % f.len AS INT) + 1, 1)))
+      |         FROM (SELECT unnest(range(0, 256)) AS j) j) AS y_sum
+      |      FROM f WHERE frame_idx % 2 = 0)
+      |SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |  CAST(y_sum AS BIGINT) AS y_sum
+      |FROM s ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+    import graft.functions.GraftFunctions._
+    val media = Multimodal.fabricateMedia(Tables.documents(s, d), "doc_id", "text")
+    media.filter(col("format") === "y4m")
+      .select(col("media_id"),
+        posexplode(y4mDecode(col("payload")).getField("frames"))
+          .as(Seq("frame_idx", "ys")))
+      .filter(col("frame_idx") % 2 === 0)
+      .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+        aggregate(col("ys"), lit(0L), (a, x) => a + x).as("y_sum"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Capstone: the full curation pipeline (language floor → quality
     * filters → exact dedup → MinHash near-dedup keep-first → token
     * accounting) with EVERY stage replicated in the oracle SQL. The
@@ -229,5 +265,5 @@ object PipelineOps {
   }
 
   val all: Seq[Q] = Seq(tokenCounts, langidProfile, multimodalFeats,
-    mediaDecodeStats, mediaThumbnail, curateCorpus)
+    mediaDecodeStats, mediaThumbnail, mediaFrameSample, curateCorpus)
 }
