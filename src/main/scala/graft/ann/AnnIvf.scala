@@ -68,6 +68,28 @@ object AnnIvf {
     cents
   }
 
+  /** Seeded-medoid coarse quantizer: the k corpus vectors with the
+    * smallest portable multiplicative hash of their id — i.e. Lloyd's
+    * "deterministic seeded init" with zero update iterations, using
+    * actual data points as cell centres. Unlike the trained path (whose
+    * centroid means depend on float accumulation order across tasks),
+    * every step here — seed choice, cosine assignment, probe order — is
+    * exact integer/IEEE math an independent SQL engine replays
+    * bit-for-bit, which is what makes ivf_cosine_topk oracle-checkable.
+    * The 31-bit pre-mask keeps the hash in safe positive BIGINT range
+    * on both engines. */
+  def medoids(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[Seq[Double]] = {
+    vectors
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(size(col("v")) > 0)
+      .withColumn("h",
+        (col("id") * lit(2654435761L)).bitwiseAND(lit(2147483647L)))
+      .orderBy(col("h"), col("id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+  }
+
   /** (id, cell, vec) index relation. */
   def index(vectors: DataFrame, idCol: String, vecCol: String,
       cents: Seq[Seq[Double]]): DataFrame = {
@@ -87,23 +109,33 @@ object AnnIvf {
     slice(array_sort(scored), 1, nProbe).getField("i")
   }
 
-  /** Approximate top-k: probe nProbe cells, exact-rerank members. */
-  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, p: Params = Params()): DataFrame = {
-    val cents = train(corpus, vecCol, p)
+  /** Approximate top-k against a PRE-BUILT centroid matrix: probe
+    * nProbe cells, exact-rerank members. Ranking uses the ROUNDED
+    * cosine (6 dp) with id tie-break (see VectorOps.cosineTopK). */
+  def topKWith(cents: Seq[Seq[Double]], corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
     val corpusIdx = index(corpus, idCol, vecCol, cents)
     val queryCells = queries
       .select(col(idCol).as("qid"),
         col(vecCol).cast("array<double>").as("qvec"))
       .withColumn("cell",
-        explode(probeCells(col("qvec"), cents, p.nProbe)))
+        explode(probeCells(col("qvec"), cents, nProbe)))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
     corpusIdx.join(broadcast(queryCells), Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .dropDuplicates("qid", "id")
-      .withColumn("cos", GraftFunctions.cosineNative(col("qvec"), col("vec")))
+      .withColumn("cos",
+        round(GraftFunctions.cosineNative(col("qvec"), col("vec")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("id"), col("cos"), col("rn"))
   }
+
+  /** Approximate top-k with a freshly TRAINED quantizer (Lloyd). */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, p: Params = Params()): DataFrame =
+    topKWith(train(corpus, vecCol, p), corpus, queries, idCol, vecCol,
+      k, p.nProbe)
 }

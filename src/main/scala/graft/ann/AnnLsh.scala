@@ -14,6 +14,15 @@ import graft.queries.VectorOps
   * hyperplanes r_i). Collision probability per bit is 1 - θ/π — vectors
   * at small angle collide with high probability.
   *
+  * The hyperplanes are seeded Rademacher (±1) vectors rather than
+  * gaussians: sign-projection quality is equivalent (Achlioptas-style
+  * database-friendly random projections), and ±1 entries make the
+  * bucket assignment EXACT integer-free arithmetic on the embedding
+  * values — dot(v, r) = Σ ±v[i] accumulated in index order — which an
+  * independent SQL engine replays bit-for-bit. That turns the whole
+  * ANN query (bucket → probe → exact rerank) into an oracle-checkable
+  * relational program; see DedupAnn.annTopK.
+  *
   * Query at scale: corpus bucketed once (map-only, then ONE shuffle by
   * (table, bucket)); each query probes its `tables` buckets — a join on
   * bucket keys, never a cross join — and only bucket members are
@@ -32,10 +41,13 @@ object AnnLsh {
       tables: Int = 8,
       seed: Long = 42L)
 
-  /** Deterministic seeded hyperplanes: tables × bits × dim gaussians. */
-  private def hyperplanes(p: Params): Seq[Seq[Seq[Double]]] = {
+  /** Deterministic seeded hyperplanes: tables × bits × dim Rademacher
+    * ±1 entries. Public so the oracle SQL generator can embed the SAME
+    * plane literals it hands to the Spark plan. */
+  def hyperplanes(p: Params): Seq[Seq[Seq[Double]]] = {
     val rnd = new scala.util.Random(p.seed)
-    Seq.fill(p.tables, p.bitsPerTable, p.dim)(rnd.nextGaussian())
+    Seq.fill(p.tables, p.bitsPerTable, p.dim)(
+      if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
   /** Signature of one table: bits packed into a long. Hyperplane dots
@@ -88,12 +100,15 @@ object AnnLsh {
     val queryVecs = queries.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qvec"))
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    // Rank on the ROUNDED cosine (6 dp) with id tie-break — same
+    // discipline as VectorOps.cosineTopK, so an independent engine
+    // computing the identical float math agrees on the ordering.
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
     candidates
       .join(corpusVecs, "id")
       .join(broadcast(queryVecs), "qid")
-      .withColumn("cos",
-        graft.functions.GraftFunctions.cosineNative(col("qvec"), col("vec")))
+      .withColumn("cos", round(
+        graft.functions.GraftFunctions.cosineNative(col("qvec"), col("vec")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("id"), col("cos"), col("rn"))

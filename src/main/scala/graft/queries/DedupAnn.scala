@@ -14,11 +14,15 @@ import graft.dedup.{CosineDedup, MinHashLSH, SimHash}
   * noise < 0.07; 16 bands × 4 rows) the miss probability is < 1e-7 per
   * pair. simhash_dup_pairs is oracle-checked too (portable integer
   * token hash → full DuckDB signature replica), as is
-  * cosine_dedup_stats (exact post-verify → brute-force oracle). Only
-  * the two ANN top-k queries remain spec-only: their output ranking
-  * depends on which LSH/IVF buckets each query probes — internal index
-  * state no independent SQL replica can reproduce — so they are gated
-  * by recall-vs-exact specs in AnnSuite instead.
+  * cosine_dedup_stats (exact post-verify → brute-force oracle). As of
+  * round 5 the two ANN top-k queries are ALSO fully oracle-checked:
+  * sign-LSH uses seeded ±1 hyperplanes whose literals are re-emitted
+  * into the oracle SQL (bucket assignment = ordered ±v[i] sums, exact
+  * in both engines), and the declared IVF query uses the seeded-medoid
+  * quantizer (portable integer-hash seed choice + exact cosine
+  * assignment) instead of Lloyd means, whose float accumulation order
+  * no replica could reproduce. Recall of the trained Lloyd path stays
+  * gated in AnnSuite.
   */
 object DedupAnn {
 
@@ -213,13 +217,57 @@ object DedupAnn {
       .orderBy("id_a", "id_b")
   }
 
+  /** VALUES rows `(t, b, plane)` for the seeded ±1 LSH hyperplanes —
+    * the exact literals the Spark plan hashes with, re-emitted for the
+    * DuckDB oracle so both engines bucket identically. */
+  private def planeValuesSql: String =
+    AnnLsh.hyperplanes(AnnLsh.Params()).zipWithIndex.flatMap {
+      case (tbl, t) => tbl.zipWithIndex.map { case (plane, b) =>
+        plane.map(x => if (x > 0) "1" else "-1")
+          .mkString(s"($t, $b, CAST([", ",", "] AS DOUBLE[]))")
+      }
+    }.mkString(",\n")
+
   /** LSH-bucketed approximate top-5 cosine neighbours for 5 query
-    * vectors — the sub-linear variant of cosine_topk; recall gated in
+    * vectors — the sub-linear variant of cosine_topk. Fully
+    * oracle-checked: ±1 hyperplanes make each bucket bit the sign of
+    * an ordered ±v[i] sum (bit-exact in any engine that folds the
+    * array in index order), so the oracle replays bucketing, candidate
+    * join, and rounded-cosine rerank verbatim. Recall stays gated in
     * AnnSuite. */
-  val annTopK: Q = Q.noOracle("ann_cosine_topk") { (s, d) =>
+  val annTopK: Q = Q(
+    "ann_cosine_topk",
+    s"""WITH planes(t, b, p) AS (VALUES
+      |${planeValuesSql}),
+      |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id < 5),
+      |csig AS (
+      |  SELECT id, t, SUM(CASE WHEN list_dot_product(v, p) > 0
+      |    THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
+      |  FROM c CROSS JOIN planes GROUP BY id, t),
+      |qsig AS (
+      |  SELECT qid, t, SUM(CASE WHEN list_dot_product(qv, p) > 0
+      |    THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
+      |  FROM q CROSS JOIN planes GROUP BY qid, t),
+      |cand AS (
+      |  SELECT DISTINCT qs.qid, cs.id
+      |  FROM qsig qs JOIN csig cs ON qs.t = cs.t AND qs.bucket = cs.bucket
+      |  WHERE cs.id <> qs.qid),
+      |scored AS (
+      |  SELECT cand.qid, cand.id,
+      |    round(list_dot_product(q.qv, c.v)
+      |      / (sqrt(list_dot_product(q.qv, q.qv))
+      |         * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+      |  FROM cand JOIN c ON cand.id = c.id JOIN q ON cand.qid = q.qid)
+      |SELECT qid, id, cos, rn FROM (
+      |  SELECT qid, id, cos,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id)
+      |      AS INTEGER) AS rn
+      |  FROM scored) r
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     AnnLsh.topK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
-      .select(col("qid"), col("id"), round(col("cos"), 6).as("cos"), col("rn"))
       .orderBy("qid", "rn")
   }
 
@@ -254,12 +302,61 @@ object DedupAnn {
   }
 
   /** IVF approximate top-5 — the cluster-quantizer scale path beside
-    * LSH; recall gated in AnnSuite. */
-  val ivfTopK: Q = Q.noOracle("ivf_cosine_topk") { (s, d) =>
+    * LSH, declared with the seeded-medoid coarse quantizer (AnnIvf
+    * .medoids: k=8 cells, nProbe=3) so cell assignment is exact
+    * replicable math. The oracle replays seed selection (portable
+    * multiplicative hash, 31-bit pre-mask), argmax-cosine assignment
+    * with cell-index tie-break, probe ranking, and the rounded-cosine
+    * rerank. The trained Lloyd path keeps its recall gate in
+    * AnnSuite. */
+  val ivfTopK: Q = Q(
+    "ivf_cosine_topk",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    (CAST(vec_id AS BIGINT) * 2654435761) & 2147483647 AS h
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS j,
+      |         v AS sv
+      |  FROM (SELECT * FROM e ORDER BY h, vec_id LIMIT 8) s0),
+      |casn AS (
+      |  SELECT id, cell FROM (
+      |    SELECT e.vec_id AS id, s.j AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, s.sv)
+      |          / (sqrt(list_dot_product(e.v, e.v))
+      |             * sqrt(list_dot_product(s.sv, s.sv))) DESC, s.j) AS rk
+      |    FROM e CROSS JOIN seeds s) t
+      |  WHERE rk = 1),
+      |qprobe AS (
+      |  SELECT qid, cell FROM (
+      |    SELECT e.vec_id AS qid, s.j AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, s.sv)
+      |          / (sqrt(list_dot_product(e.v, e.v))
+      |             * sqrt(list_dot_product(s.sv, s.sv))) DESC, s.j) AS rk
+      |    FROM e CROSS JOIN seeds s WHERE e.vec_id < 5) t
+      |  WHERE rk <= 3),
+      |cand AS (
+      |  SELECT DISTINCT qp.qid, ca.id
+      |  FROM qprobe qp JOIN casn ca USING (cell)
+      |  WHERE ca.id <> qp.qid),
+      |scored AS (
+      |  SELECT cand.qid, cand.id,
+      |    round(list_dot_product(qe.v, ce.v)
+      |      / (sqrt(list_dot_product(qe.v, qe.v))
+      |         * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cos
+      |  FROM cand JOIN e ce ON cand.id = ce.vec_id
+      |            JOIN e qe ON cand.qid = qe.vec_id)
+      |SELECT qid, id, cos, rn FROM (
+      |  SELECT qid, id, cos,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id)
+      |      AS INTEGER) AS rn
+      |  FROM scored) r
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    AnnIvf.topK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-      k = 5)
-      .select(col("qid"), col("id"), round(col("cos"), 6).as("cos"), col("rn"))
+    val cents = AnnIvf.medoids(emb, "vec_id", "embedding", k = 8)
+    AnnIvf.topKWith(cents, emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5, nProbe = 3)
       .orderBy("qid", "rn")
   }
 
