@@ -89,21 +89,48 @@ object MapReduceRunner {
     }
   }
 
+  /** Java-serializable Hadoop Configuration carrier (Spark's own
+    * SerializableConfiguration is private[spark]). */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** S7: R text files of raw `key,value` lines (no quoting/escaping),
     * byte-identical to the reference's emit loop: separator-newlines
     * only (no trailing '\n'), one `part-NNNNN` file per reduce bucket,
     * empty buckets → empty files (the reference opens every ofstream up
-    * front). Writes through the Hadoop FileSystem API executor-side —
-    * works on any cluster FS, no driver collect; re-executed tasks
-    * overwrite with identical bytes, so speculation is safe. */
+    * front). Writes through the Hadoop FileSystem API executor-side
+    * using the SESSION's Hadoop configuration (broadcast to tasks), so
+    * spark.hadoop.* settings — defaultFS, object-store credentials —
+    * apply on a real cluster. Each attempt writes to an attempt-unique
+    * temp file and renames into place on success: concurrent
+    * speculative attempts never interleave writes on one stream, and a
+    * failed attempt leaves no truncated part file behind. Attempts of
+    * one partition produce identical bytes (input is sorted and
+    * deterministic), so whichever rename lands last/first is correct. */
   def writeSink(reduced: Dataset[(String, String)], outputDir: String): Unit = {
     val rdd = reduced.rdd
-    rdd.sparkContext.runJob(rdd, (ctx: org.apache.spark.TaskContext,
+    val sc = rdd.sparkContext
+    val confB = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
+    sc.runJob(rdd, (ctx: org.apache.spark.TaskContext,
         it: Iterator[(String, String)]) => {
       val path = new org.apache.hadoop.fs.Path(
         outputDir, f"part-${ctx.partitionId}%05d")
-      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val out = fs.create(path, true)
+      val tmp = new org.apache.hadoop.fs.Path(
+        outputDir,
+        f".part-${ctx.partitionId}%05d.attempt-${ctx.taskAttemptId()}%d.tmp")
+      val fs = path.getFileSystem(confB.value.value)
+      val out = fs.create(tmp, true)
+      var committed = false
       try {
         var first = true
         it.foreach { case (k, v) =>
@@ -111,7 +138,18 @@ object MapReduceRunner {
           out.write(s"$k,$v".getBytes(java.nio.charset.StandardCharsets.UTF_8))
           first = false
         }
-      } finally out.close()
+        out.close()
+        // commit: rename into place. If another (speculative) attempt
+        // already committed, its bytes are identical — drop ours.
+        if (fs.exists(path)) fs.delete(tmp, false)
+        else if (!fs.rename(tmp, path)) {
+          if (fs.exists(path)) fs.delete(tmp, false)
+          else throw new java.io.IOException(s"cannot commit $tmp -> $path")
+        }
+        committed = true
+      } finally {
+        if (!committed) { out.close(); fs.delete(tmp, false); () }
+      }
     })
   }
 

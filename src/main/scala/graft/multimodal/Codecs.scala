@@ -143,8 +143,16 @@ object Codecs {
     require(bpp == 24 && compression == 0 && height > 0,
       s"unsupported BMP: bpp=$bpp compression=$compression height=$height")
     require(hdrSize >= 40, "header too small")
+    require(width > 0, s"invalid BMP width $width")
     val rowLen = width * 3
     val pad = (4 - rowLen % 4) % 4
+    // reject malformed headers up front: a lying dataOffset/dims would
+    // otherwise surface as a raw AIOOBE mid-copy instead of a clean error
+    require(dataOffset >= 26 &&
+      dataOffset.toLong + height.toLong * (rowLen + pad) <= bytes.length,
+      s"truncated BMP: dataOffset=$dataOffset dims=${width}x$height " +
+        s"need ${dataOffset.toLong + height.toLong * (rowLen + pad)} " +
+        s"bytes, have ${bytes.length}")
     val rgb = new Array[Byte](width * height * 3)
     var row = height - 1
     var pos = dataOffset
@@ -199,6 +207,7 @@ object Codecs {
       .map(p => p.head -> p.tail).toMap
     val width = params('W').toInt
     val height = params('H').toInt
+    require(width > 0 && height > 0, s"invalid Y4M dims ${width}x$height")
     require(!params.get('C').exists(c => c != "420" && !c.startsWith("420")),
       s"unsupported chroma mode ${params.get('C')}")
     val lumaLen = width * height
@@ -210,6 +219,10 @@ object Codecs {
       require(eol > 0 &&
         new String(bytes, pos, 5, StandardCharsets.US_ASCII) == "FRAME",
         s"expected FRAME marker at $pos")
+      // copyOfRange zero-pads past end-of-input — a truncated final
+      // frame must fail loudly, not decode as zero luma
+      require(eol + 1 + lumaLen + 2 * chromaLen <= bytes.length,
+        s"truncated Y4M frame at $pos: need ${eol + 1 + lumaLen + 2 * chromaLen} bytes, have ${bytes.length}")
       val y = java.util.Arrays.copyOfRange(bytes, eol + 1, eol + 1 + lumaLen)
       frames += y
       pos = eol + 1 + lumaLen + 2 * chromaLen

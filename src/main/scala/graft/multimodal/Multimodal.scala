@@ -65,22 +65,25 @@ object Multimodal {
     * The synthesis UDF is fixture-side only — production payloads
     * arrive from storage; decode is the operator under test. */
   def fabricateMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // floorMod/floorDiv throughout: the format LABEL below uses pmod,
+    // and Scala's signed % would disagree with it for negative ids
+    // (mislabeled container + negative dims)
     val enc = udf { (id: Long, text: String) =>
       require(text.nonEmpty, "media synthesis needs non-empty text")
       val len = text.length
       def cp(j: Int): Int = text.charAt(j % len).toInt
-      (id % 3) match {
-        case 0 =>
-          val w = (16 + 2 * (id % 8)).toInt
-          val h = (16 + 2 * ((id / 8) % 8)).toInt
+      Math.floorMod(id, 3L) match {
+        case 0L =>
+          val w = (16 + 2 * Math.floorMod(id, 8L)).toInt
+          val h = (16 + 2 * Math.floorMod(Math.floorDiv(id, 8L), 8L)).toInt
           val rgb = Array.tabulate(w * h * 3)(j => cp(j).toByte)
           graft.multimodal.Codecs.bmpEncode(w, h, rgb)
-        case 1 =>
-          val n = (200 + id % 100).toInt
+        case 1L =>
+          val n = (200 + Math.floorMod(id, 100L)).toInt
           val samples = Array.tabulate(n)(i => (cp(i) * 257 - 16384).toShort)
           graft.multimodal.Codecs.wavEncode(samples, 16000)
         case _ =>
-          val nf = (1 + id % 8).toInt
+          val nf = (1 + Math.floorMod(id, 8L)).toInt
           val frames = Array.tabulate(nf)(f =>
             Array.tabulate(256)(j => cp(f * 256 + j).toByte))
           graft.multimodal.Codecs.y4mEncode(16, 16, frames)

@@ -28,8 +28,18 @@ object Curate {
       maxChars: Long = 100000,
       minhash: MinHashLSH.Params = MinHashLSH.Params(threshold = 0.8))
 
-  /** Surviving documents with per-doc metadata (lang, n_tokens). */
-  def curate(docs: DataFrame, p: Params = Params()): DataFrame = {
+  /** A curated corpus plus the pipeline's persisted stage boundaries.
+    * Call [[release]] once the final action over [[result]] (or any
+    * derived frame) has run — library callers must not depend on a
+    * session-wide `clearCache()` sweep to free the two cached
+    * relations. */
+  final case class Curated(result: DataFrame, cached: Seq[DataFrame]) {
+    def release(): Unit = cached.foreach(_.unpersist(false))
+  }
+
+  /** Surviving documents with per-doc metadata (lang, n_tokens), with
+    * a release handle for the two persisted boundaries. */
+  def curateDetailed(docs: DataFrame, p: Params = Params()): Curated = {
     val ts = split(col("text"), " ")
     // 1+2: map-only filters. Language is an inline COLUMN
     // (LangId.detectNative), not a classify-then-join — the join form
@@ -64,9 +74,18 @@ object Curate {
     val deduped = MinHashLSH.dedupKeepFirst(
       exactDeduped, "doc_id", "text", p.minhash)
     // 5: token accounting
-    deduped.select(col("doc_id"), col("lang_pred"),
+    val result = deduped.select(col("doc_id"), col("lang_pred"),
       size(split(col("text"), " ")).as("n_tokens"))
+    Curated(result, Seq(filtered, exactDeduped))
   }
+
+  /** Convenience form without the release handle. The two persisted
+    * boundaries stay cached until `Curated.release` semantics are
+    * applied by the caller — Verify/Bench do this with their
+    * between-query persist sweep; other callers should prefer
+    * [[curateDetailed]]. */
+  def curate(docs: DataFrame, p: Params = Params()): DataFrame =
+    curateDetailed(docs, p).result
 
   /** Corpus-level report: docs in/out per stage + surviving tokens.
     * The n_raw aggregate prunes every column (ReadSchema struct<>), so

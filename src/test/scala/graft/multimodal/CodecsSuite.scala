@@ -90,4 +90,19 @@ class CodecsSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Codecs.y4mEncode(3, 2, Array(Array.fill(6)(0.toByte)))) // odd width
   }
+
+  test("truncated payloads fail loudly instead of zero-padding") {
+    // Y4M: drop the tail of the final frame — must not decode as zero luma
+    val y4m = Codecs.y4mEncode(4, 4, Array(Array.tabulate(16)(_.toByte)))
+    intercept[IllegalArgumentException](
+      Codecs.y4mDecode(y4m.dropRight(3)))
+    // BMP: pixel data shorter than dataOffset + rows claims
+    val bmp = Codecs.bmpEncode(4, 4, Array.tabulate(48)(_.toByte))
+    intercept[IllegalArgumentException](
+      Codecs.bmpDecode(bmp.dropRight(5)))
+    // BMP: header claiming absurd dims over a small buffer
+    val lying = bmp.clone()
+    lying(18) = 127 // width LSB → width no longer fits the data
+    intercept[IllegalArgumentException](Codecs.bmpDecode(lying))
+  }
 }
