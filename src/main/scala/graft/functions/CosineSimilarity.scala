@@ -200,6 +200,10 @@ object GraftFunctions {
   def y4mDecode(payload: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       Y4mDecode(org.apache.spark.sql.GraftColumnBridge.expression(payload)))
+
+  def pngDecode(payload: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      PngDecode(org.apache.spark.sql.GraftColumnBridge.expression(payload)))
 }
 
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.

@@ -12,11 +12,11 @@ import graft.multimodal.Codecs
 /** Native media-decode expressions over binary payload columns — the
   * production direction of the real codecs in
   * [[graft.multimodal.Codecs]] (RIFF/WAVE PCM, 24-bit BI_RGB BMP,
-  * YUV4MPEG2). Each parses the actual container format executor-side
-  * and emits a typed struct; payload bytes never leave the row, so the
-  * stages stay map-only at 100 TB. Compressed formats (PNG/JPEG/H.264)
-  * remain behind the documented stub swap point — no codec libraries
-  * ship in this container. */
+  * YUV4MPEG2, and PNG via the JDK's Inflater). Each parses the actual
+  * container format executor-side and emits a typed struct; payload
+  * bytes never leave the row, so the stages stay map-only at 100 TB.
+  * JPEG/H.264 remain behind the documented stub swap point — no codec
+  * libraries ship in this container. */
 private[graft] trait MediaDecodeExpr extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -119,5 +119,38 @@ object Y4mDecode {
     }
     new GenericInternalRow(Array[Any](w, h, frames.length,
       new GenericArrayData(arrs)))
+  }
+}
+
+/** PNG → struct<width:int, height:int, channels:int, pixels:array<int>>
+  * with pixels as top-down row-major interleaved samples, 0..255
+  * (channels = 1 gray / 3 RGB / 4 RGBA). Real inflate + unfilter. */
+case class PngDecode(child: Expression) extends MediaDecodeExpr {
+  override def dataType: DataType = PngDecode.schema
+  override def prettyName: String = "graft_png_decode"
+  override def nullSafeEval(input: Any): Any =
+    PngDecode.compute(input.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = PngDecode.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PngDecode =
+    copy(child = newChild)
+}
+
+object PngDecode {
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("pixels", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  def compute(bytes: Array[Byte]): InternalRow = {
+    val (w, h, ch, px) = Codecs.pngDecode(bytes)
+    val ints = new Array[Int](px.length)
+    var i = 0
+    while (i < px.length) { ints(i) = px(i) & 0xff; i += 1 }
+    new GenericInternalRow(Array[Any](w, h, ch, new GenericArrayData(ints)))
   }
 }

@@ -3,10 +3,10 @@ package graft.multimodal
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
-/** Real, pure-JVM codecs for the UNCOMPRESSED media formats — the part
-  * of the multimodal story this container CAN make real (no image/audio
-  * libraries ship here, so compressed formats like PNG/JPEG/H.264 stay
-  * behind the documented swap point in [[Multimodal.decodeBytes]]):
+/** Real, pure-JVM codecs for media formats. Uncompressed containers
+  * plus PNG (whose DEFLATE stream the JDK's java.util.zip handles);
+  * JPEG/H.264 need codec libraries that do not ship here and stay
+  * behind the documented swap point in [[Multimodal.decodeBytes]]:
   *
   *  - WAV: RIFF/WAVE PCM (the 1991 Microsoft/IBM Multimedia Programming
   *    Interface format) — 16-bit little-endian mono, proper chunk walk
@@ -16,6 +16,10 @@ import java.nio.charset.StandardCharsets
   *    stored bottom-up, each padded to a 4-byte boundary, pixels BGR.
   *  - Y4M: YUV4MPEG2 (the mjpegtools interchange format) — plain-text
   *    stream header, `FRAME\n` markers, raw 4:2:0 planes.
+  *  - PNG: RFC 2083 — chunk walk with CRC32 verification, zlib
+  *    inflate, and all five row unfilters (None/Sub/Up/Average/Paeth);
+  *    8-bit gray/RGB/RGBA, non-interlaced. CodecsSuite cross-checks
+  *    both directions against the JDK ImageIO reference codec.
   *
   * Encode exists so the engine can synthesize REAL format bytes for
   * fixtures and tests; decode is the production-direction operator. The
@@ -228,5 +232,196 @@ object Codecs {
       pos = eol + 1 + lumaLen + 2 * chromaLen
     }
     (width, height, frames.result())
+  }
+
+  // ---------------------------------------------------------------- PNG
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  /** PNG Paeth predictor (RFC 2083 §6.6). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def crc32(typ: Array[Byte], data: Array[Byte], off: Int,
+      len: Int): Int = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ)
+    crc.update(data, off, len)
+    crc.getValue.toInt
+  }
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val t = typ.getBytes(StandardCharsets.US_ASCII)
+    out.write(ByteBuffer.allocate(4).putInt(data.length).array(), 0, 4)
+    out.write(t, 0, 4)
+    out.write(data, 0, data.length)
+    out.write(ByteBuffer.allocate(4)
+      .putInt(crc32(t, data, 0, data.length)).array(), 0, 4)
+  }
+
+  /** 8-bit RGB PNG (color type 2), zlib-deflated, one IDAT. The row
+    * filter CYCLES through all five spec filters (None/Sub/Up/Average/
+    * Paeth, row % 5), so a decoder bug in any unfilter path breaks
+    * round-trips and the media_png_stats oracle — a constant filter-0
+    * encoder would leave four of the five decode paths untested. */
+  def pngEncode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"invalid PNG dims ${width}x$height")
+    require(rgb.length == width * height * 3,
+      s"need ${width * height * 3} RGB bytes, got ${rgb.length}")
+    val bpp = 3
+    val stride = width * bpp
+    val raw = new Array[Byte]((stride + 1) * height)
+    var row = 0
+    while (row < height) {
+      val f = row % 5
+      raw(row * (stride + 1)) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val x = rgb(row * stride + i) & 0xff
+        val a = if (i >= bpp) rgb(row * stride + i - bpp) & 0xff else 0
+        val b = if (row > 0) rgb((row - 1) * stride + i) & 0xff else 0
+        val c =
+          if (row > 0 && i >= bpp) rgb((row - 1) * stride + i - bpp) & 0xff
+          else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => paeth(a, b, c)
+        }
+        raw(row * (stride + 1) + 1 + i) = ((x - pred) & 0xff).toByte
+        i += 1
+      }
+      row += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      zout.write(buf, 0, n)
+    }
+    deflater.end()
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte) // bit depth
+      .put(2.toByte) // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, none
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, PngSig.length)
+    writeChunk(out, "IHDR", ihdr.array())
+    writeChunk(out, "IDAT", zout.toByteArray)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def beInt(bytes: Array[Byte], p: Int): Int =
+    ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+      ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+
+  /** @return (width, height, channels, interleaved 8-bit samples,
+    * top-down row-major). Real inflate + unfilter decode: bit depth 8,
+    * color types 0/2/6 (gray/RGB/RGBA), no interlace; ancillary chunks
+    * are skipped; every chunk CRC is verified; truncated or
+    * inconsistent pixel data fails loudly. */
+  def pngDecode(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    require(bytes.length >= 8 &&
+      PngSig.indices.forall(i => bytes(i) == PngSig(i)), "not a PNG")
+    var width = 0
+    var height = 0
+    var channels = 0
+    var seenIhdr = false
+    var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 8
+    while (!seenIend) {
+      require(pos + 8 <= bytes.length, s"truncated PNG chunk header at $pos")
+      val len = beInt(bytes, pos)
+      require(len >= 0, s"negative chunk length at $pos")
+      require(pos + 12 + len <= bytes.length, s"truncated PNG chunk at $pos")
+      val typ = new String(bytes, pos + 4, 4, StandardCharsets.US_ASCII)
+      val typBytes = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 8)
+      require(crc32(typBytes, bytes, pos + 8, len) == beInt(bytes, pos + 8 + len),
+        s"bad CRC in $typ chunk")
+      typ match {
+        case "IHDR" =>
+          require(!seenIhdr && len == 13, "malformed IHDR")
+          width = beInt(bytes, pos + 8)
+          height = beInt(bytes, pos + 12)
+          val bitDepth = bytes(pos + 16) & 0xff
+          val colorType = bytes(pos + 17) & 0xff
+          val compression = bytes(pos + 18) & 0xff
+          val filterMethod = bytes(pos + 19) & 0xff
+          val interlace = bytes(pos + 20) & 0xff
+          require(width > 0 && height > 0, s"invalid dims ${width}x$height")
+          channels = colorType match {
+            case 0 => 1 // grayscale
+            case 2 => 3 // RGB
+            case 6 => 4 // RGBA
+            case t => throw new IllegalArgumentException(
+              s"unsupported PNG color type $t")
+          }
+          require(bitDepth == 8, s"unsupported bit depth $bitDepth")
+          require(compression == 0 && filterMethod == 0 && interlace == 0,
+            "unsupported compression/filter/interlace method")
+          seenIhdr = true
+        case "IDAT" =>
+          require(seenIhdr, "IDAT before IHDR")
+          idat.write(bytes, pos + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunk (tEXt, gAMA, ...) — skip
+      }
+      pos += 12 + len
+    }
+    require(seenIhdr, "missing IHDR")
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    while (off < raw.length) {
+      val n = inflater.inflate(raw, off, raw.length - off)
+      require(n > 0, s"truncated PNG pixel data: got $off of ${raw.length}")
+      off += n
+    }
+    val leftover = inflater.inflate(new Array[Byte](1))
+    inflater.end()
+    require(leftover == 0, "PNG pixel data longer than dims imply")
+    val out = new Array[Byte](stride * height)
+    var row = 0
+    while (row < height) {
+      val f = raw(row * (stride + 1)) & 0xff
+      require(f <= 4, s"bad PNG filter type $f in row $row")
+      var i = 0
+      while (i < stride) {
+        val x = raw(row * (stride + 1) + 1 + i) & 0xff
+        val a = if (i >= channels) out(row * stride + i - channels) & 0xff else 0
+        val b = if (row > 0) out((row - 1) * stride + i) & 0xff else 0
+        val c =
+          if (row > 0 && i >= channels) out((row - 1) * stride + i - channels) & 0xff
+          else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => paeth(a, b, c)
+        }
+        out(row * stride + i) = ((x + pred) & 0xff).toByte
+        i += 1
+      }
+      row += 1
+    }
+    (width, height, channels, out)
   }
 }

@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
   * binary column flowing through parquet — is real and tested. The
   * codec layer is split by what this container can honestly support:
   *
-  *  - UNCOMPRESSED formats are REAL codecs ([[Codecs]]: RIFF/WAVE PCM,
-  *    24-bit BI_RGB BMP, YUV4MPEG2), decoded by native expressions
-  *    (graft.functions.{WavDecode,BmpDecode,Y4mDecode}) and
-  *    oracle-checked end-to-end via `media_decode_stats`.
-  *  - COMPRESSED formats (PNG/JPEG/H.264) need codec libraries that do
-  *    not ship here; `decodeBytes` below stays a DETERMINISTIC FAKE for
-  *    that path, and a production deployment swaps only that expression
-  *    (e.g. a JNI/javacv call in the same shape) — every other stage is
+  *  - WAV / BMP / Y4M / PNG are REAL codecs ([[Codecs]]: RIFF/WAVE
+  *    PCM, 24-bit BI_RGB BMP, YUV4MPEG2, and RFC-2083 PNG — chunk
+  *    walk + CRC + JDK-Inflater + all five unfilters), decoded by
+  *    native expressions (graft.functions.{WavDecode,BmpDecode,
+  *    Y4mDecode,PngDecode}) and oracle-checked end-to-end via
+  *    `media_decode_stats` / `media_png_stats`.
+  *  - JPEG/H.264 need codec libraries that do not ship here;
+  *    `decodeBytes` below stays a DETERMINISTIC FAKE for that path,
+  *    and a production deployment swaps only that expression (e.g. a
+  *    JNI/javacv call in the same shape) — every other stage is
   *    codec-agnostic.
   *
   * Scale: payloads never shuffle — all feature stages are map-only
@@ -93,6 +95,30 @@ object Multimodal {
     docs.select(
       col(idCol).as("media_id"),
       when(m === 0, "bmp").when(m === 1, "wav").otherwise("y4m").as("format"),
+      enc(col(idCol), col(textCol)).as("payload"))
+  }
+
+  /** PNG media table: one real RFC-2083 container per document, with
+    * the same text-derived generation discipline as [[fabricateMedia]]
+    * so the `media_png_stats` oracle recomputes expected decoded sums
+    * straight from the formula:
+    *   w = 8 + id%9, h = 8 + (id/9)%9  (odd dims exercise row stride),
+    *   pixel[j] = cp(text[j % len]) for j < w*h*3.
+    * The encoder cycles all five PNG row filters, so the oracle match
+    * proves inflate + every unfilter path, not just the container
+    * walk. */
+  def fabricatePng(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enc = udf { (id: Long, text: String) =>
+      require(text.nonEmpty, "media synthesis needs non-empty text")
+      val len = text.length
+      val w = (8 + Math.floorMod(id, 9L)).toInt
+      val h = (8 + Math.floorMod(Math.floorDiv(id, 9L), 9L)).toInt
+      val rgb = Array.tabulate(w * h * 3)(j => text.charAt(j % len).toByte)
+      graft.multimodal.Codecs.pngEncode(w, h, rgb)
+    }
+    docs.select(
+      col(idCol).as("media_id"),
+      lit("png").as("format"),
       enc(col(idCol), col(textCol)).as("payload"))
   }
 

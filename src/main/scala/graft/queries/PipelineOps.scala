@@ -218,6 +218,35 @@ object PipelineOps {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Real PNG decode, end-to-end: documents → pngEncode (deflate +
+    * cycling row filters) → native PngDecode (chunk walk, CRC check,
+    * inflate, all five unfilters) → per-image stats. The oracle
+    * recomputes expected sums straight from the text generation
+    * formula — it never parses a container — so a bug anywhere in the
+    * DEFLATE round-trip or any unfilter path breaks the hash match.
+    * Map-only: payloads never shuffle, only (id, dims, sums) flow. */
+  val mediaPngStats: Q = Q(
+    "media_png_stats",
+    """WITH d AS (SELECT doc_id, text, length(text) AS len,
+      |             8 + (doc_id % 9) AS w, 8 + ((doc_id // 9) % 9) AS h
+      |           FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(w * h * 3 AS BIGINT) AS n_units,
+      |  CAST(list_sum(list_transform(range(0, w * h * 3),
+      |    j -> unicode(substr(text, CAST(j % len AS INT) + 1, 1))))
+      |    AS BIGINT) AS sum_val
+      |FROM d ORDER BY media_id""".stripMargin) { (s, d) =>
+    import graft.functions.GraftFunctions._
+    val png = Multimodal.fabricatePng(Tables.documents(s, d), "doc_id", "text")
+    png.select(col("media_id"), pngDecode(col("payload")).as("dec"))
+      .select(col("media_id"),
+        col("dec.width").as("width"), col("dec.height").as("height"),
+        size(col("dec.pixels")).cast("long").as("n_units"),
+        aggregate(col("dec.pixels"), lit(0L), (a, x) => a + x).as("sum_val"))
+      .orderBy("media_id")
+  }
+
   /** Capstone: the full curation pipeline (language floor → quality
     * filters → exact dedup → MinHash near-dedup keep-first → token
     * accounting) with EVERY stage replicated in the oracle SQL. The
@@ -265,5 +294,6 @@ object PipelineOps {
   }
 
   val all: Seq[Q] = Seq(tokenCounts, langidProfile, multimodalFeats,
-    mediaDecodeStats, mediaThumbnail, mediaFrameSample, curateCorpus)
+    mediaDecodeStats, mediaThumbnail, mediaFrameSample, mediaPngStats,
+    curateCorpus)
 }

@@ -91,6 +91,65 @@ class CodecsSuite extends AnyFunSuite {
       Codecs.y4mEncode(3, 2, Array(Array.fill(6)(0.toByte)))) // odd width
   }
 
+  test("PNG round-trip: all five row filters, odd widths, gradients") {
+    for ((w, h) <- Seq((1, 1), (3, 7), (8, 8), (17, 5), (32, 11))) {
+      val rgb = Array.tabulate(w * h * 3)(j => ((j * 31 + 7) % 256).toByte)
+      val (gw, gh, ch, out) = Codecs.pngDecode(Codecs.pngEncode(w, h, rgb))
+      assert((gw, gh, ch) === ((w, h, 3)))
+      assert(out.toSeq === rgb.toSeq)
+    }
+  }
+
+  test("PNG interop: JDK ImageIO reads our bytes; we read ImageIO's") {
+    val (w, h) = (13, 9)
+    val rgb = Array.tabulate(w * h * 3)(j => ((j * 131 + 17) % 256).toByte)
+    // our encoder → reference decoder
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Codecs.pngEncode(w, h, rgb)))
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      val argb = img.getRGB(x, y)
+      assert(((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff) ===
+        ((rgb(p) & 0xff, rgb(p + 1) & 0xff, rgb(p + 2) & 0xff)))
+    }
+    // reference encoder → our decoder
+    val ref = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      ref.setRGB(x, y, ((rgb(p) & 0xff) << 16) |
+        ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(ref, "png", bos)
+    val (gw, gh, ch, out) = Codecs.pngDecode(bos.toByteArray)
+    assert(gw === w && gh === h)
+    // ImageIO may emit RGB or gray; compare channel-aware
+    assert(ch === 3 || ch === 1)
+    if (ch === 3) assert(out.toSeq === rgb.toSeq)
+  }
+
+  test("PNG malformed inputs are rejected: bad magic, CRC, truncation") {
+    val good = Codecs.pngEncode(4, 4, Array.tabulate(48)(_.toByte))
+    intercept[IllegalArgumentException](
+      Codecs.pngDecode("not a png at all".getBytes))
+    // flip a byte inside IDAT → CRC failure
+    val corrupt = good.clone()
+    corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x55).toByte
+    intercept[IllegalArgumentException](Codecs.pngDecode(corrupt))
+    // drop the tail (no IEND / truncated chunk)
+    intercept[IllegalArgumentException](Codecs.pngDecode(good.dropRight(16)))
+    // dims larger than pixel data: lie in IHDR width (and fix its CRC)
+    val lying = good.clone()
+    lying(16 + 3) = 100 // IHDR width LSB (sig 8 + len 4 + type 4 + 3)
+    val crc = new java.util.zip.CRC32()
+    crc.update(lying, 12, 4 + 13)
+    val fixed = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+    System.arraycopy(fixed, 0, lying, 12 + 4 + 13, 4)
+    intercept[IllegalArgumentException](Codecs.pngDecode(lying))
+  }
+
   test("truncated payloads fail loudly instead of zero-padding") {
     // Y4M: drop the tail of the final frame — must not decode as zero luma
     val y4m = Codecs.y4mEncode(4, 4, Array(Array.tabulate(16)(_.toByte)))
