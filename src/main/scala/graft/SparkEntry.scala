@@ -1,21 +1,21 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CurationOps, DedupAnn, Extensibility, MrParity, PipelineOps, Q, Relational, TextOps, TpchLike, TrainingPrep, VectorOps}
+import graft.queries.{CurationOps, DedupAnn, Extensibility, MrParity, PipelineOps, Q, Relational, StreamingOps, TextOps, TpchLike, TrainingPrep, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every implemented operator from SURVEY.md §2 registers one entry in
   * `queries`; SQL-expressible ones also register matching DuckDB SQL in
-  * `oracleSql` (the t2 correctness gate). As of round 4 that is 87 of
-  * 88 declared queries — MinHash (exact-Jaccard verify), SimHash
-  * (portable integer token hash), and cosine dedup (exact post-verify)
-  * all carry full oracles. Only `ann_cosine_topk` / `ivf_cosine_topk`
-  * remain spec-gated (AnnSuite recall-vs-exact): their output ranking
-  * depends on which LSH/IVF buckets each query probes — internal index
-  * state no independent SQL replica can reproduce. The sketch halves
-  * of q46/q53 (HLL, percentile_approx) are gated ±5%-vs-exact in
-  * BatterySuite.
+  * `oracleSql` (the t2 correctness gate). As of round 5 EVERY declared
+  * query carries a full oracle — including the ANN pair (±1-hyperplane
+  * LSH whose plane literals are re-emitted into the oracle; seeded-
+  * medoid IVF with portable integer-hash seeds), real-codec media
+  * stats (WAV/BMP/Y4M/PNG formula replicas), and a streaming row
+  * (stream_file_parity: file stream run to completion, final windowed
+  * aggregate ≡ batch). The sketch halves of q46/q53 (HLL,
+  * percentile_approx) are gated ±5%-vs-exact in BatterySuite; trained
+  * Lloyd-IVF and LSH recall are gated in AnnSuite.
   */
 object SparkEntry {
 
@@ -23,7 +23,7 @@ object SparkEntry {
   val battery: Seq[Q] =
     Relational.all ++ TextOps.all ++ VectorOps.all ++ MrParity.all ++
       DedupAnn.all ++ PipelineOps.all ++ Extensibility.all ++ TpchLike.all ++
-      CurationOps.all ++ TrainingPrep.all
+      CurationOps.all ++ TrainingPrep.all ++ StreamingOps.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
