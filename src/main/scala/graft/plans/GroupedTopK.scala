@@ -39,11 +39,13 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * ≤ maxPartialGroups × k rows even when one input partition sees
   * millions of distinct groups; each flush just forfeits some pre-
   * shuffle pruning (≤ k rows per group PER FLUSH cross the wire). The
-  * FINAL phase cannot flush (a group's rows must meet one heap), so its
-  * memory is k × groups-per-post-shuffle-partition — the same class as
-  * hash aggregation without spill; for group cardinalities where even
-  * that overflows an executor, use the sort-based window form, which
-  * spills.
+  * FINAL phase holds NO group map at all: it requires its (already
+  * k·partitions-pruned) input sorted within partitions on
+  * (group, order) — EnsureRequirements plans a SortExec, which spills
+  * through UnsafeExternalSorter — and streams a first-k-per-run
+  * counter in O(1) heap. No group cardinality can overflow an
+  * executor in either phase (the same partial-heap + sorted-final
+  * shape as Spark's own WindowGroupLimit rank-limit pushdown).
   */
 final case class GroupedTopKPlan(
     groupExprs: Seq[Expression],
@@ -58,8 +60,8 @@ final case class GroupedTopKPlan(
 object GroupedTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GroupedTopKPlan =>
-      // partial-phase group-map bound; the final phase must keep every
-      // group of its partition (flushing there would emit >k per group)
+      // partial-phase group-map bound; the final phase streams sorted
+      // group runs and keeps no group map (flushGroups unused there)
       val flushGroups = SparkSession.getActiveSession
         .flatMap(s => scala.util.Try(
           s.conf.get("graft.topk.maxPartialGroups").toInt).toOption)
@@ -73,10 +75,14 @@ object GroupedTopKStrategy extends SparkStrategy {
   }
 }
 
-/** Per-partition bounded-heap top-k. `partial = true` runs on raw input
-  * partitions (no distribution requirement); the final phase requires
-  * clustering on the group keys, so EnsureRequirements inserts the
-  * one shuffle — of the already-pruned partial output. */
+/** Two-phase top-k. `partial = true` runs a bounded-heap pass on raw
+  * input partitions (no distribution requirement), cutting each
+  * partition's contribution to ≤ k rows per group. The final phase
+  * requires clustering on the group keys AND a within-partition sort
+  * on (group, order) — EnsureRequirements inserts the one shuffle (of
+  * the pruned partial output) plus a spillable SortExec — and then
+  * emits the first k rows of each sorted group run with a plain
+  * counter: O(1) memory regardless of group cardinality. */
 final case class GroupedTopKExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
@@ -99,9 +105,45 @@ final case class GroupedTopKExec(
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(normalizedGroup))
 
+  /** Final phase streams sorted group runs, so it asks for the
+    * within-partition (group, order) sort — planned as a SortExec,
+    * which spills; the sorted property also flows downstream. */
+  private def finalOrdering: Seq[SortOrder] =
+    normalizedGroup.map(e => SortOrder(e, Ascending)) ++ order
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil) else Seq(finalOrdering)
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) child.outputOrdering else finalOrdering
+
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
-  protected override def doExecute(): RDD[InternalRow] = {
+  protected override def doExecute(): RDD[InternalRow] =
+    if (partial) doExecutePartial() else doExecuteFinal()
+
+  /** First k of every sorted (group, order) run — a counter over the
+    * spill-sorted input, no per-group state. */
+  private def doExecuteFinal(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val (g, limit) = (normalizedGroup, k)
+    child.execute().mapPartitions { iter =>
+      val groupProj = UnsafeProjection.create(g, childOutput)
+      var currentGroup: UnsafeRow = null
+      var emitted = 0
+      iter.filter { row =>
+        val key = groupProj(row)
+        if (currentGroup == null || currentGroup != key) {
+          currentGroup = key.copy()
+          emitted = 0
+        }
+        emitted += 1
+        emitted <= limit
+      }
+    }
+  }
+
+  private def doExecutePartial(): RDD[InternalRow] = {
     val childOutput = child.output
     val (g, o, limit, maxGroups) = (normalizedGroup, order, k, flushGroups)
     child.execute().mapPartitions { iter =>
@@ -126,9 +168,9 @@ final case class GroupedTopKExec(
         vs.iterator.flatMap(_.iterator)
       }
       // Streams flushes instead of building one giant map: whenever the
-      // group map exceeds the bound (partial phase only — the final
-      // phase passes Int.MaxValue), current heaps are emitted and the
-      // map restarts. The shuffle merge makes fragments per group safe.
+      // group map exceeds the bound, current heaps are emitted and the
+      // map restarts. The final phase's sorted merge makes fragments
+      // per group safe.
       new Iterator[InternalRow] {
         private var out: Iterator[InternalRow] = Iterator.empty
         override def hasNext: Boolean = {

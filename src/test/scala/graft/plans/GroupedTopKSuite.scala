@@ -65,6 +65,33 @@ class GroupedTopKSuite extends SparkSpec {
     } finally spark.conf.unset("graft.topk.maxPartialGroups")
   }
 
+  test("final phase is a sorted stream: O(1) memory at high group cardinality") {
+    import spark.implicits._
+    // 200k distinct groups landing on few post-shuffle partitions, with
+    // the partial flush bound tiny so fragments of one group arrive
+    // interleaved with other groups. The final phase must not hold a
+    // group map: the plan pins a (spillable) Sort between the exchange
+    // and the final GroupedTopK, and the result still matches the
+    // window form.
+    val df = (1 to 400000).map(i => (i % 200000, i, (i * 7919) % 104729))
+      .toDF("g", "id", "v").repartition(4)
+    spark.conf.set("graft.topk.maxPartialGroups", "64")
+    try {
+      val native = GroupedTopK.topK(df, Seq(col("g")),
+        Seq(col("v").desc, col("id").asc), 2)
+      val plan = native.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"), plan)
+      // the final-phase sort request is planned as SortExec ("Sort [")
+      assert("Sort \\[".r.findAllIn(plan).nonEmpty, plan)
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+        .orderBy("g", "id").collect().toSeq
+      val viaNative = native.orderBy("g", "id").collect().toSeq
+      assert(viaNative === viaWindow)
+    } finally spark.conf.unset("graft.topk.maxPartialGroups")
+  }
+
   test("null group keys and null order values flow through") {
     import spark.implicits._
     val df = Seq((Some("a"), Some(1)), (None, Some(2)), (None, Some(3)),
