@@ -23,7 +23,15 @@ object ConnectedComponents {
   /** @param pairs undirected edges as (id_a, id_b) columns.
     * @return (id, label) for every node appearing in `pairs`, label =
     *         min id of the node's component. */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    componentsWithRounds(pairs, maxIter)._1
+
+  /** [[components]] plus the number of propagation rounds run — the
+    * observable the O(log n) pointer-jumping claim is load-tested on
+    * (ConnectedComponentsSuite pins a 10k-node path graph, the
+    * adversarial-diameter case, to ≤ log-ish rounds). */
+  def componentsWithRounds(pairs: DataFrame,
+      maxIter: Int = 20): (DataFrame, Int) = {
     // Every round references the previous labels relation TWICE (the
     // neighbor-min join and the pointer-jump self-join), so building
     // rounds directly on each other doubles the logical plan per round
@@ -88,6 +96,6 @@ object ConnectedComponents {
     // caller drops the DataFrame, or deterministically by a
     // `sparkContext.getPersistentRDDs` sweep (Verify/Bench do this
     // between queries).
-    labels
+    (labels, iter)
   }
 }

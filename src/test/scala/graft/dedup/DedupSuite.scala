@@ -133,6 +133,27 @@ class DedupSuite extends SparkSpec {
     assert(got.size === 12 && got.values.toSet === Set(0L))
   }
 
+  test("connected components: 10k-node path converges in O(log n) rounds") {
+    import spark.implicits._
+    // Adversarial diameter: a 10,000-node path is the worst case for
+    // label propagation (min label is 9999 hops from the far end).
+    // Pointer jumping doubles reach per round, so convergence must be
+    // logarithmic — ~log2(10000) ≈ 13.3 plus slack — not O(diameter).
+    // This load-tests the O(log n) claim instead of asserting it.
+    val n = 10000L
+    val pairs = spark.range(n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+    val (labels, rounds) =
+      graft.dedup.ConnectedComponents.componentsWithRounds(pairs, maxIter = 20)
+    val agg = labels.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("label") === 0L, 1L).otherwise(0L)).as("zeros"))
+      .collect()(0)
+    assert(agg.getLong(0) === n && agg.getLong(1) === n,
+      "every node must carry the component-min label 0")
+    assert(rounds <= 17, s"expected ~log2(10000)+slack rounds, got $rounds")
+  }
+
   test("property: signature agreement estimates Jaccard within ±0.15") {
     import spark.implicits._
     // construct doc pairs with known shingle overlap by sharing a prefix
