@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every declared query against
@@ -19,6 +22,38 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Task-level resource counters for the currently-running query:
+    * shuffle bytes written/read across all tasks plus the max per-task
+    * peak execution memory — the numbers that back the "does this plan
+    * survive 100×" claims with measurements rather than plan shapes. */
+  private final class ResourceListener extends SparkListener {
+    val shuffleWrite = new AtomicLong(0)
+    val shuffleRead = new AtomicLong(0)
+    val peakMem = new AtomicLong(0)
+    override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+      val m = taskEnd.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        peakMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        ()
+      }
+    }
+    def reset(): Unit = { shuffleWrite.set(0); shuffleRead.set(0); peakMem.set(0) }
+  }
+
+  /** The listener bus delivers TaskEnd asynchronously; drain it before
+    * snapshotting per-query counters so metrics don't bleed across
+    * queries. waitUntilEmpty is private[spark], hence the reflective
+    * call (bench-tool only, never in library code). */
+  private def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      ()
+    } catch { case _: Throwable => Thread.sleep(200) }
+
   private def loadAvg(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString
       .split("\\s+")(0).toDouble
@@ -36,7 +71,14 @@ object Bench {
     val pair = """\\?"([A-Za-z0-9_]+)\\?":(-?\d+(?:\.\d+)?(?:E-?\d+)?)""".r
     val all = files.flatMap { f =>
       val txt = try scala.io.Source.fromFile(f).mkString catch { case _: Throwable => "" }
-      pair.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+      // BENCH_SELF.json carries median/shuffle-MB/peak-memory maps
+      // after the min-seconds "queries" map — scanning those would
+      // poison the prior minima (0-MB shuffles read as 0-second
+      // queries), so cut at the first non-minima key. Driver tails
+      // (escaped stdout) never contain these keys.
+      val cut = txt.indexOf("\"queries_median\"")
+      val scan = if (cut >= 0) txt.substring(0, cut) else txt
+      pair.findAllMatchIn(scan).map(m => m.group(1) -> m.group(2).toDouble)
     }
     all.groupBy(_._1).map { case (k, vs) =>
       k -> vs.map(_._2).filter(_ > 0).sorted.headOption.getOrElse(-1.0)
@@ -104,6 +146,25 @@ object Bench {
       val median = sortedT(sortedT.size / 2)
       (name, if (ok) sortedT.head else -1.0, if (ok) median else -1.0)
     }
+    // Dedicated resource-metrics pass (after timing, so listener
+    // overhead and the bus drain never pollute the timed numbers): one
+    // run per query with the counters reset, snapshotted after the bus
+    // drains. Shuffle bytes are plan-determined and stable across
+    // passes; peak memory is the max per-task execution memory.
+    val listener = new ResourceListener
+    spark.sparkContext.addSparkListener(listener)
+    val resources = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      drainListenerBus(spark)
+      listener.reset()
+      val ok = timeOnce(name, fn) >= 0
+      drainListenerBus(spark)
+      val mb = 1024.0 * 1024.0
+      (name,
+        if (ok) (listener.shuffleWrite.get + listener.shuffleRead.get) / mb else -1.0,
+        if (ok) listener.peakMem.get / mb else -1.0)
+    }
+    spark.sparkContext.removeSparkListener(listener)
+
     val loadEnd = loadAvg()
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
@@ -117,9 +178,11 @@ object Bench {
     // the full self-defending artifact (median, load averages, re-
     // measurement list) goes to BENCH_SELF.json in the working
     // directory, committed with the round
+    val shuf = resources.map(t => "\"" + t._1 + "\":" + fmt(t._2)).mkString("{", ",", "}")
+    val peak = resources.map(t => "\"" + t._1 + "\":" + fmt(t._3)).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"load_avg":[$loadStart,$loadEnd],"remeasured":$rr,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"queries_shuffle_mb":$shuf,"queries_peak_mem_mb":$peak,"load_avg":[$loadStart,$loadEnd],"remeasured":$rr,"sf":"$sfDir"}""" + "\n")
     spark.stop()
   }
 }
