@@ -204,6 +204,10 @@ object GraftFunctions {
   def pngDecode(payload: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       PngDecode(org.apache.spark.sql.GraftColumnBridge.expression(payload)))
+
+  def jpegDecode(payload: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      JpegDecode(org.apache.spark.sql.GraftColumnBridge.expression(payload)))
 }
 
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.

@@ -154,3 +154,32 @@ object PngDecode {
     new GenericInternalRow(Array[Any](w, h, ch, new GenericArrayData(ints)))
   }
 }
+
+/** Baseline JPEG → struct<width:int, height:int, channels:int,
+  * pixels:array<int>> — top-down row-major interleaved samples 0..255
+  * (channels = 1 gray / 3 RGB). Real Huffman + IDCT decode
+  * ([[graft.multimodal.JpegCodec]]). */
+case class JpegDecode(child: Expression) extends MediaDecodeExpr {
+  override def dataType: DataType = JpegDecode.schema
+  override def prettyName: String = "graft_jpeg_decode"
+  override def nullSafeEval(input: Any): Any =
+    JpegDecode.compute(input.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = JpegDecode.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): JpegDecode =
+    copy(child = newChild)
+}
+
+object JpegDecode {
+  val schema: StructType = PngDecode.schema
+
+  def compute(bytes: Array[Byte]): InternalRow = {
+    val (w, h, ch, px) = graft.multimodal.JpegCodec.decode(bytes)
+    val ints = new Array[Int](px.length)
+    var i = 0
+    while (i < px.length) { ints(i) = px(i) & 0xff; i += 1 }
+    new GenericInternalRow(Array[Any](w, h, ch, new GenericArrayData(ints)))
+  }
+}

@@ -247,6 +247,45 @@ object PipelineOps {
       .orderBy("media_id")
   }
 
+  /** Baseline JPEG decode over the committed reference fixtures
+    * (src/main/resources/graft/jpeg, encoded ONCE by the JDK ImageIO
+    * reference encoder — see JpegFixtureGen). JPEG mandates no
+    * bit-exact IDCT, so no SQL replica can recompute decoded samples
+    * from a formula; the oracle instead pins this engine's decode of
+    * the fixed bytes as constants, and JpegSuite ties those same
+    * committed fixtures to the ImageIO reference decoder within a
+    * tight numeric band (±2 unsubsampled / ±12 on 4:2:0 chroma
+    * edges). Regenerate fixtures → regenerate constants. */
+  val mediaJpegStats: Q = Q(
+    "media_jpeg_stats",
+    """SELECT * FROM (VALUES
+      |  ('gray_64x48_q85', 64, 48, 1, CAST(3072 AS BIGINT), CAST(197750 AS BIGINT)),
+      |  ('gray_57x33_q70', 57, 33, 1, CAST(1881 AS BIGINT), CAST(129191 AS BIGINT)),
+      |  ('gray_8x8_q95', 8, 8, 1, CAST(64 AS BIGINT), CAST(5077 AS BIGINT)),
+      |  ('rgb_64x48_q85', 64, 48, 3, CAST(9216 AS BIGINT), CAST(1170865 AS BIGINT)),
+      |  ('rgb_57x33_q70', 57, 33, 3, CAST(5643 AS BIGINT), CAST(736995 AS BIGINT)),
+      |  ('rgb_80x56_q92', 80, 56, 3, CAST(13440 AS BIGINT), CAST(1716187 AS BIGINT)))
+      |  t(name, width, height, channels, n_units, sum_val)
+      |ORDER BY name""".stripMargin) { (s, d) =>
+    import graft.functions.GraftFunctions._
+    val names = Seq("gray_64x48_q85", "gray_57x33_q70", "gray_8x8_q95",
+      "rgb_64x48_q85", "rgb_57x33_q70", "rgb_80x56_q92")
+    val rows = names.map { n =>
+      val in = getClass.getResourceAsStream(s"/graft/jpeg/$n.jpg")
+      require(in != null, s"missing committed fixture $n.jpg")
+      try (n, in.readAllBytes()) finally in.close()
+    }
+    import s.implicits._
+    rows.toDF("name", "payload")
+      .select(col("name"), jpegDecode(col("payload")).as("dec"))
+      .select(col("name"),
+        col("dec.width").as("width"), col("dec.height").as("height"),
+        col("dec.channels").as("channels"),
+        size(col("dec.pixels")).cast("long").as("n_units"),
+        aggregate(col("dec.pixels"), lit(0L), (a, x) => a + x).as("sum_val"))
+      .orderBy("name")
+  }
+
   /** Capstone: the full curation pipeline (language floor → quality
     * filters → exact dedup → MinHash near-dedup keep-first → token
     * accounting) with EVERY stage replicated in the oracle SQL. The
@@ -295,5 +334,5 @@ object PipelineOps {
 
   val all: Seq[Q] = Seq(tokenCounts, langidProfile, multimodalFeats,
     mediaDecodeStats, mediaThumbnail, mediaFrameSample, mediaPngStats,
-    curateCorpus)
+    mediaJpegStats, curateCorpus)
 }
