@@ -208,6 +208,10 @@ object GraftFunctions {
   def jpegDecode(payload: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       JpegDecode(org.apache.spark.sql.GraftColumnBridge.expression(payload)))
+
+  def gifDecode(payload: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      GifDecode(org.apache.spark.sql.GraftColumnBridge.expression(payload)))
 }
 
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.

@@ -155,6 +155,46 @@ object PngDecode {
   }
 }
 
+/** GIF → struct<width:int, height:int, n_frames:int,
+  * frames:array<array<int>>> — per-frame palette-applied interleaved
+  * RGB triples 0..255, top-down row-major (animations yield one entry
+  * per image descriptor). Real LZW decompress + container walk
+  * ([[graft.multimodal.GifCodec]]). */
+case class GifDecode(child: Expression) extends MediaDecodeExpr {
+  override def dataType: DataType = GifDecode.schema
+  override def prettyName: String = "graft_gif_decode"
+  override def nullSafeEval(input: Any): Any =
+    GifDecode.compute(input.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = GifDecode.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): GifDecode =
+    copy(child = newChild)
+}
+
+object GifDecode {
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("frames",
+      ArrayType(ArrayType(IntegerType, containsNull = false),
+        containsNull = false), nullable = false)))
+
+  def compute(bytes: Array[Byte]): InternalRow = {
+    val (w, h, frames) = graft.multimodal.GifCodec.gifDecode(bytes)
+    val arrs: Array[Any] = frames.map { rgb =>
+      val ints = new Array[Int](rgb.length)
+      var i = 0
+      while (i < rgb.length) { ints(i) = rgb(i) & 0xff; i += 1 }
+      new GenericArrayData(ints): Any
+    }
+    new GenericInternalRow(Array[Any](w, h, frames.length,
+      new GenericArrayData(arrs)))
+  }
+}
+
 /** Baseline JPEG → struct<width:int, height:int, channels:int,
   * pixels:array<int>> — top-down row-major interleaved samples 0..255
   * (channels = 1 gray / 3 RGB). Real Huffman + IDCT decode

@@ -11,17 +11,22 @@ import org.apache.spark.sql.functions._
   * binary column flowing through parquet — is real and tested. The
   * codec layer is split by what this container can honestly support:
   *
-  *  - WAV / BMP / Y4M / PNG are REAL codecs ([[Codecs]]: RIFF/WAVE
-  *    PCM, 24-bit BI_RGB BMP, YUV4MPEG2, and RFC-2083 PNG — chunk
-  *    walk + CRC + JDK-Inflater + all five unfilters), decoded by
-  *    native expressions (graft.functions.{WavDecode,BmpDecode,
-  *    Y4mDecode,PngDecode}) and oracle-checked end-to-end via
-  *    `media_decode_stats` / `media_png_stats`.
-  *  - JPEG/H.264 need codec libraries that do not ship here;
+  *  - WAV / BMP / Y4M / PNG / GIF / baseline JPEG are REAL codecs
+  *    ([[Codecs]]: RIFF/WAVE PCM, 24-bit BI_RGB BMP, YUV4MPEG2,
+  *    RFC-2083 PNG — chunk walk + CRC + JDK-Inflater + all five
+  *    unfilters; [[GifCodec]]: LZW + palette, incl. animations;
+  *    [[JpegCodec]]: Huffman + dequant + IDCT + 4:2:0 upsample),
+  *    decoded by native expressions (graft.functions.{WavDecode,
+  *    BmpDecode,Y4mDecode,PngDecode,GifDecode,JpegDecode}) and
+  *    oracle-checked end-to-end via `media_decode_stats` /
+  *    `media_png_stats` / `media_gif_frames` / `media_jpeg_stats`.
+  *  - H.264 is the one format that genuinely needs an external codec
+  *    library (entropy decode + inter-frame motion compensation);
   *    `decodeBytes` below stays a DETERMINISTIC FAKE for that path,
   *    and a production deployment swaps only that expression (e.g. a
   *    JNI/javacv call in the same shape) — every other stage is
-  *    codec-agnostic.
+  *    codec-agnostic. MJPEG-style compressed video decodes for real
+  *    via GIF animations (and per-frame JpegDecode).
   *
   * Scale: payloads never shuffle — all feature stages are map-only
   * column ops; only extracted (small) features flow into joins/aggs.
@@ -119,6 +124,31 @@ object Multimodal {
     docs.select(
       col(idCol).as("media_id"),
       lit("png").as("format"),
+      enc(col(idCol), col(textCol)).as("payload"))
+  }
+
+  /** GIF media table: one real LZW-compressed animation per document,
+    * same generation discipline as [[fabricatePng]] so the
+    * `media_gif_frames` oracle recomputes expected per-frame sums from
+    * the formula (gray palette ⇒ RGB = 3× the index sum):
+    *   w = 8 + id%9, h = 8 + (id/9)%9, nf = 1 + id%4,
+    *   frame f index[j] = cp(text[(f*w*h + j) % len]).
+    * Text is ASCII so indices stay < 128; the LZW stream still
+    * exercises dictionary growth and width bumps on repeats. */
+  def fabricateGif(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enc = udf { (id: Long, text: String) =>
+      require(text.nonEmpty, "media synthesis needs non-empty text")
+      val len = text.length
+      val w = (8 + Math.floorMod(id, 9L)).toInt
+      val h = (8 + Math.floorMod(Math.floorDiv(id, 9L), 9L)).toInt
+      val nf = (1 + Math.floorMod(id, 4L)).toInt
+      val frames = Array.tabulate(nf)(f =>
+        Array.tabulate(w * h)(j => text.charAt((f * w * h + j) % len).toByte))
+      GifCodec.gifEncode(w, h, frames)
+    }
+    docs.select(
+      col(idCol).as("media_id"),
+      lit("gif").as("format"),
       enc(col(idCol), col(textCol)).as("payload"))
   }
 

@@ -247,6 +247,48 @@ object PipelineOps {
       .orderBy("media_id")
   }
 
+  /** Real GIF decode, end-to-end and per-frame: documents →
+    * gifEncode (genuine LZW with dictionary growth, width bumps, and
+    * table-full clears; 256-gray palette) → native GifDecode
+    * (container walk, extension skip, LZW decompress, cScSc special
+    * case, palette application) → per-frame RGB sums. The oracle
+    * recomputes expected sums straight from the text generation
+    * formula (gray palette ⇒ each index contributes 3× its value), so
+    * a bug anywhere in the LZW round-trip breaks the hash match. The
+    * multi-frame rows double as the compressed-video path: a GIF
+    * animation is frames-in-one-payload exactly like the Y4M
+    * media_frame_sample query, but through a real entropy coder.
+    * Map-only: payloads never shuffle. */
+  val mediaGifFrames: Q = Q(
+    "media_gif_frames",
+    """WITH d AS (SELECT doc_id, text, length(text) AS len,
+      |             8 + (doc_id % 9) AS w, 8 + ((doc_id // 9) % 9) AS h,
+      |             1 + (doc_id % 4) AS nf
+      |           FROM documents),
+      |f AS (SELECT doc_id, text, len, w, h,
+      |        unnest(range(0, nf)) AS frame_idx
+      |      FROM d)
+      |SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(w * h * 3 AS BIGINT) AS n_units,
+      |  CAST(3 * list_sum(list_transform(range(0, w * h),
+      |    j -> unicode(substr(text,
+      |           CAST((frame_idx * w * h + j) % len AS INT) + 1, 1))))
+      |    AS BIGINT) AS px_sum
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+    import graft.functions.GraftFunctions._
+    val gif = Multimodal.fabricateGif(Tables.documents(s, d), "doc_id", "text")
+    gif.select(col("media_id"), gifDecode(col("payload")).as("dec"))
+      .select(col("media_id"),
+        col("dec.width").as("width"), col("dec.height").as("height"),
+        posexplode(col("dec.frames")).as(Seq("frame_idx", "px")))
+      .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+        col("width"), col("height"),
+        size(col("px")).cast("long").as("n_units"),
+        aggregate(col("px"), lit(0L), (a, x) => a + x).as("px_sum"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Baseline JPEG decode over the committed reference fixtures
     * (src/main/resources/graft/jpeg, encoded ONCE by the JDK ImageIO
     * reference encoder — see JpegFixtureGen). JPEG mandates no
@@ -334,5 +376,5 @@ object PipelineOps {
 
   val all: Seq[Q] = Seq(tokenCounts, langidProfile, multimodalFeats,
     mediaDecodeStats, mediaThumbnail, mediaFrameSample, mediaPngStats,
-    mediaJpegStats, curateCorpus)
+    mediaGifFrames, mediaJpegStats, curateCorpus)
 }
