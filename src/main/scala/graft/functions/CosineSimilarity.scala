@@ -212,6 +212,10 @@ object GraftFunctions {
   def gifDecode(payload: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       GifDecode(org.apache.spark.sql.GraftColumnBridge.expression(payload)))
+
+  def aviFrames(payload: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      AviFrames(org.apache.spark.sql.GraftColumnBridge.expression(payload)))
 }
 
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.

@@ -155,6 +155,40 @@ object PngDecode {
   }
 }
 
+/** AVI/MJPEG demux → struct<width:int, height:int, fps:int,
+  * n_frames:int, frames:array<binary>> — each frame a complete
+  * baseline-JPEG payload for per-frame [[JpegDecode]]. Container walk
+  * only ([[graft.multimodal.AviMjpeg]]); pairs with posexplode so the
+  * expensive frame decode parallelizes per frame, payloads map-side. */
+case class AviFrames(child: Expression) extends MediaDecodeExpr {
+  override def dataType: DataType = AviFrames.schema
+  override def prettyName: String = "graft_avi_frames"
+  override def nullSafeEval(input: Any): Any =
+    AviFrames.compute(input.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = AviFrames.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AviFrames =
+    copy(child = newChild)
+}
+
+object AviFrames {
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("fps", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("frames", ArrayType(BinaryType, containsNull = false),
+      nullable = false)))
+
+  def compute(bytes: Array[Byte]): InternalRow = {
+    val (w, h, fps, frames) = graft.multimodal.AviMjpeg.aviDecode(bytes)
+    new GenericInternalRow(Array[Any](w, h, fps, frames.length,
+      new GenericArrayData(frames.asInstanceOf[Array[Any]])))
+  }
+}
+
 /** GIF → struct<width:int, height:int, n_frames:int,
   * frames:array<array<int>>> — per-frame palette-applied interleaved
   * RGB triples 0..255, top-down row-major (animations yield one entry

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{AviMjpeg, Multimodal}
 import graft.text.LangId
 
 /** Declared queries for the remaining LLM-pipeline operators: BPE-ish
@@ -328,6 +328,55 @@ object PipelineOps {
       .orderBy("name")
   }
 
+  /** Compressed VIDEO end-to-end: RIFF/AVI Motion-JPEG containers
+    * (assembled from the committed ImageIO-pinned JPEG fixtures) →
+    * native AviFrames demux → posexplode → per-frame JpegDecode →
+    * stats. The oracle pins the expected rows as constants: container
+    * geometry (fps, n_frames) proves the demux header walk, and the
+    * per-frame sums are exactly the media_jpeg_stats constants, so a
+    * regression in either the container walk or the JPEG entropy/IDCT
+    * path breaks the match. Plan shape: demux and decode are map-only;
+    * payload bytes never reach a shuffle. */
+  val mediaMjpegFrames: Q = Q(
+    "media_mjpeg_frames",
+    """SELECT * FROM (VALUES
+      |  ('v1_64x48', 25, 3, 0, 3, CAST(9216 AS BIGINT), CAST(1170865 AS BIGINT)),
+      |  ('v1_64x48', 25, 3, 1, 1, CAST(3072 AS BIGINT), CAST(197750 AS BIGINT)),
+      |  ('v1_64x48', 25, 3, 2, 3, CAST(9216 AS BIGINT), CAST(1170865 AS BIGINT)),
+      |  ('v2_57x33', 10, 2, 0, 1, CAST(1881 AS BIGINT), CAST(129191 AS BIGINT)),
+      |  ('v2_57x33', 10, 2, 1, 3, CAST(5643 AS BIGINT), CAST(736995 AS BIGINT)),
+      |  ('v3_80x56', 50, 1, 0, 3, CAST(13440 AS BIGINT), CAST(1716187 AS BIGINT)))
+      |  t(vid, fps, n_frames, frame_idx, channels, n_units, sum_val)
+      |ORDER BY vid, frame_idx""".stripMargin) { (s, d) =>
+    import graft.functions.GraftFunctions._
+    def fixture(n: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/graft/jpeg/$n.jpg")
+      require(in != null, s"missing committed fixture $n.jpg")
+      try in.readAllBytes() finally in.close()
+    }
+    val rgb64 = fixture("rgb_64x48_q85"); val gray64 = fixture("gray_64x48_q85")
+    val gray57 = fixture("gray_57x33_q70"); val rgb57 = fixture("rgb_57x33_q70")
+    val rgb80 = fixture("rgb_80x56_q92")
+    val videos = Seq(
+      ("v1_64x48", AviMjpeg.aviEncode(64, 48, 25, Array(rgb64, gray64, rgb64))),
+      ("v2_57x33", AviMjpeg.aviEncode(57, 33, 10, Array(gray57, rgb57))),
+      ("v3_80x56", AviMjpeg.aviEncode(80, 56, 50, Array(rgb80))))
+    import s.implicits._
+    videos.toDF("vid", "payload")
+      .select(col("vid"), aviFrames(col("payload")).as("demux"))
+      .select(col("vid"), col("demux.fps").as("fps"),
+        col("demux.n_frames").as("n_frames"),
+        posexplode(col("demux.frames")).as(Seq("frame_idx", "jpeg")))
+      .select(col("vid"), col("fps"), col("n_frames"),
+        col("frame_idx").cast("int").as("frame_idx"),
+        jpegDecode(col("jpeg")).as("dec"))
+      .select(col("vid"), col("fps"), col("n_frames"), col("frame_idx"),
+        col("dec.channels").as("channels"),
+        size(col("dec.pixels")).cast("long").as("n_units"),
+        aggregate(col("dec.pixels"), lit(0L), (a, x) => a + x).as("sum_val"))
+      .orderBy("vid", "frame_idx")
+  }
+
   /** Capstone: the full curation pipeline (language floor → quality
     * filters → exact dedup → MinHash near-dedup keep-first → token
     * accounting) with EVERY stage replicated in the oracle SQL. The
@@ -376,5 +425,5 @@ object PipelineOps {
 
   val all: Seq[Q] = Seq(tokenCounts, langidProfile, multimodalFeats,
     mediaDecodeStats, mediaThumbnail, mediaFrameSample, mediaPngStats,
-    mediaGifFrames, mediaJpegStats, curateCorpus)
+    mediaGifFrames, mediaJpegStats, mediaMjpegFrames, curateCorpus)
 }
