@@ -257,6 +257,61 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** Language-model perplexity scoring (the CCNet-style quality
+    * filter): a char-bigram LM with add-1 smoothing is trained on the
+    * corpus itself, then every document is scored by its perplexity
+    * under that model — high-ppl docs are the gibberish/boilerplate
+    * candidates a curation pipeline drops or down-weights.
+    *
+    * P(c2|c1) = (count(c1c2) + 1) / (count(c1·) + V), V = distinct
+    * chars; ppl = exp(-mean ln P). Two passes over the corpus, both
+    * scale-shaped: training is explode → two-phase count on a key
+    * space bounded by V² (map-side combine collapses each partition to
+    * ≤V² rows, and the model table is broadcast back — it never
+    * shuffles the corpus); scoring is explode → broadcast-join →
+    * per-doc mean (one doc_id-keyed shuffle of partial sums). A real
+    * deployment would persist the tiny model table and score
+    * incrementally; the final round(…, 4) absorbs cross-engine libm
+    * and summation-order ulps (per the verify notes' float rules). */
+  val lmPerplexity: Q = Q(
+    "lm_perplexity",
+    """WITH pos AS (SELECT doc_id, text, length(text) AS len
+      |             FROM documents WHERE length(text) >= 2),
+      |bg AS (SELECT doc_id, substr(text, CAST(j AS INT), 2) AS b
+      |       FROM pos, LATERAL (SELECT unnest(range(1, len)) AS j) u),
+      |cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+      |pre AS (SELECT substr(b, 1, 1) AS c1, sum(c) AS tot
+      |        FROM cnt GROUP BY 1),
+      |v AS (SELECT count(DISTINCT substr(text, CAST(j AS INT), 1)) AS vsize
+      |      FROM pos, LATERAL (SELECT unnest(range(1, len + 1)) AS j) u)
+      |SELECT bg.doc_id, count(*) AS n_bigrams,
+      |  round(exp(-avg(ln((cnt.c + 1.0) / (pre.tot + v.vsize)))), 4) AS ppl
+      |FROM bg JOIN cnt USING (b)
+      |        JOIN pre ON substr(bg.b, 1, 1) = pre.c1
+      |        CROSS JOIN v
+      |GROUP BY bg.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val base = docs(s, d).filter(length(col("text")) >= 2)
+    val bg = base.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, length(text) - 1), j -> substring(text, j, 2))"))
+      .as("b"))
+    val cnt = bg.groupBy("b").agg(count(lit(1)).as("c"))
+    val pre = cnt.groupBy(substring(col("b"), 1, 1).as("c1"))
+      .agg(sum(col("c")).as("tot"))
+    val v = base.select(explode(expr(
+      "transform(sequence(1, length(text)), j -> substring(text, j, 1))"))
+      .as("ch"))
+      .agg(countDistinct(col("ch")).as("vsize"))
+    bg.join(broadcast(cnt), "b")
+      .join(broadcast(pre), substring(col("b"), 1, 1) === col("c1"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(-avg(log((col("c") + 1.0) / (col("tot") + col("vsize"))))), 4)
+          .as("ppl"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(asofJoin, asofJoinTolerance, decontamOverlap,
-    sampleStratified, sampleQuota, piiScrub, repetitionScore)
+    sampleStratified, sampleQuota, piiScrub, repetitionScore, lmPerplexity)
 }
