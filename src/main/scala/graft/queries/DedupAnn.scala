@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ann.{AnnIvf, AnnLsh}
+import graft.ann.{AnnIvf, AnnLsh, ProductQuantizer}
 import graft.dedup.{CosineDedup, MinHashLSH, SimHash}
 
 /** Declared queries for the probabilistic dedup / ANN operators.
@@ -360,6 +360,48 @@ object DedupAnn {
       .orderBy("qid", "rn")
   }
 
+  /** Product quantization: 64-dim embeddings → 8 sub-codes from
+    * 16-codeword seeded-medoid codebooks (32× compression; the memory
+    * format a 100 TB re-rank table actually stores). Fully
+    * oracle-checked: the oracle replays seed selection (portable
+    * multiplicative hash), the ordered squared-L2 fold per (vector,
+    * subspace, codeword), and the argmin with code tie-break. Codes
+    * emitted as a comma-joined string so the compare is
+    * representation-stable. Assignment is map-only — codebooks ride as
+    * literals; no shuffle. */
+  val pqEncode: Q = Q(
+    "pq_encode",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    (CAST(vec_id AS BIGINT) * 2654435761) & 2147483647 AS h
+      |  FROM embeddings WHERE len(embedding) = 64),
+      |seeds AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS j,
+      |         v AS sv
+      |  FROM (SELECT * FROM e ORDER BY h, vec_id LIMIT 16) s0),
+      |sub AS (
+      |  SELECT e.vec_id AS id, sp.s AS sp, seeds.j AS code,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> (e.v[CAST(sp.s*8 + i AS INT)] - seeds.sv[CAST(sp.s*8 + i AS INT)])
+      |         * (e.v[CAST(sp.s*8 + i AS INT)] - seeds.sv[CAST(sp.s*8 + i AS INT)])))
+      |      AS dist
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sp CROSS JOIN seeds),
+      |asn AS (SELECT id, sp, code FROM (
+      |    SELECT id, sp, code,
+      |      row_number() OVER (PARTITION BY id, sp ORDER BY dist, code) AS rk
+      |    FROM sub) t WHERE rk = 1)
+      |SELECT id AS vec_id,
+      |  array_to_string(list(code ORDER BY sp), ',') AS code_str
+      |FROM asn GROUP BY id ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val emb64 = Tables.embeddings(s, d)
+      .filter(size(col("embedding")) === 64)
+    val books = ProductQuantizer.codebooks(emb64, "vec_id", "embedding",
+      m = 8, k = 16)
+    ProductQuantizer.encode(emb64, "vec_id", "embedding", books)
+      .select(col("id").as("vec_id"), col("code_str"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, dedupComponents,
-    dedupKeepBest, simhashPairs, annTopK, cosineDedupStats, ivfTopK)
+    dedupKeepBest, simhashPairs, annTopK, cosineDedupStats, ivfTopK,
+    pqEncode)
 }
