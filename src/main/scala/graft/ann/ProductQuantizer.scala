@@ -23,9 +23,15 @@ import org.apache.spark.sql.functions._
   * variant would share all the plumbing but lose the oracle (same
   * trade documented on [[AnnIvf]]).
   *
-  * Assignment is map-only: codebooks are driver-side literals (k·dim
-  * doubles), each row computes m·k ordered squared-L2 folds in one
-  * projection — no shuffle, no UDF, all codegen'd HOFs.
+  * Assignment is map-only: codebooks ride as a driver-side constant
+  * (m·k·sub doubles), each row computes its m·k ordered squared-L2
+  * folds inside ONE native codegen expression
+  * ([[graft.functions.PqEncode]]) — no shuffle, no UDF, no
+  * interpreted HOFs. (The original composable form used
+  * `aggregate(zip_with(...))` per codeword; Spark's array HOFs are
+  * CodegenFallback, so that planned 128 interpreted folds per row —
+  * kept as [[encodeHof]] purely as the parity reference the suite
+  * checks the native expression against.)
   */
 object ProductQuantizer {
 
@@ -49,10 +55,55 @@ object ProductQuantizer {
       zip_with(subVec, typedlit(codeword), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
 
+  private def flatten(books: Seq[Seq[Seq[Double]]]): Array[Double] =
+    books.flatten.flatten.toArray
+
+  /** The codes column through the native one-pass expression. */
+  def encodeCol(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val m = books.length
+    val k = books.head.length
+    val sub = books.head.head.length
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          vec.cast("array<double>")),
+        flatten(books), m, k, sub))
+  }
+
+  /** Approximate squared-L2 between a raw query vector and a code
+    * array (asymmetric distance), through the native expression. */
+  def adcCol(queryVec: Column, codes: Column,
+      books: Seq[Seq[Seq[Double]]]): Column = {
+    val m = books.length
+    val k = books.head.length
+    val sub = books.head.head.length
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PqAdc(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          queryVec.cast("array<double>")),
+        org.apache.spark.sql.GraftColumnBridge.expression(codes),
+        flatten(books), m, k, sub))
+  }
+
   /** (id, codes: array<int>, code_str) — one code per subspace,
-    * argmin squared-L2 with code-index tie-break via lexicographic
-    * struct array_min. */
+    * argmin squared-L2 with lowest-code tie-break, computed by the
+    * native [[graft.functions.PqEncode]] expression (bit-identical to
+    * [[encodeHof]], which PqSuite asserts). */
   def encode(vectors: DataFrame, idCol: String, vecCol: String,
+      books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = books.length
+    val sub = books.head.head.length
+    vectors
+      .filter(size(col(vecCol)) === lit(m * sub))
+      .select(col(idCol).as("id"),
+        encodeCol(col(vecCol), books).as("codes"))
+      .withColumn("code_str", array_join(col("codes"), ","))
+  }
+
+  /** The original composable-HOF encode (interpreted: Spark array HOFs
+    * are CodegenFallback) — retained ONLY as the parity reference for
+    * the native expression; production paths use [[encode]]. */
+  def encodeHof(vectors: DataFrame, idCol: String, vecCol: String,
       books: Seq[Seq[Seq[Double]]]): DataFrame = {
     val m = books.length
     val sub = books.head.head.length

@@ -401,7 +401,78 @@ object DedupAnn {
       .orderBy("vec_id")
   }
 
+  /** PQ asymmetric-distance top-5 — the search half of product
+    * quantization (pq_encode is the build half): each query's
+    * approximate squared-L2 to a corpus row is the sum of per-subspace
+    * squared distances to that row's ASSIGNED CODEWORDS, never the raw
+    * corpus vector — the scan a 100 TB re-rank actually runs (codes
+    * are 8 bytes/row; full vectors stay cold). 5 query vectors
+    * broadcast against the code table (bounded-by-design nested loop,
+    * same shape as cosine_topk); native PqAdc expression per pair. The
+    * oracle replays seed selection, code assignment, and the ordered
+    * two-level distance fold (in-order list_sum of in-order subspace
+    * list_sums). Recall vs exact L2 is gated in PqSuite. */
+  val pqAdcTopK: Q = Q(
+    "pq_adc_topk",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    (CAST(vec_id AS BIGINT) * 2654435761) & 2147483647 AS h
+      |  FROM embeddings WHERE len(embedding) = 64),
+      |seeds AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS j,
+      |         v AS sv
+      |  FROM (SELECT * FROM e ORDER BY h, vec_id LIMIT 16) s0),
+      |sub AS (
+      |  SELECT e.vec_id AS id, sp.s AS sp, seeds.j AS code,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> (e.v[CAST(sp.s*8 + i AS INT)] - seeds.sv[CAST(sp.s*8 + i AS INT)])
+      |         * (e.v[CAST(sp.s*8 + i AS INT)] - seeds.sv[CAST(sp.s*8 + i AS INT)])))
+      |      AS dist
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sp CROSS JOIN seeds),
+      |asn AS (SELECT id, sp, code FROM (
+      |    SELECT id, sp, code,
+      |      row_number() OVER (PARTITION BY id, sp ORDER BY dist, code) AS rk
+      |    FROM sub) t WHERE rk = 1),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |qsub AS (
+      |  SELECT q.qid, asn.id, asn.sp,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> (q.qv[CAST(asn.sp*8 + i AS INT)] - seeds.sv[CAST(asn.sp*8 + i AS INT)])
+      |         * (q.qv[CAST(asn.sp*8 + i AS INT)] - seeds.sv[CAST(asn.sp*8 + i AS INT)])))
+      |      AS ds
+      |  FROM q CROSS JOIN asn JOIN seeds ON seeds.j = asn.code
+      |  WHERE asn.id <> q.qid),
+      |scored AS (
+      |  SELECT qid, id, list_sum(list(ds ORDER BY sp)) AS dist_exact
+      |  FROM qsub GROUP BY qid, id)
+      |SELECT qid, id, round(dist_exact, 6) AS dist, rn FROM (
+      |  SELECT qid, id, dist_exact,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist_exact, id)
+      |      AS INTEGER) AS rn
+      |  FROM scored) r
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    val emb64 = Tables.embeddings(s, d)
+      .filter(size(col("embedding")) === 64)
+    val books = ProductQuantizer.codebooks(emb64, "vec_id", "embedding",
+      m = 8, k = 16)
+    val codes = ProductQuantizer.encode(emb64, "vec_id", "embedding", books)
+      .select(col("id"), col("codes"))
+    val queries = emb64.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dist_exact").asc, col("id").asc)
+    codes.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("dist_exact",
+        ProductQuantizer.adcCol(col("qv"), col("codes"), books))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("id"),
+        round(col("dist_exact"), 6).as("dist"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, dedupComponents,
     dedupKeepBest, simhashPairs, annTopK, cosineDedupStats, ivfTopK,
-    pqEncode)
+    pqEncode, pqAdcTopK)
 }

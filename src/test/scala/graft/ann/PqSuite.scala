@@ -55,6 +55,75 @@ class PqSuite extends SparkSpec {
       s"PQ codes ($pqErr) should beat constant code ($constErr)")
   }
 
+  test("native PqEncode is bit-identical to the composable HOF form") {
+    val df = fixture
+    val books = ProductQuantizer.codebooks(df, "vec_id", "embedding", m = 4, k = 8)
+    def strs(enc: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      enc.select("id", "code_str").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val native = strs(ProductQuantizer.encode(df, "vec_id", "embedding", books))
+    val hof = strs(ProductQuantizer.encodeHof(df, "vec_id", "embedding", books))
+    assert(native.size === 60)
+    assert(native === hof)
+  }
+
+  test("PqEncode runs inside whole-stage codegen (the point of the native form)") {
+    // A doGenCode bug makes Spark silently fall back to interpreted
+    // eval for the whole stage — the exact regression this expression
+    // exists to prevent. Pin: the Project stage carrying the encode is
+    // codegen'd AND actually contains the expression.
+    // repartition defeats ConvertToLocalRelation (which would fold the
+    // projection driver-side and never exercise generated code)
+    val df = fixture.repartition(2)
+    val books = ProductQuantizer.codebooks(df, "vec_id", "embedding", m = 4, k = 8)
+    val enc = df.select(
+      ProductQuantizer.encodeCol(org.apache.spark.sql.functions.col("embedding"),
+        books).as("codes"))
+    enc.collect() // force execution so AQE finalizes the plan
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pq_encode"), plan)
+    assert(plan.split('\n').exists(l =>
+      l.contains("*(") && l.contains("Project")), s"encode Project lost codegen:\n$plan")
+  }
+
+  test("ADC distance matches driver-side math exactly and ranks sanely") {
+    val df = fixture
+    val books = ProductQuantizer.codebooks(df, "vec_id", "embedding", m = 4, k = 8)
+    val enc = ProductQuantizer.encode(df, "vec_id", "embedding", books)
+    import org.apache.spark.sql.functions._
+    val queries = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    val got = enc.crossJoin(broadcast(queries))
+      .select(col("qid"), col("id"),
+        ProductQuantizer.adcCol(col("qv"), col("codes"), books).as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val vecs = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val codes = enc.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val sub = 4
+    for (q <- 0L until 3L; id <- vecs.keys) {
+      var total = 0.0
+      for (s <- 0 until 4) {
+        val cw = books(s)(codes(id)(s))
+        var d = 0.0
+        for (i <- 0 until sub) {
+          val diff = vecs(q)(s * sub + i) - cw(i)
+          d += diff * diff
+        }
+        total += d
+      }
+      assert(got((q, id)) === total, s"ADC mismatch for q=$q id=$id")
+    }
+    // ADC is approximate but must carry geometry: each query's own
+    // row (exact reconstruction distance) must land in its ADC top-5
+    for (q <- 0L until 3L) {
+      val top5 = vecs.keys.toSeq.sortBy(id => (got((q, id)), id)).take(5)
+      assert(top5.contains(q), s"query $q not in own ADC top-5: $top5")
+    }
+  }
+
   private def reconstructionErr(v: Seq[Double], codes: Seq[Int],
       books: Seq[Seq[Seq[Double]]]): Double = {
     val sub = v.length / books.length

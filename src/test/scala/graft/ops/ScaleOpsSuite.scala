@@ -153,14 +153,20 @@ class ScaleOpsSuite extends SparkSpec {
       "ngram_jaccard_pairs",  // doc_id < 50 capped pair set
       "cosine_pairs",         // 20-vector bounded pair set
       "cosine_topk",          // 5 broadcast query vectors, theta join
+      "pq_adc_topk",          // 5 broadcast query vectors vs PQ codes
       "q27_quartile_buckets", // 1-row broadcast of quartile bounds
       "q28_subqueries",       // 1-row broadcast of the scalar aggregate
       "curate_corpus",        // 1-row x 1-row report join
       "mixture_allocate",     // 1-row budget broadcast
       "tfidf_top_terms",      // 1-row broadcast of the corpus doc count
-      "dedup_exact_stats", "dedup_cosine_stats", "cosine_dedup_stats",
+      "dedup_exact_stats", "cosine_dedup_stats",
       "minhash_keepfirst",    // 1-row x 1-row count report
+      "lm_perplexity",        // 1-row vocab-size broadcast joined to docs
       "embed_stats")          // bounded label-centroid stats
+    // Dead whitelist entries hide rot: every name must still be declared.
+    val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
+    assert(undeclared.isEmpty,
+      s"boundedByDesign lists queries that no longer exist: ${undeclared.mkString(", ")}")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
