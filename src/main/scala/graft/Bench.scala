@@ -88,6 +88,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Local-iteration filter (mirrors Verify's 3rd arg): bench only the
+    // named queries. The driver never sets it — full battery there.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -125,14 +129,16 @@ object Bench {
     // index caches all land on the warm-up, so the measured passes report
     // steady-state engine time (first-query cold-start was otherwise
     // attributed to whichever query ran first).
-    SparkEntry.queries.foreach { case (name, fn) => timeOnce(name, fn) }
+    val battery = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    battery.foreach { case (name, fn) => timeOnce(name, fn) }
 
     // Three measured passes, keep min AND median: single-sample timings
     // on a shared 32-thread box carry GC/scheduler noise that can triple
     // a sub-second query (observed run-to-run swings of 5x).
     val prior = priorMinima()
     val rerun = Seq.newBuilder[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = battery.toSeq.sortBy(_._1).map { case (name, fn) =>
       var times = (1 to 3).map(_ => timeOnce(name, fn))
       // Ambient-load defense: a min 2x above the best prior round is a
       // noisy measurement until proven otherwise — re-measure. (2x is
@@ -155,7 +161,7 @@ object Bench {
     // passes; peak memory is the max per-task execution memory.
     val listener = new ResourceListener
     spark.sparkContext.addSparkListener(listener)
-    val resources = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val resources = battery.toSeq.sortBy(_._1).map { case (name, fn) =>
       drainListenerBus(spark)
       listener.reset()
       val ok = timeOnce(name, fn) >= 0
