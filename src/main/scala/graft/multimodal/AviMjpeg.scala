@@ -126,7 +126,10 @@ object AviMjpeg {
           case "LIST" =>
             val typ = tag()
             typ match {
-              case "hdrl" | "strl" | "movi" => walk(b.position() + len - 4)
+              // "rec " groups interleaved frame chunks inside movi —
+              // skipping it would silently drop frames
+              case "hdrl" | "strl" | "movi" | "rec " =>
+                walk(b.position() + len - 4)
               case _ => () // INFO etc.
             }
           case "avih" =>
@@ -135,7 +138,10 @@ object AviMjpeg {
             b.getInt; b.getInt; b.getInt; b.getInt; b.getInt; b.getInt; b.getInt
             width = b.getInt
             height = b.getInt
-            fps = if (usPerFrame > 0) 1000000 / usPerFrame else 0
+            // round, don't truncate: 29.97 fps is encoded as 33367 µs
+            // and must decode to 30, not 29 (integer-fps schema)
+            fps = if (usPerFrame > 0) (1000000 + usPerFrame / 2) / usPerFrame
+                  else 0
           case "00dc" | "00db" =>
             val f = new Array[Byte](len)
             b.get(f)

@@ -159,6 +159,11 @@ object GifCodec {
     val width = u16(bytes, 6)
     val height = u16(bytes, 8)
     require(width > 0 && height > 0, s"invalid GIF dims ${width}x$height")
+    // width*height*3 must not overflow Int (40000x40000 wraps positive):
+    // a hostile header should fail validation here, not as an opaque
+    // ArrayIndexOutOfBounds or a multi-GB allocation downstream
+    require(width.toLong * height * 3 <= Int.MaxValue,
+      s"GIF dims ${width}x$height exceed the supported pixel budget")
     val packed = bytes(10) & 0xff
     var pos = 13
     val globalPalette: Array[Byte] = if ((packed & 0x80) != 0) {

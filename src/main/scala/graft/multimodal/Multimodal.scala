@@ -143,7 +143,14 @@ object Multimodal {
       val h = (8 + Math.floorMod(Math.floorDiv(id, 9L), 9L)).toInt
       val nf = (1 + Math.floorMod(id, 4L)).toInt
       val frames = Array.tabulate(nf)(f =>
-        Array.tabulate(w * h)(j => text.charAt((f * w * h + j) % len).toByte))
+        Array.tabulate(w * h) { j =>
+          val c = text.charAt((f * w * h + j) % len)
+          // toByte would silently wrap code points > 255 and the
+          // media_gif_frames oracle replays unicode() — a non-Latin-1
+          // fixture must fail loudly, not hash-mismatch confusingly
+          require(c < 256, f"non-Latin-1 char U+${c.toInt}%04X in GIF fixture text")
+          c.toByte
+        })
       GifCodec.gifEncode(w, h, frames)
     }
     docs.select(

@@ -47,6 +47,58 @@ class AviSuite extends AnyFunSuite {
     assert(out(0).toSeq === frames(0).toSeq)
   }
 
+  test("frames inside a 'rec ' LIST within movi are collected") {
+    // interleaved AVIs group frame chunks in LIST('rec ') inside movi;
+    // a demuxer that skips them silently drops frames
+    val f0 = fakeJpeg(100, 1)
+    val f1 = fakeJpeg(101, 2) // odd → padded inside rec
+    val base = AviMjpeg.aviEncode(16, 16, 10, Array(f0))
+    def le32(n: Int) = Array[Byte]((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+      ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte)
+    def chunk(id: String, d: Array[Byte]) =
+      id.getBytes("US-ASCII") ++ le32(d.length) ++ d ++
+        (if (d.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val recBody = "rec ".getBytes("US-ASCII") ++ chunk("00dc", f1)
+    val rec = "LIST".getBytes("US-ASCII") ++ le32(recBody.length) ++ recBody
+    // splice the rec LIST at the very end of the movi list body
+    val moviAt = {
+      var i = 12
+      def tagAt(p: Int) = new String(base, p + 8, 4, "US-ASCII")
+      while (!(new String(base, i, 4, "US-ASCII") == "LIST" && tagAt(i) == "movi"))
+        i += 1
+      i
+    }
+    val moviLen = java.nio.ByteBuffer.wrap(base, moviAt + 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val moviEnd = moviAt + 8 + moviLen
+    val spliced = base.take(moviEnd) ++ rec ++ base.drop(moviEnd)
+    // patch movi LIST length and RIFF length
+    def patch32(a: Array[Byte], at: Int, v: Int): Unit =
+      le32(v).copyToArray(a, at)
+    patch32(spliced, moviAt + 4, moviLen + rec.length)
+    patch32(spliced, 4, spliced.length - 8)
+    val (w, h, _, out) = AviMjpeg.aviDecode(spliced)
+    assert((w, h, out.length) === ((16, 16, 2)))
+    assert(out(0).toSeq === f0.toSeq)
+    assert(out(1).toSeq === f1.toSeq)
+  }
+
+  test("non-integer frame rates round to nearest (29.97fps != 29)") {
+    // encode side only writes integer fps; synthesize the 29.97 case by
+    // patching usPerFrame = 33367 into avih
+    val bytes = AviMjpeg.aviEncode(16, 16, 25, Array(fakeJpeg(64, 5)))
+    val avihAt = {
+      var i = 12
+      while (new String(bytes, i, 4, "US-ASCII") != "avih") i += 1
+      i
+    }
+    val patched = bytes.clone()
+    java.nio.ByteBuffer.wrap(patched, avihAt + 8, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(33367)
+    val (_, _, fps, _) = AviMjpeg.aviDecode(patched)
+    assert(fps === 30)
+  }
+
   test("malformed streams are rejected, not misdecoded") {
     val good = AviMjpeg.aviEncode(8, 8, 5, Array(fakeJpeg(64, 2)))
     intercept[IllegalArgumentException](
