@@ -99,8 +99,9 @@ object AnnIvf {
       nearestCell(v, cents).as("cell"))
   }
 
-  /** nProbe cells per query vector. */
-  private def probeCells(vec: Column, cents: Seq[Seq[Double]],
+  /** nProbe cells per query vector (public: ivfpq_topk composes it
+    * with PQ-ADC re-rank). */
+  def probeCells(vec: Column, cents: Seq[Seq[Double]],
       nProbe: Int): Column = {
     val scored = array(cents.zipWithIndex.map { case (c, i) =>
       struct((lit(0.0) - GraftFunctions.cosineNative(vec, typedlit(c)))

@@ -171,6 +171,26 @@ object CurationOps {
       .orderBy("source", "rn")
   }
 
+  /** Deterministic train/val/test split: every doc lands in exactly one
+    * split by hash bucket (80/10/10), independent of ingest order, run,
+    * or cluster layout — the assignment a training pipeline must be
+    * able to recompute years later from the id alone. Pure map, no
+    * shuffle. Distinct multiplier from the sampling queries so split
+    * membership does not correlate with sample membership; same 31-bit
+    * pre-mask (overflow-proof in both engines, see sample_stratified). */
+  val splitAssign: Q = Q(
+    "split_assign",
+    """SELECT doc_id, lang,
+      |  CASE WHEN ((doc_id & 2147483647) * 2246822519) % 1000 < 800 THEN 'train'
+      |       WHEN ((doc_id & 2147483647) * 2246822519) % 1000 < 900 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val r = (col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2246822519L)) % 1000
+    docs(s, d).select(col("doc_id"), col("lang"),
+      when(r < 800, "train").when(r < 900, "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** PII scrubbing: regex-redact emails and phone numbers, counting
     * redactions. The fixtures are synthetic word salad, so deterministic
     * PII is appended per doc before scrubbing — the scrub itself (global
@@ -313,5 +333,6 @@ object CurationOps {
   }
 
   val all: Seq[Q] = Seq(asofJoin, asofJoinTolerance, decontamOverlap,
-    sampleStratified, sampleQuota, piiScrub, repetitionScore, lmPerplexity)
+    sampleStratified, sampleQuota, splitAssign, piiScrub, repetitionScore,
+    lmPerplexity)
 }

@@ -472,7 +472,111 @@ object DedupAnn {
       .orderBy("qid", "rn")
   }
 
+  /** IVF + PQ — the production ANN composition at 100 TB: the coarse
+    * quantizer prunes the corpus to nProbe cells (partition-pruned
+    * scans once the index is stored partitioned by cell), and the scan
+    * inside a cell touches only 8-byte PQ codes via asymmetric
+    * distance, never raw vectors. Every stage is the seeded exact math
+    * already oracle-checked piecewise (ivf_cosine_topk's cell
+    * assignment/probing + pq_adc_topk's code assignment/ADC), replayed
+    * here end-to-end in one DuckDB statement. Candidates come from an
+    * equi-join on cell — no cartesian; the 5 probing queries
+    * broadcast. */
+  val ivfpqTopK: Q = Q(
+    "ivfpq_topk",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    (CAST(vec_id AS BIGINT) * 2654435761) & 2147483647 AS h
+      |  FROM embeddings WHERE len(embedding) = 64),
+      |cseeds AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS j,
+      |         v AS sv
+      |  FROM (SELECT * FROM e ORDER BY h, vec_id LIMIT 8) s0),
+      |pseeds AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS j,
+      |         v AS sv
+      |  FROM (SELECT * FROM e ORDER BY h, vec_id LIMIT 16) s0),
+      |casn AS (
+      |  SELECT id, cell FROM (
+      |    SELECT e.vec_id AS id, s.j AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, s.sv)
+      |          / (sqrt(list_dot_product(e.v, e.v))
+      |             * sqrt(list_dot_product(s.sv, s.sv))) DESC, s.j) AS rk
+      |    FROM e CROSS JOIN cseeds s) t
+      |  WHERE rk = 1),
+      |sub AS (
+      |  SELECT e.vec_id AS id, sp.s AS sp, pseeds.j AS code,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> (e.v[CAST(sp.s*8 + i AS INT)] - pseeds.sv[CAST(sp.s*8 + i AS INT)])
+      |         * (e.v[CAST(sp.s*8 + i AS INT)] - pseeds.sv[CAST(sp.s*8 + i AS INT)])))
+      |      AS dist
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sp CROSS JOIN pseeds),
+      |asn AS (SELECT id, sp, code FROM (
+      |    SELECT id, sp, code,
+      |      row_number() OVER (PARTITION BY id, sp ORDER BY dist, code) AS rk
+      |    FROM sub) t WHERE rk = 1),
+      |qprobe AS (
+      |  SELECT qid, cell FROM (
+      |    SELECT e.vec_id AS qid, s.j AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, s.sv)
+      |          / (sqrt(list_dot_product(e.v, e.v))
+      |             * sqrt(list_dot_product(s.sv, s.sv))) DESC, s.j) AS rk
+      |    FROM e CROSS JOIN cseeds s WHERE e.vec_id < 5) t
+      |  WHERE rk <= 3),
+      |cand AS (
+      |  SELECT DISTINCT qp.qid, ca.id
+      |  FROM qprobe qp JOIN casn ca USING (cell)
+      |  WHERE ca.id <> qp.qid),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |qsub AS (
+      |  SELECT c.qid, c.id, asn.sp,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> (q.qv[CAST(asn.sp*8 + i AS INT)] - pseeds.sv[CAST(asn.sp*8 + i AS INT)])
+      |         * (q.qv[CAST(asn.sp*8 + i AS INT)] - pseeds.sv[CAST(asn.sp*8 + i AS INT)])))
+      |      AS ds
+      |  FROM cand c JOIN q ON q.qid = c.qid
+      |       JOIN asn ON asn.id = c.id
+      |       JOIN pseeds ON pseeds.j = asn.code),
+      |scored AS (
+      |  SELECT qid, id, list_sum(list(ds ORDER BY sp)) AS dist_exact
+      |  FROM qsub GROUP BY qid, id)
+      |SELECT qid, id, round(dist_exact, 6) AS dist, rn FROM (
+      |  SELECT qid, id, dist_exact,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist_exact, id)
+      |      AS INTEGER) AS rn
+      |  FROM scored) r
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    val emb64 = Tables.embeddings(s, d)
+      .filter(size(col("embedding")) === 64)
+    val cents = AnnIvf.medoids(emb64, "vec_id", "embedding", k = 8)
+    val books = ProductQuantizer.codebooks(emb64, "vec_id", "embedding",
+      m = 8, k = 16)
+    // stored index shape: (id, cell, codes) — 8 bytes of codes per row,
+    // partitionable by cell; raw vectors never enter the search join
+    val corpusIdx = AnnIvf.index(emb64, "vec_id", "embedding", cents)
+      .select(col("id"), col("cell"),
+        ProductQuantizer.encodeCol(col("vec"), books).as("codes"))
+    val queryCells = emb64.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qvec"))
+      .withColumn("cell",
+        explode(AnnIvf.probeCells(col("qvec"), cents, nProbe = 3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dist_exact").asc, col("id").asc)
+    corpusIdx.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .dropDuplicates("qid", "id")
+      .withColumn("dist_exact",
+        ProductQuantizer.adcCol(col("qvec"), col("codes"), books))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("id"),
+        round(col("dist_exact"), 6).as("dist"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, dedupComponents,
     dedupKeepBest, simhashPairs, annTopK, cosineDedupStats, ivfTopK,
-    pqEncode, pqAdcTopK)
+    pqEncode, pqAdcTopK, ivfpqTopK)
 }

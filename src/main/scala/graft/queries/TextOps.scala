@@ -177,6 +177,62 @@ object TextOps {
       .orderBy(col("doc_id"), col("score").desc, col("term"))
   }
 
+  /** BM25 retrieval (Okapi, k1=1.2, b=0.75, Lucene's always-positive
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5))): top-10 documents for a
+    * fixed query term set — the ranked-retrieval operator beside
+    * TF-IDF's per-doc term weighting. Scale shape: token explode →
+    * (doc, term) tf agg restricted to the query terms (tiny) + doc-
+    * length agg; df and the corpus constants broadcast back; per-doc
+    * score = ORDERED fold over the term contributions (sort_array +
+    * aggregate in Spark, list_sum(list(... ORDER BY term)) in DuckDB)
+    * so float summation order is pinned in both engines. */
+  val bm25TopDocs: Q = Q(
+    "bm25_topdocs",
+    """WITH qt(term) AS (VALUES ('spark'), ('vector'), ('stream'), ('window')),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |         FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs,
+      |                 avg(CAST(len AS DOUBLE)) AS avg_len FROM dl),
+      |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+      |       JOIN qt ON tok = qt.term GROUP BY doc_id, tok),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      |contrib AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |      * (tf * 2.2)
+      |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.len / avg_len)) AS c
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+      |scored AS (
+      |  SELECT doc_id, round(list_sum(list(c ORDER BY term)), 6) AS score
+      |  FROM contrib GROUP BY doc_id)
+      |SELECT doc_id, score FROM scored
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    val qTerms = Seq("spark", "vector", "stream", "window")
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("len").cast("double")).as("avg_len"))
+    val tf = toks.filter(col("tok").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("tok").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val contrib = tf.join(broadcast(df), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          * (col("tf") * 2.2)
+          / (col("tf") + lit(1.2) * (lit(1) - 0.75 + lit(0.75) * col("len") / col("avg_len"))))
+          .as("c"))
+    contrib.groupBy("doc_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("c")))),
+        lit(0.0), (acc, x) => acc + x.getField("c")).as("raw"))
+      .select(col("doc_id"), round(col("raw"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+  }
+
   /** Token-trigram Jaccard similarity over candidate pairs (docs 0-49,
     * lower-triangle). The deterministic near-dup kernel that MinHash-LSH
     * approximates; at scale candidates come from LSH buckets, never from
@@ -252,5 +308,6 @@ object TextOps {
 
   val all: Seq[Q] = Seq(
     wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
-    dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard)
+    dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard,
+    bm25TopDocs)
 }

@@ -159,6 +159,7 @@ class ScaleOpsSuite extends SparkSpec {
       "curate_corpus",        // 1-row x 1-row report join
       "mixture_allocate",     // 1-row budget broadcast
       "tfidf_top_terms",      // 1-row broadcast of the corpus doc count
+      "bm25_topdocs",         // 1-row broadcast of corpus N/avg-len stats
       "dedup_exact_stats", "cosine_dedup_stats",
       "minhash_keepfirst",    // 1-row x 1-row count report
       "lm_perplexity",        // 1-row vocab-size broadcast joined to docs
