@@ -123,6 +123,56 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** Sketch-accelerated decontamination: SAME exact result as
+    * decontam_overlap (identical oracle SQL), but the exploded train
+    * gram stream first passes a Bloom-filter membership test built
+    * from the eval grams — at 100 TB the bloom prunes ~all non-
+    * matching grams map-side with zero network BEFORE the join, so
+    * join input is proportional to true contamination, not corpus
+    * size. False positives are removed by the exact broadcast join
+    * that follows, which is what keeps a probabilistic sketch under
+    * the deterministic rows+schema+hash gate. The bloom build is
+    * Spark's distributed treeAggregate (df.stat.bloomFilter); only the
+    * final ~64KB sketch reaches the driver, then broadcasts. The UDF
+    * IS the declared sketch-membership operator (mightContainString),
+    * not incidental plumbing. */
+  val decontamBloom: Q = Q(
+    "decontam_bloom",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, len(ts) - 3),
+      |          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+      |               ts[i+3] || ' ' || ts[i+4])) AS grams
+      |      FROM t WHERE len(ts) >= 5),
+      |e AS (SELECT list_distinct(flatten(list(grams))) AS eg FROM g
+      |      WHERE doc_id % 97 = 0),
+      |c AS (SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams,
+      |        CAST(len(list_intersect(grams, eg)) AS INTEGER) AS n_hit
+      |      FROM g, e WHERE doc_id % 97 <> 0)
+      |SELECT doc_id, n_grams, n_hit,
+      |  round(CAST(n_hit AS DOUBLE) / n_grams, 6) AS frac
+      |FROM c WHERE n_hit > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val g = docs(s, d).filter(size(split(col("text"), " ")) >= 5)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingles(col("text"), 5).as("grams"))
+    val evalGrams = g.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val bloom = evalGrams.stat.bloomFilter("gram",
+      expectedNumItems = 1L << 16, fpp = 0.03)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((gram: String) => bc.value.mightContainString(gram))
+    g.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .filter(mightContain(col("gram"))) // sketch prefilter, map-side
+      .join(broadcast(evalGrams), "gram") // exact verify: FPs drop here
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).cast("int").as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 6).as("frac"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified Bernoulli sampling: keep a doc iff its
     * multiplicative hash bucket (Knuth constant) falls under the
     * per-language rate. Pure map — no shuffle, reproducible across
@@ -333,6 +383,6 @@ object CurationOps {
   }
 
   val all: Seq[Q] = Seq(asofJoin, asofJoinTolerance, decontamOverlap,
-    sampleStratified, sampleQuota, splitAssign, piiScrub, repetitionScore,
-    lmPerplexity)
+    decontamBloom, sampleStratified, sampleQuota, splitAssign, piiScrub,
+    repetitionScore, lmPerplexity)
 }

@@ -886,6 +886,76 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** Ordered conversion funnel view → click → purchase: each stage
+    * counts users whose first qualifying event STRICTLY FOLLOWS their
+    * previous stage's first qualifying event (not mere co-occurrence).
+    * Three per-user min aggregates chained by equi-joins on user_id —
+    * every join keyed and shuffle-partitioned by user, counts exact
+    * integers; the product-analytics staple. */
+  val q55Funnel: Q = Q(
+    "q55_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+      |SELECT stage, n_users FROM (
+      |  SELECT 1 AS ord, 'view' AS stage, count(*) AS n_users FROM v
+      |  UNION ALL
+      |  SELECT 2, 'view>click', count(*) FROM c
+      |  UNION ALL
+      |  SELECT 3, 'view>click>purchase', count(*) FROM p) t
+      |ORDER BY ord""".stripMargin) { (s, d) =>
+    val events = ev(s, d)
+    val v = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(df: DataFrame, ord: Int, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(ord).as("ord"), lit(name).as("stage"), col("n_users"))
+    stage(v, 1, "view")
+      .unionAll(stage(c, 2, "view>click"))
+      .unionAll(stage(p, 3, "view>click>purchase"))
+      .orderBy("ord")
+      .select("stage", "n_users")
+  }
+
+  /** Cohort retention: users grouped by first-activity day, distinct
+    * active users per (cohort, whole weeks since cohort day). First-
+    * touch aggregate joined back to the event stream — both shuffles
+    * keyed by user_id; the counts are exact integers. */
+  val q56Cohort: Q = Q(
+    "q56_cohort",
+    """WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS d0
+      |           FROM events GROUP BY user_id)
+      |SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+      |  CAST(date_diff('day', f.d0, date_trunc('day', e.ts)) // 7 AS INTEGER)
+      |    AS week_offset,
+      |  count(DISTINCT e.user_id) AS n_active
+      |FROM events e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin) { (s, d) =>
+    val events = ev(s, d)
+    val f = events.groupBy("user_id")
+      .agg(date_trunc("day", min("ts")).as("d0"))
+    events.join(f, "user_id")
+      .select(
+        date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+        (datediff(date_trunc("day", col("ts")), col("d0"))
+          .cast("long") / lit(7L)).cast("int").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_day", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
   /** Correlated EXISTS + scalar subquery through SQL (Catalyst's
     * subquery decorrelation — the DataFrame semi-join form is q14). */
   val q28Subqueries: Q = Q(
@@ -947,7 +1017,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     q27QuartileBuckets, q28Subqueries, q29GapFill,
     q50Pivot, q51Unpivot, q52Percentile, q53PercentileExact,
-    q54PercentileDist,
+    q54PercentileDist, q55Funnel, q56Cohort,
     q01PricingSummary, q02ProjectFilter, q03AggStats, q04AggRollup, q05AggCube,
     q06GroupingSets, q10JoinInner, q11JoinLeft, q12JoinRight, q13JoinFull,
     q14JoinSemi, q15JoinAnti, q16JoinCross, q17JoinTheta, q18JoinBroadcastStar,
