@@ -124,6 +124,35 @@ class PqSuite extends SparkSpec {
     }
   }
 
+  test("ADC top-5 recall vs exact squared-L2 top-5") {
+    val df = fixture
+    val books = ProductQuantizer.codebooks(df, "vec_id", "embedding", m = 4, k = 8)
+    val enc = ProductQuantizer.encode(df, "vec_id", "embedding", books)
+    val vecs = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val codes = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def sqL2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def adc(q: Array[Double], cs: Seq[Int]): Double =
+      books.indices.map { s =>
+        val cw = books(s)(cs(s)).toArray
+        (0 until cw.length).map(i => {
+          val d = q(s * cw.length + i) - cw(i); d * d
+        }).sum
+      }.sum
+    val others = (id: Long) => vecs.keys.filter(_ != id)
+    val recalls = (0L until 10L).map { q =>
+      val exact = others(q).toSeq
+        .sortBy(id => (sqL2(vecs(q), vecs(id)), id)).take(5).toSet
+      val approx = others(q).toSeq
+        .sortBy(id => (adc(vecs(q), codes(id)), id)).take(5).toSet
+      exact.intersect(approx).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean ADC recall@5 over 10 queries: $mean%.2f")
+    assert(mean >= 0.5, s"ADC recall@5 degraded: $mean (per-query: $recalls)")
+  }
+
   private def reconstructionErr(v: Seq[Double], codes: Seq[Int],
       books: Seq[Seq[Seq[Double]]]): Double = {
     val sub = v.length / books.length
