@@ -167,6 +167,13 @@ object GraftFunctions {
     org.apache.spark.sql.GraftColumnBridge.column(
       ShingleSet(org.apache.spark.sql.GraftColumnBridge.expression(text), n))
 
+  /** Hashed-linear text quality score (fastText-shaped), one native
+    * pass per document — see HashedLinearScore. */
+  def linearScore(text: Column, buckets: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      HashedLinearScore(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), buckets))
+
   /** pmod(xxhash64(elem), mod) per array element, one native pass. */
   def arrayHashMod(arr: Column, mod: Long): Column =
     org.apache.spark.sql.GraftColumnBridge.column(

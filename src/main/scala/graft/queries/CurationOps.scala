@@ -382,7 +382,46 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** Model-based quality classification (fastText/DCLM-style): hashed
+    * bag-of-tokens linear scorer, label = sign of the score. The
+    * "model" is a deterministic weight formula over 1024 hash buckets,
+    * so both engines replay it exactly — the engine shape (pure map
+    * over documents, one native codegen'd expression per row, zero
+    * shuffle before the output sort) is precisely a real classifier's;
+    * swapping trained weights for the formula changes one literal
+    * table. Scoring runs in graft.functions.HashedLinearScore — the
+    * composable aggregate(transform(...)) form is two levels of
+    * interpreted lambda per token (parity pinned in its suite). */
+  val qualityClassify: Q = Q(
+    "quality_classify",
+    """WITH t AS (SELECT doc_id, lang,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang, CAST(len(ts) AS INTEGER) AS n_tokens,
+      |  list_sum(list_transform(ts, tok ->
+      |    ((((list_sum(list_transform(
+      |          range(0, CAST(least(length(tok), 8) AS BIGINT)),
+      |          j -> ascii(substring(tok, CAST(j + 1 AS INTEGER), 1))
+      |               * CAST(pow(31, j) AS BIGINT))) % 1024)
+      |       * 2654435761) % 1000003) / 1000003.0 - 0.5))) AS score
+      |  FROM t WHERE len(ts) > 0)
+      |SELECT doc_id, lang, n_tokens, round(score, 6) AS score,
+      |  CAST(score > 0 AS INTEGER) AS keep
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ts = filter(split(col("text"), " "), x => x =!= "")
+    docs(s, d)
+      .select(col("doc_id"), col("lang"), size(ts).as("n_tokens"),
+        graft.functions.GraftFunctions.linearScore(col("text"), 1024)
+          .as("raw"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("lang"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        round(col("raw"), 6).as("score"),
+        (col("raw") > 0).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(asofJoin, asofJoinTolerance, decontamOverlap,
     decontamBloom, sampleStratified, sampleQuota, splitAssign, piiScrub,
-    repetitionScore, lmPerplexity)
+    repetitionScore, lmPerplexity, qualityClassify)
 }

@@ -1014,7 +1014,168 @@ object Relational {
       .orderBy("user_id", "day")
   }
 
+  /** Statistical outlier detection: top-5 events per type by |z-score|
+    * against the per-type mean/stddev. Two-phase: a 5-row stats
+    * aggregate broadcasts back onto the stream (map-side join), then
+    * one window per type bounds the output. Selection ranks on the raw
+    * |value − mu| (total order, event_id tie-break) so engine-level
+    * ulp drift in mu can't flip membership; only the reported z-score
+    * is rounded. */
+  val q57Outliers: Q = Q(
+    "q57_outliers",
+    """WITH st AS (SELECT event_type, avg(value) AS mu,
+      |                   stddev_pop(value) AS sd
+      |            FROM events GROUP BY event_type)
+      |SELECT event_type, event_id, round(value, 2) AS value,
+      |  round((value - mu) / sd, 4) AS zscore
+      |FROM (
+      |  SELECT e.event_type, e.event_id, e.value, st.mu, st.sd,
+      |    row_number() OVER (PARTITION BY e.event_type
+      |      ORDER BY abs(e.value - st.mu) DESC, e.event_id) AS rn
+      |  FROM events e JOIN st USING (event_type)) t
+      |WHERE rn <= 5
+      |ORDER BY event_type, zscore DESC, event_id""".stripMargin) { (s, d) =>
+    val st = ev(s, d).groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_pop(col("value")).as("sd"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(abs(col("value") - col("mu")).desc, col("event_id").asc)
+    ev(s, d).join(broadcast(st), "event_type")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 2).as("value"),
+        round((col("value") - col("mu")) / col("sd"), 4).as("zscore"))
+      .orderBy(col("event_type"), col("zscore").desc, col("event_id"))
+  }
+
+  /** Z-order (Morton) layout key: interleave 6 bits of user bucket with
+    * 6 bits of event day, then profile each 16-wide z-range. The
+    * data-skipping layout primitive — writing files ordered by zval
+    * makes BOTH user- and time-predicates prune (each z-cell spans a
+    * tight user × day rectangle, which the min/max columns prove).
+    * Pure integer bit math, map-only; the profile agg is 256 groups. */
+  val q58Zorder: Q = Q(
+    "q58_zorder",
+    """WITH z AS (
+      |  SELECT user_id % 64 AS ub,
+      |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 64 AS db,
+      |         user_id, event_id
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, ub, db,
+      |    ((ub >> 0) & 1) * 2 + ((db >> 0) & 1) * 1 +
+      |    ((ub >> 1) & 1) * 8 + ((db >> 1) & 1) * 4 +
+      |    ((ub >> 2) & 1) * 32 + ((db >> 2) & 1) * 16 +
+      |    ((ub >> 3) & 1) * 128 + ((db >> 3) & 1) * 64 +
+      |    ((ub >> 4) & 1) * 512 + ((db >> 4) & 1) * 256 +
+      |    ((ub >> 5) & 1) * 2048 + ((db >> 5) & 1) * 1024 AS zval
+      |  FROM z)
+      |SELECT zval // 16 AS zcell, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  min(ub) AS user_min, max(ub) AS user_max,
+      |  CAST(min(db) AS INTEGER) AS day_min, CAST(max(db) AS INTEGER) AS day_max
+      |FROM m GROUP BY zval // 16 ORDER BY zcell""".stripMargin) { (s, d) =>
+    val ub = col("user_id") % 64
+    val db = datediff(to_date(col("ts")), lit("2024-01-01")) % 64
+    val zval = (0 until 6).map { i =>
+      shiftright(col("ub"), i).bitwiseAND(lit(1)) * lit(1L << (2 * i + 1)) +
+        shiftright(col("db"), i).bitwiseAND(lit(1)) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+    ev(s, d)
+      .select(col("user_id"), col("event_id"), ub.as("ub"), db.as("db"))
+      .withColumn("zval", zval)
+      .groupBy((col("zval") / 16).cast("long").as("zcell"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min("ub").as("user_min"), max("ub").as("user_max"),
+        min("db").as("day_min"), max("db").as("day_max"))
+      .orderBy("zcell")
+  }
+
+  /** SCD2 dimension history: each user's purchase stream becomes
+    * versioned rows with [valid_from, valid_to) ranges — valid_to is
+    * the next version's start, open ("current") on the latest. One
+    * shuffle on user_id + lead() window; the CDC-to-dimension shape. */
+  val q59Scd2: Q = Q(
+    "q59_scd2_history",
+    """WITH p AS (
+      |  SELECT user_id, ts, value, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS version,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, CAST(version AS INTEGER) AS version,
+      |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  coalesce(strftime(date_trunc('second', next_ts),
+      |    '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+      |  round(value, 2) AS value,
+      |  CAST(next_ts IS NULL AS INTEGER) AS is_current
+      |FROM p ORDER BY user_id, version""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev(s, d).filter(col("event_type") === "purchase")
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit("current")).as("valid_to"),
+        round(col("value"), 2).as("value"),
+        col("next_ts").isNull.cast("int").as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** MERGE INTO / CDC upsert semantics: latest-wins snapshot before a
+    * cutoff (the "target table") full-outer-joined with latest-wins
+    * changes after it (the "source batch"), classifying each key as
+    * insert / update / keep. Both sides dedup with one window each;
+    * the merge itself is an equi full-outer shuffle join on the key —
+    * at 100 TB both sides partition by user_id and co-locate. */
+  val q63MergeUpsert: Q = Q(
+    "q63_merge_upsert",
+    """WITH base AS (
+      |  SELECT user_id, value FROM (
+      |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events
+      |    WHERE event_type = 'purchase'
+      |      AND ts < TIMESTAMP '2024-01-20 00:00:00') t WHERE rn = 1),
+      |delta AS (
+      |  SELECT user_id, value FROM (
+      |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events
+      |    WHERE event_type = 'purchase'
+      |      AND ts >= TIMESTAMP '2024-01-20 00:00:00') t WHERE rn = 1)
+      |SELECT coalesce(b.user_id, d.user_id) AS user_id,
+      |  round(coalesce(d.value, b.value), 2) AS value,
+      |  CASE WHEN b.user_id IS NULL THEN 'insert'
+      |       WHEN d.user_id IS NULL THEN 'keep'
+      |       ELSE 'update' END AS action
+      |FROM base b FULL JOIN delta d ON b.user_id = d.user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    def latest(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("value"))
+    val purchases = ev(s, d).filter(col("event_type") === "purchase")
+    val base = latest(purchases.filter(col("ts") < cutoff))
+      .withColumnRenamed("user_id", "b_uid").withColumnRenamed("value", "b_val")
+    val delta = latest(purchases.filter(col("ts") >= cutoff))
+      .withColumnRenamed("user_id", "d_uid").withColumnRenamed("value", "d_val")
+    base.join(delta, col("b_uid") === col("d_uid"), "full")
+      .select(coalesce(col("b_uid"), col("d_uid")).as("user_id"),
+        round(coalesce(col("d_val"), col("b_val")), 2).as("value"),
+        when(col("b_uid").isNull, "insert")
+          .when(col("d_uid").isNull, "keep")
+          .otherwise("update").as("action"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(
+    q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert,
     q27QuartileBuckets, q28Subqueries, q29GapFill,
     q50Pivot, q51Unpivot, q52Percentile, q53PercentileExact,
     q54PercentileDist, q55Funnel, q56Cohort,

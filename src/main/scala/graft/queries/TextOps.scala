@@ -306,8 +306,62 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Exact corpus heavy hitters: top-20 tokens by frequency with
+    * corpus share. Explode → two-phase count (map-side partial, tiny
+    * vocabulary-bounded shuffle) → 1-row total broadcast back for the
+    * share — the exact path, viable while the vocabulary fits a hash
+    * aggregate. For the bounded-memory path see heavy_hitters_mg. */
+  val heavyHitters: Q = Q(
+    "heavy_hitters",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM toks WHERE tok <> ''
+      |      GROUP BY tok),
+      |tot AS (SELECT sum(cnt) AS n FROM c)
+      |SELECT tok, cnt, round(CAST(cnt AS DOUBLE) / n, 6) AS share
+      |FROM c CROSS JOIN tot
+      |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin) { (s, d) =>
+    val toks = docs(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val c = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = c.agg(sum("cnt").as("n"))
+    c.crossJoin(broadcast(tot))
+      .select(col("tok"), col("cnt"),
+        round(col("cnt").cast("double") / col("n"), 6).as("share"))
+      .orderBy(col("cnt").desc, col("tok")).limit(20)
+  }
+
+  /** Heavy hitters through a bounded-memory Misra-Gries sketch
+    * (graft.functions.MisraGriesAgg, k = 64): map-side summaries of ≤ k
+    * counters (NOT the full token stream) merge into a candidate set,
+    * which broadcasts back to filter an exact recount. MG's superset
+    * guarantee — every token with count > n/(k+1) survives the sketch —
+    * makes the final top-20 EXACTLY equal to heavy_hitters' whenever
+    * the 20th hitter clears that bar (at fixture scale trivially: the
+    * vocabulary fits in k, so no decrement ever fires; at 100 TB the
+    * Zipf head clears n/(k+1) by orders of magnitude). The shuffle
+    * carries k rows per partition in pass 1 and only candidate-token
+    * rows in pass 2 — exact answer, sketch-bounded traffic. */
+  val heavyHittersMg: Q = Q(
+    "heavy_hitters_mg",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+      |              FROM documents)
+      |SELECT tok, count(*) AS cnt FROM toks WHERE tok <> ''
+      |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin) { (s, d) =>
+    val toks = docs(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val cand = toks
+      .agg(graft.functions.MisraGriesAgg.misraGries(col("tok"), 64).as("mg"))
+      .select(explode(map_keys(col("mg"))).as("tok"))
+    toks.join(broadcast(cand), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
     dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard,
-    bm25TopDocs)
+    bm25TopDocs, heavyHitters, heavyHittersMg)
 }
