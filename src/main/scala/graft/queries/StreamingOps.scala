@@ -65,5 +65,49 @@ object StreamingOps {
     s.table(sink).orderBy("w_ms", "event_type")
   }
 
-  val all: Seq[Q] = Seq(streamFileParity)
+  /** File-streamed SLIDING 2-hour/1-hour windows per event_type ≡
+    * batch: every event lands in exactly two overlapping windows, the
+    * overlap bookkeeping the streaming engine (not the query author)
+    * owns. Same finite-stream/complete-mode gate discipline as
+    * stream_file_parity; the DuckDB replica materializes each event's
+    * two member windows explicitly (trunc-hour and trunc-hour − 1h). */
+  val streamSlideParity: Q = Q(
+    "stream_slide_parity",
+    """WITH w AS (
+      |  SELECT epoch_ms(date_trunc('hour', ts) - INTERVAL 1 HOUR) AS w_ms,
+      |         event_type FROM events
+      |  UNION ALL
+      |  SELECT epoch_ms(date_trunc('hour', ts)) AS w_ms, event_type
+      |  FROM events)
+      |SELECT w_ms, event_type, count(*) AS n
+      |FROM w GROUP BY 1, 2 ORDER BY w_ms, event_type""".stripMargin) { (s, d) =>
+    val physical = s.read.parquet(s"$d/events.parquet").schema
+    val sink = s"stream_slide_parity_sink_${sinkId.incrementAndGet()}"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    srcDir.toFile.deleteOnExit()
+    val link = srcDir.resolve("events.parquet")
+    val target = java.nio.file.Paths.get(d, "events.parquet")
+    try java.nio.file.Files.createSymbolicLink(link, target)
+    catch { case _: UnsupportedOperationException =>
+      java.nio.file.Files.copy(target, link); ()
+    }
+    val streamed = s.readStream.schema(physical).parquet(srcDir.toString)
+    val withTs =
+      if (physical("ts").dataType == LongType)
+        streamed.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else streamed
+    val q = withTs
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("w_ms"), col("event_type"),
+        col("n"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(sink).orderBy("w_ms", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(streamFileParity, streamSlideParity)
 }
