@@ -49,6 +49,7 @@ object Relational {
   private def reg(s: SparkSession, d: String) = Tables.region(s, d)
   private def prt(s: SparkSession, d: String) = Tables.part(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
   private val disc: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
@@ -1174,8 +1175,115 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Distribution-position window functions: percent_rank, cume_dist,
+    * and nth_value with an explicit running frame. The window orders on
+    * (value, event_id) — a total order, so rank peers are impossible
+    * and both engines agree bit-for-bit on the rational rank outputs. */
+  val q64WindowPctRank: Q = Q(
+    "q64_window_pctrank",
+    """SELECT event_id, event_type,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cdist,
+      |  round(nth_value(value, 3) OVER (PARTITION BY event_type
+      |    ORDER BY value, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS third_val
+      |FROM events WHERE user_id < 30
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      |ORDER BY event_type, pct_rank, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d).filter(col("user_id") < 30)
+      .select(col("event_id"), col("event_type"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        round(nth_value(col("value"), 3).over(wRows), 2).as("third_val"))
+      .orderBy(col("event_type"), col("pct_rank"), col("event_id"))
+  }
+
+  /** Advanced array functions over tokenized text: sort, slice, flatten,
+    * position, min/max, join — the array-manipulation surface beyond
+    * q43's basics. Map-only; every function has an exact DuckDB analog
+    * (array_position returns 0 for a miss in Spark, so the oracle
+    * coalesces DuckDB's NULL to 0). */
+  val q65ArrayAdvanced: Q = Q(
+    "q65_array_advanced",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+      |           FROM documents WHERE doc_id < 100)
+      |SELECT doc_id,
+      |  array_to_string(list_sort(ts[1:5]), ',') AS first5_sorted,
+      |  array_to_string(flatten([ts[1:2], ts[3:4]]), ',') AS flat4,
+      |  CAST(coalesce(list_position(ts, 'the'), 0) AS BIGINT) AS pos_the,
+      |  list_aggregate(ts, 'min') AS tok_min,
+      |  list_aggregate(ts, 'max') AS tok_max,
+      |  CAST(len(ts) AS INTEGER) AS n
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ts = split(col("text"), " ")
+    docs(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), ts.as("ts"))
+      .select(col("doc_id"),
+        array_join(sort_array(slice(col("ts"), 1, 5)), ",").as("first5_sorted"),
+        array_join(flatten(array(slice(col("ts"), 1, 2),
+          slice(col("ts"), 3, 2))), ",").as("flat4"),
+        array_position(col("ts"), "the").as("pos_the"),
+        array_min(col("ts")).as("tok_min"),
+        array_max(col("ts")).as("tok_max"),
+        size(col("ts")).as("n"))
+      .orderBy("doc_id")
+  }
+
+  /** Partial-aggregate reuse: daily (day, type) partials roll up to
+    * weekly totals WITHOUT rescanning raw events — the incremental /
+    * materialized-rollup pattern that makes 100 TB dashboards cheap
+    * (the second aggregation's input is |days × types|, not |events|).
+    * Exact math end-to-end, so the whole two-level pipeline sits under
+    * the oracle gate (the sketch-merge analog, HLL union, is the
+    * spec-gated path). */
+  val q66RollupReuse: Q = Q(
+    "q66_rollup_reuse",
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS d, event_type,
+      |         count(*) AS n, sum(value) AS sv
+      |  FROM events GROUP BY 1, 2)
+      |SELECT strftime(date_trunc('week', d), '%Y-%m-%d') AS week,
+      |  event_type, CAST(sum(n) AS BIGINT) AS n_events,
+      |  round(sum(sv), 2) AS total_value
+      |FROM daily GROUP BY 1, 2 ORDER BY week, event_type""".stripMargin) {
+    (s, d) =>
+    val daily = ev(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    daily
+      .groupBy(date_format(date_trunc("week", col("d")), "yyyy-MM-dd")
+        .as("week"), col("event_type"))
+      .agg(sum("n").as("n_events"), round(sum("sv"), 2).as("total_value"))
+      .orderBy("week", "event_type")
+  }
+
+  /** Salted skew join DECLARED under the oracle gate: the plain
+    * equi-join's result computed through graft.ops.SkewJoin.saltedJoin
+    * (deterministic round-robin salt on the probe side, build side
+    * replicated across sub-keys). The oracle is the PLAIN join SQL —
+    * result equivalence of the skew mitigation is exactly the claim
+    * being graded. At 100 TB this is the shape for a hot key too big
+    * for one reducer when the build side is too big to broadcast. */
+  val q67SaltedJoin: Q = Q(
+    "q67_salted_join",
+    """SELECT e.event_id, e.user_id, c.c_name,
+      |  round(e.value, 2) AS value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val e = ev(s, d).filter(col("event_type") === "purchase")
+    val c = cust(s, d).withColumnRenamed("c_custkey", "user_id")
+    graft.ops.SkewJoin.saltedJoin(e, c, "user_id", salt = 8)
+      .select(col("event_id"), col("user_id"), col("c_name"),
+        round(col("value"), 2).as("value"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(
     q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert,
+    q64WindowPctRank, q65ArrayAdvanced, q66RollupReuse, q67SaltedJoin,
     q27QuartileBuckets, q28Subqueries, q29GapFill,
     q50Pivot, q51Unpivot, q52Percentile, q53PercentileExact,
     q54PercentileDist, q55Funnel, q56Cohort,
