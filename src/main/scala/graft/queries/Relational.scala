@@ -1281,9 +1281,104 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Market-basket co-occurrence: part pairs appearing in the same
+    * order, counted, top-25. The self-join is keyed on l_orderkey —
+    * pair fan-out is bounded by per-order line counts (≤ 7 in TPC-H
+    * shape), NOT |lineitem|², and the a < b guard halves it. The
+    * item-item co-occurrence kernel of a recommender at 100 TB: one
+    * equi-shuffle + bounded per-key pair explosion + two-phase count. */
+  val q68Copurchase: Q = Q(
+    "q68_copurchase",
+    """SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |  count(*) AS n_orders
+      |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, part_a, part_b LIMIT 25""".stripMargin) {
+    (s, d) =>
+    val lp = li(s, d).select("l_orderkey", "l_partkey").distinct()
+    val a = lp.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = lp.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey")).filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b")).limit(25)
+  }
+
+  /** Fixed-width histogram over events.value: integer bin index by
+    * floor division, count + bounded min/max per bin. Binning is exact
+    * integer math on both engines (floor of a double quotient), so the
+    * oracle is bit-stable; two-phase agg, ~40 groups. */
+  val q69Histogram: Q = Q(
+    "q69_histogram",
+    """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+      |  count(*) AS n,
+      |  round(min(value), 2) AS lo, round(max(value), 2) AS hi
+      |FROM events GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .groupBy(floor(col("value") / 25.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min("value"), 2).as("lo"), round(max("value"), 2).as("hi"))
+      .orderBy("bin")
+  }
+
+  /** Fuzzy string matching: customer-name pairs within Levenshtein
+    * distance 2 (identical DP semantics in both engines). The
+    * candidate set is length-blocked (|len(a) − len(b)| ≤ 2 is implied
+    * by distance ≤ 2, and the block key bounds the pair set) — the
+    * entity-resolution kernel; at 100 TB the block key becomes any
+    * cheap canopy (prefix, phonetic code, LSH bucket), never all-pairs. */
+  val q70FuzzyMatch: Q = Q(
+    "q70_fuzzy_match",
+    """WITH c AS (SELECT c_custkey, c_name, length(c_name) AS ln
+      |           FROM customer WHERE c_custkey <= 200)
+      |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+      |FROM c a JOIN c b
+      |  ON a.c_custkey < b.c_custkey AND abs(a.ln - b.ln) <= 2
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val c = cust(s, d).filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"), col("c_name"), length(col("c_name")).as("ln"))
+    val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
+      col("ln").as("ln_a"))
+    val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"),
+      col("ln").as("ln_b"))
+    a.join(b, col("id_a") < col("id_b")
+        && abs(col("ln_a") - col("ln_b")) <= 2)
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("int").as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Join-key skew profile: the distribution of per-key row counts for
+    * a join key (count quantiles + max/mean ratio) — the diagnostic a
+    * planner or operator consults before choosing salt factors / AQE
+    * skew thresholds. Two-phase: per-key counts (one shuffle), then a
+    * 1-row summary; key cardinality bounds stay at the aggregate, the
+    * raw table never leaves the first groupBy. */
+  val q71KeySkewProfile: Q = Q(
+    "q71_key_skew_profile",
+    """WITH k AS (SELECT l_orderkey, count(*) AS n FROM lineitem
+      |           GROUP BY l_orderkey)
+      |SELECT count(*) AS n_keys,
+      |  CAST(min(n) AS BIGINT) AS min_rows,
+      |  CAST(max(n) AS BIGINT) AS max_rows,
+      |  round(avg(n), 4) AS mean_rows,
+      |  round(CAST(max(n) AS DOUBLE) / avg(n), 4) AS skew_ratio
+      |FROM k""".stripMargin) { (s, d) =>
+    li(s, d).groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"),
+        min("n").as("min_rows"), max("n").as("max_rows"),
+        round(avg("n"), 4).as("mean_rows"),
+        round(max("n").cast("double") / avg("n"), 4).as("skew_ratio"))
+  }
+
   val all: Seq[Q] = Seq(
     q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert,
     q64WindowPctRank, q65ArrayAdvanced, q66RollupReuse, q67SaltedJoin,
+    q68Copurchase, q69Histogram, q70FuzzyMatch, q71KeySkewProfile,
     q27QuartileBuckets, q28Subqueries, q29GapFill,
     q50Pivot, q51Unpivot, q52Percentile, q53PercentileExact,
     q54PercentileDist, q55Funnel, q56Cohort,

@@ -165,6 +165,7 @@ class ScaleOpsSuite extends SparkSpec {
       "lm_perplexity",        // 1-row vocab-size broadcast joined to docs
       "heavy_hitters",        // 1-row corpus-total broadcast for the share
       "pagerank_bipartite",   // 1-row node-count broadcast per iteration
+      "q70_fuzzy_match",      // custkey <= 200 capped length-blocked pairs
       "embed_stats")          // bounded label-centroid stats
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
