@@ -421,7 +421,36 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** Weighted sampling by priority order (Ohlsson sequential-Poisson /
+    * priority sampling): each doc draws a deterministic hash-uniform
+    * u ∈ (0,1] and competes with priority u / weight — here weight =
+    * n_chars, so longer documents win proportionally more slots. Take
+    * the 3 smallest priorities per source. Every arithmetic step is an
+    * exactly-rounded division of exact integers, so both engines order
+    * identically (no libm pow/ln in the selection path, unlike
+    * exponential-key reservoir schemes). One shuffle on the stratum
+    * key; the quota bounds each group's output under any skew. */
+  val samplePriority: Q = Q(
+    "sample_priority",
+    """SELECT source, doc_id, n_chars, rn FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+      |      ((((doc_id & 2147483647) * 48271) % 1000003 + 1) / 1000003.0)
+      |        / n_chars, doc_id) AS INTEGER) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 3 ORDER BY source, rn""".stripMargin) { (s, d) =>
+    val u = ((col("doc_id").bitwiseAND(lit(2147483647L)) * lit(48271L))
+      % 1000003 + 1) / lit(1000003.0)
+    val w = Window.partitionBy("source")
+      .orderBy((u / col("n_chars")).asc, col("doc_id").asc)
+    docs(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        row_number().over(w).cast("int").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("source", "rn")
+  }
+
   val all: Seq[Q] = Seq(asofJoin, asofJoinTolerance, decontamOverlap,
     decontamBloom, sampleStratified, sampleQuota, splitAssign, piiScrub,
-    repetitionScore, lmPerplexity, qualityClassify)
+    repetitionScore, lmPerplexity, qualityClassify, samplePriority)
 }

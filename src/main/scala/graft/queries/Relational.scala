@@ -1375,10 +1375,37 @@ object Relational {
         round(max("n").cast("double") / avg("n"), 4).as("skew_ratio"))
   }
 
+  /** Event-sequence pattern: view → purchase transitions per user
+    * within a 30-minute bound — the batch analog of the watermarked
+    * stream-stream join (same equi-key + event-time-range shape, see
+    * StreamOps.clickToPurchase). The join is EQUI on user_id with the
+    * time bound as a residual filter, so it shuffles by user and never
+    * plans a cartesian; the interval bound is what keeps stream-side
+    * state finite at 100 TB. */
+  val q72SequencePattern: Q = Q(
+    "q72_sequence_pattern",
+    """SELECT v.user_id, count(*) AS n_pairs
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+      |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+      |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin) { (s, d) =>
+    val v = ev(s, d).filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val p = ev(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    v.join(p, Seq("user_id"))
+      .filter(col("p_ts") > col("v_ts")
+        && col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(
     q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert,
     q64WindowPctRank, q65ArrayAdvanced, q66RollupReuse, q67SaltedJoin,
     q68Copurchase, q69Histogram, q70FuzzyMatch, q71KeySkewProfile,
+    q72SequencePattern,
     q27QuartileBuckets, q28Subqueries, q29GapFill,
     q50Pivot, q51Unpivot, q52Percentile, q53PercentileExact,
     q54PercentileDist, q55Funnel, q56Cohort,
