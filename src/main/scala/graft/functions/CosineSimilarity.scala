@@ -223,6 +223,12 @@ object GraftFunctions {
   def aviFrames(payload: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       AviFrames(org.apache.spark.sql.GraftColumnBridge.expression(payload)))
+
+  /** Per-row char-n-gram histogram (map<ngram, count>), one native pass —
+    * the explode-compaction for n-gram LM train/score. */
+  def charNgramCounts(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      CharNgramCounts(org.apache.spark.sql.GraftColumnBridge.expression(text), n))
 }
 
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.

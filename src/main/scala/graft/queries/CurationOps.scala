@@ -361,24 +361,30 @@ object CurationOps {
       |        CROSS JOIN v
       |GROUP BY bg.doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // One native pass per doc compacts occurrences to (distinct bigram,
+    // count) — everything downstream (train counts, score join, per-doc
+    // mean) is a weighted sum over ~V²-bounded rows per doc instead of
+    // one row per character of the corpus. Totals are identical; only
+    // float summation grouping differs, absorbed by the round(…, 4).
     val base = docs(s, d).filter(length(col("text")) >= 2)
-    val bg = base.select(col("doc_id"), explode(expr(
-      "transform(sequence(1, length(text) - 1), j -> substring(text, j, 2))"))
-      .as("b"))
-    val cnt = bg.groupBy("b").agg(count(lit(1)).as("c"))
+    val bgc = base.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.charNgramCounts(col("text"), 2))
+        .as(Seq("b", "k")))
+    val cnt = bgc.groupBy("b").agg(sum("k").as("c"))
     val pre = cnt.groupBy(substring(col("b"), 1, 1).as("c1"))
       .agg(sum(col("c")).as("tot"))
-    val v = base.select(explode(expr(
-      "transform(sequence(1, length(text)), j -> substring(text, j, 1))"))
-      .as("ch"))
+    val v = base.select(
+      explode(graft.functions.GraftFunctions.charNgramCounts(col("text"), 1))
+        .as(Seq("ch", "kc")))
       .agg(countDistinct(col("ch")).as("vsize"))
-    bg.join(broadcast(cnt), "b")
+    bgc.join(broadcast(cnt), "b")
       .join(broadcast(pre), substring(col("b"), 1, 1) === col("c1"))
       .crossJoin(broadcast(v))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(exp(-avg(log((col("c") + 1.0) / (col("tot") + col("vsize"))))), 4)
-          .as("ppl"))
+      .agg(sum("k").as("n_bigrams"),
+        round(exp(-(sum(col("k") *
+            log((col("c") + 1.0) / (col("tot") + col("vsize"))))
+          / sum(col("k")))), 4).as("ppl"))
       .orderBy("doc_id")
   }
 
