@@ -456,7 +456,84 @@ object CurationOps {
       .orderBy("source", "rn")
   }
 
+  /** Word-bigram LM scoring with stupid backoff (Brants et al. 2007,
+    * the web-scale LM score CCNet-style filters run at corpus size):
+    * S(w2|w1) = c12/c1 when the bigram was seen in training, else
+    * 0.4·(c2+1)/(N+V) (add-1 on the unigram backoff so unseen words
+    * score finite). Train/eval split is doc_id % 10 (80/20) — scoring
+    * held-out documents is what makes the backoff branch real.
+    *
+    * Engine shape: training counts are explode → two-phase partial
+    * aggregation (vocabulary-bounded); eval bigrams LEFT JOIN the
+    * bigram and unigram tables on the word key (shuffle joins at
+    * corpus scale, AQE broadcasts when the model fits); the 1-row
+    * (N, V) aggregate broadcasts. Per-doc mean ln S shuffles one
+    * partial-sum row per doc. round(4) absorbs cross-engine libm and
+    * summation-order ulps. */
+  val lmBackoffScore: Q = Q(
+    "lm_backoff_score",
+    """WITH tr AS (SELECT string_split(text, ' ') AS ts FROM documents
+      |            WHERE doc_id % 10 < 8),
+      |ev AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |       WHERE doc_id % 10 >= 8 AND len(string_split(text, ' ')) >= 2),
+      |uni AS (SELECT u AS w, count(*) AS c
+      |        FROM (SELECT unnest(ts) AS u FROM tr) GROUP BY 1),
+      |big AS (SELECT g AS b, count(*) AS c12
+      |        FROM (SELECT unnest(list_transform(range(1, len(ts)),
+      |                i -> ts[i] || ' ' || ts[i+1])) AS g
+      |              FROM tr WHERE len(ts) >= 2)
+      |        GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS ntok, count(*) AS vsize
+      |      FROM uni),
+      |eb AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+      |         i -> ts[i] || ' ' || ts[i+1])) AS b FROM ev),
+      |sc AS (SELECT eb.doc_id,
+      |         CASE WHEN big.c12 IS NOT NULL
+      |              THEN ln(CAST(big.c12 AS DOUBLE) / u1.c)
+      |              ELSE ln(0.4 * (COALESCE(u2.c, 0) + 1.0)
+      |                      / (n.ntok + n.vsize)) END AS lp
+      |       FROM eb
+      |       LEFT JOIN big ON eb.b = big.b
+      |       LEFT JOIN uni u1 ON split_part(eb.b, ' ', 1) = u1.w
+      |       LEFT JOIN uni u2 ON split_part(eb.b, ' ', 2) = u2.w
+      |       CROSS JOIN n)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(avg(lp), 4) AS backoff_lp
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ts = split(col("text"), " ")
+    val tr = docs(s, d).filter(col("doc_id") % 10 < 8).select(ts.as("ts"))
+    val ev = docs(s, d).filter(col("doc_id") % 10 >= 8 && size(ts) >= 2)
+      .select(col("doc_id"), ts.as("ts"))
+    val uni = tr.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val big = tr.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i+1]))"))
+        .as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c12"))
+    val n = uni.agg(sum("c").as("ntok"), count(lit(1)).as("vsize"))
+    val eb = ev.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i+1]))"))
+      .as("b"))
+    eb
+      .join(big, Seq("b"), "left")
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"),
+        expr("split_part(b, ' ', 1) = w1"), "left")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"),
+        expr("split_part(b, ' ', 2) = w2"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        when(col("c12").isNotNull,
+          log(col("c12").cast("double") / col("c1")))
+          .otherwise(log(lit(0.4) * (coalesce(col("c2"), lit(0L)) + 1.0)
+            / (col("ntok") + col("vsize")))).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("lp"), 4).as("backoff_lp"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(asofJoin, asofJoinTolerance, decontamOverlap,
     decontamBloom, sampleStratified, sampleQuota, splitAssign, piiScrub,
-    repetitionScore, lmPerplexity, qualityClassify, samplePriority)
+    repetitionScore, lmPerplexity, qualityClassify, samplePriority,
+    lmBackoffScore)
 }

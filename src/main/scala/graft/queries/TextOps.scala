@@ -360,8 +360,95 @@ object TextOps {
       .orderBy(col("cnt").desc, col("tok")).limit(20)
   }
 
+  /** Per-document character-entropy profile — the classic gibberish /
+    * binary-junk detector (low entropy = repeated filler, high entropy
+    * = random bytes; both are drop candidates in a pretraining filter).
+    *
+    * H = ln n − (Σ k·ln k)/n over the per-doc char histogram, computed
+    * from ONE native CharNgramCounts pass per document: the explode
+    * yields one row per DISTINCT char per doc (≤ V ≈ alphabet size),
+    * so the doc_id shuffle is V-bounded per doc — never one row per
+    * character. Pure map + one bounded shuffle at any corpus size. */
+  val entropyProfile: Q = Q(
+    "entropy_profile",
+    """WITH ch AS (SELECT doc_id, substr(text, CAST(j AS INT), 1) AS ch
+      |            FROM (SELECT doc_id, text, length(text) AS len
+      |                  FROM documents WHERE length(text) >= 1) t,
+      |            LATERAL (SELECT unnest(range(1, len + 1)) AS j) u),
+      |c AS (SELECT doc_id, ch, count(*) AS k FROM ch GROUP BY 1, 2),
+      |e AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+      |        sum(k * ln(k)) AS kl, count(*) AS nd
+      |      FROM c GROUP BY 1)
+      |SELECT doc_id, CAST(nd AS INTEGER) AS n_distinct_chars,
+      |  round(ln(n) - kl / n, 6) AS char_entropy
+      |FROM e ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d).filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.charNgramCounts(col("text"), 1))
+          .as(Seq("ch", "k")))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n"),
+        sum(col("k") * log(col("k"))).as("kl"),
+        count(lit(1)).cast("int").as("n_distinct_chars"))
+      .select(col("doc_id"), col("n_distinct_chars"),
+        round(log(col("n")) - col("kl") / col("n"), 6).as("char_entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Collocation mining: top word pairs by pointwise mutual information,
+    * PMI = ln(c12·N / (c1·c2)), c12 ≥ 5 — the corpus-analysis pass that
+    * surfaces multi-word expressions ("new york") for tokenizer vocab
+    * and phrase-aware dedup. Engine shape: occurrence explodes feed
+    * two-phase vocabulary-bounded counts; the bigram table joins the
+    * unigram table twice ON THE WORD KEY (shuffle joins at scale, AQE
+    * broadcasts at fixture scale) and the 1-row corpus total broadcasts.
+    * Ties at the cut are broken by bigram text, so top-50 is total. */
+  val pmiCollocations: Q = Q(
+    "pmi_collocations",
+    """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+      |uni AS (SELECT u AS w, count(*) AS c
+      |        FROM (SELECT unnest(ts) AS u FROM t) WHERE u <> ''
+      |        GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS ntok FROM uni),
+      |big AS (SELECT g AS b, count(*) AS c12
+      |        FROM (SELECT unnest(list_transform(range(1, len(ts)),
+      |                i -> ts[i] || ' ' || ts[i+1])) AS g
+      |              FROM t WHERE len(ts) >= 2)
+      |        GROUP BY 1 HAVING count(*) >= 5)
+      |SELECT b, c12,
+      |  round(ln(CAST(c12 AS DOUBLE) * n.ntok / (u1.c * u2.c)), 6) AS pmi
+      |FROM big
+      |JOIN uni u1 ON split_part(b, ' ', 1) = u1.w
+      |JOIN uni u2 ON split_part(b, ' ', 2) = u2.w
+      |CROSS JOIN n
+      |WHERE split_part(b, ' ', 1) <> '' AND split_part(b, ' ', 2) <> ''
+      |ORDER BY pmi DESC, b LIMIT 50""".stripMargin) { (s, d) =>
+    val ts = split(col("text"), " ")
+    val t = docs(s, d).select(ts.as("ts"))
+    val uni = t.select(explode(col("ts")).as("w")).filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c").as("ntok"))
+    val big = t.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i+1]))"))
+        .as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+      .filter(expr("split_part(b, ' ', 1) <> '' AND split_part(b, ' ', 2) <> ''"))
+    big
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"),
+        expr("split_part(b, ' ', 1) = w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"),
+        expr("split_part(b, ' ', 2) = w2"))
+      .crossJoin(broadcast(n))
+      .select(col("b"), col("c12"),
+        round(log(col("c12").cast("double") * col("ntok") / (col("c1") * col("c2"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("b")).limit(50)
+  }
+
   val all: Seq[Q] = Seq(
     wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
     dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard,
-    bm25TopDocs, heavyHitters, heavyHittersMg)
+    bm25TopDocs, heavyHitters, heavyHittersMg, entropyProfile, pmiCollocations)
 }

@@ -163,6 +163,8 @@ class ScaleOpsSuite extends SparkSpec {
       "dedup_exact_stats", "cosine_dedup_stats",
       "minhash_keepfirst",    // 1-row x 1-row count report
       "lm_perplexity",        // 1-row vocab-size broadcast joined to docs
+      "lm_backoff_score",     // 1-row (N, V) model-stats broadcast
+      "pmi_collocations",     // 1-row corpus-token-total broadcast
       "heavy_hitters",        // 1-row corpus-total broadcast for the share
       "pagerank_bipartite",   // 1-row node-count broadcast per iteration
       "q70_fuzzy_match",      // custkey <= 200 capped length-blocked pairs
