@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed prefix (cumulative) sums over a global value order —
+  * the scale-safe replacement for `sum(x) OVER (ORDER BY ...)`, whose
+  * empty partition spec funnels every row through one task (same
+  * scale-killer class as the partition-less ntile eliminated in
+  * round 4; the battery sweep in ScaleOpsSuite bans the window form).
+  *
+  * Mechanics: `repartitionByRange` on the sort keys gives globally
+  * ordered partitions, `sortWithinPartitions` orders within each; one
+  * pass computes PER-PARTITION column totals (only #partitions ×
+  * #columns longs reach the driver — the same bounded-driver-traffic
+  * discipline as ConnectedComponents' change counts), the exclusive
+  * scan of those totals broadcasts back as offsets, and a second
+  * streaming pass emits running sums. No row ever moves to one task,
+  * so ECDFs/cumulative histograms survive 100 TB.
+  *
+  * Sum columns must be LongType: integer accumulation keeps partial
+  * order irrelevant (exact associativity), which is what lets callers
+  * compare cumulative counts across engines without float slop.
+  */
+object PrefixScan {
+
+  /** Adds `cum_<col>` running totals ordered by `sortCols`, and returns
+    * the grand totals per summed column (free — they are the last
+    * partition's offset + total, already on the driver). */
+  def withCumSums(df: DataFrame, sortCols: Seq[Column],
+      sumCols: Seq[String]): (DataFrame, Array[Long]) = {
+    val spark = df.sparkSession
+    sumCols.foreach { c =>
+      require(df.schema(c).dataType == LongType,
+        s"prefix-scan column $c must be LongType (exact accumulation), " +
+          s"got ${df.schema(c).dataType.catalogString}")
+    }
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val idxs = sumCols.map(df.schema.fieldIndex).toArray
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition totals (bounded driver traffic)
+    val partTotals: Array[(Int, Array[Long])] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val acc = new Array[Long](idxs.length)
+        it.foreach { row =>
+          var j = 0
+          while (j < idxs.length) { acc(j) += row.getLong(idxs(j)); j += 1 }
+        }
+        Iterator.single((pid, acc))
+      }.collect()
+    val nParts = rdd.getNumPartitions
+    val offsets = Array.fill(nParts)(new Array[Long](idxs.length))
+    val running = new Array[Long](idxs.length)
+    partTotals.sortBy(_._1).foreach { case (pid, tot) =>
+      offsets(pid) = running.clone()
+      var j = 0
+      while (j < idxs.length) { running(j) += tot(j); j += 1 }
+    }
+    // pass 2: streaming within-partition scan + broadcast offsets
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val schema = sumCols.foldLeft(df.schema) { (sch, c) =>
+      sch.add(s"cum_$c", LongType, nullable = false)
+    }
+    val scanned = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val acc = bcOffsets.value(pid).clone()
+      it.map { row =>
+        var j = 0
+        while (j < idxs.length) { acc(j) += row.getLong(idxs(j)); j += 1 }
+        Row.fromSeq(row.toSeq ++ acc)
+      }
+    }
+    (spark.createDataFrame(scanned, schema), running)
+  }
+}
