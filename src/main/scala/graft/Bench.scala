@@ -1,6 +1,9 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
@@ -16,9 +19,30 @@ import org.apache.spark.sql.SparkSession
   * The artifact is self-defending against ambient load (round-3's file
   * recorded 32x outliers from a loaded box that git showed were not
   * regressions): it reports median beside min, samples /proc/loadavg
-  * before and after, and re-measures any query whose min exceeds 3x its
+  * before and after, and re-measures any query whose min exceeds 2x its
   * best prior-round value (prior BENCH_r*.json files in the working
   * directory) before writing the line.
+  *
+  * CRASH RESILIENCE (round-6 verdict #1 — BENCH_r06 died rc=124 with a
+  * mid-battery SparkContext death and lost the whole artifact because
+  * the JSON line was only emitted at the very end):
+  *  - the driver/executor RPC timeouts are raised well past any driver
+  *    GC pause (the r6 tail showed "Cannot receive any reply ... in
+  *    10000 milliseconds" — local-mode heartbeat loss kills the
+  *    context), and the UI/status-store retention caps bound the
+  *    listener state that accumulates across the battery's ~3000 jobs;
+  *  - the SparkSession is RECYCLED every ~150 query executions, so no
+  *    cross-query driver state (status store, listener queues, cache
+  *    manager entries) can grow without bound;
+  *  - every execution runs under a wall-time bound in its own thread;
+  *    on timeout its job group is cancelled and the query records -1
+  *    instead of stalling the battery;
+  *  - a dead SparkContext is detected and replaced before every
+  *    execution instead of poisoning the rest of the run;
+  *  - results are flushed to BENCH_SELF.json after EVERY query, and a
+  *    JVM shutdown hook prints the driver-contract JSON line with
+  *    whatever completed if the process is killed (SIGTERM from the
+  *    driver's `timeout` runs hooks; only SIGKILL loses the line).
   */
 object Bench {
 
@@ -85,60 +109,208 @@ object Bench {
     }.filter(_._2 > 0)
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Local-iteration filter (mirrors Verify's 3rd arg): bench only the
-    // named queries. The driver never sets it — full battery there.
-    val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val spark = SparkSession.builder()
+  // ---- resilient session management ------------------------------------
+
+  private val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  @volatile private var spark: SparkSession = _
+  private val listener = new ResourceListener
+  @volatile private var listenerWanted = false
+  private var executionsSinceRecycle = 0
+  /** Recycle cadence in executions: ~150 keeps well under the ~3000-job
+    * accumulation where round 6's context died, at ~2s restart cost. */
+  private val RecycleEvery = 150
+
+  private def buildSession(): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // r6 post-mortem: a >10s driver pause dropped the local-mode
+      // executor heartbeat and killed the context mid-battery. Give
+      // every RPC far more headroom than any plausible GC pause...
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
+      .config("spark.rpc.askTimeout", "600s")
+      // ...and bound the status-store state that accumulates across
+      // thousands of jobs (retention caps apply even with the UI off).
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.sql.ui.retainedExecutions", "10")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("WARN")
+    if (listenerWanted) s.sparkContext.addSparkListener(listener)
+    s
+  }
+
+  private def ensureAlive(): SparkSession = synchronized {
+    if (spark == null || spark.sparkContext.isStopped) {
+      spark = buildSession()
+      executionsSinceRecycle = 0
+    }
+    spark
+  }
+
+  private def recycle(reason: String): Unit = synchronized {
+    System.err.println(s"[bench] recycling SparkSession ($reason)")
+    try spark.stop() catch { case _: Throwable => () }
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = null
+    ensureAlive()
+    ()
+  }
+
+  /** Called at query boundaries only, so a mid-query restart can never
+    * skew a sample set. */
+  private def maybeRecycle(): Unit =
+    if (executionsSinceRecycle >= RecycleEvery) recycle(s"$executionsSinceRecycle executions")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Local-iteration filter (mirrors Verify's 3rd arg): bench only the
+    // named queries. The driver never sets it — full battery there.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Wall-time bound per execution; generous (the slowest sf0.1 query
+    // medians ~9s) — this guards hangs, not slowness.
+    val queryTimeoutMs =
+      sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_S").map(_.toLong * 1000).getOrElse(180000L)
+    ensureAlive()
     val loadStart = loadAvg()
+
+    // Incremental result state: flushed after every query and by the
+    // shutdown hook, so a crash loses at most the in-flight query.
+    val minMap = TrieMap.empty[String, Double]
+    val medMap = TrieMap.empty[String, Double]
+    val shufMap = TrieMap.empty[String, Double]
+    val peakMap = TrieMap.empty[String, Double]
+    val rerun = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val linePrinted = new AtomicBoolean(false)
+
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmtMap(m: scala.collection.Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map(t => "\"" + t._1 + "\":" + fmt(t._2)).mkString("{", ",", "}")
+    def totalStr: String = fmt(minMap.values.filter(_ >= 0).sum)
+    def driverLine: String =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":${fmtMap(minMap)},"sf":"$sfDir"}"""
+    def writeArtifact(partial: Boolean): Unit = {
+      val rr = {
+        val it = rerun.iterator(); val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next()
+        b.result().map("\"" + _ + "\"").mkString("[", ",", "]")
+      }
+      val body = s"""{"metric":"total","value":$totalStr,"unit":"sec","partial":$partial,""" +
+        s""""queries":${fmtMap(minMap)},"queries_median":${fmtMap(medMap)},""" +
+        s""""queries_shuffle_mb":${fmtMap(shufMap)},"queries_peak_mem_mb":${fmtMap(peakMap)},""" +
+        s""""load_avg":[$loadStart,${loadAvg()}],"remeasured":$rr,"sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), body + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
+      ()
+    }
+    val hook = new Thread(() => {
+      if (linePrinted.compareAndSet(false, true)) {
+        System.err.println("[bench] shutdown hook: emitting partial results")
+        println(driverLine)
+        Console.out.flush()
+        writeArtifact(partial = true)
+      }
+    }, "bench-shutdown")
+    Runtime.getRuntime.addShutdownHook(hook)
 
     // caching operators must not carry state between queries (fair
     // timing) or accumulate across the battery (memory): clearCache
     // drops DataFrame-level cache; the getPersistentRDDs sweep drops
     // RDD-level persists (ConnectedComponents' label fixpoint).
     def reset(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      val s = spark
+      if (s != null && !s.sparkContext.isStopped)
+        try {
+          s.catalog.clearCache()
+          s.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        } catch { case _: Throwable => () }
     }
 
+    /** One bounded execution: plan + run in a daemon thread under the
+      * wall-time cap; on timeout, cancel the job group and move on. A
+      * context killed mid-run is replaced at the NEXT call. */
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val s = ensureAlive()
+      executionsSinceRecycle += 1
+      val done = new CountDownLatch(1)
+      @volatile var out = -1.0
+      val group = s"bench:$name"
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
+      val th = new Thread(() => {
+        try {
+          s.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          fn(s, sfDir).write.format("noop").mode("overwrite").save()
+          out = (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            out = -1.0
+        } finally {
+          try s.sparkContext.clearJobGroup() catch { case _: Throwable => () }
+          done.countDown()
+        }
+      }, s"bench-$name")
+      th.setDaemon(true)
+      th.start()
+      if (!done.await(queryTimeoutMs, TimeUnit.MILLISECONDS)) {
+        System.err.println(s"[bench] $name TIMED OUT after ${queryTimeoutMs / 1000}s; cancelling")
+        try s.sparkContext.cancelJobGroup(group) catch { case _: Throwable => () }
+        if (!done.await(30, TimeUnit.SECONDS)) {
+          // cancellation didn't take — the context is wedged; replace it
+          recycle(s"$name stuck after cancel")
+        }
+        out = -1.0
       }
-      finally reset()
+      reset()
+      out
     }
+
+    val battery = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .toSeq.sortBy(_._1)
 
     // One full warm pass first: JVM JIT, codegen compilation, and file
     // index caches all land on the warm-up, so the measured passes report
     // steady-state engine time (first-query cold-start was otherwise
-    // attributed to whichever query ran first).
-    val battery = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-    battery.foreach { case (name, fn) => timeOnce(name, fn) }
+    // attributed to whichever query ran first). Resource metrics are
+    // captured HERE (shuffle bytes are plan-determined and identical
+    // across passes; peak memory is stable) — folding the old separate
+    // metrics pass into the warm-up cuts a full battery execution from
+    // the wall time, which is what outgrew the driver's budget in r6.
+    listenerWanted = true
+    ensureAlive().sparkContext.addSparkListener(listener)
+    battery.foreach { case (name, fn) =>
+      maybeRecycle()
+      drainListenerBus(ensureAlive())
+      listener.reset()
+      val ok = timeOnce(name, fn) >= 0
+      drainListenerBus(ensureAlive())
+      val mb = 1024.0 * 1024.0
+      shufMap(name) = if (ok) (listener.shuffleWrite.get + listener.shuffleRead.get) / mb else -1.0
+      peakMap(name) = if (ok) listener.peakMem.get / mb else -1.0
+    }
+    listenerWanted = false
+    val sAfterWarm = spark
+    if (sAfterWarm != null && !sAfterWarm.sparkContext.isStopped)
+      try sAfterWarm.sparkContext.removeSparkListener(listener)
+      catch { case _: Throwable => () }
 
     // Three measured passes, keep min AND median: single-sample timings
     // on a shared 32-thread box carry GC/scheduler noise that can triple
     // a sub-second query (observed run-to-run swings of 5x).
     val prior = priorMinima()
-    val rerun = Seq.newBuilder[String]
-    val results = battery.toSeq.sortBy(_._1).map { case (name, fn) =>
+    battery.foreach { case (name, fn) =>
+      maybeRecycle()
       var times = (1 to 3).map(_ => timeOnce(name, fn))
       // Ambient-load defense: a min 2x above the best prior round is a
       // noisy measurement until proven otherwise — re-measure. (2x is
@@ -146,51 +318,26 @@ object Bench {
       // bar; 3x let a 2.79x q53 blip through in round 5.)
       val failed = times.exists(_ < 0)
       if (!failed && prior.get(name).exists(p => times.min > 2 * p)) {
-        rerun += name
+        rerun.add(name)
         times = times ++ (1 to 3).map(_ => timeOnce(name, fn))
       }
       val ok = !times.exists(_ < 0)
       val sortedT = times.sorted
-      val median = sortedT(sortedT.size / 2)
-      (name, if (ok) sortedT.head else -1.0, if (ok) median else -1.0)
+      minMap(name) = if (ok) sortedT.head else -1.0
+      medMap(name) = if (ok) sortedT(sortedT.size / 2) else -1.0
+      writeArtifact(partial = true)
     }
-    // Dedicated resource-metrics pass (after timing, so listener
-    // overhead and the bus drain never pollute the timed numbers): one
-    // run per query with the counters reset, snapshotted after the bus
-    // drains. Shuffle bytes are plan-determined and stable across
-    // passes; peak memory is the max per-task execution memory.
-    val listener = new ResourceListener
-    spark.sparkContext.addSparkListener(listener)
-    val resources = battery.toSeq.sortBy(_._1).map { case (name, fn) =>
-      drainListenerBus(spark)
-      listener.reset()
-      val ok = timeOnce(name, fn) >= 0
-      drainListenerBus(spark)
-      val mb = 1024.0 * 1024.0
-      (name,
-        if (ok) (listener.shuffleWrite.get + listener.shuffleRead.get) / mb else -1.0,
-        if (ok) listener.peakMem.get / mb else -1.0)
-    }
-    spark.sparkContext.removeSparkListener(listener)
 
-    val loadEnd = loadAvg()
-    def fmt(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    def fmtMap(f: ((String, Double, Double)) => Double): String =
-      results.map(t => "\"" + t._1 + "\":" + fmt(f(t))).mkString("{", ",", "}")
-    val qs = fmtMap(_._2)
-    val med = fmtMap(_._3)
-    val total = fmt(results.collect { case (_, v, _) if v >= 0 => v }.sum)
-    val rr = rerun.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     // stdout keeps the exact driver-contract shape (one compact line);
     // the full self-defending artifact (median, load averages, re-
     // measurement list) goes to BENCH_SELF.json in the working
-    // directory, committed with the round
-    val shuf = resources.map(t => "\"" + t._1 + "\":" + fmt(t._2)).mkString("{", ",", "}")
-    val peak = resources.map(t => "\"" + t._1 + "\":" + fmt(t._3)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"queries_shuffle_mb":$shuf,"queries_peak_mem_mb":$peak,"load_avg":[$loadStart,$loadEnd],"remeasured":$rr,"sf":"$sfDir"}""" + "\n")
-    spark.stop()
+    // directory, committed with the round.
+    if (linePrinted.compareAndSet(false, true)) {
+      println(driverLine)
+      Console.out.flush()
+      writeArtifact(partial = false)
+    }
+    try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: Throwable => () }
+    try spark.stop() catch { case _: Throwable => () }
   }
 }

@@ -76,9 +76,15 @@ object HashedLinearScore {
         var j = 0
         while (i < n && bytes(i) != ' ') {
           val b = bytes(i)
+          // Fail with enough context to FIND the offending row: at
+          // corpus scale "got byte -61" without the document prefix
+          // makes a single stray UTF-8 byte nearly undebuggable
+          // (round-6 ADVICE).
           require(b >= 0 && b < 128,
             s"graft_linear_score requires ASCII text (oracle replays the " +
-              s"hash via ascii()); got byte $b")
+              s"hash via ascii()); got byte $b at offset $i in document " +
+              s"starting ${text.substring(0, math.min(48, text.numChars()))
+                .toString.replaceAll("\\s", " ")}...")
           if (j < 8) { h += b.toLong * pow; pow *= 31L; j += 1 }
           i += 1
         }

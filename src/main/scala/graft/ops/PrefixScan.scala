@@ -27,7 +27,19 @@ object PrefixScan {
 
   /** Adds `cum_<col>` running totals ordered by `sortCols`, and returns
     * the grand totals per summed column (free — they are the last
-    * partition's offset + total, already on the driver). */
+    * partition's offset + total, already on the driver).
+    *
+    * NULL sum values contribute 0, matching SQL SUM's null-skipping
+    * (so `sum(x) OVER w` parity holds on nullable columns instead of
+    * NPE-ing mid-scan — round-6 ADVICE).
+    *
+    * The sorted RDD is deliberately NOT persisted: both passes share
+    * one RDD lineage, so pass 2 skips the range-exchange stage (Spark
+    * reuses the shuffle files pass 1 wrote) and only re-runs the cheap
+    * in-partition sort. Persisting bought little over that and had no
+    * sound unpersist point — the returned DataFrame is lazy, so any
+    * eager unpersist would force a third full computation (round-6
+    * ADVICE flagged the leak). */
   def withCumSums(df: DataFrame, sortCols: Seq[Column],
       sumCols: Seq[String]): (DataFrame, Array[Long]) = {
     val spark = df.sparkSession
@@ -40,14 +52,16 @@ object PrefixScan {
       .sortWithinPartitions(sortCols: _*)
     val idxs = sumCols.map(df.schema.fieldIndex).toArray
     val rdd = sorted.rdd
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: per-partition totals (bounded driver traffic)
     val partTotals: Array[(Int, Array[Long])] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val acc = new Array[Long](idxs.length)
         it.foreach { row =>
           var j = 0
-          while (j < idxs.length) { acc(j) += row.getLong(idxs(j)); j += 1 }
+          while (j < idxs.length) {
+            if (!row.isNullAt(idxs(j))) acc(j) += row.getLong(idxs(j))
+            j += 1
+          }
         }
         Iterator.single((pid, acc))
       }.collect()
@@ -68,7 +82,10 @@ object PrefixScan {
       val acc = bcOffsets.value(pid).clone()
       it.map { row =>
         var j = 0
-        while (j < idxs.length) { acc(j) += row.getLong(idxs(j)); j += 1 }
+        while (j < idxs.length) {
+          if (!row.isNullAt(idxs(j))) acc(j) += row.getLong(idxs(j))
+          j += 1
+        }
         Row.fromSeq(row.toSeq ++ acc)
       }
     }

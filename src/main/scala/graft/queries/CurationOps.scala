@@ -131,11 +131,13 @@ object CurationOps {
     * join input is proportional to true contamination, not corpus
     * size. False positives are removed by the exact broadcast join
     * that follows, which is what keeps a probabilistic sketch under
-    * the deterministic rows+schema+hash gate. The bloom build is
-    * Spark's distributed treeAggregate (df.stat.bloomFilter); only the
-    * final ~64KB sketch reaches the driver, then broadcasts. The UDF
-    * IS the declared sketch-membership operator (mightContainString),
-    * not incidental plumbing. */
+    * the deterministic rows+schema+hash gate. The bloom build is the
+    * distributed `bloom_filter_agg` two-phase aggregate (partial
+    * sketches merge executor-side; only the final ~64KB sketch reaches
+    * the driver), and the membership probe is Spark's native
+    * `might_contain` expression over that sketch as a literal — fully
+    * inside whole-stage codegen, no per-row Scala on the hot path
+    * (round-6 verdict #6 replaced the scalar-UDF probe). */
   val decontamBloom: Q = Q(
     "decontam_bloom",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -157,14 +159,15 @@ object CurationOps {
         graft.functions.GraftFunctions.shingles(col("text"), 5).as("grams"))
     val evalGrams = g.filter(col("doc_id") % 97 === 0)
       .select(explode(col("grams")).as("gram")).distinct()
-    val bloom = evalGrams.stat.bloomFilter("gram",
-      expectedNumItems = 1L << 16, fpp = 0.03)
-    val bc = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((gram: String) => bc.value.mightContainString(gram))
+    val bloomBytes = evalGrams
+      .select(graft.functions.BloomBridge
+        .bloomFilterAgg(col("gram"), 1L << 16, fpp = 0.03).as("bf"))
+      .head().getAs[Array[Byte]](0)
     g.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), size(col("grams")).as("n_grams"),
         explode(col("grams")).as("gram"))
-      .filter(mightContain(col("gram"))) // sketch prefilter, map-side
+      .filter(graft.functions.BloomBridge
+        .mightContain(bloomBytes, col("gram"))) // sketch prefilter, map-side, codegen'd
       .join(broadcast(evalGrams), "gram") // exact verify: FPs drop here
       .groupBy("doc_id", "n_grams")
       .agg(count(lit(1)).cast("int").as("n_hit"))

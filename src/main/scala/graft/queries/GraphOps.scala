@@ -68,39 +68,52 @@ object GraphOps {
       |  round(r, 6) AS rank
       |FROM r3 ORDER BY node""".stripMargin) {
     (s, d) =>
+    import org.apache.spark.sql.expressions.Window
     val e0 = Tables.lineitem(s, d)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-    val edges = e0.select(
-        (col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
-      .union(e0.select(
-        (col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
-    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE distinct pass; the symmetric reverse edge comes from an
+    // in-place explode instead of a union of two branches (the union
+    // form ran the distinct scan twice when the adjacency
+    // materialized — round-7 rework of the round-6 "~4s" perf claim).
+    val edges = e0.select(explode(array(
+        struct((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst")),
+        struct((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     // Degree-annotated adjacency, persisted: every iteration re-reads
-    // this one materialization instead of re-running distinct + union +
-    // degree joins (3x recompute measured at 11.7s before this — the
-    // GraphX edge-cache discipline, expressed in SQL). Pre-partitioned
-    // on the join key BEFORE persisting, so the cached relation REPORTS
-    // HashPartitioning(src) and each iteration's join shuffles only the
-    // ~|nodes| rank vector, never the edge set — the co-location play
-    // that keeps iterative graph joins viable when the rank vector is
-    // too big to broadcast (billions of nodes). CacheManager keys on
-    // the canonical plan, so repeated runs share one entry; Bench
-    // reset() clears caches between timed passes.
-    val adj = edges.join(deg.withColumnRenamed("node", "src"), "src")
-      .repartition(col("src")).sortWithinPartitions("src")
+    // this one materialization instead of re-running distinct + degree
+    // annotation (3x recompute measured at 11.7s before this — the
+    // GraphX edge-cache discipline, expressed in SQL). Degree is a
+    // COUNT window over the same src-hash-partitioning the cache
+    // stores — one shuffle builds partitioning + degree + sort
+    // together (the previous groupBy-join-repartition chain shuffled
+    // the edge set three times). The cached relation reports
+    // HashPartitioning(src) + src-sorted, so each iteration's
+    // sort-merge join shuffles only the ~|nodes| rank vector, never
+    // the edge set — the co-location play that keeps iterative graph
+    // joins viable when the rank vector is too big to broadcast
+    // (billions of nodes). CacheManager keys on the canonical plan, so
+    // repeated runs share one entry; the library's battery harness
+    // (Bench/Verify reset()) clears caches between queries — callers
+    // embedding this query long-term should clearCache() likewise.
+    val adj = edges.repartition(col("src"))
+      .withColumn("d", count(lit(1)).over(Window.partitionBy("src")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = deg.agg(count(lit(1)).as("cnt"))
-    val r0 = deg.crossJoin(broadcast(n))
-      .select(col("node"), (lit(1.0) / col("cnt")).as("r"))
+    // |nodes| via one bounded driver action on the cached adjacency
+    // (same driver-traffic class as DistributedNtile's count): a
+    // LITERAL 0.15/N constant-folds into each iteration, replacing the
+    // crossJoin(broadcast(n)) + 1-row aggregate that round 6 re-ran
+    // FOUR times (seed + 3 steps).
+    val nNodes = adj.select("src").distinct().count()
+    val r0 = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0 / nNodes).as("r"))
     def step(prev: DataFrame): DataFrame =
       adj
         .join(prev.withColumnRenamed("node", "src"), "src")
-        .crossJoin(broadcast(n))
-        .groupBy(col("dst").as("node"), col("cnt"))
+        .groupBy(col("dst").as("node"))
         .agg(sum(col("r") / col("d")).as("contrib"))
         .select(col("node"),
-          (lit(0.15) / col("cnt") + lit(0.85) * col("contrib")).as("r"))
+          (lit(0.15 / nNodes) + lit(0.85) * col("contrib")).as("r"))
     val r3 = step(step(step(r0)))
     r3.select(
         when(col("node") % 2 === 0,

@@ -1085,7 +1085,10 @@ object Relational {
     ev(s, d)
       .select(col("user_id"), col("event_id"), ub.as("ub"), db.as("db"))
       .withColumn("zval", zval)
-      .groupBy((col("zval") / 16).cast("long").as("zcell"))
+      // floor(), not a truncating cast: the oracle's `zval // 16` is
+      // FLOOR division, and the two diverge on negative zval (possible
+      // when an event predates 2024-01-01 ⇒ db < 0) — round-6 ADVICE.
+      .groupBy(floor(col("zval") / 16).as("zcell"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
         min("ub").as("user_min"), max("ub").as("user_max"),
@@ -1401,8 +1404,49 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Global ECDF / cumulative revenue share over orders, via the
+    * distributed PrefixScan operator — the scale-safe replacement for
+    * `sum(x) OVER (ORDER BY ...)`, whose empty partition spec funnels
+    * every row through ONE task (the battery sweep bans that window
+    * form outright). PrefixScan range-partitions on the sort key, takes
+    * per-partition totals (only #partitions × #cols longs reach the
+    * driver), broadcasts the exclusive scan of those totals back as
+    * offsets, and streams running sums — no row ever moves to a single
+    * task, so this exact plan runs on 10^11 rows. Money is summed in
+    * integer cents (exact associativity ⇒ partial order irrelevant);
+    * the cumulative share divides by the grand total, which the scan
+    * returns for free. */
+  val q73Ecdf: Q = Q(
+    "q73_ecdf",
+    """WITH b AS (SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM b),
+      |c AS (SELECT o_orderkey, cents,
+      |    CAST(row_number() OVER (ORDER BY cents, o_orderkey) AS BIGINT)
+      |      AS cum_n,
+      |    CAST(sum(cents) OVER (ORDER BY cents, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_cents
+      |  FROM b)
+      |SELECT o_orderkey, cum_n, cum_cents,
+      |  floor(CAST(cum_cents AS DOUBLE) / tot * 1000000 + 0.5) / 1000000
+      |    AS cum_share
+      |FROM c, t ORDER BY cum_n""".stripMargin) { (s, d) =>
+    val base = ord(s, d).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      lit(1L).as("one"))
+    val (scanned, totals) = graft.ops.PrefixScan.withCumSums(
+      base, Seq(col("cents"), col("o_orderkey")), Seq("one", "cents"))
+    val totCents = totals(1)
+    scanned.select(col("o_orderkey"),
+        col("cum_one").as("cum_n"), col("cum_cents"),
+        (floor(col("cum_cents").cast("double") / lit(totCents.toDouble)
+          * lit(1000000d) + lit(0.5)) / lit(1000000d)).as("cum_share"))
+      .orderBy("cum_n")
+  }
+
   val all: Seq[Q] = Seq(
-    q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert,
+    q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert, q73Ecdf,
     q64WindowPctRank, q65ArrayAdvanced, q66RollupReuse, q67SaltedJoin,
     q68Copurchase, q69Histogram, q70FuzzyMatch, q71KeySkewProfile,
     q72SequencePattern,

@@ -61,6 +61,26 @@ class MisraGriesSuite extends SparkSpec {
     assert(viaMg.toSeq === exact.toSeq)
   }
 
+  test("fixture satisfies the exactness precondition: 20th hitter > n/(k+1)") {
+    // heavy_hitters_mg's oracle is the EXACT top-20, but MG(k=64) only
+    // guarantees tokens with count > n/(k+1) survive the sketch. If a
+    // fixture/corpus change ever dropped the 20th hitter below that
+    // bar, oracle parity would break silently (and partition-layout-
+    // dependently) — so the violated assumption fails HERE instead
+    // (round-6 ADVICE).
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val top20 = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(20).collect()
+    val n = toks.count()
+    val bar = n / 65 // k = 64 in heavy_hitters_mg
+    val twentieth = top20.last.getAs[Long]("cnt")
+    assert(twentieth > bar,
+      s"20th hitter count $twentieth does not clear n/(k+1) = $bar — " +
+        "heavy_hitters_mg's exact-top-20 oracle is no longer guaranteed")
+  }
+
   test("partial aggregation: map-side MG summaries merge through the plan") {
     // The physical plan must show a two-phase aggregate (partial +
     // final) — the whole point of a mergeable summary is that the

@@ -166,7 +166,6 @@ class ScaleOpsSuite extends SparkSpec {
       "lm_backoff_score",     // 1-row (N, V) model-stats broadcast
       "pmi_collocations",     // 1-row corpus-token-total broadcast
       "heavy_hitters",        // 1-row corpus-total broadcast for the share
-      "pagerank_bipartite",   // 1-row node-count broadcast per iteration
       "q70_fuzzy_match",      // custkey <= 200 capped length-blocked pairs
       "embed_stats")          // bounded label-centroid stats
     // Dead whitelist entries hide rot: every name must still be declared.
