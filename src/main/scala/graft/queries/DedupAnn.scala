@@ -576,7 +576,93 @@ object DedupAnn {
       .orderBy("qid", "rn")
   }
 
+  /** EXACT set-similarity self-join (all document pairs with word-bigram
+    * Jaccard ≥ 0.9) via PPJoin-style prefix filtering (Chaudhuri/Ganti/
+    * Kaushik 2006; Xiao et al. 2008 — public literature). MinHash-LSH
+    * (minhash_dedup_pairs) answers this approximately; this operator is
+    * the exact counterpart, and the naive exact plan is an all-pairs
+    * O(n²) join no cluster survives. Prefix filtering makes it linear-ish:
+    * order every doc's shingles by ascending global document frequency
+    * (rarest first — a per-doc Window, never a global one), keep only the
+    * first |T| − ⌈τ|T|⌉ + 1 as the doc's PREFIX, and equi-join docs on
+    * prefix shingles — any pair with Jaccard ≥ τ provably shares a prefix
+    * shingle, and prefixes are built from RARE shingles, so the candidate
+    * fan-out is small even on this corpus's adversarially tiny shingle
+    * universe (~1k distinct bigrams for 5k docs at sf0.1). Two more
+    * PPJoin prunes run before verification: the length filter
+    * (τ·|A| ≤ |B| ≤ |A|/τ) and the POSITIONAL filter — a prefix match at
+    * rank i of A can lead to overlap at most |A| − i + 1, which must
+    * reach α = ⌈τ(|A|+|B|)/(1+τ)⌉, the minimum intersection any τ-pair
+    * needs. All arithmetic that decides membership is integer
+    * (⌈9n/10⌉ = (9n+9) div 10; α = (9(na+nb)+18) div 19; threshold as
+    * 10·∩ ≥ 9·∪), so engines can't disagree at the boundary. Every stage
+    * is a keyed shuffle join or a per-doc window — the plan runs
+    * unchanged on 10⁹ docs. */
+  val setsimJoin: Q = Q(
+    "setsim_join",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |            FROM documents
+      |            WHERE len(string_split(text, ' ')) >= 2),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)),
+      |         i -> ws[i] || ' ' || ws[i+1])) AS grams FROM tk),
+      |tok AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |            a.n AS na, b.n AS nb, count(*) AS c
+      |          FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b, c AS n_common,
+      |  floor(CAST(c AS DOUBLE) / (na + nb - c) * 1000000 + 0.5) / 1000000
+      |    AS jaccard
+      |FROM inter WHERE 10 * c >= 9 * (na + nb - c)
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val ws = split(col("text"), " ")
+    val grams = array_distinct(expr(
+      "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
+    val sh = Tables.documents(s, d)
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), grams.as("grams"))
+    val tok = sh.select(col("doc_id"), size(col("grams")).as("n"),
+      explode(col("grams")).as("g"))
+    val dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
+    import org.apache.spark.sql.expressions.Window
+    val prefLen = (col("n") - floor((col("n") * 9 + 9) / 10) + 1).cast("int")
+    val prefix = tok.join(dfreq, "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+      .filter(col("rn") <= prefLen)
+      .select(col("doc_id"), col("n"), col("rn"), col("g"))
+    // α: the smallest |A∩B| any Jaccard-≥0.9 pair can have. A prefix hit
+    // at rank rn leaves at most n − rn + 1 tokens that can still match.
+    val alpha = floor(((col("na") + col("nb")) * 9 + 18) / 19)
+    val cand = prefix.select(col("doc_id").as("id_a"), col("n").as("na"),
+        col("rn").as("ra"), col("g"))
+      .join(prefix.select(col("doc_id").as("id_b"), col("n").as("nb"),
+        col("rn").as("rb"), col("g")), "g")
+      .filter(col("id_a") < col("id_b")
+        && col("na") * 9 <= col("nb") * 10 && col("nb") * 9 <= col("na") * 10
+        && col("na") - col("ra") + 1 >= alpha
+        && col("nb") - col("rb") + 1 >= alpha)
+      .select("id_a", "id_b", "na", "nb").distinct()
+    // Verification: join the two gram ARRAYS onto each candidate (two
+    // doc-id-keyed shuffle joins) and intersect map-side — ~|cand| rows
+    // cross the exchanges, not |cand| × |grams| exploded tokens (the
+    // token-rejoin formulation moved 9M rows here and dominated the
+    // query's cost).
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("c"))
+    inter.filter(col("c") * 10 >= (col("na") + col("nb") - col("c")) * 9)
+      .select(col("id_a"), col("id_b"), col("c").as("n_common"),
+        (floor(col("c").cast("double")
+          / (col("na") + col("nb") - col("c")) * 1000000 + lit(0.5))
+          / 1000000).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, dedupComponents,
     dedupKeepBest, simhashPairs, annTopK, cosineDedupStats, ivfTopK,
-    pqEncode, pqAdcTopK, ivfpqTopK)
+    pqEncode, pqAdcTopK, ivfpqTopK, setsimJoin)
 }

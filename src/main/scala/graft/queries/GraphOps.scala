@@ -125,5 +125,96 @@ object GraphOps {
       .orderBy("node")
   }
 
-  val all: Seq[Q] = Seq(pagerankBipartite)
+  /** Triangle counting over the co-purchase graph (parts linked when they
+    * appear in the same order), reporting the 10 parts participating in
+    * the most triangles. The naive wedge join explodes on hub nodes
+    * (Σ deg² — a single celebrity part with degree 10^6 generates 10^12
+    * wedges); the engine uses the DEGREE-ORDERED orientation (Chiba &
+    * Nishizeki / Cohen's MapReduce formulation): every undirected edge is
+    * directed from its lower-(degree, id) endpoint to the higher, so
+    * out-degree is bounded by O(√|E|) regardless of skew, and each
+    * triangle {a,b,c} (ranked a<b<c) is generated exactly once as the
+    * wedge b←a→c closed by the oriented edge b→c. All three steps are
+    * plain equi-joins on node keys — shuffle-partitioned, no broadcast of
+    * anything unbounded, no driver-side state — so the same plan holds
+    * when the graph has billions of edges. Wedge-side rank comparison
+    * rides the degree columns already joined onto the oriented edges —
+    * no extra shuffle for it. */
+  val triangles: Q = Q(
+    "q75_triangles",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey),
+      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |        FROM e e1
+      |          JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+      |          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |nodes AS (SELECT a AS node FROM tri
+      |          UNION ALL SELECT b FROM tri
+      |          UNION ALL SELECT c FROM tri)
+      |SELECT node, count(*) AS n_tri
+      |FROM nodes GROUP BY node
+      |ORDER BY n_tri DESC, node LIMIT 10""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // Undirected edge set, canonical u < v. Pair fan-out is bounded per
+    // order (items per order is a data constant), so this self-join's
+    // output is linear in |lineitem|.
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+    val deg = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val annotated = edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+    // Orient low-(deg, id) → high; keep the destination's rank columns
+    // so the wedge step can order endpoints without another join.
+    val uLower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // Persisted once: the bloom build below and the three reads of the
+    // main plan (two wedge sides + closure) share this materialization
+    // instead of re-deriving distinct + self-join + degree joins. The
+    // battery harness (Bench/Verify reset()) clears it between queries,
+    // like pagerank's adjacency.
+    val oriented = annotated.select(
+        when(uLower, col("u")).otherwise(col("v")).as("src"),
+        when(uLower, col("v")).otherwise(col("u")).as("dst"),
+        when(uLower, col("dv")).otherwise(col("du")).as("ddeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val closure = oriented.select(col("src").as("b"), col("dst").as("c"))
+    // Wedge-side bloom prefilter: the wedge stream is Σ out-deg² rows
+    // (~38M at sf0.1 — 30× the edge count), and without a prefilter ALL
+    // of it crosses the closure-join exchange (measured 913 MB). A
+    // ~1%-FP sketch of the edge pairs drops non-closing wedges BEFORE
+    // the shuffle, so the exchange carries ~(triangles + FP) rows; the
+    // exact join then removes the FPs — same discipline as
+    // decontam_bloom. One bounded driver action ships the sketch; its
+    // size grows with |E| (×10 edges → ×10 bits for the same FP rate),
+    // so at extreme scale you'd raise fpp or drop the prefilter — the
+    // shuffle join underneath stays the scale-correct plan either way.
+    val bloomBytes = closure
+      .select(graft.functions.BloomBridge
+        .bloomFilterAgg(xxhash64(col("b"), col("c")), 4000000L, fpp = 0.01)
+        .as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val o1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("bdeg"))
+    val o2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("cdeg"))
+    val wedges = o1.join(o2, Seq("src"))
+      .filter(col("bdeg") < col("cdeg")
+        || (col("bdeg") === col("cdeg") && col("b") < col("c")))
+      .select(col("src"), col("b"), col("c"))
+      .filter(graft.functions.BloomBridge
+        .mightContain(bloomBytes, xxhash64(col("b"), col("c"))))
+    val tri = wedges.join(closure, Seq("b", "c"))
+      .select(col("src").as("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(pagerankBipartite, triangles)
 }

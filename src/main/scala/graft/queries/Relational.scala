@@ -1404,6 +1404,53 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Interval/range overlap join WITHOUT an equi-key: for every purchase,
+    * count (and sum, in exact integer cents) all clicks platform-wide in
+    * the preceding hour. Spark's native plan for a pure range predicate
+    * is BroadcastNestedLoopJoin — quadratic, a 100 TB killer. The engine
+    * instead BINS time into window-width buckets: each click maps to
+    * exactly ONE bin, each purchase interval is replicated to the ≤2 bins
+    * it can overlap (explode of a 2-element array — bounded fan-out), and
+    * the join becomes a plain shuffled EQUI-join on the bin key plus a
+    * residual range filter. Each (purchase, click) pair meets in exactly
+    * one bin (the click's), so no dedup pass is needed. Shuffle volume is
+    * |events| × ≤2 — linear — and a hot bin (burst hour) is ordinary
+    * equi-join skew that AQE's skew-split handles, not a nested loop.
+    * Click values are summed as floor(v*100+0.5) integer cents: exact
+    * associativity makes the result independent of partial-agg order. */
+  val q74RangeJoin: Q = Q(
+    "q74_range_join",
+    """WITH p AS (SELECT event_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |      FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, count(c.ts) AS n_clicks,
+      |  CAST(coalesce(sum(c.cents), 0) AS BIGINT) AS click_cents
+      |FROM p LEFT JOIN c
+      |  ON c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val winUs = 3600L * 1000000L // 1 hour in µs = the bin width
+    val p = ev(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts").as("p_ts"),
+        floor(unix_micros(col("ts")) / lit(winUs.toDouble)).cast("long").as("pbin"))
+    val c = ev(s, d).filter(col("event_type") === "click")
+      .select(col("ts").as("c_ts"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+        floor(unix_micros(col("ts")) / lit(winUs.toDouble)).cast("long").as("bin"))
+    val replicated = p.select(col("event_id"), col("p_ts"),
+      explode(array(col("pbin") - 1, col("pbin"))).as("bin"))
+    val agg = replicated.join(c, Seq("bin"))
+      .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("c_ts") <= col("p_ts"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_clicks"), sum(col("cents")).as("click_cents"))
+    p.select("event_id").join(agg, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("click_cents"), lit(0L)).as("click_cents"))
+      .orderBy("event_id")
+  }
+
   /** Global ECDF / cumulative revenue share over orders, via the
     * distributed PrefixScan operator — the scale-safe replacement for
     * `sum(x) OVER (ORDER BY ...)`, whose empty partition spec funnels
@@ -1446,7 +1493,7 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(
-    q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert, q73Ecdf,
+    q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert, q73Ecdf, q74RangeJoin,
     q64WindowPctRank, q65ArrayAdvanced, q66RollupReuse, q67SaltedJoin,
     q68Copurchase, q69Histogram, q70FuzzyMatch, q71KeySkewProfile,
     q72SequencePattern,

@@ -30,29 +30,12 @@ object StreamingOps {
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM events GROUP BY 1, 2
       |ORDER BY w_ms, event_type""".stripMargin) { (s, d) =>
-    // Stream the RAW fixture file: ts is parquet TIMESTAMP(NANOS),
-    // surfaced as LongType under nanosAsLong (same as Tables.events),
-    // converted to a µs timestamp by truncating division — identical
-    // to DuckDB's ns→µs read of the same file.
-    val physical = s.read.parquet(s"$d/events.parquet").schema
+    // Stream the RAW fixture file via the shared fileStream scaffold:
+    // ts is parquet TIMESTAMP(NANOS), surfaced as LongType under
+    // nanosAsLong (same as Tables.events), converted to a µs timestamp
+    // by truncating division — identical to DuckDB's ns→µs read.
     val sink = s"stream_file_parity_sink_${sinkId.incrementAndGet()}"
-    // The file-stream source only accepts directories (a production
-    // stream tails a landing dir); the fixture is a single parquet
-    // FILE, so stage a temp dir holding a symlink to it — zero copy.
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    srcDir.toFile.deleteOnExit()
-    val link = srcDir.resolve("events.parquet")
-    val target = java.nio.file.Paths.get(d, "events.parquet")
-    try java.nio.file.Files.createSymbolicLink(link, target)
-    catch { case _: UnsupportedOperationException =>
-      java.nio.file.Files.copy(target, link); ()
-    }
-    val streamed = s.readStream.schema(physical).parquet(srcDir.toString)
-    val withTs =
-      if (physical("ts").dataType == LongType)
-        streamed.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else streamed
-    val q = withTs
+    val q = fileStream(s, d)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
@@ -81,22 +64,8 @@ object StreamingOps {
       |  FROM events)
       |SELECT w_ms, event_type, count(*) AS n
       |FROM w GROUP BY 1, 2 ORDER BY w_ms, event_type""".stripMargin) { (s, d) =>
-    val physical = s.read.parquet(s"$d/events.parquet").schema
     val sink = s"stream_slide_parity_sink_${sinkId.incrementAndGet()}"
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    srcDir.toFile.deleteOnExit()
-    val link = srcDir.resolve("events.parquet")
-    val target = java.nio.file.Paths.get(d, "events.parquet")
-    try java.nio.file.Files.createSymbolicLink(link, target)
-    catch { case _: UnsupportedOperationException =>
-      java.nio.file.Files.copy(target, link); ()
-    }
-    val streamed = s.readStream.schema(physical).parquet(srcDir.toString)
-    val withTs =
-      if (physical("ts").dataType == LongType)
-        streamed.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else streamed
-    val q = withTs
+    val q = fileStream(s, d)
       .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -109,5 +78,68 @@ object StreamingOps {
     s.table(sink).orderBy("w_ms", "event_type")
   }
 
-  val all: Seq[Q] = Seq(streamFileParity, streamSlideParity)
+  /** File-streamed SESSION windows (30-min gap) per user ≡ batch
+    * sessionization: the stateful-MERGE case — unlike tumbling/sliding
+    * windows, session extents are data-dependent and the engine must
+    * merge overlapping [ts, ts+gap) intervals across micro-batches as
+    * late files arrive (complete mode keeps all state, so the finite-
+    * stream fixpoint equals the batch answer regardless of arrival
+    * order). The DuckDB replica is the lag + running-sum island trick
+    * (same as q45_sessionize), with the streaming gap rule: a NEW
+    * session starts when ts − prev ≥ gap (session_window treats
+    * prev + gap as exclusive end). */
+  val streamSessionParity: Q = Q(
+    "stream_session_parity",
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |           >= INTERVAL 30 MINUTE
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id, epoch_ms(min(ts)) AS s_ms,
+      |  epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS e_ms, count(*) AS n
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, s_ms""".stripMargin) { (s, d) =>
+    val sink = s"stream_session_parity_sink_${sinkId.incrementAndGet()}"
+    val q = fileStream(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("s_ms"),
+        unix_millis(col("w.end")).as("e_ms"), col("n"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(sink).orderBy("user_id", "s_ms")
+  }
+
+  /** The shared scaffold: stream the raw events fixture as a parquet
+    * FILE STREAM (the source only accepts directories — a production
+    * stream tails a landing dir — so a temp dir symlinks the fixture,
+    * zero-copy), with the same ns→µs ts conversion Tables.events does. */
+  private def fileStream(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val physical = s.read.parquet(s"$d/events.parquet").schema
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    srcDir.toFile.deleteOnExit()
+    val link = srcDir.resolve("events.parquet")
+    val target = java.nio.file.Paths.get(d, "events.parquet")
+    try java.nio.file.Files.createSymbolicLink(link, target)
+    catch { case _: UnsupportedOperationException =>
+      java.nio.file.Files.copy(target, link); ()
+    }
+    val streamed = s.readStream.schema(physical).parquet(srcDir.toString)
+    if (physical("ts").dataType == LongType)
+      streamed.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else streamed
+  }
+
+  val all: Seq[Q] = Seq(streamFileParity, streamSlideParity,
+    streamSessionParity)
 }

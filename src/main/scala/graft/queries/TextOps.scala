@@ -447,8 +447,55 @@ object TextOps {
       .orderBy(col("pmi").desc, col("b")).limit(50)
   }
 
+  /** One BPE merge round (Sennrich et al. 2016 — the tokenizer-training
+    * kernel, word-level): count every ADJACENT token pair corpus-wide,
+    * pick the most frequent (ties broken lexicographically), fuse its
+    * occurrences, and report per-document token counts before/after.
+    * Full BPE training is k repetitions of exactly this step. Engine
+    * shape: pair counting is one explode → two-phase groupBy (map-side
+    * combine bounds the shuffle at |vocab²∩seen| per partition, not
+    * |corpus|); the argmax is a TakeOrderedAndProject to ONE row — the
+    * only driver traffic; the merge itself is a map-only literal
+    * `replace` (both engines substitute leftmost non-overlapping, so
+    * 'a a a' fuses once). Docs with one token bypass pair generation —
+    * Spark's sequence(0, -1) would DESCEND, not return empty. */
+  val bpeMergeStep: Q = Q(
+    "bpe_merge_step",
+    """WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+      |            FROM documents),
+      |pairs AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+      |          FROM tk, unnest(range(1, len(ws))) AS t(i)
+      |          WHERE len(ws) >= 2),
+      |top AS (SELECT w1, w2 FROM (
+      |          SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2)
+      |        ORDER BY c DESC, w1, w2 LIMIT 1)
+      |SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_tok_before,
+      |  CAST(len(string_split(replace(text,
+      |      (SELECT w1 FROM top) || ' ' || (SELECT w2 FROM top),
+      |      (SELECT w1 FROM top) || '_' || (SELECT w2 FROM top)), ' '))
+      |    AS INTEGER) AS n_tok_after
+      |FROM tk ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ws = split(col("text"), " ")
+    val base = docs(s, d).select(col("doc_id"), col("text"), ws.as("ws"))
+    val top = base.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+        .as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(1).head()
+    val (w1, w2) = (top.getString(0), top.getString(1))
+    def q(t: String) = t.replace("'", "''")
+    base.select(col("doc_id"), size(col("ws")).as("n_tok_before"),
+        size(split(expr(
+          s"replace(text, '${q(w1)} ${q(w2)}', '${q(w1)}_${q(w2)}')"),
+          " ")).as("n_tok_after"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
     dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard,
-    bm25TopDocs, heavyHitters, heavyHittersMg, entropyProfile, pmiCollocations)
+    bm25TopDocs, heavyHitters, heavyHittersMg, entropyProfile, pmiCollocations,
+    bpeMergeStep)
 }

@@ -44,6 +44,57 @@ class AnalyticsSuite extends SparkSpec {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("range join plan is a binned equi-join, never a nested loop") {
+    val df = Relational.q74RangeJoin.run(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"keyless range join fell back to a quadratic join:\n$plan")
+    // And the values match the naive quadratic formulation.
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("ts").as("c_ts"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val naive = p.join(c,
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+          && col("c_ts") <= col("p_ts"), "left")
+      .groupBy("event_id")
+      .agg(count(col("c_ts")).as("n_clicks"),
+        coalesce(sum(col("cents")), lit(0L)).as("click_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val binned = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(binned.toSeq === naive.toSeq)
+  }
+
+  test("triangle count equals the naive enumeration; orientation bounds out-degree") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+    // Naive a<b<c enumeration over canonical edges (the oracle's shape).
+    val e1 = edges.select(col("u").as("a"), col("v").as("b"))
+    val e2 = edges.select(col("u").as("a"), col("v").as("c"))
+    val e3 = edges.select(col("u").as("b"), col("v").as("c"))
+    val naiveTri = e1.join(e2, Seq("a")).filter(col("b") < col("c"))
+      .join(e3, Seq("b", "c")).count()
+    val perNode = GraphOps.triangles.run(spark, sfDir).collect()
+    // Σ per-node participation = 3 × triangles when <= 10 nodes appear;
+    // with the fixture's sf0.001 graph verify totals via the naive join.
+    val total = e1.join(e2, Seq("a")).filter(col("b") < col("c"))
+      .join(e3, Seq("b", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy("n").count().orderBy(col("count").desc, col("n"))
+      .limit(10).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(perNode.map(r => (r.getLong(0), r.getLong(1))).toSeq === total.toSeq,
+      s"degree-oriented top-10 differs from naive enumeration (naive total=$naiveTri)")
+  }
+
   test("merge upsert classifies every key and keeps latest-wins values") {
     val rows = Relational.q63MergeUpsert.run(spark, sfDir).collect()
     val actions = rows.map(_.getAs[String]("action")).toSet
