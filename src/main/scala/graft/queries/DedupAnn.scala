@@ -662,7 +662,59 @@ object DedupAnn {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact duplicated-SUBSTRING detection (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * operator, public literature): for every document, count its w-token
+    * rolling windows (w = 5) and how many of those windows also occur
+    * elsewhere in the corpus (another position of any doc, including
+    * itself). Document-level dedup (exact/MinHash) misses partially-
+    * copied text — boilerplate, quoted passages, template prose — which
+    * is exactly what this op surfaces; the per-doc dup-span ratio is the
+    * removal signal. The suffix-array formulation of the paper is
+    * replaced by the shuffle-native equivalent: explode every position's
+    * w-gram, count occurrences per gram (two-phase, map-side combined),
+    * keep only grams with count ≥ 2 — the DUP SET, which is tiny next to
+    * the span stream (unique spans never cross the second exchange) —
+    * and re-join positions against it. Per-doc span totals are computed
+    * map-only (size(ws) − w + 1), so the expensive path carries
+    * |positions| rows once for the count and |dup hits| rows for the
+    * recount, not 2×|positions|. At 100 TB the only change is hashing
+    * the w-gram to 128 bits before the exchange (collision-safe at
+    * corpus scale) instead of shuffling the raw strings. */
+  val dupSpans: Q = Q(
+    "dup_spans",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |            FROM documents),
+      |sp AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS s
+      |       FROM tk, unnest(range(1, len(ws) - 3)) AS t(i)
+      |       WHERE len(ws) >= 5),
+      |g AS (SELECT s FROM sp GROUP BY s HAVING count(*) >= 2),
+      |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+      |      FROM sp JOIN g USING (s) GROUP BY doc_id)
+      |SELECT tk.doc_id, CAST(len(tk.ws) - 4 AS BIGINT) AS n_spans,
+      |  CAST(coalesce(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+      |FROM tk LEFT JOIN d ON tk.doc_id = d.doc_id
+      |WHERE len(tk.ws) >= 5
+      |ORDER BY tk.doc_id""".stripMargin) { (s, d) =>
+    val ws = split(col("text"), " ")
+    val tk = Tables.documents(s, d)
+      .filter(size(ws) >= 5)
+      .select(col("doc_id"), ws.as("ws"))
+    val sp = tk.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"))
+      .as("s"))
+    val dup = sp.groupBy("s").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("s")
+    val dupPerDoc = sp.join(dup, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    tk.select(col("doc_id"), (size(col("ws")) - 4).cast("long").as("n_spans"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, dedupComponents,
     dedupKeepBest, simhashPairs, annTopK, cosineDedupStats, ivfTopK,
-    pqEncode, pqAdcTopK, ivfpqTopK, setsimJoin)
+    pqEncode, pqAdcTopK, ivfpqTopK, setsimJoin, dupSpans)
 }

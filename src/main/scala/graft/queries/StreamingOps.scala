@@ -120,6 +120,47 @@ object StreamingOps {
     s.table(sink).orderBy("user_id", "s_ms")
   }
 
+  /** STREAM-STREAM inner join ≡ batch join: purchases joined to the same
+    * user's clicks in the preceding hour, both sides consumed as
+    * independent file streams. This is the one streaming join shape the
+    * other parity rows don't cover — the engine must buffer BOTH sides'
+    * state and emit matches as either side's rows arrive (micro-batch
+    * order is not knowable in advance), so append-mode output equality
+    * with the batch join is a real statement about the join-state
+    * machinery, not just windowing. Inner join without watermark keeps
+    * state for the whole (finite) stream — for an unbounded production
+    * stream the same query takes `withWatermark` on both sides plus the
+    * existing time-range condition, which Spark uses to expire state;
+    * the fixture gate deliberately runs the no-expiry fixpoint so the
+    * result is arrival-order independent. The range condition rides the
+    * user_id equi-key — state is hash-partitioned by user, never
+    * broadcast or nested-loop. */
+  val streamJoinParity: Q = Q(
+    "stream_join_parity",
+    """SELECT p.event_id AS p_id, c.event_id AS c_id
+      |FROM events p JOIN events c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND p.user_id = c.user_id
+      |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY p_id, c_id""".stripMargin) { (s, d) =>
+    val sink = s"stream_join_parity_sink_${sinkId.incrementAndGet()}"
+    val p = fileStream(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = fileStream(s, d).filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val q = p.join(c, col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(sink).orderBy("p_id", "c_id")
+  }
+
   /** The shared scaffold: stream the raw events fixture as a parquet
     * FILE STREAM (the source only accepts directories — a production
     * stream tails a landing dir — so a temp dir symlinks the fixture,
@@ -141,5 +182,5 @@ object StreamingOps {
   }
 
   val all: Seq[Q] = Seq(streamFileParity, streamSlideParity,
-    streamSessionParity)
+    streamSessionParity, streamJoinParity)
 }
