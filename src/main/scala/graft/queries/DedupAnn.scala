@@ -618,10 +618,18 @@ object DedupAnn {
     val ws = split(col("text"), " ")
     val grams = array_distinct(expr(
       "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
+    // PERSISTED: sh is read three times (token stream + both sides of
+    // the verification join) and prefix twice (both sides of the
+    // candidate join). Unpersisted, Catalyst's projection collapse
+    // inlines the split/transform/array_distinct gram construction into
+    // every consumer and re-runs it per use — measured 2× the whole
+    // query. The battery harness reset() clears the cache between
+    // queries (same discipline as pagerank's adjacency).
     val sh = Tables.documents(s, d)
       .filter(size(ws) >= 2)
       .select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"), grams.as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tok = sh.select(col("doc_id"), size(col("grams")).as("n"),
       explode(col("grams")).as("g"))
     val dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
@@ -632,6 +640,7 @@ object DedupAnn {
         Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
       .filter(col("rn") <= prefLen)
       .select(col("doc_id"), col("n"), col("rn"), col("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // α: the smallest |A∩B| any Jaccard-≥0.9 pair can have. A prefix hit
     // at rank rn leaves at most n − rn + 1 tokens that can still match.
     val alpha = floor(((col("na") + col("nb")) * 9 + 18) / 19)
