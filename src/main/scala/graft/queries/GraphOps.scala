@@ -216,5 +216,74 @@ object GraphOps {
       .limit(10)
   }
 
-  val all: Seq[Q] = Seq(pagerankBipartite, triangles)
+  /** Multi-source k-hop BFS (k = 3) over the part↔supplier bipartite
+    * graph: shortest hop-distance from the seed set {suppliers 1..5} to
+    * every reachable node. The scale shape is DELTA-FRONTIER iteration —
+    * each round joins the adjacency against only the NEWLY-discovered
+    * frontier (an anti-join removes already-visited nodes before the
+    * next expansion), so round r costs |frontier_r| ⋈ edges, not
+    * |visited| ⋈ edges; on a bounded-diameter graph total work is
+    * O(Σ frontier sizes) = O(|V|) joins regardless of k. The adjacency
+    * is persisted pre-partitioned on src (pagerank's discipline) so
+    * every round's join shuffles only the frontier — node-keyed rows,
+    * never the edge set. Fixed k keeps the result a pure function of
+    * the input, replayed by the oracle as unrolled CTEs. */
+  val khopBfs: Q = Q(
+    "q78_khop",
+    """WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      |            FROM lineitem),
+      |edges AS (SELECT p * 2 AS src, s * 2 + 1 AS dst FROM e0
+      |          UNION ALL SELECT s * 2 + 1, p * 2 FROM e0),
+      |d0 AS (SELECT DISTINCT src AS node FROM edges
+      |       WHERE src % 2 = 1 AND src // 2 <= 5),
+      |d1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+      |       JOIN d0 ON e.src = d0.node),
+      |d2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+      |       JOIN d1 ON e.src = d1.node),
+      |d3 AS (SELECT DISTINCT e.dst AS node FROM edges e
+      |       JOIN d2 ON e.src = d2.node),
+      |u AS (SELECT node, 0 AS dist FROM d0
+      |      UNION ALL SELECT node, 1 FROM d1
+      |      UNION ALL SELECT node, 2 FROM d2
+      |      UNION ALL SELECT node, 3 FROM d3)
+      |SELECT CASE WHEN node % 2 = 0 THEN 'p' || CAST(node // 2 AS VARCHAR)
+      |            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+      |  CAST(min(dist) AS INTEGER) AS dist
+      |FROM u GROUP BY node ORDER BY dist, node""".stripMargin) { (s, d) =>
+    val e0 = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val edges = e0.select(explode(array(
+        struct((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst")),
+        struct((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val adj = edges.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Seed: suppliers 1..5 that actually appear in the graph.
+    val seed = adj.select(col("src").as("node")).distinct()
+      // odd ∧ node ≤ 11 ⟺ the oracle's src // 2 <= 5 for supplier ids
+      // (integer floor — Spark's `/` is double division, so spell the
+      // bound on the packed id itself).
+      .filter(col("node") % 2 === 1 && col("node") <= 11)
+    var visited = seed.select(col("node"), lit(0).as("dist"))
+    var frontier = seed
+    for (hop <- 1 to 3) {
+      val next = adj.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+      visited = visited.union(next.select(col("node"), lit(hop).as("dist")))
+      frontier = next
+    }
+    visited
+      .select(
+        when(col("node") % 2 === 0,
+          concat(lit("p"), (col("node") / 2).cast("long").cast("string")))
+          .otherwise(
+            concat(lit("s"), (col("node") / 2).cast("long").cast("string")))
+          .as("node"),
+        col("dist").cast("int").as("dist"))
+      .orderBy("dist", "node")
+  }
+
+  val all: Seq[Q] = Seq(pagerankBipartite, triangles, khopBfs)
 }

@@ -1492,8 +1492,81 @@ object Relational {
       .orderBy("cum_n")
   }
 
+  /** Robust outlier detection via MEDIAN ABSOLUTE DEVIATION — the
+    * robust-statistics counterpart to q57's z-score (whose mean/stddev
+    * are themselves dragged by the outliers being hunted; median/MAD
+    * have a 50% breakdown point). Both medians run through the
+    * distributed range-partitioned percentile path
+    * (graft.ops.GroupedPercentile — never buffers a group, q54's scale
+    * story): one pass for the per-group median, a broadcast of the
+    * 3-row medians onto the fact rows for |v − med|, one pass for the
+    * MAD, and a final counting aggregate. med/MAD are floor-rounded to
+    * 1e-4 BEFORE the 3×MAD boundary test, so the flag decision is
+    * bit-deterministic in both engines. */
+  val q79MadOutliers: Q = Q(
+    "q79_mad_outliers",
+    """WITH med AS (SELECT l_returnflag,
+      |    floor(quantile_cont(l_extendedprice, 0.50) * 10000 + 0.5) / 10000 AS med
+      |  FROM lineitem GROUP BY l_returnflag),
+      |dev AS (SELECT l.l_returnflag, med,
+      |    abs(l_extendedprice - med) AS dv
+      |  FROM lineitem l JOIN med USING (l_returnflag)),
+      |mad AS (SELECT l_returnflag,
+      |    floor(quantile_cont(dv, 0.50) * 10000 + 0.5) / 10000 AS mad
+      |  FROM dev GROUP BY l_returnflag)
+      |SELECT dev.l_returnflag, min(dev.med) AS med, min(mad.mad) AS mad,
+      |  CAST(sum(CASE WHEN dv > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev JOIN mad USING (l_returnflag)
+      |GROUP BY dev.l_returnflag ORDER BY dev.l_returnflag""".stripMargin) {
+    (s, d) =>
+      val med = graft.ops.GroupedPercentile
+        .exact(li(s, d), "l_returnflag", "l_extendedprice", 0.5, "raw_med")
+        .select(col("l_returnflag"),
+          (floor(col("raw_med") * 10000 + lit(0.5)) / 10000).as("med"))
+      val dev = li(s, d).join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), col("med"),
+          abs(col("l_extendedprice") - col("med")).as("dv"))
+      val mad = graft.ops.GroupedPercentile
+        .exact(dev, "l_returnflag", "dv", 0.5, "raw_mad")
+        .select(col("l_returnflag"),
+          (floor(col("raw_mad") * 10000 + lit(0.5)) / 10000).as("mad"))
+      dev.join(broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(min("med").as("med"), min("mad").as("mad"),
+          sum(when(col("dv") > lit(3) * col("mad"), 1).otherwise(0))
+            .cast("long").as("n_outliers"))
+        .orderBy("l_returnflag")
+  }
+
+  /** Pairwise Pearson correlation matrix over lineitem's numeric
+    * measures — one single-pass aggregate computing all six co-moment
+    * pairs together (each corr is a partial-aggregable moment sketch;
+    * ONE scan, map-side combined, 1-row output), not six scans. Values
+    * rounded to 1e-6: corr is O(1)-magnitude and both engines'
+    * co-moment accumulation drift is ~1e-15. */
+  val q80CorrMatrix: Q = Q(
+    "q80_corr_matrix",
+    """SELECT
+      |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+      |  round(corr(l_quantity, l_discount), 6) AS qty_disc,
+      |  round(corr(l_quantity, l_tax), 6) AS qty_tax,
+      |  round(corr(l_extendedprice, l_discount), 6) AS price_disc,
+      |  round(corr(l_extendedprice, l_tax), 6) AS price_tax,
+      |  round(corr(l_discount, l_tax), 6) AS disc_tax
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    li(s, d).agg(
+      round(corr("l_quantity", "l_extendedprice"), 6).as("qty_price"),
+      round(corr("l_quantity", "l_discount"), 6).as("qty_disc"),
+      round(corr("l_quantity", "l_tax"), 6).as("qty_tax"),
+      round(corr("l_extendedprice", "l_discount"), 6).as("price_disc"),
+      round(corr("l_extendedprice", "l_tax"), 6).as("price_tax"),
+      round(corr("l_discount", "l_tax"), 6).as("disc_tax"))
+  }
+
   val all: Seq[Q] = Seq(
     q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert, q73Ecdf, q74RangeJoin,
+    q79MadOutliers, q80CorrMatrix,
     q64WindowPctRank, q65ArrayAdvanced, q66RollupReuse, q67SaltedJoin,
     q68Copurchase, q69Histogram, q70FuzzyMatch, q71KeySkewProfile,
     q72SequencePattern,

@@ -161,6 +161,29 @@ object StreamingOps {
     s.table(sink).orderBy("p_id", "c_id")
   }
 
+  /** Streaming DEDUPLICATION ≡ batch distinct: dropDuplicates over a
+    * file stream keeps per-key state in the state store and emits each
+    * key's FIRST arrival — micro-batch arrival order is not knowable,
+    * so the gate projects to the dedup key columns BEFORE deduping
+    * (the emitted set is then arrival-order independent: exactly the
+    * distinct key set). Production form: `dropDuplicatesWithinWatermark`
+    * bounds the state (spec-gated in StreamSuite); this row runs the
+    * unbounded-state fixpoint the oracle can check. */
+  val streamDedupParity: Q = Q(
+    "stream_dedup_parity",
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    val sink = s"stream_dedup_parity_sink_${sinkId.incrementAndGet()}"
+    val q = fileStream(s, d)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(sink).orderBy("user_id", "event_type")
+  }
+
   /** The shared scaffold: stream the raw events fixture as a parquet
     * FILE STREAM (the source only accepts directories — a production
     * stream tails a landing dir — so a temp dir symlinks the fixture,
@@ -182,5 +205,5 @@ object StreamingOps {
   }
 
   val all: Seq[Q] = Seq(streamFileParity, streamSlideParity,
-    streamSessionParity, streamJoinParity)
+    streamSessionParity, streamJoinParity, streamDedupParity)
 }

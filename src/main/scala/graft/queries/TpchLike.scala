@@ -121,5 +121,71 @@ object TpchLike {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(q60TpchQ3, q61TpchQ5, q62TpchQ10)
+  /** Q17 shape: revenue lost to small-quantity orders of one brand —
+    * the CORRELATED-AGGREGATE-SUBQUERY pattern (per-part average
+    * quantity compared row-by-row). The engine de-correlates it the way
+    * Catalyst would a planned subquery: one partial-agg groupBy builds
+    * (part → sum, count) and a broadcast-eligible join feeds the filter,
+    * so the "subquery" costs one pass over lineitem, not one per row.
+    * The threshold test runs in exact integer arithmetic — quantities
+    * are integral, so `5·q·cnt < sum` (⟺ q < 0.2·avg) compares exactly
+    * where a float 0.2·avg could flip a boundary row between engines.
+    * The final /7.0 runs in double on an exactly-decimal sum: identical
+    * IEEE ops on identical inputs are deterministic in both engines. */
+  val q76TpchQ17: Q = Q(
+    "q76_tpch_q17",
+    """WITH pa AS (SELECT l_partkey AS pk, sum(l_quantity) AS sq,
+      |              count(*) AS cq
+      |            FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+      |         / 7.0 * 100 + 0.5) / 100 AS DOUBLE) AS avg_yearly
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN pa   ON pk = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND 5 * l_quantity * cq < sq""".stripMargin) { (s, d) =>
+    val pa = Tables.lineitem(s, d).groupBy(col("l_partkey").as("pk"))
+      .agg(sum("l_quantity").as("sq"), count(lit(1)).as("cq"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#23")),
+        col("p_partkey") === col("l_partkey"))
+      .join(pa, col("pk") === col("l_partkey"))
+      .filter(lit(5) * col("l_quantity") * col("cq") < col("sq"))
+      .agg((floor(sum(col("l_extendedprice").cast("decimal(14,2)"))
+        .cast("double") / 7.0 * 100 + lit(0.5)) / 100)
+        .cast("double").as("avg_yearly"))
+  }
+
+  /** Q18 shape: large-volume orders (GROUP → HAVING → semi-join back —
+    * the "find qualifying groups, then re-join detail" pattern). The
+    * qualifying-order set is built with one partial-agg groupBy and
+    * joined back as a plain equi-join (semi via inner on the agg row,
+    * which also carries the quantity sum — no second pass over
+    * lineitem). Quantity sums are integral doubles, so the HAVING
+    * threshold and the emitted sum are exact in both engines. */
+  val q77TpchQ18: Q = Q(
+    "q77_tpch_q18",
+    """WITH big AS (SELECT l_orderkey AS ok, sum(l_quantity) AS tot
+      |             FROM lineitem GROUP BY l_orderkey
+      |             HAVING sum(l_quantity) > 250)
+      |SELECT c_name, c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice, tot
+      |FROM big
+      |JOIN orders   ON o_orderkey = ok
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+    val big = Tables.lineitem(s, d).groupBy(col("l_orderkey").as("ok"))
+      .agg(sum("l_quantity").as("tot"))
+      .filter(col("tot") > 250)
+    big.join(Tables.orders(s, d), col("o_orderkey") === col("ok"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("o_totalprice"), col("tot"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(q60TpchQ3, q61TpchQ5, q62TpchQ10, q76TpchQ17,
+    q77TpchQ18)
 }

@@ -95,6 +95,100 @@ class AnalyticsSuite extends SparkSpec {
       s"degree-oriented top-10 differs from naive enumeration (naive total=$naiveTri)")
   }
 
+  test("khop BFS distances equal the naive min-over-unions; no node repeats") {
+    import org.apache.spark.sql.functions._
+    val rows = GraphOps.khopBfs.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    // delta-frontier must emit each node exactly once
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // naive replica: expand the full reachable set per hop, min at the end
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val edges = li.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      .union(li.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+    val d0 = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % 2 === 1 && col("node") <= 11)
+    var layers = Seq(d0.withColumn("dist", lit(0)))
+    for (hop <- 1 to 3) {
+      val prev = layers.last.select(col("node").as("src"))
+      layers = layers :+ edges.join(prev, "src")
+        .select(col("dst").as("node")).distinct()
+        .withColumn("dist", lit(hop))
+    }
+    val naive = layers.reduce(_ union _)
+      .groupBy("node").agg(min("dist").as("dist"))
+      .select(
+        when(col("node") % 2 === 0,
+          concat(lit("p"), (col("node") / 2).cast("long").cast("string")))
+          .otherwise(concat(lit("s"), (col("node") / 2).cast("long").cast("string")))
+          .as("node"),
+        col("dist").cast("int").as("dist"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(r => (r._2, r._1))
+    assert(rows.toSeq === naive.toSeq)
+  }
+
+  test("MAD outliers match an in-memory recomputation") {
+    val rows = Relational.q79MadOutliers.run(spark, sfDir).collect()
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      val pos = (n - 1) * 0.5
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      val raw = s(lo) + (pos - lo) * (s(hi) - s(lo))
+      math.floor(raw * 10000 + 0.5) / 10000
+    }
+    rows.foreach { r =>
+      val vals = li(r.getString(0)).map(_._2)
+      val med = medianOf(vals)
+      val mad = medianOf(vals.map(v => math.abs(v - med)))
+      assert(r.getDouble(1) === med, s"median of ${r.getString(0)}")
+      assert(r.getDouble(2) === mad, s"MAD of ${r.getString(0)}")
+      assert(r.getLong(3) === vals.count(v => math.abs(v - med) > 3 * mad).toLong,
+        s"outlier count of ${r.getString(0)}")
+    }
+  }
+
+  test("setsim join equals brute-force exact Jaccard over all pairs") {
+    import org.apache.spark.sql.functions._
+    val got = DedupAnn.setsimJoin.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force: all pairs of gram sets, integer threshold arithmetic
+    val grams = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
+        .as("g"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val naive = (for {
+      (ia, ga) <- grams; (ib, gb) <- grams if ia < ib
+      c = (ga & gb).size
+      if 10 * c >= 9 * (ga.size + gb.size - c)
+    } yield (ia, ib, c.toLong)).sortBy(t => (t._1, t._2))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === naive.toSeq)
+  }
+
+  test("dup_spans matches a window-function recomputation") {
+    import org.apache.spark.sql.functions._
+    val got = DedupAnn.dupSpans.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sp = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"))
+        .as("s"))
+    import org.apache.spark.sql.expressions.Window
+    val naive = sp.withColumn("c", count(lit(1)).over(Window.partitionBy("s")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === naive.toSeq)
+  }
+
   test("merge upsert classifies every key and keeps latest-wins values") {
     val rows = Relational.q63MergeUpsert.run(spark, sfDir).collect()
     val actions = rows.map(_.getAs[String]("action")).toSet
