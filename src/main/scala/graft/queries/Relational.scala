@@ -1564,9 +1564,84 @@ object Relational {
       round(corr("l_discount", "l_tax"), 6).as("disc_tax"))
   }
 
+  /** Referential-integrity audit — orphan detection across every
+    * foreign-key edge of the star schema in one result: facts whose FK
+    * has no matching dimension row. Each check is a LEFT ANTI join
+    * co-partitioned on the key (Catalyst broadcasts the small dim
+    * sides automatically; at 100 TB the play is a bloom prefilter of
+    * the fact side by the dim's key sketch — the decontam_bloom
+    * discipline — with the anti-join as the exactness gate over the
+    * surviving ~orphans+FP rows). Distinct FK values are counted too:
+    * orphan COUNTS alone can hide a single hot missing key. */
+  val q81FkAudit: Q = Q(
+    "q81_fk_audit",
+    """SELECT * FROM (
+      |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+      |    count(*) AS n_orphan_rows,
+      |    count(DISTINCT l.l_orderkey) AS n_orphan_keys
+      |  FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey->part', count(*),
+      |    count(DISTINCT l.l_partkey)
+      |  FROM lineitem l ANTI JOIN part p ON l.l_partkey = p.p_partkey
+      |  UNION ALL
+      |  SELECT 'lineitem.l_suppkey->supplier', count(*),
+      |    count(DISTINCT l.l_suppkey)
+      |  FROM lineitem l ANTI JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey->customer', count(*),
+      |    count(DISTINCT o.o_custkey)
+      |  FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+      |) ORDER BY fk_edge""".stripMargin) { (s, d) =>
+    def check(name: String, fact: org.apache.spark.sql.DataFrame,
+        fk: String, dim: org.apache.spark.sql.DataFrame,
+        pk: String): org.apache.spark.sql.DataFrame =
+      fact.join(dim, fact(fk) === dim(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_rows"),
+          countDistinct(col(fk)).as("n_orphan_keys"))
+        .select(lit(name).as("fk_edge"), col("n_orphan_rows"),
+          col("n_orphan_keys"))
+    check("lineitem.l_orderkey->orders", li(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey")
+      .union(check("lineitem.l_partkey->part", li(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"))
+      .union(check("lineitem.l_suppkey->supplier", li(s, d), "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"))
+      .union(check("orders.o_custkey->customer", Tables.orders(s, d),
+        "o_custkey", Tables.customer(s, d), "c_custkey"))
+      .orderBy("fk_edge")
+  }
+
+  /** Grouped least-squares regression (price explained by quantity, per
+    * return flag) via the REGR_* co-moment aggregates: slope, intercept,
+    * R², and the mean point — all partial-aggregable sketches combined
+    * map-side in ONE scan, the same single-pass shape as
+    * q80_corr_matrix. This is the "fit a trend per segment at 100 TB"
+    * op: no per-group collection, no second pass, shuffle = one sketch
+    * row per group. Values rounded to 1e-6 (accumulation drift between
+    * engines is ~1e-15 on O(1)-magnitude statistics). */
+  val q82Regression: Q = Q(
+    "q82_regression",
+    """SELECT l_returnflag,
+      |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+      |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS mean_qty,
+      |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      li(s, d).groupBy("l_returnflag").agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 6).as("mean_qty"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).cast("long").as("n"))
+        .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert, q73Ecdf, q74RangeJoin,
-    q79MadOutliers, q80CorrMatrix,
+    q79MadOutliers, q80CorrMatrix, q81FkAudit, q82Regression,
     q64WindowPctRank, q65ArrayAdvanced, q66RollupReuse, q67SaltedJoin,
     q68Copurchase, q69Histogram, q70FuzzyMatch, q71KeySkewProfile,
     q72SequencePattern,

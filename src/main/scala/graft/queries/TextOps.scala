@@ -493,9 +493,81 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** THREE chained BPE merge rounds — the actual tokenizer-training
+    * loop, not just its kernel (bpe_merge_step): each round's pair
+    * counts run over the text produced by the previous round's fuse, so
+    * merged tokens ('a_b') participate in later merges exactly as real
+    * BPE vocabulary entries do. Engine shape per round is unchanged
+    * (explode → two-phase count → 1-row argmax → map-only replace); the
+    * driver sees exactly 3 single-row argmax results across the whole
+    * query, and round r's lineage re-derives rounds 1..r−1's replaces
+    * as map-only narrow stages — nothing iterative ever shuffles twice.
+    * The oracle replays the same three rounds as chained CTEs. */
+  val bpeTrainRounds: Q = Q(
+    "bpe_train_rounds",
+    """WITH t0 AS (SELECT doc_id, text FROM documents),
+      |p1 AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+      |       FROM (SELECT string_split(text, ' ') AS ws FROM t0) s,
+      |         unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+      |top1 AS (SELECT w1, w2 FROM (
+      |           SELECT w1, w2, count(*) AS c FROM p1 GROUP BY 1, 2)
+      |         ORDER BY c DESC, w1, w2 LIMIT 1),
+      |t1 AS (SELECT doc_id, replace(text,
+      |         (SELECT w1 FROM top1) || ' ' || (SELECT w2 FROM top1),
+      |         (SELECT w1 FROM top1) || '_' || (SELECT w2 FROM top1)) AS text
+      |       FROM t0),
+      |p2 AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+      |       FROM (SELECT string_split(text, ' ') AS ws FROM t1) s,
+      |         unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+      |top2 AS (SELECT w1, w2 FROM (
+      |           SELECT w1, w2, count(*) AS c FROM p2 GROUP BY 1, 2)
+      |         ORDER BY c DESC, w1, w2 LIMIT 1),
+      |t2 AS (SELECT doc_id, replace(text,
+      |         (SELECT w1 FROM top2) || ' ' || (SELECT w2 FROM top2),
+      |         (SELECT w1 FROM top2) || '_' || (SELECT w2 FROM top2)) AS text
+      |       FROM t1),
+      |p3 AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+      |       FROM (SELECT string_split(text, ' ') AS ws FROM t2) s,
+      |         unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+      |top3 AS (SELECT w1, w2 FROM (
+      |           SELECT w1, w2, count(*) AS c FROM p3 GROUP BY 1, 2)
+      |         ORDER BY c DESC, w1, w2 LIMIT 1),
+      |t3 AS (SELECT doc_id, replace(text,
+      |         (SELECT w1 FROM top3) || ' ' || (SELECT w2 FROM top3),
+      |         (SELECT w1 FROM top3) || '_' || (SELECT w2 FROM top3)) AS text
+      |       FROM t2)
+      |SELECT t0.doc_id,
+      |  CAST(len(string_split(t0.text, ' ')) AS INTEGER) AS n_tok_before,
+      |  CAST(len(string_split(t3.text, ' ')) AS INTEGER) AS n_tok_after
+      |FROM t0 JOIN t3 ON t0.doc_id = t3.doc_id
+      |ORDER BY t0.doc_id""".stripMargin) { (s, d) =>
+    def q(t: String) = t.replace("'", "''")
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    var cur = base
+    for (_ <- 1 to 3) {
+      val ws = split(col("text"), " ")
+      val top = cur.filter(size(ws) >= 2)
+        .select(ws.as("ws"))
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+          .as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w1"), col("w2")).limit(1).head()
+      val (w1, w2) = (top.getString(0), top.getString(1))
+      cur = cur.withColumn("text", expr(
+        s"replace(text, '${q(w1)} ${q(w2)}', '${q(w1)}_${q(w2)}')"))
+    }
+    base.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok_before"))
+      .join(cur.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok_after")), "doc_id")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
     dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard,
     bm25TopDocs, heavyHitters, heavyHittersMg, entropyProfile, pmiCollocations,
-    bpeMergeStep)
+    bpeMergeStep, bpeTrainRounds)
 }

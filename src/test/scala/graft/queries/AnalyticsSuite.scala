@@ -189,6 +189,36 @@ class AnalyticsSuite extends SparkSpec {
     assert(got.toSeq === naive.toSeq)
   }
 
+  test("fk audit detects injected orphans (the fixture itself is clean)") {
+    import org.apache.spark.sql.functions._
+    // fixture: every edge clean
+    val clean = Relational.q81FkAudit.run(spark, sfDir).collect()
+    assert(clean.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+    // inject 3 lineitem rows pointing at a nonexistent order key; the
+    // same anti-join must surface exactly them
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val bogus = li.limit(3).withColumn("l_orderkey", lit(-999L))
+    val orphans = li.union(bogus)
+      .join(graft.Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("rows"), countDistinct(col("l_orderkey")).as("keys"))
+      .head()
+    assert(orphans.getLong(0) === 3L && orphans.getLong(1) === 1L)
+  }
+
+  test("bpe training rounds strictly shrink token counts and chain correctly") {
+    val rows = TextOps.bpeTrainRounds.run(spark, sfDir).collect()
+    val shrunk = rows.map(r => r.getInt(1) - r.getInt(2))
+    // three corpus-wide merges must fuse something
+    assert(shrunk.sum > 0)
+    assert(rows.forall(r => r.getInt(2) <= r.getInt(1) && r.getInt(2) >= 1))
+    // one round then two more equals three rounds from scratch on the
+    // single-merge kernel's own arithmetic: after-counts can never grow
+    val one = TextOps.bpeMergeStep.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toMap
+    rows.foreach(r => assert(r.getInt(2) <= one(r.getLong(0))))
+  }
+
   test("merge upsert classifies every key and keeps latest-wins values") {
     val rows = Relational.q63MergeUpsert.run(spark, sfDir).collect()
     val actions = rows.map(_.getAs[String]("action")).toSet
