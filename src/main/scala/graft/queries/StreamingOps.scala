@@ -2,6 +2,8 @@ package graft.queries
 
 import java.util.concurrent.atomic.AtomicLong
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -35,16 +37,18 @@ object StreamingOps {
     // nanosAsLong (same as Tables.events), converted to a µs timestamp
     // by truncating division — identical to DuckDB's ns→µs read.
     val sink = s"stream_file_parity_sink_${sinkId.incrementAndGet()}"
-    val q = fileStream(s, d)
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
-      .select(unix_millis(col("w.start")).as("w_ms"), col("event_type"),
-        col("n"), col("min_id"), col("max_id"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete").start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = fileStream(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .select(unix_millis(col("w.start")).as("w_ms"), col("event_type"),
+          col("n"), col("min_id"), col("max_id"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(sink).orderBy("w_ms", "event_type")
   }
 
@@ -65,16 +69,18 @@ object StreamingOps {
       |SELECT w_ms, event_type, count(*) AS n
       |FROM w GROUP BY 1, 2 ORDER BY w_ms, event_type""".stripMargin) { (s, d) =>
     val sink = s"stream_slide_parity_sink_${sinkId.incrementAndGet()}"
-    val q = fileStream(s, d)
-      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(unix_millis(col("w.start")).as("w_ms"), col("event_type"),
-        col("n"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete").start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = fileStream(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("w.start")).as("w_ms"), col("event_type"),
+          col("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(sink).orderBy("w_ms", "event_type")
   }
 
@@ -107,16 +113,18 @@ object StreamingOps {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, s_ms""".stripMargin) { (s, d) =>
     val sink = s"stream_session_parity_sink_${sinkId.incrementAndGet()}"
-    val q = fileStream(s, d)
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
-        col("user_id"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("user_id"), unix_millis(col("w.start")).as("s_ms"),
-        unix_millis(col("w.end")).as("e_ms"), col("n"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete").start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = fileStream(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_millis(col("w.start")).as("s_ms"),
+          unix_millis(col("w.end")).as("e_ms"), col("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(sink).orderBy("user_id", "s_ms")
   }
 
@@ -150,14 +158,16 @@ object StreamingOps {
     val c = fileStream(s, d).filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
-    val q = p.join(c, col("p_user") === col("c_user")
-        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
-        && col("c_ts") <= col("p_ts"))
-      .select(col("p_id"), col("c_id"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = p.join(c, col("p_user") === col("c_user")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+          && col("c_ts") <= col("p_ts"))
+        .select(col("p_id"), col("c_id"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(sink).orderBy("p_id", "c_id")
   }
 
@@ -174,13 +184,15 @@ object StreamingOps {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
     val sink = s"stream_dedup_parity_sink_${sinkId.incrementAndGet()}"
-    val q = fileStream(s, d)
-      .select(col("user_id"), col("event_type"))
-      .dropDuplicates("user_id", "event_type")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = fileStream(s, d)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(sink).orderBy("user_id", "event_type")
   }
 
@@ -188,20 +200,79 @@ object StreamingOps {
     * FILE STREAM (the source only accepts directories — a production
     * stream tails a landing dir — so a temp dir symlinks the fixture,
     * zero-copy), with the same ns→µs ts conversion Tables.events does. */
+  /** Number of chunk files the fixture is split into; with
+    * maxFilesPerTrigger = 1 each chunk is its own micro-batch, so every
+    * parity row exercises REAL cross-batch state merging (session
+    * windows extending/merging, join state probed by later arrivals,
+    * dedup keys seen again batches later) — not a single-batch
+    * degenerate run. The chunks interleave event ids (id mod 4), so
+    * every batch carries every user/window and each batch's event-time
+    * span overlaps all others: maximally adversarial arrival order for
+    * state that must still reach the batch fixpoint. */
+  private val StreamChunks = 4
+
   private def fileStream(s: org.apache.spark.sql.SparkSession, d: String) = {
     val physical = s.read.parquet(s"$d/events.parquet").schema
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    srcDir.toFile.deleteOnExit()
-    val link = srcDir.resolve("events.parquet")
-    val target = java.nio.file.Paths.get(d, "events.parquet")
-    try java.nio.file.Files.createSymbolicLink(link, target)
-    catch { case _: UnsupportedOperationException =>
-      java.nio.file.Files.copy(target, link); ()
-    }
-    val streamed = s.readStream.schema(physical).parquet(srcDir.toString)
+    val srcDir = chunkDir(s, d)
+    val streamed = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
     if (physical("ts").dataType == LongType)
       streamed.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else streamed
+  }
+
+  /** State-partition right-sizing for the parity rows: stateful
+    * micro-batch cost is ~(state partitions × stateful ops) checkpoint
+    * commits PER BATCH, independent of data volume — at fixture scale,
+    * 32 shuffle partitions × 4 batches is pure commit overhead (the
+    * stream-stream join paid it twice, once per side: measured 13.0s
+    * of which ~10s was state commits). A production deployment sizes
+    * state partitions to keyspace/throughput exactly the same way; the
+    * RESULT is partition-count independent. The session conf is
+    * restored after the query stops (the battery runs queries
+    * sequentially). */
+  private def withStatePartitions[A](s: org.apache.spark.sql.SparkSession,
+      n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
+  /** Split the events fixture into StreamChunks parquet files, cached
+    * per fixture dir under the JVM temp dir (built once, reused by
+    * every streaming query and every bench rep; _SUCCESS marks a
+    * complete build so a killed half-write is rebuilt, and the staging
+    * dir is unique per attempt so two sessions can't interleave). */
+  private[graft] def chunkDir(s: org.apache.spark.sql.SparkSession, d: String): String = synchronized {
+    val key = Integer.toHexString(d.hashCode)
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_stream_chunks_$key")
+    val done = base.resolve("_SUCCESS")
+    if (!java.nio.file.Files.exists(done)) {
+      val staging = java.nio.file.Files.createTempDirectory(s"graft_chunks_build_$key")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      (0 until StreamChunks).foreach { i =>
+        val part = java.nio.file.Files.createTempDirectory(s"graft_chunk_part_$i")
+        raw.filter(pmod(col("event_id"), lit(StreamChunks)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(part.toString)
+        val file = java.nio.file.Files.list(part).iterator().asScala
+          .find(_.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet written for chunk $i"))
+        java.nio.file.Files.move(file, staging.resolve(f"chunk_$i%02d.parquet"))
+        org.apache.commons.io.FileUtils.deleteDirectory(part.toFile)
+      }
+      java.nio.file.Files.createFile(staging.resolve("_SUCCESS"))
+      // atomic publish: rename staging into place; lose the race → reuse
+      try java.nio.file.Files.move(staging, base,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.FileSystemException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      }
+    }
+    base.toString
   }
 
   val all: Seq[Q] = Seq(streamFileParity, streamSlideParity,

@@ -100,4 +100,28 @@ class FileStreamSuite extends SparkSpec {
       .distinct().count()
     assert(kept.length === batchSigs)
   }
+  test("battery stream scaffold splits the fixture into multiple micro-batches") {
+    val dir = graft.queries.StreamingOps.chunkDir(spark, sfDir)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator()
+    var parquets = 0
+    while (files.hasNext) {
+      if (files.next().toString.endsWith(".parquet")) parquets += 1
+    }
+    assert(parquets === 4, s"expected 4 chunk files in $dir")
+    // a stream over the chunk dir with maxFilesPerTrigger=1 must run
+    // one micro-batch per file, and their union must be the fixture
+    val schema = spark.read.parquet(dir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("chunk_probe")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val batches = q.recentProgress.filter(_.numInputRows > 0).length
+    assert(batches === 4, s"expected 4 input micro-batches, saw $batches")
+    val total = spark.table("chunk_probe").head().getLong(0)
+    assert(total === graft.Tables.events(spark, sfDir).count())
+  }
 }
