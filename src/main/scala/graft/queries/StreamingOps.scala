@@ -200,6 +200,61 @@ object StreamingOps {
     * FILE STREAM (the source only accepts directories — a production
     * stream tails a landing dir — so a temp dir symlinks the fixture,
     * zero-copy), with the same ns→µs ts conversion Tables.events does. */
+  /** WATERMARK + LATE-DATA-DROP parity — the determinism showpiece the
+    * multi-batch scaffold makes possible: a 10-minute watermark over
+    * 1-hour tumbling windows in APPEND mode, where which rows get
+    * dropped and which windows ever emit depends entirely on the
+    * micro-batch schedule. That schedule is pinned: chunk files are
+    * consumed in name order (one per batch), and the watermark before
+    * batch k is max(event time over batches < k) − 10 min (monotone,
+    * advanced at batch completion). The oracle REPLAYS the protocol a
+    * watermark probe pinned empirically (and the suite re-pins): Spark
+    * filters LATE INPUT with the PREVIOUS trigger's watermark while
+    * EVICTING/EMITTING with the current one — so a chunk-k row is
+    * dropped iff its window end ≤ max(event time over chunks ≤ k−2)
+    * − 10 min (chunks 0 and 1 are never dropped), and a window emits
+    * iff the FINAL watermark passed its end. The one-trigger lag also
+    * guarantees no window is ever emitted twice (a surviving row's
+    * window can't have been evicted yet). All boundaries fall on
+    * max_ts − 10 min values, microseconds away from any hour mark, so
+    * <-vs-≤ ambiguity cannot bite. Because chunks interleave ids,
+    * every chunk spans the whole month and the watermark leaps to
+    * near-global-max after batch 0 — chunks 2–3 are then almost
+    * entirely "too late", exercising the drop path on ~half the
+    * corpus, and the last hour's windows never emit. */
+  val streamWatermarkParity: Q = Q(
+    "stream_watermark_parity",
+    """WITH e AS (SELECT ts, event_type, event_id % 4 AS c FROM events),
+      |cm AS (SELECT c, max(ts) AS mx FROM e GROUP BY c),
+      |wm AS (SELECT c,
+      |    (SELECT max(mx) FROM cm c2 WHERE c2.c <= cm.c - 2)
+      |      - INTERVAL 10 MINUTE AS wm_drop
+      |  FROM cm),
+      |fin AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm_final FROM e),
+      |surv AS (SELECT e.ts, e.event_type FROM e JOIN wm USING (c)
+      |  WHERE wm.wm_drop IS NULL
+      |    OR date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.wm_drop)
+      |SELECT epoch_ms(date_trunc('hour', ts)) AS w_ms, event_type,
+      |  count(*) AS n
+      |FROM surv, fin
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < wm_final
+      |GROUP BY 1, 2 ORDER BY w_ms, event_type""".stripMargin) { (s, d) =>
+    val sink = s"stream_watermark_parity_sink_${sinkId.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = fileStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("w.start")).as("w_ms"), col("event_type"),
+          col("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(sink).orderBy("w_ms", "event_type")
+  }
+
   /** Number of chunk files the fixture is split into; with
     * maxFilesPerTrigger = 1 each chunk is its own micro-batch, so every
     * parity row exercises REAL cross-batch state merging (session
@@ -276,5 +331,6 @@ object StreamingOps {
   }
 
   val all: Seq[Q] = Seq(streamFileParity, streamSlideParity,
-    streamSessionParity, streamJoinParity, streamDedupParity)
+    streamSessionParity, streamJoinParity, streamDedupParity,
+    streamWatermarkParity)
 }

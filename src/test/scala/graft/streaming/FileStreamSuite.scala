@@ -124,4 +124,31 @@ class FileStreamSuite extends SparkSpec {
     val total = spark.table("chunk_probe").head().getLong(0)
     assert(total === graft.Tables.events(spark, sfDir).count())
   }
+  test("watermark parity row pins the lagged-drop / current-evict protocol") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.StreamingOps.streamWatermarkParity.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    // Spark-side replica of the oracle's protocol: drop chunk-k rows
+    // whose window end <= max ts over chunks <= k-2 minus the delay;
+    // emit windows whose end < global max minus the delay.
+    val e = graft.Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"),
+        pmod(col("event_id"), lit(4)).as("c"))
+    val cm = e.groupBy("c").agg(max("ts").as("mx")).collect()
+      .map(r => (r.getLong(0).toInt, r.getTimestamp(1).getTime)).toMap
+    val wmDrop = (0 to 3).map { k =>
+      val prior = cm.filter(_._1 <= k - 2).values
+      k -> (if (prior.isEmpty) Long.MinValue else prior.max - 600000L)
+    }.toMap
+    val wmFinal = cm.values.max - 600000L
+    val naive = e.collect().map { r =>
+      val ts = r.getTimestamp(0).getTime
+      val wEnd = (ts / 3600000L) * 3600000L + 3600000L
+      (wEnd - 3600000L, r.getString(1), r.getLong(2).toInt, wEnd)
+    }.filter { case (_, _, c, wEnd) => wEnd > wmDrop(c) && wEnd < wmFinal }
+      .groupBy(t => (t._1, t._2)).map { case ((w, t), rows) =>
+        (w, t, rows.length.toLong)
+      }.toArray.sorted
+    assert(got.toSeq === naive.toSeq)
+  }
 }
