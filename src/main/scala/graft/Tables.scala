@@ -26,11 +26,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 cannot read
-    * natively — sessions must set spark.sql.legacy.parquet.nanosAsLong
-    * (Verify/Bench do), and this loader converts the raw nanos to a µs
-    * TimestampType by integer division (truncation — exactly DuckDB's
-    * ns→µs behavior, keeping the oracle comparable). */
+  /** `events.ts` arrived as parquet TIMESTAMP(NANOS) through round 6
+    * (read via spark.sql.legacy.parquet.nanosAsLong + truncating
+    * division — exactly DuckDB's ns→µs behavior) and as TIMESTAMP(µs,
+    * isAdjustedToUTC=false) from round 7. Sessions set
+    * spark.sql.parquet.inferTimestampNTZ.enabled=false so the µs form
+    * reads as plain TimestampType under the UTC session zone (NTZ would
+    * break unix_micros/window call sites); both fixture vintages load
+    * to identical values. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = t(s, d, "events")
     if (raw.schema("ts").dataType == LongType)

@@ -1639,7 +1639,57 @@ object Relational {
         .orderBy("l_returnflag")
   }
 
+  /** Per-group statistical MODE (most frequent value, ties → smallest)
+    * — count-then-rank, never a per-group value buffer: the first
+    * aggregate collapses the fact table to one row per (group, value)
+    * pair (map-side partials make the shuffle |distinct pairs|, not
+    * |rows|), and the window ranks within each group's bounded distinct
+    * domain. At 100 TB the quantity domain is ~50 values per flag, so
+    * the window input is tiny no matter how large the scan. */
+  val q87Mode: Q = Q(
+    "q87_mode",
+    """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+      |           FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |        ORDER BY cnt DESC, l_quantity ASC) AS rn FROM c)
+      |SELECT l_returnflag, l_quantity AS mode_qty, CAST(cnt AS BIGINT) AS cnt
+      |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val c = li(s, d).groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+    c.withColumn("rn", row_number().over(Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("cnt").desc, col("l_quantity").asc)))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Ordered string aggregation (LISTAGG/STRING_AGG): the
+    * concatenated, sorted member list per group. Spark composes it as
+    * collect_list → sort_array → concat_ws — collect_list partials
+    * merge map-side, and the sort runs on each group's OWN list (no
+    * global order). Valid at scale exactly when the group payload is
+    * bounded (suppliers per nation here); an unbounded LISTAGG is a
+    * driver-OOM anti-feature in any engine. */
+  val q88StringAgg: Q = Q(
+    "q88_string_agg",
+    """SELECT n_name, count(*) AS n_supp,
+      | string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+      |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_supp"),
+        concat_ws(",", sort_array(collect_list(col("s_name"))))
+          .as("suppliers"))
+      .orderBy("n_name")
+  }
+
   val all: Seq[Q] = Seq(
+    q87Mode, q88StringAgg,
     q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert, q73Ecdf, q74RangeJoin,
     q79MadOutliers, q80CorrMatrix, q81FkAudit, q82Regression,
     q64WindowPctRank, q65ArrayAdvanced, q66RollupReuse, q67SaltedJoin,

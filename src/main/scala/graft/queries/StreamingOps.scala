@@ -301,7 +301,14 @@ object StreamingOps {
     * complete build so a killed half-write is rebuilt, and the staging
     * dir is unique per attempt so two sessions can't interleave). */
   private[graft] def chunkDir(s: org.apache.spark.sql.SparkSession, d: String): String = synchronized {
-    val key = Integer.toHexString(d.hashCode)
+    // Key on the fixture FILE's identity (mtime + size), not just the
+    // dir name: the driver regenerates /root/testdata between rounds
+    // (observed round 7: ns → µs timestamps), and chunks built from a
+    // stale fixture would silently fail parity against the new one.
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val id = try s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}_${java.nio.file.Files.size(src)}"
+      catch { case _: Throwable => "nofile" }
+    val key = Integer.toHexString((d + "|" + id).hashCode)
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_stream_chunks_$key")
     val done = base.resolve("_SUCCESS")

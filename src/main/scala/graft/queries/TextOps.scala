@@ -565,9 +565,171 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Zipf's-law fit: least-squares slope of log(freq) vs log(rank) over
+    * the corpus rank-frequency table. The global rank comes from
+    * [[graft.ops.DistributedNtile.withGlobalRank]] (range shuffle +
+    * reused-shuffle zipWithIndex) — NOT a partition-less window — so
+    * ranking a 100M-type vocabulary stays data-parallel. The fit itself
+    * is one partial-aggregable pass (Σx, Σy, Σxy, Σx²): a 5-number
+    * sketch per partition, no matter the vocabulary size. */
+  val zipfFit: Q = Q(
+    "zipf_fit",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |f AS (SELECT w, count(*) AS cnt FROM tok WHERE w <> '' GROUP BY w),
+      |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rnk FROM f),
+      |l AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM r)
+      |SELECT CAST(count(*) AS BIGINT) AS vocab,
+      | CAST(floor((count(*) * sum(x*y) - sum(x) * sum(y))
+      |   / (count(*) * sum(x*x) - sum(x) * sum(x)) * 10000 + 0.5) / 10000
+      |   AS DOUBLE) AS zipf_slope
+      |FROM l""".stripMargin) { (s, d) =>
+    val f = docs(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val ranked = graft.ops.DistributedNtile.withGlobalRank(
+      f, Seq(col("cnt").desc, col("w").asc))
+    ranked
+      .select(log(col("global_rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("vocab"),
+        (floor((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx"))
+          * 10000 + lit(0.5)) / 10000).cast("double").as("zipf_slope"))
+  }
+
+  /** Heaps'-law curve: cumulative (tokens seen, distinct types seen) at
+    * TEN fixed corpus checkpoints. Types are attributed to the bucket
+    * of their FIRST occurrence (min doc_id per type — one aggregate),
+    * so the cumulative distinct count at checkpoint c is a plain sum of
+    * per-bucket first-seen counts ≤ c: no giant distinct-per-prefix
+    * recomputation. The cumulation runs as a ≤10×10 theta join on the
+    * pre-aggregated bucket rows — checkpoint count is FIXED (10), not
+    * data-sized, which is what keeps the quadratic bounded at 100 TB.
+    * The doc count that sizes the buckets is parquet-metadata-only. */
+  val heapsLaw: Q = Q(
+    "heaps_law",
+    """WITH p AS (SELECT CAST(ceil(count(*) / 10.0) AS BIGINT) AS w FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |bt AS (SELECT (doc_id // w) * w + w - 1 AS cp, count(*) AS toks
+      |       FROM tok, p WHERE t <> '' GROUP BY 1),
+      |fs AS (SELECT t, min(doc_id) AS fd FROM tok WHERE t <> '' GROUP BY t),
+      |bv AS (SELECT (fd // w) * w + w - 1 AS cp, count(*) AS nv
+      |       FROM fs, p GROUP BY 1),
+      |per AS (SELECT bt.cp, toks, COALESCE(nv, 0) AS nv
+      |        FROM bt LEFT JOIN bv ON bt.cp = bv.cp)
+      |SELECT c.cp AS checkpoint, CAST(sum(per.toks) AS BIGINT) AS cum_tokens,
+      |  CAST(sum(per.nv) AS BIGINT) AS cum_vocab
+      |FROM (SELECT cp FROM per) c JOIN per ON per.cp <= c.cp
+      |GROUP BY 1 ORDER BY checkpoint""".stripMargin) { (s, d) =>
+    val nDocs = docs(s, d).count() // parquet metadata count
+    val w = (nDocs + 9) / 10
+    val cpOf = (c: org.apache.spark.sql.Column) =>
+      (c - pmod(c, lit(w)) + lit(w - 1)).as("cp")
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val bt = tok.groupBy(cpOf(col("doc_id"))).agg(count(lit(1)).as("toks"))
+    val bv = tok.groupBy("t").agg(min("doc_id").as("fd"))
+      .groupBy(cpOf(col("fd"))).agg(count(lit(1)).as("nv"))
+    val per = bt.join(bv, Seq("cp"), "left")
+      .select(col("cp"), col("toks"), coalesce(col("nv"), lit(0L)).as("nv"))
+    per.select(col("cp").as("checkpoint"))
+      .join(broadcast(per), col("cp") <= col("checkpoint"))
+      .groupBy("checkpoint")
+      .agg(sum("toks").as("cum_tokens"), sum("nv").as("cum_vocab"))
+      .orderBy("checkpoint")
+  }
+
+  /** First-order Markov next-word model: top-3 continuations of every
+    * word with MLE transition probability. Bigram extraction is the
+    * LM-standard in-document transform (bounded fan-out: n-1 bigrams
+    * per n-token doc); counts collapse map-side; the rank window
+    * partitions by the PREVIOUS word, so no task ever sees more than
+    * one word's continuation set (vocabulary-bounded, Zipf-skewed —
+    * the hot word's distinct-continuation row count, not the corpus,
+    * is the task bound). */
+  val markovNext: Q = Q(
+    "markov_next",
+    """WITH big AS (SELECT split_part(b, ' ', 1) AS prev,
+      |    split_part(b, ' ', 2) AS nxt, count(*) AS c
+      |  FROM (SELECT unnest(list_transform(range(1, len(ts)),
+      |          i -> ts[i] || ' ' || ts[i+1])) AS b
+      |        FROM (SELECT string_split(text, ' ') AS ts FROM documents)
+      |        WHERE len(ts) >= 2)
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT prev, CAST(sum(c) AS BIGINT) AS tc FROM big GROUP BY prev),
+      |r AS (SELECT big.prev, nxt, c, tc, row_number() OVER
+      |        (PARTITION BY big.prev ORDER BY c DESC, nxt ASC) AS rn
+      |      FROM big JOIN tot ON big.prev = tot.prev)
+      |SELECT prev, nxt, CAST(c AS BIGINT) AS cnt,
+      |  CAST(floor(CAST(c AS DOUBLE) / tc * 1000000 + 0.5) / 1000000
+      |    AS DOUBLE) AS prob, CAST(rn AS INT) AS rn
+      |FROM r WHERE rn <= 3 ORDER BY prev, rn""".stripMargin) { (s, d) =>
+    val ts = split(col("text"), " ")
+    val big = docs(s, d).filter(size(ts) >= 2).select(ts.as("ts"))
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS prev, ts[i+1] AS nxt))"))
+        .as("p"))
+      .groupBy(col("p.prev").as("prev"), col("p.nxt").as("nxt"))
+      .agg(count(lit(1)).as("c"))
+    val tot = big.groupBy("prev").agg(sum("c").as("tc"))
+    big.join(tot, Seq("prev"))
+      .withColumn("rn", row_number().over(Window.partitionBy("prev")
+        .orderBy(col("c").desc, col("nxt").asc)))
+      .filter(col("rn") <= 3)
+      .select(col("prev"), col("nxt"), col("c").as("cnt"),
+        (floor(col("c").cast("double") / col("tc") * 1000000 + lit(0.5))
+          / 1000000).cast("double").as("prob"), col("rn"))
+      .orderBy("prev", "rn")
+  }
+
+  /** Cross-source contamination audit: source pairs sharing ≥3 distinct
+    * 5-gram shingles — the "did my test split leak into training data"
+    * sweep, run source-against-source instead of doc-against-doc. The
+    * join key is md5(gram) (identical bytes in both engines), so the
+    * shuffle carries 32-byte digests, not raw shingles; the per-source
+    * DISTINCT collapses repeated grams before the exchange, and the
+    * self-join is EQUI on the digest with src<src as a residual — at
+    * 100 TB a hot shingle ("the end of the") fans out only within its
+    * own hash bucket, ordinary AQE-splittable skew. */
+  val crossContam: Q = Q(
+    "cross_contam_5gram",
+    """WITH g AS (SELECT DISTINCT source, md5(gm) AS h
+      |  FROM (SELECT source, unnest(list_transform(range(1, len(ts) - 3),
+      |          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+      |               ts[i+3] || ' ' || ts[i+4])) AS gm
+      |        FROM (SELECT source, string_split(text, ' ') AS ts FROM documents)
+      |        WHERE len(ts) >= 5))
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST(count(*) AS BIGINT) AS shared
+      |FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2 HAVING count(*) >= 3
+      |ORDER BY shared DESC, src_a, src_b""".stripMargin) { (s, d) =>
+    val ts = split(col("text"), " ")
+    val g = docs(s, d).filter(size(ts) >= 5)
+      .select(col("source"), ts.as("ts"))
+      .select(col("source"), explode(expr(
+        """transform(sequence(0, size(ts) - 5),
+          |  i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2], ' ', ts[i+3], ' ', ts[i+4]))"""
+          .stripMargin)).as("gm"))
+      .select(col("source"), md5(col("gm")).as("h"))
+      .distinct()
+    val a = g.select(col("source").as("src_a"), col("h"))
+    val b = g.select(col("source").as("src_b"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+      .orderBy(col("shared").desc, col("src_a"), col("src_b"))
+  }
+
   val all: Seq[Q] = Seq(
     wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
     dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard,
     bm25TopDocs, heavyHitters, heavyHittersMg, entropyProfile, pmiCollocations,
-    bpeMergeStep, bpeTrainRounds)
+    bpeMergeStep, bpeTrainRounds, zipfFit, heapsLaw, markovNext, crossContam)
 }

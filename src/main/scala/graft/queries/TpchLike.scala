@@ -186,6 +186,153 @@ object TpchLike {
       .limit(20)
   }
 
+  /** Q7 shape: bilateral trade volume between two nations by ship year
+    * — the TWO-ROLE-DIMENSION pattern (nation joined once as supplier
+    * nation, once as customer nation). Both nation sides broadcast
+    * (25 rows); the big fact⋈fact chain (lineitem⋈orders) shuffles on
+    * the order key as usual. The pair filter is applied to the
+    * broadcast sides BEFORE the fact join, so at 100 TB the scan output
+    * is pruned to the two nations' suppliers/customers immediately
+    * after each broadcast probe, not post-join. */
+  val q83TpchQ7: Q = Q(
+    "q83_tpch_q7",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      | year(l_shipdate) AS l_year,
+      | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders   ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+      |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+    val pair = Seq("NATION_18", "NATION_19")
+    val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)
+        .join(broadcast(n1), col("nk1") === col("s_nationkey"))),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .join(broadcast(n2), col("nk2") === col("c_nationkey"))
+        .select("c_custkey", "cust_nation")),
+        col("c_custkey") === col("o_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(14,2)")
+        * (lit(1) - col("l_discount").cast("decimal(6,2)"))), 2)
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q14 shape: promo revenue share per ship month — CONDITIONAL
+    * aggregation (sum-if over a broadcast-joined dim attribute). One
+    * fact pass; part broadcasts; the share division runs in double on
+    * exactly-decimal sums so both engines execute identical IEEE ops. */
+  val q84TpchQ14: Q = Q(
+    "q84_tpch_q14",
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      | CAST(floor(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |     THEN CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))
+      |     ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+      |   / CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE)
+      |   * 10000 + 0.5) / 10000 AS DOUBLE) AS promo_share
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY ship_month""".stripMargin) { (s, d) =>
+    val rev = col("l_extendedprice").cast("decimal(14,2)") *
+      (lit(1) - col("l_discount").cast("decimal(6,2)"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg((floor(lit(100.0)
+        * sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(14,2)"))).cast("double")
+        / sum(rev).cast("double") * 10000 + lit(0.5)) / 10000)
+        .cast("double").as("promo_share"))
+      .orderBy("ship_month")
+  }
+
+  /** Q19 shape: DISJUNCTIVE multi-attribute predicate spanning both
+    * join sides (brand × size × quantity ranges OR-ed together). The
+    * per-side halves of each disjunct are pushed below the join — part
+    * prunes to the three brands before broadcasting, lineitem to the
+    * union of quantity ranges at the scan — and only the cross-side
+    * conjunction runs on joined rows. */
+  val q85TpchQ19: Q = Q(
+    "q85_tpch_q19",
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))), 2) AS DOUBLE) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 10 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
+    val pred =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+        && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(5, 25)
+        && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(10, 50)
+        && col("l_quantity").between(20, 30))
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity").between(1, 11)
+        || col("l_quantity").between(10, 20)
+        || col("l_quantity").between(20, 30))
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3"))),
+        col("p_partkey") === col("l_partkey"))
+      .filter(pred)
+      .agg(round(sum(col("l_extendedprice").cast("decimal(14,2)")
+        * (lit(1) - col("l_discount").cast("decimal(6,2)"))), 2)
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Q22 shape: high-balance customers with NO recent orders, per
+    * nation — scalar-subquery threshold (global positive-balance mean,
+    * a 1-row broadcast) + NOT-IN rewritten as LEFT ANTI against the
+    * distinct recent-buyer keys. At 100 TB the anti-join shuffles on
+    * c_custkey (both sides key-partitioned); the distinct prunes the
+    * orders side to unique buyers before the exchange. */
+  val q86TpchQ22: Q = Q(
+    "q86_tpch_q22",
+    """WITH a AS (SELECT avg(c_acctbal) AS av FROM customer WHERE c_acctbal > 0),
+      |r AS (SELECT DISTINCT o_custkey FROM orders
+      |      WHERE o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+      |SELECT n_name, count(*) AS numcust,
+      | CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+      |FROM customer JOIN nation ON n_nationkey = c_nationkey, a
+      |WHERE c_acctbal > av
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM r)
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    val avgBal = Tables.customer(s, d).filter(col("c_acctbal") > 0)
+      .agg(avg("c_acctbal").as("av"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+      .select("o_custkey").distinct()
+    Tables.customer(s, d)
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("av"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal").cast("decimal(12,2)")), 2)
+          .cast("double").as("totacctbal"))
+      .orderBy("n_name")
+  }
+
   val all: Seq[Q] = Seq(q60TpchQ3, q61TpchQ5, q62TpchQ10, q76TpchQ17,
-    q77TpchQ18)
+    q77TpchQ18, q83TpchQ7, q84TpchQ14, q85TpchQ19, q86TpchQ22)
 }

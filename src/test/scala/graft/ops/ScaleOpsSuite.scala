@@ -156,6 +156,7 @@ class ScaleOpsSuite extends SparkSpec {
       "pq_adc_topk",          // 5 broadcast query vectors vs PQ codes
       "q27_quartile_buckets", // 1-row broadcast of quartile bounds
       "q28_subqueries",       // 1-row broadcast of the scalar aggregate
+      "q86_tpch_q22",         // 1-row broadcast of the avg-balance threshold
       "curate_corpus",        // 1-row x 1-row report join
       "mixture_allocate",     // 1-row budget broadcast
       "tfidf_top_terms",      // 1-row broadcast of the corpus doc count
@@ -167,7 +168,8 @@ class ScaleOpsSuite extends SparkSpec {
       "pmi_collocations",     // 1-row corpus-token-total broadcast
       "heavy_hitters",        // 1-row corpus-total broadcast for the share
       "q70_fuzzy_match",      // custkey <= 200 capped length-blocked pairs
-      "embed_stats")          // bounded label-centroid stats
+      "embed_stats",          // bounded label-centroid stats
+      "heaps_law")            // 10x10 theta join on fixed checkpoint buckets
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,
