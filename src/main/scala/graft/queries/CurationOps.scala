@@ -82,6 +82,40 @@ object CurationOps {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of join — each purchase picks up the user's EARLIEST
+    * view at or after it (the "what did they do next" direction;
+    * pandas merge_asof(direction='forward')). Same single-shuffle
+    * union-scan machinery as the backward form with the scan order
+    * reversed; DuckDB's native ASOF understands the direction from the
+    * `<=` inequality. */
+  val asofJoinForward: Q = Q(
+    "asof_join_forward",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts, max(event_id) AS view_id FROM events
+      |      WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id,
+      |  epoch_ms(p.ts) AS purchase_ms,
+      |  epoch_ms(v.ts) AS view_ms,
+      |  epoch_ms(v.ts) - epoch_ms(p.ts) AS gap_ms,
+      |  v.view_id
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("event_id").as("view_id"))
+    AsofJoin.forward(purchases, views, "user_id", "ts", Seq("ts", "view_id"))
+      .select(col("event_id"), col("user_id"),
+        expr("unix_millis(ts)").as("purchase_ms"),
+        expr("unix_millis(asof_ts)").as("view_ms"),
+        (expr("unix_millis(asof_ts)") - expr("unix_millis(ts)")).as("gap_ms"),
+        col("asof_view_id").as("view_id"))
+      .orderBy("event_id")
+  }
+
   /** Benchmark decontamination: flag training docs sharing any token
     * 5-gram with the eval split (doc_id % 97 == 0 stands in for the
     * benchmark). Eval grams are a small distinct set → broadcast join
@@ -535,7 +569,8 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(asofJoin, asofJoinTolerance, decontamOverlap,
+  val all: Seq[Q] = Seq(asofJoin, asofJoinTolerance, asofJoinForward,
+    decontamOverlap,
     decontamBloom, sampleStratified, sampleQuota, splitAssign, piiScrub,
     repetitionScore, lmPerplexity, qualityClassify, samplePriority,
     lmBackoffScore)

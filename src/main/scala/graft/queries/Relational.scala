@@ -1688,8 +1688,39 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Time-series resample to hourly OHLC bars (the financial
+    * candlestick / downsample primitive): open/close via min_by/max_by
+    * on the event timestamp, high/low/count as plain aggregates — ONE
+    * scan, all six measures partial-aggregable (min_by's merge keeps
+    * the earlier-keyed partial), so the shuffle carries one 6-field
+    * sketch per (type, hour) no matter how many events the hour holds.
+    * Determinism: fixture `ts` is globally unique; a production run
+    * would key min_by on (ts, event_id) to break same-µs ties. */
+  val q93OhlcBars: Q = Q(
+    "q93_ohlc_bars",
+    """SELECT event_type,
+      | strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_hour,
+      | arg_min(value, ts) AS open_v,
+      | max(value) AS high_v,
+      | min(value) AS low_v,
+      | arg_max(value, ts) AS close_v,
+      | CAST(count(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY 1, 2
+      |ORDER BY event_type, bar_hour""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("bar_hour"))
+      .agg(min_by(col("value"), col("ts")).as("open_v"),
+        max("value").as("high_v"),
+        min("value").as("low_v"),
+        max_by(col("value"), col("ts")).as("close_v"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type", "bar_hour")
+  }
+
   val all: Seq[Q] = Seq(
-    q87Mode, q88StringAgg,
+    q87Mode, q88StringAgg, q93OhlcBars,
     q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert, q73Ecdf, q74RangeJoin,
     q79MadOutliers, q80CorrMatrix, q81FkAudit, q82Regression,
     q64WindowPctRank, q65ArrayAdvanced, q66RollupReuse, q67SaltedJoin,

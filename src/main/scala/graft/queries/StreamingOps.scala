@@ -337,7 +337,59 @@ object StreamingOps {
     base.toString
   }
 
+  /** foreachBatch keyed-UPSERT sink parity — the "stream into a keyed
+    * store" production pattern (JDBC/Delta MERGE per micro-batch),
+    * exercised with a versioned parquet table as the store. The stream
+    * aggregates per-user totals in UPDATE mode, so each micro-batch
+    * emits only the keys it changed, carrying their new CUMULATIVE
+    * aggregate; foreachBatch full-outer-merges those rows into the
+    * current store version (coalesce: updated beats stored) and
+    * publishes the next version — a fully DISTRIBUTED merge (no
+    * driver-side collect; at 100 TB the same join is the standard
+    * MERGE-on-key upsert, sized |store ∪ batch keys|). After the
+    * finite stream drains, store ≡ batch group-by for every key, no
+    * matter how the 4 chunks carved the key space. Values are summed
+    * as floor(v·100+0.5) integer cents — exact associativity makes the
+    * result micro-batch-schedule independent. */
+  val streamUpsertParity: Q = Q(
+    "stream_upsert_parity",
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.{DataFrame, Row, Dataset}
+    val sinkBase = java.nio.file.Files
+      .createTempDirectory("graft_upsert_sink_").toString
+    val version = new AtomicLong(-1)
+    def merge(batch: Dataset[Row], @annotation.unused id: Long): Unit = {
+      val updates = batch.toDF("user_id", "u_n", "u_cents")
+      val v = version.get()
+      val merged =
+        if (v < 0) updates.select(col("user_id"),
+          col("u_n").as("n_events"), col("u_cents").as("cents"))
+        else s.read.parquet(s"$sinkBase/v$v")
+          .join(updates, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            coalesce(col("u_n"), col("n_events")).as("n_events"),
+            coalesce(col("u_cents"), col("cents")).as("cents"))
+      merged.write.mode("overwrite").parquet(s"$sinkBase/v${v + 1}")
+      version.incrementAndGet()
+      ()
+    }
+    withStatePartitions(s, 8) {
+      val q = fileStream(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+        .writeStream.outputMode("update")
+        .foreachBatch(merge _)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.read.parquet(s"$sinkBase/v${version.get()}").orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(streamFileParity, streamSlideParity,
     streamSessionParity, streamJoinParity, streamDedupParity,
-    streamWatermarkParity)
+    streamWatermarkParity, streamUpsertParity)
 }

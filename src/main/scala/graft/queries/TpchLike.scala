@@ -333,6 +333,140 @@ object TpchLike {
       .orderBy("n_name")
   }
 
+  /** Q4 shape: EXISTS decorrelated to a LEFT SEMI join — orders with at
+    * least one line shipped >30 days after the order date, counted by
+    * priority. (The fixture has no l_commitdate, so "late" is
+    * ship-vs-order-date lag; the plan shape — semi join on the order
+    * key with a cross-side date residual, then a low-cardinality
+    * count — is Q4's.) The semi join shuffles both sides on the order
+    * key and emits each order AT MOST once no matter how many lines
+    * match, so the fan-out never materializes. */
+  val q89TpchQ4: Q = Q(
+    "q89_tpch_q4",
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q12 shape: late-line priority split — conditional aggregation
+    * (sum-if on the joined dimension attribute) after an equi join
+    * with a cross-side date residual. One shuffle on the order key;
+    * the CASE arms run post-join in the same codegen stage, so adding
+    * priority classes costs nothing. */
+  val q90TpchQ12: Q = Q(
+    "q90_tpch_q12",
+    """SELECT l_returnflag,
+      | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(high, 1).otherwise(0)).as("high_line_count"),
+        sum(when(!high, 1).otherwise(0)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q15 shape: top-revenue supplier via a reused "view" — the revenue
+    * aggregate is computed ONCE, its global max is a 1-row broadcast
+    * (bounded cross join, whitelisted), and the winner filter compares
+    * exact DECIMAL totals so float drift can't split a tie. At 100 TB
+    * the view is |suppliers| rows after one fact shuffle; the max is a
+    * partial-aggregable scalar. */
+  val q91TpchQ15: Q = Q(
+    "q91_tpch_q15",
+    """WITH rev AS (SELECT l_suppkey AS supplier_no,
+      |  round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(6,2)))), 2) AS total_revenue
+      | FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      | GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(14,2)")
+        * (lit(1) - col("l_discount").cast("decimal(6,2)"))), 2)
+        .as("total_revenue"))
+    val top = rev.agg(max("total_revenue").as("max_rev"))
+    Tables.supplier(s, d)
+      .join(rev, col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q21 shape: the only-late-supplier audit — the hardest TPC-H
+    * decorrelation (EXISTS + NOT EXISTS against the same fact). Both
+    * quantified predicates become key-partitioned self-joins of the
+    * DISTINCT (order, supplier) relation: EXISTS(another supplier on
+    * the order) → LEFT SEMI, NOT EXISTS(another LATE supplier) → LEFT
+    * ANTI, each an equi join on l_orderkey with a `suppkey <>`
+    * residual. The distinct projections collapse line-level fan-out
+    * before any join, so shuffle volume is order×supplier pairs —
+    * the same discipline DuckDB's plan uses, and the reason this
+    * survives a fact table with hundreds of lines per order. */
+  val q92TpchQ21: Q = Q(
+    "q92_tpch_q21",
+    """WITH late AS (SELECT DISTINCT l_orderkey, l_suppkey
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+      |all_os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      |SELECT s_name, count(*) AS numwait
+      |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE EXISTS (SELECT 1 FROM all_os a
+      |        WHERE a.l_orderkey = l1.l_orderkey
+      |          AND a.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l2
+      |        WHERE l2.l_orderkey = l1.l_orderkey
+      |          AND l2.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val late = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val allOs = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey").distinct()
+    val other = allOs.select(col("l_orderkey").as("a_ok"),
+      col("l_suppkey").as("a_sk"))
+    val otherLate = late.select(col("l_orderkey").as("b_ok"),
+      col("l_suppkey").as("b_sk"))
+    late
+      .join(other, col("a_ok") === col("l_orderkey")
+        && col("a_sk") =!= col("l_suppkey"), "left_semi")
+      .join(otherLate, col("b_ok") === col("l_orderkey")
+        && col("b_sk") =!= col("l_suppkey"), "left_anti")
+      .join(broadcast(Tables.supplier(s, d)),
+        col("s_suppkey") === col("l_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(q60TpchQ3, q61TpchQ5, q62TpchQ10, q76TpchQ17,
-    q77TpchQ18, q83TpchQ7, q84TpchQ14, q85TpchQ19, q86TpchQ22)
+    q77TpchQ18, q83TpchQ7, q84TpchQ14, q85TpchQ19, q86TpchQ22,
+    q89TpchQ4, q90TpchQ12, q91TpchQ15, q92TpchQ21)
 }

@@ -157,6 +157,7 @@ class ScaleOpsSuite extends SparkSpec {
       "q27_quartile_buckets", // 1-row broadcast of quartile bounds
       "q28_subqueries",       // 1-row broadcast of the scalar aggregate
       "q86_tpch_q22",         // 1-row broadcast of the avg-balance threshold
+      "q91_tpch_q15",         // 1-row broadcast of the max-revenue scalar
       "curate_corpus",        // 1-row x 1-row report join
       "mixture_allocate",     // 1-row budget broadcast
       "tfidf_top_terms",      // 1-row broadcast of the corpus doc count
