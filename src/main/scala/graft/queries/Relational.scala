@@ -1719,8 +1719,39 @@ object Relational {
       .orderBy("event_type", "bar_hour")
   }
 
+  /** Trailing EWMA smoothing per user (α = 0.5) — the time-series
+    * feature-engineering primitive. The trailing 5-row frame carries a
+    * ≤5-element list per row (collect_list over a BOUNDED window frame
+    * — state is frame-sized, never history-sized), and the smoothing
+    * runs as a left fold of the recurrence e ← α·x + (1−α)·e seeded
+    * with the frame's first element. Every arithmetic step multiplies
+    * by 0.5 (exact in binary floating point) in the identical order on
+    * both engines, so the parity is bit-exact with NO rounding. */
+  val q94EwmaSmooth: Q = Q(
+    "q94_ewma_smooth",
+    """WITH w AS (SELECT user_id, ts, value,
+      |  list(value) OVER (PARTITION BY user_id ORDER BY ts
+      |                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS vs
+      | FROM events)
+      |SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+      | CASE WHEN len(vs) = 1 THEN vs[1]
+      |      ELSE list_reduce(vs, (acc, x) -> 0.5 * x + 0.5 * acc) END AS ewma
+      |FROM w ORDER BY user_id, ts_ms""".stripMargin) { (s, d) =>
+    val frame = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(-4, Window.currentRow)
+    ev(s, d)
+      .withColumn("vs", collect_list("value").over(frame))
+      .select(col("user_id"), expr("unix_millis(ts)").as("ts_ms"),
+        col("value"),
+        when(size(col("vs")) === 1, element_at(col("vs"), 1))
+          .otherwise(expr(
+            "aggregate(slice(vs, 2, size(vs) - 1), vs[0], " +
+              "(acc, x) -> 0.5D * x + 0.5D * acc)")).as("ewma"))
+      .orderBy("user_id", "ts_ms")
+  }
+
   val all: Seq[Q] = Seq(
-    q87Mode, q88StringAgg, q93OhlcBars,
+    q87Mode, q88StringAgg, q93OhlcBars, q94EwmaSmooth,
     q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert, q73Ecdf, q74RangeJoin,
     q79MadOutliers, q80CorrMatrix, q81FkAudit, q82Regression,
     q64WindowPctRank, q65ArrayAdvanced, q66RollupReuse, q67SaltedJoin,

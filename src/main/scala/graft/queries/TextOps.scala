@@ -727,9 +727,116 @@ object TextOps {
       .orderBy(col("shared").desc, col("src_a"), col("src_b"))
   }
 
+  /** χ² term-vs-language feature selection (the classic text-
+    * classification feature ranking): for every (word, lang) cell, the
+    * 2×2 contingency χ² from four partial-aggregable counts, top-5
+    * terms per language. All four margins come from ONE token pass
+    * (cell counts) re-aggregated two ways (per-word, per-lang) plus a
+    * 1-row corpus total — vocabulary-sized joins after the first
+    * collapse, never a second corpus scan. Counts go to DOUBLE before
+    * the χ² arithmetic so both engines run identical IEEE ops (DuckDB
+    * would otherwise compute HUGEINT-exact products). */
+  val chi2Terms: Q = Q(
+    "q96_chi2_terms",
+    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cnt AS (SELECT lang, w, CAST(count(*) AS DOUBLE) AS o11
+      |        FROM tok WHERE w <> '' GROUP BY 1, 2),
+      |wl AS (SELECT w, CAST(sum(o11) AS DOUBLE) AS wtot FROM cnt GROUP BY w),
+      |lt AS (SELECT lang, CAST(sum(o11) AS DOUBLE) AS ltot FROM cnt GROUP BY lang),
+      |n AS (SELECT CAST(sum(o11) AS DOUBLE) AS nn FROM cnt),
+      |x AS (SELECT cnt.lang, cnt.w, o11, wtot - o11 AS o12, ltot - o11 AS o21,
+      |        nn - wtot - ltot + o11 AS o22, nn
+      |      FROM cnt JOIN wl ON cnt.w = wl.w
+      |      JOIN lt ON cnt.lang = lt.lang CROSS JOIN n),
+      |c2 AS (SELECT lang, w,
+      |        round(nn * (o11*o22 - o12*o21) * (o11*o22 - o12*o21)
+      |          / ((o11+o12) * (o11+o21) * (o12+o22) * (o21+o22)), 4) AS chi2
+      |       FROM x),
+      |r AS (SELECT lang, w, chi2,
+      |        row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, w) AS rn
+      |      FROM c2)
+      |SELECT lang, w, chi2, CAST(rn AS INT) AS rn FROM r
+      |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin) { (s, d) =>
+    val cnt = docs(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang", "w").agg(count(lit(1)).cast("double").as("o11"))
+    val wl = cnt.groupBy("w").agg(sum("o11").as("wtot"))
+    val lt = cnt.groupBy("lang").agg(sum("o11").as("ltot"))
+    val n = cnt.agg(sum("o11").as("nn"))
+    val num = col("o11") * col("o22") - col("o12") * col("o21")
+    cnt.join(wl, "w").join(lt, "lang").crossJoin(broadcast(n))
+      .withColumn("o12", col("wtot") - col("o11"))
+      .withColumn("o21", col("ltot") - col("o11"))
+      .withColumn("o22", col("nn") - col("wtot") - col("ltot") + col("o11"))
+      .select(col("lang"), col("w"),
+        round(col("nn") * num * num
+          / ((col("o11") + col("o12")) * (col("o11") + col("o21"))
+            * (col("o12") + col("o22")) * (col("o21") + col("o22"))), 4)
+          .as("chi2"))
+      .withColumn("rn", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("chi2").desc, col("w"))))
+      .filter(col("rn") <= 5)
+      .orderBy("lang", "rn")
+  }
+
+  /** Pairwise Jensen-Shannon divergence between source unigram
+    * distributions — the mixture-balancing audit ("how different are
+    * my corpus slices"). The token pass collapses to (source, word)
+    * cells once; the JSD then runs on a (source-pair × vocabulary)
+    * grid — both dimensions BOUNDED (20 sources → 190 pairs; the
+    * vocabulary, not the corpus) — with absent words contributing a
+    * zero term via the p>0 guards. Whitelisted bounded cross join;
+    * divergences rounded to 1e-6 (31-term sum order drift ~1e-16). */
+  val jsDivergence: Q = Q(
+    "q97_js_divergence",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cnt AS (SELECT source, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(sum(c) AS DOUBLE) AS n FROM cnt GROUP BY source),
+      |p AS (SELECT cnt.source, w, c / n AS p FROM cnt
+      |      JOIN tot ON cnt.source = tot.source),
+      |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+      |          FROM tot a JOIN tot b ON a.source < b.source),
+      |vocab AS (SELECT DISTINCT w FROM cnt),
+      |grid AS (SELECT src_a, src_b, w FROM pairs CROSS JOIN vocab),
+      |j AS (SELECT g.src_a, g.src_b, coalesce(pa.p, 0) AS pa, coalesce(pb.p, 0) AS pb
+      |      FROM grid g
+      |      LEFT JOIN p pa ON pa.source = g.src_a AND pa.w = g.w
+      |      LEFT JOIN p pb ON pb.source = g.src_b AND pb.w = g.w)
+      |SELECT src_a, src_b, round(sum(
+      |   CASE WHEN pa > 0 THEN 0.5 * pa * ln(2*pa/(pa+pb)) ELSE 0 END
+      | + CASE WHEN pb > 0 THEN 0.5 * pb * ln(2*pb/(pa+pb)) ELSE 0 END), 6) AS jsd
+      |FROM j GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    val cnt = docs(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("source").agg(sum("c").cast("double").as("n"))
+    val p = cnt.join(tot, "source")
+      .select(col("source"), col("w"), (col("c") / col("n")).as("p"))
+    val pairs = tot.select(col("source").as("src_a"))
+      .join(tot.select(col("source").as("src_b")), col("src_a") < col("src_b"))
+    val vocab = cnt.select("w").distinct()
+    val grid = pairs.crossJoin(broadcast(vocab))
+    val pa = p.select(col("source").as("src_a"), col("w"), col("p").as("pa"))
+    val pb = p.select(col("source").as("src_b"), col("w"), col("p").as("pb"))
+    val term = (pc: org.apache.spark.sql.Column, po: org.apache.spark.sql.Column) =>
+      when(pc > 0, lit(0.5) * pc * log(lit(2) * pc / (pc + po))).otherwise(lit(0.0))
+    grid.join(pa, Seq("src_a", "w"), "left")
+      .join(pb, Seq("src_b", "w"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("pa"), lit(0.0)).as("pa"),
+        coalesce(col("pb"), lit(0.0)).as("pb"))
+      .groupBy("src_a", "src_b")
+      .agg(round(sum(term(col("pa"), col("pb")) + term(col("pb"), col("pa"))), 6)
+        .as("jsd"))
+      .orderBy("src_a", "src_b")
+  }
+
   val all: Seq[Q] = Seq(
     wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
     dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard,
     bm25TopDocs, heavyHitters, heavyHittersMg, entropyProfile, pmiCollocations,
-    bpeMergeStep, bpeTrainRounds, zipfFit, heapsLaw, markovNext, crossContam)
+    bpeMergeStep, bpeTrainRounds, zipfFit, heapsLaw, markovNext, crossContam,
+    chi2Terms, jsDivergence)
 }

@@ -158,6 +158,9 @@ class ScaleOpsSuite extends SparkSpec {
       "q28_subqueries",       // 1-row broadcast of the scalar aggregate
       "q86_tpch_q22",         // 1-row broadcast of the avg-balance threshold
       "q91_tpch_q15",         // 1-row broadcast of the max-revenue scalar
+      "q95_mmr_rerank",       // 20-row shortlist: 20x20 sim matrix + 1-row argmaxes
+      "q96_chi2_terms",       // 1-row corpus-total broadcast
+      "q97_js_divergence",    // bounded source-pairs x vocabulary grid
       "curate_corpus",        // 1-row x 1-row report join
       "mixture_allocate",     // 1-row budget broadcast
       "tfidf_top_terms",      // 1-row broadcast of the corpus doc count
