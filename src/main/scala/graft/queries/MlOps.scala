@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Distributed ML primitives for corpus curation: k-means clustering
+  * (the semantic-dedup / data-mixing building block), count-min-sketch
+  * frequency estimation (Cormode & Muthukrishnan 2005), and
+  * Johnson-Lindenstrauss random projection — each under the exact
+  * DuckDB oracle gate.
+  *
+  * Cross-engine determinism strategy (shared by all three): float
+  * inputs are either scaled to exact BIGINTs up front (k-means:
+  * floor(x·2^20), so every sum is integer-exact and order-independent)
+  * or kept in doubles that BOTH engines fold in identical index order
+  * (JL / distances: Spark `aggregate` and DuckDB `list_sum ∘
+  * list_transform` are both sequential left folds), with any final
+  * rounding done half-up-safe as floor(x·10^k + 0.5)/10^k.
+  */
+object MlOps {
+
+  // ------------------------------------------------------------ k-means ---
+
+  /** Distributed k-means over the embedding table (k = 8, 3 Lloyd
+    * iterations, seeds = vec_id 0..7). This is THE scalable clustering
+    * shape: each iteration broadcasts the k-row centroid relation, runs
+    * a map-side assignment (argmin of 8 distances per point — no
+    * shuffle), and recomputes centroids with one two-phase aggregate
+    * whose exchange carries k×64 partial sums per partition, never a
+    * point. At 100 TB: points stream from parquet 3×, state is k rows.
+    *
+    * Exactness: coordinates become floor(x·2^20) BIGINTs; a centroid is
+    * the pair (S = Σx_int per dim, n), so every SUM is integer-exact
+    * and order-independent. Distances run on the de-scaled doubles as
+    * dxx − 2·(x·m) + m·m where every dot product is a sequential
+    * left fold — Spark's native codegen'd `graft_dot` loop and
+    * DuckDB's `list_dot_product` are bit-identical (verified against a
+    * scalar reference fold on the fixture vectors), so the argmin
+    * compares EQUAL doubles with no rounding; ties break by cid. The
+    * only rounding anywhere is the final centroid-norm display. */
+  val kmeansEmbed: Q = Q(
+    "kmeans_embed",
+    {
+      def assign(a: String, from: String) =
+        s"""cd$a AS (SELECT cid, cn,
+           |    list_transform(cs, v -> CAST(v AS DOUBLE) / CAST(cn AS DOUBLE) / 1048576.0) AS md
+           |  FROM $from),
+           |ce$a AS (SELECT cid, cn, md, list_dot_product(md, md) AS dmm FROM cd$a),
+           |$a AS (SELECT id, cid, xi FROM (
+           |  SELECT p.id, c.cid, p.xi,
+           |    row_number() OVER (PARTITION BY p.id ORDER BY
+           |      p.dxx - 2 * list_dot_product(p.xd, c.md) + c.dmm, c.cid) AS rn
+           |  FROM ptx p CROSS JOIN ce$a c) WHERE rn = 1)""".stripMargin
+      def recompute(c: String, from: String) =
+        s"""$c AS (
+           |  SELECT s.cid, s.cs, z.cn FROM
+           |   (SELECT cid, list(sx ORDER BY pos) AS cs FROM
+           |     (SELECT cid, i AS pos, CAST(sum(xi[i]) AS BIGINT) AS sx
+           |      FROM $from, range(1, 65) t(i) GROUP BY cid, i)
+           |    GROUP BY cid) s
+           |   JOIN (SELECT cid, count(*) AS cn FROM $from GROUP BY cid) z
+           |     USING (cid))""".stripMargin
+      s"""WITH pts AS (SELECT vec_id AS id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS xi
+         |  FROM embeddings),
+         |ptd AS (SELECT id, xi,
+         |    list_transform(xi, v -> CAST(v AS DOUBLE) / 1048576.0) AS xd FROM pts),
+         |ptx AS (SELECT id, xi, xd, list_dot_product(xd, xd) AS dxx FROM ptd),
+         |c0 AS (SELECT CAST(id AS INT) AS cid, xi AS cs, CAST(1 AS BIGINT) AS cn
+         |       FROM pts WHERE id < 8),
+         |${assign("a1", "c0")},
+         |${recompute("c1", "a1")},
+         |${assign("a2", "c1")},
+         |${recompute("c2", "a2")},
+         |${assign("a3", "c2")},
+         |${recompute("c3", "a3")},
+         |cdf AS (SELECT cid, cn,
+         |    list_transform(cs, v -> CAST(v AS DOUBLE) / CAST(cn AS DOUBLE) / 1048576.0) AS md
+         |  FROM c3)
+         |SELECT cid, cn AS size,
+         |  CAST(floor(sqrt(list_dot_product(md, md)) * 1000000 + 0.5) / 1000000
+         |    AS DOUBLE) AS cent_norm
+         |FROM cdf ORDER BY cid""".stripMargin
+    }) { (s, d) =>
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val dot = graft.functions.GraftFunctions.dotNative _
+    val pts = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 1048576.0D) AS BIGINT))").as("xi"))
+      .withColumn("xd", expr("transform(xi, v -> CAST(v AS DOUBLE) / 1048576.0D)"))
+      .withColumn("dxx", dot(col("xd"), col("xd")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c0 = pts.filter(col("id") < 8)
+      .select(col("id").cast("int").as("cid"), col("xi").as("cs"),
+        lit(1L).as("cn"))
+    def assign(cents: DataFrame): DataFrame = {
+      val enriched = cents
+        .withColumn("md", expr(
+          "transform(cs, v -> CAST(v AS DOUBLE) / CAST(cn AS DOUBLE) / 1048576.0D)"))
+        .withColumn("dmm", dot(col("md"), col("md")))
+        .select("cid", "md", "dmm")
+      // argmin as min(struct(dist, cid, xi)): unlike a row_number
+      // window (which would shuffle all k candidate rows per point),
+      // the struct-min partial-aggregates map-side, so only ONE row
+      // per point crosses the exchange — at 100 TB the shuffle is 1×
+      // the corpus, not k×. Lexicographic struct order ties by cid.
+      pts.crossJoin(broadcast(enriched)) // k = 8 centroid rows, bounded
+        .withColumn("dist",
+          col("dxx") - lit(2) * dot(col("xd"), col("md")) + col("dmm"))
+        .select(col("id"), struct(col("dist"), col("cid"), col("xi")).as("sc"))
+        .groupBy("id").agg(min("sc").as("m"))
+        .select(col("id"), col("m.cid").as("cid"), col("m.xi").as("xi"))
+    }
+    def recompute(a: DataFrame): DataFrame = {
+      val sums = a.select(col("cid"), posexplode(col("xi")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(sum("x").as("sx"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), t -> t.sx)")
+          .as("cs"))
+      val sizes = a.groupBy("cid").agg(count(lit(1)).as("cn"))
+      sums.join(sizes, "cid")
+    }
+    // Centroids live on the driver between iterations (k×64 longs — the
+    // classic distributed-k-means state shape; same bounded-driver-
+    // traffic discipline as bpe_train_rounds). Collecting them cuts the
+    // lazy lineage that would otherwise re-execute every earlier
+    // iteration ~2× per round (measured 3.37s lazy vs ~1s flat at
+    // sf0.1): each Lloyd round is then exactly one pts scan.
+    import scala.jdk.CollectionConverters._
+    def materialize(c: DataFrame): DataFrame = {
+      val rows = c.select("cid", "cs", "cn").collect().toSeq
+      s.createDataFrame(rows.asJava, c.select("cid", "cs", "cn").schema)
+    }
+    var c = c0
+    for (_ <- 1 to 3) c = materialize(recompute(assign(c)))
+    val out = c.withColumn("md", expr(
+        "transform(cs, v -> CAST(v AS DOUBLE) / CAST(cn AS DOUBLE) / 1048576.0D)"))
+      .select(col("cid"), col("cn").as("size"),
+        (floor(sqrt(dot(col("md"), col("md"))) * 1000000 + lit(0.5)) / 1000000)
+          .cast("double").as("cent_norm"))
+      .orderBy("cid")
+    pts.unpersist()
+    out
+  }
+
+  // -------------------------------------------------- count-min sketch ---
+
+  /** Count-min-sketch frequency estimation (d = 4 rows × w = 1024
+    * buckets) probed with the exact top-20 tokens, so the oracle checks
+    * the sketch's actual cell arithmetic, not just a property. Both
+    * engines build the identical sketch: the base hash is the corpus'
+    * established 31-polynomial over the first 8 chars (winnow/markov
+    * precedent), row hashes are overflow-safe multiplicative remixes
+    * (hb ≤ 2^20, multiplier < 2^32 ⇒ product < 2^52). Shuffle cost:
+    * after the vocabulary collapse everything is vocab-sized; the cells
+    * relation is ≤ 4096 rows and broadcast into the probe join. CMS
+    * guarantees est ≥ true; the gate pins the estimates exactly. */
+  val cmsFreq: Q = Q(
+    "cms_freq",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT w, count(*) AS cnt FROM tok WHERE w <> '' GROUP BY w),
+      |h AS (SELECT w, cnt,
+      |   list_aggregate(list_transform(range(0, least(length(w), 8)),
+      |     j -> ascii(substring(w, CAST(j + 1 AS INTEGER), 1))
+      |          * CAST(pow(31, j) AS BIGINT)), 'sum') % 1000003 AS hb
+      | FROM wc),
+      |b AS (SELECT w, cnt, t.j,
+      |   (hb * (CASE t.j WHEN 0 THEN 2654435761 WHEN 1 THEN 2246822519
+      |          WHEN 2 THEN 3266489917 ELSE 668265263 END)) % 1048573 % 1024 AS b
+      | FROM h, range(0, 4) t(j)),
+      |cells AS (SELECT j, b, CAST(sum(cnt) AS BIGINT) AS c FROM b GROUP BY j, b),
+      |top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 20)
+      |SELECT b.w AS w, CAST(any_value(b.cnt) AS BIGINT) AS true_cnt, min(c) AS cms_est
+      |FROM b JOIN top ON b.w = top.w
+      |JOIN cells ON cells.j = b.j AND cells.b = b.b
+      |GROUP BY b.w ORDER BY true_cnt DESC, b.w""".stripMargin) { (s, d) =>
+    val mults = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+    val wc = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val h = wc.withColumn("hb", expr(
+      "aggregate(transform(sequence(0, least(length(w), 8) - 1), " +
+        "j -> ascii(substring(w, CAST(j + 1 AS INT), 1)) * CAST(pow(31, j) AS BIGINT)), " +
+        "0L, (a, x) -> a + x) % 1000003"))
+    val b = h.select(col("w"), col("cnt"),
+      posexplode(array(mults.map(m => (col("hb") * m) % 1048573 % 1024): _*))
+        .as(Seq("j", "b")))
+    val cells = b.groupBy("j", "b").agg(sum("cnt").as("c"))
+    val top = wc.orderBy(col("cnt").desc, col("w")).limit(20)
+      .select(col("w").as("tw"))
+    b.join(broadcast(top), col("w") === col("tw"))
+      .join(broadcast(cells), Seq("j", "b"))
+      .groupBy("w")
+      .agg(first("cnt").as("true_cnt"), min("c").as("cms_est"))
+      .orderBy(col("true_cnt").desc, col("w"))
+  }
+
+  // -------------------------------------------- JL random projection ---
+
+  /** Johnson-Lindenstrauss random projection 64 → 16 dims with a
+    * deterministic ±1 matrix (Achlioptas 2003 sign variant; the sign of
+    * entry (i, j) comes from a tiny integer hash, so the "random"
+    * matrix needs no stored state and any executor — or engine —
+    * regenerates it identically). Pure map over the vectors: the
+    * output is each vector's norm-preservation ratio ‖y‖²/(16·‖x‖²),
+    * which JL concentrates around 1. Both engines fold projections and
+    * norms in identical index order; final rounding half-up-safe. */
+  val rpReduce: Q = Q(
+    "rp_reduce",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      |y AS (SELECT vec_id, x,
+      |   list_transform(range(0, 16), j ->
+      |     list_sum(list_transform(range(1, 65), i ->
+      |       x[i] * (CASE WHEN ((i * 31 + j * 17) % 97) % 2 = 0
+      |               THEN 1.0 ELSE -1.0 END)))) AS y
+      | FROM v)
+      |SELECT vec_id,
+      |  CAST(floor(list_sum(list_transform(y, t -> t * t))
+      |    / (16.0 * list_sum(list_transform(x, t -> t * t)))
+      |    * 1000000 + 0.5) / 1000000 AS DOUBLE) AS jl_ratio
+      |FROM y ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("x"))
+      .withColumn("y", expr(
+        "transform(sequence(0, 15), j -> " +
+          "aggregate(sequence(1, 64), 0D, (a, i) -> a + element_at(x, i) * " +
+          "(CASE WHEN ((i * 31 + j * 17) % 97) % 2 = 0 THEN 1.0D ELSE -1.0D END)))"))
+      .select(col("vec_id"),
+        (floor(expr("aggregate(y, 0D, (a, t) -> a + t * t)")
+          / (lit(16.0) * expr("aggregate(x, 0D, (a, t) -> a + t * t)"))
+          * 1000000 + lit(0.5)) / 1000000).cast("double").as("jl_ratio"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(kmeansEmbed, cmsFreq, rpReduce)
+}

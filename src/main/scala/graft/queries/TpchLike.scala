@@ -466,7 +466,287 @@ object TpchLike {
       .limit(20)
   }
 
+  /** Q6 shape: forecast revenue change — the pure-scan aggregate. All
+    * three predicates push to the parquet scan; one partial-agg row per
+    * partition crosses the exchange. At 100 TB this is the I/O-bound
+    * lower bound for the whole engine. */
+  val q98TpchQ6: Q = Q(
+    "q98_tpch_q6",
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+      |   * CAST(l_discount AS DECIMAL(6,2))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.04 AND 0.06
+      |  AND l_quantity < 24
+      |ORDER BY revenue""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.04, 0.06)
+        && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice").cast("decimal(14,2)")
+        * col("l_discount").cast("decimal(6,2)")), 2)
+        .cast("double").as("revenue"))
+      .orderBy("revenue")
+  }
+
+  /** Q13 shape: customer order-count distribution. LEFT join keeps
+    * order-less customers (c_count = 0); the comment NOT LIKE becomes a
+    * priority exclusion (fixture has no o_comment). Two stacked hash
+    * aggregates; the second groups ~30 distinct counts. */
+  val q99TpchQ13: Q = Q(
+    "q99_tpch_q13",
+    """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, count(*) AS custdist
+      |FROM co GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q8 shape: national market share — NATION_7's slice of ASIA-customer
+    * PROMO-part volume per year. Both sums run in exact DECIMAL, the
+    * share divides the decimal-exact doubles, and rounding is the
+    * half-up-safe floor(x·1e6 + .5)/1e6 on both engines. Dimensions all
+    * broadcast; the only big shuffles are the two fact-side joins. */
+  val q100TpchQ8: Q = Q(
+    "q100_tpch_q8",
+    """WITH v AS (
+      | SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |   CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,2))) AS vol,
+      |   sn.n_name AS s_nation
+      | FROM lineitem
+      | JOIN part     ON p_partkey = l_partkey AND p_type = 'PROMO'
+      | JOIN orders   ON o_orderkey = l_orderkey
+      |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |   AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      | JOIN customer ON c_custkey = o_custkey
+      | JOIN nation cn ON cn.n_nationkey = c_nationkey
+      | JOIN region   ON r_regionkey = cn.n_regionkey AND r_name = 'ASIA'
+      | JOIN supplier ON s_suppkey = l_suppkey
+      | JOIN nation sn ON sn.n_nationkey = s_nationkey)
+      |SELECT o_year,
+      | CAST(floor(CAST(sum(CASE WHEN s_nation = 'NATION_7' THEN vol
+      |     ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+      |   / CAST(sum(vol) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS mkt_share
+      |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, d) =>
+    val vol = col("l_extendedprice").cast("decimal(14,2)") *
+      (lit(1) - col("l_discount").cast("decimal(6,2)"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")),
+        col("p_partkey") === col("l_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+        col("cn_key") === col("c_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("r_regionkey") === col("n_regionkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("s_nation"))),
+        col("sn_key") === col("s_nationkey"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg((floor(sum(when(col("s_nation") === "NATION_7", vol)
+          .otherwise(lit(0).cast("decimal(14,2)"))).cast("double")
+        / sum(vol).cast("double") * 1000000 + lit(0.5)) / 1000000)
+        .cast("double").as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q9 shape: product-type profit by supplier nation and year. The
+    * fixture has no partsupp, so supply cost is proxied as
+    * 0.5 · p_retailprice · quantity — the profit expression keeps Q9's
+    * exact shape (revenue minus cost, LIKE-filtered part, two-level
+    * group). All arithmetic in exact DECIMAL until the final round. */
+  val q101TpchQ9: Q = Q(
+    "q101_tpch_q9",
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))
+      |   - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))
+      |     * CAST(0.5 AS DECIMAL(2,1))), 2) AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation   ON n_nationkey = s_nationkey
+      |JOIN orders   ON o_orderkey = l_orderkey
+      |GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+      |ORDER BY nation, o_year DESC""".stripMargin) { (s, d) =>
+    val profit = col("l_extendedprice").cast("decimal(14,2)") *
+      (lit(1) - col("l_discount").cast("decimal(6,2)")) -
+      col("p_retailprice").cast("decimal(12,2)") *
+        col("l_quantity").cast("decimal(12,2)") * lit(0.5).cast("decimal(2,1)")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("%widget%"))),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("s_nationkey"))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(round(sum(profit), 2).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q11 shape: important parts — per-part value above a threshold tied
+    * to the global total (here 1.5× the mean part value, so the filter
+    * is scale-free across SFs; fixture has no partsupp availqty·cost so
+    * value is lineitem revenue). The 1-row (total, count) aggregate
+    * broadcasts (same scalar-subquery decorrelation as Q22/Q15), and
+    * the comparison `val·cnt·2 > tot·3` is pure exact DECIMAL/integer
+    * multiplication — no division, so boundary rows agree bit-exactly
+    * between engines. */
+  val q102TpchQ11: Q = Q(
+    "q102_tpch_q11",
+    """WITH pv AS (SELECT l_partkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS val
+      |  FROM lineitem GROUP BY l_partkey),
+      |t AS (SELECT sum(val) AS tot, count(*) AS cnt FROM pv)
+      |SELECT l_partkey, CAST(round(val, 2) AS DOUBLE) AS value
+      |FROM pv, t WHERE val * cnt * 2 > tot * 3
+      |ORDER BY value DESC, l_partkey""".stripMargin) { (s, d) =>
+    val rev = col("l_extendedprice").cast("decimal(14,2)") *
+      (lit(1) - col("l_discount").cast("decimal(6,2)"))
+    val pv = Tables.lineitem(s, d)
+      .groupBy("l_partkey").agg(sum(rev).as("val"))
+    val t = pv.agg(sum(col("val")).as("tot"), count(lit(1)).as("cnt"))
+    pv.crossJoin(broadcast(t))
+      .filter(col("val") * col("cnt") * 2 > col("tot") * 3)
+      .select(col("l_partkey"), round(col("val"), 2).cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** Q16 shape: supplier count per (brand, type, size) for selected
+    * sizes, excluding flagged suppliers via NOT IN → LEFT ANTI (the
+    * complaint-comment filter becomes negative account balance). The
+    * distinct-count is Spark's two-phase partial-distinct aggregate;
+    * part and the 6-row exclusion list broadcast. */
+  val q103TpchQ16: Q = Q(
+    "q103_tpch_q16",
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+    val excl = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+      .select("s_suppkey")
+    Tables.lineitem(s, d)
+      .join(broadcast(excl), col("s_suppkey") === col("l_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO"
+            && col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** Q20 shape: potential part promotion — suppliers who moved more than
+    * a threshold quantity of red parts in 1996, as the nested
+    * IN-subquery chain: parts LIKE → per-(supplier, part) shipped
+    * quantity → qualifying suppliers via LEFT SEMI. Quantities are
+    * integral doubles, so the sums and the >50 comparison are exact. */
+  val q104TpchQ20: Q = Q(
+    "q104_tpch_q20",
+    """WITH redp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+      |sq AS (SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+      |  FROM lineitem JOIN redp ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY l_suppkey, l_partkey)
+      |SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM sq WHERE qty > 50)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val redp = Tables.part(s, d).filter(col("p_name").like("red%"))
+      .select("p_partkey")
+    val qual = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(redp), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum("l_quantity").as("qty"))
+      .filter(col("qty") > 50)
+      .select("l_suppkey").distinct()
+    Tables.supplier(s, d)
+      .join(broadcast(qual), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** Q2 shape: minimum-cost regional supplier — the correlated MIN
+    * subquery. Unit cost is min(l_extendedprice / l_quantity) over each
+    * EUROPE supplier's shipments of the part (fixture has no partsupp
+    * supplycost); the per-part global min joins back on equality of the
+    * identically-computed doubles (IEEE division is deterministic, so
+    * both engines derive bit-equal costs from the same parquet values).
+    * Join-back + broadcast dims + top-100: Q2's full plan shape. */
+  val q105TpchQ2: Q = Q(
+    "q105_tpch_q2",
+    """WITH eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+      |cost AS (SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS ucost
+      |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+      |  GROUP BY l_partkey, l_suppkey),
+      |mc AS (SELECT l_partkey AS mk, min(ucost) AS mcost FROM cost GROUP BY l_partkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, s_suppkey,
+      |  CAST(floor(mcost * 10000 + 0.5) / 10000 AS DOUBLE) AS min_cost
+      |FROM part
+      |JOIN mc   ON mk = p_partkey
+      |JOIN cost ON cost.l_partkey = mk AND cost.ucost = mcost
+      |JOIN eu   ON cost.l_suppkey = eu.s_suppkey
+      |WHERE p_size BETWEEN 15 AND 24 AND p_type = 'LARGE'
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val eu = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val cost = Tables.lineitem(s, d)
+      .join(broadcast(eu.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("ucost"))
+    val mc = cost.groupBy(col("l_partkey").as("mk"))
+      .agg(min("ucost").as("mcost"))
+    Tables.part(s, d)
+      .filter(col("p_size").between(15, 24) && col("p_type") === "LARGE")
+      .join(mc, col("mk") === col("p_partkey"))
+      .join(cost, col("l_partkey") === col("mk")
+        && col("ucost") === col("mcost"))
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("s_suppkey"),
+        (floor(col("mcost") * 10000 + lit(0.5)) / 10000)
+          .cast("double").as("min_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
   val all: Seq[Q] = Seq(q60TpchQ3, q61TpchQ5, q62TpchQ10, q76TpchQ17,
     q77TpchQ18, q83TpchQ7, q84TpchQ14, q85TpchQ19, q86TpchQ22,
-    q89TpchQ4, q90TpchQ12, q91TpchQ15, q92TpchQ21)
+    q89TpchQ4, q90TpchQ12, q91TpchQ15, q92TpchQ21,
+    q98TpchQ6, q99TpchQ13, q100TpchQ8, q101TpchQ9, q102TpchQ11,
+    q103TpchQ16, q104TpchQ20, q105TpchQ2)
 }

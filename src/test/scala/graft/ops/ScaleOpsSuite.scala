@@ -158,6 +158,10 @@ class ScaleOpsSuite extends SparkSpec {
       "q28_subqueries",       // 1-row broadcast of the scalar aggregate
       "q86_tpch_q22",         // 1-row broadcast of the avg-balance threshold
       "q91_tpch_q15",         // 1-row broadcast of the max-revenue scalar
+      "q102_tpch_q11",        // 1-row broadcast of the (total, count) scalar
+      "kmeans_embed",         // k=8 centroid-row broadcast per Lloyd iteration
+      "nb_langid",            // |langs|-row model-margin + 1-row V/prior broadcasts
+      "drift_psi",            // 1-row totals broadcast
       "q95_mmr_rerank",       // 20-row shortlist: 20x20 sim matrix + 1-row argmaxes
       "q96_chi2_terms",       // 1-row corpus-total broadcast
       "q97_js_divergence",    // bounded source-pairs x vocabulary grid
