@@ -23,68 +23,57 @@ object MlOps {
 
   // ------------------------------------------------------------ k-means ---
 
-  /** Distributed k-means over the embedding table (k = 8, 3 Lloyd
-    * iterations, seeds = vec_id 0..7). This is THE scalable clustering
-    * shape: each iteration broadcasts the k-row centroid relation, runs
-    * a map-side assignment (argmin of 8 distances per point — no
-    * shuffle), and recomputes centroids with one two-phase aggregate
-    * whose exchange carries k×64 partial sums per partition, never a
-    * point. At 100 TB: points stream from parquet 3×, state is k rows.
-    *
-    * Exactness: coordinates become floor(x·2^20) BIGINTs; a centroid is
-    * the pair (S = Σx_int per dim, n), so every SUM is integer-exact
-    * and order-independent. Distances run on the de-scaled doubles as
-    * dxx − 2·(x·m) + m·m where every dot product is a sequential
-    * left fold — Spark's native codegen'd `graft_dot` loop and
-    * DuckDB's `list_dot_product` are bit-identical (verified against a
-    * scalar reference fold on the fixture vectors), so the argmin
-    * compares EQUAL doubles with no rounding; ties break by cid. The
-    * only rounding anywhere is the final centroid-norm display. */
-  val kmeansEmbed: Q = Q(
-    "kmeans_embed",
-    {
-      def assign(a: String, from: String) =
-        s"""cd$a AS (SELECT cid, cn,
-           |    list_transform(cs, v -> CAST(v AS DOUBLE) / CAST(cn AS DOUBLE) / 1048576.0) AS md
-           |  FROM $from),
-           |ce$a AS (SELECT cid, cn, md, list_dot_product(md, md) AS dmm FROM cd$a),
-           |$a AS (SELECT id, cid, xi FROM (
-           |  SELECT p.id, c.cid, p.xi,
-           |    row_number() OVER (PARTITION BY p.id ORDER BY
-           |      p.dxx - 2 * list_dot_product(p.xd, c.md) + c.dmm, c.cid) AS rn
-           |  FROM ptx p CROSS JOIN ce$a c) WHERE rn = 1)""".stripMargin
-      def recompute(c: String, from: String) =
-        s"""$c AS (
-           |  SELECT s.cid, s.cs, z.cn FROM
-           |   (SELECT cid, list(sx ORDER BY pos) AS cs FROM
-           |     (SELECT cid, i AS pos, CAST(sum(xi[i]) AS BIGINT) AS sx
-           |      FROM $from, range(1, 65) t(i) GROUP BY cid, i)
-           |    GROUP BY cid) s
-           |   JOIN (SELECT cid, count(*) AS cn FROM $from GROUP BY cid) z
-           |     USING (cid))""".stripMargin
-      s"""WITH pts AS (SELECT vec_id AS id,
-         |    list_transform(CAST(embedding AS DOUBLE[]),
-         |      x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS xi
-         |  FROM embeddings),
-         |ptd AS (SELECT id, xi,
-         |    list_transform(xi, v -> CAST(v AS DOUBLE) / 1048576.0) AS xd FROM pts),
-         |ptx AS (SELECT id, xi, xd, list_dot_product(xd, xd) AS dxx FROM ptd),
-         |c0 AS (SELECT CAST(id AS INT) AS cid, xi AS cs, CAST(1 AS BIGINT) AS cn
-         |       FROM pts WHERE id < 8),
-         |${assign("a1", "c0")},
-         |${recompute("c1", "a1")},
-         |${assign("a2", "c1")},
-         |${recompute("c2", "a2")},
-         |${assign("a3", "c2")},
-         |${recompute("c3", "a3")},
-         |cdf AS (SELECT cid, cn,
-         |    list_transform(cs, v -> CAST(v AS DOUBLE) / CAST(cn AS DOUBLE) / 1048576.0) AS md
-         |  FROM c3)
-         |SELECT cid, cn AS size,
-         |  CAST(floor(sqrt(list_dot_product(md, md)) * 1000000 + 0.5) / 1000000
-         |    AS DOUBLE) AS cent_norm
-         |FROM cdf ORDER BY cid""".stripMargin
-    }) { (s, d) =>
+  // Shared Lloyd machinery — the oracle CTE chain and the Spark-side
+  // iteration are consumed by both kmeans_embed and cluster_topics
+  // (c-TF-IDF topic labeling over the same clusters), so the two
+  // queries provably cluster identically.
+
+  private def kmAssignCte(a: String, from: String): String =
+    s"""cd$a AS (SELECT cid, cn,
+       |    list_transform(cs, v -> CAST(v AS DOUBLE) / CAST(cn AS DOUBLE) / 1048576.0) AS md
+       |  FROM $from),
+       |ce$a AS (SELECT cid, cn, md, list_dot_product(md, md) AS dmm FROM cd$a),
+       |$a AS (SELECT id, cid, xi FROM (
+       |  SELECT p.id, c.cid, p.xi,
+       |    row_number() OVER (PARTITION BY p.id ORDER BY
+       |      p.dxx - 2 * list_dot_product(p.xd, c.md) + c.dmm, c.cid) AS rn
+       |  FROM ptx p CROSS JOIN ce$a c) WHERE rn = 1)""".stripMargin
+
+  private def kmRecomputeCte(c: String, from: String): String =
+    s"""$c AS (
+       |  SELECT s.cid, s.cs, z.cn FROM
+       |   (SELECT cid, list(sx ORDER BY pos) AS cs FROM
+       |     (SELECT cid, i AS pos, CAST(sum(xi[i]) AS BIGINT) AS sx
+       |      FROM $from, range(1, 65) t(i) GROUP BY cid, i)
+       |    GROUP BY cid) s
+       |   JOIN (SELECT cid, count(*) AS cn FROM $from GROUP BY cid) z
+       |     USING (cid))""".stripMargin
+
+  /** DuckDB CTE chain ending in `a3` = the 3rd-round assignments
+    * (id, cid, xi); shared verbatim by both consuming oracles. */
+  private[queries] val kmA3Ctes: String =
+    s"""pts AS (SELECT vec_id AS id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS xi
+       |  FROM embeddings),
+       |ptd AS (SELECT id, xi,
+       |    list_transform(xi, v -> CAST(v AS DOUBLE) / 1048576.0) AS xd FROM pts),
+       |ptx AS (SELECT id, xi, xd, list_dot_product(xd, xd) AS dxx FROM ptd),
+       |c0 AS (SELECT CAST(id AS INT) AS cid, xi AS cs, CAST(1 AS BIGINT) AS cn
+       |       FROM pts WHERE id < 8),
+       |${kmAssignCte("a1", "c0")},
+       |${kmRecomputeCte("c1", "a1")},
+       |${kmAssignCte("a2", "c1")},
+       |${kmRecomputeCte("c2", "a2")},
+       |${kmAssignCte("a3", "c2")}""".stripMargin
+
+  /** Spark-side Lloyd rounds. Returns the lazy 3rd-round assignment
+    * (id, cid, xi) — one pts scan against the materialized round-2
+    * centroids — plus a thunk producing the materialized round-3
+    * centroid relation (cid, cs, cn) and a cache-release cleanup
+    * (safe to call before consuming: lineage recomputes uncached). */
+  private[queries] def lloyd(s: SparkSession, d: String)
+      : (DataFrame, () => DataFrame, () => Unit) = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val dot = graft.functions.GraftFunctions.dotNative _
     val pts = Tables.embeddings(s, d)
@@ -136,15 +125,141 @@ object MlOps {
       s.createDataFrame(rows.asJava, c.select("cid", "cs", "cn").schema)
     }
     var c = c0
-    for (_ <- 1 to 3) c = materialize(recompute(assign(c)))
-    val out = c.withColumn("md", expr(
+    for (_ <- 1 to 2) c = materialize(recompute(assign(c)))
+    val a3 = assign(c)
+    (a3, () => materialize(recompute(a3)), () => { pts.unpersist(); () })
+  }
+
+  /** Distributed k-means over the embedding table (k = 8, 3 Lloyd
+    * iterations, seeds = vec_id 0..7). This is THE scalable clustering
+    * shape: each iteration broadcasts the k-row centroid relation, runs
+    * a map-side assignment (argmin of 8 distances per point — no
+    * shuffle), and recomputes centroids with one two-phase aggregate
+    * whose exchange carries k×64 partial sums per partition, never a
+    * point. At 100 TB: points stream from parquet 3×, state is k rows.
+    *
+    * Exactness: coordinates become floor(x·2^20) BIGINTs; a centroid is
+    * the pair (S = Σx_int per dim, n), so every SUM is integer-exact
+    * and order-independent. Distances run on the de-scaled doubles as
+    * dxx − 2·(x·m) + m·m where every dot product is a sequential
+    * left fold — Spark's native codegen'd `graft_dot` loop and
+    * DuckDB's `list_dot_product` are bit-identical (verified against a
+    * scalar reference fold on the fixture vectors), so the argmin
+    * compares EQUAL doubles with no rounding; ties break by cid. The
+    * only rounding anywhere is the final centroid-norm display. */
+  val kmeansEmbed: Q = Q(
+    "kmeans_embed",
+    s"""WITH $kmA3Ctes,
+       |${kmRecomputeCte("c3", "a3")},
+       |cdf AS (SELECT cid, cn,
+       |    list_transform(cs, v -> CAST(v AS DOUBLE) / CAST(cn AS DOUBLE) / 1048576.0) AS md
+       |  FROM c3)
+       |SELECT cid, cn AS size,
+       |  CAST(floor(sqrt(list_dot_product(md, md)) * 1000000 + 0.5) / 1000000
+       |    AS DOUBLE) AS cent_norm
+       |FROM cdf ORDER BY cid""".stripMargin) { (s, d) =>
+    val dot = graft.functions.GraftFunctions.dotNative _
+    val (_, c3f, cleanup) = lloyd(s, d)
+    val out = c3f().withColumn("md", expr(
         "transform(cs, v -> CAST(v AS DOUBLE) / CAST(cn AS DOUBLE) / 1048576.0D)"))
       .select(col("cid"), col("cn").as("size"),
         (floor(sqrt(dot(col("md"), col("md"))) * 1000000 + lit(0.5)) / 1000000)
           .cast("double").as("cent_norm"))
       .orderBy("cid")
-    pts.unpersist()
+    cleanup()
     out
+  }
+
+  /** c-TF-IDF topic labeling per embedding cluster (BERTopic's scoring
+    * over k-means clusters): documents join their Lloyd cluster, a
+    * (cluster, word) count collapse gives class term frequencies, and
+    * each word's score is c·ln(1 + k/df_clusters) — top-5 terms label
+    * each cluster. The clustering is the SAME shared Lloyd machinery
+    * (CTE chain / Spark loop) as kmeans_embed, so the oracle also
+    * re-proves the composition end-to-end. Scores floor-round at 1e-6
+    * BEFORE ranking (q95 discipline); ties break by word. */
+  val clusterTopics: Q = Q(
+    "cluster_topics",
+    s"""WITH $kmA3Ctes,
+       |mem AS (SELECT id, cid FROM a3),
+       |cw AS (SELECT cid, w, count(*) AS c FROM (
+       |    SELECT m.cid, unnest(string_split(d.text, ' ')) AS w
+       |    FROM documents d JOIN mem m ON d.doc_id = m.id)
+       |  WHERE w <> '' GROUP BY cid, w),
+       |dfc AS (SELECT w, count(DISTINCT cid) AS dfc FROM cw GROUP BY w),
+       |sc AS (SELECT cid, cw.w AS w,
+       |    CAST(floor(c * ln(1 + 8.0 / dfc) * 1000000 + 0.5) / 1000000
+       |      AS DOUBLE) AS score
+       |  FROM cw JOIN dfc ON cw.w = dfc.w),
+       |r AS (SELECT cid, w, score,
+       |    CAST(row_number() OVER (PARTITION BY cid
+       |      ORDER BY score DESC, w) AS INT) AS rn FROM sc)
+       |SELECT cid, rn, w, score FROM r WHERE rn <= 5
+       |ORDER BY cid, rn""".stripMargin) { (s, d) =>
+    val (a3, _, cleanup) = lloyd(s, d)
+    val member = a3.select(col("id"), col("cid"))
+    val cw = Tables.documents(s, d)
+      .join(member, col("doc_id") === col("id"))
+      .select(col("cid"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("cid", "w").agg(count(lit(1)).as("c"))
+    val dfc = cw.groupBy("w").agg(countDistinct("cid").as("dfc"))
+    val out = cw.join(dfc, "w")
+      .select(col("cid"), col("w"),
+        (floor(col("c") * log(lit(1) + lit(8.0) / col("dfc")) * 1000000
+          + lit(0.5)) / 1000000).cast("double").as("score"))
+      .withColumn("rn", row_number().over(Window.partitionBy("cid")
+        .orderBy(col("score").desc, col("w"))).cast("int"))
+      .filter(col("rn") <= 5)
+      .select("cid", "rn", "w", "score")
+      .orderBy("cid", "rn")
+    cleanup()
+    out
+  }
+
+  /** Tokenizer-coverage audit: out-of-vocabulary rate per language on
+    * the held-out split, against the top-20 training vocabulary (the
+    * fixture corpus has 31 distinct words, so a top-20 vocab leaves a
+    * real OOV tail). The vocabulary broadcast-anti-joins the test
+    * token stream — at 100 TB the token stream never shuffles; counts
+    * and the final rate are exact. */
+  val oovRate: Q = Q(
+    "oov_rate",
+    """WITH s AS (SELECT lang, text,
+      |    ((doc_id & 2147483647) * 1442695041) % 100 < 80 AS is_train
+      |  FROM documents),
+      |tr AS (SELECT w, count(*) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM s WHERE is_train)
+      |  WHERE w <> '' GROUP BY w),
+      |vocab AS (SELECT w FROM tr ORDER BY c DESC, w LIMIT 20),
+      |te AS (SELECT lang, w FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS w
+      |    FROM s WHERE NOT is_train) WHERE w <> ''),
+      |agg AS (SELECT lang, count(*) AS n_tokens,
+      |    CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_oov
+      |  FROM te LEFT JOIN vocab ON te.w = vocab.w GROUP BY lang)
+      |SELECT lang, n_tokens, n_oov,
+      |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+      |FROM agg ORDER BY lang""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).withColumn("is_train",
+      (col("doc_id").bitwiseAND(lit(2147483647L)) * lit(1442695041L)) % 100 < 80)
+    val vocab = base.filter(col("is_train"))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(20)
+      .select(col("w").as("vw"))
+    base.filter(!col("is_train"))
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(vocab), col("w") === col("vw"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("vw").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy("lang")
   }
 
   // -------------------------------------------------- count-min sketch ---
@@ -237,5 +352,5 @@ object MlOps {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(kmeansEmbed, cmsFreq, rpReduce)
+  val all: Seq[Q] = Seq(kmeansEmbed, clusterTopics, oovRate, cmsFreq, rpReduce)
 }

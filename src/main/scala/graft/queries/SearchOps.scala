@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Retrieval and validation ops: positional phrase search (the
+  * inverted-index query BM25's bag-of-words can't answer) and an
+  * order-independent table content fingerprint (cross-system data
+  * validation — the primitive behind "did the migration copy every
+  * row unchanged"). */
+object SearchOps {
+
+  /** Exact phrase search ("hash join") via positional posting-list
+    * intersection: tokenize once into (doc, term, position) postings,
+    * then adjacent-position self-intersection — the classic
+    * inverted-index phrase query. The join is vocabulary-selective
+    * (only the two query terms' postings leave the scan — at 100 TB an
+    * actual index would serve these lists directly; here the filter
+    * prunes before the shuffle so the exchange carries only candidate
+    * postings, not the corpus). Counts are exact integers. */
+  val phraseSearch: Q = Q(
+    "phrase_search",
+    """WITH tok AS (SELECT doc_id, t.i AS pos, ts[t.i] AS w FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |    LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) t(i)),
+      |p1 AS (SELECT doc_id, pos FROM tok WHERE w = 'hash'),
+      |p2 AS (SELECT doc_id, pos FROM tok WHERE w = 'join')
+      |SELECT p1.doc_id AS doc_id, count(*) AS n_hits
+      |FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+      |GROUP BY p1.doc_id
+      |ORDER BY n_hits DESC, p1.doc_id""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+    val p1 = tok.filter(col("w") === "hash").select(col("doc_id"), col("pos"))
+    val p2 = tok.filter(col("w") === "join")
+      .select(col("doc_id").as("d2"), col("pos").as("pos2"))
+    p1.join(p2, col("doc_id") === col("d2") && col("pos2") === col("pos") + 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+  }
+
+  /** Order-independent table content fingerprint for lineitem + orders:
+    * each row canonicalizes to a '|'-joined string, hashes through md5,
+    * and the table fingerprint is the exact integer SUM of a
+    * 31-polynomial over each digest's first 8 hex chars — commutative,
+    * so partitioning/row order is irrelevant, and any single changed
+    * row moves the sum. This is the engine-portable validation check a
+    * migration runs on source and target (the corpus' established
+    * md5 + poly31 primitives; sum bounded: rows × 10^6 ≪ 2^63). */
+  val tableFingerprint: Q = Q(
+    "table_fingerprint",
+    """WITH l AS (SELECT md5(concat_ws('|', l_orderkey, l_linenumber,
+      |    l_partkey, l_suppkey, CAST(round(l_extendedprice * 100) AS BIGINT),
+      |    l_returnflag)) AS h FROM lineitem),
+      |o AS (SELECT md5(concat_ws('|', o_orderkey, o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus)) AS h
+      |  FROM orders),
+      |fp AS (SELECT 'lineitem' AS tbl, count(*) AS n_rows,
+      |    CAST(sum(list_aggregate(list_transform(range(0, 8),
+      |      j -> ascii(substring(h, CAST(j + 1 AS INTEGER), 1))
+      |           * CAST(pow(31, j) AS BIGINT)), 'sum') % 1000003) AS BIGINT)
+      |      AS fingerprint
+      |  FROM l
+      |  UNION ALL
+      |  SELECT 'orders', count(*),
+      |    CAST(sum(list_aggregate(list_transform(range(0, 8),
+      |      j -> ascii(substring(h, CAST(j + 1 AS INTEGER), 1))
+      |           * CAST(pow(31, j) AS BIGINT)), 'sum') % 1000003) AS BIGINT)
+      |  FROM o)
+      |SELECT tbl, n_rows, fingerprint FROM fp ORDER BY tbl""".stripMargin) { (s, d) =>
+    val poly = (h: org.apache.spark.sql.Column) => expr(
+      "aggregate(transform(sequence(0, 7), " +
+        "j -> ascii(substring(h, CAST(j + 1 AS INT), 1)) * CAST(pow(31, j) AS BIGINT)), " +
+        "0L, (a, x) -> a + x) % 1000003")
+    def fp(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(poly(col("h"))).as("fingerprint"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("fingerprint"))
+    val l = Tables.lineitem(s, d).select(md5(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_suppkey"), round(col("l_extendedprice") * 100).cast("long"),
+      col("l_returnflag"))).as("h"))
+    val o = Tables.orders(s, d).select(md5(concat_ws("|",
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long"),
+      col("o_orderstatus"))).as("h"))
+    fp("lineitem", l).unionAll(fp("orders", o)).orderBy("tbl")
+  }
+
+  val all: Seq[Q] = Seq(phraseSearch, tableFingerprint)
+}

@@ -160,6 +160,7 @@ class ScaleOpsSuite extends SparkSpec {
       "q91_tpch_q15",         // 1-row broadcast of the max-revenue scalar
       "q102_tpch_q11",        // 1-row broadcast of the (total, count) scalar
       "kmeans_embed",         // k=8 centroid-row broadcast per Lloyd iteration
+      "cluster_topics",       // same k=8 centroid broadcast (shared Lloyd)
       "nb_langid",            // |langs|-row model-margin + 1-row V/prior broadcasts
       "drift_psi",            // 1-row totals broadcast
       "q95_mmr_rerank",       // 20-row shortlist: 20x20 sim matrix + 1-row argmaxes
