@@ -189,6 +189,29 @@ object Bench {
     val medMap = TrieMap.empty[String, Double]
     val shufMap = TrieMap.empty[String, Double]
     val peakMap = TrieMap.empty[String, Double]
+    // ONLY-mode benches a subset while iterating locally; without this
+    // preload the artifact rewrite would DROP every other query's rows
+    // (the previous full-battery numbers), so seed the maps from the
+    // existing artifact and let the subset overwrite its own entries.
+    if (only.isDefined) {
+      def loadMap(key: String): Map[String, Double] = {
+        val txt = try scala.io.Source.fromFile("BENCH_SELF.json").mkString
+        catch { case _: Throwable => "" }
+        val at = txt.indexOf("\"" + key + "\":{")
+        if (at < 0) Map.empty
+        else {
+          val start = txt.indexOf('{', at)
+          val end = txt.indexOf('}', start)
+          val pair = """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?(?:E-?\d+)?)""".r
+          pair.findAllMatchIn(txt.substring(start, end + 1))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+      minMap ++= loadMap("queries")
+      medMap ++= loadMap("queries_median")
+      shufMap ++= loadMap("queries_shuffle_mb")
+      peakMap ++= loadMap("queries_peak_mem_mb")
+    }
     val rerun = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val linePrinted = new AtomicBoolean(false)
 

@@ -285,5 +285,118 @@ object GraphOps {
       .orderBy("dist", "node")
   }
 
-  val all: Seq[Q] = Seq(pagerankBipartite, triangles, khopBfs)
+  /** Common-neighbor link prediction over the co-purchase part graph —
+    * candidate links for a TARGET ITEM SET (parts with key ≡ 0 mod 20,
+    * a 5% slice standing in for "items needing recommendations"):
+    * count shared neighbors between each target u and every
+    * non-adjacent part v, report the 20 strongest predictions. Two
+    * disciplines bound the wedge stream, both standard in recommender
+    * candidate generation: centers are DEGREE-CAPPED at 64 (an
+    * uncapped hub of degree 10^6 alone emits 10^12 pairs, and a
+    * neighbor shared through a hub carries almost no signal), and one
+    * wedge side is restricted to the target set, so the stream is
+    * Σ_c deg_c·targdeg_c ≈ |targets|/|V| of the all-pairs form (the
+    * all-pairs output is inherently quadratic in the neighborhood —
+    * no plan fixes that; scoping to the query set is the scale play).
+    * Every step is a key-partitioned equi-join/aggregate; existing
+    * edges fall out via a shuffle anti-join on the directed pair.
+    * Fixed cap + (count, u, v) tie-break keep it a pure function. */
+  val linkPredict: Q = Q(
+    "q111_link_predict",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |adj AS (SELECT DISTINCT a.l_partkey AS c, b.l_partkey AS n
+      |        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |          AND a.l_partkey <> b.l_partkey),
+      |deg AS (SELECT c, count(*) AS d FROM adj GROUP BY c),
+      |capped AS (SELECT adj.c, adj.n FROM adj JOIN deg ON deg.c = adj.c
+      |           WHERE deg.d <= 64),
+      |cn AS (SELECT a1.n AS u, a2.n AS v, count(*) AS common
+      |       FROM capped a1 JOIN capped a2
+      |         ON a1.c = a2.c AND a1.n <> a2.n
+      |       WHERE a1.n % 20 = 0
+      |       GROUP BY a1.n, a2.n),
+      |pred AS (SELECT cn.u, cn.v, cn.common FROM cn
+      |         LEFT JOIN adj ON adj.c = cn.u AND adj.n = cn.v
+      |         WHERE adj.c IS NULL)
+      |SELECT u, v, common FROM pred
+      |ORDER BY common DESC, u, v LIMIT 20""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val adj = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("c"), col("b.pk").as("n")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy("c").agg(count(lit(1)).as("d"))
+    val capped = adj.join(deg.filter(col("d") <= 64).select("c"), "c")
+    val targetSide = capped.filter(col("n") % 20 === 0)
+    val cn = targetSide.as("a1").join(capped.as("a2"),
+        col("a1.c") === col("a2.c") && col("a1.n") =!= col("a2.n"))
+      .groupBy(col("a1.n").as("u"), col("a2.n").as("v"))
+      .agg(count(lit(1)).as("common"))
+    cn.join(adj.select(col("c").as("u"), col("n").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("common").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  /** Label propagation (2 synchronous rounds) over the part↔supplier
+    * bipartite graph — the cheap community-detection pass run before
+    * heavier clustering. Every node starts as its own label (packed
+    * id); each round adopts the most frequent neighbor label, ties
+    * broken by smallest label — a deterministic argmax expressed as
+    * ONE max_by over a (count, −label) pair per node, i.e. one
+    * adjacency⋈labels join + one groupBy per round on node keys, the
+    * identical shuffle budget as a PageRank step (labels too big to
+    * broadcast at scale → co-located joins against the cached
+    * src-partitioned adjacency). Fixed round count keeps the oracle
+    * an unrolled-CTE replay; the output is the label histogram, not
+    * per-node rows, so result size is O(#communities). */
+  val labelProp: Q = Q(
+    "q113_label_prop",
+    """WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      |            FROM lineitem),
+      |edges AS (SELECT p * 2 AS src, s * 2 + 1 AS dst FROM e0
+      |          UNION ALL SELECT s * 2 + 1, p * 2 FROM e0),
+      |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+      |v1 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+      |       FROM edges e JOIN l0 l ON l.node = e.src GROUP BY e.dst, l.lbl),
+      |l1 AS (SELECT node, min(lbl) AS lbl FROM v1 a
+      |       WHERE c = (SELECT max(c) FROM v1 b WHERE b.node = a.node)
+      |       GROUP BY node),
+      |v2 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+      |       FROM edges e JOIN l1 l ON l.node = e.src GROUP BY e.dst, l.lbl),
+      |l2 AS (SELECT node, min(lbl) AS lbl FROM v2 a
+      |       WHERE c = (SELECT max(c) FROM v2 b WHERE b.node = a.node)
+      |       GROUP BY node)
+      |SELECT lbl AS community, count(*) AS sz
+      |FROM l2 GROUP BY lbl ORDER BY sz DESC, community LIMIT 20""".stripMargin) {
+    (s, d) =>
+    val e0 = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val edges = e0.select(explode(array(
+        struct((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst")),
+        struct((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val adj = edges.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l0 = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    def round(labels: DataFrame): DataFrame =
+      adj.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        // deterministic argmax: max count, then smallest label
+        .groupBy("node")
+        .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("negl")))
+          .as("lbl"))
+    val l2 = round(round(l0))
+    l2.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("sz"))
+      .orderBy(col("sz").desc, col("community"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] =
+    Seq(pagerankBipartite, triangles, khopBfs, linkPredict, labelProp)
 }

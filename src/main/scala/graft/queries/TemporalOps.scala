@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Temporal / event-stream analytics: interval coalescing
+  * (gaps-and-islands), sweep-line max concurrency, last-touch
+  * attribution, autocorrelation of a daily series, and rolling z-score
+  * anomaly detection. These are the event-log workhorses a pipeline
+  * runs next to sessionization (q45) and funnels (q55).
+  *
+  * Scale shape shared by all five: every window partitions by a
+  * high-cardinality key (user_id) or reduces to key-partitioned
+  * equi-joins — one user-keyed shuffle each, no partition-less windows,
+  * no driver-side state. Determinism: all interval/sweep/rolling math
+  * runs on BIGINT epoch-seconds / value-cents; the only doubles are
+  * single fixed-form expressions over those integer aggregates (both
+  * engines evaluate the identical IEEE expression once per row), with
+  * the final rounding via the repo's floor(x·1e6+0.5)/1e6 recipe which
+  * is sign-stable (plain round() half-away ties differ per engine).
+  */
+object TemporalOps {
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  /** Events as half-open intervals [st, st+value seconds) per user. */
+  private val ivSql =
+    """iv AS (SELECT user_id, event_id,
+      |    epoch(date_trunc('second', ts)) AS st,
+      |    epoch(date_trunc('second', ts)) + CAST(floor(value) AS BIGINT) AS en
+      |  FROM events)""".stripMargin
+
+  private def ivDf(s: SparkSession, d: String): DataFrame =
+    ev(s, d).select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("st"),
+      (unix_timestamp(col("ts")) + floor(col("value")).cast("long")).as("en"))
+
+  /** Interval coalescing (gaps-and-islands): merge each user's
+    * overlapping event intervals into maximal islands, report island
+    * count, total covered seconds, and longest island. The classic
+    * formulation — a running max of interval ends over preceding rows
+    * marks island starts; a running sum of those marks numbers the
+    * islands — costs exactly ONE user-keyed shuffle (all three windows
+    * and the final groupBy share the user_id hash partitioning, and
+    * within a partition Spark sorts once for all of them). At 100 TB
+    * the per-user row set is what a single task must sort — bounded by
+    * the busiest user, the same constraint sessionize carries. */
+  val intervalMerge: Q = Q(
+    "q106_interval_merge",
+    s"""WITH $ivSql,
+      |m AS (SELECT user_id, st, en,
+      |    max(en) OVER (PARTITION BY user_id ORDER BY st, en, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_en
+      |  FROM iv),
+      |f AS (SELECT user_id, st, en,
+      |    CASE WHEN prev_en IS NULL OR st > prev_en THEN 1 ELSE 0 END AS brk
+      |  FROM m),
+      |isl AS (SELECT user_id, st, en,
+      |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY st, en
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      |  FROM f),
+      |g AS (SELECT user_id, island, min(st) AS ist, max(en) AS ien
+      |  FROM isl GROUP BY user_id, island)
+      |SELECT user_id, count(*) AS n_islands,
+      |  CAST(sum(ien - ist) AS BIGINT) AS covered_s,
+      |  CAST(max(ien - ist) AS BIGINT) AS max_len_s
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val order = Window.partitionBy("user_id").orderBy(col("st"), col("en"), col("event_id"))
+    val prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy("user_id").orderBy(col("st"), col("en"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ivDf(s, d)
+      .withColumn("prev_en", max(col("en")).over(prev))
+      .withColumn("brk",
+        when(col("prev_en").isNull || col("st") > col("prev_en"), 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(run))
+      .groupBy("user_id", "island")
+      .agg(min("st").as("ist"), max("en").as("ien"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("ien") - col("ist")).as("covered_s"),
+        max(col("ien") - col("ist")).as("max_len_s"))
+      .orderBy("user_id")
+  }
+
+  /** Peak concurrency per user via the sweep line: each half-open
+    * interval contributes +1 at its start and −1 at its end; the
+    * maximum of the running sum over (time, delta) is the answer. Ends
+    * sort before starts at the same instant (delta −1 < +1), so
+    * back-to-back intervals don't double-count — the half-open
+    * convention both engines share by construction. One explode (2
+    * rows/event, map-side) + one user-keyed window: the same
+    * single-shuffle budget as interval_merge. */
+  val maxConcurrency: Q = Q(
+    "q107_max_concurrency",
+    s"""WITH $ivSql,
+      |pts AS (SELECT user_id, st AS t, 1 AS delta, event_id FROM iv
+      |        UNION ALL
+      |        SELECT user_id, en, -1, event_id FROM iv),
+      |run AS (SELECT user_id,
+      |    CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+      |  FROM pts)
+      |SELECT user_id, max(cc) AS max_cc
+      |FROM run GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val iv = ivDf(s, d)
+    val pts = iv.select(col("user_id"), col("st").as("t"), lit(1).as("delta"), col("event_id"))
+      .unionAll(iv.select(col("user_id"), col("en").as("t"), lit(-1).as("delta"), col("event_id")))
+    val run = Window.partitionBy("user_id").orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("cc", sum(col("delta")).over(run).cast("long"))
+      .groupBy("user_id").agg(max("cc").as("max_cc"))
+      .orderBy("user_id")
+  }
+
+  /** Last-touch attribution: every purchase is credited to the user's
+    * most recent PRECEDING marketing touch (click or view; 'none' if
+    * the purchase had no prior touch), then conversions and revenue
+    * roll up by channel. The carry-forward is last_value(IGNORE NULLS)
+    * over preceding rows — the same single user-keyed window shuffle,
+    * no self-join of purchases against touches (the naive as-of
+    * formulation would shuffle the event log twice and explode on
+    * high-touch users). Revenue sums 2-decimal doubles and re-rounds
+    * to 2dp, the repo's established stable-sum recipe (q45). */
+  val attribution: Q = Q(
+    "q108_attribution",
+    """WITH t AS (SELECT user_id, ts, event_id, event_type, value,
+      |    CASE WHEN event_type IN ('click','view') THEN event_type END AS touch
+      |  FROM events),
+      |m AS (SELECT user_id, event_type, value,
+      |    last_value(touch IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+      |  FROM t)
+      |SELECT COALESCE(attr, 'none') AS channel,
+      |  count(*) AS conversions, round(sum(value), 2) AS revenue
+      |FROM m WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val prev = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev(s, d)
+      .withColumn("touch",
+        when(col("event_type").isin("click", "view"), col("event_type")))
+      .withColumn("attr", last(col("touch"), ignoreNulls = true).over(prev))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("attr"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("conversions"), round(sum("value"), 2).as("revenue"))
+      .orderBy("channel")
+  }
+
+  /** Autocorrelation (lags 1..5) of the daily order-count series —
+    * the seasonality probe run before fitting any forecast. Pairs
+    * (day, day+k) come from an equi-join of the daily aggregate with
+    * itself on shifted date keys (NOT a partition-less row_number
+    * window — the series is grouped and joined by date, so the plan is
+    * all date-keyed hash joins and survives arbitrarily long series).
+    * r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)², expanded so every Σ is an
+    * exact BIGINT aggregate (Σx_t·x_{t+k}, pair-side sums, counts);
+    * the single double expression over them is evaluated identically
+    * by both engines. The 1-row totals broadcast (whitelisted 1-row
+    * crossJoin class). Days absent from the data simply produce no
+    * pair — identical semantics on both sides. */
+  val acfDaily: Q = Q(
+    "q109_acf",
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS x
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM daily),
+      |lags AS (SELECT unnest(range(1, 6)) AS lag),
+      |pairs AS (SELECT l.lag, a.x AS xa, b.x AS xb
+      |  FROM lags l
+      |    JOIN daily a ON TRUE
+      |    JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+      |num AS (SELECT lag, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(xa * xb) AS BIGINT) AS sxy,
+      |    CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(xb) AS BIGINT) AS sb
+      |  FROM pairs GROUP BY lag)
+      |SELECT CAST(lag AS INTEGER) AS lag, c AS pairs,
+      |  floor((sxy - (CAST(sx AS DOUBLE) / n) * (sa + sb)
+      |      + c * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+      |    / (sxx - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+      |    * 1000000 + 0.5) / 1000000 AS acf
+      |FROM num CROSS JOIN tot ORDER BY lag""".stripMargin) { (s, d) =>
+    val daily = ord(s, d).groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.agg(count(lit(1)).cast("long").as("n"),
+      sum("x").cast("long").as("sx"),
+      sum(col("x") * col("x")).cast("long").as("sxx"))
+    val lags = s.range(1, 6).select(col("id").as("lag"))
+    val a = daily.crossJoin(lags)
+      .select(col("lag"), col("x").as("xa"),
+        date_add(col("day"), col("lag").cast("int")).as("jday"))
+    val b = daily.select(col("day").as("jday"), col("x").as("xb"))
+    val num = a.join(b, "jday")
+      .groupBy("lag")
+      .agg(count(lit(1)).cast("long").as("c"),
+        sum(col("xa") * col("xb")).cast("long").as("sxy"),
+        sum("xa").cast("long").as("sa"), sum("xb").cast("long").as("sb"))
+    val mu = col("sx").cast("double") / col("n")
+    num.crossJoin(broadcast(tot))
+      .select(col("lag").cast("int").as("lag"), col("c").as("pairs"),
+        (floor((col("sxy") - mu * (col("sa") + col("sb")) + col("c") * mu * mu)
+          / (col("sxx") - col("n") * mu * mu) * 1000000 + lit(0.5)) / 1000000)
+          .as("acf"))
+      .orderBy("lag")
+  }
+
+  /** Rolling z-score anomaly detection: each event's value (in exact
+    * cents) is scored against the mean/stddev of the user's previous
+    * 20 events; |z| > 3 with ≥5 priors flags an anomaly. The rolling
+    * sums are BIGINT over a ROWS frame (one user-keyed window shuffle);
+    * z itself is one fixed double expression over those integers —
+    * sqrt and divide are IEEE correctly-rounded, so both engines score
+    * identically. The per-user aggregate keeps only users with ≥1
+    * scorable row, reporting anomaly count and the peak |z|. */
+  val rollingZ: Q = Q(
+    "q110_rolling_z",
+    """WITH c AS (SELECT user_id, ts, event_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |w AS (SELECT user_id, cents,
+      |    count(cents) OVER win AS n,
+      |    sum(cents) OVER win AS sc,
+      |    sum(cents * cents) OVER win AS sq
+      |  FROM c
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      |z AS (SELECT user_id,
+      |    (cents - CAST(sc AS DOUBLE) / n)
+      |      / sqrt((sq - CAST(sc AS DOUBLE) * sc / n) / (n - 1)) AS zs
+      |  FROM w WHERE n >= 5 AND n * sq > sc * sc)
+      |SELECT user_id, CAST(sum(CASE WHEN abs(zs) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      |  floor(max(abs(zs)) * 1000000 + 0.5) / 1000000 AS max_abs_z
+      |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val win = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    ev(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("n", count(col("cents")).over(win))
+      .withColumn("sc", sum(col("cents")).over(win))
+      .withColumn("sq", sum(col("cents") * col("cents")).over(win))
+      .filter(col("n") >= 5 && col("n") * col("sq") > col("sc") * col("sc"))
+      .withColumn("zs",
+        (col("cents") - col("sc").cast("double") / col("n"))
+          / sqrt((col("sq") - col("sc").cast("double") * col("sc") / col("n"))
+            / (col("n") - 1)))
+      .groupBy("user_id")
+      .agg(sum(when(abs(col("zs")) > 3, 1).otherwise(0)).as("n_anomalies"),
+        (floor(max(abs(col("zs"))) * 1000000 + lit(0.5)) / 1000000).as("max_abs_z"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily, rollingZ)
+}

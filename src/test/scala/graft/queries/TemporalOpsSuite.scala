@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Property pins for the temporal/event-stream operators — invariants
+  * the oracle gate's value equality can't state directly, plus the
+  * naive-recompute parity checks that catch window-frame off-by-ones. */
+class TemporalOpsSuite extends SparkSpec {
+
+  test("interval_merge: islands are disjoint and cover every interval") {
+    val out = TemporalOps.intervalMerge.run(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // Coverage can't exceed raw summed length, and must be positive;
+    // islands count can't exceed interval count per user.
+    val raw = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), floor(col("value")).cast("long").as("len"))
+      .groupBy("user_id")
+      .agg(sum("len").as("rawlen"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.foreach { r =>
+      val (rawlen, n) = raw(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("covered_s") <= rawlen)
+      assert(r.getAs[Long]("n_islands") <= n)
+      assert(r.getAs[Long]("max_len_s") <= r.getAs[Long]("covered_s"))
+    }
+  }
+
+  test("max_concurrency: matches a naive per-user point-count recompute") {
+    val iv = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        unix_timestamp(col("ts")).as("st"),
+        (unix_timestamp(col("ts")) + floor(col("value")).cast("long")).as("en"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    val expected = iv.map { case (u, rows) =>
+      val ivs = rows.map(r => (r.getAs[Long]("st"), r.getAs[Long]("en")))
+      // At each start point, count intervals covering it (half-open).
+      u -> ivs.map { case (t, _) =>
+        ivs.count { case (s2, e2) => s2 <= t && t < e2 }
+      }.max.toLong
+    }
+    val got = TemporalOps.maxConcurrency.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("max_cc")).toMap
+    expected.foreach { case (u, m) =>
+      assert(got(u) == m, s"user $u: sweep said ${got(u)}, naive says $m")
+    }
+  }
+
+  test("attribution: conversions partition the purchase set") {
+    val out = TemporalOps.attribution.run(spark, sfDir).collect()
+    val totalPurchases = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.map(_.getAs[Long]("conversions")).sum == totalPurchases)
+    val channels = out.map(_.getAs[String]("channel")).toSet
+    assert(channels.subsetOf(Set("click", "view", "none")))
+  }
+
+  test("acf: lag-0 identity sanity and bounded range") {
+    val rows = TemporalOps.acfDaily.run(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("acf")
+      assert(v >= -1.000001 && v <= 1.000001, s"acf out of range: $v")
+      assert(r.getAs[Long]("pairs") > 0)
+    }
+  }
+
+  test("rolling_z: z-scores match a naive sliding-window recompute") {
+    val rows = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    val expected = rows.flatMap { case (u, rs) =>
+      val sorted = rs.sortBy(r =>
+        (r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id")))
+      val cents = sorted.map(_.getAs[Long]("cents"))
+      val zs = cents.indices.flatMap { i =>
+        val win = cents.slice(math.max(0, i - 20), i)
+        val n = win.length
+        if (n >= 5) {
+          val s = win.sum; val sq = win.map(c => c * c).sum
+          if (n.toLong * sq > s * s) {
+            val z = (cents(i) - s.toDouble / n) /
+              math.sqrt((sq - s.toDouble * s / n) / (n - 1))
+            Some(z)
+          } else None
+        } else None
+      }
+      if (zs.isEmpty) None
+      else Some(u -> (zs.count(z => math.abs(z) > 3).toLong,
+        math.floor(zs.map(math.abs).max * 1000000 + 0.5) / 1000000))
+    }
+    val got = TemporalOps.rollingZ.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_anomalies"), r.getAs[Double]("max_abs_z"))).toMap
+    assert(expected.nonEmpty)
+    expected.foreach { case (u, e) =>
+      assert(got(u) == e, s"user $u: engine ${got(u)}, naive $e")
+    }
+    assert(got.keySet == expected.map(_._1).toSet)
+  }
+
+  test("temporal windows all partition by user (no global-sort windows)") {
+    for (q <- Seq(TemporalOps.intervalMerge, TemporalOps.maxConcurrency,
+        TemporalOps.attribution, TemporalOps.rollingZ)) {
+      val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      // Every Window operator in these plans must carry a partition spec.
+      val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+      windowLines.foreach { l =>
+        assert(!l.contains("windowspecdefinition()"),
+          s"${q.name}: partition-less window:\n$l")
+      }
+    }
+  }
+}
