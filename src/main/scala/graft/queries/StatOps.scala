@@ -196,5 +196,140 @@ object StatOps {
       .orderBy("bin")
   }
 
-  val all: Seq[Q] = Seq(nbLangid, ksTest, driftPsi)
+  /** Winsorized (clipped) per-group mean of lineitem prices — the
+    * feature-prep robustifier: clip at the exact p05/p95 (computed
+    * through the distributed range-partitioned percentile path, q54's
+    * never-buffer-a-group scale story), then average. The clip bounds
+    * floor-round to 1e-4 then to whole CENTS, and the clipped values
+    * sum as BIGINT cents, so the mean is one double division over
+    * exact integers — bit-identical cross-engine. Two percentile
+    * passes + one clip-aggregate pass; the 3-row bounds broadcast. */
+  val winsorize: Q = Q(
+    "q114_winsorize",
+    """WITH b AS (SELECT l_returnflag,
+      |    CAST(floor(floor(quantile_cont(l_extendedprice, 0.05) * 10000 + 0.5)
+      |      / 10000 * 100 + 0.5) AS BIGINT) AS lo_c,
+      |    CAST(floor(floor(quantile_cont(l_extendedprice, 0.95) * 10000 + 0.5)
+      |      / 10000 * 100 + 0.5) AS BIGINT) AS hi_c
+      |  FROM lineitem GROUP BY l_returnflag),
+      |c AS (SELECT l.l_returnflag, b.lo_c, b.hi_c,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem l JOIN b USING (l_returnflag))
+      |SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN cents < lo_c THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_lo,
+      |  CAST(sum(CASE WHEN cents > hi_c THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_hi,
+      |  floor(CAST(sum(LEAST(GREATEST(cents, lo_c), hi_c)) AS DOUBLE)
+      |    / count(*) / 100 * 10000 + 0.5) / 10000 AS win_mean
+      |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    def boundCents(q: Double, name: String) =
+      graft.ops.GroupedPercentile
+        .exact(li, "l_returnflag", "l_extendedprice", q, "raw")
+        .select(col("l_returnflag"),
+          floor(floor(col("raw") * 10000 + lit(0.5)) / 10000 * 100 + lit(0.5))
+            .cast("long").as(name))
+    val bounds = boundCents(0.05, "lo_c").join(boundCents(0.95, "hi_c"), "l_returnflag")
+    li.select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .join(broadcast(bounds), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("cents") < col("lo_c"), 1).otherwise(0)).cast("long")
+          .as("n_clip_lo"),
+        sum(when(col("cents") > col("hi_c"), 1).otherwise(0)).cast("long")
+          .as("n_clip_hi"),
+        (floor(sum(least(greatest(col("cents"), col("lo_c")), col("hi_c")))
+          .cast("double") / count(lit(1)) / 100 * 10000 + lit(0.5)) / 10000)
+          .as("win_mean"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Join-cardinality estimation from a KEY-SAMPLED frequency histogram
+    * — the sketch a cost-based optimizer consults before picking a
+    * join strategy. |A ⋈ B| on key k is exactly Σ_k a_k·b_k; sampling
+    * KEYS (not rows) by hash keeps the estimator unbiased: summing
+    * a_k·b_k over the ~10% of keys the split hash selects and
+    * scaling by 10 estimates the true size, and the per-key counts
+    * within sampled keys stay exact (the hash is the repo's portable
+    * multiplicative split hash, identical in both engines). Histograms
+    * are one partial-agg
+    * groupBy per side at 1/10 shuffle volume; predicted vs actual is
+    * reported per join so the error is visible. All-integer output. */
+  val joinCardinality: Q = Q(
+    "q116_join_cardinality",
+    """WITH lh AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem
+      |  WHERE ((l_orderkey & 2147483647) * 1442695041) % 10 = 0 GROUP BY 1),
+      |oh AS (SELECT o_orderkey AS k, count(*) AS c FROM orders
+      |  WHERE ((o_orderkey & 2147483647) * 1442695041) % 10 = 0 GROUP BY 1),
+      |est1 AS (SELECT CAST(COALESCE(sum(lh.c * oh.c), 0) * 10 AS BIGINT)
+      |    AS predicted, CAST(count(*) AS BIGINT) AS sampled_keys
+      |  FROM lh JOIN oh USING (k)),
+      |act1 AS (SELECT count(*) AS actual
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |lp AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem
+      |  WHERE ((l_partkey & 2147483647) * 1442695041) % 10 = 0 GROUP BY 1),
+      |pp AS (SELECT p_partkey AS k, count(*) AS c FROM part
+      |  WHERE ((p_partkey & 2147483647) * 1442695041) % 10 = 0 GROUP BY 1),
+      |est2 AS (SELECT CAST(COALESCE(sum(lp.c * pp.c), 0) * 10 AS BIGINT)
+      |    AS predicted, CAST(count(*) AS BIGINT) AS sampled_keys
+      |  FROM lp JOIN pp USING (k)),
+      |act2 AS (SELECT count(*) AS actual
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+      |SELECT 'lineitem_orders' AS join_name, est1.sampled_keys,
+      |  est1.predicted, act1.actual FROM est1 CROSS JOIN act1
+      |UNION ALL
+      |SELECT 'lineitem_part', est2.sampled_keys, est2.predicted, act2.actual
+      |FROM est2 CROSS JOIN act2
+      |ORDER BY join_name""".stripMargin) { (s, d) =>
+    def one(name: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame = {
+      // Portable key-sampling hash (the repo's nb_langid split hash):
+      // identical arithmetic in both engines, no engine hash involved.
+      def hist(df: DataFrame, k: String) = df
+        .filter((col(k).bitwiseAND(lit(2147483647L)) * 1442695041L) % 10 === 0)
+        .groupBy(col(k).as("k")).agg(count(lit(1)).as("c"))
+      val est = hist(left, lk).as("a").join(hist(right, rk).as("b"), "k")
+        .agg((coalesce(sum(col("a.c") * col("b.c")), lit(0L)) * 10)
+          .cast("long").as("predicted"),
+          count(lit(1)).cast("long").as("sampled_keys"))
+      val act = left.join(right, col(lk) === col(rk))
+        .agg(count(lit(1)).as("actual"))
+      est.crossJoin(act)
+        .select(lit(name).as("join_name"), col("sampled_keys"),
+          col("predicted"), col("actual"))
+    }
+    val li = Tables.lineitem(s, d)
+    one("lineitem_orders", li, "l_orderkey", Tables.orders(s, d), "o_orderkey")
+      .unionAll(one("lineitem_part", li, "l_partkey", Tables.part(s, d), "p_partkey"))
+      .orderBy("join_name")
+  }
+
+  /** Grouped quartiles in ONE aggregation pass — percentile(col,
+    * array(...)) computes all three cut points from a single shared
+    * per-group buffer instead of three scans (DuckDB replays with
+    * three quantile_cont calls; same interpolation recipe as q52/q53
+    * so the floor-rounded values agree). The one-pass multi-quantile
+    * is the profiling shape used per-column at scale; for groups too
+    * big to buffer the q54 range-partitioned path takes over. */
+  val multiQuantile: Q = Q(
+    "q117_multi_quantile",
+    """SELECT l_returnflag,
+      | floor(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) / 10000 AS p25,
+      | floor(quantile_cont(l_extendedprice, 0.50) * 10000 + 0.5) / 10000 AS p50,
+      | floor(quantile_cont(l_extendedprice, 0.75) * 10000 + 0.5) / 10000 AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))").as("ps"))
+        .select(col("l_returnflag"),
+          (floor(col("ps").getItem(0) * 10000 + lit(0.5)) / 10000).as("p25"),
+          (floor(col("ps").getItem(1) * 10000 + lit(0.5)) / 10000).as("p50"),
+          (floor(col("ps").getItem(2) * 10000 + lit(0.5)) / 10000).as("p75"))
+        .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] =
+    Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile)
 }

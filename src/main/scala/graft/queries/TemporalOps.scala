@@ -255,5 +255,51 @@ object TemporalOps {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily, rollingZ)
+  /** Point-in-time (temporal) join against an SCD2-versioned dimension:
+    * purchases version each user's state (q59's construction — validity
+    * [ts, next_ts)); every click then joins to the version VALID AT ITS
+    * EVENT TIME, rolling up click count and exact-cents click value per
+    * (user, version). The scale shape is the standard temporal-join
+    * plan: ONE equi-shuffle join on the entity key with the validity
+    * range as a residual filter — per-key fan-out is bounded by that
+    * key's version count, so no range-join machinery or broadcast is
+    * needed, and both sides co-partition by user_id at any scale.
+    * Clicks before the first version drop out identically on both
+    * engines (no matching validity window). */
+  val temporalJoin: Q = Q(
+    "q115_temporal_join",
+    """WITH dim AS (
+      |  SELECT user_id, ts AS vfrom,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vto,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS version
+      |  FROM events WHERE event_type = 'purchase'),
+      |clk AS (SELECT user_id, ts,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'click')
+      |SELECT d.user_id, CAST(d.version AS INTEGER) AS version,
+      |  count(*) AS n_clicks,
+      |  CAST(sum(c.cents) AS BIGINT) AS click_cents
+      |FROM clk c JOIN dim d ON c.user_id = d.user_id
+      |  AND c.ts >= d.vfrom AND (d.vto IS NULL OR c.ts < d.vto)
+      |GROUP BY d.user_id, d.version
+      |ORDER BY d.user_id, d.version""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val dim = ev(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("vfrom"),
+        lead(col("ts"), 1).over(w).as("vto"),
+        row_number().over(w).cast("int").as("version"))
+    val clk = ev(s, d).filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    clk.join(dim, Seq("user_id"))
+      .filter(col("ts") >= col("vfrom")
+        && (col("vto").isNull || col("ts") < col("vto")))
+      .groupBy("user_id", "version")
+      .agg(count(lit(1)).as("n_clicks"), sum("cents").as("click_cents"))
+      .orderBy("user_id", "version")
+  }
+
+  val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
+    rollingZ, temporalJoin)
 }

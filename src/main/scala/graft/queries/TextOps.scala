@@ -833,10 +833,89 @@ object TextOps {
       .orderBy("src_a", "src_b")
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs; each word scores deg/freq (deg =
+    * Σ lengths of phrases containing it, freq = its occurrence count in
+    * phrases); a phrase scores the sum of its word scores. Corpus-wide
+    * top-15 phrases by score. The engine shape is all doc-keyed or
+    * word-keyed: phrase segmentation is one per-doc window (running
+    * count of stopword breaks), word stats one vocabulary-keyed
+    * aggregate, and the phrase score folds word scores in POSITION
+    * order through the repo's sorted-fold idiom so both engines add
+    * the same doubles in the same sequence. Nothing is quadratic:
+    * work is linear in corpus tokens + distinct phrases. */
+  val rakeKeywords: Q = Q(
+    "q112_rake_keywords",
+    """WITH tok AS (SELECT doc_id, t.i AS pos, ts[t.i] AS w FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |    LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) t(i)
+      |  WHERE ts[t.i] <> ''),
+      |m AS (SELECT doc_id, pos, w,
+      |    CASE WHEN w IN ('a','the') THEN 1 ELSE 0 END AS is_stop,
+      |    CAST(sum(CASE WHEN w IN ('a','the') THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS phrase_id
+      |  FROM tok),
+      |inst AS (SELECT doc_id, phrase_id,
+      |    list(w ORDER BY pos) AS ws,
+      |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+      |    count(*) AS plen
+      |  FROM m WHERE is_stop = 0 GROUP BY doc_id, phrase_id),
+      |wstat AS (SELECT u.w AS w, count(*) AS freq,
+      |    CAST(sum(plen) AS BIGINT) AS deg
+      |  FROM inst, LATERAL (SELECT unnest(ws) AS w) u(w) GROUP BY u.w),
+      |ph AS (SELECT phrase, count(*) AS n_occ, any_value(ws) AS ws
+      |  FROM inst GROUP BY phrase),
+      |pw AS (SELECT ph.phrase, ph.n_occ, t.i AS pos, ws[t.i] AS w
+      |  FROM ph, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) t(i)),
+      |sc AS (SELECT pw.phrase, any_value(pw.n_occ) AS n_occ,
+      |    list_aggregate(list(CAST(s.deg AS DOUBLE) / s.freq ORDER BY pw.pos),
+      |      'sum') AS raw
+      |  FROM pw JOIN wstat s ON s.w = pw.w GROUP BY pw.phrase)
+      |SELECT phrase, n_occ,
+      |  floor(raw * 1000000 + 0.5) / 1000000 AS score
+      |FROM sc ORDER BY score DESC, phrase LIMIT 15""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+    val run = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inst = tok
+      .withColumn("is_stop", col("w").isin("a", "the"))
+      .withColumn("phrase_id", sum(col("is_stop").cast("int")).over(run))
+      .filter(!col("is_stop"))
+      .groupBy("doc_id", "phrase_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, w))), t -> t.w)")
+        .as("ws"))
+      .select(col("doc_id"), col("ws"),
+        concat_ws(" ", col("ws")).as("phrase"), size(col("ws")).as("plen"))
+    val wstat = inst.select(explode(col("ws")).as("w"), col("plen"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").cast("long").as("deg"))
+      .select(col("w"), (col("deg").cast("double") / col("freq")).as("wscore"))
+    val ph = inst.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"), first(col("ws")).as("ws"))
+    val pw = ph.select(col("phrase"), col("n_occ"),
+        posexplode(col("ws")).as(Seq("p0", "w")))
+      .select(col("phrase"), col("n_occ"), (col("p0") + 1).as("pos"), col("w"))
+    pw.join(wstat, "w")
+      .groupBy("phrase")
+      .agg(first(col("n_occ")).as("n_occ"),
+        expr("aggregate(transform(array_sort(collect_list(struct(pos, wscore))), " +
+          "t -> t.wscore), 0D, (a, x) -> a + x)").as("raw"))
+      .select(col("phrase"), col("n_occ"),
+        (floor(col("raw") * 1000000 + lit(0.5)) / 1000000).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(15)
+  }
+
   val all: Seq[Q] = Seq(
     wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
     dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard,
     bm25TopDocs, heavyHitters, heavyHittersMg, entropyProfile, pmiCollocations,
     bpeMergeStep, bpeTrainRounds, zipfFit, heapsLaw, markovNext, crossContam,
-    chi2Terms, jsDivergence)
+    chi2Terms, jsDivergence, rakeKeywords)
 }

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Property pins for the round-7 profiling/feature-prep batch: RAKE
+  * keyword extraction, winsorized means, the SCD2 point-in-time join,
+  * key-sampled join-cardinality estimation, and one-pass multi-
+  * quantiles. */
+class ProfileOpsSuite extends SparkSpec {
+
+  test("rake: phrases contain no stopwords and scores are positive") {
+    val rows = TextOps.rakeKeywords.run(spark, sfDir).collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val words = r.getAs[String]("phrase").split(" ")
+      assert(!words.exists(Set("a", "the")), s"stopword in: ${r.get(0)}")
+      assert(r.getAs[Double]("score") > 0)
+      assert(r.getAs[Long]("n_occ") >= 1)
+      // RAKE: a phrase's score is >= its length (deg/freq >= 1 per word)
+      assert(r.getAs[Double]("score") >= words.length - 1e-6)
+    }
+  }
+
+  test("winsorize: clipped mean sits between bounds; clip counts ~5% tails") {
+    val rows = StatOps.winsorize.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      val lo = r.getAs[Long]("n_clip_lo"); val hi = r.getAs[Long]("n_clip_hi")
+      // Exact p05/p95 clip: each tail is at most ~5% + interpolation slack.
+      assert(lo <= n * 6 / 100 + 1, s"low tail $lo of $n")
+      assert(hi <= n * 6 / 100 + 1, s"high tail $hi of $n")
+      assert(r.getAs[Double]("win_mean") > 0)
+    }
+  }
+
+  test("temporal join: every click maps to at most one version") {
+    // The validity windows partition each user's timeline, so the sum of
+    // per-version clicks equals the count of clicks at-or-after that
+    // user's first purchase.
+    val ev = graft.Tables.events(spark, sfDir)
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    val expected = ev.filter(col("event_type") === "click")
+      .join(firstPurchase, "user_id")
+      .filter(col("ts") >= col("t0")).count()
+    val got = TemporalOps.temporalJoin.run(spark, sfDir)
+      .agg(sum("n_clicks")).collect()(0).getLong(0)
+    assert(got == expected, s"joined clicks $got != timeline clicks $expected")
+  }
+
+  test("join cardinality: estimate within 3x of actual; exact-key math") {
+    val rows = StatOps.joinCardinality.run(spark, sfDir).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("predicted"); val a = r.getAs[Long]("actual")
+      assert(a > 0 && p > 0)
+      assert(p <= 3 * a && a <= 3 * p,
+        s"${r.get(0)}: predicted $p vs actual $a (sampling should be ~10%)")
+    }
+  }
+
+  test("multi-quantile: p25 <= p50 <= p75 and matches the exact single pass") {
+    val rows = StatOps.multiQuantile.run(spark, sfDir).collect()
+    val med = Relational.q53PercentileExact.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("exact_p50")).toMap
+    rows.foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Double]("p25"), r.getAs[Double]("p50"),
+        r.getAs[Double]("p75"))
+      assert(p25 <= p50 && p50 <= p75)
+      assert(math.abs(p50 - med(r.getString(0))) < 1e-9,
+        s"${r.get(0)}: multi-quantile p50 $p50 != exact ${med(r.getString(0))}")
+    }
+  }
+}
