@@ -91,4 +91,67 @@ object PrefixScan {
     }
     (spark.createDataFrame(scanned, schema), running)
   }
+
+  /** Adds `cummax_<col>` running maxima ordered by `sortCols` — the
+    * running-max sibling of `withCumSums` (same two-pass range-shuffle
+    * mechanics, same bounded driver traffic: #partitions × #columns
+    * longs), for frontier/dominance scans where `max(x) OVER (ORDER
+    * BY ...)` would be the partition-less scale-killer. `exclusive`
+    * emits the maximum over STRICTLY PRECEDING rows (Long.MinValue
+    * before the first contribution — callers' `x > cummax` tests then
+    * match SQL's `prev IS NULL OR x > prev`); NULL values never fold,
+    * matching SQL MAX's null-skipping. Returns the global maxima
+    * (Long.MinValue for an all-null column). */
+  def withCumMaxs(df: DataFrame, sortCols: Seq[Column],
+      maxCols: Seq[String], exclusive: Boolean = false): (DataFrame, Array[Long]) = {
+    val spark = df.sparkSession
+    maxCols.foreach { c =>
+      require(df.schema(c).dataType == LongType,
+        s"prefix-max column $c must be LongType, " +
+          s"got ${df.schema(c).dataType.catalogString}")
+    }
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val idxs = maxCols.map(df.schema.fieldIndex).toArray
+    val rdd = sorted.rdd
+    val partTotals: Array[(Int, Array[Long])] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val acc = Array.fill(idxs.length)(Long.MinValue)
+        it.foreach { row =>
+          var j = 0
+          while (j < idxs.length) {
+            if (!row.isNullAt(idxs(j)))
+              acc(j) = math.max(acc(j), row.getLong(idxs(j)))
+            j += 1
+          }
+        }
+        Iterator.single((pid, acc))
+      }.collect()
+    val nParts = rdd.getNumPartitions
+    val offsets = Array.fill(nParts)(Array.fill(idxs.length)(Long.MinValue))
+    val running = Array.fill(idxs.length)(Long.MinValue)
+    partTotals.sortBy(_._1).foreach { case (pid, tot) =>
+      offsets(pid) = running.clone()
+      var j = 0
+      while (j < idxs.length) { running(j) = math.max(running(j), tot(j)); j += 1 }
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val schema = maxCols.foldLeft(df.schema) { (sch, c) =>
+      sch.add(s"cummax_$c", LongType, nullable = false)
+    }
+    val scanned = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val acc = bcOffsets.value(pid).clone()
+      it.map { row =>
+        val out = if (exclusive) acc.clone() else null
+        var j = 0
+        while (j < idxs.length) {
+          if (!row.isNullAt(idxs(j)))
+            acc(j) = math.max(acc(j), row.getLong(idxs(j)))
+          j += 1
+        }
+        Row.fromSeq(row.toSeq ++ (if (exclusive) out.toSeq else acc.toSeq))
+      }
+    }
+    (spark.createDataFrame(scanned, schema), running)
+  }
 }

@@ -1750,7 +1750,46 @@ object Relational {
       .orderBy("user_id", "ts_ms")
   }
 
+  /** Pareto frontier (skyline) of parts — minimize price, maximize
+    * size: the "best tradeoff curve" query behind product/offer
+    * pickers. Prices collapse to their per-price max size (one
+    * groupBy), then one EXCLUSIVE running-max over the price order via
+    * the distributed PrefixScan's cum-max variant — the scale-safe
+    * form of `max(x) OVER (ORDER BY price ROWS ... 1 PRECEDING)`,
+    * whose empty partition spec the battery sweep bans. A part is on
+    * the frontier iff its size equals its price-group max AND beats
+    * every strictly-cheaper group's max. The frontier relation joins
+    * back broadcast (it is ≤ |distinct prices| and monotone-thinned). */
+  val q118Skyline: Q = Q(
+    "q118_skyline",
+    """WITH p AS (SELECT CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+      |    AS cents, p_size FROM part),
+      |g AS (SELECT cents, max(p_size) AS ms FROM p GROUP BY cents),
+      |m AS (SELECT cents, ms, max(ms) OVER (ORDER BY cents
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      |  FROM g),
+      |f AS (SELECT cents, ms FROM m WHERE prevmax IS NULL OR ms > prevmax)
+      |SELECT f.cents AS price_cents, CAST(f.ms AS BIGINT) AS p_size,
+      |  count(*) AS n_parts
+      |FROM p JOIN f ON p.cents = f.cents AND p.p_size = f.ms
+      |GROUP BY 1, 2 ORDER BY price_cents""".stripMargin) { (s, d) =>
+    val p = prt(s, d).select(
+      floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("cents"),
+      col("p_size"))
+    val g = p.groupBy("cents").agg(max("p_size").cast("long").as("ms"))
+    val (scanned, _) = graft.ops.PrefixScan.withCumMaxs(
+      g, Seq(col("cents")), Seq("ms"), exclusive = true)
+    val f = scanned.filter(col("ms") > col("cummax_ms"))
+      .select(col("cents").as("fcents"), col("ms"))
+    p.join(broadcast(f),
+        p("cents") === col("fcents") && p("p_size").cast("long") === col("ms"))
+      .groupBy(col("fcents").as("price_cents"), col("ms").as("p_size"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("price_cents")
+  }
+
   val all: Seq[Q] = Seq(
+    q118Skyline,
     q87Mode, q88StringAgg, q93OhlcBars, q94EwmaSmooth,
     q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert, q73Ecdf, q74RangeJoin,
     q79MadOutliers, q80CorrMatrix, q81FkAudit, q82Regression,

@@ -330,6 +330,208 @@ object StatOps {
         .orderBy("l_returnflag")
   }
 
+  /** Welch's unequal-variance t-test between the purchase and click
+    * value distributions — the A/B-test significance primitive. ONE
+    * scan: values quantize to exact BIGINT cents and both groups'
+    * (n, Σx, Σx²) moments come out of a single conditional aggregate
+    * (map-side combined, 1-row output), so at 100 TB this is a full
+    * scan plus a 6-long shuffle. Means/variances/t/df are fixed-form
+    * double expressions over the exact integer moments — both engines
+    * execute the identical IEEE op sequence (Σx² ≤ 3.1e9·n stays far
+    * inside BIGINT, and ANSI mode would fail loudly if it ever
+    * didn't), so the floor-rounded outputs are bit-identical. */
+  val welchTtest: Q = Q(
+    "welch_ttest",
+    """WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |g AS (SELECT CAST(sum(ia) AS BIGINT) AS n1,
+      |    CAST(sum(1 - ia) AS BIGINT) AS n2,
+      |    CAST(sum(cents * ia) AS BIGINT) AS s1a,
+      |    CAST(sum(cents * cents * ia) AS BIGINT) AS s2a,
+      |    CAST(sum(cents * (1 - ia)) AS BIGINT) AS s1b,
+      |    CAST(sum(cents * cents * (1 - ia)) AS BIGINT) AS s2b
+      |  FROM e),
+      |m AS (SELECT n1, n2,
+      |    CAST(s1a AS DOUBLE) / n1 AS m1, CAST(s1b AS DOUBLE) / n2 AS m2,
+      |    (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / n1)
+      |      / (n1 - 1) AS v1,
+      |    (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / n2)
+      |      / (n2 - 1) AS v2
+      |  FROM g),
+      |w AS (SELECT n1, n2, m1, m2, v1, v2, v1 / n1 + v2 / n2 AS se2 FROM m)
+      |SELECT n1, n2,
+      |  floor(m1 / 100 * 10000 + 0.5) / 10000 AS mean_a,
+      |  floor(m2 / 100 * 10000 + 0.5) / 10000 AS mean_b,
+      |  floor((m1 - m2) / sqrt(se2) * 1000000 + 0.5) / 1000000 AS t_stat,
+      |  floor(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+      |    + (v2 / n2) * (v2 / n2) / (n2 - 1)) * 1000000 + 0.5) / 1000000 AS df
+      |FROM w""".stripMargin) { (s, d) =>
+    val e = ev(s, d).filter(col("event_type").isin("purchase", "click"))
+      .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("ia"))
+    val g = e.agg(
+      sum("ia").as("n1"), sum(lit(1L) - col("ia")).as("n2"),
+      sum(col("cents") * col("ia")).as("s1a"),
+      sum(col("cents") * col("cents") * col("ia")).as("s2a"),
+      sum(col("cents") * (lit(1L) - col("ia"))).as("s1b"),
+      sum(col("cents") * col("cents") * (lit(1L) - col("ia"))).as("s2b"))
+    val m = g.select(col("n1"), col("n2"),
+      (col("s1a").cast("double") / col("n1")).as("m1"),
+      (col("s1b").cast("double") / col("n2")).as("m2"),
+      ((col("s2a").cast("double")
+        - col("s1a").cast("double") * col("s1a").cast("double") / col("n1"))
+        / (col("n1") - 1)).as("v1"),
+      ((col("s2b").cast("double")
+        - col("s1b").cast("double") * col("s1b").cast("double") / col("n2"))
+        / (col("n2") - 1)).as("v2"))
+    val w = m.withColumn("se2", col("v1") / col("n1") + col("v2") / col("n2"))
+    w.select(col("n1"), col("n2"),
+      (floor(col("m1") / 100 * 10000 + lit(0.5)) / 10000).as("mean_a"),
+      (floor(col("m2") / 100 * 10000 + lit(0.5)) / 10000).as("mean_b"),
+      (floor((col("m1") - col("m2")) / sqrt(col("se2")) * 1000000 + lit(0.5))
+        / 1000000).as("t_stat"),
+      (floor(col("se2") * col("se2")
+        / ((col("v1") / col("n1")) * (col("v1") / col("n1")) / (col("n1") - 1)
+          + (col("v2") / col("n2")) * (col("v2") / col("n2")) / (col("n2") - 1))
+        * 1000000 + lit(0.5)) / 1000000).as("df"))
+  }
+
+  /** Benford's-law first-digit audit of order totals — the standard
+    * fabricated-data / anomaly screen over a monetary column. Leading
+    * digit extracted from the EXACT cents integer's decimal string (no
+    * log10 near-boundary hazard), one 9-group aggregate (map-side
+    * combined), 1-row total broadcast; expected shares ln(1+1/d)/ln 10
+    * and χ² terms are fixed-form doubles over exact counts. Full scan
+    * + 9-row shuffle at any scale. */
+  val benfordLaw: Q = Q(
+    "benford_law",
+    """WITH o AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |c AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+      |    count(*) AS n_d FROM o GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM c)
+      |SELECT digit, n_d,
+      |  floor(CAST(n_d AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS share,
+      |  floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000 + 0.5) / 1000000
+      |    AS benford_share,
+      |  floor((n_d - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+      |      * (n_d - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+      |      / (n * (ln(1.0 + 1.0 / digit) / ln(10.0))) * 10000 + 0.5) / 10000
+      |    AS chi2_term
+      |FROM c, t ORDER BY digit""".stripMargin) { (s, d) =>
+    val c = Tables.orders(s, d)
+      .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_d"))
+    val t = c.agg(sum("n_d").as("n"))
+    val ep = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+    val en = col("n") * ep
+    c.crossJoin(broadcast(t)) // 1-row total
+      .select(col("digit"), col("n_d"),
+        (floor(col("n_d").cast("double") / col("n") * 1000000 + lit(0.5))
+          / 1000000).as("share"),
+        (floor(ep * 1000000 + lit(0.5)) / 1000000).as("benford_share"),
+        (floor((col("n_d") - en) * (col("n_d") - en) / en * 10000 + lit(0.5))
+          / 10000).as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) between purchase and click
+    * values — the non-parametric complement to welch_ttest (no
+    * normality assumption; KS's sibling on ranks). Midranks over the
+    * value-grouped counts come from the distributed PrefixScan (its
+    * 4th consumer — never a partition-less window); doubling every
+    * midrank keeps the tied-rank sum an EXACT integer, so U enters the
+    * normal approximation exactly, with the standard tie-corrected
+    * variance. Σt³ stays integer (a tie class of t rows contributes
+    * t³ ≤ n³ only if everything ties — ANSI overflow would fail
+    * loudly, and real value columns are spread). */
+  val mannWhitney: Q = Q(
+    "mann_whitney",
+    """WITH e AS (SELECT value AS v,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |c AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+      |      FROM e GROUP BY v),
+      |n AS (SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cb) AS BIGINT) AS n2
+      |      FROM c),
+      |sc AS (SELECT v, ca, cb,
+      |    CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_ca,
+      |    CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_cb FROM c),
+      |r AS (SELECT
+      |    CAST(sum(ca * (2 * (cum_ca + cum_cb - ca - cb) + (ca + cb + 1)))
+      |      AS BIGINT) AS r1x2,
+      |    CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT)
+      |      AS tie3
+      |  FROM sc)
+      |SELECT n1, n2,
+      |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+      |  floor((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+      |      - CAST(n1 AS DOUBLE) * n2 / 2)
+      |    / sqrt(CAST(n1 AS DOUBLE) * n2 / 12 * ((n1 + n2 + 1)
+      |      - CAST(tie3 AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))
+      |    * 1000000 + 0.5) / 1000000 AS z
+      |FROM r, n""".stripMargin) { (s, d) =>
+    val e = ev(s, d).filter(col("event_type").isin("purchase", "click"))
+      .select(col("value").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("a"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("b"))
+    val c = e.groupBy("v").agg(sum("a").as("ca"), sum("b").as("cb"))
+    val (scanned, totals) = graft.ops.PrefixScan.withCumSums(
+      c, Seq(col("v")), Seq("ca", "cb"))
+    val (n1, n2) = (totals(0), totals(1))
+    val t = col("ca") + col("cb")
+    val r = scanned.agg(
+      sum(col("ca") * ((col("cum_ca") + col("cum_cb") - col("ca") - col("cb"))
+        * 2 + (t + 1))).as("r1x2"),
+      sum(t * t * t - t).as("tie3"))
+    val u1d = (col("r1x2") - lit(n1 * (n1 + 1))).cast("double") / lit(2)
+    val mu = lit(n1.toDouble) * lit(n2) / lit(2)
+    val sig2 = lit(n1.toDouble) * lit(n2) / lit(12) * (lit(n1 + n2 + 1)
+      - col("tie3").cast("double") / (lit((n1 + n2).toDouble) * lit(n1 + n2 - 1)))
+    r.select(lit(n1).as("n1"), lit(n2).as("n2"), u1d.as("u1"),
+      (floor((u1d - mu) / sqrt(sig2) * 1000000 + lit(0.5)) / 1000000).as("z"))
+  }
+
+  /** Gini coefficient of customer spend concentration — the inequality
+    * audit behind mixture rebalancing ("is 1% of users 90% of
+    * revenue?"). Per-customer totals are exact cents; the global
+    * ascending rank comes from the distributed PrefixScan (5th
+    * consumer — rank·spend products and all three Gini terms stay
+    * EXACT BIGINTs, only the final ratio is a double division), so the
+    * full-population sort survives 100 TB as a range shuffle. */
+  val giniSpend: Q = Q(
+    "gini_spend",
+    """WITH cspend AS (SELECT o_custkey,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (SELECT cents,
+      |    row_number() OVER (ORDER BY cents, o_custkey) AS rk FROM cspend),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT)
+      |      AS tot, CAST(sum(rk * cents) AS BIGINT) AS rs FROM r)
+      |SELECT n AS n_customers, tot AS total_cents,
+      |  floor(CAST(2 * rs - (n + 1) * tot AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * tot) * 1000000 + 0.5) / 1000000 AS gini
+      |FROM a""".stripMargin) { (s, d) =>
+    val cspend = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+      .withColumn("one", lit(1L))
+    val (scanned, totals) = graft.ops.PrefixScan.withCumSums(
+      cspend, Seq(col("cents"), col("o_custkey")), Seq("one", "cents"))
+    val (n, tot) = (totals(0), totals(1))
+    scanned.agg(sum(col("cum_one") * col("cents")).as("rs"))
+      .select(lit(n).as("n_customers"), lit(tot).as("total_cents"),
+        (floor((col("rs") * 2 - lit((n + 1) * tot)).cast("double")
+          / (lit(n.toDouble) * lit(tot)) * 1000000 + lit(0.5)) / 1000000)
+          .as("gini"))
+  }
+
   val all: Seq[Q] =
-    Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile)
+    Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
+      welchTtest, benfordLaw, mannWhitney, giniSpend)
 }

@@ -300,6 +300,78 @@ object TemporalOps {
       .orderBy("user_id", "version")
   }
 
+  /** Time-weighted average value per user (TWAP) — the
+    * piecewise-constant integral the pricing/metering world runs over
+    * event streams, where plain AVG over-weights bursts. Each event's
+    * value holds until the user's next event (lead over the user-keyed
+    * window — the one shuffle); weight × value stays BIGINT
+    * (epoch-seconds × cents), so the per-user ratio is one double
+    * division of exact integers. The final interval (no successor) has
+    * zero weight by construction, matching the metering convention. */
+  val twapValue: Q = Q(
+    "twap_value",
+    """WITH e AS (SELECT user_id, event_id,
+      |    epoch(date_trunc('second', ts)) AS st,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |w AS (SELECT user_id, cents,
+      |    lead(st) OVER (PARTITION BY user_id ORDER BY st, event_id) - st
+      |      AS dur
+      |  FROM e)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(COALESCE(dur, 0)) AS BIGINT) AS total_sec,
+      |  floor(CAST(sum(cents * COALESCE(dur, 0)) AS DOUBLE)
+      |    / sum(COALESCE(dur, 0)) / 100 * 10000 + 0.5) / 10000 AS twap
+      |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("st", "event_id")
+    ev(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("st"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("dur", lead("st", 1).over(w) - col("st"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(coalesce(col("dur"), lit(0L))).as("total_sec"),
+        (floor(sum(col("cents") * coalesce(col("dur"), lit(0L))).cast("double")
+          / sum(coalesce(col("dur"), lit(0L))) / 100 * 10000 + lit(0.5))
+          / 10000).as("twap"))
+      .orderBy("user_id")
+  }
+
+  /** Sliding 7-day distinct active users per day — the DAU/WAU
+    * engagement metric, computed EXACTLY without a sliding-window
+    * distinct state store: dedupe to (user, day), fan each user-day
+    * out to the ≤7 window-end days it supports (a bounded ×7 explode,
+    * the scalable alternative to re-scanning 7 days of raw events per
+    * window), and count distinct users per window end. Shuffle is 7 ×
+    * |user-days| — proportional to the deduped activity surface, not
+    * the raw event count; window ends are restricted to days that
+    * exist in the data (calendar semi-join, broadcast-sized). */
+  val slidingDistinct: Q = Q(
+    "sliding_distinct_users",
+    """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM ud),
+      |fan AS (SELECT ud.user_id, ud.day + o * INTERVAL 1 DAY AS wend
+      |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o))
+      |SELECT strftime(f.wend, '%Y-%m-%d') AS window_end,
+      |  count(DISTINCT f.user_id) AS n_active_7d
+      |FROM fan f JOIN days dy ON dy.day = f.wend
+      |GROUP BY 1 ORDER BY window_end""".stripMargin) { (s, d) =>
+    val ud = ev(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val days = ud.select(col("day").as("dday")).distinct()
+    ud.withColumn("o", explode(sequence(lit(0), lit(6))))
+      .select(col("user_id"),
+        (col("day") + expr("make_interval(0, 0, 0, o, 0, 0, 0)")).as("wend"))
+      .join(broadcast(days), col("wend") === col("dday"), "left_semi")
+      .groupBy(date_format(col("wend"), "yyyy-MM-dd").as("window_end"))
+      .agg(countDistinct("user_id").as("n_active_7d"))
+      .orderBy("window_end")
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
-    rollingZ, temporalJoin)
+    rollingZ, temporalJoin, twapValue, slidingDistinct)
 }

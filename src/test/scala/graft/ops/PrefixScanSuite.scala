@@ -57,6 +57,44 @@ class PrefixScanSuite extends SparkSpec {
     assert(e.getMessage.contains("LongType"))
   }
 
+  test("cumulative max matches max() OVER (ORDER BY ...), inclusive and exclusive") {
+    val df = new scala.util.Random(11)
+      .shuffle((1 to 3000).toVector)
+      .map(i => (i.toLong, ((i * 37) % 113).toLong))
+      .toDF("key", "v")
+      .repartition(12)
+    val (inc, totals) = PrefixScan.withCumMaxs(df, Seq(col("key")), Seq("v"))
+    val w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)
+    val wantInc = df.select(col("key"), max("v").over(w).as("m"))
+      .orderBy("key").as[(Long, Long)].collect()
+    val gotInc = inc.select("key", "cummax_v").orderBy("key")
+      .as[(Long, Long)].collect()
+    assert(gotInc.toSeq === wantInc.toSeq)
+    assert(totals.toSeq === Seq((1 to 3000).map(i => ((i * 37) % 113).toLong).max))
+
+    val (exc, _) = PrefixScan.withCumMaxs(
+      df, Seq(col("key")), Seq("v"), exclusive = true)
+    val wx = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, -1)
+    val wantExc = df.select(col("key"),
+        coalesce(max("v").over(wx), lit(Long.MinValue)).as("m"))
+      .orderBy("key").as[(Long, Long)].collect()
+    val gotExc = exc.select("key", "cummax_v").orderBy("key")
+      .as[(Long, Long)].collect()
+    assert(gotExc.toSeq === wantExc.toSeq)
+  }
+
+  test("cumulative max skips nulls and reports MinValue before any value") {
+    val df = Seq((1L, None), (2L, Some(7L)), (3L, None), (4L, Some(3L)))
+      .toDF("key", "v").repartition(3)
+    val (exc, totals) = PrefixScan.withCumMaxs(
+      df, Seq(col("key")), Seq("v"), exclusive = true)
+    val got = exc.select("key", "cummax_v").orderBy("key")
+      .as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, Long.MinValue), (2L, Long.MinValue),
+      (3L, 7L), (4L, 7L)))
+    assert(totals.toSeq === Seq(7L))
+  }
+
   test("no RDD is left persisted after the scan materializes") {
     // other suites share this session, so assert no NEW persists
     val before = spark.sparkContext.getPersistentRDDs.keySet

@@ -180,7 +180,8 @@ class ScaleOpsSuite extends SparkSpec {
       "embed_stats",          // bounded label-centroid stats
       "heaps_law",            // 10x10 theta join on fixed checkpoint buckets
       "q109_acf",             // 5-row literal lag range + 1-row totals broadcast
-      "q116_join_cardinality") // 1-row estimate x 1-row actual report join
+      "q116_join_cardinality", // 1-row estimate x 1-row actual report join
+      "benford_law")          // 1-row grand-total broadcast onto 9 digit rows
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

@@ -22,6 +22,28 @@ class ProfileOpsSuite extends SparkSpec {
     }
   }
 
+  test("skyline: frontier is exactly the non-dominated set, monotone in both dims") {
+    val rows = Relational.q118Skyline.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // monotone: price ascending implies size strictly ascending
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._1 < b._1 && a._2 < b._2,
+          s"frontier not strictly monotone: $a then $b")
+      case _ => ()
+    }
+    // naive O(n^2) dominance check on the collected fixture
+    val pts = graft.Tables.part(spark, sfDir)
+      .select(floor(col("p_retailprice") * 100 + lit(0.5)).cast("long"),
+        col("p_size").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val frontier = pts.distinct.filter { case (p, sz) =>
+      !pts.exists { case (p2, s2) =>
+        (p2 < p && s2 >= sz) || (p2 <= p && s2 > sz) }
+    }.sorted
+    assert(rows.map(t => (t._1, t._2)).sorted.toSeq == frontier.toSeq)
+  }
+
   test("winsorize: clipped mean sits between bounds; clip counts ~5% tails") {
     val rows = StatOps.winsorize.run(spark, sfDir).collect()
     assert(rows.nonEmpty)

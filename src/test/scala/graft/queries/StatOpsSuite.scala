@@ -41,6 +41,69 @@ class StatOpsSuite extends SparkSpec {
     assert(qSum <= 1.0 + 1e-9 && qSum > 0.8, s"q mass $qSum")
   }
 
+  test("welch_ttest: statistic matches a naive driver-side recomputation") {
+    val row = StatOps.welchTtest.run(spark, sfDir).collect().head
+    val vals = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5)))
+    val a = vals.filter(_._1 == "purchase").map(_._2)
+    val b = vals.filter(_._1 == "click").map(_._2)
+    def meanVar(x: Array[Double]) = {
+      val m = x.sum / x.length
+      (m, x.map(v => (v - m) * (v - m)).sum / (x.length - 1))
+    }
+    val ((m1, v1), (m2, v2)) = (meanVar(a), meanVar(b))
+    val t = (m1 - m2) / math.sqrt(v1 / a.length + v2 / b.length)
+    assert(row.getLong(0) == a.length && row.getLong(1) == b.length)
+    assert(math.abs(row.getDouble(4) - t) < 1e-4,
+      s"t ${row.getDouble(4)} vs naive $t")
+  }
+
+  test("mann_whitney: U is consistent with the complement identity") {
+    val row = StatOps.mannWhitney.run(spark, sfDir).collect().head
+    val (n1, n2, u1) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    // 0 <= U1 <= n1*n2, and a naive midrank recomputation agrees
+    assert(u1 >= 0 && u1 <= n1.toDouble * n2)
+    val vals = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0) == "purchase", r.getDouble(1)))
+    val ranked = vals.sortBy(_._2).zipWithIndex
+      .groupBy(_._1._2).values.flatMap { grp =>
+        val mid = grp.map(_._2 + 1.0).sum / grp.length
+        grp.map(g => (g._1._1, mid))
+      }
+    val r1 = ranked.filter(_._1).map(_._2).sum
+    val naive = r1 - n1.toDouble * (n1 + 1) / 2
+    assert(math.abs(u1 - naive) < 1e-6, s"U $u1 vs naive $naive")
+  }
+
+  test("benford_law: digit counts are exhaustive and chi2 terms nonnegative") {
+    val rows = StatOps.benfordLaw.run(spark, sfDir).collect()
+    val nOrders = graft.Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nOrders, "every order has a lead digit")
+    assert(rows.map(_.getInt(0)).forall(d => d >= 1 && d <= 9))
+    assert(rows.map(_.getDouble(4)).forall(_ >= 0))
+    val benfordMass = rows.map(_.getDouble(3)).sum
+    assert(math.abs(benfordMass - 1.0) < 1e-3, s"Benford shares sum $benfordMass")
+  }
+
+  test("gini_spend: matches a naive sorted-rank recomputation") {
+    val row = StatOps.giniSpend.run(spark, sfDir).collect().head
+    val spend = graft.Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("c"))
+      .select("c").collect().map(_.getLong(0)).sorted
+    val n = spend.length.toLong
+    val tot = spend.sum
+    val rs = spend.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val naive = (2.0 * rs - (n + 1.0) * tot) / (n.toDouble * tot)
+    assert(row.getLong(0) == n && row.getLong(1) == tot)
+    assert(math.abs(row.getDouble(2) - naive) < 1e-5)
+    assert(row.getDouble(2) >= 0 && row.getDouble(2) < 1)
+  }
+
   test("incr_agg_merge: merged partials equal the one-shot aggregate") {
     // the oracle proves it against DuckDB; this pins it Spark-vs-Spark
     // so a refactor that breaks merge algebra fails fast in CI

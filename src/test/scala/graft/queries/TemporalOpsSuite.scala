@@ -102,6 +102,47 @@ class TemporalOpsSuite extends SparkSpec {
     assert(got.keySet == expected.map(_._1).toSet)
   }
 
+  test("twap_value: matches a naive per-user piecewise-constant integral") {
+    val got = TemporalOps.twapValue.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val raw = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    raw.foreach { case (u, evs) =>
+      val s = evs.sortBy(e => (e._3, e._2))
+      val pairs = s.zip(s.tail)
+      val wsum = pairs.map { case (a, b) =>
+        math.floor(a._4 * 100 + 0.5) * (b._3 - a._3) }.sum
+      val dsum = pairs.map { case (a, b) => (b._3 - a._3).toDouble }.sum
+      if (dsum > 0) {
+        val naive = wsum / dsum / 100
+        assert(math.abs(got(u) - naive) < 1e-3, s"user $u: ${got(u)} vs $naive")
+      }
+    }
+  }
+
+  test("sliding_distinct_users: each window counts exactly the 7-day union") {
+    val got = TemporalOps.slidingDistinct.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ud = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), date_format(date_trunc("day", col("ts")),
+        "yyyy-MM-dd").as("day")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val days = ud.map(_._2).distinct
+    days.foreach { d =>
+      val end = java.time.LocalDate.parse(d, fmt)
+      val naive = ud.filter { case (_, dd) =>
+        val x = java.time.LocalDate.parse(dd, fmt)
+        !x.isAfter(end) && x.isAfter(end.minusDays(7))
+      }.map(_._1).distinct.length
+      assert(got(d) == naive, s"window $d: ${got(d)} vs $naive")
+    }
+    assert(got.keySet == days.toSet)
+  }
+
   test("temporal windows all partition by user (no global-sort windows)") {
     for (q <- Seq(TemporalOps.intervalMerge, TemporalOps.maxConcurrency,
         TemporalOps.attribution, TemporalOps.rollingZ)) {
