@@ -397,6 +397,71 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Degree assortativity of the part–supplier graph — Newman's r
+    * (Pearson correlation of endpoint degrees across edges): do hubs
+    * connect to hubs? The structural-health number consulted before
+    * choosing a partitioning/skew strategy for graph workloads. ONE
+    * distinct edge pass, two tiny degree aggregates joined back onto
+    * the directed edge list (part→supplier orientation; each
+    * undirected edge counted once per direction via the symmetric
+    * union, the standard directed-pair formulation), then a single
+    * moment aggregate — Σdu, Σdv, Σdu², Σdv², Σdu·dv all EXACT
+    * BIGINTs; r is one fixed-form double expression with the m·Σ
+    * products taken in doubles (overflow-proof at any scale, and
+    * deterministic: both engines multiply the same exactly-converted
+    * integers). */
+  val assortativity: Q = Q(
+    "graph_assortativity",
+    """WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      |            FROM lineitem),
+      |ed AS (SELECT p * 2 AS src, s * 2 + 1 AS dst FROM e0
+      |       UNION ALL SELECT s * 2 + 1, p * 2 FROM e0),
+      |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+      |        FROM ed GROUP BY src),
+      |j AS (SELECT du.d AS x, dv.d AS y FROM ed
+      |        JOIN deg du ON du.node = ed.src
+      |        JOIN deg dv ON dv.node = ed.dst),
+      |mo AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy FROM j)
+      |SELECT m AS n_directed_edges,
+      |  floor((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |         * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+      |    * 1000000 + 0.5) / 1000000 AS assortativity
+      |FROM mo""".stripMargin) { (s, d) =>
+    val e0 = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val ed = e0.select(explode(array(
+        struct((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst")),
+        struct((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val deg = ed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+    val j = ed
+      .join(deg.select(col("node").as("un"), col("d").as("x")),
+        col("src") === col("un"))
+      .join(deg.select(col("node").as("vn"), col("d").as("y")),
+        col("dst") === col("vn"))
+    val mo = j.agg(count(lit(1)).as("m"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    mo.select(col("m").as("n_directed_edges"),
+      (floor((col("m").cast("double") * col("sxy")
+          - col("sx").cast("double") * col("sy"))
+        / sqrt((col("m").cast("double") * col("sxx")
+            - col("sx").cast("double") * col("sx"))
+          * (col("m").cast("double") * col("syy")
+            - col("sy").cast("double") * col("sy")))
+        * 1000000 + lit(0.5)) / 1000000).as("assortativity"))
+  }
+
   val all: Seq[Q] =
-    Seq(pagerankBipartite, triangles, khopBfs, linkPredict, labelProp)
+    Seq(pagerankBipartite, triangles, khopBfs, linkPredict, labelProp,
+      assortativity)
 }

@@ -352,5 +352,109 @@ object MlOps {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(kmeansEmbed, clusterTopics, oovRate, cmsFreq, rpReduce)
+  /** Per-dimension variance screening of the embedding space — the
+    * feature-selection profile run before PCA/quantization decides
+    * which dimensions carry signal. One posexplode pass (64 rows per
+    * vector), coordinates scaled to floor(x·2^20) BIGINTs (the
+    * k-means discipline) so every (n, Σx, Σx²) moment is
+    * order-independent and integer-exact; variance is a single
+    * fixed-form double expression per dimension, reported for the
+    * top-10 dimensions by variance (tie-broken by dim). 64-group
+    * aggregate, map-side combined — a full scan plus a 192-long
+    * shuffle at any scale. */
+  val embedDimProfile: Q = Q(
+    "embed_dim_profile",
+    """WITH x AS (SELECT
+      |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS dim,
+      |    CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1048576.0)
+      |      AS BIGINT) AS xi
+      |  FROM embeddings),
+      |m AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(xi * xi) AS BIGINT) AS sxx
+      |  FROM x GROUP BY dim),
+      |v AS (SELECT dim, n,
+      |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+      |      / (n - 1) / 1048576.0 / 1048576.0 AS va
+      |  FROM m)
+      |SELECT dim, n, floor(va * 100000000 + 0.5) / 100000000 AS variance
+      |FROM v ORDER BY va DESC, dim LIMIT 10""".stripMargin) { (s, d) =>
+    val x = Tables.embeddings(s, d)
+      .select(posexplode(expr("transform(embedding, v -> " +
+        "CAST(floor(CAST(v AS DOUBLE) * 1048576.0D) AS BIGINT))")))
+      .select(col("pos").cast("long").as("dim"), col("col").as("xi"))
+    val m = x.groupBy("dim").agg(count(lit(1)).as("n"),
+      sum("xi").as("sx"), sum(col("xi") * col("xi")).as("sxx"))
+    val v = m.select(col("dim"), col("n"),
+      ((col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+        / (col("n") - 1) / 1048576.0 / 1048576.0).as("va"))
+    v.orderBy(col("va").desc, col("dim"))
+      .limit(10)
+      .select(col("dim"), col("n"),
+        (floor(col("va") * 100000000 + lit(0.5)) / 100000000).as("variance"))
+  }
+
+  /** Decision-stump threshold search — the best single split of the
+    * purchase-vs-click event stream by value, scored by weighted Gini
+    * impurity: the CART inner loop, run distributed. Candidate
+    * thresholds are the distinct values; left/right class counts at
+    * every threshold come from ONE distributed PrefixScan over the
+    * value-grouped counts (6th consumer — never a partition-less
+    * window). The impurity score ((nl²−a²−b²)·nr + (nr²−c²−d²)·nl)
+    * / (nl·nr) is algebraically exact: numerator and denominator stay
+    * ≤ N³ — exactly representable in doubles up to N ≈ 2·10⁵ per
+    * slice, with one deterministic division — so the argmin is
+    * bit-stable cross-engine (beyond that, switch the comparison to
+    * the integer cross-multiplication form). */
+  val bestSplit: Q = Q(
+    "best_split",
+    """WITH e AS (SELECT value AS v,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |c AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+      |      FROM e GROUP BY v),
+      |n AS (SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cb) AS BIGINT) AS n2
+      |      FROM c),
+      |sc AS (SELECT v,
+      |    CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS al,
+      |    CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS bl FROM c),
+      |sp AS (SELECT v, al, bl, n1 - al AS ar, n2 - bl AS br,
+      |    al + bl AS nl, (n1 - al) + (n2 - bl) AS nr FROM sc, n),
+      |sg AS (SELECT v, nl, nr,
+      |    (CAST(nl * nl - al * al - bl * bl AS DOUBLE) * nr
+      |     + CAST(nr * nr - ar * ar - br * br AS DOUBLE) * nl)
+      |      / (CAST(nl AS DOUBLE) * nr) AS gini
+      |  FROM sp WHERE nl > 0 AND nr > 0)
+      |SELECT v AS split_at, nl, nr,
+      |  floor(gini * 1000000 + 0.5) / 1000000 AS weighted_gini
+      |FROM sg ORDER BY gini, v LIMIT 1""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("value").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("a"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("b"))
+    val c = e.groupBy("v").agg(sum("a").as("ca"), sum("b").as("cb"))
+    val (scanned, totals) = graft.ops.PrefixScan.withCumSums(
+      c, Seq(col("v")), Seq("ca", "cb"))
+    val (n1, n2) = (totals(0), totals(1))
+    val sp = scanned.select(col("v"),
+      col("cum_ca").as("al"), col("cum_cb").as("bl"),
+      (lit(n1) - col("cum_ca")).as("ar"), (lit(n2) - col("cum_cb")).as("br"),
+      (col("cum_ca") + col("cum_cb")).as("nl"),
+      ((lit(n1) - col("cum_ca")) + (lit(n2) - col("cum_cb"))).as("nr"))
+    val sg = sp.filter(col("nl") > 0 && col("nr") > 0)
+      .select(col("v"), col("nl"), col("nr"),
+        (((col("nl") * col("nl") - col("al") * col("al")
+            - col("bl") * col("bl")).cast("double") * col("nr")
+          + (col("nr") * col("nr") - col("ar") * col("ar")
+            - col("br") * col("br")).cast("double") * col("nl"))
+          / (col("nl").cast("double") * col("nr"))).as("gini"))
+    sg.orderBy(col("gini"), col("v")).limit(1)
+      .select(col("v").as("split_at"), col("nl"), col("nr"),
+        (floor(col("gini") * 1000000 + lit(0.5)) / 1000000).as("weighted_gini"))
+  }
+
+  val all: Seq[Q] = Seq(kmeansEmbed, clusterTopics, oovRate, cmsFreq, rpReduce,
+    embedDimProfile, bestSplit)
 }

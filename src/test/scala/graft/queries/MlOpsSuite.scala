@@ -69,6 +69,74 @@ class MlOpsSuite extends SparkSpec {
     assert(under == 0, "count-min never underestimates")
   }
 
+  test("embed_dim_profile: variances nonnegative, descending, over all vectors") {
+    val rows = MlOps.embedDimProfile.run(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val nVecs = graft.Tables.embeddings(spark, sfDir).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == nVecs, "every vector contributes to every dim")
+      assert(r.getDouble(2) >= 0)
+    }
+    val vs = rows.map(_.getDouble(2)).toSeq
+    assert(vs == vs.sortBy(-_), "top-10 is variance-descending")
+    // naive check of the winner against a driver-side recompute
+    val dims = graft.Tables.embeddings(spark, sfDir)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(v => math.floor(v.toDouble * 1048576.0)))
+    val top = rows.head
+    val xs = dims.map(_(top.getLong(0).toInt))
+    val mean = xs.sum / xs.length
+    val naive = xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1) /
+      1048576.0 / 1048576.0
+    assert(math.abs(top.getDouble(2) - naive) < 1e-6,
+      s"top variance ${top.getDouble(2)} vs naive $naive")
+  }
+
+  test("best_split: threshold matches an exhaustive driver-side search") {
+    val row = MlOps.bestSplit.run(spark, sfDir).collect().head
+    val evs = graft.Tables.events(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("purchase", "click"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0) == "purchase", r.getDouble(1)))
+    val vs = evs.map(_._2).distinct.sorted
+    val n1 = evs.count(_._1).toLong
+    val n2 = evs.size - n1
+    val best = vs.flatMap { t =>
+      val al = evs.count(e => e._1 && e._2 <= t).toLong
+      val bl = evs.count(e => !e._1 && e._2 <= t).toLong
+      val (ar, br) = (n1 - al, n2 - bl)
+      val (nl, nr) = (al + bl, ar + br)
+      if (nl == 0 || nr == 0) None
+      else Some((t, ((nl * nl - al * al - bl * bl).toDouble * nr
+        + (nr * nr - ar * ar - br * br).toDouble * nl) / (nl.toDouble * nr)))
+    }.minBy { case (t, g) => (g, t) }
+    assert(math.abs(row.getDouble(0) - best._1) < 1e-12,
+      s"split ${row.getDouble(0)} vs naive ${best._1}")
+    assert(math.abs(row.getDouble(3) - best._2) < 1e-6)
+  }
+
+  test("graph_assortativity: r in [-1, 1] and matches a naive recompute") {
+    val row = GraphOps.assortativity.run(spark, sfDir).collect().head
+    val r = row.getDouble(1)
+    assert(r >= -1.0 && r <= 1.0)
+    val e0 = graft.Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(x => (x.getLong(0) * 2, x.getLong(1) * 2 + 1))
+    val ed = e0 ++ e0.map(e => (e._2, e._1))
+    val deg = ed.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val pairs = ed.map { case (u, v) => (deg(u), deg(v)) }
+    val m = pairs.length.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum.toDouble, pairs.map(_._2).sum.toDouble)
+    val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+    val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+    val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+    val naive = (m * sxy - sx * sy) /
+      math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+    assert(math.abs(r - naive) < 1e-5, s"r $r vs naive $naive")
+    assert(row.getLong(0) == pairs.length)
+  }
+
   test("rp_reduce: JL norm concentration on the fixture") {
     val rows = MlOps.rpReduce.run(spark, sfDir)
       .select("jl_ratio").collect().map(_.getDouble(0))
