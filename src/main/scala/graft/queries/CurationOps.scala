@@ -569,9 +569,84 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, public
+    * literature): rank raw documents by how target-like their hashed
+    * n-gram profile is — the data-selection step before importance
+    * RESAMPLING decides what enters the training mix. Target = the
+    * 'en' slice; features = unigrams hashed into 1024 buckets with the
+    * repo's portable 31-polynomial (first 8 chars — powers < 2^35,
+    * exact in both engines); weight(doc) = Σ c_b·[ln p̂_target(b) −
+    * ln p̂_raw(b)] with add-1 smoothing. Both bucket models are ≤
+    * 1024-row broadcasts and the totals are 1-row broadcasts, so at
+    * 100 TB the corpus streams twice (model build + scoring) and the
+    * token stream never shuffles wider than (doc, bucket) collapse.
+    * Per-doc folds run bucket-sorted (nb_langid's determinism
+    * discipline); weights floor-round at 1e-6 BEFORE ranking. */
+  val dsirWeights: Q = Q(
+    "dsir_weights",
+    """WITH tk AS (SELECT doc_id, lang, w FROM (
+      |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |    FROM documents) WHERE w <> ''),
+      |hb AS (SELECT doc_id, lang,
+      |    list_aggregate(list_transform(range(0, least(length(w), 8)),
+      |      j -> ascii(substring(w, CAST(j + 1 AS INT), 1))
+      |           * CAST(pow(31, j) AS BIGINT)), 'sum') % 1024 AS b
+      |  FROM tk),
+      |db AS (SELECT doc_id, lang, b, count(*) AS cdw FROM hb GROUP BY 1, 2, 3),
+      |rcnt AS (SELECT b, CAST(count(*) AS BIGINT) AS rc FROM hb GROUP BY b),
+      |tcnt AS (SELECT b AS tb, CAST(count(*) AS BIGINT) AS tc FROM hb
+      |  WHERE lang = 'en' GROUP BY b),
+      |rt AS (SELECT CAST(sum(rc) AS BIGINT) AS rt FROM rcnt),
+      |tt AS (SELECT CAST(sum(tc) AS BIGINT) AS tt FROM tcnt),
+      |terms AS (SELECT doc_id, lang, db.b AS b,
+      |    cdw * (ln((COALESCE(tc, 0) + 1.0) / (tt + 1024.0))
+      |         - ln((rc + 1.0) / (rt + 1024.0))) AS contrib
+      |  FROM db JOIN rcnt ON rcnt.b = db.b
+      |  LEFT JOIN tcnt ON tcnt.tb = db.b
+      |  CROSS JOIN rt CROSS JOIN tt),
+      |wts AS (SELECT doc_id, lang,
+      |    floor(list_aggregate(list(contrib ORDER BY b), 'sum') * 1000000
+      |      + 0.5) / 1000000 AS dsir_w
+      |  FROM terms GROUP BY doc_id, lang)
+      |SELECT doc_id, lang, dsir_w FROM wts
+      |ORDER BY dsir_w DESC, doc_id LIMIT 15""".stripMargin) { (s, d) =>
+    val tk = docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val hb = tk.withColumn("b", expr(
+      "aggregate(transform(sequence(0, least(length(w), 8) - 1), " +
+        "j -> ascii(substring(w, j + 1, 1)) * CAST(pow(31, j) AS BIGINT)), " +
+        "0L, (a, x) -> a + x) % 1024"))
+    val db = hb.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cdw"))
+    val rcnt = hb.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tcnt = hb.filter(col("lang") === "en")
+      .groupBy(col("b").as("tb")).agg(count(lit(1)).as("tc"))
+    val rt = rcnt.agg(sum("rc").as("rt"))
+    val tt = tcnt.agg(sum("tc").as("tt"))
+    val terms = db
+      .join(broadcast(rcnt), "b")
+      .join(broadcast(tcnt), col("b") === col("tb"), "left")
+      .crossJoin(broadcast(rt)) // 1-row raw-total
+      .crossJoin(broadcast(tt)) // 1-row target-total
+      .select(col("doc_id"), col("lang"), col("b"),
+        (col("cdw") * (log((coalesce(col("tc"), lit(0L)) + lit(1.0))
+            / (col("tt") + lit(1024.0)))
+          - log((col("rc") + lit(1.0)) / (col("rt") + lit(1024.0)))))
+          .as("contrib"))
+    terms.groupBy("doc_id", "lang")
+      .agg(expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(b, contrib))), t -> t.contrib), 0D, (a, x) -> a + x)")
+        .as("wt"))
+      .select(col("doc_id"), col("lang"),
+        (floor(col("wt") * 1000000 + lit(0.5)) / 1000000).as("dsir_w"))
+      .orderBy(col("dsir_w").desc, col("doc_id"))
+      .limit(15)
+  }
+
   val all: Seq[Q] = Seq(asofJoin, asofJoinTolerance, asofJoinForward,
     decontamOverlap,
     decontamBloom, sampleStratified, sampleQuota, splitAssign, piiScrub,
     repetitionScore, lmPerplexity, qualityClassify, samplePriority,
-    lmBackoffScore)
+    lmBackoffScore, dsirWeights)
 }

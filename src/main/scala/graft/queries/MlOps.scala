@@ -455,6 +455,58 @@ object MlOps {
         (floor(col("gini") * 1000000 + lit(0.5)) / 1000000).as("weighted_gini"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, public literature) — semantic
+    * deduplication via cluster-bounded cosine pruning: pairwise
+    * similarity is computed ONLY within each k-means cluster, turning
+    * the O(n²) all-pairs scan into O(Σ c_k²) — the paper's point, and
+    * the reason this survives web-scale corpora (cluster count grows
+    * with n, so c_k stays bounded). Reuses the SAME shared Lloyd
+    * machinery as kmeans_embed/cluster_topics (one more composition
+    * the oracle re-proves end-to-end); cosine runs on the de-scaled
+    * coordinates through the bit-identical sequential-fold dot, and a
+    * pair ≥ 0.95 drops the higher id (keep-first). Output: per-cluster
+    * points/dropped counts. */
+  val semDedup: Q = Q(
+    "semdedup",
+    s"""WITH $kmA3Ctes,
+       |mem AS (SELECT a3.id, a3.cid,
+       |    list_transform(a3.xi, v -> CAST(v AS DOUBLE) / 1048576.0) AS xd
+       |  FROM a3),
+       |nrm AS (SELECT id, cid, xd, sqrt(list_dot_product(xd, xd)) AS nx
+       |  FROM mem),
+       |pr AS (SELECT a.cid, a.id AS id_a, b.id AS id_b
+       |  FROM nrm a JOIN nrm b ON a.cid = b.cid AND a.id < b.id
+       |  WHERE list_dot_product(a.xd, b.xd) / (a.nx * b.nx) >= 0.95),
+       |drp AS (SELECT cid, count(DISTINCT id_b) AS n_dropped
+       |  FROM pr GROUP BY cid),
+       |sz AS (SELECT cid, count(*) AS n_points FROM nrm GROUP BY cid)
+       |SELECT sz.cid, sz.n_points,
+       |  CAST(COALESCE(drp.n_dropped, 0) AS BIGINT) AS n_dropped
+       |FROM sz LEFT JOIN drp ON drp.cid = sz.cid
+       |ORDER BY sz.cid""".stripMargin) { (s, d) =>
+    val dot = graft.functions.GraftFunctions.dotNative _
+    val (a3, _, cleanup) = lloyd(s, d)
+    val mem = a3
+      .withColumn("xd", expr("transform(xi, v -> CAST(v AS DOUBLE) / 1048576.0D)"))
+      .withColumn("nx", sqrt(dot(col("xd"), col("xd"))))
+      .select(col("id"), col("cid"), col("xd"), col("nx"))
+    val a = mem.select(col("cid"), col("id").as("id_a"),
+      col("xd").as("xa"), col("nx").as("na"))
+    val b = mem.select(col("cid"), col("id").as("id_b"),
+      col("xd").as("xb"), col("nx").as("nb"))
+    val pr = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("xa"), col("xb")) / (col("na") * col("nb")) >= 0.95)
+    val drp = pr.groupBy("cid").agg(countDistinct("id_b").as("n_dropped"))
+    val sz = mem.groupBy("cid").agg(count(lit(1)).as("n_points"))
+    val out = sz.join(drp, Seq("cid"), "left")
+      .select(col("cid"), col("n_points"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy("cid")
+    cleanup()
+    out
+  }
+
   val all: Seq[Q] = Seq(kmeansEmbed, clusterTopics, oovRate, cmsFreq, rpReduce,
-    embedDimProfile, bestSplit)
+    embedDimProfile, bestSplit, semDedup)
 }

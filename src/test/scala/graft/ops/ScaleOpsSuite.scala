@@ -181,7 +181,9 @@ class ScaleOpsSuite extends SparkSpec {
       "heaps_law",            // 10x10 theta join on fixed checkpoint buckets
       "q109_acf",             // 5-row literal lag range + 1-row totals broadcast
       "q116_join_cardinality", // 1-row estimate x 1-row actual report join
-      "benford_law")          // 1-row grand-total broadcast onto 9 digit rows
+      "benford_law",          // 1-row grand-total broadcast onto 9 digit rows
+      "semdedup",             // k=8 centroid broadcast (shared Lloyd machinery)
+      "dsir_weights")         // two 1-row totals broadcasts onto the bucket join
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

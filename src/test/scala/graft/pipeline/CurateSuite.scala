@@ -42,6 +42,45 @@ class CurateSuite extends SparkSpec {
     // every original survives — only that every planted-bad doc is gone
   }
 
+  test("dsir_weights: English docs rank above non-English under the en target") {
+    val rows = graft.queries.CurationOps.dsirWeights.run(spark, sfDir).collect()
+    assert(rows.length == 15)
+    // weights are ranked descending (after the 1e-6 floor rounding)
+    val ws = rows.map(_.getDouble(2)).toSeq
+    assert(ws == ws.sortBy(-(_: Double)), "weights descending")
+    // the target slice should dominate its own importance ranking:
+    // a majority of the top-15 under the 'en' target model are 'en'
+    val enShareTop = rows.count(_.getString(1) == "en").toDouble / rows.length
+    val enShareAll = {
+      val d = Tables.documents(spark, sfDir)
+      d.filter(col("lang") === "en").count().toDouble / d.count()
+    }
+    assert(enShareTop > enShareAll,
+      s"top-15 en share $enShareTop should beat corpus share $enShareAll")
+  }
+
+  test("semdedup: cluster sizes cover the corpus; drops match a naive recompute") {
+    val rows = graft.queries.MlOps.semDedup.run(spark, sfDir).collect()
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nVecs, "clusters partition the corpus")
+    rows.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) < r.getLong(1)))
+    // at least one near-dup pair exists in the fixture (the planted
+    // perturbed copies cosine_dedup_stats counts), and semdedup must
+    // not drop MORE than the unclustered exact count (clustering can
+    // only split pairs apart, never invent similarity)
+    val exactDropped = graft.queries.DedupAnn.cosineDedupStats
+      .run(spark, sfDir).collect().head
+    val exactDrops = exactDropped.getLong(0) - exactDropped.getLong(2)
+    assert(rows.map(_.getLong(2)).sum <= exactDrops,
+      "cluster-bounded drops cannot exceed the all-pairs drops")
+    // the sf0.001 embedding slice may carry no >= 0.95 pair at all;
+    // only when the exact all-pairs scan finds drops must the
+    // cluster-bounded scan find them too (near-identical vectors land
+    // in the same cluster, so SemDeDup recovers the exact pairs)
+    if (exactDrops > 0)
+      assert(rows.map(_.getLong(2)).sum > 0, "fixture near-dups detected")
+  }
+
   test("report accounts raw vs kept vs tokens consistently") {
     import spark.implicits._
     val r = Curate.report(planted,
