@@ -644,9 +644,59 @@ object CurationOps {
       .limit(15)
   }
 
+  /** Classifier-score calibration table (reliability diagram) — bin
+    * the quality classifier's per-token-normalized margin into 10
+    * fixed-width bins and report each bin's empirical positive rate
+    * ('en' docs): the audit run before a filter threshold ships.
+    * Binning happens on the per-doc score double (bit-identical cross-
+    * engine — established by quality_classify's oracle); per-bin
+    * aggregates are pure integer counts with ONE final division, so no
+    * accumulation-order drift can touch the output. Full scan + 10-row
+    * shuffle at any scale. The fixture scorer is hash-random, so the
+    * gate pins the calibration arithmetic, not model quality
+    * (nb_langid's caveat). */
+  val scoreCalibration: Q = Q(
+    "score_calibration",
+    """WITH t AS (SELECT doc_id, lang,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang, CAST(len(ts) AS INTEGER) AS n_tokens,
+      |  list_sum(list_transform(ts, tok ->
+      |    ((((list_sum(list_transform(
+      |          range(0, CAST(least(length(tok), 8) AS BIGINT)),
+      |          j -> ascii(substring(tok, CAST(j + 1 AS INTEGER), 1))
+      |               * CAST(pow(31, j) AS BIGINT))) % 1024)
+      |       * 2654435761) % 1000003) / 1000003.0 - 0.5))) AS score
+      |  FROM t WHERE len(ts) > 0),
+      |b AS (SELECT least(greatest(
+      |      CAST(floor((score / n_tokens + 0.5) * 10) AS BIGINT), 0), 9) AS bin,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM s)
+      |SELECT bin, count(*) AS n_docs, CAST(sum(pos) AS BIGINT) AS n_pos,
+      |  floor(CAST(sum(pos) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+      |    AS pos_rate
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    val ts = filter(split(col("text"), " "), x => x =!= "")
+    docs(s, d)
+      .select(col("lang"), size(ts).as("n_tokens"),
+        graft.functions.GraftFunctions.linearScore(col("text"), 1024)
+          .as("raw"))
+      .filter(col("n_tokens") > 0)
+      .select(
+        least(greatest(
+          floor((col("raw") / col("n_tokens") + lit(0.5)) * 10).cast("long"),
+          lit(0L)), lit(9L)).as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("pos").as("n_pos"),
+        (floor(sum("pos").cast("double") / count(lit(1)) * 1000000 + lit(0.5))
+          / 1000000).as("pos_rate"))
+      .orderBy("bin")
+  }
+
   val all: Seq[Q] = Seq(asofJoin, asofJoinTolerance, asofJoinForward,
     decontamOverlap,
     decontamBloom, sampleStratified, sampleQuota, splitAssign, piiScrub,
     repetitionScore, lmPerplexity, qualityClassify, samplePriority,
-    lmBackoffScore, dsirWeights)
+    lmBackoffScore, dsirWeights, scoreCalibration)
 }

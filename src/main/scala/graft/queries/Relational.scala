@@ -1520,17 +1520,28 @@ object Relational {
       |FROM dev JOIN mad USING (l_returnflag)
       |GROUP BY dev.l_returnflag ORDER BY dev.l_returnflag""".stripMargin) {
     (s, d) =>
-      val med = graft.ops.GroupedPercentile
+      // The ranked percentile path is RDD-backed, so Spark's exchange
+      // reuse cannot dedupe it across the plan's two `dev` branches —
+      // without materialization the med pass executed TWICE (measured
+      // 4.65s at sf0.1). The med/mad relations are 3 rows each, so the
+      // kmeans "bounded driver traffic" materialization collapses the
+      // query to exactly one med pass + one mad pass + the final scan.
+      import scala.jdk.CollectionConverters._
+      def tiny(df: org.apache.spark.sql.DataFrame) = {
+        val rows = df.collect().toSeq // |groups| = 3 rows, k-bounded
+        s.createDataFrame(rows.asJava, df.schema)
+      }
+      val med = tiny(graft.ops.GroupedPercentile
         .exact(li(s, d), "l_returnflag", "l_extendedprice", 0.5, "raw_med")
         .select(col("l_returnflag"),
-          (floor(col("raw_med") * 10000 + lit(0.5)) / 10000).as("med"))
+          (floor(col("raw_med") * 10000 + lit(0.5)) / 10000).as("med")))
       val dev = li(s, d).join(broadcast(med), "l_returnflag")
         .select(col("l_returnflag"), col("med"),
           abs(col("l_extendedprice") - col("med")).as("dv"))
-      val mad = graft.ops.GroupedPercentile
+      val mad = tiny(graft.ops.GroupedPercentile
         .exact(dev, "l_returnflag", "dv", 0.5, "raw_mad")
         .select(col("l_returnflag"),
-          (floor(col("raw_mad") * 10000 + lit(0.5)) / 10000).as("mad"))
+          (floor(col("raw_mad") * 10000 + lit(0.5)) / 10000).as("mad")))
       dev.join(broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(min("med").as("med"), min("mad").as("mad"),

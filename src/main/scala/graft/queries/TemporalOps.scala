@@ -372,6 +372,67 @@ object TemporalOps {
       .orderBy("window_end")
   }
 
+  /** Holt's linear-trend exponential smoothing (double exponential —
+    * the level+trend forecaster one step up from q94's EWMA) over each
+    * user's daily value series, α = β = 0.5. The recurrence folds the
+    * day-sorted per-user series left-to-right in BOTH engines — Spark
+    * as `aggregate` over a sorted collect_list with a 2-field struct
+    * state; the oracle as a per-user RECURSIVE CTE carrying (l, b)
+    * columns, because DuckDB 1.0.0's `list_reduce` mis-evaluates
+    * struct ACCUMULATORS past the first iteration (verified: isolated
+    * steps are correct, the chained fold is not — q94's scalar-state
+    * fold never hits this). Halving multipliers keep every
+    * intermediate a dyadic rational exactly representable in doubles,
+    * so level/trend/forecast are bit-identical. Per-user series are
+    * month-bounded (≤ 31 days), so the fold state is tiny; the one
+    * shuffle is the daily collapse. Init: l₁ = y₁, b₁ = 0 (the
+    * no-special-case seed). */
+  val holtLinear: Q = Q(
+    "holt_linear",
+    """WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (SELECT user_id, CAST(y AS DOUBLE) AS yd,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS BIGINT) AS i,
+      |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      |  FROM daily),
+      |rec AS (
+      |  SELECT user_id, n, i, yd AS l, CAST(0 AS DOUBLE) AS b
+      |  FROM idx WHERE i = 1 AND n >= 2
+      |  UNION ALL
+      |  SELECT r.user_id, r.n, d.i,
+      |    0.5 * d.yd + 0.5 * (r.l + r.b),
+      |    0.5 * ((0.5 * d.yd + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      |  FROM rec r JOIN idx d ON d.user_id = r.user_id AND d.i = r.i + 1)
+      |SELECT user_id, n AS n_days,
+      |  floor(l / 100 * 10000 + 0.5) / 10000 AS level,
+      |  floor(b / 100 * 10000 + 0.5) / 10000 AS trend,
+      |  floor((l + b) / 100 * 10000 + 0.5) / 10000 AS forecast
+      |FROM rec WHERE i = n ORDER BY user_id""".stripMargin) { (s, d) =>
+    val daily = ev(s, d)
+      .select(col("user_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("user_id", "day").agg(sum("cents").as("y"))
+    daily.groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"),
+        expr("transform(array_sort(collect_list(struct(day, y))), " +
+          "t -> struct(CAST(t.y AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b))")
+          .as("sts"))
+      .filter(col("n_days") >= 2)
+      .withColumn("fin", expr(
+        "aggregate(slice(sts, 2, size(sts) - 1), sts[0], (a, x) -> struct(" +
+          "0.5D * x.l + 0.5D * (a.l + a.b) AS l, " +
+          "0.5D * ((0.5D * x.l + 0.5D * (a.l + a.b)) - a.l) + 0.5D * a.b AS b))"))
+      .select(col("user_id"), col("n_days"),
+        (floor(col("fin.l") / 100 * 10000 + lit(0.5)) / 10000).as("level"),
+        (floor(col("fin.b") / 100 * 10000 + lit(0.5)) / 10000).as("trend"),
+        (floor((col("fin.l") + col("fin.b")) / 100 * 10000 + lit(0.5)) / 10000)
+          .as("forecast"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
-    rollingZ, temporalJoin, twapValue, slidingDistinct)
+    rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear)
 }

@@ -266,6 +266,52 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Directional n-gram CONTAINMENT over the candidate pair set —
+    * |A∩B| / |A|, the asymmetric cousin of Jaccard that catches "doc A
+    * is mostly inside doc B" (quotes, boilerplate wrapping, short-dup-
+    * of-long) which symmetric Jaccard under-scores when |B| ≫ |A|.
+    * Same bounded candidate discipline as ngram_jaccard_pairs (at
+    * scale, candidates come from LSH buckets); emits BOTH directions
+    * of every pair, ranked: top-20 by containment (the ranking is on
+    * single exact-integer divisions, ties by ids) with exact
+    * shared/src gram counts. */
+  val containmentPairs: Q = Q(
+    "containment_pairs",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(ts) - 1, 1)),
+      |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |        WHERE doc_id < 50 AND len(string_split(text, ' ')) >= 3) t)
+      |SELECT id_src, id_sup, n_shared, n_src,
+      |  round(CAST(n_shared AS DOUBLE) / n_src, 6) AS containment
+      |FROM (SELECT a.doc_id AS id_src, b.doc_id AS id_sup,
+      |    CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_shared,
+      |    CAST(len(a.grams) AS BIGINT) AS n_src
+      |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+      |ORDER BY CAST(n_shared AS DOUBLE) / n_src DESC, id_src, id_sup
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val ts = split(col("text"), " ")
+    val grams = array_distinct(expr(
+      "transform(sequence(0, size(ts) - 3), i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))"))
+    val sh = docs(s, d)
+      .filter(col("doc_id") < 50 && size(ts) >= 3)
+      .select(col("doc_id"), ts.as("ts"))
+      .select(col("doc_id"), grams.as("grams"))
+    val a = sh.select(col("doc_id").as("id_src"), col("grams").as("ga"))
+    val b = sh.select(col("doc_id").as("id_sup"), col("grams").as("gb"))
+    a.join(b, col("id_src") =!= col("id_sup"))
+      .select(col("id_src"), col("id_sup"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_shared"),
+        size(col("ga")).cast("long").as("n_src"))
+      .orderBy((col("n_shared").cast("double") / col("n_src")).desc,
+        col("id_src"), col("id_sup"))
+      .limit(20)
+      .select(col("id_src"), col("id_sup"), col("n_shared"), col("n_src"),
+        round(col("n_shared").cast("double") / col("n_src"), 6)
+          .as("containment"))
+  }
+
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken 2003, public
     * literature): polynomial rolling hash over character 8-grams, then
     * the minimum hash of every 16-hash window, deduplicated — the
@@ -917,5 +963,5 @@ object TextOps {
     dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard,
     bm25TopDocs, heavyHitters, heavyHittersMg, entropyProfile, pmiCollocations,
     bpeMergeStep, bpeTrainRounds, zipfFit, heapsLaw, markovNext, crossContam,
-    chi2Terms, jsDivergence, rakeKeywords)
+    chi2Terms, jsDivergence, rakeKeywords, containmentPairs)
 }

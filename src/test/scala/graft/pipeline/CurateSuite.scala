@@ -81,6 +81,35 @@ class CurateSuite extends SparkSpec {
       assert(rows.map(_.getLong(2)).sum > 0, "fixture near-dups detected")
   }
 
+  test("containment_pairs: asymmetry and the planted-dup signal") {
+    val rows = graft.queries.TextOps.containmentPairs.run(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "shared <= src grams")
+      val c = r.getDouble(4)
+      assert(c >= 0 && c <= 1)
+    }
+    // ranking is containment-descending
+    val cs = rows.map(_.getDouble(4)).toSeq
+    assert(cs == cs.sortBy(-(_: Double)))
+    // sf0.001's doc<50 slice carries planted near-dups: the top pair
+    // must show near-total containment
+    assert(cs.head > 0.9, s"top containment ${cs.head}")
+  }
+
+  test("score_calibration: bins cover all scored docs with valid rates") {
+    val rows = graft.queries.CurationOps.scoreCalibration.run(spark, sfDir)
+      .collect()
+    val scored = Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) > 0).count()
+    assert(rows.map(_.getLong(1)).sum == scored)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 9)
+    }
+  }
+
   test("report accounts raw vs kept vs tokens consistently") {
     import spark.implicits._
     val r = Curate.report(planted,

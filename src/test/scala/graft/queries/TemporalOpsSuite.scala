@@ -143,6 +143,32 @@ class TemporalOpsSuite extends SparkSpec {
     assert(got.keySet == days.toSet)
   }
 
+  test("holt_linear: fold matches a naive driver-side recurrence") {
+    val got = TemporalOps.holtLinear.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val daily = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy("user_id", "day").agg(sum("c").as("y")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    daily.foreach { case (u, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3.toDouble)
+      if (ys.length >= 2) {
+        var l = ys.head; var b = 0.0
+        ys.tail.foreach { y =>
+          val l2 = 0.5 * y + 0.5 * (l + b)
+          b = 0.5 * (l2 - l) + 0.5 * b
+          l = l2
+        }
+        val (gl, gt) = got(u)
+        assert(math.abs(gl - l / 100) < 1e-3 && math.abs(gt - b / 100) < 1e-3,
+          s"user $u: ($gl, $gt) vs naive (${l / 100}, ${b / 100})")
+      }
+    }
+  }
+
   test("temporal windows all partition by user (no global-sort windows)") {
     for (q <- Seq(TemporalOps.intervalMerge, TemporalOps.maxConcurrency,
         TemporalOps.attribution, TemporalOps.rollingZ)) {
