@@ -694,9 +694,51 @@ object CurationOps {
       .orderBy("bin")
   }
 
+  /** Sample-ratio-mismatch (SRM) audit of the train/val/test split —
+    * the first thing checked when an experiment or data split smells
+    * wrong: do the observed branch sizes match the intended 80/10/10
+    * within sampling noise? One 3-group count aggregate (split_assign's
+    * portable multiplicative hash), a 1-row total broadcast, and
+    * per-branch χ² terms (obs − n·p)²/(n·p) over exact integers. The
+    * 2-df χ² sum is the SRM alarm; the gate pins the arithmetic. */
+  val srmCheck: Q = Q(
+    "ab_srm_check",
+    """WITH a AS (SELECT
+      |    CASE WHEN ((doc_id & 2147483647) * 2246822519) % 1000 < 800
+      |         THEN 'train'
+      |         WHEN ((doc_id & 2147483647) * 2246822519) % 1000 < 900
+      |         THEN 'val' ELSE 'test' END AS split
+      |  FROM documents),
+      |c AS (SELECT split, count(*) AS n_docs FROM a GROUP BY split),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM c),
+      |e AS (SELECT split, n_docs, n,
+      |    CASE WHEN split = 'train' THEN 0.8
+      |         WHEN split = 'val' THEN 0.1 ELSE 0.1 END AS p
+      |  FROM c, t)
+      |SELECT split, n_docs,
+      |  floor((n_docs - n * p) * (n_docs - n * p) / (n * p) * 1000000 + 0.5)
+      |    / 1000000 AS chi2_term
+      |FROM e ORDER BY split""".stripMargin) { (s, d) =>
+    val r = (col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2246822519L)) % 1000
+    val a = docs(s, d).select(
+      when(r < 800, "train").when(r < 900, "val").otherwise("test").as("split"))
+    val c = a.groupBy("split").agg(count(lit(1)).as("n_docs"))
+    val t = c.agg(sum("n_docs").as("n"))
+    val p = when(col("split") === "train", 0.8)
+      .when(col("split") === "val", 0.1).otherwise(0.1)
+    c.crossJoin(broadcast(t)) // 1-row total
+      .withColumn("p", p)
+      .select(col("split"), col("n_docs"),
+        (floor((col("n_docs") - col("n") * col("p"))
+          * (col("n_docs") - col("n") * col("p"))
+          / (col("n") * col("p")) * 1000000 + lit(0.5)) / 1000000)
+          .as("chi2_term"))
+      .orderBy("split")
+  }
+
   val all: Seq[Q] = Seq(asofJoin, asofJoinTolerance, asofJoinForward,
     decontamOverlap,
     decontamBloom, sampleStratified, sampleQuota, splitAssign, piiScrub,
     repetitionScore, lmPerplexity, qualityClassify, samplePriority,
-    lmBackoffScore, dsirWeights, scoreCalibration)
+    lmBackoffScore, dsirWeights, scoreCalibration, srmCheck)
 }

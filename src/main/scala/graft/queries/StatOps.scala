@@ -531,7 +531,85 @@ object StatOps {
           .as("gini"))
   }
 
+  /** Herfindahl–Hirschman concentration index of customer revenue per
+    * nation — "is this market one whale or many small fish", the
+    * per-segment counterpart to gini_spend's global curve. HHI =
+    * Σ share² = Σcents² / (Σcents)², computed with the money
+    * discipline: Σcents² accumulates in exact DECIMAL(38,0) (HUGEINT
+    * in the oracle — cents² ≈ 6·10¹⁶ per customer would overflow a
+    * BIGINT sum), so the only doubles are two final conversions of
+    * identical exact integers. Two nested aggregates + one 25-group
+    * output; scales as a plain two-phase aggregation. */
+  val hhiConcentration: Q = Q(
+    "hhi_concentration",
+    """WITH cust AS (SELECT c.c_nationkey AS nk, o.o_custkey,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |agg AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_customers,
+      |    CAST(sum(cents) AS BIGINT) AS tot,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS s2
+      |  FROM cust GROUP BY nk)
+      |SELECT nk AS nationkey, n_customers, tot AS total_cents,
+      |  floor(CAST(s2 AS DOUBLE) / (CAST(tot AS DOUBLE) * tot) * 10000000
+      |    + 0.5) / 10000000 AS hhi
+      |FROM agg ORDER BY nationkey""".stripMargin) { (s, d) =>
+    val cust = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nk"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("c0"))
+      .groupBy("nk", "o_custkey").agg(sum("c0").as("cents"))
+    cust.groupBy("nk")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("tot"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("s2"))
+      .select(col("nk").as("nationkey"), col("n_customers"),
+        col("tot").as("total_cents"),
+        (floor(col("s2").cast("double")
+          / (col("tot").cast("double") * col("tot")) * 10000000 + lit(0.5))
+          / 10000000).as("hhi"))
+      .orderBy("nationkey")
+  }
+
+  /** Day-of-week seasonality profile of the event stream — the
+    * seasonal index (per-weekday mean over the global mean) consulted
+    * before any weekly-pattern correction. Two exact-integer count/sum
+    * aggregates, a 1-row global broadcast, and the index is a ratio of
+    * two single divisions of exact integers — fixed-form,
+    * bit-identical. Weekday convention pinned to Spark's
+    * dayofweek (1 = Sunday): the oracle emits dayofweek(ts) + 1. */
+  val dowSeasonality: Q = Q(
+    "dow_seasonality",
+    """WITH e AS (SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |c AS (SELECT dow, count(*) AS n_events,
+      |    CAST(sum(cents) AS BIGINT) AS s FROM e GROUP BY dow),
+      |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS n,
+      |    CAST(sum(s) AS BIGINT) AS st FROM c)
+      |SELECT dow, n_events,
+      |  floor(CAST(s AS DOUBLE) / n_events / 100 * 10000 + 0.5) / 10000
+      |    AS mean_value,
+      |  floor((CAST(s AS DOUBLE) / n_events) / (CAST(st AS DOUBLE) / n)
+      |    * 1000000 + 0.5) / 1000000 AS seasonal_idx
+      |FROM c, t ORDER BY dow""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(dayofweek(col("ts")).as("dow"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val c = e.groupBy("dow").agg(count(lit(1)).as("n_events"),
+      sum("cents").as("s"))
+    val t = c.agg(sum("n_events").as("n"), sum("s").as("st"))
+    c.crossJoin(broadcast(t)) // 1-row global totals
+      .select(col("dow"), col("n_events"),
+        (floor(col("s").cast("double") / col("n_events") / 100 * 10000
+          + lit(0.5)) / 10000).as("mean_value"),
+        (floor((col("s").cast("double") / col("n_events"))
+          / (col("st").cast("double") / col("n")) * 1000000 + lit(0.5))
+          / 1000000).as("seasonal_idx"))
+      .orderBy("dow")
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
-      welchTtest, benfordLaw, mannWhitney, giniSpend)
+      welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
+      dowSeasonality)
 }

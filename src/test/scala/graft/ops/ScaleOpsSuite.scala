@@ -183,7 +183,9 @@ class ScaleOpsSuite extends SparkSpec {
       "q116_join_cardinality", // 1-row estimate x 1-row actual report join
       "benford_law",          // 1-row grand-total broadcast onto 9 digit rows
       "semdedup",             // k=8 centroid broadcast (shared Lloyd machinery)
-      "dsir_weights")         // two 1-row totals broadcasts onto the bucket join
+      "dsir_weights",         // two 1-row totals broadcasts onto the bucket join
+      "ab_srm_check",         // 1-row total broadcast onto 3 split rows
+      "dow_seasonality")      // 1-row global-mean broadcast onto 7 dow rows
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

@@ -104,6 +104,33 @@ class StatOpsSuite extends SparkSpec {
     assert(row.getDouble(2) >= 0 && row.getDouble(2) < 1)
   }
 
+  test("ab_srm_check: chi2 terms nonnegative, counts cover the corpus") {
+    val got = graft.queries.CurationOps.srmCheck.run(spark, sfDir).collect()
+    val n = graft.Tables.documents(spark, sfDir).count()
+    assert(got.map(_.getLong(1)).sum == n)
+    got.foreach(r => assert(r.getDouble(2) >= 0))
+    assert(got.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+  }
+
+  test("hhi_concentration: bounds 1/n <= hhi <= 1 per nation") {
+    val rows = StatOps.hhiConcentration.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hhi) = (r.getLong(1), r.getDouble(3))
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-9,
+        s"nation ${r.getInt(0)}: hhi $hhi outside [1/$n, 1]")
+    }
+  }
+
+  test("dow_seasonality: indices average to ~1 under event weighting") {
+    val rows = StatOps.dowSeasonality.run(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq.sorted == (1 to 7).toSeq)
+    val n = rows.map(_.getLong(1)).sum.toDouble
+    val weighted = rows.map(r => r.getLong(1) * r.getDouble(3)).sum / n
+    assert(math.abs(weighted - 1.0) < 1e-3,
+      s"event-weighted mean seasonal index $weighted should be 1")
+  }
+
   test("incr_agg_merge: merged partials equal the one-shot aggregate") {
     // the oracle proves it against DuckDB; this pins it Spark-vs-Spark
     // so a refactor that breaks merge algebra fails fast in CI
