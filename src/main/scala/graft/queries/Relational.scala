@@ -1799,8 +1799,76 @@ object Relational {
       .orderBy("price_cents")
   }
 
+  /** Association rules over the market basket (Agrawal–Srikant
+    * support/confidence/lift, public literature) — q68's co-occurrence
+    * counts promoted to directional rules: confidence a→b =
+    * sup(ab)/sup(a), lift = N·sup(ab)/(sup(a)·sup(b)). The pair
+    * stream is the same bounded per-order fan-out as q68, thinned by
+    * min-support ≥ 3 BEFORE the item-support joins (support pruning is
+    * what keeps rule mining linear-ish at scale — the Apriori
+    * observation); item supports join by part key, the 1-row N
+    * broadcast closes lift. Metrics floor-round at 1e-6 BEFORE the
+    * top-15 ranking (ties by confidence, then rule ids). */
+  val q119AssocRules: Q = Q(
+    "q119_assoc_rules",
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      |      FROM lp),
+      |ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS sup
+      |       FROM lp GROUP BY 1),
+      |pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+      |    CAST(count(*) AS BIGINT) AS sup_ab
+      |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |e AS (SELECT pa, pb, sup_ab, ia.sup AS sup_a, ib.sup AS sup_b, n_orders
+      |  FROM pc JOIN ic ia ON ia.l_partkey = pa
+      |    JOIN ic ib ON ib.l_partkey = pb CROSS JOIN n),
+      |r AS (SELECT pa AS antecedent, pb AS consequent, sup_ab, sup_a, sup_b,
+      |    n_orders FROM e
+      |  UNION ALL
+      |  SELECT pb, pa, sup_ab, sup_b, sup_a, n_orders FROM e),
+      |m AS (SELECT antecedent, consequent, sup_ab,
+      |    floor(CAST(sup_ab AS DOUBLE) / sup_a * 1000000 + 0.5) / 1000000
+      |      AS confidence,
+      |    floor(CAST(sup_ab AS DOUBLE) * n_orders
+      |      / (CAST(sup_a AS DOUBLE) * sup_b) * 1000000 + 0.5) / 1000000
+      |      AS lift
+      |  FROM r)
+      |SELECT antecedent, consequent, sup_ab, confidence, lift FROM m
+      |ORDER BY lift DESC, confidence DESC, antecedent, consequent
+      |LIMIT 15""".stripMargin) { (s, d) =>
+    val lp = li(s, d).select("l_orderkey", "l_partkey").distinct()
+    val n = lp.agg(countDistinct("l_orderkey").as("n_orders"))
+    val ic = lp.groupBy("l_partkey").agg(count(lit(1)).as("sup"))
+    val pc = lp.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(lp.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= 3)
+    val e = pc
+      .join(ic.select(col("l_partkey").as("pa"), col("sup").as("sup_a")), "pa")
+      .join(ic.select(col("l_partkey").as("pb"), col("sup").as("sup_b")), "pb")
+      .crossJoin(broadcast(n)) // 1-row order count
+    val r = e.select(col("pa").as("antecedent"), col("pb").as("consequent"),
+        col("sup_ab"), col("sup_a"), col("sup_b"), col("n_orders"))
+      .unionAll(e.select(col("pb").as("antecedent"), col("pa").as("consequent"),
+        col("sup_ab"), col("sup_b").as("sup_a"), col("sup_a").as("sup_b"),
+        col("n_orders")))
+    r.select(col("antecedent"), col("consequent"), col("sup_ab"),
+        (floor(col("sup_ab").cast("double") / col("sup_a") * 1000000
+          + lit(0.5)) / 1000000).as("confidence"),
+        (floor(col("sup_ab").cast("double") * col("n_orders")
+          / (col("sup_a").cast("double") * col("sup_b")) * 1000000
+          + lit(0.5)) / 1000000).as("lift"))
+      .orderBy(col("lift").desc, col("confidence").desc,
+        col("antecedent"), col("consequent"))
+      .limit(15)
+  }
+
   val all: Seq[Q] = Seq(
-    q118Skyline,
+    q118Skyline, q119AssocRules,
     q87Mode, q88StringAgg, q93OhlcBars, q94EwmaSmooth,
     q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert, q73Ecdf, q74RangeJoin,
     q79MadOutliers, q80CorrMatrix, q81FkAudit, q82Regression,

@@ -608,8 +608,57 @@ object StatOps {
       .orderBy("dow")
   }
 
+  /** Per-group WEIGHTED median (price weighted by quantity) through
+    * the distributed PrefixScan — the inventory-math quantile q52/q54
+    * cannot express (every unit shipped counts, not every line). Rows
+    * collapse to distinct (group, value) with summed weights FIRST, so
+    * the scan order is fully deterministic (no intra-tie ambiguity);
+    * one global range scan over the composite (group, value) key gives
+    * contiguous per-group runs, group offsets come from a 3-row
+    * driver-side collapse (bounded traffic), and the lower weighted
+    * median is the first value whose doubled local cumulative weight
+    * reaches the group total — an EXACT integer comparison. */
+  val weightedMedian: Q = Q(
+    "weighted_median",
+    """WITH b AS (SELECT l_returnflag AS flag,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    CAST(floor(l_quantity) AS BIGINT) AS w FROM lineitem),
+      |g AS (SELECT flag, cents, CAST(sum(w) AS BIGINT) AS w
+      |      FROM b GROUP BY 1, 2),
+      |sc AS (SELECT flag, cents, w,
+      |    CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents) AS BIGINT)
+      |      AS cw FROM g),
+      |t AS (SELECT flag, CAST(sum(w) AS BIGINT) AS tw FROM g GROUP BY flag)
+      |SELECT sc.flag, t.tw AS total_weight,
+      |  CAST(min(CASE WHEN 2 * cw >= t.tw THEN cents END) AS DOUBLE) / 100
+      |    AS weighted_median
+      |FROM sc JOIN t ON t.flag = sc.flag
+      |GROUP BY sc.flag, t.tw ORDER BY sc.flag""".stripMargin) { (s, d) =>
+    val g = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents"),
+        floor(col("l_quantity")).cast("long").as("w0"))
+      .groupBy("flag", "cents").agg(sum("w0").as("w"))
+    val (scanned, _) = graft.ops.PrefixScan.withCumSums(
+      g, Seq(col("flag"), col("cents")), Seq("w"))
+    // per-group totals + exclusive offsets: 3 rows through the driver
+    val tots = g.groupBy("flag").agg(sum("w").as("tw")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val offs = tots.scanLeft(("", 0L, 0L)) { case ((_, acc, _), (f, tw)) =>
+      (f, acc + tw, acc)
+    }.drop(1).map { case (f, _, off) => (f, off) }.toMap
+    import s.implicits._
+    val offDf = tots.map { case (f, tw) => (f, tw, offs(f)) }.toSeq
+      .toDF("oflag", "tw", "off")
+    scanned.join(broadcast(offDf), col("flag") === col("oflag"))
+      .groupBy(col("flag"), col("tw").as("total_weight"))
+      .agg((min(when((col("cum_w") - col("off")) * 2 >= col("tw"),
+        col("cents"))).cast("double") / 100).as("weighted_median"))
+      .orderBy("flag")
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
-      dowSeasonality)
+      dowSeasonality, weightedMedian)
 }

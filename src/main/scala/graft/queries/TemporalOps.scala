@@ -433,6 +433,41 @@ object TemporalOps {
       .orderBy("user_id")
   }
 
+  /** First-order event-type transition matrix — P(next event type |
+    * current) across every user's stream: the product-analytics
+    * Markov view of user behavior (markov_next's sibling over events
+    * instead of words). One user-keyed lead window (the single
+    * shuffle), a 25-cell count collapse, and row-conditional
+    * probabilities as single exact divisions. */
+  val eventTransitions: Q = Q(
+    "event_transitions",
+    """WITH w AS (SELECT event_type AS cur,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |c AS (SELECT cur, nxt, count(*) AS n FROM w
+      |      WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY cur)
+      |SELECT c.cur, c.nxt, c.n,
+      |  floor(CAST(c.n AS DOUBLE) / t.tn * 1000000 + 0.5) / 1000000 AS p
+      |FROM c JOIN t ON t.cur = c.cur
+      |ORDER BY c.cur, c.nxt""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val c = ev(s, d)
+      .select(col("event_type").as("cur"),
+        lead("event_type", 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+    val t = c.groupBy(col("cur").as("tcur")).agg(sum("n").as("tn"))
+    c.join(broadcast(t), col("cur") === col("tcur"))
+      .select(col("cur"), col("nxt"), col("n"),
+        (floor(col("n").cast("double") / col("tn") * 1000000 + lit(0.5))
+          / 1000000).as("p"))
+      .orderBy("cur", "nxt")
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
-    rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear)
+    rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
+    eventTransitions)
 }

@@ -185,7 +185,8 @@ class ScaleOpsSuite extends SparkSpec {
       "semdedup",             // k=8 centroid broadcast (shared Lloyd machinery)
       "dsir_weights",         // two 1-row totals broadcasts onto the bucket join
       "ab_srm_check",         // 1-row total broadcast onto 3 split rows
-      "dow_seasonality")      // 1-row global-mean broadcast onto 7 dow rows
+      "dow_seasonality",      // 1-row global-mean broadcast onto 7 dow rows
+      "q119_assoc_rules")     // 1-row order-count broadcast onto the rule set
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

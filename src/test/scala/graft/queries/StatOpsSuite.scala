@@ -131,6 +131,51 @@ class StatOpsSuite extends SparkSpec {
       s"event-weighted mean seasonal index $weighted should be 1")
   }
 
+  test("weighted_median: matches a naive driver-side weighted scan") {
+    val got = StatOps.weightedMedian.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val rows = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"),
+        floor(col("l_quantity")).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { case (f, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val tw = rs.map(_._3).sum
+      var c = 0L
+      val med = sorted.find { r => c += r._3; 2 * c >= tw }.get._2
+      assert(got(f)._1 == tw)
+      assert(math.abs(got(f)._2 - med / 100.0) < 1e-9,
+        s"$f: ${got(f)._2} vs naive ${med / 100.0}")
+    }
+  }
+
+  test("event_transitions: per-state probabilities sum to 1") {
+    val rows = TemporalOps.eventTransitions.run(spark, sfDir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (cur, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$cur: p sums to $pSum")
+    }
+    // transition count = events - one terminal event per user
+    val nEvents = graft.Tables.events(spark, sfDir).count()
+    val nUsers = graft.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nEvents - nUsers)
+  }
+
+  test("q119_assoc_rules: rule algebra invariants hold") {
+    val rows = Relational.q119AssocRules.run(spark, sfDir).collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 3, "min support respected")
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1, "confidence in (0,1]")
+      assert(r.getDouble(4) > 0, "lift positive")
+    }
+    val lifts = rows.map(_.getDouble(4)).toSeq
+    assert(lifts == lifts.sortBy(-(_: Double)), "lift-descending")
+  }
+
   test("incr_agg_merge: merged partials equal the one-shot aggregate") {
     // the oracle proves it against DuckDB; this pins it Spark-vs-Spark
     // so a refactor that breaks merge algebra fails fast in CI
