@@ -105,5 +105,110 @@ object IncrOps {
       .orderBy("tbl")
   }
 
-  val all: Seq[Q] = Seq(incrAggMerge, compactBins, tableStats)
+  /** Incremental JOIN-view maintenance — the delta algebra for a
+    * two-table join view: with both tables split into standing state
+    * and delta (A = A₀∪ΔA, B = B₀∪ΔB), the view refresh is
+    * agg(A₀⋈B₀) ⊕ agg(A₀⋈ΔB) ⊕ agg(ΔA⋈B₀) ⊕ agg(ΔA⋈ΔB) — three of
+    * the four terms touch a delta side, so the daily cost is
+    * Δ-proportional once A₀⋈B₀ is standing state. The ORACLE is the
+    * from-scratch full join aggregate, so the gate proves the 4-term
+    * IVM decomposition exactly (integer-cent partials, merged by
+    * summation). */
+  val incrJoinDelta: Q = Q(
+    "incr_join_delta",
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val ocut = lit("2000-01-01").cast("timestamp")
+    val lcut = lit("2000-09-02").cast("timestamp")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("c"))
+    val (o0, od) = (o.filter(col("o_orderdate") < ocut),
+      o.filter(col("o_orderdate") >= ocut))
+    val (l0, ld) = (l.filter(col("l_shipdate") < lcut),
+      l.filter(col("l_shipdate") >= lcut))
+    def partial(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("pn"), sum("c").as("pc"))
+    partial(o0, l0).unionAll(partial(o0, ld))
+      .unionAll(partial(od, l0)).unionAll(partial(od, ld))
+      .groupBy("o_orderpriority")
+      .agg(sum("pn").as("n_lines"), sum("pc").as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Snapshot diff / CDC audit — compare two table versions (old: 10%
+    * of keys missing; new: 1-in-13 keys retired, 1-in-7 prices bumped
+    * a dollar — both versions DERIVED deterministically from the
+    * fixture) and classify every key as added / removed / changed /
+    * unchanged with net money movement. One full-outer join on the
+    * key, pure integer classification — the migration-validation twin
+    * of table_fingerprint that says WHAT moved, not just that
+    * something did. */
+  val snapshotDiff: Q = Q(
+    "snapshot_diff",
+    """WITH a AS (SELECT o_orderkey AS k,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      |  FROM orders WHERE o_orderkey % 10 <> 0),
+      |b AS (SELECT o_orderkey AS k,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |      + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS c
+      |  FROM orders WHERE o_orderkey % 13 <> 0),
+      |j AS (SELECT COALESCE(a.k, b.k) AS k, a.c AS ac, b.c AS bc
+      |      FROM a FULL OUTER JOIN b ON a.k = b.k),
+      |cls AS (SELECT k,
+      |    CASE WHEN ac IS NULL THEN 'added'
+      |         WHEN bc IS NULL THEN 'removed'
+      |         WHEN ac <> bc THEN 'changed' ELSE 'unchanged' END AS status,
+      |    COALESCE(bc, 0) - COALESCE(ac, 0) AS delta
+      |  FROM j)
+      |SELECT status, count(*) AS n_keys,
+      |  CAST(sum(delta) AS BIGINT) AS cents_delta
+      |FROM cls GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
+    val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+    val a = Tables.orders(s, d).filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey").as("ak"), cents.as("ac"))
+    val b = Tables.orders(s, d).filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("bk"),
+        (cents + when(col("o_orderkey") % 7 === 0, 100L).otherwise(0L))
+          .as("bc"))
+    a.join(b, col("ak") === col("bk"), "full_outer")
+      .select(
+        when(col("ac").isNull, "added")
+          .when(col("bc").isNull, "removed")
+          .when(col("ac") =!= col("bc"), "changed")
+          .otherwise("unchanged").as("status"),
+        (coalesce(col("bc"), lit(0L)) - coalesce(col("ac"), lit(0L)))
+          .as("delta"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_keys"), sum("delta").as("cents_delta"))
+      .orderBy("status")
+  }
+
+  /** k-anonymity audit over the (nation, market-segment) quasi-
+    * identifier pair — the privacy check run before a customer slice
+    * ships: the 10 smallest equivalence classes, whose head IS the
+    * dataset's k. One 125-group aggregate; at scale this is the same
+    * two-phase count as any profiling groupBy. */
+  val kAnonymity: Q = Q(
+    "k_anonymity",
+    """SELECT c_nationkey, c_mktsegment, count(*) AS n_members
+      |FROM customer GROUP BY 1, 2
+      |ORDER BY n_members, c_nationkey, c_mktsegment
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members"), col("c_nationkey"), col("c_mktsegment"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(incrAggMerge, compactBins, tableStats, incrJoinDelta,
+    snapshotDiff, kAnonymity)
 }

@@ -189,6 +189,45 @@ class StatOpsSuite extends SparkSpec {
     assert(merged.toSeq == full.toSeq)
   }
 
+  test("incr_join_delta: 4-term IVM decomposition equals the direct join") {
+    val merged = IncrOps.incrJoinDelta.run(spark, sfDir).collect()
+    val direct = graft.Tables.orders(spark, sfDir)
+      .join(graft.Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      .orderBy("o_orderpriority").collect()
+    assert(merged.toSeq == direct.toSeq)
+  }
+
+  test("snapshot_diff: statuses partition keys per the modular derivation") {
+    val rows = IncrOps.snapshotDiff.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val keys = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val added = keys.count(k => k % 10 == 0 && k % 13 != 0)
+    val removed = keys.count(k => k % 13 == 0 && k % 10 != 0)
+    val changed = keys.count(k => k % 10 != 0 && k % 13 != 0 && k % 7 == 0)
+    assert(rows("added")._1 == added)
+    assert(rows("removed")._1 == removed)
+    assert(rows("changed")._1 == changed)
+    // every changed key moved exactly +100 cents
+    assert(rows("changed")._2 == changed * 100L)
+    assert(rows("unchanged")._2 == 0L)
+  }
+
+  test("k_anonymity: ascending class sizes; head is the dataset's k") {
+    val rows = IncrOps.kAnonymity.run(spark, sfDir).collect()
+    val sizes = rows.map(_.getLong(2)).toSeq
+    assert(sizes == sizes.sorted)
+    val trueK = graft.Tables.customer(spark, sfDir)
+      .groupBy("c_nationkey", "c_mktsegment").count()
+      .agg(min("count")).collect().head.getLong(0)
+    assert(sizes.head == trueK)
+  }
+
   test("compact_bins: bins partition all days, in order, within target+max") {
     val bins = IncrOps.compactBins.run(spark, sfDir).collect()
     val nDays = graft.Tables.lineitem(spark, sfDir)
