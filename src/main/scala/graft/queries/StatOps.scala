@@ -657,8 +657,112 @@ object StatOps {
       .orderBy("flag")
   }
 
+  /** Spearman rank correlation between quantity and price — the
+    * robust, monotonic-association complement to q80's Pearson matrix
+    * (rank-space kills the outlier sensitivity). Tied values take
+    * midranks; DOUBLING every midrank (mann_whitney's device) keeps
+    * rank arithmetic integer, and the quadratic rank moments
+    * accumulate in exact DECIMAL(38,0)/HUGEINT (Σ(2r)² ≈ 8·10¹⁷
+    * already grazes BIGINT at sf0.1 — at 100 TB only a wide-decimal
+    * sum survives). Midranks come from one PrefixScan per variable
+    * over the value-grouped counts (consumers 8–9); ρ is one
+    * fixed-form double expression. */
+  val spearmanCorr: Q = Q(
+    "spearman_corr",
+    """WITH b AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      |  FROM lineitem),
+      |xc AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY x),
+      |xr AS (SELECT x, 2 * (CAST(sum(c) OVER (ORDER BY x) AS BIGINT) - c)
+      |    + (c + 1) AS rx2 FROM xc),
+      |yc AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY y),
+      |yr AS (SELECT y, 2 * (CAST(sum(c) OVER (ORDER BY y) AS BIGINT) - c)
+      |    + (c + 1) AS ry2 FROM yc),
+      |j AS (SELECT rx2, ry2 FROM b JOIN xr USING (x) JOIN yr USING (y)),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
+      |    sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+      |    sum(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+      |    sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy FROM j)
+      |SELECT n,
+      |  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * sy)
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * sx)
+      |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * sy)) * 1000000 + 0.5) / 1000000
+      |    AS spearman_rho
+      |FROM m""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d).select(
+      floor(col("l_quantity")).cast("long").as("x"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("y"))
+    def ranks(v: String, out: String): DataFrame = {
+      val c = b.groupBy(v).agg(count(lit(1)).as("c"))
+      val (scanned, _) = graft.ops.PrefixScan.withCumSums(
+        c, Seq(col(v)), Seq("c"))
+      scanned.select(col(v),
+        ((col("cum_c") - col("c")) * 2 + (col("c") + 1)).as(out))
+    }
+    val j = b.join(ranks("x", "rx2"), "x").join(ranks("y", "ry2"), "y")
+    val m = j.agg(count(lit(1)).as("n"),
+      sum("rx2").as("sx"), sum("ry2").as("sy"),
+      sum(col("rx2").cast("decimal(38,0)") * col("rx2")).as("sxx"),
+      sum(col("ry2").cast("decimal(38,0)") * col("ry2")).as("syy"),
+      sum(col("rx2").cast("decimal(38,0)") * col("ry2")).as("sxy"))
+    m.select(col("n"),
+      (floor((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy"))
+        / sqrt((col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx"))
+          * (col("n").cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy")))
+        * 1000000 + lit(0.5)) / 1000000).as("spearman_rho"))
+  }
+
+  /** Neyman optimal allocation of a 1000-row sampling budget across
+    * event-type strata — n_h ∝ N_h·σ_h, the survey-sampling rule that
+    * beats proportional allocation whenever stratum variances differ.
+    * Stratum σ comes from exact BIGINT-cent moments; each N_h·σ_h term
+    * floor-rounds to the 1e-6 grid BEFORE the 5-term total, so the sum
+    * is a sum of exactly-representable grid points — order-independent
+    * — and every allocation is a deterministic integer. */
+  val neymanAllocation: Q = Q(
+    "neyman_allocation",
+    """WITH e AS (SELECT event_type,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+      |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+      |    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+      |  FROM e GROUP BY event_type),
+      |t AS (SELECT event_type, nh,
+      |    floor(nh * sqrt((CAST(s2 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nh) / (nh - 1))
+      |      * 1000000 + 0.5) / 1000000 AS term
+      |  FROM m),
+      |tt AS (SELECT CAST(sum(term) AS DOUBLE) AS tot FROM t)
+      |SELECT event_type, nh,
+      |  floor(term / nh / 100 * 10000 + 0.5) / 10000 AS sigma,
+      |  CAST(floor(1000 * term / tot + 0.5) AS BIGINT) AS alloc_n
+      |FROM t, tt ORDER BY event_type""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(col("event_type"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+    val m = e.groupBy("event_type").agg(count(lit(1)).as("nh"),
+      sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
+    val t = m.select(col("event_type"), col("nh"),
+      (floor(col("nh") * sqrt((col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double") / col("nh"))
+          / (col("nh") - 1)) * 1000000 + lit(0.5)) / 1000000).as("term"))
+    val tt = t.agg(sum("term").cast("double").as("tot"))
+    t.crossJoin(broadcast(tt)) // 1-row grid-exact total
+      .select(col("event_type"), col("nh"),
+        (floor(col("term") / col("nh") / 100 * 10000 + lit(0.5)) / 10000)
+          .as("sigma"),
+        floor(lit(1000) * col("term") / col("tot") + lit(0.5)).cast("long")
+          .as("alloc_n"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
-      dowSeasonality, weightedMedian)
+      dowSeasonality, weightedMedian, spearmanCorr, neymanAllocation)
 }

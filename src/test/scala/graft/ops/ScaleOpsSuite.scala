@@ -151,6 +151,7 @@ class ScaleOpsSuite extends SparkSpec {
       "q16_join_cross",       // 5x25 region x nation, the cross-join demo
       "q17_join_theta",       // non-equi range join, 25-row broadcast side
       "ngram_jaccard_pairs",  // doc_id < 50 capped pair set
+      "containment_pairs",    // same doc_id < 50 capped pair set, both directions
       "cosine_pairs",         // 20-vector bounded pair set
       "cosine_topk",          // 5 broadcast query vectors, theta join
       "pq_adc_topk",          // 5 broadcast query vectors vs PQ codes
@@ -186,7 +187,8 @@ class ScaleOpsSuite extends SparkSpec {
       "dsir_weights",         // two 1-row totals broadcasts onto the bucket join
       "ab_srm_check",         // 1-row total broadcast onto 3 split rows
       "dow_seasonality",      // 1-row global-mean broadcast onto 7 dow rows
-      "q119_assoc_rules")     // 1-row order-count broadcast onto the rule set
+      "q119_assoc_rules",     // 1-row order-count broadcast onto the rule set
+      "neyman_allocation")    // 1-row grid-exact total broadcast onto 5 strata
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

@@ -176,6 +176,38 @@ class StatOpsSuite extends SparkSpec {
     assert(lifts == lifts.sortBy(-(_: Double)), "lift-descending")
   }
 
+  test("spearman_corr: matches a naive driver-side midrank recompute") {
+    val rho = StatOps.spearmanCorr.run(spark, sfDir).collect().head.getDouble(1)
+    val rows = graft.Tables.lineitem(spark, sfDir)
+      .select(floor(col("l_quantity")).cast("long"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def midranks(vs: Array[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      sorted.zipWithIndex.groupBy(_._1).map { case (v, g) =>
+        v -> g.map(_._2 + 1.0).sum / g.length
+      }
+    }
+    val (rx, ry) = (midranks(rows.map(_._1)), midranks(rows.map(_._2)))
+    val xs = rows.map(r => rx(r._1)); val ys = rows.map(r => ry(r._2))
+    val n = rows.length.toDouble
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val naive = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum /
+      math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum *
+        ys.map(b => (b - my) * (b - my)).sum)
+    assert(math.abs(rho - naive) < 1e-5, s"rho $rho vs naive $naive")
+    assert(rho >= -1 && rho <= 1)
+  }
+
+  test("neyman_allocation: allocations track N_h*sigma_h and sum to ~budget") {
+    val rows = StatOps.neymanAllocation.run(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val total = rows.map(_.getLong(3)).sum
+    // per-stratum rounding can drift the sum by at most strata/2
+    assert(math.abs(total - 1000) <= 3, s"allocated $total of 1000")
+    rows.foreach(r => assert(r.getDouble(2) > 0 && r.getLong(3) > 0))
+  }
+
   test("incr_agg_merge: merged partials equal the one-shot aggregate") {
     // the oracle proves it against DuckDB; this pins it Spark-vs-Spark
     // so a refactor that breaks merge algebra fails fast in CI
