@@ -761,8 +761,108 @@ object StatOps {
       .orderBy("event_type")
   }
 
+  /** One-way ANOVA F-test of l_quantity across the three return-flag
+    * groups — the k-group generalization of welch_ttest (does ANY group
+    * mean differ?). Quantities are small integers, so every moment is
+    * an exact BIGINT (s2 ≤ 2500·N) and s1² ≤ 2.3e15 < 2^53 stays an
+    * exactly-representable double at sf0.1; each group's between-term
+    * s1²/n floor-rounds to the 1e-6 grid BEFORE the 3-term sum (grid
+    * points ≤ 5e8 are exact, so the sum is order-independent), making
+    * F and η² deterministic fixed-form doubles. Past N ≈ 1e8 per group
+    * the s1² product needs the DECIMAL(38,0) cross-multiplication
+    * (spearman_corr's device). One 3-group map-side-partial collapse
+    * is the only shuffle; everything after runs on a 3-row relation. */
+  val anovaQuantity: Q = Q(
+    "anova_quantity",
+    """WITH b AS (SELECT l_returnflag AS f,
+      |    CAST(floor(l_quantity) AS BIGINT) AS c FROM lineitem),
+      |g AS (SELECT f, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+      |  FROM b GROUP BY f),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+      |    CAST(sum(s1) AS BIGINT) AS s1, CAST(sum(s2) AS BIGINT) AS s2,
+      |    CAST(sum(floor(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n
+      |      * 1000000 + 0.5) / 1000000) AS DOUBLE) AS tb
+      |  FROM g)
+      |SELECT n, k,
+      |  floor((tb - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (k - 1)
+      |    / ((CAST(s2 AS DOUBLE) - tb) / (n - k)) * 1000000 + 0.5) / 1000000
+      |    AS f_stat,
+      |  floor((tb - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+      |    / (CAST(s2 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+      |    * 1000000 + 0.5) / 1000000 AS eta_sq
+      |FROM t""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d).select(col("l_returnflag").as("f"),
+      floor(col("l_quantity")).cast("long").as("c"))
+    val g = b.groupBy("f").agg(count(lit(1)).as("n"),
+      sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
+    val t = g.agg(count(lit(1)).as("k"), sum("n").as("n"),
+      sum("s1").as("s1"), sum("s2").as("s2"),
+      sum(floor(col("s1").cast("double") * col("s1").cast("double")
+        / col("n") * 1000000 + lit(0.5)) / 1000000).cast("double").as("tb"))
+    val ssb = col("tb") -
+      col("s1").cast("double") * col("s1").cast("double") / col("n")
+    val sst = col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / col("n")
+    t.select(col("n"), col("k"),
+      (floor(ssb / (col("k") - 1)
+        / ((col("s2").cast("double") - col("tb")) / (col("n") - col("k")))
+        * 1000000 + lit(0.5)) / 1000000).as("f_stat"),
+      (floor(ssb / sst * 1000000 + lit(0.5)) / 1000000).as("eta_sq"))
+  }
+
+  /** Cramér's V association between market segment and nation — the
+    * categorical-categorical effect size q80's Pearson matrix cannot
+    * express (chi² alone grows with N; V normalizes it to [0,1]).
+    * Observed counts are exact BIGINTs; each of the ≤125 contingency
+    * cells' (O−E)²/E term floor-rounds to the 1e-6 grid before the
+    * cell sum, so χ² is an order-independent sum of exact grid points.
+    * The contingency collapse is the one data-sized shuffle; row/col
+    * marginals re-aggregate the ≤125-row cell relation and come back
+    * as broadcasts, so the plan never rescans customers. */
+  val cramersV: Q = Q(
+    "cramers_v",
+    """WITH o AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+      |    CAST(count(*) AS BIGINT) AS obs FROM customer GROUP BY 1, 2),
+      |r AS (SELECT seg, CAST(sum(obs) AS BIGINT) AS rt FROM o GROUP BY seg),
+      |c AS (SELECT nat, CAST(sum(obs) AS BIGINT) AS ct FROM o GROUP BY nat),
+      |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT seg) AS BIGINT) AS nr,
+      |    CAST(count(DISTINCT nat) AS BIGINT) AS nc FROM o),
+      |x AS (SELECT CAST(sum(floor(
+      |      (obs - CAST(rt AS DOUBLE) * ct / n)
+      |        * (obs - CAST(rt AS DOUBLE) * ct / n)
+      |        / (CAST(rt AS DOUBLE) * ct / n) * 1000000 + 0.5) / 1000000)
+      |    AS DOUBLE) AS chi2
+      |  FROM o JOIN r USING (seg) JOIN c USING (nat) CROSS JOIN t)
+      |SELECT n, (nr - 1) * (nc - 1) AS dof,
+      |  floor(chi2 * 10000 + 0.5) / 10000 AS chi2,
+      |  floor(sqrt(chi2 / (n * least(nr - 1, nc - 1))) * 1000000 + 0.5)
+      |    / 1000000 AS cramers_v
+      |FROM x CROSS JOIN t""".stripMargin) { (s, d) =>
+    val o = Tables.customer(s, d)
+      .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+      .agg(count(lit(1)).as("obs"))
+    val r = o.groupBy("seg").agg(sum("obs").as("rt"))
+    val c = o.groupBy("nat").agg(sum("obs").as("ct"))
+    val t = o.agg(sum("obs").as("n"), countDistinct("seg").as("nr"),
+      countDistinct("nat").as("nc"))
+    val e = col("rt").cast("double") * col("ct") / col("n")
+    val x = o.join(broadcast(r), "seg").join(broadcast(c), "nat")
+      .crossJoin(broadcast(t)) // 1-row total
+      .agg(sum(floor((col("obs") - e) * (col("obs") - e) / e
+        * 1000000 + lit(0.5)) / 1000000).cast("double").as("chi2"))
+    x.crossJoin(broadcast(t)) // 1-row total
+      .select(col("n"), ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        (floor(col("chi2") * 10000 + lit(0.5)) / 10000).as("chi2"),
+        (floor(sqrt(col("chi2") / (col("n") * least(col("nr") - 1,
+          col("nc") - 1))) * 1000000 + lit(0.5)) / 1000000).as("cramers_v"))
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
-      dowSeasonality, weightedMedian, spearmanCorr, neymanAllocation)
+      dowSeasonality, weightedMedian, spearmanCorr, neymanAllocation,
+      anovaQuantity, cramersV)
 }

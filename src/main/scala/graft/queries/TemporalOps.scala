@@ -467,7 +467,73 @@ object TemporalOps {
       .orderBy("cur", "nxt")
   }
 
+  /** CUSUM changepoint detection on the daily revenue series (Page
+    * 1954) — the classic "did the level shift, and when" monitor that
+    * q110's rolling z-score cannot answer (z flags points; CUSUM
+    * accumulates small persistent drifts). The recurrence
+    * S_t = max(0, S_{t−1} + (x_t − mean)) is multiplied through by
+    * N_days so every step is EXACT BIGINT arithmetic:
+    * S'_t = max(0, S'_{t−1} + N·x_t − T); only the final descale to
+    * dollars divides. The argmax (strictly-greater update ⇒ earliest
+    * max) is therefore an exact integer comparison in both engines.
+    * Scale: the daily collapse is the one data-sized shuffle; the fold
+    * runs over a CALENDAR-bounded series (~365 rows at any corpus
+    * size — 100 TB adds events per day, not days), and S' ≤ N·T stays
+    * under 2^63 past 10^5× this fixture. Spark folds a day-sorted
+    * struct state; the oracle replays the recurrence as a RECURSIVE
+    * CTE (holt_linear's split — DuckDB list_reduce cannot chain struct
+    * accumulators). */
+  val cusumDrift: Q = Q(
+    "cusum_drift",
+    """WITH RECURSIVE daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+      |    CAST(sum(x) AS BIGINT) AS t FROM daily),
+      |idx AS (SELECT strftime(day, '%Y-%m-%d') AS day, x,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM daily),
+      |rec AS (
+      |  SELECT i, greatest(CAST(0 AS BIGINT), nd * x - t) AS s,
+      |    greatest(CAST(0 AS BIGINT), nd * x - t) AS best, day AS bd
+      |  FROM idx CROSS JOIN tot WHERE i = 1
+      |  UNION ALL
+      |  SELECT d.i,
+      |    greatest(CAST(0 AS BIGINT), r.s + tt.nd * d.x - tt.t),
+      |    CASE WHEN greatest(CAST(0 AS BIGINT), r.s + tt.nd * d.x - tt.t)
+      |        > r.best
+      |      THEN greatest(CAST(0 AS BIGINT), r.s + tt.nd * d.x - tt.t)
+      |      ELSE r.best END,
+      |    CASE WHEN greatest(CAST(0 AS BIGINT), r.s + tt.nd * d.x - tt.t)
+      |        > r.best THEN d.day ELSE r.bd END
+      |  FROM rec r JOIN idx d ON d.i = r.i + 1 CROSS JOIN tot tt)
+      |SELECT nd AS n_days,
+      |  floor(CAST(best AS DOUBLE) / nd / 100 * 10000 + 0.5) / 10000
+      |    AS cusum_max, bd AS drift_day
+      |FROM rec CROSS JOIN tot WHERE i = nd""".stripMargin) { (s, d) =>
+    val daily = ev(s, d)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("x"))
+    val tot = daily.agg(count(lit(1)).as("nd"), sum("x").as("t"))
+    daily.crossJoin(broadcast(tot)) // 1-row totals
+      .groupBy("nd", "t")
+      .agg(expr("array_sort(collect_list(struct(day, x)))").as("sr"))
+      .withColumn("fin", expr(
+        "aggregate(sr, struct(CAST(0 AS BIGINT) AS s, " +
+          "CAST(-1 AS BIGINT) AS best, CAST('' AS STRING) AS bd), " +
+          "(a, e) -> struct(" +
+          "greatest(CAST(0 AS BIGINT), a.s + nd * e.x - t) AS s, " +
+          "IF(greatest(CAST(0 AS BIGINT), a.s + nd * e.x - t) > a.best, " +
+          "greatest(CAST(0 AS BIGINT), a.s + nd * e.x - t), a.best) AS best, " +
+          "IF(greatest(CAST(0 AS BIGINT), a.s + nd * e.x - t) > a.best, " +
+          "e.day, a.bd) AS bd))"))
+      .select(col("nd").as("n_days"),
+        (floor(col("fin.best").cast("double") / col("nd") / 100 * 10000
+          + lit(0.5)) / 10000).as("cusum_max"),
+        col("fin.bd").as("drift_day"))
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
-    eventTransitions)
+    eventTransitions, cusumDrift)
 }

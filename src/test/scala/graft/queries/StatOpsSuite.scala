@@ -275,4 +275,39 @@ class StatOpsSuite extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("anova_quantity: matches a naive driver-side F recompute") {
+    val row = StatOps.anovaQuantity.run(spark, sfDir).collect().head
+    val (f, eta) = (row.getDouble(2), row.getDouble(3))
+    val groups = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), floor(col("l_quantity")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+      .groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val n = groups.map(_.length).sum.toDouble
+    val grand = groups.map(_.sum).sum / n
+    val ssb = groups.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.map(g => { val m = g.sum / g.length
+      g.map(x => (x - m) * (x - m)).sum }).sum
+    val naiveF = (ssb / (groups.length - 1)) / (ssw / (n - groups.length))
+    assert(math.abs(f - naiveF) < 1e-4, s"F $f vs naive $naiveF")
+    assert(math.abs(eta - ssb / (ssb + ssw)) < 1e-5)
+    assert(eta >= 0 && eta <= 1)
+  }
+
+  test("cramers_v: matches a naive contingency recompute, bounded in [0,1]") {
+    val row = StatOps.cramersV.run(spark, sfDir).collect().head
+    val (chi2, v) = (row.getDouble(2), row.getDouble(3))
+    val cells = graft.Tables.customer(spark, sfDir)
+      .groupBy("c_mktsegment", "c_nationkey").count().collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2).toDouble)).toMap
+    val n = cells.values.sum
+    val rt = cells.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val ct = cells.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    val naiveChi2 = cells.map { case ((s, na), o) =>
+      val e = rt(s) * ct(na) / n; (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(chi2 - naiveChi2) < 1e-2, s"chi2 $chi2 vs $naiveChi2")
+    val naiveV = math.sqrt(naiveChi2 / (n * math.min(rt.size - 1, ct.size - 1)))
+    assert(math.abs(v - naiveV) < 1e-5 && v >= 0 && v <= 1)
+  }
 }

@@ -169,6 +169,27 @@ class TemporalOpsSuite extends SparkSpec {
     }
   }
 
+  test("cusum_drift: matches a naive driver-side recurrence replay") {
+    val row = TemporalOps.cusumDrift.run(spark, sfDir).collect().head
+    val (nDays, cmax, day) =
+      (row.getLong(0), row.getDouble(1), row.getString(2))
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(nDays == daily.length.toLong)
+    val (nd, t) = (daily.length.toLong, daily.map(_._2).sum)
+    var s = 0L; var best = -1L; var bd = ""
+    daily.foreach { case (d, x) =>
+      s = math.max(0L, s + nd * x - t)
+      if (s > best) { best = s; bd = d }
+    }
+    assert(bd == day, s"drift day $day vs naive $bd")
+    assert(math.abs(cmax - best.toDouble / nd / 100) < 1e-3,
+      s"cusum_max $cmax vs naive ${best.toDouble / nd / 100}")
+  }
+
   test("temporal windows all partition by user (no global-sort windows)") {
     for (q <- Seq(TemporalOps.intervalMerge, TemporalOps.maxConcurrency,
         TemporalOps.attribution, TemporalOps.rollingZ)) {
