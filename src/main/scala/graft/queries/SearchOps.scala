@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.Tables
 
 /** Retrieval and validation ops: positional phrase search (the
@@ -88,5 +88,71 @@ object SearchOps {
     fp("lineitem", l).unionAll(fp("orders", o)).orderBy("tbl")
   }
 
-  val all: Seq[Q] = Seq(phraseSearch, tableFingerprint)
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty 2001, μ=2000) — the language-modeling ranker beside
+    * bm25_topdocs' probabilistic one. The naive form scores EVERY doc
+    * against every query term; decomposing
+    *   score(d) = Σ_t ln(μ·cf_t/C) − |q|·ln(len_d + μ)
+    *            + Σ_{t: tf>0} ln(1 + tf·C/(μ·cf_t))
+    * makes the per-doc base a pure map over (doc, len) and keeps only
+    * MATCHED (doc, term) rows in the join — the same
+    * vocabulary-selective shuffle discipline as bm25/phrase_search, so
+    * the exchange never carries the corpus. Both the 4-term query
+    * constant and each doc's matched contributions fold in term-sorted
+    * order (identical double sequences cross-engine); ln parity is
+    * corpus-established (lm_perplexity). */
+  val qlDirichlet: Q = Q(
+    "ql_dirichlet",
+    """WITH qt(term) AS (VALUES ('spark'), ('vector'), ('stream'), ('window')),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |         FROM documents),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks
+      |       GROUP BY doc_id),
+      |ctot AS (SELECT CAST(sum(len) AS DOUBLE) AS c FROM dl),
+      |cf AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS cf FROM toks
+      |       JOIN qt ON tok = qt.term GROUP BY tok),
+      |qconst AS (SELECT list_sum(list(ln(2000.0 * cf / c) ORDER BY term))
+      |             AS qc FROM cf CROSS JOIN ctot),
+      |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks JOIN qt ON tok = qt.term GROUP BY doc_id, tok),
+      |m AS (SELECT tf.doc_id,
+      |        list_sum(list(ln(1 + tf * c / (2000.0 * cf)) ORDER BY term))
+      |          AS matched
+      |      FROM tf JOIN cf USING (term) CROSS JOIN ctot GROUP BY tf.doc_id),
+      |scored AS (SELECT dl.doc_id,
+      |    round(qc - 4 * ln(len + 2000.0) + coalesce(matched, 0), 6) AS score
+      |  FROM dl LEFT JOIN m ON m.doc_id = dl.doc_id CROSS JOIN qconst)
+      |SELECT doc_id, score FROM scored
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    val qTerms = Seq("spark", "vector", "stream", "window")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val ctot = dl.agg(sum("len").cast("double").as("c"))
+    val cf = toks.filter(col("tok").isin(qTerms: _*))
+      .groupBy(col("tok").as("term")).agg(count(lit(1)).as("cf"))
+    def sortedFold(terms: Column, field: String): Column = aggregate(
+      array_sort(terms), lit(0.0), (acc, x) => acc + x.getField(field))
+    val qconst = cf.crossJoin(broadcast(ctot)) // 1-row total
+      .select(col("term"), log(lit(2000.0) * col("cf") / col("c")).as("v"))
+      .agg(sortedFold(collect_list(struct(col("term"), col("v"))), "v")
+        .as("qc"))
+    val tf = toks.filter(col("tok").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("tok").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val m = tf.join(broadcast(cf), "term").crossJoin(broadcast(ctot))
+      .select(col("doc_id"), col("term"),
+        log(lit(1) + col("tf") * col("c") / (lit(2000.0) * col("cf")))
+          .as("v"))
+      .groupBy("doc_id")
+      .agg(sortedFold(collect_list(struct(col("term"), col("v"))), "v")
+        .as("matched"))
+    dl.join(m, Seq("doc_id"), "left").crossJoin(broadcast(qconst))
+      .select(col("doc_id"),
+        round(col("qc") - lit(4) * log(col("len") + lit(2000.0))
+          + coalesce(col("matched"), lit(0.0)), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+  }
+
+  val all: Seq[Q] = Seq(phraseSearch, tableFingerprint, qlDirichlet)
 }

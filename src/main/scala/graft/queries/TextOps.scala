@@ -958,10 +958,104 @@ object TextOps {
       .limit(15)
   }
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1,
+    * adapted to the fixture's newline-free word corpus): word-count
+    * band, mean-word-length band, ≥2 required stopwords, ≥80%
+    * alphabetic words. Emits the per-rule failure funnel plus the
+    * all-rules pass rate — the corpus report a pretraining filter
+    * publishes before dropping anything. Pure map + 1-row collapse
+    * (counts are exact integers; the only doubles are per-doc
+    * single divisions compared against band constants — identical
+    * IEEE compares cross-engine). */
+  val gopherRules: Q = Q(
+    "gopher_rules",
+    """WITH t AS (SELECT string_split(text, ' ') AS ts,
+      |    length(replace(text, ' ', '')) AS nc FROM documents),
+      |r AS (SELECT len(ts) AS nw,
+      |    CAST(nc AS DOUBLE) / len(ts) AS mwl,
+      |    len(list_filter(ts, x -> x IN ('the','a','and','of','to')))
+      |      AS nstop,
+      |    len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS nalpha
+      |  FROM t)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(*) FILTER (NOT (nw BETWEEN 50 AND 100000)) AS BIGINT)
+      |    AS n_fail_wordcount,
+      |  CAST(count(*) FILTER (NOT (mwl BETWEEN 3 AND 10)) AS BIGINT)
+      |    AS n_fail_wordlen,
+      |  CAST(count(*) FILTER (nstop < 2) AS BIGINT) AS n_fail_stopword,
+      |  CAST(count(*) FILTER (nalpha * 10 < nw * 8) AS BIGINT)
+      |    AS n_fail_alpha,
+      |  CAST(count(*) FILTER (nw BETWEEN 50 AND 100000
+      |    AND mwl BETWEEN 3 AND 10 AND nstop >= 2
+      |    AND nalpha * 10 >= nw * 8) AS BIGINT) AS n_pass_all,
+      |  floor(CAST(count(*) FILTER (nw BETWEEN 50 AND 100000
+      |      AND mwl BETWEEN 3 AND 10 AND nstop >= 2
+      |      AND nalpha * 10 >= nw * 8) AS DOUBLE) / count(*)
+      |    * 1000000 + 0.5) / 1000000 AS pass_rate
+      |FROM r""".stripMargin) { (s, d) =>
+    val ts = split(col("text"), " ")
+    val r = docs(s, d).select(
+      size(ts).as("nw"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double")
+        / size(ts)).as("mwl"),
+      size(filter(ts, x => x.isin("the", "a", "and", "of", "to")))
+        .as("nstop"),
+      size(filter(ts, x => x.rlike("[a-z]"))).as("nalpha"))
+    val wcOk = col("nw").between(50, 100000)
+    val mwlOk = col("mwl").between(3, 10)
+    val stopOk = col("nstop") >= 2
+    val alphaOk = col("nalpha") * 10 >= col("nw") * 8
+    val passAll = wcOk && mwlOk && stopOk && alphaOk
+    r.agg(count(lit(1)).as("n_docs"),
+      count(when(!wcOk, 1)).as("n_fail_wordcount"),
+      count(when(!mwlOk, 1)).as("n_fail_wordlen"),
+      count(when(!stopOk, 1)).as("n_fail_stopword"),
+      count(when(!alphaOk, 1)).as("n_fail_alpha"),
+      count(when(passAll, 1)).as("n_pass_all"),
+      (floor(count(when(passAll, 1)).cast("double") / count(lit(1))
+        * 1000000 + lit(0.5)) / 1000000).as("pass_rate"))
+  }
+
+  /** Tokenizer fertility per language — subword-ish tokens per
+    * whitespace word and chars per token, the multilingual
+    * tokenizer-efficiency report (high fertility = the tokenizer
+    * fragments that language's words). Exact integer token counts per
+    * doc (token_counts' regex pre-tokenizer), one 5-group collapse,
+    * single exact divisions. */
+  val tokenFertility: Q = Q(
+    "token_fertility",
+    """WITH t AS (SELECT lang,
+      |    len(string_split(text, ' ')) AS nw,
+      |    len(regexp_extract_all(text,
+      |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS nt,
+      |    length(replace(text, ' ', '')) AS nc FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  floor(CAST(sum(CAST(nt AS BIGINT)) AS DOUBLE) / sum(CAST(nw AS BIGINT))
+      |    * 1000000 + 0.5) / 1000000 AS fertility,
+      |  floor(CAST(sum(CAST(nc AS BIGINT)) AS DOUBLE) / sum(CAST(nt AS BIGINT))
+      |    * 1000000 + 0.5) / 1000000 AS chars_per_token
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nw"),
+        size(expr(
+          "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+          .cast("long").as("nt"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (floor(sum("nt").cast("double") / sum("nw") * 1000000 + lit(0.5))
+          / 1000000).as("fertility"),
+        (floor(sum("nc").cast("double") / sum("nt") * 1000000 + lit(0.5))
+          / 1000000).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(
     wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
     dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard,
     bm25TopDocs, heavyHitters, heavyHittersMg, entropyProfile, pmiCollocations,
     bpeMergeStep, bpeTrainRounds, zipfFit, heapsLaw, markovNext, crossContam,
-    chi2Terms, jsDivergence, rakeKeywords, containmentPairs)
+    chi2Terms, jsDivergence, rakeKeywords, containmentPairs, gopherRules,
+    tokenFertility)
 }

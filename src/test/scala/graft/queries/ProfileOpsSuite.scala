@@ -95,4 +95,67 @@ class ProfileOpsSuite extends SparkSpec {
         s"${r.get(0)}: multi-quantile p50 $p50 != exact ${med(r.getString(0))}")
     }
   }
+
+  test("ql_dirichlet: matches a naive full-corpus QL score recompute") {
+    val got = SearchOps.qlDirichlet.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val qTerms = Seq("spark", "vector", "stream", "window")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val c = docs.map(_._2.length.toLong).sum.toDouble
+    val cf = qTerms.map(t =>
+      t -> docs.map(_._2.count(_ == t).toLong).sum).toMap
+    val mu = 2000.0
+    val naive = docs.map { case (id, ws) =>
+      id -> qTerms.map { t =>
+        math.log((ws.count(_ == t) + mu * cf(t) / c) / (ws.length + mu))
+      }.sum
+    }.toMap
+    // the declared query emits the global top-10; every emitted score
+    // must match the naive QL value and be among the 10 best overall
+    val top10 = naive.toSeq.sortBy { case (id, sc) => (-sc, id) }
+      .take(10).map(_._1).toSet
+    got.foreach { case (id, sc) =>
+      assert(math.abs(sc - naive(id)) < 1e-4,
+        s"doc $id: $sc vs naive ${naive(id)}")
+      assert(top10.contains(id), s"doc $id not in naive top-10")
+    }
+    assert(got.size == 10)
+  }
+
+  test("gopher_rules: funnel counts match a naive per-doc rule replay") {
+    val row = TextOps.gopherRules.run(spark, sfDir).collect().head
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val stops = Set("the", "a", "and", "of", "to")
+    val checks = docs.map { t =>
+      val ws = t.split(" ")
+      val nc = t.replace(" ", "").length
+      val wcOk = ws.length >= 50 && ws.length <= 100000
+      val mwlOk = { val m = nc.toDouble / ws.length; m >= 3 && m <= 10 }
+      val stopOk = ws.count(stops) >= 2
+      val alphaOk = ws.count(_.exists(ch => ch >= 'a' && ch <= 'z')) * 10 >=
+        ws.length * 8
+      (wcOk, mwlOk, stopOk, alphaOk)
+    }
+    assert(row.getLong(0) == docs.length.toLong)
+    assert(row.getLong(1) == checks.count(!_._1).toLong, "wordcount fails")
+    assert(row.getLong(2) == checks.count(!_._2).toLong, "wordlen fails")
+    assert(row.getLong(3) == checks.count(!_._3).toLong, "stopword fails")
+    assert(row.getLong(4) == checks.count(!_._4).toLong, "alpha fails")
+    assert(row.getLong(5) ==
+      checks.count(c => c._1 && c._2 && c._3 && c._4).toLong, "pass-all")
+  }
+
+  test("token_fertility: one row per language, fertility >= 1") {
+    val rows = TextOps.tokenFertility.run(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      // every whitespace word yields at least one regex token, so the
+      // corpus-level ratio can never dip below 1
+      assert(r.getDouble(2) >= 1.0, s"${r.getString(0)}: fertility < 1")
+      assert(r.getDouble(3) > 0)
+    }
+  }
 }
