@@ -188,7 +188,10 @@ class ScaleOpsSuite extends SparkSpec {
       "ab_srm_check",         // 1-row total broadcast onto 3 split rows
       "dow_seasonality",      // 1-row global-mean broadcast onto 7 dow rows
       "q119_assoc_rules",     // 1-row order-count broadcast onto the rule set
-      "neyman_allocation")    // 1-row grid-exact total broadcast onto 5 strata
+      "neyman_allocation",    // 1-row grid-exact total broadcast onto 5 strata
+      "cramers_v",            // 1-row (N, nr, nc) total broadcast onto <=125 cells
+      "cusum_drift",          // 1-row (N_days, T) totals broadcast onto the daily series
+      "ql_dirichlet")         // 1-row corpus-total + 1-row query-constant broadcasts
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,
