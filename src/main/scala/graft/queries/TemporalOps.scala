@@ -533,7 +533,205 @@ object TemporalOps {
         col("fin.bd").as("drift_day"))
   }
 
+  /** Kendall τ-b between daily revenue and daily event count — the
+    * rank-concordance trend test (did activity and revenue move
+    * together?) that needs no distributional assumptions. Pair
+    * classification uses SIGN LOGIC only (never the dx·dy product,
+    * which overflows BIGINT once daily deltas reach ~10¹¹ — at 100 TB
+    * they would); C/D/tie counts are exact integers and τ-b is one
+    * fixed-form double. The pair set is the CALENDAR-bounded daily
+    * series self-joined (≈365² /2 pairs at any corpus size — the
+    * non-equi join is bounded by construction, whitelisted in the
+    * cartesian sweep); the only data-sized work is the daily
+    * collapse. */
+  val kendallTau: Q = Q(
+    "kendall_tau",
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev,
+      |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+      |p AS (SELECT b.rev - a.rev AS dx, b.cnt - a.cnt AS dy
+      |      FROM daily a JOIN daily b ON a.day < b.day),
+      |c AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |    CAST(count(*) FILTER ((dx > 0 AND dy > 0)
+      |      OR (dx < 0 AND dy < 0)) AS BIGINT) AS nc,
+      |    CAST(count(*) FILTER ((dx > 0 AND dy < 0)
+      |      OR (dx < 0 AND dy > 0)) AS BIGINT) AS nd,
+      |    CAST(count(*) FILTER (dx = 0 AND dy <> 0) AS BIGINT) AS tx,
+      |    CAST(count(*) FILTER (dy = 0 AND dx <> 0) AS BIGINT) AS ty
+      |  FROM p),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+      |SELECT n_days, m AS n_pairs, nc AS n_concordant, nd AS n_discordant,
+      |  floor(CAST(nc - nd AS DOUBLE)
+      |    / sqrt(CAST(nc + nd + ty AS DOUBLE) * (nc + nd + tx))
+      |    * 1000000 + 0.5) / 1000000 AS tau_b
+      |FROM c CROSS JOIN t""".stripMargin) { (s, d) =>
+    val daily = ev(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("rev"),
+        count(lit(1)).as("cnt"))
+    val a = daily.select(col("day").as("da"), col("rev").as("ra"),
+      col("cnt").as("ca"))
+    val b = daily.select(col("day").as("db"), col("rev").as("rb"),
+      col("cnt").as("cb"))
+    val p = a.join(b, col("da") < col("db")) // bounded ~365-row sides
+      .select((col("rb") - col("ra")).as("dx"),
+        (col("cb") - col("ca")).as("dy"))
+    val c = p.agg(count(lit(1)).as("m"),
+      count(when((col("dx") > 0 && col("dy") > 0)
+        || (col("dx") < 0 && col("dy") < 0), 1)).as("nc"),
+      count(when((col("dx") > 0 && col("dy") < 0)
+        || (col("dx") < 0 && col("dy") > 0), 1)).as("nd"),
+      count(when(col("dx") === 0 && col("dy") =!= 0, 1)).as("tx"),
+      count(when(col("dy") === 0 && col("dx") =!= 0, 1)).as("ty"))
+    val t = daily.agg(count(lit(1)).as("n_days"))
+    c.crossJoin(broadcast(t)) // 1-row day count
+      .select(col("n_days"), col("m").as("n_pairs"),
+        col("nc").as("n_concordant"), col("nd").as("n_discordant"),
+        (floor((col("nc") - col("nd")).cast("double")
+          / sqrt((col("nc") + col("nd") + col("ty")).cast("double")
+            * (col("nc") + col("nd") + col("tx")))
+          * 1000000 + lit(0.5)) / 1000000).as("tau_b"))
+  }
+
+  /** Theil–Sen robust trend line over daily revenue — the median of
+    * all pairwise slopes (50% breakdown point; one wild day cannot
+    * bend it, unlike q82's least squares). Slopes are identical
+    * fixed-form doubles in both engines (exact BIGINT cent deltas over
+    * exact integer day spans); the LOWER median is a deterministic
+    * PICKED element, found by PrefixScan over slope-grouped counts —
+    * never a buffered sort. The intercept is the median residual
+    * against the ROUNDED slope (both engines use the same 1e-6 grid
+    * value, keeping residuals bit-identical). Pair set is
+    * calendar-bounded (~365²/2 at any scale); the two driver hops are
+    * PrefixScan's grand totals (bounded by design). */
+  val theilSen: Q = Q(
+    "theil_sen",
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev FROM events GROUP BY 1),
+      |dx AS (SELECT date_diff('day', DATE '1970-01-01', CAST(day AS DATE))
+      |      AS x, rev FROM daily),
+      |p AS (SELECT CAST(b.rev - a.rev AS DOUBLE) / (100.0 * (b.x - a.x))
+      |      AS sl FROM dx a JOIN dx b ON a.x < b.x),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+      |g AS (SELECT sl, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY sl),
+      |cum AS (SELECT sl, CAST(sum(c) OVER (ORDER BY sl) AS BIGINT) AS cum
+      |      FROM g),
+      |s1 AS (SELECT floor(min(sl) * 1000000 + 0.5) / 1000000 AS slope
+      |      FROM cum CROSS JOIN m WHERE cum >= (m + 1) // 2),
+      |r AS (SELECT CAST(rev AS DOUBLE) / 100 - slope * x AS res
+      |      FROM dx CROSS JOIN s1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dx),
+      |rg AS (SELECT res, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY res),
+      |rcum AS (SELECT res, CAST(sum(c) OVER (ORDER BY res) AS BIGINT)
+      |      AS cum FROM rg),
+      |s2 AS (SELECT floor(min(res) * 10000 + 0.5) / 10000 AS intercept
+      |      FROM rcum CROSS JOIN n WHERE cum >= (n + 1) // 2)
+      |SELECT n AS n_days, m AS n_pairs, slope, intercept
+      |FROM n CROSS JOIN m CROSS JOIN s1 CROSS JOIN s2""".stripMargin) {
+    (s, d) =>
+    val daily = ev(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("rev"))
+    val dx = daily.select(
+      datediff(col("day"), to_date(lit("1970-01-01"))).as("x"), col("rev"))
+    val a = dx.select(col("x").as("xa"), col("rev").as("ra"))
+    val b = dx.select(col("x").as("xb"), col("rev").as("rb"))
+    val p = a.join(b, col("xa") < col("xb")) // bounded ~365-row sides
+      .select(((col("rb") - col("ra")).cast("double")
+        / (lit(100.0) * (col("xb") - col("xa")))).as("sl"))
+    val g = p.groupBy("sl").agg(count(lit(1)).as("c"))
+    val (cum, tots) = graft.ops.PrefixScan.withCumSums(
+      g, Seq(col("sl")), Seq("c"))
+    val m = tots(0)
+    val slopeRaw = cum.filter(col("cum_c") >= (m + 1) / 2)
+      .agg(min("sl")).collect()(0).getDouble(0) // bounded driver hop
+    val slope = math.floor(slopeRaw * 1000000 + 0.5) / 1000000
+    val r = dx.select(
+      (col("rev").cast("double") / 100 - lit(slope) * col("x")).as("res"))
+    val rg = r.groupBy("res").agg(count(lit(1)).as("c"))
+    val (rcum, rtots) = graft.ops.PrefixScan.withCumSums(
+      rg, Seq(col("res")), Seq("c"))
+    val n = rtots(0)
+    rcum.filter(col("cum_c") >= (n + 1) / 2)
+      .agg(min("res").as("imin"))
+      .select(lit(n).as("n_days"), lit(m).as("n_pairs"),
+        lit(slope).as("slope"),
+        (floor(col("imin") * 10000 + lit(0.5)) / 10000).as("intercept"))
+  }
+
+  /** Wald–Wolfowitz runs test on daily revenue vs its median — "is the
+    * series random, or does it trend/cluster?" (too few runs = regime
+    * persistence; too many = oscillation). The median is a PICKED
+    * element from PrefixScan over revenue-grouped counts (q54's
+    * never-buffer-a-group discipline); signs re-index through a second
+    * PrefixScan (NOT a partition-less window — the sweep bans that
+    * form) and transitions come from an i→i+1 equi-self-join. All
+    * counts exact integers; z is one fixed-form double. Everything
+    * after the daily collapse runs on a calendar-bounded ~365-row
+    * relation. */
+  val runsTest: Q = Q(
+    "runs_test",
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev FROM events GROUP BY 1),
+      |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+      |g AS (SELECT rev, CAST(count(*) AS BIGINT) AS c FROM daily
+      |      GROUP BY rev),
+      |cum AS (SELECT rev, CAST(sum(c) OVER (ORDER BY rev) AS BIGINT) AS cum
+      |      FROM g),
+      |med AS (SELECT CAST(min(rev) AS BIGINT) AS med FROM cum CROSS JOIN n0
+      |      WHERE cum >= (n + 1) // 2),
+      |s AS (SELECT day, CASE WHEN rev > med THEN 1 ELSE 0 END AS sgn
+      |      FROM daily CROSS JOIN med WHERE rev <> med),
+      |idx AS (SELECT sgn, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+      |      AS i FROM s),
+      |tr AS (SELECT CAST(count(*) FILTER (a.sgn <> b.sgn) AS BIGINT) AS ch
+      |      FROM idx a JOIN idx b ON b.i = a.i + 1),
+      |cnts AS (SELECT CAST(count(*) FILTER (sgn = 1) AS BIGINT) AS n1,
+      |    CAST(count(*) FILTER (sgn = 0) AS BIGINT) AS n2 FROM s)
+      |SELECT n1 AS n_above, n2 AS n_below, ch + 1 AS n_runs,
+      |  floor((ch + 1 - (2.0 * n1 * n2 / (n1 + n2) + 1))
+      |    / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+      |      / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))
+      |    * 1000000 + 0.5) / 1000000 AS z_stat
+      |FROM cnts CROSS JOIN tr""".stripMargin) { (s, d) =>
+    val daily = ev(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("rev"))
+    val g = daily.groupBy("rev").agg(count(lit(1)).as("c"))
+    val (cum, tots) = graft.ops.PrefixScan.withCumSums(
+      g, Seq(col("rev")), Seq("c"))
+    val n = tots(0)
+    val med = cum.filter(col("cum_c") >= (n + 1) / 2)
+      .agg(min("rev").as("med"))
+    val sg = daily.crossJoin(broadcast(med)) // 1-row median
+      .filter(col("rev") =!= col("med"))
+      .select(col("day"), when(col("rev") > col("med"), 1).otherwise(0)
+        .as("sgn"), lit(1L).as("one"))
+    val (idx, _) = graft.ops.PrefixScan.withCumSums(
+      sg, Seq(col("day")), Seq("one"))
+    val ia = idx.select(col("sgn").as("sa"), col("cum_one").as("i"))
+    val ib = idx.select(col("sgn").as("sb"), (col("cum_one") - 1).as("j"))
+    val tr = ia.join(ib, col("i") === col("j"))
+      .agg(count(when(col("sa") =!= col("sb"), 1)).as("ch"))
+    val cnts = sg.agg(count(when(col("sgn") === 1, 1)).as("n1"),
+      count(when(col("sgn") === 0, 1)).as("n2"))
+    cnts.crossJoin(tr) // 1-row x 1-row report join
+      .select(col("n1").as("n_above"), col("n2").as("n_below"),
+        (col("ch") + 1).as("n_runs"),
+        (floor((col("ch") + 1
+          - (lit(2.0) * col("n1") * col("n2") / (col("n1") + col("n2"))
+            + 1))
+          / sqrt(lit(2.0) * col("n1") * col("n2")
+            * (lit(2.0) * col("n1") * col("n2") - col("n1") - col("n2"))
+            / ((col("n1") + col("n2")).cast("double")
+              * (col("n1") + col("n2")) * (col("n1") + col("n2") - 1)))
+          * 1000000 + lit(0.5)) / 1000000).as("z_stat"))
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
-    eventTransitions, cusumDrift)
+    eventTransitions, cusumDrift, kendallTau, theilSen, runsTest)
 }

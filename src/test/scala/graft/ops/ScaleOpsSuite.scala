@@ -191,7 +191,10 @@ class ScaleOpsSuite extends SparkSpec {
       "neyman_allocation",    // 1-row grid-exact total broadcast onto 5 strata
       "cramers_v",            // 1-row (N, nr, nc) total broadcast onto <=125 cells
       "cusum_drift",          // 1-row (N_days, T) totals broadcast onto the daily series
-      "ql_dirichlet")         // 1-row corpus-total + 1-row query-constant broadcasts
+      "ql_dirichlet",         // 1-row corpus-total + 1-row query-constant broadcasts
+      "kendall_tau",          // calendar-bounded ~365-row daily series self-pair join
+      "theil_sen",            // same bounded daily pair set + 1-row medians
+      "runs_test")            // 1-row median + 1-row x 1-row report join
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

@@ -190,6 +190,64 @@ class TemporalOpsSuite extends SparkSpec {
       s"cusum_max $cmax vs naive ${best.toDouble / nd / 100}")
   }
 
+  test("kendall_tau: matches a naive O(n^2) pair classification") {
+    val row = TemporalOps.kendallTau.run(spark, sfDir).collect().head
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("rev"),
+        count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    var (nc, nd) = (0L, 0L); var (tx, ty) = (0L, 0L)
+    for (i <- daily.indices; j <- (i + 1) until daily.length) {
+      val dx = daily(j)._1 - daily(i)._1; val dy = daily(j)._2 - daily(i)._2
+      if (dx != 0 && dy != 0) { if (dx.sign == dy.sign) nc += 1 else nd += 1 }
+      else if (dx == 0 && dy != 0) tx += 1
+      else if (dy == 0 && dx != 0) ty += 1
+    }
+    assert(row.getLong(2) == nc && row.getLong(3) == nd)
+    val naive = (nc - nd).toDouble /
+      math.sqrt((nc + nd + ty).toDouble * (nc + nd + tx))
+    assert(math.abs(row.getDouble(4) - naive) < 1e-5)
+  }
+
+  test("theil_sen: slope is the lower-median pairwise slope") {
+    val row = TemporalOps.theilSen.run(spark, sfDir).collect().head
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("rev"))
+      .select(datediff(col("day"), to_date(lit("1970-01-01"))).as("x"),
+        col("rev"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield (daily(j)._2 - daily(i)._2).toDouble /
+        (100.0 * (daily(j)._1 - daily(i)._1))).sorted
+    val k = (slopes.length + 1) / 2
+    val naive = math.floor(slopes(k - 1) * 1e6 + 0.5) / 1e6
+    assert(row.getLong(1) == slopes.length.toLong)
+    assert(math.abs(row.getDouble(2) - naive) < 1e-9,
+      s"slope ${row.getDouble(2)} vs naive $naive")
+  }
+
+  test("runs_test: runs count matches a naive sign-scan") {
+    val row = TemporalOps.runsTest.run(spark, sfDir).collect().head
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("rev"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+      .sortBy(_._1.getTime)
+    val revs = daily.map(_._2).sorted
+    val med = revs((revs.length + 1) / 2 - 1)
+    val signs = daily.map(_._2).filter(_ != med).map(_ > med)
+    val runs = 1 + signs.sliding(2).count {
+      case Array(a, b) => a != b
+      case _ => false
+    }
+    assert(row.getLong(0) == signs.count(identity).toLong)
+    assert(row.getLong(1) == signs.count(!_).toLong)
+    assert(row.getLong(2) == runs.toLong, s"runs ${row.getLong(2)} vs $runs")
+  }
+
   test("temporal windows all partition by user (no global-sort windows)") {
     for (q <- Seq(TemporalOps.intervalMerge, TemporalOps.maxConcurrency,
         TemporalOps.attribution, TemporalOps.rollingZ)) {
