@@ -507,6 +507,127 @@ object MlOps {
     out
   }
 
+  /** AMS second-frequency-moment sketch (Alon–Matias–Szegedy 1996)
+    * over the token stream, gated against the EXACT F2 = Σ c_t² —
+    * cms_freq's sibling for the self-join-size / repeat-rate moment
+    * (F2/n² is the corpus repeat probability; the sketch is 16
+    * BIGINTs however large the vocabulary). Signs are bit 15 of the
+    * portable 31-polynomial ×16 odd multipliers (all products < 2^52,
+    * exact in both engines; low-bit parity of the product left ±10%
+    * pair-correlation bias on this Zipf corpus — measured, switched);
+    * each counter Z_j = Σ ±c_t is an exact BIGINT and the estimate is
+    * the MEAN of the 16 Z² values (integer-floor-divided — the
+    * unbiased E[Z²]=F2 estimator; the classic median-of-means is
+    * ROBUST but biased low when one heavy token dominates every
+    * counter, which Zipf data guarantees). The ×16 fan-out rides the
+    * VOCAB relation, never the corpus stream. Exact side: Σc² ≤ n²
+    * needs DECIMAL past ~3e9 tokens (doc'd; BIGINT-safe here). */
+  val amsF2: Q = Q(
+    "ams_f2",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+      |      FROM documents),
+      |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok
+      |      WHERE w <> '' GROUP BY w),
+      |h AS (SELECT w, cnt,
+      |   list_aggregate(list_transform(range(0, least(length(w), 8)),
+      |     j -> ascii(substring(w, CAST(j + 1 AS INTEGER), 1))
+      |          * CAST(pow(31, j) AS BIGINT)), 'sum') % 1000003 AS hb
+      | FROM wc),
+      |sg AS (SELECT t.j, cnt,
+      |    1 - 2 * (((hb * (2654435761 + 2 * t.j)) // 32768) % 2) AS sgn
+      |  FROM h, range(0, 16) t(j)),
+      |z AS (SELECT j, CAST(sum(sgn * cnt) AS BIGINT) AS zz FROM sg
+      |      GROUP BY j),
+      |est AS (SELECT CAST(sum(zz * zz) // 16 AS BIGINT) AS f2_est FROM z),
+      |ex AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact FROM wc)
+      |SELECT f2_exact, f2_est,
+      |  floor((CAST(f2_est AS DOUBLE) - f2_exact) / f2_exact * 1000000
+      |    + 0.5) / 1000000 AS rel_err
+      |FROM ex CROSS JOIN est""".stripMargin) { (s, d) =>
+    val wc = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val h = wc.withColumn("hb", expr(
+      "aggregate(transform(sequence(0, least(length(w), 8) - 1), " +
+        "j -> ascii(substring(w, CAST(j + 1 AS INT), 1)) * CAST(pow(31, j) AS BIGINT)), " +
+        "0L, (a, x) -> a + x) % 1000003"))
+    val sg = h.select(col("cnt"),
+      posexplode(array((0 until 16).map(j =>
+        lit(1) - lit(2) * shiftright(col("hb") * (2654435761L + 2L * j), 15)
+          .bitwiseAND(1)): _*)).as(Seq("j", "sgn")))
+    val z = sg.groupBy("j").agg(sum(col("sgn") * col("cnt")).as("zz"))
+    val est = z.agg(sum(col("zz") * col("zz")).as("zs"))
+      .select(expr("zs div 16").as("f2_est"))
+    val ex = wc.agg(sum(col("cnt") * col("cnt")).as("f2_exact"))
+    ex.crossJoin(est) // 1-row x 1-row report join
+      .select(col("f2_exact"), col("f2_est"),
+        (floor((col("f2_est").cast("double") - col("f2_exact"))
+          / col("f2_exact") * 1000000 + lit(0.5)) / 1000000).as("rel_err"))
+  }
+
+  /** Top principal direction of the embedding cloud via 3 power
+    * iterations — PCA WITHOUT EVER MATERIALIZING THE d×d COVARIANCE:
+    * each round is two vocabulary-of-d-sized joins computing
+    * C·v = Σᵢ xᵢ(xᵢᵀv) directly from the (vec, dim, coord) relation,
+    * so the work is n·d per round (the covariance build's n·d² never
+    * happens — THE scale trick for wide embeddings). Determinism:
+    * coords quantize to exact BIGINTs (floor(x·2^20)), v lives on the
+    * exact 1e-6 integer grid, per-vector dots are exact BIGINT folds
+    * (≤ 6.7e13), per-dim accumulations are exact DECIMAL(38,0), and
+    * each round renormalizes by the ∞-norm (an exact max) before
+    * re-quantizing — so both engines iterate identical integer
+    * vectors. Uncentered (dominant direction of E[xxᵀ]); output is
+    * the top-10 |loading| dims. */
+  val pcaPower: Q = Q(
+    "pca_power",
+    {
+      def round(vp: String, n: Int): String =
+        s"""s$n AS (SELECT vec_id, CAST(sum(xi * vi) AS BIGINT) AS s
+           |      FROM base JOIN $vp USING (dim) GROUP BY vec_id),
+           |w$n AS (SELECT dim, sum(CAST(xi AS HUGEINT) * s) AS w
+           |      FROM base JOIN s$n USING (vec_id) GROUP BY dim),
+           |m$n AS (SELECT max(abs(w)) AS m FROM w$n),
+           |v$n AS (SELECT dim, CAST(floor(CAST(w AS DOUBLE)
+           |      / CAST(m AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vi
+           |      FROM w$n CROSS JOIN m$n)""".stripMargin
+      s"""WITH base AS (SELECT vec_id, t.j AS dim,
+         |    CAST(floor(CAST(e.embedding[t.j + 1] AS DOUBLE) * 1048576)
+         |      AS BIGINT) AS xi
+         |  FROM embeddings e, range(0, 64) t(j)),
+         |v0 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS vi
+         |      FROM base),
+         |${round("v0", 1)},
+         |${round("v1", 2)},
+         |${round("v2", 3)}
+         |SELECT dim, CAST(vi AS DOUBLE) / 1000000 AS loading
+         |FROM v3 ORDER BY abs(CAST(vi AS DOUBLE) / 1000000) DESC, dim
+         |LIMIT 10""".stripMargin
+    }) { (s, d) =>
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        floor(col("xf").cast("double") * 1048576).cast("long").as("xi"))
+    val v0 = base.select("dim").distinct()
+      .select(col("dim"), lit(1000000L).as("vi"))
+    def round(v: DataFrame): DataFrame = {
+      val sv = base.join(broadcast(v), "dim")
+        .groupBy("vec_id").agg(sum(col("xi") * col("vi")).as("s"))
+      val w = base.join(sv, "vec_id")
+        .groupBy("dim").agg(sum(col("xi").cast("decimal(38,0)") * col("s"))
+          .as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      w.crossJoin(broadcast(m)) // 1-row infinity-norm
+        .select(col("dim"),
+          floor(col("w").cast("double") / col("m").cast("double") * 1000000
+            + lit(0.5)).cast("long").as("vi"))
+    }
+    val v3 = round(round(round(v0)))
+    v3.select(col("dim"), (col("vi").cast("double") / 1000000).as("loading"))
+      .orderBy(abs(col("vi").cast("double") / 1000000).desc, col("dim"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(kmeansEmbed, clusterTopics, oovRate, cmsFreq, rpReduce,
-    embedDimProfile, bestSplit, semDedup)
+    embedDimProfile, bestSplit, semDedup, amsF2, pcaPower)
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.Tables
 
 /** Statistical pipeline audits: a distributed Naive-Bayes language
@@ -860,9 +860,108 @@ object StatOps {
           col("nc") - 1))) * 1000000 + lit(0.5)) / 1000000).as("cramers_v"))
   }
 
+  /** Two-feature OLS (order total ~ line count + total quantity) via
+    * the normal equations — the MULTIPLE-regression step up from
+    * q82's single-feature REGR_* pass. One co-keyed join + one moment
+    * scan produces the nine sufficient statistics (all exact BIGINTs
+    * except Σy², which needs DECIMAL(38,0)/HUGEINT); the 3×3 Cramer
+    * determinants and R² are then FIXED-FORM double expressions over
+    * those exact moments — identical parenthesization both engines ⇒
+    * bit-identical β̂. No driver hop, no second pass (SSE comes from
+    * the normal-equation identity Σy² − β·[Sy,S1y,S2y]). At 100 TB
+    * the join shuffle is the only data-sized stage. */
+  val multiregNormal: Q = Q(
+    "multireg_normal",
+    """WITH po AS (SELECT o.o_orderkey,
+      |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+      |    CAST(count(*) AS BIGINT) AS x1,
+      |    CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS x2
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY o.o_orderkey, o.o_totalprice),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+      |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+      |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+      |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+      |    CAST(sum(x2 * y) AS BIGINT) AS s2y,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      |  FROM po),
+      |b AS (SELECT n, sy, s1y, s2y, syy,
+      |    CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22
+      |        - CAST(s12 AS DOUBLE) * s12)
+      |      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22
+      |        - CAST(s12 AS DOUBLE) * s2)
+      |      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12
+      |        - CAST(s11 AS DOUBLE) * s2) AS dd,
+      |    CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22
+      |        - CAST(s12 AS DOUBLE) * s12)
+      |      - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22
+      |        - CAST(s12 AS DOUBLE) * s2y)
+      |      + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s12
+      |        - CAST(s11 AS DOUBLE) * s2y) AS d0,
+      |    CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22
+      |        - CAST(s12 AS DOUBLE) * s2y)
+      |      - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22
+      |        - CAST(s12 AS DOUBLE) * s2)
+      |      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y
+      |        - CAST(s1y AS DOUBLE) * s2) AS d1,
+      |    CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y
+      |        - CAST(s1y AS DOUBLE) * s12)
+      |      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y
+      |        - CAST(s1y AS DOUBLE) * s2)
+      |      + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12
+      |        - CAST(s11 AS DOUBLE) * s2) AS d2
+      |  FROM m)
+      |SELECT n,
+      |  floor(d0 / dd / 100 * 10000 + 0.5) / 10000 AS beta0,
+      |  floor(d1 / dd / 100 * 10000 + 0.5) / 10000 AS beta1,
+      |  floor(d2 / dd / 100 * 10000 + 0.5) / 10000 AS beta2,
+      |  floor((1 - (syy - d0 / dd * sy - d1 / dd * s1y - d2 / dd * s2y)
+      |    / (syy - CAST(sy AS DOUBLE) * sy / n)) * 1000000 + 0.5) / 1000000
+      |    AS r_sq
+      |FROM b""".stripMargin) { (s, d) =>
+    val po = Tables.orders(s, d).join(Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("y"))
+      .agg(count(lit(1)).as("x1"),
+        sum(floor(col("l_quantity")).cast("long")).as("x2"))
+    val m = po.agg(count(lit(1)).as("n"),
+      sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).cast("double").as("syy"))
+    def dbl(c: String): Column = col(c).cast("double")
+    val dd = dbl("n") * (dbl("s11") * col("s22") - dbl("s12") * col("s12")) -
+      dbl("s1") * (dbl("s1") * col("s22") - dbl("s12") * col("s2")) +
+      dbl("s2") * (dbl("s1") * col("s12") - dbl("s11") * col("s2"))
+    val d0 = dbl("sy") * (dbl("s11") * col("s22") - dbl("s12") * col("s12")) -
+      dbl("s1") * (dbl("s1y") * col("s22") - dbl("s12") * col("s2y")) +
+      dbl("s2") * (dbl("s1y") * col("s12") - dbl("s11") * col("s2y"))
+    val d1 = dbl("n") * (dbl("s1y") * col("s22") - dbl("s12") * col("s2y")) -
+      dbl("sy") * (dbl("s1") * col("s22") - dbl("s12") * col("s2")) +
+      dbl("s2") * (dbl("s1") * col("s2y") - dbl("s1y") * col("s2"))
+    val d2 = dbl("n") * (dbl("s11") * col("s2y") - dbl("s1y") * col("s12")) -
+      dbl("s1") * (dbl("s1") * col("s2y") - dbl("s1y") * col("s2")) +
+      dbl("sy") * (dbl("s1") * col("s12") - dbl("s11") * col("s2"))
+    m.select(col("n"),
+      (floor(d0 / dd / 100 * 10000 + lit(0.5)) / 10000).as("beta0"),
+      (floor(d1 / dd / 100 * 10000 + lit(0.5)) / 10000).as("beta1"),
+      (floor(d2 / dd / 100 * 10000 + lit(0.5)) / 10000).as("beta2"),
+      (floor((lit(1) - (col("syy") - d0 / dd * col("sy")
+          - d1 / dd * col("s1y") - d2 / dd * col("s2y"))
+        / (col("syy") - dbl("sy") * col("sy") / col("n")))
+        * 1000000 + lit(0.5)) / 1000000).as("r_sq"))
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
       dowSeasonality, weightedMedian, spearmanCorr, neymanAllocation,
-      anovaQuantity, cramersV)
+      anovaQuantity, cramersV, multiregNormal)
 }

@@ -194,7 +194,9 @@ class ScaleOpsSuite extends SparkSpec {
       "ql_dirichlet",         // 1-row corpus-total + 1-row query-constant broadcasts
       "kendall_tau",          // calendar-bounded ~365-row daily series self-pair join
       "theil_sen",            // same bounded daily pair set + 1-row medians
-      "runs_test")            // 1-row median + 1-row x 1-row report join
+      "runs_test",            // 1-row median + 1-row x 1-row report join
+      "ams_f2",               // 1-row exact x 1-row sketch report join
+      "pca_power")            // 1-row infinity-norm broadcast per iteration
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

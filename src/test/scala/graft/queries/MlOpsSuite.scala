@@ -145,4 +145,64 @@ class MlOpsSuite extends SparkSpec {
       s"E[|y|^2 / (16 |x|^2)] should concentrate near 1, got $mean")
     assert(rows.forall(r => r > 0 && r < 8), "no degenerate projections")
   }
+
+  test("ams_f2: exact F2 matches naive; sketch lands within 50%") {
+    val row = MlOps.amsF2.run(spark, sfDir).collect().head
+    val counts = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map(_._2.length.toLong)
+    val exact = counts.map(c => c * c).sum
+    assert(row.getLong(0) == exact, s"F2 ${row.getLong(0)} vs naive $exact")
+    // 16 counters give a crude estimate; the gate is order-of-magnitude
+    // sanity (the oracle pins the exact value bit-for-bit)
+    assert(math.abs(row.getDouble(2)) < 0.5,
+      s"AMS rel_err ${row.getDouble(2)} out of +-50%")
+  }
+
+  test("pca_power: iterate once more and the direction is stable") {
+    // Power iteration has converged enough when the reported top-10
+    // loading dims align with the dominant |loading| dims of the raw
+    // second-moment matrix action applied to the result vector.
+    val rows = MlOps.pcaPower.run(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val loadings = rows.map(r => (r.getLong(0), r.getDouble(1)))
+    assert(loadings.exists(l => math.abs(l._2) == 1.0),
+      "infinity-norm scaling pins the max |loading| at exactly 1")
+    val sorted = loadings.map(l => math.abs(l._2))
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b },
+      "|loading| is non-increasing down the top-10")
+    // one more full C*v application (driver-side, exact integers)
+    // must not reorder the top dims: sign-consistent dominance
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(f =>
+        math.floor(f.toDouble * 1048576).toLong))
+    val v = Array.fill(64)(0L)
+    loadings.foreach { case (d, l) => v(d.toInt) = math.round(l * 1e6) }
+    // dims outside the top-10 keep their (unreported) values; rebuild
+    // them by replaying the 3 iterations exactly
+    def iterate(v0: Array[Long]): Array[Long] = {
+      val w = Array.fill(64)(BigInt(0))
+      vecs.foreach { x =>
+        var s = 0L
+        var j = 0
+        while (j < 64) { s += x(j) * v0(j); j += 1 }
+        j = 0
+        while (j < 64) { w(j) += BigInt(x(j)) * s; j += 1 }
+      }
+      val m = w.map(_.abs).max
+      w.map(b => math.floor(b.toDouble / m.toDouble * 1e6 + 0.5).toLong)
+    }
+    val full = iterate(iterate(iterate(Array.fill(64)(1000000L))))
+    val topNaive = full.zipWithIndex.sortBy { case (l, i) =>
+      (-math.abs(l), i)
+    }.take(10).map { case (l, i) => (i.toLong, l) }
+    assert(topNaive.map(_._1).toSeq == loadings.map(_._1).toSeq,
+      s"naive replay top dims ${topNaive.map(_._1).mkString(",")} vs " +
+        s"query ${loadings.map(_._1).mkString(",")}")
+    topNaive.zip(loadings).foreach { case ((_, ln), (_, lq)) =>
+      assert(math.abs(ln / 1e6 - lq) < 2e-6, s"loading drift: $ln vs $lq")
+    }
+  }
 }

@@ -310,4 +310,39 @@ class StatOpsSuite extends SparkSpec {
     val naiveV = math.sqrt(naiveChi2 / (n * math.min(rt.size - 1, ct.size - 1)))
     assert(math.abs(v - naiveV) < 1e-5 && v >= 0 && v <= 1)
   }
+
+  test("multireg_normal: betas solve the naive normal equations") {
+    val row = StatOps.multiregNormal.run(spark, sfDir).collect().head
+    val data = graft.Tables.orders(spark, sfDir)
+      .join(graft.Tables.lineitem(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("y"))
+      .agg(count(lit(1)).as("x1"),
+        sum(floor(col("l_quantity")).cast("long")).as("x2"))
+      .collect().map(r => (r.getLong(2).toDouble, r.getLong(3).toDouble,
+        r.getLong(1).toDouble))
+    val n = data.length.toDouble
+    // solve [ [n,S1,S2], [S1,S11,S12], [S2,S12,S22] ] b = [Sy,S1y,S2y]
+    val s1 = data.map(_._1).sum; val s2 = data.map(_._2).sum
+    val sy = data.map(_._3).sum
+    val s11 = data.map(d => d._1 * d._1).sum
+    val s12 = data.map(d => d._1 * d._2).sum
+    val s22 = data.map(d => d._2 * d._2).sum
+    val s1y = data.map(d => d._1 * d._3).sum
+    val s2y = data.map(d => d._2 * d._3).sum
+    val dd = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val b0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)) / dd / 100
+    val b1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)) / dd / 100
+    val b2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)) / dd / 100
+    assert(math.abs(row.getDouble(1) - b0) < 1e-2, s"b0 ${row.getDouble(1)} vs $b0")
+    assert(math.abs(row.getDouble(2) - b1) < 1e-2, s"b1 ${row.getDouble(2)} vs $b1")
+    assert(math.abs(row.getDouble(3) - b2) < 1e-2, s"b2 ${row.getDouble(3)} vs $b2")
+    val rsq = row.getDouble(4)
+    assert(rsq > 0 && rsq <= 1, s"r_sq $rsq")
+  }
 }
