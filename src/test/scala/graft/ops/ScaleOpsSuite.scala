@@ -196,7 +196,8 @@ class ScaleOpsSuite extends SparkSpec {
       "theil_sen",            // same bounded daily pair set + 1-row medians
       "runs_test",            // 1-row median + 1-row x 1-row report join
       "ams_f2",               // 1-row exact x 1-row sketch report join
-      "pca_power")            // 1-row infinity-norm broadcast per iteration
+      "pca_power",            // 1-row infinity-norm broadcast per iteration
+      "kcore_peel")           // 1-row x 1-row per-round (nodes, edges) report
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

@@ -231,4 +231,64 @@ class AnalyticsSuite extends SparkSpec {
     assert(rows.length.toLong === nUsers)
     assert(rows.map(_.getAs[Long]("user_id")).distinct.length === rows.length)
   }
+
+  test("clustering_coeff: matches a naive adjacency-set recompute") {
+    import org.apache.spark.sql.functions._
+    val got = GraphOps.clusteringCoeff.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // naive: adjacency sets from the canonical co-purchase edges
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    got.foreach { case (node, deg, nTri, cc) =>
+      val nb = adj(node)
+      assert(deg == nb.size.toLong, s"node $node deg")
+      val naiveTri = nb.toSeq.combinations(2)
+        .count { case Seq(a, b) => edges.contains((a min b, a max b)) }
+      assert(nTri == naiveTri.toLong, s"node $node tri $nTri vs $naiveTri")
+      val naiveCc = math.floor(
+        2.0 * naiveTri / (deg.toDouble * (deg - 1)) * 1e6 + 0.5) / 1e6
+      assert(math.abs(cc - naiveCc) < 1e-9, s"node $node cc $cc vs $naiveCc")
+    }
+  }
+
+  test("kcore_peel: rounds match a naive peel and are monotone") {
+    val rows = GraphOps.kcorePeel.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    // monotone non-increasing survivors
+    assert(rows(0)._2 >= rows(1)._2 && rows(1)._2 >= rows(2)._2)
+    assert(rows(0)._3 >= rows(1)._3 && rows(1)._3 >= rows(2)._3)
+    // naive synchronous peel replay
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var es = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    // adaptive threshold: k = mean degree = 2|E|/|V| of the INITIAL graph
+    val nV = es.flatMap(e => Seq(e._1, e._2)).size
+    val k = 2L * es.size / nV
+    assert(k >= 2, s"fixture graph should be dense enough for a real peel, k=$k")
+    for (r <- 0 until 3) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, v) => n -> v.size }
+      val alive = deg.filter(_._2 >= k).keySet
+      es = es.filter(e => alive(e._1) && alive(e._2))
+      assert(rows(r)._2 == alive.size.toLong, s"round ${r + 1} nodes")
+      assert(rows(r)._3 == es.size.toLong, s"round ${r + 1} edges")
+    }
+    // the adaptive k actually bites on the fixture (a no-op peel would
+    // silently test nothing)
+    assert(rows(2)._2 < rows(0)._2 || rows(0)._2 < nV.toLong,
+      "peel removed nothing at any round")
+  }
 }
