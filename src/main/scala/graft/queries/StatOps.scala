@@ -959,9 +959,69 @@ object StatOps {
         * 1000000 + lit(0.5)) / 1000000).as("r_sq"))
   }
 
+  /** Poisson bootstrap 80% CI for the mean event value (Chamandy et
+    * al. 2012 — THE bootstrap formulation that works on a stream:
+    * resampling-with-replacement is infeasible when rows live on 1000
+    * executors, but Poisson(1) multiplicities are independent per row,
+    * so all 32 replicates ride ONE map pass). Multiplicities come from
+    * a portable multiplicative hash of event_id against the exact
+    * integer-scaled Poisson(1) CDF (every compare exact; products
+    * < 2^53); each replicate's (Σm·x, Σm) is an exact BIGINT pair and
+    * its mean ONE division, so the 32 means are bit-identical
+    * cross-engine and the CI bounds are PICKED order statistics
+    * (4th/29th), not interpolations. Shuffle state: 32 counters. */
+  val poissonBootstrap: Q = Q(
+    "poisson_bootstrap",
+    """WITH x AS (SELECT event_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+      |r AS (SELECT t.b, c,
+      |    (event_id * 2654435761 + t.b * 2246822519) % 1000003 AS u
+      |  FROM x, range(0, 32) t(b)),
+      |m AS (SELECT b, c,
+      |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+      |         WHEN u < 919699 THEN 2 WHEN u < 980985 THEN 3
+      |         WHEN u < 996341 THEN 4 ELSE 5 END AS mult FROM r),
+      |rep AS (SELECT b, CAST(sum(mult * c) AS BIGINT) AS s,
+      |        CAST(sum(mult) AS BIGINT) AS k FROM m GROUP BY b),
+      |means AS (SELECT CAST(s AS DOUBLE) / k / 100 AS mu FROM rep),
+      |ci AS (SELECT list(mu ORDER BY mu)[4] AS lo,
+      |       list(mu ORDER BY mu)[29] AS hi FROM means),
+      |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(c) AS DOUBLE) / count(*) / 100 AS mean FROM x)
+      |SELECT n_events,
+      |  floor(mean * 10000 + 0.5) / 10000 AS mean,
+      |  floor(lo * 10000 + 0.5) / 10000 AS ci_lo,
+      |  floor(hi * 10000 + 0.5) / 10000 AS ci_hi
+      |FROM pt CROSS JOIN ci""".stripMargin) { (s, d) =>
+    val x = ev(s, d).select(col("event_id"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+    val r = x.select(col("c"),
+      posexplode(array((0 until 32).map(b =>
+        (col("event_id") * 2654435761L + b.toLong * 2246822519L)
+          % 1000003): _*)).as(Seq("b", "u")))
+    val m = r.select(col("b"), col("c"),
+      when(col("u") < 367879, 0).when(col("u") < 735759, 1)
+        .when(col("u") < 919699, 2).when(col("u") < 980985, 3)
+        .when(col("u") < 996341, 4).otherwise(5).as("mult"))
+    val rep = m.groupBy("b").agg(sum(col("mult") * col("c")).as("s"),
+      sum("mult").as("k"))
+    val means = rep.select((col("s").cast("double") / col("k") / 100)
+      .as("mu"))
+    val ci = means.agg(sort_array(collect_list("mu")).as("ms"))
+      .select(element_at(col("ms"), 4).as("lo"),
+        element_at(col("ms"), 29).as("hi"))
+    val pt = x.agg(count(lit(1)).as("n_events"),
+      (sum("c").cast("double") / count(lit(1)) / 100).as("mean"))
+    pt.crossJoin(ci) // 1-row x 1-row report join
+      .select(col("n_events"),
+        (floor(col("mean") * 10000 + lit(0.5)) / 10000).as("mean"),
+        (floor(col("lo") * 10000 + lit(0.5)) / 10000).as("ci_lo"),
+        (floor(col("hi") * 10000 + lit(0.5)) / 10000).as("ci_hi"))
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
       dowSeasonality, weightedMedian, spearmanCorr, neymanAllocation,
-      anovaQuantity, cramersV, multiregNormal)
+      anovaQuantity, cramersV, multiregNormal, poissonBootstrap)
 }

@@ -731,7 +731,59 @@ object TemporalOps {
           * 1000000 + lit(0.5)) / 1000000).as("z_stat"))
   }
 
+  /** Additive seasonal decomposition of daily revenue — the classic
+    * trend/seasonal split (the DESCRIPTIVE counterpart to
+    * dow_seasonality's raw ratio index): trend = centered 7-day moving
+    * average (calendar-keyed equi-join, q109's device — no
+    * partition-less window), seasonal(dow) = mean DETRENDED value per
+    * weekday over interior days. Exactness: the detrended residual is
+    * kept ×7-SCALED (det7 = 7·rev − Σ₇rev, an exact BIGINT), so the
+    * per-dow mean is ONE division of exact integers — no double is
+    * ever summed across rows. Spec pins Σ(seasonal·n) ≈ 0 (the
+    * additive-decomposition identity). Daily collapse is the only
+    * data-sized stage; everything after is calendar-bounded. */
+  val seasonalDecompose: Q = Q(
+    "seasonal_decompose",
+    """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev FROM events GROUP BY 1),
+      |win AS (SELECT a.day, a.rev,
+      |    CAST(sum(b.rev) AS BIGINT) AS s7, CAST(count(*) AS BIGINT) AS w
+      |  FROM daily a JOIN daily b
+      |    ON b.day BETWEEN a.day - 3 AND a.day + 3
+      |  GROUP BY a.day, a.rev),
+      |det AS (SELECT dayofweek(day) + 1 AS dow, 7 * rev - s7 AS det7
+      |      FROM win WHERE w = 7),
+      |sea AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_obs,
+      |    CAST(sum(det7) AS BIGINT) AS sd FROM det GROUP BY dow)
+      |SELECT dow, n_obs,
+      |  floor(CAST(sd AS DOUBLE) / (7 * n_obs) / 100 * 10000 + 0.5) / 10000
+      |    AS seasonal
+      |FROM sea ORDER BY dow""".stripMargin) { (s, d) =>
+    val daily = ev(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("rev"))
+    val b = daily.select(col("day").as("bday"), col("rev").as("brev"))
+    // centered 7-day window via a bounded ±3-offset equi-join fan-out
+    val win = daily
+      .withColumn("o", explode(sequence(lit(-3), lit(3))))
+      .select(col("day"), col("rev"), expr("date_add(day, o)").as("nday"))
+      .join(b, col("nday") === col("bday"))
+      .groupBy("day", "rev")
+      .agg(sum("brev").as("s7"), count(lit(1)).as("w"))
+    val det = win.filter(col("w") === 7)
+      .select(dayofweek(col("day")).cast("long").as("dow"),
+        (lit(7) * col("rev") - col("s7")).as("det7"))
+    det.groupBy("dow")
+      .agg(count(lit(1)).as("n_obs"), sum("det7").as("sd"))
+      .select(col("dow"), col("n_obs"),
+        (floor(col("sd").cast("double") / (lit(7) * col("n_obs")) / 100
+          * 10000 + lit(0.5)) / 10000).as("seasonal"))
+      .orderBy("dow")
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
-    eventTransitions, cusumDrift, kendallTau, theilSen, runsTest)
+    eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
+    seasonalDecompose)
 }

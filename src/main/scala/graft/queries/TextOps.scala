@@ -1051,11 +1051,63 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Good–Turing frequency smoothing (Good 1953) over the token
+    * stream — the unseen-mass estimator under every classic LM
+    * smoother (and the quantity lm_backoff_score's fixed backoff
+    * approximates): p₀ = N₁/N is the probability the NEXT event is
+    * novel, and r* = (r+1)·S(r+1)/S(r) re-estimates each low count
+    * from the frequency-of-frequencies curve. Runs over TRIGRAMS —
+    * the fixture's unigram vocabulary is tiny and saturated (no count
+    * below 29, so unigram GT is vacuous), while the trigram space has
+    * the real Zipf tail (9.4k hapax at sf0.001). Two collapses (type
+    * counts, then count-of-counts — the second is at most √(2N) rows
+    * by a counting argument) and every output is ONE division of
+    * exact BIGINTs. Rows r = 1..5, where GT smoothing matters. */
+  val goodTuring: Q = Q(
+    "good_turing",
+    """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+      |tok AS (SELECT ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS w
+      |      FROM t, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i)
+      |        q(i)),
+      |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY w),
+      |ff AS (SELECT r, CAST(count(*) AS BIGINT) AS s FROM wc GROUP BY r),
+      |tot AS (SELECT CAST(sum(r * s) AS BIGINT) AS n,
+      |       CAST(sum(s) AS BIGINT) AS v,
+      |       CAST(sum(CASE WHEN r = 1 THEN s ELSE 0 END) AS BIGINT) AS n1
+      |  FROM ff)
+      |SELECT f.r, f.s AS n_types,
+      |  floor((f.r + 1) * CAST(COALESCE(f2.s, 0) AS DOUBLE) / f.s
+      |    * 10000 + 0.5) / 10000 AS r_star,
+      |  floor(CAST(n1 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS p_unseen
+      |FROM ff f LEFT JOIN ff f2 ON f2.r = f.r + 1 CROSS JOIN tot
+      |WHERE f.r <= 5 ORDER BY f.r""".stripMargin) { (s, d) =>
+    val wc = docs(s, d)
+      .select(split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 3), " +
+          "i -> concat_ws(' ', ts[i], ts[i + 1], ts[i + 2]))")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("r"))
+    val ff = wc.groupBy("r").agg(count(lit(1)).as("s"))
+    val tot = ff.agg(sum(col("r") * col("s")).as("n"), sum("s").as("v"),
+      sum(when(col("r") === 1, col("s")).otherwise(0L)).as("n1"))
+    val f2 = ff.select((col("r") - 1).as("r"), col("s").as("s2"))
+    ff.filter(col("r") <= 5)
+      .join(f2, Seq("r"), "left")
+      .crossJoin(broadcast(tot)) // 1-row corpus totals
+      .select(col("r"), col("s").as("n_types"),
+        (floor((col("r") + 1) * coalesce(col("s2"), lit(0L)).cast("double")
+          / col("s") * 10000 + lit(0.5)) / 10000).as("r_star"),
+        (floor(col("n1").cast("double") / col("n") * 1000000 + lit(0.5))
+          / 1000000).as("p_unseen"))
+      .orderBy("r")
+  }
+
   val all: Seq[Q] = Seq(
     wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
     dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard,
     bm25TopDocs, heavyHitters, heavyHittersMg, entropyProfile, pmiCollocations,
     bpeMergeStep, bpeTrainRounds, zipfFit, heapsLaw, markovNext, crossContam,
     chi2Terms, jsDivergence, rakeKeywords, containmentPairs, gopherRules,
-    tokenFertility)
+    tokenFertility, goodTuring)
 }

@@ -197,7 +197,9 @@ class ScaleOpsSuite extends SparkSpec {
       "runs_test",            // 1-row median + 1-row x 1-row report join
       "ams_f2",               // 1-row exact x 1-row sketch report join
       "pca_power",            // 1-row infinity-norm broadcast per iteration
-      "kcore_peel")           // 1-row x 1-row per-round (nodes, edges) report
+      "kcore_peel",           // 1-row x 1-row per-round (nodes, edges) report
+      "poisson_bootstrap",    // 1-row point estimate x 1-row CI report join
+      "good_turing")          // 1-row corpus-totals broadcast onto <=5 rows
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

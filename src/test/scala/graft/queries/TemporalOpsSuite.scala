@@ -248,6 +248,48 @@ class TemporalOpsSuite extends SparkSpec {
     assert(row.getLong(2) == runs.toLong, s"runs ${row.getLong(2)} vs $runs")
   }
 
+  test("seasonal_decompose: matches a naive centered-MA decomposition") {
+    val rows = TemporalOps.seasonalDecompose.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 7)
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("rev"))
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+      .sortBy(_._1.toString)
+    val byDay = daily.toMap
+    val cal = java.util.Calendar.getInstance(
+      java.util.TimeZone.getTimeZone("UTC"))
+    val naive = scala.collection.mutable.Map
+      .empty[Long, (Long, Long)].withDefaultValue((0L, 0L))
+    daily.foreach { case (day, rev) =>
+      val window = (-3 to 3).flatMap { o =>
+        val d2 = java.sql.Date.valueOf(day.toLocalDate.plusDays(o))
+        byDay.get(d2)
+      }
+      if (window.length == 7) {
+        cal.setTime(day)
+        val dow = cal.get(java.util.Calendar.DAY_OF_WEEK).toLong // 1=Sun
+        val det7 = 7 * rev - window.sum
+        val (n, s) = naive(dow); naive(dow) = (n + 1, s + det7)
+      }
+    }
+    rows.foreach { case (dow, nObs, seasonal) =>
+      val (n, s) = naive(dow)
+      assert(nObs == n, s"dow $dow n_obs $nObs vs $n")
+      val exp = math.floor(s.toDouble / (7 * n) / 100 * 1e4 + 0.5) / 1e4
+      assert(math.abs(seasonal - exp) < 1e-9, s"dow $dow: $seasonal vs $exp")
+    }
+    // additive identity: weighted seasonal components sum to ~0 —
+    // Σ n·s = Σ(rev − MA) over interior days, which only approaches 0
+    // as the series grows (the fixture month leaves edge residue), so
+    // the gate is "small relative to total revenue", not exact
+    val weighted = rows.map { case (_, n, sVal) => n * sVal }.sum
+    val totalRev = daily.map(_._2).sum / 100.0
+    assert(math.abs(weighted) < totalRev * 0.05,
+      s"weighted seasonal sum $weighted should be near 0 (rev $totalRev)")
+  }
+
   test("temporal windows all partition by user (no global-sort windows)") {
     for (q <- Seq(TemporalOps.intervalMerge, TemporalOps.maxConcurrency,
         TemporalOps.attribution, TemporalOps.rollingZ)) {
