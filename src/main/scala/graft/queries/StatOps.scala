@@ -1019,9 +1019,62 @@ object StatOps {
         (floor(col("hi") * 10000 + lit(0.5)) / 10000).as("ci_hi"))
   }
 
+  /** Lorenz curve deciles of customer spend — the CURVE behind
+    * gini_spend's single coefficient (which decile of customers holds
+    * what share of revenue): cumulative spend at each decile boundary
+    * of the spend-ascending customer ordering. Ranks and cumulative
+    * cents come from ONE PrefixScan over (cents, custkey) — customer
+    * keys break ties, so every rank is unique and each boundary row is
+    * a PICKED element; shares are single divisions of exact BIGINTs.
+    * The decile boundary ranks ⌊k·C/10⌋ derive from PrefixScan's
+    * grand totals (one bounded driver hop). */
+  val lorenzDeciles: Q = Q(
+    "lorenz_deciles",
+    """WITH sp AS (SELECT c_custkey,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM customer JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY c_custkey),
+      |r AS (SELECT cents,
+      |    CAST(row_number() OVER (ORDER BY cents, c_custkey) AS BIGINT)
+      |      AS rk,
+      |    CAST(sum(cents) OVER (ORDER BY cents, c_custkey) AS BIGINT)
+      |      AS cum
+      |  FROM sp),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS c,
+      |        CAST(sum(cents) AS BIGINT) AS t FROM sp),
+      |b AS (SELECT CAST(t.k AS INTEGER) AS decile, (c * t.k) // 10 AS brk
+      |      FROM tot, range(1, 11) t(k))
+      |SELECT decile, brk AS n_customers,
+      |  floor(CAST(cum AS DOUBLE) / t * 1000000 + 0.5) / 1000000
+      |    AS cum_share
+      |FROM b JOIN r ON r.rk = b.brk CROSS JOIN tot
+      |ORDER BY decile""".stripMargin) { (s, d) =>
+    val sp = Tables.customer(s, d).join(Tables.orders(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .as("cents"))
+      .select(col("c_custkey"), col("cents"), lit(1L).as("one"))
+    val (scanned, tots) = graft.ops.PrefixScan.withCumSums(
+      sp, Seq(col("cents"), col("c_custkey")), Seq("cents", "one"))
+    val (t, c) = (tots(0), tots(1))
+    val bounds = (1 to 10).map(k => c * k / 10)
+    import s.implicits._
+    val b = (1 to 10).map(k => (k, c * k / 10))
+      .toDF("decile", "brk")
+    scanned.filter(col("cum_one").isin(bounds: _*))
+      .join(broadcast(b), col("cum_one") === col("brk"))
+      .select(col("decile"), col("brk").as("n_customers"),
+        (floor(col("cum_cents").cast("double") / t * 1000000 + lit(0.5))
+          / 1000000).as("cum_share"))
+      .orderBy("decile")
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
       dowSeasonality, weightedMedian, spearmanCorr, neymanAllocation,
-      anovaQuantity, cramersV, multiregNormal, poissonBootstrap)
+      anovaQuantity, cramersV, multiregNormal, poissonBootstrap,
+      lorenzDeciles)
 }

@@ -1103,11 +1103,51 @@ object TextOps {
       .orderBy("r")
   }
 
+  /** Term burstiness (Church & Gale 1995): the variance-to-mean
+    * dispersion of each term's per-document count — the statistic that
+    * separates topical terms (bursty: absent from most docs, dense in
+    * a few) from function words (Poisson-like, D ≈ 1), which raw
+    * frequency cannot. The whole score stays ONE exact-integer
+    * division: D = Var/Mean = (N·Σtf² − cf²)/(N·cf) after multiplying
+    * through by N (zero-count docs enter via N, never materialize).
+    * Corpus crossed once; per-term moments are a vocab-sized
+    * map-side-partial collapse; top-15 among terms with cf ≥ 100,
+    * floor-rounded BEFORE ranking. */
+  val termBurstiness: Q = Q(
+    "term_burstiness",
+    """WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |      FROM documents),
+      |dt AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tf
+      |      WHERE w <> '' GROUP BY w, doc_id),
+      |m AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cf,
+      |      CAST(sum(tf * tf) AS BIGINT) AS s2 FROM dt GROUP BY w),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+      |SELECT w, cf,
+      |  floor(CAST(nd * s2 - cf * cf AS DOUBLE) / (nd * cf)
+      |    * 1000000 + 0.5) / 1000000 AS burstiness
+      |FROM m CROSS JOIN n WHERE cf >= 100
+      |ORDER BY burstiness DESC, w LIMIT 15""".stripMargin) { (s, d) =>
+    val dt = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+    val m = dt.groupBy("w").agg(sum("tf").as("cf"),
+      sum(col("tf") * col("tf")).as("s2"))
+    val n = docs(s, d).agg(count(lit(1)).as("nd"))
+    m.crossJoin(broadcast(n)) // 1-row doc count
+      .filter(col("cf") >= 100)
+      .select(col("w"), col("cf"),
+        (floor((col("nd") * col("s2") - col("cf") * col("cf")).cast("double")
+          / (col("nd") * col("cf")) * 1000000 + lit(0.5)) / 1000000)
+          .as("burstiness"))
+      .orderBy(col("burstiness").desc, col("w")).limit(15)
+  }
+
   val all: Seq[Q] = Seq(
     wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
     dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard,
     bm25TopDocs, heavyHitters, heavyHittersMg, entropyProfile, pmiCollocations,
     bpeMergeStep, bpeTrainRounds, zipfFit, heapsLaw, markovNext, crossContam,
     chi2Terms, jsDivergence, rakeKeywords, containmentPairs, gopherRules,
-    tokenFertility, goodTuring)
+    tokenFertility, goodTuring, termBurstiness)
 }

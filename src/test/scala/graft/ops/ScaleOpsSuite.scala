@@ -199,7 +199,9 @@ class ScaleOpsSuite extends SparkSpec {
       "pca_power",            // 1-row infinity-norm broadcast per iteration
       "kcore_peel",           // 1-row x 1-row per-round (nodes, edges) report
       "poisson_bootstrap",    // 1-row point estimate x 1-row CI report join
-      "good_turing")          // 1-row corpus-totals broadcast onto <=5 rows
+      "good_turing",          // 1-row corpus-totals broadcast onto <=5 rows
+      "term_burstiness",      // 1-row doc-count broadcast onto the vocab relation
+      "markov_stationary")    // 1-row state-count broadcast onto <=5 states
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

@@ -174,6 +174,28 @@ class ProfileOpsSuite extends SparkSpec {
     }
   }
 
+  test("term_burstiness: matches naive dispersion; bursty beats uniform") {
+    val rows = TextOps.termBurstiness.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 15)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0).split(" ").toSeq)
+    val nd = docs.length.toLong
+    rows.foreach { case (w, cf, d) =>
+      val tfs = docs.map(_.count(_ == w).toLong)
+      assert(cf == tfs.sum, s"$w cf")
+      val s2 = tfs.map(t => t * t).sum
+      val exp = math.floor(
+        (nd * s2 - cf * cf).toDouble / (nd * cf) * 1e6 + 0.5) / 1e6
+      assert(math.abs(d - exp) < 1e-9, s"$w: $d vs $exp")
+      // dispersion can never fall below the binomial floor of 0 and the
+      // ranking keeps it descending
+      assert(d >= 0)
+    }
+    val ds = rows.map(_._3)
+    ds.zip(ds.tail).foreach { case (a, b) => assert(a >= b) }
+  }
+
   test("token_fertility: one row per language, fertility >= 1") {
     val rows = TextOps.tokenFertility.run(spark, sfDir).collect()
     assert(rows.length == 5)

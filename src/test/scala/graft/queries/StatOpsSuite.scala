@@ -374,4 +374,34 @@ class StatOpsSuite extends SparkSpec {
     reps.foreach(m => assert(math.abs(m - mean) < mean * 0.5,
       s"replicate mean $m implausibly far from $mean"))
   }
+
+  test("lorenz_deciles: monotone convex shares matching a naive sort") {
+    val rows = StatOps.lorenzDeciles.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.length == 10)
+    // final decile holds everything
+    assert(math.abs(rows.last._3 - 1.0) < 1e-9)
+    // shares strictly increase and the curve is convex (Lorenz property)
+    val shares = rows.map(_._3)
+    shares.zip(shares.tail).foreach { case (a, b) => assert(a < b) }
+    val gaps = (0.0 +: shares).sliding(2).map(w => w(1) - w(0)).toSeq
+    gaps.zip(gaps.tail).foreach { case (a, b) =>
+      assert(b >= a - 1e-9, "Lorenz increments must be non-decreasing")
+    }
+    // naive replay
+    val spend = graft.Tables.customer(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .as("cents"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted
+    val total = spend.map(_._1).sum.toDouble
+    val cum = spend.map(_._1).scanLeft(0L)(_ + _).tail
+    rows.foreach { case (k, nCust, share) =>
+      assert(nCust == spend.length.toLong * k / 10)
+      val exp = math.floor(cum(nCust.toInt - 1) / total * 1e6 + 0.5) / 1e6
+      assert(math.abs(share - exp) < 1e-9, s"decile $k: $share vs $exp")
+    }
+  }
 }

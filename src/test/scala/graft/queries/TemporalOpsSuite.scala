@@ -290,6 +290,24 @@ class TemporalOpsSuite extends SparkSpec {
       s"weighted seasonal sum $weighted should be near 0 (rev $totalRev)")
   }
 
+  test("markov_stationary: pi is a distribution near its own next step") {
+    val pi = TemporalOps.markovStationary.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pi.values.sum - 1.0) < 1e-4, s"sum ${pi.values.sum}")
+    pi.values.foreach(v => assert(v > 0 && v < 1))
+    // apply one more pi <- pi P step driver-side from the transition
+    // matrix; after 3 iterations the chain should be near-stationary
+    val trans = TemporalOps.eventTransitions.run(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3)))
+    val next = trans.groupBy(_._1._2).map { case (state, cells) =>
+      state -> cells.map { case ((cur, _), p) => pi.getOrElse(cur, 0.0) * p }.sum
+    }
+    next.foreach { case (state, v) =>
+      assert(math.abs(v - pi(state)) < 0.02,
+        s"$state: pi=${pi(state)} vs next-step $v — not near stationary")
+    }
+  }
+
   test("temporal windows all partition by user (no global-sort windows)") {
     for (q <- Seq(TemporalOps.intervalMerge, TemporalOps.maxConcurrency,
         TemporalOps.attribution, TemporalOps.rollingZ)) {
