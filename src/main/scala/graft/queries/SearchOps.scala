@@ -154,5 +154,83 @@ object SearchOps {
       .orderBy(col("score").desc, col("doc_id")).limit(10)
   }
 
-  val all: Seq[Q] = Seq(phraseSearch, tableFingerprint, qlDirichlet)
+  /** Entity-resolution near-match over part names with the native
+    * TRUE Damerau–Levenshtein expression (graft.functions
+    * .DamerauLevenshtein — unrestricted transpositions, the variant
+    * q70's plain levenshtein under-scores on swapped tokens; DuckDB's
+    * damerau_levenshtein is the same TRUE metric, so the integer
+    * distances gate bit-for-bit). Blocking: names collapse to their
+    * DISTINCT forms (a data-constant vocabulary — the adjective×noun
+    * grid), pair within the same last-token block via a plain
+    * equi-join, score with the codegen'd expression, keep dl ≤ 3.
+    * Per-name part counts ride along so a merge step knows each
+    * cluster's weight. The expression is the SCORER; the blocked
+    * equi-join is the bounded candidate generator — the ER discipline
+    * that survives 100 TB (never all-pairs, never a cartesian). */
+  val dlMatch: Q = Q(
+    "dl_match",
+    """WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+      |      FROM part GROUP BY p_name),
+      |blk AS (SELECT p_name, n_parts,
+      |      string_split(p_name, ' ')[-1] AS block FROM names)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  a.n_parts AS n_a, b.n_parts AS n_b,
+      |  CAST(damerau_levenshtein(a.p_name, b.p_name) AS INTEGER) AS dl
+      |FROM blk a JOIN blk b
+      |  ON a.block = b.block AND a.p_name < b.p_name
+      |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY dl, name_a, name_b LIMIT 20""".stripMargin) { (s, d) =>
+    val names = Tables.part(s, d)
+      .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+    val blk = names.select(col("p_name"), col("n_parts"),
+      element_at(split(col("p_name"), " "), -1).as("block"))
+    val a = blk.select(col("p_name").as("name_a"), col("n_parts").as("n_a"),
+      col("block").as("ba"))
+    val b = blk.select(col("p_name").as("name_b"), col("n_parts").as("n_b"),
+      col("block").as("bb"))
+    val dl = graft.functions.DamerauLevenshtein
+      .dl(col("name_a"), col("name_b"))
+    a.join(b, col("ba") === col("bb") && col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
+        dl.as("dl"))
+      .filter(col("dl") <= 3)
+      .orderBy(col("dl"), col("name_a"), col("name_b")).limit(20)
+  }
+
+  /** Jaro–Winkler name matching with the native graft_jaro_winkler
+    * expression — the census-bureau scorer for SHORT names where edit
+    * distance over-penalizes (dl_match's complement: DL counts edits,
+    * JW rewards shared prefixes and tolerates transpositions
+    * smoothly). Same ER discipline, opposite block: pairs share their
+    * FIRST token (adjective) where dl_match blocked on the last
+    * (noun), so the two queries exercise different candidate
+    * generators over the same bounded name vocabulary. Scores
+    * floor-round to the 1e-6 grid BEFORE ranking (the integer m/t
+    * counts make both engines' jaro equal to the last ulp; the grid
+    * absorbs library-order residue). */
+  val jwMatch: Q = Q(
+    "jw_match",
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+      |blk AS (SELECT p_name, string_split(p_name, ' ')[1] AS block
+      |      FROM names)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000 + 0.5)
+      |    / 1000000 AS jw
+      |FROM blk a JOIN blk b
+      |  ON a.block = b.block AND a.p_name < b.p_name
+      |ORDER BY jw DESC, name_a, name_b LIMIT 20""".stripMargin) { (s, d) =>
+    val names = Tables.part(s, d).select("p_name").distinct()
+    val blk = names.select(col("p_name"),
+      element_at(split(col("p_name"), " "), 1).as("block"))
+    val a = blk.select(col("p_name").as("name_a"), col("block").as("ba"))
+    val b = blk.select(col("p_name").as("name_b"), col("block").as("bb"))
+    a.join(b, col("ba") === col("bb") && col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        (floor(graft.functions.JaroWinkler.jw(col("name_a"), col("name_b"))
+          * 1000000 + lit(0.5)) / 1000000).as("jw"))
+      .orderBy(col("jw").desc, col("name_a"), col("name_b")).limit(20)
+  }
+
+  val all: Seq[Q] = Seq(phraseSearch, tableFingerprint, qlDirichlet, dlMatch,
+    jwMatch)
 }
