@@ -1071,10 +1071,109 @@ object StatOps {
       .orderBy("decile")
   }
 
+  /** RFM segmentation — the classic customer-value grid: quintile each
+    * of Recency (last order date), Frequency (order count), Monetary
+    * (total cents) and report the biggest R·100+F·10+M segments. All
+    * three quintile passes run through graft.ops.DistributedNtile
+    * (range-shuffled global rank + SQL-standard bucket formula — q23's
+    * operator, so the partition-less `ntile OVER ()` scale-killer
+    * never appears); (value, custkey) total orders make every bucket
+    * deterministic. Segment stats are exact-integer counts + one
+    * division. */
+  val rfmSegments: Q = Q(
+    "rfm_segments",
+    """WITH rfm AS (SELECT c_custkey, max(o_orderdate) AS last_ts,
+      |    CAST(count(*) AS BIGINT) AS f,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS m
+      |  FROM customer JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY c_custkey),
+      |q AS (SELECT c_custkey, m,
+      |    CAST(ntile(5) OVER (ORDER BY last_ts, c_custkey) AS INTEGER)
+      |      AS r_q,
+      |    CAST(ntile(5) OVER (ORDER BY f, c_custkey) AS INTEGER) AS f_q,
+      |    CAST(ntile(5) OVER (ORDER BY m, c_custkey) AS INTEGER) AS m_q
+      |  FROM rfm)
+      |SELECT r_q * 100 + f_q * 10 + m_q AS segment,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  floor(CAST(sum(m) AS DOUBLE) / count(*) / 100 * 100 + 0.5) / 100
+      |    AS avg_spend
+      |FROM q GROUP BY 1
+      |ORDER BY n_customers DESC, segment LIMIT 15""".stripMargin) { (s, d) =>
+    val rfm = Tables.customer(s, d).join(Tables.orders(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey")
+      .agg(max("o_orderdate").as("last_ts"), count(lit(1)).as("f"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("m"))
+    val d1 = graft.ops.DistributedNtile.ntile(rfm,
+        Seq(col("last_ts"), col("c_custkey")), 5)
+      .withColumnRenamed("bucket", "r_q")
+    val d2 = graft.ops.DistributedNtile.ntile(d1,
+        Seq(col("f"), col("c_custkey")), 5)
+      .withColumnRenamed("bucket", "f_q")
+    val d3 = graft.ops.DistributedNtile.ntile(d2,
+        Seq(col("m"), col("c_custkey")), 5)
+      .withColumnRenamed("bucket", "m_q")
+    d3.groupBy((col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+        .as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (floor(sum("m").cast("double") / count(lit(1)) / 100 * 100
+          + lit(0.5)) / 100).as("avg_spend"))
+      .orderBy(col("n_customers").desc, col("segment")).limit(15)
+  }
+
+  /** ABC inventory classification — Pareto classes over part revenue
+    * (A: parts whose PRECEDING cumulative share is under 80%, B under
+    * 95%, C the tail): the revenue-descending cumulative rides ONE
+    * PrefixScan (sort key = negated cents + partkey tie-break — same
+    * total order as `ORDER BY cents DESC`), and each class test is an
+    * exact integer cross-multiplication ((cum−rev)·5 < total·4), no
+    * share division until the report row. At ~10⁴× this revenue the
+    * ×20 products need DECIMAL compares (doc'd). */
+  val abcClass: Q = Q(
+    "abc_class",
+    """WITH rev AS (SELECT l_partkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY l_partkey),
+      |cum AS (SELECT l_partkey, cents,
+      |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey)
+      |      AS BIGINT) AS cum
+      |  FROM rev),
+      |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+      |cls AS (SELECT cents,
+      |    CASE WHEN (cum - cents) * 5 < t * 4 THEN 'A'
+      |         WHEN (cum - cents) * 20 < t * 19 THEN 'B'
+      |         ELSE 'C' END AS abc
+      |  FROM cum CROSS JOIN tot)
+      |SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+      |  floor(CAST(sum(cents) AS DOUBLE) / (SELECT t FROM tot)
+      |    * 1000000 + 0.5) / 1000000 AS rev_share
+      |FROM cls GROUP BY abc ORDER BY abc""".stripMargin) { (s, d) =>
+    val rev = Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("cents"))
+      .select(col("l_partkey"), col("cents"), (-col("cents")).as("negc"))
+    val (cum, tots) = graft.ops.PrefixScan.withCumSums(
+      rev, Seq(col("negc"), col("l_partkey")), Seq("cents"))
+    val t = tots(0)
+    cum.select(col("cents"),
+        when((col("cum_cents") - col("cents")) * 5 < t * 4L, "A")
+          .when((col("cum_cents") - col("cents")) * 20 < t * 19L, "B")
+          .otherwise("C").as("abc"))
+      .groupBy("abc")
+      .agg(count(lit(1)).as("n_parts"),
+        (floor(sum("cents").cast("double") / t * 1000000 + lit(0.5))
+          / 1000000).as("rev_share"))
+      .orderBy("abc")
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
       dowSeasonality, weightedMedian, spearmanCorr, neymanAllocation,
       anovaQuantity, cramersV, multiregNormal, poissonBootstrap,
-      lorenzDeciles)
+      lorenzDeciles, rfmSegments, abcClass)
 }

@@ -792,6 +792,40 @@ object TemporalOps {
     * each π update folds its ≤5 terms in cur-sorted order (Spark
     * sorted-struct aggregate ≡ DuckDB ordered list_aggregate — the
     * nb_langid discipline), so both engines chain identical doubles. */
+  /** Transition matrix P(cur→nxt) of the event-type chain — exact
+    * count ratios; shared by markov_stationary / entropy_rate. */
+  private def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val c = ev(s, d)
+      .select(col("event_type").as("cur"),
+        lead("event_type", 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+    val t = c.groupBy(col("cur").as("tcur")).agg(sum("n").as("tn"))
+    c.join(broadcast(t), col("cur") === col("tcur"))
+      .select(col("cur"), col("nxt"),
+        (col("n").cast("double") / col("tn")).as("p"))
+  }
+
+  /** Three synchronous π ← πP updates from uniform (cur-sorted folds —
+    * identical double chains cross-engine). Returns (state, pi). */
+  private def stationaryPi(p: DataFrame): DataFrame = {
+    val k = p.agg(countDistinct("cur").as("k"))
+    val pi0 = p.select(col("cur").as("state")).distinct()
+      .crossJoin(broadcast(k)) // 1-row state count
+      .select(col("state"), (lit(1.0) / col("k")).as("pi"))
+    def step(prev: DataFrame): DataFrame =
+      p.join(broadcast(prev), col("state") === col("cur"))
+        .groupBy(col("nxt").as("state2"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("cur"), (col("pi") * col("p"))
+            .as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")).as("pi"))
+        .select(col("state2").as("state"), col("pi"))
+    step(step(step(pi0)))
+  }
+
   val markovStationary: Q = Q(
     "markov_stationary",
     {
@@ -818,37 +852,74 @@ object TemporalOps {
          |SELECT state, floor(pi * 1000000 + 0.5) / 1000000 AS pi
          |FROM pi3 ORDER BY state""".stripMargin
     }) { (s, d) =>
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts", "event_id")
-    val c = ev(s, d)
-      .select(col("event_type").as("cur"),
-        lead("event_type", 1).over(w).as("nxt"))
-      .filter(col("nxt").isNotNull)
-      .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
-    val t = c.groupBy(col("cur").as("tcur")).agg(sum("n").as("tn"))
-    val p = c.join(broadcast(t), col("cur") === col("tcur"))
-      .select(col("cur"), col("nxt"),
-        (col("n").cast("double") / col("tn")).as("p"))
-    val k = p.agg(countDistinct("cur").as("k"))
-    val pi0 = p.select(col("cur").as("state")).distinct()
-      .crossJoin(broadcast(k)) // 1-row state count
-      .select(col("state"), (lit(1.0) / col("k")).as("pi"))
-    def step(prev: DataFrame): DataFrame =
-      p.join(broadcast(prev), col("state") === col("cur"))
-        .groupBy(col("nxt").as("state2"))
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("cur"), (col("pi") * col("p"))
-            .as("v")))),
-          lit(0.0), (acc, x) => acc + x.getField("v")).as("pi"))
-        .select(col("state2").as("state"), col("pi"))
-    val pi3 = step(step(step(pi0)))
-    pi3.select(col("state"),
-      (floor(col("pi") * 1000000 + lit(0.5)) / 1000000).as("pi"))
+    stationaryPi(transitionMatrix(s, d))
+      .select(col("state"),
+        (floor(col("pi") * 1000000 + lit(0.5)) / 1000000).as("pi"))
       .orderBy("state")
+  }
+
+  /** Entropy rate of the event-type Markov chain — bits of surprise
+    * per step at stationarity, H = −Σ π(cur)·p·log₂p: the single
+    * number answering "how predictable is user behavior" (efficiency
+    * = H/log₂k is the fraction of maximum randomness). Reuses the
+    * shared transition matrix + stationary π; the ≤25 per-cell terms
+    * fold (cur, nxt)-sorted so both engines chain identical doubles;
+    * log₂ parity holds as the ln parity the corpus establishes
+    * (lm_perplexity) divided by a constant. */
+  val entropyRate: Q = Q(
+    "entropy_rate",
+    {
+      def step(prev: String, n: Int): String =
+        s"""pi$n AS (SELECT nxt AS state,
+           |    list_aggregate(list(pi * p ORDER BY cur), 'sum') AS pi
+           |  FROM p JOIN $prev ON $prev.state = p.cur GROUP BY nxt)"""
+          .stripMargin
+      s"""WITH w AS (SELECT event_type AS cur,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS nxt
+         |  FROM events),
+         |c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n FROM w
+         |      WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY cur),
+         |p AS (SELECT c.cur, c.nxt, CAST(c.n AS DOUBLE) / t.tn AS p
+         |      FROM c JOIN t ON t.cur = c.cur),
+         |k AS (SELECT CAST(count(DISTINCT cur) AS BIGINT) AS k FROM p),
+         |pi0 AS (SELECT DISTINCT cur AS state,
+         |      1.0 / (SELECT k FROM k) AS pi FROM p),
+         |${step("pi0", 1)},
+         |${step("pi1", 2)},
+         |${step("pi2", 3)},
+         |cells AS (SELECT p.cur AS cur, p.nxt AS nxt,
+         |      pi3.pi * p.p * log2(p.p) AS term
+         |    FROM p JOIN pi3 ON pi3.state = p.cur),
+         |h AS (SELECT -list_aggregate(list(term ORDER BY cur, nxt), 'sum')
+         |      AS h FROM cells)
+         |SELECT floor(h * 1000000 + 0.5) / 1000000 AS entropy_rate,
+         |  floor(log2(k) * 1000000 + 0.5) / 1000000 AS max_entropy,
+         |  floor(h / log2(k) * 1000000 + 0.5) / 1000000 AS efficiency
+         |FROM h CROSS JOIN k""".stripMargin
+    }) { (s, d) =>
+    val p = transitionMatrix(s, d)
+    val pi = stationaryPi(p)
+    val k = p.agg(countDistinct("cur").as("k"))
+    val h = p.join(broadcast(pi), col("state") === col("cur"))
+      .select(col("cur"), col("nxt"),
+        (col("pi") * col("p") * log2(col("p"))).as("term"))
+      .agg((-aggregate(
+        array_sort(collect_list(struct(col("cur"), col("nxt"),
+          col("term").as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v"))).as("h"))
+    h.crossJoin(broadcast(k)) // 1-row state count
+      .select(
+        (floor(col("h") * 1000000 + lit(0.5)) / 1000000).as("entropy_rate"),
+        (floor(log2(col("k")) * 1000000 + lit(0.5)) / 1000000)
+          .as("max_entropy"),
+        (floor(col("h") / log2(col("k")) * 1000000 + lit(0.5)) / 1000000)
+          .as("efficiency"))
   }
 
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
-    seasonalDecompose, markovStationary)
+    seasonalDecompose, markovStationary, entropyRate)
 }

@@ -201,7 +201,8 @@ class ScaleOpsSuite extends SparkSpec {
       "poisson_bootstrap",    // 1-row point estimate x 1-row CI report join
       "good_turing",          // 1-row corpus-totals broadcast onto <=5 rows
       "term_burstiness",      // 1-row doc-count broadcast onto the vocab relation
-      "markov_stationary")    // 1-row state-count broadcast onto <=5 states
+      "markov_stationary",    // 1-row state-count broadcast onto <=5 states
+      "entropy_rate")         // 1-row state-count + 1-row fold-result report
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

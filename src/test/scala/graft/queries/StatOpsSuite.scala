@@ -404,4 +404,48 @@ class StatOpsSuite extends SparkSpec {
       assert(math.abs(share - exp) < 1e-9, s"decile $k: $share vs $exp")
     }
   }
+
+  test("rfm_segments: codes are valid quintile triples, counts bounded") {
+    val rows = StatOps.rfmSegments.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty && rows.length <= 15)
+    rows.foreach { case (seg, n, avg) =>
+      val (r, f, m) = (seg / 100, seg / 10 % 10, seg % 10)
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5,
+        s"segment $seg is not a quintile triple")
+      assert(n > 0 && avg > 0)
+    }
+    // ranked by size descending
+    val ns = rows.map(_._2)
+    ns.zip(ns.tail).foreach { case (a, b) => assert(a >= b) }
+    val nCust = graft.Tables.customer(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_custkey").distinct().count()
+    assert(ns.sum <= nCust)
+  }
+
+  test("abc_class: matches a naive descending-cumulative classification") {
+    val rows = StatOps.abcClass.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("A", "B", "C"))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "shares sum to 1")
+    val revs = graft.Tables.lineitem(spark, sfDir)
+      .groupBy("l_partkey")
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (pk, c) => (-c, pk) }
+    val t = revs.map(_._2).sum
+    var cum = 0L
+    val naive = revs.map { case (_, c) =>
+      cum += c
+      if ((cum - c) * 5 < t * 4) "A"
+      else if ((cum - c) * 20 < t * 19) "B" else "C"
+    }
+    Seq("A", "B", "C").zip(rows).foreach { case (cls, (got, n, _)) =>
+      assert(got == cls && n == naive.count(_ == cls).toLong,
+        s"$cls: $n vs ${naive.count(_ == cls)}")
+    }
+  }
 }

@@ -308,6 +308,23 @@ class TemporalOpsSuite extends SparkSpec {
     }
   }
 
+  test("entropy_rate: bounded by log2(k) and matches a naive recompute") {
+    val row = TemporalOps.entropyRate.run(spark, sfDir).collect().head
+    val (h, hMax, eff) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    assert(h > 0 && h <= hMax + 1e-9, s"H=$h must be in (0, $hMax]")
+    assert(math.abs(eff - h / hMax) < 1e-4)
+    val pi = TemporalOps.markovStationary.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val trans = TemporalOps.eventTransitions.run(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3)))
+    val naive = -trans.map { case ((cur, _), p) =>
+      pi(cur) * p * (math.log(p) / math.log(2))
+    }.sum
+    // pi and p are rounded to 1e-6 in the declared outputs, so the
+    // driver-side replay agrees only to ~1e-4
+    assert(math.abs(h - naive) < 1e-3, s"H $h vs naive $naive")
+  }
+
   test("temporal windows all partition by user (no global-sort windows)") {
     for (q <- Seq(TemporalOps.intervalMerge, TemporalOps.maxConcurrency,
         TemporalOps.attribution, TemporalOps.rollingZ)) {
