@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Properties + plan pins for the model-evaluation batch (EvalOps):
+  * exact rank-sum AUC, the PR threshold sweep, and retrieval nDCG@10. */
+class EvalOpsSuite extends SparkSpec {
+
+  test("auc_roc: AUC in [0,1], gini = 2*auc - 1, counts cover the corpus") {
+    val r = EvalOps.aucRoc.run(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (nPos, nNeg) = (r(0).getLong(0), r(0).getLong(1))
+    val (auc, gini) = (r(0).getDouble(2), r(0).getDouble(3))
+    val nDocs = graft.Tables.documents(spark, sfDir)
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(nPos > 0 && nNeg > 0 && nPos + nNeg == nDocs,
+      s"every non-empty doc is scored: $nPos + $nNeg vs $nDocs")
+    assert(auc >= 0.0 && auc <= 1.0)
+    // both derive from the same exact integer; only rounding separates them
+    assert(math.abs(gini - (2 * auc - 1)) < 3e-6, s"gini $gini vs auc $auc")
+  }
+
+  test("auc_roc equals the O(n^2) pair-counting definition") {
+    // AUC = (#concordant + 0.5 * #ties) / (n_pos * n_neg) over ALL
+    // pos x neg pairs — brute-forced driver-side at sf0.001 (500 docs).
+    val ts = filter(split(col("text"), " "), x => x =!= "")
+    val scored = graft.Tables.documents(spark, sfDir)
+      .select(col("lang"), size(ts).as("n"),
+        graft.functions.GraftFunctions.linearScore(col("text"), 1024).as("raw"))
+      .filter(col("n") > 0)
+      .select((col("raw") / col("n")).as("v"),
+        (col("lang") === "en").as("pos"))
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    var num = 0.0
+    for (p <- pos; q <- neg)
+      num += (if (p > q) 1.0 else if (p == q) 0.5 else 0.0)
+    val expected = num / (pos.length.toDouble * neg.length)
+    val auc = EvalOps.aucRoc.run(spark, sfDir).collect()(0).getDouble(2)
+    assert(math.abs(auc - expected) < 2e-6, s"$auc vs naive $expected")
+  }
+
+  test("pr_curve: 11 thresholds, monotone counts, consistent totals") {
+    val rows = EvalOps.prCurve.run(spark, sfDir).collect()
+    assert(rows.length == 11)
+    assert(rows.map(_.getInt(0)).toSeq == (-5 to 5))
+    val nPos = rows.map(r => r.getLong(1) + r.getLong(3)).distinct
+    assert(nPos.length == 1, s"tp + fn is the constant positive count: $nPos")
+    // raising the threshold can only shrink the predicted-positive set
+    val predicted = rows.map(r => r.getLong(1) + r.getLong(2)).toSeq
+    assert(predicted == predicted.sorted.reverse, s"monotone: $predicted")
+    val tps = rows.map(_.getLong(1)).toSeq
+    assert(tps == tps.sorted.reverse)
+    rows.foreach { r =>
+      val recall = r.getDouble(5)
+      assert(recall >= 0 && recall <= 1)
+    }
+  }
+
+  test("ndcg_retrieval: 20 queries, ndcg in [0,1], dcg <= idcg") {
+    val rows = EvalOps.ndcgRetrieval.run(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (nRel, dcg, idcg, ndcg) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(nRel >= 0 && nRel <= 10)
+      assert(dcg >= 0 && idcg > 0)
+      assert(dcg <= idcg + 2e-6, s"ideal ranking bounds the real one: $r")
+      assert(ndcg >= 0 && ndcg <= 1 + 2e-6)
+      // top rank discount is 1: a query with k relevant hits in top-10
+      // has dcg at least its worst possible placement value
+      if (nRel == 0) assert(dcg == 0.0)
+    }
+  }
+
+  test("ndcg plan: query side broadcasts, corpus scanned once") {
+    val df = EvalOps.ndcgRetrieval.run(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), "bounded query set broadcasts")
+  }
+}
