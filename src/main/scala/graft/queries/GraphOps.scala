@@ -604,7 +604,67 @@ object GraphOps {
     trajectory.toDF("round", "n_nodes", "n_edges").orderBy("round")
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the part–supplier
+    * bipartite graph: parts are hubs, suppliers authorities, and two
+    * full mutual-reinforcement rounds run UNNORMALIZED so every score
+    * is an EXACT BIGINT (h₀=1 → a₁=deg → h₁=Σdeg → a₂=Σh₁ → h₂=Σa₂ —
+    * bounded by deg³·|V|, far inside int64 at any fixture scale;
+    * normalization is two final divisions by the broadcast maxima, so
+    * no float ever enters the iteration, sidestepping pagerank's
+    * drift-rounding discipline entirely). Plan shape: ONE distinct
+    * edge materialization, then each half-round is an equi-join of the
+    * edge list against the ≤|V|-row score vector + a partial-agg
+    * groupBy — the same co-located-join budget as pagerank, ping-
+    * ponging between the p- and s-keyed partitionings the bipartite
+    * structure forces. Top-10 per role + 1-row max broadcasts for the
+    * normalized report. */
+  val hitsScores: Q = Q(
+    "hits_scores",
+    """WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      |           FROM lineitem),
+      |a1 AS (SELECT s, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY s),
+      |h1 AS (SELECT e.p, CAST(sum(a1.a) AS BIGINT) AS h
+      |       FROM e JOIN a1 ON a1.s = e.s GROUP BY e.p),
+      |a2 AS (SELECT e.s, CAST(sum(h1.h) AS BIGINT) AS a
+      |       FROM e JOIN h1 ON h1.p = e.p GROUP BY e.s),
+      |h2 AS (SELECT e.p, CAST(sum(a2.a) AS BIGINT) AS h
+      |       FROM e JOIN a2 ON a2.s = e.s GROUP BY e.p),
+      |mh AS (SELECT CAST(max(h) AS BIGINT) AS mh FROM h2),
+      |ma AS (SELECT CAST(max(a) AS BIGINT) AS ma FROM a2),
+      |th AS (SELECT 'hub' AS role, p AS id, h AS score,
+      |         floor(CAST(h AS DOUBLE) / mh * 1000000 + 0.5) / 1000000
+      |           AS norm
+      |       FROM h2 CROSS JOIN mh ORDER BY h DESC, p LIMIT 10),
+      |ta AS (SELECT 'authority' AS role, s AS id, a AS score,
+      |         floor(CAST(a AS DOUBLE) / ma * 1000000 + 0.5) / 1000000
+      |           AS norm
+      |       FROM a2 CROSS JOIN ma ORDER BY a DESC, s LIMIT 10)
+      |SELECT * FROM (SELECT * FROM th UNION ALL SELECT * FROM ta)
+      |ORDER BY role, score DESC, id""".stripMargin) { (s, d) =>
+    val e = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a1 = e.groupBy("s").agg(count(lit(1)).as("a"))
+    val h1 = e.join(a1, "s").groupBy("p").agg(sum("a").as("h"))
+    val a2 = e.join(h1, "p").groupBy("s").agg(sum("h").as("a"))
+    val h2 = e.join(a2, "s").groupBy("p").agg(sum("a").as("h"))
+    val mh = h2.agg(max("h").as("mh"))
+    val ma = a2.agg(max("a").as("ma"))
+    val th = h2.crossJoin(broadcast(mh)) // 1-row max
+      .select(lit("hub").as("role"), col("p").as("id"), col("h").as("score"),
+        (floor(col("h").cast("double") / col("mh") * 1000000 + lit(0.5))
+          / 1000000).as("norm"))
+      .orderBy(col("score").desc, col("id")).limit(10)
+    val ta = a2.crossJoin(broadcast(ma)) // 1-row max
+      .select(lit("authority").as("role"), col("s").as("id"),
+        col("a").as("score"),
+        (floor(col("a").cast("double") / col("ma") * 1000000 + lit(0.5))
+          / 1000000).as("norm"))
+      .orderBy(col("score").desc, col("id")).limit(10)
+    th.unionAll(ta).orderBy(col("role"), col("score").desc, col("id"))
+  }
+
   val all: Seq[Q] =
     Seq(pagerankBipartite, triangles, khopBfs, linkPredict, labelProp,
-      assortativity, clusteringCoeff, kcorePeel)
+      assortativity, clusteringCoeff, kcorePeel, hitsScores)
 }

@@ -628,6 +628,68 @@ object MlOps {
       .limit(10)
   }
 
+  /** KMV (bottom-k minimum values) distinct-count sketch (Beyer et al.
+    * 2007) of the document vocabulary, probed against the exact answer
+    * — the third mergeable sketch beside cms_freq and ams_f2, and the
+    * cardinality shape behind approx_count_distinct: keep the k=256
+    * smallest hash values, estimate D ≈ (k−1)·M/kth_min. The hash is
+    * the established portable poly-8 → multiplicative permutation mod
+    * the prime M=1000003 (a bijection, so spread = the poly hash's),
+    * replayed bit-exactly by the oracle; the bottom-k is a global
+    * TakeOrdered over the DISTINCT hash relation (k rows to the
+    * driver, never a full sort), and the only doubles are the final
+    * estimate division and error ratio. The gate pins both the sketch
+    * arithmetic AND its measured relative error vs the exact distinct
+    * count — an estimator regression fails loudly. */
+  val kmvDistinct: Q = Q(
+    "kmv_distinct",
+    """WITH toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+      |              FROM documents),
+      |tw AS (SELECT w FROM toks WHERE w <> ''),
+      |hv AS (SELECT w,
+      |    ((list_sum(list_transform(
+      |        range(0, CAST(least(length(w), 8) AS BIGINT)),
+      |        j -> ascii(substring(w, CAST(j + 1 AS INTEGER), 1))
+      |             * CAST(pow(31, j) AS BIGINT))) % 1000003)
+      |     * 2654435761) % 1000003 AS hv
+      |  FROM tw),
+      |dh AS (SELECT DISTINCT hv AS v FROM hv),
+      |bottom AS (SELECT v FROM dh ORDER BY v LIMIT 256),
+      |sk AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+      |       CAST(max(v) AS BIGINT) AS kth_min FROM bottom),
+      |est AS (SELECT k_used, kth_min,
+      |    CASE WHEN k_used < 256 THEN k_used
+      |         ELSE CAST(floor(255.0 * 1000003 / kth_min + 0.5) AS BIGINT)
+      |    END AS est_distinct
+      |  FROM sk),
+      |ex AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS exact_tokens,
+      |       CAST(count(DISTINCT hv) AS BIGINT) AS exact_hashes FROM hv)
+      |SELECT k_used, kth_min, est_distinct, exact_hashes, exact_tokens,
+      |  floor(abs(CAST(est_distinct - exact_hashes AS DOUBLE))
+      |    / exact_hashes * 1000000 + 0.5) / 1000000 AS rel_err
+      |FROM est CROSS JOIN ex""".stripMargin) { (s, d) =>
+    val tw = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val hv = tw.select(col("w"), expr(
+      "((aggregate(transform(sequence(0, least(length(w), 8) - 1), " +
+        "j -> ascii(substring(w, j + 1, 1)) * CAST(pow(31, j) AS BIGINT)), " +
+        "0L, (a, x) -> a + x) % 1000003) * 2654435761) % 1000003").as("hv"))
+    val bottom = hv.select("hv").distinct().orderBy("hv").limit(256)
+    val sk = bottom.agg(count(lit(1)).as("k_used"), max("hv").as("kth_min"))
+    val est = sk.select(col("k_used"), col("kth_min"),
+      when(col("k_used") < 256, col("k_used"))
+        .otherwise(floor(lit(255.0) * 1000003 / col("kth_min") + lit(0.5))
+          .cast("long")).as("est_distinct"))
+    val ex = hv.agg(countDistinct("w").as("exact_tokens"),
+      countDistinct("hv").as("exact_hashes"))
+    est.crossJoin(broadcast(ex)) // 1-row sketch x 1-row exact report
+      .select(col("k_used"), col("kth_min"), col("est_distinct"),
+        col("exact_hashes"), col("exact_tokens"),
+        (floor(abs((col("est_distinct") - col("exact_hashes")).cast("double"))
+          / col("exact_hashes") * 1000000 + lit(0.5)) / 1000000).as("rel_err"))
+  }
+
   val all: Seq[Q] = Seq(kmeansEmbed, clusterTopics, oovRate, cmsFreq, rpReduce,
-    embedDimProfile, bestSplit, semDedup, amsF2, pcaPower)
+    embedDimProfile, bestSplit, semDedup, amsF2, pcaPower, kmvDistinct)
 }

@@ -231,6 +231,132 @@ object SearchOps {
       .orderBy(col("jw").desc, col("name_a"), col("name_b")).limit(20)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of the
+    * two lexical retrievers over the same 4-term query: hybrid search's
+    * standard rank combiner, RRF(d) = Σᵢ 1/(60 + rankᵢ(d)). Both input
+    * rankings reuse the exact scoring pipelines their own declared
+    * queries pin (bm25_topdocs' Okapi fold over matched docs,
+    * ql_dirichlet's smoothed likelihood over ALL docs); the global
+    * ranks come from the distributed PrefixScan over (score DESC,
+    * doc_id) — two range shuffles, never a partition-less window —
+    * so the fusion is scale-correct over the full population, with a
+    * left join QL→BM25 (the BM25 ranking only contains matched docs;
+    * absent docs contribute 0). Every RRF term is one exact integer
+    * division; the two-term sum is a single addition of bit-identical
+    * doubles on both engines. */
+  val rrfFusion: Q = Q(
+    "rrf_fusion",
+    """WITH qt(term) AS (VALUES ('spark'), ('vector'), ('stream'), ('window')),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |         FROM documents),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks
+      |       GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs,
+      |                 avg(CAST(len AS DOUBLE)) AS avg_len FROM dl),
+      |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks JOIN qt ON tok = qt.term GROUP BY doc_id, tok),
+      |bdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+      |        GROUP BY term),
+      |bcontrib AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |      * (tf * 2.2)
+      |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.len / avg_len)) AS c
+      |  FROM tf JOIN bdf USING (term) JOIN dl USING (doc_id)
+      |  CROSS JOIN stats),
+      |bscore AS (SELECT doc_id,
+      |    round(list_sum(list(c ORDER BY term)), 6) AS score
+      |  FROM bcontrib GROUP BY doc_id),
+      |brank AS (SELECT doc_id,
+      |    row_number() OVER (ORDER BY score DESC, doc_id) AS r_bm25
+      |  FROM bscore),
+      |ctot AS (SELECT CAST(sum(len) AS DOUBLE) AS c FROM dl),
+      |cf AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS cf FROM toks
+      |       JOIN qt ON tok = qt.term GROUP BY tok),
+      |qconst AS (SELECT list_sum(list(ln(2000.0 * cf / c) ORDER BY term))
+      |             AS qc FROM cf CROSS JOIN ctot),
+      |m AS (SELECT tf.doc_id,
+      |        list_sum(list(ln(1 + tf * c / (2000.0 * cf)) ORDER BY term))
+      |          AS matched
+      |      FROM tf JOIN cf USING (term) CROSS JOIN ctot
+      |      GROUP BY tf.doc_id),
+      |qscore AS (SELECT dl.doc_id,
+      |    round(qc - 4 * ln(len + 2000.0) + coalesce(matched, 0), 6) AS score
+      |  FROM dl LEFT JOIN m ON m.doc_id = dl.doc_id CROSS JOIN qconst),
+      |qrank AS (SELECT doc_id,
+      |    row_number() OVER (ORDER BY score DESC, doc_id) AS r_ql
+      |  FROM qscore),
+      |fused AS (SELECT q.doc_id, b.r_bm25, q.r_ql,
+      |    coalesce(1.0 / (60 + b.r_bm25), 0.0) + 1.0 / (60 + q.r_ql)
+      |      AS rrf_raw
+      |  FROM qrank q LEFT JOIN brank b ON b.doc_id = q.doc_id)
+      |SELECT doc_id, r_bm25, r_ql,
+      |  floor(rrf_raw * 1000000 + 0.5) / 1000000 AS rrf
+      |FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT 15""".stripMargin) {
+    (s, d) =>
+    val qTerms = Seq("spark", "vector", "stream", "window")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("len").cast("double")).as("avg_len"))
+    val tf = toks.filter(col("tok").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("tok").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    def sortedFold(terms: Column, field: String): Column = aggregate(
+      array_sort(terms), lit(0.0), (acc, x) => acc + x.getField(field))
+    // --- BM25 over the matched-doc population (bm25_topdocs' fold) ---
+    val bdf = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val bscore = tf.join(broadcast(bdf), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats)) // 1-row corpus stats
+      .select(col("doc_id"), col("term"),
+        (log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          * (col("tf") * 2.2)
+          / (col("tf") + lit(1.2) * (lit(1) - 0.75
+            + lit(0.75) * col("len") / col("avg_len")))).as("c"))
+      .groupBy("doc_id")
+      .agg(sortedFold(collect_list(struct(col("term"), col("c"))), "c")
+        .as("raw"))
+      .select(col("doc_id"), round(col("raw"), 6).as("score"))
+      .withColumn("one", lit(1L))
+    val (bmScan, _) = graft.ops.PrefixScan.withCumSums(
+      bscore, Seq(col("score").desc, col("doc_id")), Seq("one"))
+    val brank = bmScan.select(col("doc_id"), col("cum_one").as("r_bm25"))
+    // --- Dirichlet QL over ALL docs (ql_dirichlet's fold) ---
+    val ctot = dl.agg(sum("len").cast("double").as("c"))
+    val cf = toks.filter(col("tok").isin(qTerms: _*))
+      .groupBy(col("tok").as("term")).agg(count(lit(1)).as("cf"))
+    val qconst = cf.crossJoin(broadcast(ctot)) // 1-row total
+      .select(col("term"), log(lit(2000.0) * col("cf") / col("c")).as("v"))
+      .agg(sortedFold(collect_list(struct(col("term"), col("v"))), "v")
+        .as("qc"))
+    val matched = tf.join(broadcast(cf), "term").crossJoin(broadcast(ctot))
+      .select(col("doc_id"), col("term"),
+        log(lit(1) + col("tf") * col("c") / (lit(2000.0) * col("cf")))
+          .as("v"))
+      .groupBy("doc_id")
+      .agg(sortedFold(collect_list(struct(col("term"), col("v"))), "v")
+        .as("matched"))
+    val qscore = dl.join(matched, Seq("doc_id"), "left")
+      .crossJoin(broadcast(qconst)) // 1-row query constant
+      .select(col("doc_id"),
+        round(col("qc") - lit(4) * log(col("len") + lit(2000.0))
+          + coalesce(col("matched"), lit(0.0)), 6).as("score"))
+      .withColumn("one", lit(1L))
+    val (qlScan, _) = graft.ops.PrefixScan.withCumSums(
+      qscore, Seq(col("score").desc, col("doc_id")), Seq("one"))
+    val qrank = qlScan.select(col("doc_id"), col("cum_one").as("r_ql"))
+    qrank.join(brank, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("r_bm25"), col("r_ql"),
+        (coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0))
+          + lit(1.0) / (lit(60) + col("r_ql"))).as("rrf_raw"))
+      .orderBy(col("rrf_raw").desc, col("doc_id"))
+      .limit(15)
+      .select(col("doc_id"), col("r_bm25"), col("r_ql"),
+        (floor(col("rrf_raw") * 1000000 + lit(0.5)) / 1000000).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(phraseSearch, tableFingerprint, qlDirichlet, dlMatch,
-    jwMatch)
+    jwMatch, rrfFusion)
 }

@@ -172,6 +172,9 @@ class ScaleOpsSuite extends SparkSpec {
       "mixture_allocate",     // 1-row budget broadcast
       "tfidf_top_terms",      // 1-row broadcast of the corpus doc count
       "bm25_topdocs",         // 1-row broadcast of corpus N/avg-len stats
+      "rrf_fusion",           // same 1-row corpus-stat broadcasts as bm25/ql
+      "hits_scores",          // two 1-row max broadcasts for the norm report
+      "kmv_distinct",         // 1-row sketch x 1-row exact report join
       "dedup_exact_stats", "cosine_dedup_stats",
       "minhash_keepfirst",    // 1-row x 1-row count report
       "lm_perplexity",        // 1-row vocab-size broadcast joined to docs

