@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CurationOps, DedupAnn, EvalOps, Extensibility, GraphOps, IncrOps, MlOps, MrParity, PipelineOps, Q, Relational, SearchOps, StatOps, StreamingOps, TemporalOps, TextOps, TpchLike, TrainingPrep, VectorOps}
+import graft.queries.{CurationOps, DedupAnn, EvalOps, Extensibility, FeatureOps, GraphOps, IncrOps, MlOps, MrParity, PipelineOps, Q, Relational, SearchOps, StatOps, StreamingOps, TemporalOps, TextOps, TpchLike, TrainingPrep, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,7 @@ object SparkEntry {
       DedupAnn.all ++ PipelineOps.all ++ Extensibility.all ++ TpchLike.all ++
       CurationOps.all ++ TrainingPrep.all ++ StreamingOps.all ++ GraphOps.all ++
       MlOps.all ++ StatOps.all ++ IncrOps.all ++ SearchOps.all ++
-      TemporalOps.all ++ EvalOps.all
+      TemporalOps.all ++ EvalOps.all ++ FeatureOps.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

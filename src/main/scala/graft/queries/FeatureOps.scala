@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Feature-engineering + survival analytics: leave-one-out target
+  * encoding (the mean-encoding trick with its leakage correction),
+  * weight-of-evidence / information-value binning (the credit-scoring
+  * feature screen), and a Kaplan–Meier survival curve over customer
+  * order lifetimes.
+  *
+  * Cross-engine determinism: every statistic is built from exact
+  * integer counts/cents; divisions are single fixed-form operations on
+  * identical integers; the only libm call is woe's `ln` (corpus-wide
+  * parity established by lm_perplexity); Kaplan–Meier needs NO libm at
+  * all — the survival product is a t-ordered sequential fold of exact
+  * integer-ratio doubles on both engines (Spark `aggregate`, DuckDB
+  * `list_aggregate(..., 'product')`), so a ratio of 0 collapses the
+  * curve exactly rather than through ln/exp of a boundary value. */
+object FeatureOps {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Leave-one-out target encoding of c_mktsegment by customer spend —
+    * the standard high-cardinality categorical encoding, shipped with
+    * its leakage audit: for each customer, the segment's mean spend
+    * computed WITHOUT that customer, (Σ_g − y_i)/(n_g − 1), next to the
+    * naive all-rows mean; the output surfaces the 15 rows where naive
+    * encoding leaks the most (|naive − loo|) — exactly the rows that
+    * overfit a downstream model. Shapes: one per-customer cents
+    * aggregate, an equi-join to the 5-row broadcast segment stats, and
+    * a TakeOrdered top-15; everything exact integers until the two
+    * division-by-count encodings. */
+  val targetEncodeLoo: Q = Q(
+    "target_encode_loo",
+    """WITH spend AS (SELECT o_custkey,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |j AS (SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+      |        s.cents
+      |      FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey),
+      |seg AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_g,
+      |        CAST(sum(cents) AS BIGINT) AS sum_g
+      |      FROM j GROUP BY segment),
+      |enc AS (SELECT j.custkey, j.segment, j.cents,
+      |    CAST(sum_g AS DOUBLE) / n_g AS naive_enc,
+      |    CASE WHEN n_g > 1
+      |         THEN CAST(sum_g - cents AS DOUBLE) / (n_g - 1) END AS loo_enc
+      |  FROM j JOIN seg ON seg.segment = j.segment)
+      |SELECT custkey, segment, cents AS spend_cents,
+      |  floor(naive_enc * 10000 + 0.5) / 10000 AS naive_enc,
+      |  floor(loo_enc * 10000 + 0.5) / 10000 AS loo_enc,
+      |  floor(abs(naive_enc - loo_enc) * 10000 + 0.5) / 10000 AS leak
+      |FROM enc
+      |ORDER BY abs(naive_enc - loo_enc) DESC, custkey LIMIT 15""".stripMargin) {
+    (s, d) =>
+    val spend = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    val j = spend.join(Tables.customer(s, d),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey").as("custkey"),
+        col("c_mktsegment").as("segment"), col("cents"))
+    val seg = j.groupBy("segment")
+      .agg(count(lit(1)).as("n_g"), sum("cents").as("sum_g"))
+    val enc = j.join(broadcast(seg), "segment")
+      .select(col("custkey"), col("segment"), col("cents"),
+        (col("sum_g").cast("double") / col("n_g")).as("naive_enc"),
+        when(col("n_g") > 1,
+          (col("sum_g") - col("cents")).cast("double") / (col("n_g") - 1))
+          .as("loo_enc"))
+    enc
+      .orderBy(abs(col("naive_enc") - col("loo_enc")).desc, col("custkey"))
+      .limit(15)
+      .select(col("custkey"), col("segment"), col("cents").as("spend_cents"),
+        (floor(col("naive_enc") * 10000 + lit(0.5)) / 10000).as("naive_enc"),
+        (floor(col("loo_enc") * 10000 + lit(0.5)) / 10000).as("loo_enc"),
+        (floor(abs(col("naive_enc") - col("loo_enc")) * 10000 + lit(0.5))
+          / 10000).as("leak"))
+      .orderBy(col("leak").desc, col("custkey"))
+  }
+
+  /** Weight-of-evidence / information value of document length vs the
+    * 'en' label — the classic supervised binning screen ("does this
+    * feature separate the classes, bin by bin?"). Deciles of n_chars
+    * come from the distributed two-pass ntile (q23's operator — never a
+    * partition-less window); per-bin good/bad counts are exact, shares
+    * are Laplace-smoothed (+0.5 per bin) single divisions, and
+    * WoE = ln(gs/bs) enters through the established ln parity. IV terms
+    * are per-bin so the gate pins each contribution, not just the sum.
+    * One range shuffle + a 10-group aggregate + a 1-row totals
+    * broadcast. */
+  val woeIv: Q = Q(
+    "woe_iv",
+    """WITH b AS (SELECT
+      |    CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bin,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS good
+      |  FROM documents),
+      |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(good) AS BIGINT) AS n_good,
+      |    CAST(count(*) - sum(good) AS BIGINT) AS n_bad
+      |  FROM b GROUP BY bin),
+      |t AS (SELECT CAST(sum(n_good) AS BIGINT) AS tot_good,
+      |      CAST(sum(n_bad) AS BIGINT) AS tot_bad FROM g),
+      |w AS (SELECT bin, n_docs, n_good, n_bad,
+      |    (n_good + 0.5) / (tot_good + 5.0) AS gs,
+      |    (n_bad + 0.5) / (tot_bad + 5.0) AS bs
+      |  FROM g CROSS JOIN t)
+      |SELECT bin, n_docs, n_good, n_bad,
+      |  floor(ln(gs / bs) * 1000000 + 0.5) / 1000000 AS woe,
+      |  floor((gs - bs) * ln(gs / bs) * 1000000 + 0.5) / 1000000 AS iv_term
+      |FROM w ORDER BY bin""".stripMargin) { (s, d) =>
+    val binned = graft.ops.DistributedNtile.ntile(
+      docs(s, d).select(col("doc_id"), col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("good")),
+      Seq(col("n_chars"), col("doc_id")), 10)
+    val g = binned.groupBy(col("bucket").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("good").as("n_good"),
+        (count(lit(1)) - sum("good")).as("n_bad"))
+    val t = g.agg(sum("n_good").as("tot_good"), sum("n_bad").as("tot_bad"))
+    val w = g.crossJoin(broadcast(t)) // 1-row class totals
+      .select(col("bin").cast("long").as("bin"), col("n_docs"),
+        col("n_good"), col("n_bad"),
+        ((col("n_good") + 0.5) / (col("tot_good") + 5.0)).as("gs"),
+        ((col("n_bad") + 0.5) / (col("tot_bad") + 5.0)).as("bs"))
+    w.select(col("bin"), col("n_docs"), col("n_good"), col("n_bad"),
+      (floor(log(col("gs") / col("bs")) * 1000000 + lit(0.5)) / 1000000)
+        .as("woe"),
+      (floor((col("gs") - col("bs")) * log(col("gs") / col("bs"))
+        * 1000000 + lit(0.5)) / 1000000).as("iv_term"))
+      .orderBy("bin")
+  }
+
+  /** Kaplan–Meier survival curve of customer order lifetimes (duration
+    * = last − first order day; a customer whose last order is ≥90 days
+    * before the corpus max date is an observed churn "death", else
+    * censored). S(h) = Π_{t≤h} (n_t − d_t)/n_t at horizons 30..300
+    * days. Risk sets n_t come from the distributed PrefixScan over the
+    * duration-grouped counts (never a partition-less window); each
+    * ratio is one exact integer division, and the product folds in
+    * t-order on both engines — NO ln/exp, so a fully-depleted risk set
+    * yields exactly 0. Each duration term fans out map-side only to the
+    * horizons it affects (≤10 rows/term). Scales as: one per-customer
+    * aggregate, one range shuffle over ≤calendar-bounded distinct
+    * durations, a ≤10-group final. */
+  val kaplanMeier: Q = Q(
+    "kaplan_meier",
+    """WITH cust AS (SELECT o_custkey,
+      |    min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+      |      AS first_d,
+      |    max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+      |      AS last_d
+      |  FROM orders GROUP BY o_custkey),
+      |mx AS (SELECT max(last_d) AS mx FROM cust),
+      |c2 AS (SELECT CAST(last_d - first_d AS BIGINT) AS t,
+      |    CASE WHEN mx - last_d >= 90 THEN 1 ELSE 0 END AS death
+      |  FROM cust CROSS JOIN mx),
+      |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(death) AS BIGINT) AS d FROM c2 GROUP BY t),
+      |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM byt),
+      |sc AS (SELECT t, cnt, d,
+      |       CAST(sum(cnt) OVER (ORDER BY t) AS BIGINT) AS cum FROM byt),
+      |terms AS (SELECT t, d,
+      |    CAST(n - (cum - cnt) - d AS DOUBLE)
+      |      / CAST(n - (cum - cnt) AS DOUBLE) AS ratio
+      |  FROM sc CROSS JOIN n WHERE t <= 300),
+      |fan AS (SELECT t, d, ratio,
+      |    unnest(range(greatest(CAST(ceil(t / 30.0) AS BIGINT), 1), 11))
+      |      AS k
+      |  FROM terms),
+      |km AS (SELECT k, CAST(sum(d) AS BIGINT) AS events,
+      |    list_aggregate(list(ratio ORDER BY t), 'product') AS surv_raw
+      |  FROM fan GROUP BY k)
+      |SELECT CAST(k * 30 AS INTEGER) AS horizon_days, events,
+      |  floor(surv_raw * 1000000 + 0.5) / 1000000 AS survival
+      |FROM km ORDER BY horizon_days""".stripMargin) { (s, d) =>
+    val day = datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+    val cust = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(min(day).as("first_d"), max(day).as("last_d"))
+    val mx = cust.agg(max("last_d").as("mx"))
+    val c2 = cust.crossJoin(broadcast(mx)) // 1-row corpus max date
+      .select((col("last_d") - col("first_d")).cast("long").as("t"),
+        when(col("mx") - col("last_d") >= 90, 1L).otherwise(0L).as("death"))
+    val byT = c2.groupBy("t")
+      .agg(count(lit(1)).as("cnt"), sum("death").as("d"))
+    val (scanned, totals) = graft.ops.PrefixScan.withCumSums(
+      byT, Seq(col("t")), Seq("cnt", "d"))
+    val n = totals(0)
+    val atRisk = lit(n) - (col("cum_cnt") - col("cnt"))
+    val terms = scanned.filter(col("t") <= 300)
+      .select(col("t"), col("d"),
+        ((atRisk - col("d")).cast("double") / atRisk.cast("double"))
+          .as("ratio"))
+    val fan = terms.select(col("t"), col("d"), col("ratio"),
+      explode(sequence(
+        greatest(ceil(col("t") / lit(30.0)).cast("int"), lit(1)),
+        lit(10))).as("k"))
+    fan.groupBy("k")
+      .agg(sum("d").as("events"),
+        expr("aggregate(transform(array_sort(collect_list(" +
+          "struct(t, ratio))), x -> x.ratio), 1.0D, (a, x) -> a * x)")
+          .as("surv_raw"))
+      .select((col("k") * 30).cast("int").as("horizon_days"), col("events"),
+        (floor(col("surv_raw") * 1000000 + lit(0.5)) / 1000000)
+          .as("survival"))
+      .orderBy("horizon_days")
+  }
+
+  val all: Seq[Q] = Seq(targetEncodeLoo, woeIv, kaplanMeier)
+}

@@ -175,6 +175,8 @@ class ScaleOpsSuite extends SparkSpec {
       "rrf_fusion",           // same 1-row corpus-stat broadcasts as bm25/ql
       "hits_scores",          // two 1-row max broadcasts for the norm report
       "kmv_distinct",         // 1-row sketch x 1-row exact report join
+      "woe_iv",               // 1-row class-totals broadcast onto 10 bins
+      "kaplan_meier",         // 1-row corpus-max-date broadcast
       "dedup_exact_stats", "cosine_dedup_stats",
       "minhash_keepfirst",    // 1-row x 1-row count report
       "lm_perplexity",        // 1-row vocab-size broadcast joined to docs

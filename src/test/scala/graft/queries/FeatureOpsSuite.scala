@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Property pins for the feature-engineering/survival batch: LOO target
+  * encoding, WoE/IV binning, and the Kaplan–Meier curve. */
+class FeatureOpsSuite extends SparkSpec {
+
+  test("target_encode_loo: encodings replay from the segment aggregates") {
+    val spend = graft.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy("o_custkey").agg(sum("c").as("c"))
+      .join(graft.Tables.customer(spark, sfDir),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySeg = spend.groupBy(_._2).map { case (seg, xs) =>
+      seg -> (xs.length.toLong, xs.map(_._3).sum) }
+    val rows = FeatureOps.targetEncodeLoo.run(spark, sfDir).collect()
+    assert(rows.length == 15)
+    val spendMap = spend.map(t => t._1 -> t._3).toMap
+    rows.foreach { r =>
+      val (ck, seg, cents) = (r.getLong(0), r.getString(1), r.getLong(2))
+      assert(spendMap(ck) == cents)
+      val (n, sum) = bySeg(seg)
+      val naive = math.floor(sum.toDouble / n * 10000 + 0.5) / 10000
+      val loo = math.floor((sum - cents).toDouble / (n - 1) * 10000 + 0.5) / 10000
+      assert(r.getDouble(3) == naive, s"naive for $ck")
+      assert(n > 1 && r.getDouble(4) == loo, s"loo for $ck")
+    }
+    // the list really is the most-leaking rows, descending
+    val leaks = rows.map(_.getDouble(5))
+    assert(leaks.toSeq == leaks.sortBy(-_).toSeq)
+  }
+
+  test("woe_iv: bins cover the corpus; iv terms are non-negative") {
+    val rows = FeatureOps.woeIv.run(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val n = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == n, "deciles partition the corpus")
+    // ntile spreads sizes within 1 of each other
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1))
+      // (gs - bs) and ln(gs/bs) always share sign, so IV terms are >= 0
+      assert(r.getDouble(5) >= -1e-12, s"iv_term negative: $r")
+    }
+  }
+
+  test("kaplan_meier: curve is a replay of the in-memory KM estimator") {
+    val day = datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+    val cust = graft.Tables.orders(spark, sfDir).groupBy("o_custkey")
+      .agg(min(day).as("f"), max(day).as("l"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    val mx = cust.map(_._2).max
+    val obs = cust.map { case (f, l) => ((l - f).toLong, mx - l >= 90) }
+    val byT = obs.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.length.toLong, xs.count(_._2).toLong) }.toSeq.sortBy(_._1)
+    val n = obs.length.toLong
+    val rows = FeatureOps.kaplanMeier.run(spark, sfDir).collect()
+    var expected = Map.empty[Int, (Long, Double)]
+    for (k <- 1 to 10) {
+      var surv = 1.0; var events = 0L; var before = 0L
+      byT.foreach { case (t, cnt, d) =>
+        if (t <= 300 && t <= k * 30L) {
+          val atRisk = n - before // durations < t have left the risk set
+          surv *= (atRisk - d).toDouble / atRisk
+          events += d
+        }
+        before += cnt
+      }
+      expected += (k * 30) -> ((events, surv))
+    }
+    rows.foreach { r =>
+      val h = r.getInt(0)
+      val (ev, surv) = expected(h)
+      assert(r.getLong(1) == ev, s"events at $h")
+      assert(math.abs(r.getDouble(2) - surv) < 2e-6, s"survival at $h")
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1)
+    }
+    // survival is non-increasing in the horizon
+    val sv = rows.sortBy(_.getInt(0)).map(_.getDouble(2))
+    assert(sv.zip(sv.tail).forall { case (a, b) => b <= a + 1e-12 })
+  }
+}
