@@ -690,6 +690,71 @@ object MlOps {
           / col("exact_hashes") * 1000000 + lit(0.5)) / 1000000).as("rel_err"))
   }
 
+  /** k-NN classification audit (k=5, cosine) of a held-out query block
+    * (vec_id ∈ [100, 140)) against the rest of the corpus as the
+    * training set — the eval loop behind "can this embedding space
+    * separate the labels at all". The plan is the brute-force retrieval
+    * baseline (bounded 40-query broadcast × one corpus scan, per-query
+    * top-k window); the vote is a (qid, label) count + deterministic
+    * argmax (count DESC, label ASC), and the output is the confusion
+    * matrix — exact integer cells. Cosines are rounded 6 dp with
+    * vec_id tie-breaks (cosine_topk's device) so neighbor sets are
+    * engine-identical. */
+  val knnClassify: Q = Q(
+    "knn_classify",
+    """WITH q AS (SELECT vec_id AS qid, label AS true_label,
+      |    CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 140),
+      |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+      |      FROM embeddings WHERE vec_id < 100 OR vec_id >= 140),
+      |scored AS (SELECT qid, true_label, vec_id, label,
+      |    round(list_dot_product(qv, cv)
+      |      / (sqrt(list_dot_product(qv, qv))
+      |         * sqrt(list_dot_product(cv, cv))), 6) AS cos
+      |  FROM q CROSS JOIN c),
+      |top AS (SELECT qid, true_label, label FROM (
+      |    SELECT qid, true_label, label,
+      |      row_number() OVER (PARTITION BY qid
+      |        ORDER BY cos DESC, vec_id) AS rn
+      |    FROM scored) WHERE rn <= 5),
+      |votes AS (SELECT qid, true_label, label,
+      |    CAST(count(*) AS BIGINT) AS c FROM top
+      |  GROUP BY qid, true_label, label),
+      |pred AS (SELECT qid, true_label, label AS pred_label FROM (
+      |    SELECT qid, true_label, label,
+      |      row_number() OVER (PARTITION BY qid ORDER BY c DESC, label)
+      |        AS rn
+      |    FROM votes) WHERE rn = 1)
+      |SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+      |FROM pred GROUP BY true_label, pred_label
+      |ORDER BY true_label, pred_label""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") >= 100 && col("vec_id") < 140)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"),
+        col("embedding").cast("array<double>").as("qv"))
+    val c = emb.filter(col("vec_id") < 100 || col("vec_id") >= 140)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("true_label"), col("vec_id"), col("label"),
+        round(graft.functions.GraftFunctions
+          .cosineNative(col("qv"), col("cv")), 6).as("cos"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val top = scored.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5).select("qid", "true_label", "label")
+    val votes = top.groupBy("qid", "true_label", "label")
+      .agg(count(lit(1)).as("c"))
+    val wVote = Window.partitionBy("qid").orderBy(col("c").desc, col("label"))
+    val pred = votes.withColumn("rn", row_number().over(wVote))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("true_label"), col("label").as("pred_label"))
+    pred.groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
   val all: Seq[Q] = Seq(kmeansEmbed, clusterTopics, oovRate, cmsFreq, rpReduce,
-    embedDimProfile, bestSplit, semDedup, amsF2, pcaPower, kmvDistinct)
+    embedDimProfile, bestSplit, semDedup, amsF2, pcaPower, kmvDistinct,
+    knnClassify)
 }

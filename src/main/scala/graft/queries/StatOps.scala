@@ -1170,10 +1170,148 @@ object StatOps {
       .orderBy("abc")
   }
 
+  /** Difference-in-differences estimate over the events stream: a
+    * deterministic hash of user_id assigns treatment, the calendar
+    * midpoint splits pre/post, and the 2×2 cell means come from ONE
+    * conditional-moment scan (welch_ttest's device — exact BIGINT-cent
+    * sums, four final divisions). DiD = (T̄post − T̄pre) − (C̄post −
+    * C̄pre), a fixed-form combination of the four identical-integer
+    * means. The canonical quasi-experimental readout when assignment
+    * isn't randomized; scales as a full scan + 1-row aggregate. */
+  val didEstimate: Q = Q(
+    "did_estimate",
+    """WITH e AS (SELECT
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |    CASE WHEN ((user_id & 2147483647) * 2654435761) % 100 < 50
+      |         THEN 1 ELSE 0 END AS tr,
+      |    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END
+      |      AS post
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (SELECT
+      |    CAST(sum(tr * post) AS BIGINT) AS n_tp,
+      |    CAST(sum(tr * (1 - post)) AS BIGINT) AS n_ta,
+      |    CAST(sum((1 - tr) * post) AS BIGINT) AS n_cp,
+      |    CAST(sum((1 - tr) * (1 - post)) AS BIGINT) AS n_ca,
+      |    CAST(sum(cents * tr * post) AS BIGINT) AS s_tp,
+      |    CAST(sum(cents * tr * (1 - post)) AS BIGINT) AS s_ta,
+      |    CAST(sum(cents * (1 - tr) * post) AS BIGINT) AS s_cp,
+      |    CAST(sum(cents * (1 - tr) * (1 - post)) AS BIGINT) AS s_ca
+      |  FROM e),
+      |m AS (SELECT n_tp, n_ta, n_cp, n_ca,
+      |    CAST(s_tp AS DOUBLE) / n_tp / 100 AS m_tp,
+      |    CAST(s_ta AS DOUBLE) / n_ta / 100 AS m_ta,
+      |    CAST(s_cp AS DOUBLE) / n_cp / 100 AS m_cp,
+      |    CAST(s_ca AS DOUBLE) / n_ca / 100 AS m_ca
+      |  FROM g)
+      |SELECT n_tp, n_ta, n_cp, n_ca,
+      |  floor(m_tp * 10000 + 0.5) / 10000 AS mean_treat_post,
+      |  floor(m_ta * 10000 + 0.5) / 10000 AS mean_treat_pre,
+      |  floor(m_cp * 10000 + 0.5) / 10000 AS mean_ctrl_post,
+      |  floor(m_ca * 10000 + 0.5) / 10000 AS mean_ctrl_pre,
+      |  floor(((m_tp - m_ta) - (m_cp - m_ca)) * 1000000 + 0.5) / 1000000
+      |    AS did
+      |FROM m""".stripMargin) { (s, d) =>
+    val tr = when(
+      (col("user_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)) % 100
+        < 50, 1L).otherwise(0L)
+    val post = when(
+      col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"), 1L)
+      .otherwise(0L)
+    val e = ev(s, d).filter(col("event_type") === "purchase")
+      .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+        tr.as("tr"), post.as("post"))
+    val g = e.agg(
+      sum(col("tr") * col("post")).as("n_tp"),
+      sum(col("tr") * (lit(1L) - col("post"))).as("n_ta"),
+      sum((lit(1L) - col("tr")) * col("post")).as("n_cp"),
+      sum((lit(1L) - col("tr")) * (lit(1L) - col("post"))).as("n_ca"),
+      sum(col("cents") * col("tr") * col("post")).as("s_tp"),
+      sum(col("cents") * col("tr") * (lit(1L) - col("post"))).as("s_ta"),
+      sum(col("cents") * (lit(1L) - col("tr")) * col("post")).as("s_cp"),
+      sum(col("cents") * (lit(1L) - col("tr")) * (lit(1L) - col("post")))
+        .as("s_ca"))
+    val m = g.select(col("n_tp"), col("n_ta"), col("n_cp"), col("n_ca"),
+      (col("s_tp").cast("double") / col("n_tp") / 100).as("m_tp"),
+      (col("s_ta").cast("double") / col("n_ta") / 100).as("m_ta"),
+      (col("s_cp").cast("double") / col("n_cp") / 100).as("m_cp"),
+      (col("s_ca").cast("double") / col("n_ca") / 100).as("m_ca"))
+    m.select(col("n_tp"), col("n_ta"), col("n_cp"), col("n_ca"),
+      (floor(col("m_tp") * 10000 + lit(0.5)) / 10000).as("mean_treat_post"),
+      (floor(col("m_ta") * 10000 + lit(0.5)) / 10000).as("mean_treat_pre"),
+      (floor(col("m_cp") * 10000 + lit(0.5)) / 10000).as("mean_ctrl_post"),
+      (floor(col("m_ca") * 10000 + lit(0.5)) / 10000).as("mean_ctrl_pre"),
+      (floor(((col("m_tp") - col("m_ta")) - (col("m_cp") - col("m_ca")))
+        * 1000000 + lit(0.5)) / 1000000).as("did"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013) — the production A/B
+    * trick: regress each user's post-period metric on their pre-period
+    * covariate, θ = cov(X,Y)/var(X), and report how much metric
+    * variance the adjustment removes (= ρ², the test-sensitivity win).
+    * Per-user pre/post cent totals come from ONE conditional aggregate;
+    * the five cross-moments are exact BIGINTs (cents² sums — the
+    * hhi/welch overflow class, DECIMAL at true 100 TB scale) and θ,
+    * var(Y), var(Y−θX) are fixed-form doubles over identical integers.
+    * Scales as: scan → per-user aggregate → 1-row moment fold. */
+  val cupedAdjust: Q = Q(
+    "cuped_adjust",
+    """WITH u AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+      |        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM u),
+      |m AS (SELECT n,
+      |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / n AS cov,
+      |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n AS vx,
+      |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n AS vy
+      |  FROM g)
+      |SELECT n AS n_users,
+      |  floor(cov / vx * 1000000 + 0.5) / 1000000 AS theta,
+      |  floor(vy / 10000 * 100 + 0.5) / 100 AS var_y,
+      |  floor((vy - cov * cov / vx) / 10000 * 100 + 0.5) / 100 AS var_adj,
+      |  floor(cov * cov / (vx * vy) * 1000000 + 0.5) / 1000000
+      |    AS var_reduction
+      |FROM m""".stripMargin) { (s, d) =>
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val pre = col("ts") < lit("2024-01-16 00:00:00").cast("timestamp")
+    val u = ev(s, d).filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(when(pre, cents).otherwise(0L)).as("x"),
+        sum(when(!pre, cents).otherwise(0L)).as("y"))
+    val g = u.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val m = g.select(col("n"),
+      ((col("sxy").cast("double") - col("sx").cast("double") * col("sy")
+        / col("n")) / col("n")).as("cov"),
+      ((col("sxx").cast("double") - col("sx").cast("double") * col("sx")
+        / col("n")) / col("n")).as("vx"),
+      ((col("syy").cast("double") - col("sy").cast("double") * col("sy")
+        / col("n")) / col("n")).as("vy"))
+    m.select(col("n").as("n_users"),
+      (floor(col("cov") / col("vx") * 1000000 + lit(0.5)) / 1000000)
+        .as("theta"),
+      (floor(col("vy") / 10000 * 100 + lit(0.5)) / 100).as("var_y"),
+      (floor((col("vy") - col("cov") * col("cov") / col("vx"))
+        / 10000 * 100 + lit(0.5)) / 100).as("var_adj"),
+      (floor(col("cov") * col("cov") / (col("vx") * col("vy"))
+        * 1000000 + lit(0.5)) / 1000000).as("var_reduction"))
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
       dowSeasonality, weightedMedian, spearmanCorr, neymanAllocation,
       anovaQuantity, cramersV, multiregNormal, poissonBootstrap,
-      lorenzDeciles, rfmSegments, abcClass)
+      lorenzDeciles, rfmSegments, abcClass, didEstimate, cupedAdjust)
 }

@@ -155,6 +155,7 @@ class ScaleOpsSuite extends SparkSpec {
       "cosine_pairs",         // 20-vector bounded pair set
       "cosine_topk",          // 5 broadcast query vectors, theta join
       "ndcg_retrieval",       // 20 broadcast query vectors, theta join
+      "knn_classify",         // 40 broadcast query vectors x train corpus
       "pq_adc_topk",          // 5 broadcast query vectors vs PQ codes
       "q27_quartile_buckets", // 1-row broadcast of quartile bounds
       "q28_subqueries",       // 1-row broadcast of the scalar aggregate

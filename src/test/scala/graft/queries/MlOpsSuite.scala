@@ -222,4 +222,35 @@ class MlOpsSuite extends SparkSpec {
       assert(est == expected)
     } else assert(est == kUsed)
   }
+
+  test("knn_classify: confusion matrix replays a naive driver-side kNN") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val qs = vecs.filter(t => t._1 >= 100 && t._1 < 140)
+    val train = vecs.filter(t => t._1 < 100 || t._1 >= 140)
+    val expected = qs.map { case (_, trueL, qv) =>
+      val top5 = train.map { case (id, l, cv) => (r6(cos(qv, cv)), id, l) }
+        .sortBy(t => (-t._1, t._2)).take(5)
+      val pred = top5.groupBy(_._3).map { case (l, xs) => (l, xs.length) }
+        .toSeq.sortBy(t => (-t._2, t._1)).head._1
+      (trueL, pred)
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val got = MlOps.knnClassify.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.values.sum == 40L, "every query classified exactly once")
+    assert(got == expected, s"confusion mismatch:\n$got\nvs\n$expected")
+  }
 }

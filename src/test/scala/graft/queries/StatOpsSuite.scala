@@ -448,4 +448,51 @@ class StatOpsSuite extends SparkSpec {
         s"$cls: $n vs ${naive.count(_ == cls)}")
     }
   }
+
+  test("did_estimate: 2x2 cells and the DiD identity replay in memory") {
+    val rows = graft.Tables.events(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("CAST(floor(value * 100 + 0.5) AS LONG) AS cents",
+        "((user_id & 2147483647) * 2654435761) % 100 < 50 AS tr",
+        "ts >= TIMESTAMP '2024-01-16 00:00:00' AS post")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    def cell(tr: Boolean, post: Boolean) = {
+      val xs = rows.filter(t => t._2 == tr && t._3 == post).map(_._1)
+      (xs.length.toLong, xs.sum.toDouble / xs.length / 100)
+    }
+    val r = StatOps.didEstimate.run(spark, sfDir).collect()(0)
+    val (ntp, mtp) = cell(tr = true, post = true)
+    val (nta, mta) = cell(tr = true, post = false)
+    val (ncp, mcp) = cell(tr = false, post = true)
+    val (nca, mca) = cell(tr = false, post = false)
+    assert(r.getLong(0) == ntp && r.getLong(1) == nta &&
+      r.getLong(2) == ncp && r.getLong(3) == nca)
+    assert(math.abs(r.getDouble(4) - mtp) < 1e-4)
+    val did = (mtp - mta) - (mcp - mca)
+    assert(math.abs(r.getDouble(8) - did) < 2e-6, s"did ${r.getDouble(8)} vs $did")
+  }
+
+  test("cuped_adjust: theta replays and the adjustment never adds variance") {
+    val r = StatOps.cupedAdjust.run(spark, sfDir).collect()(0)
+    val (n, theta, vy, vadj, red) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(n > 0)
+    assert(vadj <= vy + 1e-9, "CUPED can only remove variance")
+    assert(red >= 0 && red <= 1 + 1e-9, s"reduction is rho^2: $red")
+    // replay theta from per-user pre/post totals
+    val u = graft.Tables.events(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("user_id",
+        "CAST(floor(value * 100 + 0.5) AS LONG) AS cents",
+        "ts < TIMESTAMP '2024-01-16 00:00:00' AS pre")
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1), r2.getBoolean(2)))
+      .groupBy(_._1).map { case (_, xs) =>
+        (xs.filter(_._3).map(_._2).sum, xs.filterNot(_._3).map(_._2).sum) }
+      .toSeq
+    val nn = u.length.toDouble
+    val (sx, sy) = (u.map(_._1).sum.toDouble, u.map(_._2).sum.toDouble)
+    val cov = (u.map(t => t._1.toDouble * t._2).sum - sx * sy / nn) / nn
+    val vx = (u.map(t => t._1.toDouble * t._1).sum - sx * sx / nn) / nn
+    assert(math.abs(theta - cov / vx) < 2e-6, s"theta $theta vs ${cov / vx}")
+  }
 }
