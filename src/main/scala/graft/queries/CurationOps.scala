@@ -736,9 +736,111 @@ object CurationOps {
       .orderBy("split")
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1998) — the smoothing that actually ships in n-gram LMs,
+    * completing the family next to stupid backoff (lm_backoff_score)
+    * and Good–Turing (good_turing): P(w|v) = max(c(vw)−D,0)/c(v) +
+    * D·N₁₊(v·)/c(v) · Pcont(w), D = 0.75 (exact binary), with the
+    * continuation distribution Pcont(w) = (N₁₊(·w)+1)/(N₁₊(··)+V)
+    * Laplace-floored so unseen continuations stay scoreable. All model
+    * quantities are exact counts from TWO aggregations of the train
+    * bigram relation (c(vw); per-context c(v)+N₁₊(v·) in one pass;
+    * per-continuation N₁₊(·w)); every P is a fixed-form combination of
+    * identical integers, and per-doc log-probs fold (v,w)-sorted so
+    * both engines add identical doubles in identical order — never
+    * avg() over an engine-ordered stream. Eval bigrams whose context
+    * never occurred in training are reported as skipped, not guessed.
+    * Scale: model tables are vocab/bigram-type-bounded; the eval
+    * stream joins them word-keyed (AQE broadcasts when the model
+    * fits — the lm_backoff_score claim, bench-verified). */
+  val kneserNey: Q = Q(
+    "kneser_ney",
+    """WITH tr AS (SELECT string_split(text, ' ') AS ts FROM documents
+      |            WHERE doc_id % 10 < 8 AND len(string_split(text, ' ')) >= 2),
+      |ev AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |       WHERE doc_id % 10 >= 8 AND len(string_split(text, ' ')) >= 2),
+      |big AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c12 FROM (
+      |    SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS v,
+      |           unnest(list_transform(range(1, len(ts)), i -> ts[i+1])) AS w
+      |    FROM tr) GROUP BY v, w),
+      |ctx AS (SELECT v, CAST(sum(c12) AS BIGINT) AS c1,
+      |        CAST(count(*) AS BIGINT) AS n1f FROM big GROUP BY v),
+      |cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1b FROM big GROUP BY w),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n1pp FROM big),
+      |vv AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS vsize
+      |       FROM (SELECT unnest(ts) AS u FROM tr)),
+      |eb AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS v,
+      |    unnest(list_transform(range(1, len(ts)), i -> ts[i+1])) AS w
+      |  FROM ev),
+      |sc AS (SELECT eb.doc_id, eb.v, eb.w,
+      |    CASE WHEN ctx.c1 IS NOT NULL THEN
+      |      ln(greatest(COALESCE(big.c12, 0) - 0.75, 0.0) / ctx.c1
+      |        + 0.75 * ctx.n1f / ctx.c1
+      |          * (COALESCE(cont.n1b, 0) + 1.0) / (nn.n1pp + vv.vsize))
+      |    END AS lp
+      |  FROM eb
+      |  LEFT JOIN ctx ON ctx.v = eb.v
+      |  LEFT JOIN big ON big.v = eb.v AND big.w = eb.w
+      |  LEFT JOIN cont ON cont.w = eb.w
+      |  CROSS JOIN nn CROSS JOIN vv)
+      |SELECT doc_id,
+      |  CAST(count(lp) AS BIGINT) AS n_scored,
+      |  CAST(count(*) - count(lp) AS BIGINT) AS n_skipped,
+      |  CASE WHEN count(lp) > 0 THEN
+      |    floor(list_aggregate(list(lp ORDER BY v, w)
+      |        FILTER (WHERE lp IS NOT NULL), 'sum')
+      |      / count(lp) * 10000 + 0.5) / 10000
+      |  END AS kn_lp
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ts = split(col("text"), " ")
+    val pairs = expr(
+      "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS v, ts[i+1] AS w))")
+    val tr = docs(s, d).filter(col("doc_id") % 10 < 8 && size(ts) >= 2)
+      .select(ts.as("ts"))
+    val ev = docs(s, d).filter(col("doc_id") % 10 >= 8 && size(ts) >= 2)
+      .select(col("doc_id"), ts.as("ts"))
+    val big = tr.select(explode(pairs).as("p"))
+      .select(col("p.v").as("v"), col("p.w").as("w"))
+      .groupBy("v", "w").agg(count(lit(1)).as("c12"))
+    val ctx = big.groupBy("v")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
+    val cont = big.groupBy("w").agg(count(lit(1)).as("n1b"))
+    val nn = big.agg(count(lit(1)).as("n1pp"))
+    val vv = tr.select(explode(col("ts")).as("u"))
+      .agg(countDistinct("u").as("vsize"))
+    val eb = ev.select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.v").as("v"), col("p.w").as("w"))
+    val sc = eb
+      .join(ctx.withColumnRenamed("v", "cv"), col("cv") === col("v"), "left")
+      .join(big.withColumnRenamed("v", "bv").withColumnRenamed("w", "bw"),
+        col("bv") === col("v") && col("bw") === col("w"), "left")
+      .join(cont.withColumnRenamed("w", "kw"), col("kw") === col("w"), "left")
+      .crossJoin(broadcast(nn)) // 1-row bigram-type total
+      .crossJoin(broadcast(vv)) // 1-row train vocab size
+      .select(col("doc_id"), col("v"), col("w"),
+        when(col("c1").isNotNull,
+          log(greatest(coalesce(col("c12"), lit(0L)) - 0.75, lit(0.0))
+            / col("c1")
+            + lit(0.75) * col("n1f") / col("c1")
+              * (coalesce(col("n1b"), lit(0L)) + 1.0)
+              / (col("n1pp") + col("vsize")))).as("lp"))
+    sc.groupBy("doc_id")
+      .agg(count(col("lp")).as("n_scored"),
+        (count(lit(1)) - count(col("lp"))).as("n_skipped"),
+        expr("aggregate(transform(array_sort(collect_list(" +
+          "CASE WHEN lp IS NOT NULL THEN struct(v, w, lp) END)), " +
+          "t -> t.lp), 0D, (a, x) -> a + x)").as("lpsum"))
+      .select(col("doc_id"), col("n_scored"), col("n_skipped"),
+        when(col("n_scored") > 0,
+          floor(col("lpsum") / col("n_scored") * 10000 + lit(0.5)) / 10000)
+          .as("kn_lp"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(asofJoin, asofJoinTolerance, asofJoinForward,
     decontamOverlap,
     decontamBloom, sampleStratified, sampleQuota, splitAssign, piiScrub,
     repetitionScore, lmPerplexity, qualityClassify, samplePriority,
-    lmBackoffScore, dsirWeights, scoreCalibration, srmCheck)
+    lmBackoffScore, dsirWeights, scoreCalibration, srmCheck, kneserNey)
 }

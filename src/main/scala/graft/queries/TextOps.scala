@@ -1143,11 +1143,83 @@ object TextOps {
       .orderBy(col("burstiness").desc, col("w")).limit(15)
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — the graph
+    * counterpart to RAKE (q112): build the corpus-wide word
+    * co-occurrence graph (adjacent content words, length ≥ 4,
+    * undirected with co-occurrence weights), run 3 damped power
+    * iterations WS(w) = 0.15 + 0.85·Σ_u c(u,w)/wdeg(u)·WS(u), and
+    * report the top-20 keywords. Unlike pagerank_bipartite's
+    * low-degree per-node sums, vocabulary nodes here can have
+    * thousands of neighbors, so every per-node contribution sum folds
+    * NEIGHBOR-SORTED on both engines (the repo's sortedFold device) —
+    * no engine-ordered double accumulation anywhere. Each iteration is
+    * one edges ⋈ rank-vector equi-join (vocab-keyed, AQE-broadcastable
+    * rank side) + a grouped fold; the edge relation is built once from
+    * a single bigram aggregation. */
+  val textrankKeywords: Q = Q(
+    "textrank_keywords",
+    """WITH tr AS (SELECT string_split(text, ' ') AS ts FROM documents
+      |            WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS v,
+      |           unnest(list_transform(range(1, len(ts)), i -> ts[i+1])) AS w
+      |    FROM tr)
+      |  WHERE length(v) >= 4 AND length(w) >= 4 AND v <> w GROUP BY v, w),
+      |ed AS (SELECT u, w, CAST(sum(c) AS BIGINT) AS c FROM (
+      |    SELECT v AS u, w, c FROM bg
+      |    UNION ALL SELECT w AS u, v AS w, c FROM bg) GROUP BY u, w),
+      |dg AS (SELECT u, CAST(sum(c) AS BIGINT) AS wdeg FROM ed GROUP BY u),
+      |r0 AS (SELECT u, CAST(1.0 AS DOUBLE) AS r FROM dg),
+      |r1 AS (SELECT e.w AS u, 0.15 + 0.85 * list_aggregate(
+      |    list(r.r * e.c / dg.wdeg ORDER BY e.u), 'sum') AS r
+      |  FROM ed e JOIN dg ON dg.u = e.u JOIN r0 r ON r.u = e.u
+      |  GROUP BY e.w),
+      |r2 AS (SELECT e.w AS u, 0.15 + 0.85 * list_aggregate(
+      |    list(r.r * e.c / dg.wdeg ORDER BY e.u), 'sum') AS r
+      |  FROM ed e JOIN dg ON dg.u = e.u JOIN r1 r ON r.u = e.u
+      |  GROUP BY e.w),
+      |r3 AS (SELECT e.w AS u, 0.15 + 0.85 * list_aggregate(
+      |    list(r.r * e.c / dg.wdeg ORDER BY e.u), 'sum') AS r
+      |  FROM ed e JOIN dg ON dg.u = e.u JOIN r2 r ON r.u = e.u
+      |  GROUP BY e.w)
+      |SELECT u AS keyword, floor(r * 1000000 + 0.5) / 1000000 AS score
+      |FROM r3 ORDER BY r DESC, u LIMIT 20""".stripMargin) { (s, d) =>
+    val ts = split(col("text"), " ")
+    val pairs = expr(
+      "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS v, ts[i+1] AS w))")
+    val bg = docs(s, d).filter(size(ts) >= 2).select(ts.as("ts"))
+      .select(explode(pairs).as("p"))
+      .select(col("p.v").as("v"), col("p.w").as("w"))
+      .filter(length(col("v")) >= 4 && length(col("w")) >= 4 &&
+        col("v") =!= col("w"))
+      .groupBy("v", "w").agg(count(lit(1)).as("c"))
+    val ed = bg.select(col("v").as("u"), col("w"), col("c"))
+      .unionAll(bg.select(col("w").as("u"), col("v").as("w"), col("c")))
+      .groupBy("u", "w").agg(sum("c").as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dg = ed.groupBy("u").agg(sum("c").as("wdeg"))
+    val r0 = dg.select(col("u"), lit(1.0).as("r"))
+    def step(prev: DataFrame): DataFrame =
+      ed.join(dg, "u").join(prev.select(col("u"), col("r")), "u")
+        .select(col("w"), col("u"),
+          (col("r") * col("c") / col("wdeg")).as("t"))
+        .groupBy(col("w"))
+        .agg(expr("aggregate(transform(array_sort(collect_list(" +
+          "struct(u, t))), x -> x.t), 0D, (a, x) -> a + x)").as("contrib"))
+        .select(col("w").as("u"), (lit(0.15) + lit(0.85) * col("contrib"))
+          .as("r"))
+    val r3 = step(step(step(r0)))
+    r3.orderBy(col("r").desc, col("u")).limit(20)
+      .select(col("u").as("keyword"),
+        (floor(col("r") * 1000000 + lit(0.5)) / 1000000).as("score"))
+      .orderBy(col("score").desc, col("keyword"))
+  }
+
   val all: Seq[Q] = Seq(
     wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
     dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard,
     bm25TopDocs, heavyHitters, heavyHittersMg, entropyProfile, pmiCollocations,
     bpeMergeStep, bpeTrainRounds, zipfFit, heapsLaw, markovNext, crossContam,
     chi2Terms, jsDivergence, rakeKeywords, containmentPairs, gopherRules,
-    tokenFertility, goodTuring, termBurstiness)
+    tokenFertility, goodTuring, termBurstiness, textrankKeywords)
 }

@@ -182,6 +182,7 @@ class ScaleOpsSuite extends SparkSpec {
       "minhash_keepfirst",    // 1-row x 1-row count report
       "lm_perplexity",        // 1-row vocab-size broadcast joined to docs
       "lm_backoff_score",     // 1-row (N, V) model-stats broadcast
+      "kneser_ney",           // 1-row bigram-type + vocab-size broadcasts
       "pmi_collocations",     // 1-row corpus-token-total broadcast
       "heavy_hitters",        // 1-row corpus-total broadcast for the share
       "q70_fuzzy_match",      // custkey <= 200 capped length-blocked pairs

@@ -234,4 +234,88 @@ class ProfileOpsSuite extends SparkSpec {
     // rank (the query terms do occur in the fixture corpus)
     assert(rows.exists(!_.isNullAt(1)))
   }
+
+  test("kneser_ney: per-doc scores replay the full in-memory KN model") {
+    import org.apache.spark.sql.functions._
+    val docsAll = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+      .filter(_._2.length >= 2)
+    val train = docsAll.filter(_._1 % 10 < 8).map(_._2)
+    val eval0 = docsAll.filter(_._1 % 10 >= 8)
+    val big = scala.collection.mutable.Map.empty[(String, String), Long]
+    train.foreach { ts =>
+      ts.sliding(2).foreach { p => big((p(0), p(1))) = big.getOrElse((p(0), p(1)), 0L) + 1 }
+    }
+    val c1 = big.toSeq.groupBy(_._1._1).map { case (v, xs) => v -> xs.map(_._2).sum }
+    val n1f = big.toSeq.groupBy(_._1._1).map { case (v, xs) => v -> xs.length.toLong }
+    val n1b = big.toSeq.groupBy(_._1._2).map { case (w, xs) => w -> xs.length.toLong }
+    val n1pp = big.size.toLong
+    val vsize = train.flatten.distinct.length.toLong
+    val expected = eval0.map { case (id, ts) =>
+      val lps = ts.sliding(2).toSeq
+        .map { p => (p(0), p(1)) }
+        .sortBy(identity)
+        .flatMap { case (v, w) =>
+          c1.get(v).map { cv =>
+            math.log(
+              math.max(big.getOrElse((v, w), 0L) - 0.75, 0.0) / cv
+                + 0.75 * n1f(v) / cv * (n1b.getOrElse(w, 0L) + 1.0)
+                  / (n1pp + vsize))
+          }
+        }
+      val nTot = ts.length - 1
+      (id, lps.length.toLong, nTot - lps.length.toLong,
+        if (lps.nonEmpty)
+          Some(math.floor(lps.sum / lps.length * 10000 + 0.5) / 10000)
+        else None)
+    }.sortBy(_._1)
+    val rows = CurationOps.kneserNey.run(spark, sfDir).collect()
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (r, (id, ns, nk, lp)) =>
+      assert(r.getLong(0) == id && r.getLong(1) == ns && r.getLong(2) == nk,
+        s"counts for doc $id")
+      lp match {
+        case Some(x) => assert(math.abs(r.getDouble(3) - x) < 2e-4,
+          s"kn_lp for doc $id: ${r.getDouble(3)} vs $x")
+        case None => assert(r.isNullAt(3))
+      }
+    }
+  }
+
+  test("textrank_keywords: top-20 replays an in-memory weighted PageRank") {
+    import org.apache.spark.sql.functions._
+    val docsAll = graft.Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("ts")).collect()
+      .map(_.getSeq[String](0).toArray).filter(_.length >= 2)
+    val bg = scala.collection.mutable.Map.empty[(String, String), Long]
+    docsAll.foreach(_.sliding(2).foreach { p =>
+      if (p(0).length >= 4 && p(1).length >= 4 && p(0) != p(1))
+        bg((p(0), p(1))) = bg.getOrElse((p(0), p(1)), 0L) + 1
+    })
+    val ed = scala.collection.mutable.Map.empty[(String, String), Long]
+    bg.foreach { case ((v, w), c) =>
+      ed((v, w)) = ed.getOrElse((v, w), 0L) + c
+      ed((w, v)) = ed.getOrElse((w, v), 0L) + c
+    }
+    val wdeg = ed.toSeq.groupBy(_._1._1).map { case (u, xs) => u -> xs.map(_._2).sum }
+    var r = wdeg.map { case (u, _) => u -> 1.0 }
+    for (_ <- 1 to 3) {
+      val byDst = ed.toSeq.filter(e => r.contains(e._1._1))
+        .groupBy(_._1._2)
+      r = byDst.map { case (w, es) =>
+        val contrib = es.map { case ((u, _), c) => (u, r(u) * c / wdeg(u)) }
+          .sortBy(_._1).map(_._2).sum
+        w -> (0.15 + 0.85 * contrib)
+      }
+    }
+    val expected = r.toSeq.sortBy(t => (-t._2, t._1)).take(20)
+      .map { case (k, v) => (k, math.floor(v * 1000000 + 0.5) / 1000000) }
+    val got = TextOps.textrankKeywords.run(spark, sfDir).collect()
+      .map(rr => (rr.getString(0), rr.getDouble(1))).toSeq
+    assert(got.map(_._1) == expected.map(_._1),
+      s"keyword set/order: $got vs $expected")
+    got.zip(expected).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 2e-6) }
+  }
 }
