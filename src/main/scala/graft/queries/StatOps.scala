@@ -1308,10 +1308,67 @@ object StatOps {
         * 1000000 + lit(0.5)) / 1000000).as("var_reduction"))
   }
 
+  /** Two-proportion z-test of per-user conversion between the hash-
+    * assigned experiment arms — the A/B readout for RATES, completing
+    * the testing family beside welch_ttest (means), mann_whitney
+    * (distributions), did/cuped (adjustments) and ab_srm_check (split
+    * health). Conversion = "user has ≥1 high-value purchase (≥$150 —
+    * a bare purchase is near-universal on this fixture and would
+    * collapse the pooled variance)"; one per-user
+    * aggregate then ONE conditional 1-row fold gives (n, x) per arm;
+    * p̂-pooled z is a fixed-form combination of four exact integers.
+    * Scan → user aggregate → 1-row report at any scale. */
+  val propZtest: Q = Q(
+    "prop_ztest",
+    """WITH u AS (SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND value >= 150
+      |        THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |arms AS (SELECT conv,
+      |    CASE WHEN ((user_id & 2147483647) * 2654435761) % 100 < 50
+      |         THEN 1 ELSE 0 END AS tr FROM u),
+      |g AS (SELECT CAST(sum(tr) AS BIGINT) AS n1,
+      |    CAST(sum(tr * conv) AS BIGINT) AS x1,
+      |    CAST(sum(1 - tr) AS BIGINT) AS n2,
+      |    CAST(sum((1 - tr) * conv) AS BIGINT) AS x2 FROM arms),
+      |m AS (SELECT n1, x1, n2, x2,
+      |    CAST(x1 AS DOUBLE) / n1 AS p1, CAST(x2 AS DOUBLE) / n2 AS p2,
+      |    CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp FROM g)
+      |SELECT n1, x1, n2, x2,
+      |  floor(p1 * 1000000 + 0.5) / 1000000 AS p_treat,
+      |  floor(p2 * 1000000 + 0.5) / 1000000 AS p_ctrl,
+      |  floor((p1 - p2) / sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+      |    * 1000000 + 0.5) / 1000000 AS z
+      |FROM m""".stripMargin) { (s, d) =>
+    val u = ev(s, d).groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 150,
+        1L).otherwise(0L)).as("conv"))
+    val tr = when(
+      (col("user_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)) % 100
+        < 50, 1L).otherwise(0L)
+    val g = u.select(col("conv"), tr.as("tr")).agg(
+      sum("tr").as("n1"), sum(col("tr") * col("conv")).as("x1"),
+      sum(lit(1L) - col("tr")).as("n2"),
+      sum((lit(1L) - col("tr")) * col("conv")).as("x2"))
+    val m = g.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      (col("x1").cast("double") / col("n1")).as("p1"),
+      (col("x2").cast("double") / col("n2")).as("p2"),
+      ((col("x1") + col("x2")).cast("double") / (col("n1") + col("n2")))
+        .as("pp"))
+    m.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      (floor(col("p1") * 1000000 + lit(0.5)) / 1000000).as("p_treat"),
+      (floor(col("p2") * 1000000 + lit(0.5)) / 1000000).as("p_ctrl"),
+      (floor((col("p1") - col("p2"))
+        / sqrt(col("pp") * (lit(1) - col("pp"))
+          * (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+        * 1000000 + lit(0.5)) / 1000000).as("z"))
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
       dowSeasonality, weightedMedian, spearmanCorr, neymanAllocation,
       anovaQuantity, cramersV, multiregNormal, poissonBootstrap,
-      lorenzDeciles, rfmSegments, abcClass, didEstimate, cupedAdjust)
+      lorenzDeciles, rfmSegments, abcClass, didEstimate, cupedAdjust,
+      propZtest)
 }

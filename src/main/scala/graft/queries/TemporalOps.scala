@@ -918,8 +918,95 @@ object TemporalOps {
           .as("efficiency"))
   }
 
+  /** Forecast backtest — the model-selection loop for the smoothing /
+    * decomposition family (holt_linear, seasonal_decompose): hold out
+    * the last 7 days of daily purchase revenue, forecast them with the
+    * three standard baselines (naive last-value, seasonal-naive d−7,
+    * drift), and score MAE/RMSE/MAPE per method. Daily revenues are
+    * exact BIGINT cents; naive/seasonal predictions stay integers and
+    * drift is one fixed-form rational; every error metric folds
+    * DAY-SORTED on both engines (7 terms — never an engine-ordered
+    * avg). The winner on this fixture is decided by the gate-pinned
+    * numbers, which is the point: backtests must be reproducible.
+    * Scales as one scan → calendar-bounded daily aggregate → 7-row
+    * joins. */
+  val forecastBacktest: Q = Q(
+    "forecast_backtest",
+    """WITH daily AS (SELECT
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |a22 AS (SELECT rev AS rev22 FROM daily WHERE d = 22),
+      |a0 AS (SELECT rev AS rev0 FROM daily WHERE d = 0),
+      |test AS (SELECT t.d, t.rev AS actual, s.rev AS snaive, rev22 AS naive,
+      |    rev22 + (t.d - 22) * (rev22 - rev0) / 22.0 AS drift
+      |  FROM daily t JOIN daily s ON s.d = t.d - 7
+      |  CROSS JOIN a22 CROSS JOIN a0
+      |  WHERE t.d >= 23),
+      |err AS (SELECT d, actual, m.method,
+      |    CASE m.method WHEN 'naive' THEN CAST(naive AS DOUBLE)
+      |                  WHEN 'snaive' THEN CAST(snaive AS DOUBLE)
+      |                  ELSE drift END AS pred
+      |  FROM test CROSS JOIN
+      |    (SELECT unnest(['naive', 'snaive', 'drift']) AS method) m),
+      |terms AS (SELECT method, d, abs(actual - pred) AS ae,
+      |    (actual - pred) * (actual - pred) AS se,
+      |    abs(actual - pred) / actual AS ape
+      |  FROM err)
+      |SELECT method,
+      |  floor(list_aggregate(list(ae ORDER BY d), 'sum') / 7 / 100 * 100
+      |    + 0.5) / 100 AS mae,
+      |  floor(sqrt(list_aggregate(list(se ORDER BY d), 'sum') / 7) / 100
+      |    * 100 + 0.5) / 100 AS rmse,
+      |  floor(list_aggregate(list(ape ORDER BY d), 'sum') / 7 * 1000000
+      |    + 0.5) / 1000000 AS mape
+      |FROM terms GROUP BY method ORDER BY method""".stripMargin) { (s, d) =>
+    val daily = ev(s, d).filter(col("event_type") === "purchase")
+      .groupBy(datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+        .as("d"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("rev"))
+    val a22 = daily.filter(col("d") === 22).select(col("rev").as("rev22"))
+    val a0 = daily.filter(col("d") === 0).select(col("rev").as("rev0"))
+    val s7 = daily.select((col("d") + 7).as("sd"), col("rev").as("snaive"))
+    val test = daily.filter(col("d") >= 23)
+      .join(s7, col("d") === col("sd"))
+      .crossJoin(broadcast(a22)) // 1-row last-train-value anchor
+      .crossJoin(broadcast(a0)) // 1-row first-value anchor
+      .select(col("d"), col("rev").as("actual"), col("snaive"),
+        col("rev22").as("naive"),
+        (col("rev22") + (col("d") - 22) * (col("rev22") - col("rev0"))
+          / 22.0).as("drift"))
+    val err = test.select(col("d"), col("actual"),
+      explode(array(
+        struct(lit("naive").as("method"),
+          col("naive").cast("double").as("pred")),
+        struct(lit("snaive").as("method"),
+          col("snaive").cast("double").as("pred")),
+        struct(lit("drift").as("method"), col("drift").as("pred"))))
+        .as("m"))
+      .select(col("d"), col("actual"), col("m.method").as("method"),
+        col("m.pred").as("pred"))
+    val terms = err.select(col("method"), col("d"),
+      abs(col("actual") - col("pred")).as("ae"),
+      ((col("actual") - col("pred")) * (col("actual") - col("pred")))
+        .as("se"),
+      (abs(col("actual") - col("pred")) / col("actual")).as("ape"))
+    def dayFold(field: String): org.apache.spark.sql.Column =
+      expr(s"aggregate(transform(array_sort(collect_list(struct(d, $field))), " +
+        s"t -> t.$field), 0D, (a, x) -> a + x)")
+    terms.groupBy("method")
+      .agg(dayFold("ae").as("sae"), dayFold("se").as("sse"),
+        dayFold("ape").as("sape"))
+      .select(col("method"),
+        (floor(col("sae") / 7 / 100 * 100 + lit(0.5)) / 100).as("mae"),
+        (floor(sqrt(col("sse") / 7) / 100 * 100 + lit(0.5)) / 100).as("rmse"),
+        (floor(col("sape") / 7 * 1000000 + lit(0.5)) / 1000000).as("mape"))
+      .orderBy("method")
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
-    seasonalDecompose, markovStationary, entropyRate)
+    seasonalDecompose, markovStationary, entropyRate, forecastBacktest)
 }

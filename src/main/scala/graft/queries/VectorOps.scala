@@ -106,5 +106,69 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
-  val all: Seq[Q] = Seq(embedStats, cosineTopK, cosinePairs)
+  /** ε-neighbor spatial self-join via grid binning — the canonical
+    * distributed spatial-join pattern (bin → replicate to the 3×3
+    * neighbor cells → equi-join on cell → exact distance filter),
+    * declared over the first two embedding dimensions as a 2-D point
+    * set with ε = 0.05. One side replicates ×9 map-side (explode of
+    * literal offsets, no theta join); the join is a plain equi-join on
+    * the cell key, so at 100 TB it shuffles ~9·|points| rows hashed by
+    * cell instead of comparing all pairs; candidate pairs are verified
+    * with the exact (double) squared distance, and `a < b` dedupes the
+    * symmetric hits. Cell ids from floor(x/ε) on bit-identical doubles
+    * are engine-identical. Output: total ε-pair count (1-row
+    * broadcast) + the 15 closest pairs. */
+  val gridSpatialJoin: Q = Q(
+    "grid_spatial_join",
+    """WITH p AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+      |    CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+      |pc AS (SELECT vec_id, x, y,
+      |    CAST(floor(x / 0.05) AS BIGINT) AS cx,
+      |    CAST(floor(y / 0.05) AS BIGINT) AS cy FROM p),
+      |rep AS (SELECT vec_id, x, y, cx + dx.d AS cx, cy + dy.d AS cy
+      |  FROM pc, (SELECT unnest([-1, 0, 1]) AS d) dx,
+      |            (SELECT unnest([-1, 0, 1]) AS d) dy),
+      |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      |  FROM rep a JOIN pc b ON a.cx = b.cx AND a.cy = b.cy
+      |    AND a.vec_id < b.vec_id),
+      |hits AS (SELECT id_a, id_b, d2 FROM cand WHERE d2 <= 0.0025),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM hits)
+      |SELECT id_a, id_b,
+      |  floor(sqrt(d2) * 1000000 + 0.5) / 1000000 AS dist, n_pairs
+      |FROM hits CROSS JOIN n
+      |ORDER BY d2, id_a, id_b LIMIT 15""".stripMargin) { (s, d) =>
+    val p = emb(s, d).select(col("vec_id"),
+      col("embedding").getItem(0).cast("double").as("x"),
+      col("embedding").getItem(1).cast("double").as("y"))
+    val pc = p.select(col("vec_id"), col("x"), col("y"),
+      floor(col("x") / 0.05).cast("long").as("cx"),
+      floor(col("y") / 0.05).cast("long").as("cy"))
+    val rep = pc
+      .select(col("vec_id"), col("x"), col("y"),
+        explode(expr("transform(sequence(-1, 1), d -> cx + d)")).as("acx"),
+        col("cy"))
+      .select(col("vec_id"), col("x"), col("y"), col("acx"),
+        explode(expr("transform(sequence(-1, 1), d -> cy + d)")).as("acy"))
+    val b = pc.select(col("vec_id").as("id_b"), col("x").as("bx"),
+      col("y").as("by"), col("cx"), col("cy"))
+    val cand = rep.join(b,
+      col("acx") === col("cx") && col("acy") === col("cy") &&
+        col("vec_id") < col("id_b"))
+    val dx = col("x") - col("bx")
+    val dy = col("y") - col("by")
+    val hits = cand
+      .select(col("vec_id").as("id_a"), col("id_b"),
+        (dx * dx + dy * dy).as("d2"))
+      .filter(col("d2") <= 0.0025)
+    val n = hits.agg(count(lit(1)).as("n_pairs"))
+    hits.crossJoin(broadcast(n)) // 1-row pair-count report
+      .orderBy(col("d2"), col("id_a"), col("id_b")).limit(15)
+      .select(col("id_a"), col("id_b"),
+        (floor(sqrt(col("d2")) * 1000000 + lit(0.5)) / 1000000).as("dist"),
+        col("n_pairs"))
+      .orderBy(col("dist"), col("id_a"), col("id_b"))
+  }
+
+  val all: Seq[Q] = Seq(embedStats, cosineTopK, cosinePairs, gridSpatialJoin)
 }

@@ -87,4 +87,29 @@ class AnnSuite extends SparkSpec {
       .filter(col("n") === 2).count()
     assert(collisions === 8, "8 tables → 8 shared buckets")
   }
+
+  test("grid_spatial_join finds EXACTLY the brute-force epsilon pairs") {
+    import org.apache.spark.sql.functions._
+    val pts = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "CAST(embedding[0] AS DOUBLE) AS x",
+        "CAST(embedding[1] AS DOUBLE) AS y")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val brute = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= 0.0025
+    } yield ((a._1, b._1), d2)).toMap
+    val rows = graft.queries.VectorOps.gridSpatialJoin.run(spark, sfDir)
+      .collect()
+    // the reported total is the full brute-force pair count (the grid
+    // must neither miss boundary pairs nor double-count replicas)
+    assert(rows.head.getLong(3) == brute.size.toLong,
+      s"pair count ${rows.head.getLong(3)} vs brute ${brute.size}")
+    // and the 15 reported closest pairs are the true closest 15
+    val expTop = brute.toSeq.sortBy(t => (t._2, t._1._1, t._1._2)).take(15)
+    rows.zip(expTop).foreach { case (r, ((ia, ib), d2)) =>
+      assert(r.getLong(0) == ia && r.getLong(1) == ib, s"pair order: $r")
+      assert(math.abs(r.getDouble(2) - math.sqrt(d2)) < 2e-6)
+    }
+  }
 }

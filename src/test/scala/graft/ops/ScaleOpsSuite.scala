@@ -178,6 +178,8 @@ class ScaleOpsSuite extends SparkSpec {
       "kmv_distinct",         // 1-row sketch x 1-row exact report join
       "woe_iv",               // 1-row class-totals broadcast onto 10 bins
       "kaplan_meier",         // 1-row corpus-max-date broadcast
+      "grid_spatial_join",    // 1-row pair-count broadcast onto top-15
+      "forecast_backtest",    // two 1-row train-anchor broadcasts
       "dedup_exact_stats", "cosine_dedup_stats",
       "minhash_keepfirst",    // 1-row x 1-row count report
       "lm_perplexity",        // 1-row vocab-size broadcast joined to docs

@@ -495,4 +495,18 @@ class StatOpsSuite extends SparkSpec {
     val vx = (u.map(t => t._1.toDouble * t._1).sum - sx * sx / nn) / nn
     assert(math.abs(theta - cov / vx) < 2e-6, s"theta $theta vs ${cov / vx}")
   }
+
+  test("prop_ztest: z replays from the four exact counts") {
+    val r = StatOps.propZtest.run(spark, sfDir).collect()(0)
+    val (n1, x1, n2, x2) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert(n1 > 0 && n2 > 0 && x1 > 0 && x2 > 0)
+    assert(x1 <= n1 && x2 <= n2)
+    val (p1, p2) = (x1.toDouble / n1, x2.toDouble / n2)
+    val pp = (x1 + x2).toDouble / (n1 + n2)
+    val z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    assert(math.abs(r.getDouble(4) - p1) < 2e-6)
+    assert(math.abs(r.getDouble(5) - p2) < 2e-6)
+    assert(math.abs(r.getDouble(6) - z) < 2e-6, s"z ${r.getDouble(6)} vs $z")
+  }
 }

@@ -337,4 +337,39 @@ class TemporalOpsSuite extends SparkSpec {
       }
     }
   }
+
+  test("forecast_backtest: metrics replay a naive in-memory backtest") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+        .as("d"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("rev"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert((0 to 29).forall(daily.contains), "every January day trades")
+    val (r22, r0) = (daily(22), daily(0))
+    def metrics(pred: Int => Double): (Double, Double, Double) = {
+      val es = (23 to 29).map { t =>
+        val e = daily(t).toDouble - pred(t)
+        (math.abs(e), e * e, math.abs(e) / daily(t))
+      }
+      (es.map(_._1).sum / 7 / 100, math.sqrt(es.map(_._2).sum / 7) / 100,
+        es.map(_._3).sum / 7)
+    }
+    val exp = Map(
+      "naive" -> metrics(_ => r22.toDouble),
+      "snaive" -> metrics(t => daily(t - 7).toDouble),
+      "drift" -> metrics(t => r22 + (t - 22) * (r22 - r0) / 22.0))
+    val rows = TemporalOps.forecastBacktest.run(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (mae, rmse, mape) = exp(r.getString(0))
+      assert(math.abs(r.getDouble(1) - mae) < 0.02, s"mae ${r.getString(0)}")
+      assert(math.abs(r.getDouble(2) - rmse) < 0.02, s"rmse ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - mape) < 2e-6, s"mape ${r.getString(0)}")
+    }
+    // the seasonal baseline must actually differ from naive (else the
+    // backtest compares nothing)
+    assert(rows.map(_.getDouble(1)).distinct.length > 1)
+  }
 }
