@@ -357,6 +357,58 @@ object SearchOps {
       .orderBy(col("rrf").desc, col("doc_id"))
   }
 
+  /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter
+    * 1969) between the customer and supplier registries — the ER
+    * scoring model on top of the string-distance layer (dl_match /
+    * jw_match): block on nation (the realistic block-join shape — an
+    * equi-join, never all pairs), compare two fields per candidate
+    * (name Jaro–Winkler ≥ 0.85; account-balance thousand-band), and
+    * sum per-field log-likelihood ratios ln(m/u) for agreement /
+    * ln((1−m)/(1−u)) for disagreement with fixed published-style m/u
+    * priors. All weights are ln of literals (identical doubles), the
+    * JW comes from the native expression whose DuckDB parity jw_match
+    * pins, and ties order by raw jw then keys. Top-15 candidate links. */
+  val fsLinkage: Q = Q(
+    "fs_linkage",
+    """WITH p AS (SELECT c_custkey, s_suppkey,
+      |    jaro_winkler_similarity(c_name, s_name) AS jw,
+      |    CASE WHEN floor(c_acctbal / 1000) = floor(s_acctbal / 1000)
+      |         THEN 1 ELSE 0 END AS band
+      |  FROM customer JOIN supplier ON c_nationkey = s_nationkey),
+      |w AS (SELECT c_custkey, s_suppkey, jw, band,
+      |    (CASE WHEN jw >= 0.85 THEN ln(0.9 / 0.05)
+      |          ELSE ln(0.1 / 0.95) END)
+      |    + (CASE WHEN band = 1 THEN ln(0.3 / 0.1)
+      |            ELSE ln(0.7 / 0.9) END) AS wt
+      |  FROM p)
+      |SELECT c_custkey, s_suppkey,
+      |  floor(jw * 1000000 + 0.5) / 1000000 AS jw, band,
+      |  floor(wt * 1000000 + 0.5) / 1000000 AS fs_weight
+      |FROM w
+      |ORDER BY wt DESC, jw DESC, c_custkey, s_suppkey LIMIT 15""".stripMargin) {
+    (s, d) =>
+    val p = Tables.customer(s, d)
+      .join(Tables.supplier(s, d), col("c_nationkey") === col("s_nationkey"))
+      .select(col("c_custkey"), col("s_suppkey"),
+        graft.functions.JaroWinkler.jw(col("c_name"), col("s_name")).as("jw"),
+        when(floor(col("c_acctbal") / 1000) === floor(col("s_acctbal") / 1000),
+          1).otherwise(0).as("band"))
+    val w = p.select(col("c_custkey"), col("s_suppkey"), col("jw"),
+      col("band"),
+      (when(col("jw") >= 0.85, log(lit(0.9) / 0.05))
+        .otherwise(log(lit(0.1) / 0.95))
+        + when(col("band") === 1, log(lit(0.3) / 0.1))
+          .otherwise(log(lit(0.7) / 0.9))).as("wt"))
+    w.orderBy(col("wt").desc, col("jw").desc, col("c_custkey"),
+        col("s_suppkey")).limit(15)
+      .select(col("c_custkey"), col("s_suppkey"),
+        (floor(col("jw") * 1000000 + lit(0.5)) / 1000000).as("jw"),
+        col("band"),
+        (floor(col("wt") * 1000000 + lit(0.5)) / 1000000).as("fs_weight"))
+      .orderBy(col("fs_weight").desc, col("jw").desc, col("c_custkey"),
+        col("s_suppkey"))
+  }
+
   val all: Seq[Q] = Seq(phraseSearch, tableFingerprint, qlDirichlet, dlMatch,
-    jwMatch, rrfFusion)
+    jwMatch, rrfFusion, fsLinkage)
 }

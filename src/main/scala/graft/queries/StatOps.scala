@@ -1364,11 +1364,65 @@ object StatOps {
         * 1000000 + lit(0.5)) / 1000000).as("z"))
   }
 
+  /** A/B power analysis: the minimum detectable effect (MDE) of the
+    * conversion experiment at α=0.05 two-sided / 80% power, the number
+    * every experiment review asks for BEFORE the test ships. Uses
+    * prop_ztest's arms and conversion; MDE = (z_{α/2}+z_β)·SE with the
+    * standard normal quantiles as exact literals (1.959964, 0.841621)
+    * and SE = √(p̂(1−p̂)(1/n₁+1/n₂)) a fixed-form combination of four
+    * exact integers. Relative MDE divides by the pooled rate. One
+    * per-user aggregate + a 1-row report at any scale. */
+  val abPowerMde: Q = Q(
+    "ab_power_mde",
+    """WITH u AS (SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND value >= 150
+      |        THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |arms AS (SELECT conv,
+      |    CASE WHEN ((user_id & 2147483647) * 2654435761) % 100 < 50
+      |         THEN 1 ELSE 0 END AS tr FROM u),
+      |g AS (SELECT CAST(sum(tr) AS BIGINT) AS n1,
+      |    CAST(sum(1 - tr) AS BIGINT) AS n2,
+      |    CAST(sum(conv) AS BIGINT) AS x FROM arms),
+      |m AS (SELECT n1, n2, CAST(x AS DOUBLE) / (n1 + n2) AS pp FROM g),
+      |e AS (SELECT n1, n2, pp,
+      |    sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2)) AS se FROM m)
+      |SELECT n1, n2,
+      |  floor(pp * 1000000 + 0.5) / 1000000 AS pooled_rate,
+      |  floor(se * 1000000 + 0.5) / 1000000 AS std_err,
+      |  floor((1.959964 + 0.841621) * se * 1000000 + 0.5) / 1000000
+      |    AS mde_abs,
+      |  floor((1.959964 + 0.841621) * se / pp * 1000000 + 0.5) / 1000000
+      |    AS mde_rel
+      |FROM e""".stripMargin) { (s, d) =>
+    val u = ev(s, d).groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 150,
+        1L).otherwise(0L)).as("conv"))
+    val tr = when(
+      (col("user_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)) % 100
+        < 50, 1L).otherwise(0L)
+    val g = u.select(col("conv"), tr.as("tr")).agg(
+      sum("tr").as("n1"), sum(lit(1L) - col("tr")).as("n2"),
+      sum("conv").as("x"))
+    val m = g.select(col("n1"), col("n2"),
+      (col("x").cast("double") / (col("n1") + col("n2"))).as("pp"))
+    val e = m.withColumn("se",
+      sqrt(col("pp") * (lit(1) - col("pp"))
+        * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))))
+    e.select(col("n1"), col("n2"),
+      (floor(col("pp") * 1000000 + lit(0.5)) / 1000000).as("pooled_rate"),
+      (floor(col("se") * 1000000 + lit(0.5)) / 1000000).as("std_err"),
+      (floor((lit(1.959964) + 0.841621) * col("se") * 1000000 + lit(0.5))
+        / 1000000).as("mde_abs"),
+      (floor((lit(1.959964) + 0.841621) * col("se") / col("pp") * 1000000
+        + lit(0.5)) / 1000000).as("mde_rel"))
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
       dowSeasonality, weightedMedian, spearmanCorr, neymanAllocation,
       anovaQuantity, cramersV, multiregNormal, poissonBootstrap,
       lorenzDeciles, rfmSegments, abcClass, didEstimate, cupedAdjust,
-      propZtest)
+      propZtest, abPowerMde)
 }

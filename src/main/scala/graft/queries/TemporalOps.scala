@@ -1005,8 +1005,54 @@ object TemporalOps {
       .orderBy("method")
   }
 
+  /** Sequential-pattern support mining — "users who do a later do b",
+    * the subsequence generalization of event_transitions' ADJACENT
+    * pairs (a GSP/PrefixSpan length-2 pass). The trick that makes it
+    * scale: a user exhibits a→b iff first_ts(a) < last_ts(b), so the
+    * per-user event stream compresses to ≤|event types| (first, last)
+    * rows and candidate enumeration is a user-keyed self-join of that
+    * 5-row summary (≤25 pairs/user, bounded by the TYPE alphabet, not
+    * the stream length — repeats a→a fall out naturally from first <
+    * last). Support = exact user counts over a 1-row total broadcast. */
+  val seqSupport: Q = Q(
+    "seq_support",
+    """WITH ft AS (SELECT user_id, event_type,
+      |    min(ts) AS first_ts, max(ts) AS last_ts
+      |  FROM events GROUP BY user_id, event_type),
+      |pairs AS (SELECT a.user_id, a.event_type AS a, b.event_type AS b
+      |  FROM ft a JOIN ft b ON a.user_id = b.user_id
+      |    AND a.first_ts < b.last_ts),
+      |sup AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_users
+      |        FROM pairs GROUP BY a, b),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
+      |        (SELECT DISTINCT user_id FROM events))
+      |SELECT a AS first_type, b AS then_type, n_users,
+      |  floor(CAST(n_users AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+      |    AS support
+      |FROM sup CROSS JOIN tot
+      |ORDER BY n_users DESC, first_type, then_type""".stripMargin) { (s, d) =>
+    val ft = ev(s, d).groupBy("user_id", "event_type")
+      .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+    val a = ft.select(col("user_id"), col("event_type").as("a"),
+      col("first_ts"))
+    val b = ft.select(col("user_id").as("uid_b"), col("event_type").as("b"),
+      col("last_ts"))
+    val pairs = a.join(b,
+      col("user_id") === col("uid_b") && col("first_ts") < col("last_ts"))
+    val sup = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_users"))
+    val tot = ev(s, d).select("user_id").distinct()
+      .agg(count(lit(1)).as("n"))
+    sup.crossJoin(broadcast(tot)) // 1-row user-total broadcast
+      .select(col("a").as("first_type"), col("b").as("then_type"),
+        col("n_users"),
+        (floor(col("n_users").cast("double") / col("n") * 1000000
+          + lit(0.5)) / 1000000).as("support"))
+      .orderBy(col("n_users").desc, col("first_type"), col("then_type"))
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
-    seasonalDecompose, markovStationary, entropyRate, forecastBacktest)
+    seasonalDecompose, markovStationary, entropyRate, forecastBacktest,
+    seqSupport)
 }

@@ -318,4 +318,23 @@ class ProfileOpsSuite extends SparkSpec {
     got.zip(expected).foreach { case ((_, a), (_, b)) =>
       assert(math.abs(a - b) < 2e-6) }
   }
+
+  test("fs_linkage: weights take only the four agreement-pattern values") {
+    val rows = SearchOps.fsLinkage.run(spark, sfDir).collect()
+    assert(rows.length == 15)
+    val wAgree = math.log(0.9 / 0.05); val wDis = math.log(0.1 / 0.95)
+    val bAgree = math.log(0.3 / 0.1); val bDis = math.log(0.7 / 0.9)
+    val legal = Set(wAgree + bAgree, wAgree + bDis, wDis + bAgree,
+      wDis + bDis).map(x => math.floor(x * 1000000 + 0.5) / 1000000)
+    rows.foreach { r =>
+      assert(legal.contains(r.getDouble(4)), s"illegal FS weight: $r")
+      val expectedName = if (r.getDouble(2) >= 0.85) wAgree else wDis
+      val expectedBand = if (r.getInt(3) == 1) bAgree else bDis
+      val w = math.floor((expectedName + expectedBand) * 1000000 + 0.5) / 1000000
+      assert(r.getDouble(4) == w, s"weight inconsistent with fields: $r")
+    }
+    // descending by weight then jw
+    val ws = rows.map(r => (r.getDouble(4), r.getDouble(2)))
+    assert(ws.toSeq == ws.sortBy(t => (-t._1, -t._2)).toSeq)
+  }
 }

@@ -509,4 +509,18 @@ class StatOpsSuite extends SparkSpec {
     assert(math.abs(r.getDouble(5) - p2) < 2e-6)
     assert(math.abs(r.getDouble(6) - z) < 2e-6, s"z ${r.getDouble(6)} vs $z")
   }
+
+  test("ab_power_mde: MDE replays from the pooled rate and arm sizes") {
+    val r = StatOps.abPowerMde.run(spark, sfDir).collect()(0)
+    val (n1, n2) = (r.getLong(0), r.getLong(1))
+    val (pp, se, mdeA, mdeR) = (r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5))
+    assert(n1 > 0 && n2 > 0 && pp > 0 && pp < 1)
+    val seExp = math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    assert(math.abs(se - seExp) < 5e-6)
+    assert(math.abs(mdeA - (1.959964 + 0.841621) * se) < 5e-6)
+    assert(math.abs(mdeR - mdeA / pp) < 5e-5)
+    // sanity: a detectable effect is larger than one standard error
+    assert(mdeA > se)
+  }
 }

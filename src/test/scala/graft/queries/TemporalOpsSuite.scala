@@ -372,4 +372,31 @@ class TemporalOpsSuite extends SparkSpec {
     // backtest compares nothing)
     assert(rows.map(_.getDouble(1)).distinct.length > 1)
   }
+
+  test("seq_support: first/last compression equals brute subsequence check") {
+    import org.apache.spark.sql.functions._
+    val evts = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = evts.groupBy(_._1)
+    val nUsers = byUser.size.toLong
+    val types = evts.map(_._2).distinct.sorted
+    val expected = (for {
+      a <- types; b <- types
+      n = byUser.count { case (_, xs) =>
+        xs.exists(e1 => e1._2 == a &&
+          xs.exists(e2 => e2._2 == b && e1._3 < e2._3))
+      }
+      if n > 0
+    } yield (a, b) -> n.toLong).toMap
+    val got = TemporalOps.seqSupport.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"support sets differ")
+    // support column really is n/users
+    val rows = TemporalOps.seqSupport.run(spark, sfDir).collect()
+    rows.foreach { r =>
+      val s = math.floor(r.getLong(2).toDouble / nUsers * 1000000 + 0.5) / 1000000
+      assert(r.getDouble(3) == s)
+    }
+  }
 }
