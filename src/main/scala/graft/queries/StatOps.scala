@@ -1424,5 +1424,80 @@ object StatOps {
       dowSeasonality, weightedMedian, spearmanCorr, neymanAllocation,
       anovaQuantity, cramersV, multiregNormal, poissonBootstrap,
       lorenzDeciles, rfmSegments, abcClass, didEstimate, cupedAdjust,
-      propZtest, abPowerMde)
+      propZtest, abPowerMde, jamesStein)
+
+  /** James–Stein shrinkage of the 25 per-nation mean order values
+    * toward the grand mean (James & Stein 1961; the empirical-Bayes
+    * fix for the winner's curse in per-segment dashboards — small
+    * segments' extreme means are pulled in hardest). Estimator:
+    * js_i = μ̂ + (1 − c)·(x̄_i − μ̂) with c = (k−3)·σ̄²/Σ(x̄_i − μ̂)²,
+    * σ̄² = the mean sampling variance of the group means (pooled
+    * within-group variance / n_i, averaged). Group moments are exact
+    * BIGINT cents; μ̂, σ̄², and the spread fold NATION-SORTED over the
+    * 25-row group relation, and c broadcasts back as one row. Shapes:
+    * two grouped aggregates + a 25-row fold + a broadcast join. */
+  lazy val jamesStein: Q = Q(
+    "james_stein_shrink",
+    """WITH g AS (SELECT c.c_nationkey AS nk,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS s1,
+      |    sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |      AS HUGEINT) * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS s2
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1),
+      |m AS (SELECT nk, n, CAST(s1 AS DOUBLE) / n AS xbar,
+      |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) / n
+      |      AS sv
+      |  FROM g),
+      |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+      |    list_aggregate(list(xbar ORDER BY nk), 'sum') / count(*) AS mu,
+      |    list_aggregate(list(sv ORDER BY nk), 'sum') / count(*) AS svbar
+      |  FROM m),
+      |sp AS (SELECT k, mu, svbar,
+      |    list_aggregate(list((xbar - mu) * (xbar - mu) ORDER BY nk), 'sum')
+      |      AS spread
+      |  FROM m CROSS JOIN f GROUP BY k, mu, svbar),
+      |c AS (SELECT k, mu, (k - 3) * svbar / spread AS shrink FROM sp)
+      |SELECT nk AS nationkey, n,
+      |  floor(xbar / 100 * 100 + 0.5) / 100 AS raw_mean,
+      |  floor((mu + (1 - shrink) * (xbar - mu)) / 100 * 100 + 0.5) / 100
+      |    AS js_mean,
+      |  floor(shrink * 1000000 + 0.5) / 1000000 AS shrink_factor
+      |FROM m CROSS JOIN c ORDER BY nationkey""".stripMargin) { (s, d) =>
+    val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+    val g = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nk"), cents.as("v"))
+      .groupBy("nk")
+      .agg(count(lit(1)).as("n"), sum("v").as("s1"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("s2"))
+    val m = g.select(col("nk"), col("n"),
+      (col("s1").cast("double") / col("n")).as("xbar"),
+      ((col("s2").cast("double") - col("s1").cast("double") * col("s1")
+        / col("n")) / (col("n") - 1) / col("n")).as("sv"))
+    def nkFold(field: String): org.apache.spark.sql.Column =
+      expr(s"aggregate(transform(array_sort(collect_list(struct(nk, $field))), " +
+        s"t -> t.$field), 0D, (a, x) -> a + x)")
+    val f = m.agg(count(lit(1)).as("k"), nkFold("xbar").as("sx"),
+        nkFold("sv").as("ssv"))
+      .select(col("k"), (col("sx") / col("k")).as("mu"),
+        (col("ssv") / col("k")).as("svbar"))
+    val withMu = m.crossJoin(broadcast(f)) // 1-row grand-mean broadcast
+      .withColumn("dev2", (col("xbar") - col("mu")) * (col("xbar") - col("mu")))
+    val sp = withMu.groupBy("k", "mu", "svbar")
+      .agg(nkFold("dev2").as("spread"))
+    val cdf = sp.select(col("k"), col("mu"),
+      ((col("k") - 3) * col("svbar") / col("spread")).as("shrink"))
+    m.crossJoin(broadcast(cdf)) // 1-row shrink-factor broadcast
+      .select(col("nk").as("nationkey"), col("n"),
+        (floor(col("xbar") / 100 * 100 + lit(0.5)) / 100).as("raw_mean"),
+        (floor((col("mu") + (lit(1) - col("shrink"))
+          * (col("xbar") - col("mu"))) / 100 * 100 + lit(0.5)) / 100)
+          .as("js_mean"),
+        (floor(col("shrink") * 1000000 + lit(0.5)) / 1000000)
+          .as("shrink_factor"))
+      .orderBy("nationkey")
+  }
 }

@@ -170,5 +170,124 @@ object VectorOps {
       .orderBy(col("dist"), col("id_a"), col("id_b"))
   }
 
-  val all: Seq[Q] = Seq(embedStats, cosineTopK, cosinePairs, gridSpatialJoin)
+  /** DBSCAN density clustering (Ester et al. 1996) over the 2-D
+    * embedding projection — the full composite on top of the grid
+    * spatial join: ε-neighbor pairs (ε=0.01) from the bin→replicate→
+    * equi-join pattern, core points = degree ≥ 3, clusters = connected
+    * components of the core–core graph (the SAME pointer-jumping
+    * operator the dedup pipeline uses; oracle = recursive-CTE
+    * transitive closure), border points assigned to their MINIMUM
+    * core-neighbor cluster (DBSCAN's assignment is order-dependent in
+    * the textbook scan — the min rule makes it deterministic), rest is
+    * noise. Output: per-cluster core/border/total counts plus a noise
+    * row (component −1). Every stage is the scale-safe shape: grid
+    * equi-join, degree aggregate, log-round pointer jumping. */
+  val dbscanGrid: Q = Q(
+    "dbscan_grid",
+    """WITH RECURSIVE p AS (SELECT vec_id,
+      |    CAST(embedding[1] AS DOUBLE) AS x,
+      |    CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+      |pc AS (SELECT vec_id, x, y,
+      |    CAST(floor(x / 0.01) AS BIGINT) AS cx,
+      |    CAST(floor(y / 0.01) AS BIGINT) AS cy FROM p),
+      |rep AS (SELECT vec_id, x, y, cx + dx.d AS cx, cy + dy.d AS cy
+      |  FROM pc, (SELECT unnest([-1, 0, 1]) AS d) dx,
+      |            (SELECT unnest([-1, 0, 1]) AS d) dy),
+      |nbr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+      |  FROM rep a JOIN pc b ON a.cx = b.cx AND a.cy = b.cy
+      |    AND a.vec_id <> b.vec_id
+      |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      |    <= 0.0001),
+      |deg AS (SELECT ia AS v, CAST(count(*) AS BIGINT) AS c FROM nbr
+      |        GROUP BY ia),
+      |core AS (SELECT v FROM deg WHERE c >= 3),
+      |ce AS (SELECT ia, ib FROM nbr
+      |  WHERE ia IN (SELECT v FROM core) AND ib IN (SELECT v FROM core)),
+      |reach AS (SELECT ia AS node, ia AS r FROM ce
+      |  UNION SELECT reach.node, ce.ib FROM reach JOIN ce
+      |    ON reach.r = ce.ia),
+      |clbl AS (SELECT core.v, COALESCE(m.comp, core.v) AS comp FROM core
+      |  LEFT JOIN (SELECT node, min(r) AS comp FROM reach GROUP BY node) m
+      |    ON m.node = core.v),
+      |blbl AS (SELECT nbr.ia AS v, min(c2.comp) AS comp FROM nbr
+      |  JOIN clbl c2 ON c2.v = nbr.ib
+      |  WHERE nbr.ia NOT IN (SELECT v FROM core)
+      |  GROUP BY nbr.ia),
+      |cstat AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_core
+      |          FROM clbl GROUP BY comp),
+      |bstat AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_border
+      |          FROM blbl GROUP BY comp),
+      |clusters AS (SELECT cstat.comp AS component, n_core,
+      |    COALESCE(n_border, 0) AS n_border,
+      |    n_core + COALESCE(n_border, 0) AS n_pts
+      |  FROM cstat LEFT JOIN bstat ON bstat.comp = cstat.comp),
+      |noise AS (SELECT CAST(-1 AS BIGINT) AS component,
+      |    CAST(0 AS BIGINT) AS n_core, CAST(0 AS BIGINT) AS n_border,
+      |    (SELECT count(*) FROM p) - (SELECT count(*) FROM clbl)
+      |      - (SELECT count(*) FROM blbl) AS n_pts)
+      |SELECT component, n_core, n_border, n_pts
+      |FROM (SELECT * FROM clusters UNION ALL SELECT * FROM noise)
+      |ORDER BY n_pts DESC, component""".stripMargin) { (s, d) =>
+    val p = emb(s, d).select(col("vec_id"),
+      col("embedding").getItem(0).cast("double").as("x"),
+      col("embedding").getItem(1).cast("double").as("y"))
+    val pc = p.select(col("vec_id"), col("x"), col("y"),
+      floor(col("x") / 0.01).cast("long").as("cx"),
+      floor(col("y") / 0.01).cast("long").as("cy"))
+    val rep = pc
+      .select(col("vec_id"), col("x"), col("y"),
+        explode(expr("transform(sequence(-1, 1), d -> cx + d)")).as("acx"),
+        col("cy"))
+      .select(col("vec_id"), col("x"), col("y"), col("acx"),
+        explode(expr("transform(sequence(-1, 1), d -> cy + d)")).as("acy"))
+    val bSide = pc.select(col("vec_id").as("ib"), col("x").as("bx"),
+      col("y").as("by"), col("cx"), col("cy"))
+    val dx = col("x") - col("bx")
+    val dy = col("y") - col("by")
+    val nbr = rep.join(bSide,
+        col("acx") === col("cx") && col("acy") === col("cy") &&
+          col("vec_id") =!= col("ib"))
+      .filter(dx * dx + dy * dy <= 0.0001)
+      .select(col("vec_id").as("ia"), col("ib"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val core = nbr.groupBy(col("ia").as("v")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 3).select("v")
+    val ce = nbr
+      .join(core.select(col("v").as("va")), col("ia") === col("va"), "left_semi")
+      .join(core.select(col("v").as("vb")), col("ib") === col("vb"), "left_semi")
+    // The sf0.1 ε-graph's giant core component (768 nodes, effective
+    // diameter ~62) needs ~25 propagation rounds — min-label moves the
+    // frontier ~2.7 hops/round here, more than the dedup chains the
+    // default 20 was tuned for. The loop itself sizes its shuffles to
+    // the measured edge count, so the extra rounds are cheap.
+    val lbl = graft.dedup.ConnectedComponents.components(
+      ce.filter(col("ia") < col("ib"))
+        .select(col("ia").as("id_a"), col("ib").as("id_b")),
+      maxIter = 48)
+    val clbl = core.join(lbl, col("v") === col("id"), "left")
+      .select(col("v"), coalesce(col("label"), col("v")).as("comp"))
+    val blbl = nbr
+      .join(core.select(col("v").as("vx")), col("ia") === col("vx"),
+        "left_anti")
+      .join(clbl.select(col("v").as("cv"), col("comp")),
+        col("ib") === col("cv"))
+      .groupBy(col("ia").as("v")).agg(min("comp").as("comp"))
+    val cstat = clbl.groupBy("comp").agg(count(lit(1)).as("n_core"))
+    val bstat = blbl.groupBy(col("comp").as("bcomp"))
+      .agg(count(lit(1)).as("n_border"))
+    val clusters = cstat.join(bstat, col("comp") === col("bcomp"), "left")
+      .select(col("comp").as("component"), col("n_core"),
+        coalesce(col("n_border"), lit(0L)).as("n_border"),
+        (col("n_core") + coalesce(col("n_border"), lit(0L))).as("n_pts"))
+    val nP = p.count()
+    val nC = clbl.count()
+    val nB = blbl.count()
+    val noise = p.sparkSession.range(1)
+      .select(lit(-1L).as("component"), lit(0L).as("n_core"),
+        lit(0L).as("n_border"), lit(nP - nC - nB).as("n_pts"))
+    clusters.unionAll(noise).orderBy(col("n_pts").desc, col("component"))
+  }
+
+  val all: Seq[Q] =
+    Seq(embedStats, cosineTopK, cosinePairs, gridSpatialJoin, dbscanGrid)
 }

@@ -112,4 +112,47 @@ class AnnSuite extends SparkSpec {
       assert(math.abs(r.getDouble(2) - math.sqrt(d2)) < 2e-6)
     }
   }
+
+  test("dbscan_grid replays a naive in-memory DBSCAN exactly") {
+    val pts = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "CAST(embedding[0] AS DOUBLE) AS x",
+        "CAST(embedding[1] AS DOUBLE) AS y")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val eps2 = 0.0001
+    def d2(a: (Long, Double, Double), b: (Long, Double, Double)) =
+      (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+    val nbrs = pts.map(a =>
+      a._1 -> pts.filter(b => b._1 != a._1 && d2(a, b) <= eps2).map(_._1).toSet
+    ).toMap
+    val core = pts.map(_._1).filter(v => nbrs(v).size >= 3).toSet
+    // union-find over core-core edges
+    val parent = scala.collection.mutable.Map(core.toSeq.map(v => v -> v): _*)
+    def find(v: Long): Long = {
+      var r = v; while (parent(r) != r) r = parent(r)
+      r
+    }
+    for (a <- core; b <- nbrs(a) if core(b)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // every union parents the larger root to the smaller, so each
+    // tree's root is the component's minimum id — matching CC's labels
+    val coreByComp = core.groupBy(v => find(v))
+    val borders = pts.map(_._1).filterNot(core)
+      .flatMap(v => {
+        val cn = nbrs(v).filter(core)
+        if (cn.nonEmpty) Some(v -> cn.map(find).min) else None
+      }).toMap
+    val nNoise = pts.length - core.size - borders.size
+    val expected = coreByComp.map { case (c, cs) =>
+      (c, cs.size.toLong, borders.count(_._2 == c).toLong)
+    }.toSeq.map(t => (t._1, t._2, t._3, t._2 + t._3))
+    val rows = graft.queries.VectorOps.dbscanGrid.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val noiseRow = rows.find(_._1 == -1L).get
+    assert(noiseRow._4 == nNoise.toLong, s"noise ${noiseRow._4} vs $nNoise")
+    val gotClusters = rows.filterNot(_._1 == -1L).toSet
+    assert(gotClusters == expected.toSet,
+      s"clusters:\n${gotClusters.toSeq.sortBy(_._1)}\nvs\n${expected.sortBy(_._1)}")
+  }
 }

@@ -523,4 +523,22 @@ class StatOpsSuite extends SparkSpec {
     // sanity: a detectable effect is larger than one standard error
     assert(mdeA > se)
   }
+
+  test("james_stein_shrink: pulls every group mean toward the grand mean") {
+    val rows = StatOps.jamesStein.run(spark, sfDir).collect()
+    assert(rows.length == 25)
+    val mu = rows.map(_.getDouble(2)).sum / 25 // ~ grand mean of raw means
+    val shrink = rows.head.getDouble(4)
+    assert(rows.forall(_.getDouble(4) == shrink), "one global factor")
+    assert(shrink > 0, "some shrinkage happens")
+    rows.foreach { r =>
+      val (raw, js) = (r.getDouble(2), r.getDouble(3))
+      // js lies between raw and the grand mean (strictly closer to mu
+      // whenever raw != mu), up to the 2dp output rounding
+      assert(math.abs(js - mu) <= math.abs(raw - mu) + 0.02,
+        s"james-stein moved AWAY from the grand mean: $r (mu ~ $mu)")
+    }
+    // shrinkage is material on at least one small group: some js != raw
+    assert(rows.exists(r => r.getDouble(2) != r.getDouble(3)))
+  }
 }
