@@ -246,5 +246,177 @@ object EvalOps {
       .orderBy("qid")
   }
 
-  val all: Seq[Q] = Seq(aucRoc, prCurve, ndcgRetrieval)
+  /** Split-conformal prediction interval (Vovk et al.; Lei et al.
+    * 2018) — the distribution-free uncertainty wrapper modern ML
+    * pipelines bolt onto any point model: fit on train (here a
+    * per-priority mean-spend model — conformal makes NO assumption
+    * about model quality), take the ⌈0.9(n+1)⌉-th smallest absolute
+    * residual on the calibration split as q̂, and measure empirical
+    * test coverage of ŷ ± q̂ (guaranteed ≥ 0.9 marginally). The
+    * calibration quantile is an EXACT order statistic picked by the
+    * distributed PrefixScan (cum-count crossing k — never a
+    * partition-less rank window, never a driver sort); k comes from
+    * the PrefixScan's bounded totals. Residuals are |exact cents −
+    * fixed-form mean|, bit-identical cross-engine. */
+  val conformalInterval: Q = Q(
+    "conformal_interval",
+    """WITH o AS (SELECT o_orderkey, o_orderpriority,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    ((o_orderkey & 2147483647) * 2654435761) % 100 AS h
+      |  FROM orders),
+      |model AS (SELECT o_orderpriority,
+      |    CAST(sum(cents) AS DOUBLE) / count(*) AS yhat
+      |  FROM o WHERE h < 60 GROUP BY o_orderpriority),
+      |cal AS (SELECT o.o_orderkey, abs(o.cents - m.yhat) AS r
+      |  FROM o JOIN model m ON m.o_orderpriority = o.o_orderpriority
+      |  WHERE h >= 60 AND h < 80),
+      |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+      |ranked AS (SELECT r,
+      |    row_number() OVER (ORDER BY r, o_orderkey) AS rk FROM cal),
+      |qh AS (SELECT r AS qhat FROM ranked CROSS JOIN nc
+      |       WHERE rk = CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT)),
+      |test AS (SELECT abs(o.cents - m.yhat) AS r
+      |  FROM o JOIN model m ON m.o_orderpriority = o.o_orderpriority
+      |  WHERE h >= 80),
+      |cov AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+      |    CAST(sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_covered
+      |  FROM test CROSS JOIN qh)
+      |SELECT n_cal, n_test, n_covered,
+      |  floor(qhat / 100 * 100 + 0.5) / 100 AS qhat_dollars,
+      |  floor(CAST(n_covered AS DOUBLE) / n_test * 10000 + 0.5) / 10000
+      |    AS coverage
+      |FROM cov CROSS JOIN qh CROSS JOIN nc""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderpriority"),
+      floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+      ((col("o_orderkey").bitwiseAND(lit(2147483647L)) * lit(2654435761L))
+        % 100).as("h"))
+    val model = o.filter(col("h") < 60).groupBy("o_orderpriority")
+      .agg((sum("cents").cast("double") / count(lit(1))).as("yhat"))
+    val cal = o.filter(col("h") >= 60 && col("h") < 80)
+      .join(broadcast(model), "o_orderpriority")
+      .select(col("o_orderkey"), abs(col("cents") - col("yhat")).as("r"))
+      .withColumn("one", lit(1L))
+    val (scanned, totals) = graft.ops.PrefixScan.withCumSums(
+      cal, Seq(col("r"), col("o_orderkey")), Seq("one"))
+    val nCal = totals(0)
+    val k = math.ceil(0.9 * (nCal + 1)).toLong
+    val qh = scanned.filter(col("cum_one") === k)
+      .select(col("r").as("qhat"))
+    val test = o.filter(col("h") >= 80)
+      .join(broadcast(model), "o_orderpriority")
+      .select(abs(col("cents") - col("yhat")).as("r"))
+    val cov = test.crossJoin(broadcast(qh)) // 1-row calibration quantile
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("qhat"), 1L).otherwise(0L)).as("n_covered"),
+        first("qhat").as("qhat"))
+    cov.select(lit(nCal).as("n_cal"), col("n_test"), col("n_covered"),
+      (floor(col("qhat") / 100 * 100 + lit(0.5)) / 100).as("qhat_dollars"),
+      (floor(col("n_covered").cast("double") / col("n_test") * 10000
+        + lit(0.5)) / 10000).as("coverage"))
+  }
+
+  /** Mutual-information feature ranking against the 'en' label — the
+    * information-theoretic sibling of woe_iv / q96_chi2_terms: for each
+    * candidate feature (n_chars decile via DistributedNtile, token-
+    * count decile, source), MI(F; L) = Σ (c/N)·ln(c·N/(r·k)) over the
+    * contingency cells, plus the normalized MI / H(L). Every term is
+    * exact integer counts through one fixed-form expression, folded
+    * CELL-SORTED; deciles come from the distributed two-pass ntile
+    * (never a partition-less window). Three contingency aggregates +
+    * 1-row totals. */
+  val miFeatures: Q = Q(
+    "mi_features",
+    """WITH base AS (SELECT doc_id, n_chars, source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS n_tokens,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM documents),
+      |f1 AS (SELECT CAST(ntile(10) OVER (ORDER BY n_chars, doc_id)
+      |         AS VARCHAR) AS fv, pos FROM base),
+      |f2 AS (SELECT CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id)
+      |         AS VARCHAR) AS fv, pos FROM base),
+      |f3 AS (SELECT source AS fv, pos FROM base),
+      |u AS (SELECT 'n_chars_decile' AS feature, fv, pos FROM f1
+      |  UNION ALL SELECT 'n_tokens_decile', fv, pos FROM f2
+      |  UNION ALL SELECT 'source', fv, pos FROM f3),
+      |cells AS (SELECT feature, fv, pos, CAST(count(*) AS BIGINT) AS c
+      |  FROM u GROUP BY feature, fv, pos),
+      |rows_ AS (SELECT feature, fv, CAST(sum(c) AS BIGINT) AS rt
+      |  FROM cells GROUP BY feature, fv),
+      |cols_ AS (SELECT feature, pos, CAST(sum(c) AS BIGINT) AS ct
+      |  FROM cells GROUP BY feature, pos),
+      |n AS (SELECT feature, CAST(sum(c) AS BIGINT) AS n FROM cells
+      |      GROUP BY feature),
+      |terms AS (SELECT cells.feature, cells.fv, cells.pos,
+      |    CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) * n
+      |      / (CAST(rt AS DOUBLE) * ct)) AS t
+      |  FROM cells
+      |  JOIN rows_ ON rows_.feature = cells.feature AND rows_.fv = cells.fv
+      |  JOIN cols_ ON cols_.feature = cells.feature
+      |    AND cols_.pos = cells.pos
+      |  JOIN n ON n.feature = cells.feature),
+      |mi AS (SELECT feature,
+      |    list_aggregate(list(t ORDER BY fv, pos), 'sum') AS mi
+      |  FROM terms GROUP BY feature),
+      |hl AS (SELECT feature,
+      |    -list_aggregate(list(CAST(ct AS DOUBLE) / n
+      |        * ln(CAST(ct AS DOUBLE) / n) ORDER BY pos), 'sum') AS h
+      |  FROM cols_ JOIN n USING (feature) GROUP BY feature)
+      |SELECT mi.feature,
+      |  floor(mi.mi * 1000000 + 0.5) / 1000000 AS mi,
+      |  floor(mi.mi / hl.h * 1000000 + 0.5) / 1000000 AS nmi
+      |FROM mi JOIN hl ON hl.feature = mi.feature
+      |ORDER BY mi.feature""".stripMargin) { (s, d) =>
+    val ts = filter(split(col("text"), " "), x => x =!= "")
+    val base = docs(s, d).select(col("doc_id"), col("n_chars"),
+      col("source"), size(ts).cast("long").as("n_tokens"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    def decile(c: String): DataFrame = graft.ops.DistributedNtile.ntile(
+      base.select(col(c), col("doc_id"), col("pos")),
+      Seq(col(c), col("doc_id")), 10)
+      .select(col("bucket").cast("string").as("fv"), col("pos"))
+    val u = decile("n_chars").withColumn("feature", lit("n_chars_decile"))
+      .unionAll(decile("n_tokens")
+        .withColumn("feature", lit("n_tokens_decile")))
+      .unionAll(base.select(col("source").as("fv"), col("pos"))
+        .withColumn("feature", lit("source")))
+    val cells = u.groupBy("feature", "fv", "pos")
+      .agg(count(lit(1)).as("c"))
+    val rowsT = cells.groupBy(col("feature").as("rf"), col("fv").as("rfv"))
+      .agg(sum("c").as("rt"))
+    val colsT = cells.groupBy(col("feature").as("cf"), col("pos").as("cp"))
+      .agg(sum("c").as("ct"))
+    val nT = cells.groupBy(col("feature").as("nf")).agg(sum("c").as("n"))
+    val terms = cells
+      .join(broadcast(rowsT),
+        col("feature") === col("rf") && col("fv") === col("rfv"))
+      .join(broadcast(colsT),
+        col("feature") === col("cf") && col("pos") === col("cp"))
+      .join(broadcast(nT), col("feature") === col("nf"))
+      .select(col("feature"), col("fv"), col("pos"),
+        (col("c").cast("double") / col("n")
+          * log(col("c").cast("double") * col("n")
+            / (col("rt").cast("double") * col("ct")))).as("t"))
+    val mi = terms.groupBy("feature")
+      .agg(expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(fv, pos, t))), x -> x.t), 0D, (a, x) -> a + x)").as("mi"))
+    val hl = colsT.join(broadcast(nT), col("cf") === col("nf"))
+      .select(col("cf").as("feature"), col("cp").as("pos"),
+        (col("ct").cast("double") / col("n")
+          * log(col("ct").cast("double") / col("n"))).as("t"))
+      .groupBy("feature")
+      .agg((-expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(pos, t))), x -> x.t), 0D, (a, x) -> a + x)")).as("h"))
+    mi.join(hl, "feature")
+      .select(col("feature"),
+        (floor(col("mi") * 1000000 + lit(0.5)) / 1000000).as("mi"),
+        (floor(col("mi") / col("h") * 1000000 + lit(0.5)) / 1000000)
+          .as("nmi"))
+      .orderBy("feature")
+  }
+
+  val all: Seq[Q] =
+    Seq(aucRoc, prCurve, ndcgRetrieval, conformalInterval, miFeatures)
 }

@@ -80,4 +80,29 @@ class EvalOpsSuite extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"), "bounded query set broadcasts")
   }
+
+  test("conformal_interval: coverage honors the marginal guarantee") {
+    val r = EvalOps.conformalInterval.run(spark, sfDir).collect()(0)
+    val (nCal, nTest, nCov) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (qhat, cov) = (r.getDouble(3), r.getDouble(4))
+    assert(nCal > 0 && nTest > 0 && qhat > 0)
+    assert(nCov <= nTest)
+    assert(math.abs(cov - nCov.toDouble / nTest) < 1e-4)
+    // split-conformal guarantee: E[coverage] >= 0.9; on a finite test
+    // split allow binomial noise (4 sigma below 0.9 fails loudly)
+    val sigma = math.sqrt(0.9 * 0.1 / nTest)
+    assert(cov >= 0.9 - 4 * sigma, s"coverage $cov way below nominal 0.9")
+  }
+
+  test("mi_features: MI is non-negative and bounded by label entropy") {
+    val rows = EvalOps.miFeatures.run(spark, sfDir).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("n_chars_decile", "n_tokens_decile", "source"))
+    rows.foreach { r =>
+      val (mi, nmi) = (r.getDouble(1), r.getDouble(2))
+      assert(mi >= -1e-9, s"MI negative: $r")
+      assert(nmi >= -1e-9 && nmi <= 1 + 1e-9, s"NMI outside [0,1]: $r")
+    }
+  }
 }
