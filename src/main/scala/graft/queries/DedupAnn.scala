@@ -797,7 +797,90 @@ object DedupAnn {
     picked.toSeq.toDF("rank", "vec_id", "rel").orderBy("rank")
   }
 
+  /** Golden-record survivorship — the MDM step after clustering: for
+    * each duplicate cluster (the SAME MinHash→CC composition
+    * dedup_components pins), build the canonical record with field-
+    * level survivorship rules, each deterministic: representative doc
+    * = longest text (doc_id tie-break), lang = modal value (count
+    * desc, lang asc), n_chars = max, provenance = distinct source
+    * count. Per-cluster argmaxes are struct-min aggregates (map-side
+    * partial, one row per cluster crosses the exchange), never a
+    * window over the whole corpus. Top-15 clusters by size. */
+  val goldenRecord: Q = Q(
+    "golden_record",
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-3, 0) + 2),
+      |    i -> array_to_string(ts[i:i+2], ' '))) AS grams
+      |  FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents) t),
+      |e AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |      / len(list_distinct(a.grams || b.grams)) >= 0.8),
+      |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+      |        UNION SELECT id_b, id_a FROM e),
+      |reach AS (
+      |  SELECT src AS node, src AS r FROM sym
+      |  UNION
+      |  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+      |lbl AS (SELECT node AS doc_id, min(r) AS component FROM reach
+      |        GROUP BY node),
+      |m AS (SELECT lbl.component, d.doc_id, d.lang, d.source, d.n_chars,
+      |        length(d.text) AS tlen
+      |      FROM lbl JOIN documents d ON d.doc_id = lbl.doc_id),
+      |rep AS (SELECT component, doc_id AS golden_doc, tlen AS golden_len
+      |  FROM (SELECT component, doc_id, tlen,
+      |      row_number() OVER (PARTITION BY component
+      |        ORDER BY tlen DESC, doc_id) AS rn FROM m) WHERE rn = 1),
+      |lm AS (SELECT component, lang AS mode_lang
+      |  FROM (SELECT component, lang, count(*) AS c,
+      |      row_number() OVER (PARTITION BY component
+      |        ORDER BY count(*) DESC, lang) AS rn
+      |    FROM m GROUP BY component, lang) WHERE rn = 1),
+      |st AS (SELECT component, CAST(count(*) AS BIGINT) AS csize,
+      |    CAST(min(doc_id) AS BIGINT) AS canonical_id,
+      |    CAST(max(n_chars) AS BIGINT) AS max_chars,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |  FROM m GROUP BY component)
+      |SELECT st.component, csize, canonical_id, golden_doc,
+      |  CAST(golden_len AS BIGINT) AS golden_len, mode_lang, max_chars,
+      |  n_sources
+      |FROM st JOIN rep ON rep.component = st.component
+      |JOIN lm ON lm.component = st.component
+      |ORDER BY csize DESC, st.component LIMIT 15""".stripMargin) { (s, d) =>
+    val pairs = MinHashLSH.dedupPairs(
+      Tables.documents(s, d), "doc_id", "text", mhParams)
+    val lbl = graft.dedup.ConnectedComponents.components(pairs)
+      .select(col("id").as("mid"), col("label").as("component"))
+    val m = Tables.documents(s, d)
+      .join(lbl, col("doc_id") === col("mid"))
+      .select(col("component"), col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), length(col("text")).cast("long").as("tlen"))
+    val rep = m
+      .select(col("component"),
+        struct((-col("tlen")).as("nl"), col("doc_id"), col("tlen")).as("sc"))
+      .groupBy("component").agg(min("sc").as("r"))
+      .select(col("component").as("rc"), col("r.doc_id").as("golden_doc"),
+        col("r.tlen").as("golden_len"))
+    val lm = m.groupBy("component", "lang").agg(count(lit(1)).as("c"))
+      .select(col("component"),
+        struct((-col("c")).as("nc"), col("lang")).as("sc"))
+      .groupBy("component").agg(min("sc").as("r"))
+      .select(col("component").as("lc"), col("r.lang").as("mode_lang"))
+    val st = m.groupBy("component")
+      .agg(count(lit(1)).as("csize"), min("doc_id").as("canonical_id"),
+        max("n_chars").as("max_chars"),
+        countDistinct("source").as("n_sources"))
+    st.join(rep, col("component") === col("rc"))
+      .join(lm, col("component") === col("lc"))
+      .select(col("component"), col("csize"), col("canonical_id"),
+        col("golden_doc"), col("golden_len"), col("mode_lang"),
+        col("max_chars"), col("n_sources"))
+      .orderBy(col("csize").desc, col("component")).limit(15)
+  }
+
   val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, dedupComponents,
     dedupKeepBest, simhashPairs, annTopK, cosineDedupStats, ivfTopK,
-    pqEncode, pqAdcTopK, ivfpqTopK, setsimJoin, dupSpans, mmrRerank)
+    pqEncode, pqAdcTopK, ivfpqTopK, setsimJoin, dupSpans, mmrRerank,
+    goldenRecord)
 }

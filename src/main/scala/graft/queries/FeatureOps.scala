@@ -209,5 +209,91 @@ object FeatureOps {
       .orderBy("horizon_days")
   }
 
-  val all: Seq[Q] = Seq(targetEncodeLoo, woeIv, kaplanMeier)
+  /** Quantile normalization of the per-source quality-score
+    * distributions onto the pooled reference distribution — the
+    * cross-source calibration transform (a microarray-era classic that
+    * LLM data pipelines reuse to make scores comparable across crawls
+    * before mixing): a doc at within-source rank r in a source of
+    * size n_s maps to the GLOBAL order statistic at ⌈r·N/n_s⌉. The
+    * query reports the mapping at each source's inner deciles:
+    * before = the source's own decile value (rank picked by a
+    * source-PARTITIONED window — scale-safe), after = the pooled
+    * decile value (picked by the PrefixScan global cum-count, never a
+    * partition-less window); the 20×9 pick spec broadcasts. Scores are
+    * score_calibration's bit-identical doubles. */
+  val quantileNormalize: Q = Q(
+    "quantile_normalize",
+    """WITH t AS (SELECT doc_id, source,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |  FROM documents),
+      |s AS (SELECT doc_id, source, CAST(len(ts) AS INTEGER) AS n_tokens,
+      |  list_sum(list_transform(ts, tok ->
+      |    ((((list_sum(list_transform(
+      |          range(0, CAST(least(length(tok), 8) AS BIGINT)),
+      |          j -> ascii(substring(tok, CAST(j + 1 AS INTEGER), 1))
+      |               * CAST(pow(31, j) AS BIGINT))) % 1024)
+      |       * 2654435761) % 1000003) / 1000003.0 - 0.5))) AS score
+      |  FROM t WHERE len(ts) > 0),
+      |v AS (SELECT doc_id, source, score / n_tokens AS v FROM s),
+      |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM v
+      |        GROUP BY source),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |spec AS (SELECT source, ns, k,
+      |    CAST(ceil(k * ns / 10.0) AS BIGINT) AS rk,
+      |    CAST(ceil(CAST(ceil(k * ns / 10.0) AS BIGINT) * n
+      |      / CAST(ns AS DOUBLE)) AS BIGINT) AS gp
+      |  FROM cnt CROSS JOIN n
+      |  CROSS JOIN (SELECT unnest(range(1, 10)) AS k)),
+      |sr AS (SELECT source, v,
+      |    row_number() OVER (PARTITION BY source ORDER BY v, doc_id)
+      |      AS rk FROM v),
+      |gr AS (SELECT v, row_number() OVER (ORDER BY v, doc_id) AS gp
+      |       FROM v),
+      |bef AS (SELECT spec.source, spec.k, spec.gp, sr.v AS before_v
+      |  FROM spec JOIN sr ON sr.source = spec.source AND sr.rk = spec.rk)
+      |SELECT b.source, CAST(b.k AS INTEGER) AS decile,
+      |  floor(b.before_v * 1000000 + 0.5) / 1000000 AS before_v,
+      |  floor(g.v * 1000000 + 0.5) / 1000000 AS after_v
+      |FROM bef b JOIN gr g ON g.gp = b.gp
+      |ORDER BY b.source, decile""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ts = filter(split(col("text"), " "), x => x =!= "")
+    val v = docs(s, d)
+      .select(col("doc_id"), col("source"), size(ts).as("n_tokens"),
+        graft.functions.GraftFunctions.linearScore(col("text"), 1024)
+          .as("raw"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("source"),
+        (col("raw") / col("n_tokens")).as("v"))
+    val cnt = v.groupBy("source").agg(count(lit(1)).as("ns"))
+    val (scanned, totals) = graft.ops.PrefixScan.withCumSums(
+      v.withColumn("one", lit(1L)), Seq(col("v"), col("doc_id")),
+      Seq("one"))
+    val n = totals(0)
+    val spec = cnt
+      .select(col("source"), col("ns"),
+        explode(sequence(lit(1), lit(9))).as("k"))
+      .select(col("source").as("ss"), col("k"),
+        ceil(col("k") * col("ns") / lit(10.0)).cast("long").as("rk"),
+        ceil(ceil(col("k") * col("ns") / lit(10.0)).cast("long") * lit(n)
+          / col("ns").cast("double")).cast("long").as("gp"))
+    val sr = v.withColumn("rk", row_number().over(
+      Window.partitionBy("source").orderBy(col("v"), col("doc_id"))))
+    val bef = sr.join(broadcast(spec),
+      col("source") === col("ss") && sr("rk") === spec("rk"))
+      .select(col("source"), col("k"), col("gp"), col("v").as("before_v"))
+    val aft = scanned.join(broadcast(spec.select(col("gp")).distinct()),
+        col("cum_one") === col("gp"), "left_semi")
+      .select(col("cum_one").as("agp"), col("v").as("after_v"))
+    bef.join(aft, col("gp") === col("agp"))
+      .select(col("source"), col("k").cast("int").as("decile"),
+        (floor(col("before_v") * 1000000 + lit(0.5)) / 1000000)
+          .as("before_v"),
+        (floor(col("after_v") * 1000000 + lit(0.5)) / 1000000)
+          .as("after_v"))
+      .orderBy("source", "decile")
+  }
+
+  val all: Seq[Q] = Seq(targetEncodeLoo, woeIv, kaplanMeier,
+    quantileNormalize)
 }

@@ -754,7 +754,82 @@ object MlOps {
       .orderBy("true_label", "pred_label")
   }
 
+  /** Nearest-centroid (Rocchio) classification — the O(k) sibling of
+    * knn_classify's O(n) vote, and the production fallback when the
+    * corpus is too big to scan per query: per-label centroids on the
+    * exact 2^20 integer lattice (kmeans_embed's device — sums are
+    * order-independent BIGINTs), test block = the same held-out
+    * vec_id ∈ [100, 140), assignment = the map-side struct-min argmin
+    * over ≤|labels| broadcast centroid rows (ONE row per point crosses
+    * the exchange). Output: exact confusion matrix. */
+  val rocchioClassify: Q = Q(
+    "rocchio_classify",
+    """WITH pts AS (SELECT vec_id AS id, label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS xi
+      |  FROM embeddings),
+      |tr AS (SELECT * FROM pts WHERE id < 100 OR id >= 140),
+      |te AS (SELECT id, label AS true_label,
+      |    list_transform(xi, v -> CAST(v AS DOUBLE) / 1048576.0) AS xd
+      |  FROM pts WHERE id >= 100 AND id < 140),
+      |cent AS (SELECT s.label, s.cs, z.cn FROM
+      |   (SELECT label, list(sx ORDER BY pos) AS cs FROM
+      |     (SELECT label, i AS pos, CAST(sum(xi[i]) AS BIGINT) AS sx
+      |      FROM tr, range(1, 65) t(i) GROUP BY label, i)
+      |    GROUP BY label) s
+      |   JOIN (SELECT label, count(*) AS cn FROM tr GROUP BY label) z
+      |     USING (label)),
+      |ce AS (SELECT label,
+      |    list_transform(cs, v -> CAST(v AS DOUBLE) / CAST(cn AS DOUBLE)
+      |      / 1048576.0) AS md
+      |  FROM cent),
+      |cx AS (SELECT label, md, list_dot_product(md, md) AS dmm FROM ce),
+      |assign AS (SELECT id, true_label, cl AS pred_label FROM (
+      |  SELECT te.id, te.true_label, c.label AS cl,
+      |    row_number() OVER (PARTITION BY te.id ORDER BY
+      |      list_dot_product(te.xd, te.xd)
+      |        - 2 * list_dot_product(te.xd, c.md) + c.dmm, c.label) AS rn
+      |  FROM te CROSS JOIN cx c) WHERE rn = 1)
+      |SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+      |FROM assign GROUP BY true_label, pred_label
+      |ORDER BY true_label, pred_label""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val dot = graft.functions.GraftFunctions.dotNative _
+    val pts = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("label"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 1048576.0D) AS BIGINT))").as("xi"))
+    val tr = pts.filter(col("id") < 100 || col("id") >= 140)
+    val te = pts.filter(col("id") >= 100 && col("id") < 140)
+      .select(col("id"), col("label").as("true_label"),
+        expr("transform(xi, v -> CAST(v AS DOUBLE) / 1048576.0D)").as("xd"))
+      .withColumn("dxx", dot(col("xd"), col("xd")))
+    val sums = tr.select(col("label"), posexplode(col("xi"))
+        .as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(sum("x").as("sx"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), " +
+        "t -> t.sx)").as("cs"))
+    val sizes = tr.groupBy("label").agg(count(lit(1)).as("cn"))
+    val cx = sums.join(sizes, "label")
+      .withColumn("md", expr(
+        "transform(cs, v -> CAST(v AS DOUBLE) / CAST(cn AS DOUBLE) " +
+          "/ 1048576.0D)"))
+      .withColumn("dmm", dot(col("md"), col("md")))
+      .select(col("label").as("cl"), col("md"), col("dmm"))
+    val assigned = te.crossJoin(broadcast(cx)) // ≤10 centroid rows
+      .withColumn("dist",
+        col("dxx") - lit(2) * dot(col("xd"), col("md")) + col("dmm"))
+      .select(col("id"), col("true_label"),
+        struct(col("dist"), col("cl")).as("sc"))
+      .groupBy("id", "true_label").agg(min("sc").as("m"))
+      .select(col("true_label"), col("m.cl").as("pred_label"))
+    assigned.groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
   val all: Seq[Q] = Seq(kmeansEmbed, clusterTopics, oovRate, cmsFreq, rpReduce,
     embedDimProfile, bestSplit, semDedup, amsF2, pcaPower, kmvDistinct,
-    knnClassify)
+    knnClassify, rocchioClassify)
 }

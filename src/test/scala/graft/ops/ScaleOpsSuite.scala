@@ -183,6 +183,7 @@ class ScaleOpsSuite extends SparkSpec {
       "seq_support",          // 1-row user-total broadcast onto <=25 rows
       "james_stein_shrink",   // 1-row grand-mean + shrink-factor broadcasts
       "conformal_interval",   // 1-row calibration-quantile broadcast
+      "rocchio_classify",     // <=10 broadcast centroid rows
       "dedup_exact_stats", "cosine_dedup_stats",
       "minhash_keepfirst",    // 1-row x 1-row count report
       "lm_perplexity",        // 1-row vocab-size broadcast joined to docs

@@ -85,4 +85,52 @@ class FeatureOpsSuite extends SparkSpec {
     val sv = rows.sortBy(_.getInt(0)).map(_.getDouble(2))
     assert(sv.zip(sv.tail).forall { case (a, b) => b <= a + 1e-12 })
   }
+
+  test("quantile_normalize: monotone deciles; equal-size sources align") {
+    val rows = FeatureOps.quantileNormalize.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 20 * 9)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val befs = sorted.map(_._3); val afts = sorted.map(_._4)
+      assert(befs.zip(befs.tail).forall { case (a, b) => a <= b },
+        s"$src before deciles not monotone")
+      assert(afts.zip(afts.tail).forall { case (a, b) => a <= b },
+        s"$src after deciles not monotone")
+    }
+    // the fixture's sources are equal-sized, so the normalized decile
+    // values must be IDENTICAL across sources — the whole point of
+    // quantile normalization
+    (1 to 9).foreach { k =>
+      val vals = rows.filter(_._2 == k).map(_._4).distinct
+      assert(vals.length == 1, s"decile $k not aligned: ${vals.toSeq}")
+    }
+  }
+
+  test("golden_record: survivorship fields are consistent with the clusters") {
+    val rows = DedupAnn.goldenRecord.run(spark, sfDir).collect()
+    assert(rows.length == 15)
+    val comps = DedupAnn.dedupComponents.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "length(text) AS l", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getLong(2))).toMap
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.toSeq == sizes.sortBy(-_).toSeq, "largest clusters first")
+    rows.foreach { r =>
+      val (comp, csize) = (r.getLong(0), r.getLong(1))
+      val (canonical, golden) = (r.getLong(2), r.getLong(3))
+      // cluster membership and size agree with dedup_components
+      assert(comps(golden)._1 == comp && comps(canonical)._1 == comp)
+      assert(comps(golden)._2.toLong == csize)
+      assert(canonical <= golden || canonical < golden || canonical == comp,
+        "canonical is the min id (= component label)")
+      assert(canonical == comp, "component label IS the min member id")
+      // the representative really is the longest text in the cluster
+      val members = comps.collect { case (id, (c, _)) if c == comp => id }
+      val best = members.map(id => (-docs(id)._1, id)).min._2
+      assert(golden == best, s"golden_doc $golden vs expected $best")
+      assert(r.getLong(4) == docs(golden)._1, "golden_len matches")
+    }
+  }
 }

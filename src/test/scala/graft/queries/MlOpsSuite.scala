@@ -253,4 +253,34 @@ class MlOpsSuite extends SparkSpec {
     assert(got.values.sum == 40L, "every query classified exactly once")
     assert(got == expected, s"confusion mismatch:\n$got\nvs\n$expected")
   }
+
+  test("rocchio_classify: confusion replays a naive centroid classifier") {
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "label",
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 1048576.0D) AS BIGINT)) AS xi")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val tr = vecs.filter(t => t._1 < 100 || t._1 >= 140)
+    val te = vecs.filter(t => t._1 >= 100 && t._1 < 140)
+    val cents = tr.groupBy(_._2).map { case (l, xs) =>
+      val sums = new Array[Long](64)
+      xs.foreach(t => (0 until 64).foreach(i => sums(i) += t._3(i)))
+      l -> sums.map(_.toDouble / xs.length / 1048576.0)
+    }
+    val expected = te.map { case (_, trueL, xi) =>
+      val xd = xi.map(_.toDouble / 1048576.0)
+      val dxx = xd.map(x => x * x).sum
+      val pred = cents.toSeq.map { case (l, md) =>
+        val dot = xd.zip(md).map { case (a, b) => a * b }.sum
+        val dmm = md.map(x => x * x).sum
+        (dxx - 2 * dot + dmm, l)
+      }.minBy(identity)._2
+      (trueL, pred)
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val got = MlOps.rocchioClassify.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.values.sum == 40L)
+    assert(got == expected, s"confusion:\n$got\nvs\n$expected")
+  }
 }
