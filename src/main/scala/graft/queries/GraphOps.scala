@@ -664,7 +664,135 @@ object GraphOps {
     th.unionAll(ta).orderBy(col("role"), col("score").desc, col("id"))
   }
 
+  /** Rich-club coefficient (Zhou & Mondragón 2004) of the co-purchase
+    * graph: do high-degree parts preferentially co-purchase with each
+    * other? φ(k) = 2·E_{>k} / (n_{>k}(n_{>k}−1)) at four thresholds
+    * scaled to the ADAPTIVE mean degree (this graph densifies with
+    * corpus size — kcore_peel's lesson; fixed thresholds go stale).
+    * One degree aggregate, one edge pass annotated with min(deg_u,
+    * deg_v) via two vocab-keyed joins, then FOUR conditional sums —
+    * never one pass per threshold. All counts exact; φ one division. */
+  val richClub: Q = Q(
+    "rich_club",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS dg FROM (
+      |    SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+      |km AS (SELECT CAST(sum(dg) // count(*) AS BIGINT) AS km FROM deg),
+      |th AS (SELECT CAST(km * t // 2 AS BIGINT) AS k
+      |       FROM km CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS t)),
+      |em AS (SELECT least(du.dg, dv.dg) AS mindg FROM e
+      |  JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+      |stat AS (SELECT th.k,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE dg > th.k)
+      |      AS n_rich,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM em WHERE mindg > th.k)
+      |      AS e_rich
+      |  FROM th)
+      |SELECT k AS degree_threshold, n_rich, e_rich,
+      |  CASE WHEN n_rich >= 2 THEN
+      |    floor(CAST(2 * e_rich AS DOUBLE)
+      |      / (CAST(n_rich AS DOUBLE) * (n_rich - 1)) * 1000000 + 0.5)
+      |      / 1000000
+      |  END AS phi
+      |FROM stat ORDER BY degree_threshold""".stripMargin) { (s, d) =>
+    val e = copurchaseEdges(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val km = deg.agg(floor(sum("dg") / count(lit(1))).cast("long").as("km"))
+    val th = km.select(explode(expr(
+      "transform(sequence(1, 4), t -> CAST(floor(km * t / 2) AS BIGINT))"))
+      .as("k"))
+    val em = e
+      .join(deg.select(col("n").as("un"), col("dg").as("du")),
+        col("u") === col("un"))
+      .join(deg.select(col("n").as("vn"), col("dg").as("dv")),
+        col("v") === col("vn"))
+      .select(least(col("du"), col("dv")).as("mindg"))
+    val nodeStats = deg.crossJoin(broadcast(th)) // 4 threshold rows
+      .groupBy("k")
+      .agg(sum(when(col("dg") > col("k"), 1L).otherwise(0L)).as("n_rich"))
+    val edgeStats = em.crossJoin(broadcast(th)) // 4 threshold rows
+      .groupBy("k")
+      .agg(sum(when(col("mindg") > col("k"), 1L).otherwise(0L))
+        .as("e_rich"))
+      .withColumnRenamed("k", "ek")
+    nodeStats.join(edgeStats, col("k") === col("ek"))
+      .select(col("k").as("degree_threshold"), col("n_rich"),
+        col("e_rich"),
+        when(col("n_rich") >= 2,
+          floor((col("e_rich") * 2).cast("double")
+            / (col("n_rich").cast("double") * (col("n_rich") - 1))
+            * 1000000 + lit(0.5)) / 1000000).as("phi"))
+      .orderBy("degree_threshold")
+  }
+
+  /** Newman modularity of the BRAND partition over the co-purchase
+    * graph — "do parts of the same brand co-purchase more than chance
+    * predicts?": Q = Σ_c (e_c/m − (deg_c/2m)²) over the ~25 natural
+    * brand communities (no iterative labels — the partition is a
+    * catalog attribute, the metric is what's being declared). Within-
+    * community edge counts and community degree sums are exact
+    * BIGINTs; the ≤25 community terms fold brand-sorted. One edge pass
+    * + two joins to the part dimension (broadcast — parts is a dim). */
+  val brandModularity: Q = Q(
+    "brand_modularity",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey),
+      |eb AS (SELECT pu.p_brand AS bu, pv.p_brand AS bv FROM e
+      |  JOIN part pu ON pu.p_partkey = e.u
+      |  JOIN part pv ON pv.p_partkey = e.v),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM eb),
+      |win AS (SELECT bu AS brand, CAST(count(*) AS BIGINT) AS e_in
+      |        FROM eb WHERE bu = bv GROUP BY bu),
+      |degc AS (SELECT brand, CAST(sum(c) AS BIGINT) AS deg_c FROM (
+      |    SELECT bu AS brand, count(*) AS c FROM eb GROUP BY bu
+      |    UNION ALL SELECT bv, count(*) FROM eb GROUP BY bv)
+      |  GROUP BY brand),
+      |terms AS (SELECT degc.brand,
+      |    COALESCE(e_in, 0) AS e_in, deg_c, m,
+      |    CAST(COALESCE(e_in, 0) AS DOUBLE) / m
+      |      - (CAST(deg_c AS DOUBLE) / (2 * m))
+      |        * (CAST(deg_c AS DOUBLE) / (2 * m)) AS t
+      |  FROM degc LEFT JOIN win ON win.brand = degc.brand CROSS JOIN m)
+      |SELECT brand, e_in, deg_c,
+      |  floor(t * 1000000 + 0.5) / 1000000 AS q_term
+      |FROM terms ORDER BY brand""".stripMargin) { (s, d) =>
+    val e = copurchaseEdges(s, d)
+    val prt = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    val eb = e
+      .join(broadcast(prt.select(col("p_partkey").as("uk"),
+        col("p_brand").as("bu"))), col("u") === col("uk"))
+      .join(broadcast(prt.select(col("p_partkey").as("vk"),
+        col("p_brand").as("bv"))), col("v") === col("vk"))
+      .select(col("bu"), col("bv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = eb.agg(count(lit(1)).as("m"))
+    val win = eb.filter(col("bu") === col("bv"))
+      .groupBy(col("bu").as("wbrand")).agg(count(lit(1)).as("e_in"))
+    val degc = eb.select(col("bu").as("brand"))
+      .unionAll(eb.select(col("bv").as("brand")))
+      .groupBy("brand").agg(count(lit(1)).as("deg_c"))
+    degc.join(win, col("brand") === col("wbrand"), "left")
+      .crossJoin(broadcast(m)) // 1-row edge total
+      .select(col("brand"), coalesce(col("e_in"), lit(0L)).as("e_in"),
+        col("deg_c"), col("m"))
+      .select(col("brand"), col("e_in"), col("deg_c"),
+        (floor((col("e_in").cast("double") / col("m")
+          - (col("deg_c").cast("double") / (col("m") * 2))
+            * (col("deg_c").cast("double") / (col("m") * 2)))
+          * 1000000 + lit(0.5)) / 1000000).as("q_term"))
+      .orderBy("brand")
+  }
+
   val all: Seq[Q] =
     Seq(pagerankBipartite, triangles, khopBfs, linkPredict, labelProp,
-      assortativity, clusteringCoeff, kcorePeel, hitsScores)
+      assortativity, clusteringCoeff, kcorePeel, hitsScores, richClub,
+      brandModularity)
 }

@@ -1050,9 +1050,67 @@ object TemporalOps {
       .orderBy(col("n_users").desc, col("first_type"), col("then_type"))
   }
 
+  /** Funnel conversion-latency percentiles — the follow-up every
+    * funnel dashboard (q55) needs: for users who signed up and later
+    * purchased, how long did conversion take? Per-user delta = first
+    * purchase after first signup, in EXACT integer seconds
+    * (epoch-µs // 1e6 differences); the p25/p50/p75/p90 are exact
+    * lower order statistics picked by the PrefixScan cum-count at
+    * rank ⌈q·n/100⌉ (the conformal_interval device — never a
+    * partition-less rank, never a driver sort), with the 4-row pick
+    * spec broadcast. */
+  val funnelLatency: Q = Q(
+    "funnel_latency",
+    """WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+      |            WHERE event_type = 'signup' GROUP BY user_id),
+      |pu AS (SELECT e.user_id, min(ts) AS p_ts
+      |  FROM events e JOIN su ON su.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > su.s_ts
+      |  GROUP BY e.user_id),
+      |dl AS (SELECT su.user_id,
+      |    CAST(epoch_us(p_ts) // 1000000 - epoch_us(s_ts) // 1000000
+      |      AS BIGINT) AS delta_sec
+      |  FROM su JOIN pu ON pu.user_id = su.user_id),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dl),
+      |rk AS (SELECT user_id, delta_sec,
+      |    row_number() OVER (ORDER BY delta_sec, user_id) AS r FROM dl),
+      |spec AS (SELECT q, CAST(ceil(q * n / 100.0) AS BIGINT) AS pick
+      |  FROM n CROSS JOIN (SELECT unnest([25, 50, 75, 90]) AS q))
+      |SELECT CAST(spec.q AS INTEGER) AS quantile, n.n AS n_converted,
+      |  rk.delta_sec,
+      |  floor(CAST(rk.delta_sec AS DOUBLE) / 3600 * 100 + 0.5) / 100
+      |    AS delta_hours
+      |FROM spec JOIN rk ON rk.r = spec.pick CROSS JOIN n
+      |ORDER BY quantile""".stripMargin) { (s, d) =>
+    val su = ev(s, d).filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("s_ts"))
+    val pu = ev(s, d).filter(col("event_type") === "purchase")
+      .join(su.withColumnRenamed("user_id", "su_uid"),
+        col("user_id") === col("su_uid") && col("ts") > col("s_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    val dl = su.join(pu, Seq("user_id"))
+      .select(col("user_id"),
+        (col("p_ts").cast("long") - col("s_ts").cast("long"))
+          .as("delta_sec"))
+      .withColumn("one", lit(1L))
+    val (scanned, totals) = graft.ops.PrefixScan.withCumSums(
+      dl, Seq(col("delta_sec"), col("user_id")), Seq("one"))
+    val n = totals(0)
+    val spec = ev(s, d).sparkSession.range(1)
+      .select(explode(expr("array(25, 50, 75, 90)")).as("q"))
+      .select(col("q"),
+        ceil(col("q") * lit(n) / lit(100.0)).cast("long").as("pick"))
+    scanned.join(broadcast(spec), col("cum_one") === col("pick"))
+      .select(col("q").cast("int").as("quantile"),
+        lit(n).as("n_converted"), col("delta_sec"),
+        (floor(col("delta_sec").cast("double") / 3600 * 100 + lit(0.5))
+          / 100).as("delta_hours"))
+      .orderBy("quantile")
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
     seasonalDecompose, markovStationary, entropyRate, forecastBacktest,
-    seqSupport)
+    seqSupport, funnelLatency)
 }

@@ -184,6 +184,8 @@ class ScaleOpsSuite extends SparkSpec {
       "james_stein_shrink",   // 1-row grand-mean + shrink-factor broadcasts
       "conformal_interval",   // 1-row calibration-quantile broadcast
       "rocchio_classify",     // <=10 broadcast centroid rows
+      "rich_club",            // 4 broadcast threshold rows
+      "brand_modularity",     // 1-row edge-total broadcast onto 25 brands
       "dedup_exact_stats", "cosine_dedup_stats",
       "minhash_keepfirst",    // 1-row x 1-row count report
       "lm_perplexity",        // 1-row vocab-size broadcast joined to docs

@@ -319,4 +319,51 @@ class AnalyticsSuite extends SparkSpec {
     assert(rows.filter(_.getLong(2) == expHubs.head._2)
       .exists(_.getDouble(3) == 1.0))
   }
+
+  test("rich_club: phi replays from a naive degree computation") {
+    val edges = graft.Tables.lineitem(spark, sfDir)
+      .selectExpr("l_orderkey AS ok", "l_partkey AS pk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { xs =>
+        val ps = xs.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length)
+          yield (ps(i), ps(j))
+      }.toSet
+    val deg = scala.collection.mutable.Map.empty[Long, Long]
+    edges.foreach { case (u, v) =>
+      deg(u) = deg.getOrElse(u, 0L) + 1; deg(v) = deg.getOrElse(v, 0L) + 1 }
+    val km = deg.values.sum / deg.size
+    val rows = GraphOps.richClub.run(spark, sfDir).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val nRich = deg.count(_._2 > k).toLong
+      val eRich = edges.count { case (u, v) =>
+        math.min(deg(u), deg(v)) > k }.toLong
+      assert(r.getLong(1) == nRich, s"n_rich at $k")
+      assert(r.getLong(2) == eRich, s"e_rich at $k")
+      if (nRich >= 2) {
+        val phi = math.floor(2.0 * eRich / (nRich.toDouble * (nRich - 1))
+          * 1000000 + 0.5) / 1000000
+        assert(r.getDouble(3) == phi)
+      }
+    }
+    assert(rows.map(_.getLong(0)).toSeq == Seq(km / 2, km, km * 3 / 2, km * 2))
+  }
+
+  test("brand_modularity: terms sum to Newman Q and replay naively") {
+    val rows = GraphOps.brandModularity.run(spark, sfDir).collect()
+    assert(rows.length == 25)
+    val m = rows.map(_.getLong(2)).sum / 2 // sum deg_c = 2m
+    assert(rows.map(_.getLong(1)).sum <= m, "within-edges bounded by m")
+    // each term replays from its own e_in/deg_c/m
+    rows.foreach { r =>
+      val t = r.getLong(1).toDouble / m -
+        math.pow(r.getLong(2).toDouble / (2.0 * m), 2)
+      assert(math.abs(r.getDouble(3) - t) < 2e-6, s"term for ${r.getString(0)}")
+    }
+    // modularity of a partition is always <= 1 and > -1
+    val q = rows.map(_.getDouble(3)).sum
+    assert(q > -1 && q < 1, s"Q out of range: $q")
+  }
 }

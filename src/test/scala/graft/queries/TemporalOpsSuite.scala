@@ -399,4 +399,30 @@ class TemporalOpsSuite extends SparkSpec {
       assert(r.getDouble(3) == s)
     }
   }
+
+  test("funnel_latency: picks are the exact order statistics") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val su = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val deltas = su.toSeq.flatMap { case (u, st) =>
+      val ps = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 > st)
+      if (ps.nonEmpty) Some((ps.map(_._3).min - st, u)) else None
+    }.sorted
+    val n = deltas.length
+    val rows = TemporalOps.funnelLatency.run(spark, sfDir).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val q = r.getInt(0)
+      val pick = math.ceil(q * n / 100.0).toLong.toInt
+      assert(r.getLong(1) == n.toLong)
+      assert(r.getLong(2) == deltas(pick - 1)._1,
+        s"p$q: ${r.getLong(2)} vs ${deltas(pick - 1)._1}")
+    }
+    // percentiles are monotone
+    val ds = rows.sortBy(_.getInt(0)).map(_.getLong(2))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+  }
 }
