@@ -1108,9 +1108,89 @@ object TemporalOps {
       .orderBy("quantile")
   }
 
+  /** Inventory run-out simulation — the CAPPED running sum, the
+    * canonical NON-associative scan no window frame can express
+    * (max(0, prev + in − out) does not decompose): per supplier, daily
+    * shipped quantity drains a stock that refills at the supplier's
+    * ceiling-mean daily rate, clamped at zero. The recurrence runs as
+    * holt_linear's device — a day-sorted struct-state fold per
+    * supplier (bounded by the calendar), all EXACT BIGINTs (demand =
+    * rounded integer quantities, restock = integer ceil division,
+    * gaps = day differences), so every engine folds identical
+    * integers; the oracle replays it as a recursive CTE. Reports
+    * stock-outs, ending and peak stock for the first 15 suppliers. */
+  val inventoryRunout: Q = Q(
+    "inventory_runout",
+    """WITH RECURSIVE dd AS (SELECT l_suppkey AS sk,
+      |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+      |      AS day,
+      |    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS dm
+      |  FROM lineitem GROUP BY 1, 2),
+      |rr AS (SELECT sk,
+      |    (CAST(sum(dm) AS BIGINT) + (max(day) - min(day) + 1) - 1)
+      |      // (max(day) - min(day) + 1) AS r,
+      |    CAST(count(*) AS BIGINT) AS nd
+      |  FROM dd GROUP BY sk),
+      |idx AS (SELECT dd.sk, dd.day, dd.dm, rr.r, rr.nd,
+      |    CAST(row_number() OVER (PARTITION BY dd.sk ORDER BY dd.day)
+      |      AS BIGINT) AS i
+      |  FROM dd JOIN rr ON rr.sk = dd.sk),
+      |rec AS (
+      |  SELECT sk, nd, r, i, day AS pd,
+      |    greatest(r - dm, 0) AS inv,
+      |    CASE WHEN r - dm <= 0 THEN CAST(1 AS BIGINT)
+      |         ELSE CAST(0 AS BIGINT) END AS zeros,
+      |    greatest(r - dm, 0) AS mx
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT r2.sk, r2.nd, r2.r, d.i, d.day,
+      |    greatest(r2.inv + r2.r * (d.day - r2.pd) - d.dm, 0),
+      |    r2.zeros + CASE WHEN r2.inv + r2.r * (d.day - r2.pd) - d.dm <= 0
+      |               THEN 1 ELSE 0 END,
+      |    greatest(r2.mx,
+      |      greatest(r2.inv + r2.r * (d.day - r2.pd) - d.dm, 0))
+      |  FROM rec r2 JOIN idx d ON d.sk = r2.sk AND d.i = r2.i + 1)
+      |SELECT sk AS suppkey, nd AS n_demand_days, r AS restock_rate,
+      |  inv AS end_stock, zeros AS n_stockouts, mx AS peak_stock
+      |FROM rec WHERE i = nd AND sk <= 15 ORDER BY suppkey""".stripMargin) {
+    (s, d) =>
+    val dd = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("sk"),
+        datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+          .as("day"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("q"))
+      .groupBy("sk", "day").agg(sum("q").as("dm"))
+    // integer ceil-division: Spark's / is double division, so compute
+    // exactly as (sum + span - 1) DIV span on the longs
+    val withR = dd.groupBy("sk")
+      .agg(count(lit(1)).as("nd"),
+        sum("dm").as("tot"),
+        (max("day") - min("day") + 1).as("span"),
+        expr("array_sort(collect_list(struct(day, dm)))").as("sts"))
+      .withColumn("r", expr("CAST((tot + span - 1) DIV span AS BIGINT)"))
+    withR
+      .withColumn("fin", expr(
+        "aggregate(slice(sts, 2, size(sts) - 1), " +
+          "struct(sts[0].day AS pd, " +
+          "greatest(r - sts[0].dm, CAST(0 AS BIGINT)) AS inv, " +
+          "CAST(IF(r - sts[0].dm <= 0, 1, 0) AS BIGINT) AS zeros, " +
+          "greatest(r - sts[0].dm, CAST(0 AS BIGINT)) AS mx), " +
+          "(a, x) -> struct(x.day AS pd, " +
+          "greatest(a.inv + r * (x.day - a.pd) - x.dm, CAST(0 AS BIGINT)) AS inv, " +
+          "a.zeros + CAST(IF(a.inv + r * (x.day - a.pd) - x.dm <= 0, 1, 0) AS BIGINT) AS zeros, " +
+          "greatest(a.mx, greatest(a.inv + r * (x.day - a.pd) - x.dm, " +
+          "CAST(0 AS BIGINT))) AS mx))"))
+      .filter(col("sk") <= 15)
+      .select(col("sk").as("suppkey"), col("nd").as("n_demand_days"),
+        col("r").as("restock_rate"), col("fin.inv").as("end_stock"),
+        col("fin.zeros").as("n_stockouts"), col("fin.mx").as("peak_stock"))
+      .orderBy("suppkey")
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
     seasonalDecompose, markovStationary, entropyRate, forecastBacktest,
-    seqSupport, funnelLatency)
+    seqSupport, funnelLatency, inventoryRunout)
 }

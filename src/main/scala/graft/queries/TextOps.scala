@@ -1215,11 +1215,89 @@ object TextOps {
       .orderBy(col("score").desc, col("keyword"))
   }
 
+  /** Sparse TF-IDF cosine similarity — the SPARSE-vector counterpart
+    * of the dense embedding cosine (cosine_pairs): documents as
+    * tf·idf term vectors, pairwise similarity via a TERM-KEYED join
+    * (only shared terms ever meet — the inverted-index shape that
+    * scales where dense all-pairs cannot), norms and dot products
+    * folded term-sorted so both engines add identical doubles in
+    * identical order. Candidate set bounded (doc_id < 50, the
+    * cosine_pairs convention); idf = ln((N+1)/(df+1)) over the FULL
+    * corpus so the weights are the production ones. Top-20 pairs. */
+  val tfidfCosinePairs: Q = Q(
+    "tfidf_cosine_pairs",
+    """WITH toks AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents) WHERE tok <> '' GROUP BY doc_id, tok),
+      |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+      |       FROM documents),
+      |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks
+      |       GROUP BY tok),
+      |w AS (SELECT doc_id, toks.tok,
+      |    tf * ln((n + 1.0) / (df + 1.0)) AS w
+      |  FROM toks JOIN df ON df.tok = toks.tok CROSS JOIN nd
+      |  WHERE doc_id < 50),
+      |nrm AS (SELECT doc_id,
+      |    sqrt(list_aggregate(list(w * w ORDER BY tok), 'sum')) AS nm
+      |  FROM w GROUP BY doc_id),
+      |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    list_aggregate(list(a.w * b.w ORDER BY a.tok), 'sum') AS dt
+      |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |sim AS (SELECT id_a, id_b,
+      |    dt / (na.nm * nb.nm) AS cos
+      |  FROM dots JOIN nrm na ON na.doc_id = id_a
+      |  JOIN nrm nb ON nb.doc_id = id_b)
+      |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+      |FROM sim ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin) {
+    (s, d) =>
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val nd = docs(s, d).agg(countDistinct("doc_id").as("n"))
+    val dfT = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = toks.filter(col("doc_id") < 50)
+      .join(dfT.withColumnRenamed("tok", "dtok"),
+        col("tok") === col("dtok"))
+      .crossJoin(broadcast(nd)) // 1-row corpus doc count
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * log((col("n") + 1.0) / (col("df") + 1.0))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def tokFold(field: String): org.apache.spark.sql.Column =
+      expr(s"aggregate(transform(array_sort(collect_list(struct(tok, $field))), " +
+        s"t -> t.$field), 0D, (a, x) -> a + x)")
+    val nrm = w.select(col("doc_id"), col("tok"),
+        (col("w") * col("w")).as("w2"))
+      .groupBy("doc_id").agg(sqrt(tokFold("w2")).as("nm"))
+    val dots = w.select(col("doc_id").as("id_a"), col("tok"),
+        col("w").as("wa"))
+      .join(w.select(col("doc_id").as("id_b"), col("tok").as("tokb"),
+        col("w").as("wb")),
+        col("tok") === col("tokb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("tok"),
+        (col("wa") * col("wb")).as("p"))
+      .groupBy("id_a", "id_b").agg(tokFold("p").as("dt"))
+    dots
+      .join(nrm.select(col("doc_id").as("na_id"), col("nm").as("na")),
+        col("id_a") === col("na_id"))
+      .join(nrm.select(col("doc_id").as("nb_id"), col("nm").as("nb")),
+        col("id_b") === col("nb_id"))
+      .select(col("id_a"), col("id_b"),
+        (col("dt") / (col("na") * col("nb"))).as("cosr"))
+      .orderBy(col("cosr").desc, col("id_a"), col("id_b")).limit(20)
+      .select(col("id_a"), col("id_b"),
+        (floor(col("cosr") * 1000000 + lit(0.5)) / 1000000).as("cos"))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+  }
+
   val all: Seq[Q] = Seq(
     wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
     dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard,
     bm25TopDocs, heavyHitters, heavyHittersMg, entropyProfile, pmiCollocations,
     bpeMergeStep, bpeTrainRounds, zipfFit, heapsLaw, markovNext, crossContam,
     chi2Terms, jsDivergence, rakeKeywords, containmentPairs, gopherRules,
-    tokenFertility, goodTuring, termBurstiness, textrankKeywords)
+    tokenFertility, goodTuring, termBurstiness, textrankKeywords,
+    tfidfCosinePairs)
+
 }

@@ -288,6 +288,75 @@ object VectorOps {
     clusters.unionAll(noise).orderBy(col("n_pts").desc, col("component"))
   }
 
+  /** Moran's I spatial autocorrelation of the point-density surface —
+    * the spatial-statistics companion to grid_spatial_join: bin the
+    * 2-D embedding projection into 0.05 cells, take x = per-cell point
+    * count, rook (4-neighbor) adjacency among OCCUPIED cells, and
+    * I = n·Σ_adj dev_i·dev_j / (W·Σ dev_i²) with dev_i = x_i·n − Σx —
+    * the n-SCALED deviations keep every product and both sums EXACT
+    * BIGINTs (a raw (x−x̄) float sum over the unordered pair stream
+    * would be engine-order-nondeterministic), so the only double is
+    * the final ratio. Neighbor pairs come from a ×2 map-side offset
+    * explode + equi-join (each undirected pair counted twice on both
+    * engines, cancelling in I). E[I] = −1/(n−1) is reported beside. */
+  val moransI: Q = Q(
+    "morans_i",
+    """WITH p AS (SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.05)
+      |      AS BIGINT) AS cx,
+      |    CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.05) AS BIGINT) AS cy
+      |  FROM embeddings),
+      |cells AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS x FROM p
+      |          GROUP BY cx, cy),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx FROM cells),
+      |dev AS (SELECT cx, cy, x, x * n - sx AS dv FROM cells CROSS JOIN tot),
+      |nb AS (SELECT a.dv AS da, b.dv AS db
+      |  FROM (SELECT cx + o.dx AS cx, cy + o.dy AS cy, dv FROM dev
+      |        CROSS JOIN (SELECT unnest([1, 0]) AS dx,
+      |                           unnest([0, 1]) AS dy) o) a
+      |  JOIN dev b ON a.cx = b.cx AND a.cy = b.cy),
+      |agg AS (SELECT CAST(sum(da * db) AS BIGINT) AS num,
+      |        CAST(count(*) AS BIGINT) AS w2 FROM nb),
+      |den AS (SELECT CAST(sum(dv * dv) AS BIGINT) AS den FROM dev)
+      |SELECT n AS n_cells, 2 * w2 AS w_pairs,
+      |  floor(CAST(n AS DOUBLE) * (2 * num)
+      |    / (CAST(2 * w2 AS DOUBLE) * den) * 1000000 + 0.5) / 1000000
+      |    AS morans_i,
+      |  floor(-1.0 / (n - 1) * 1000000 + 0.5) / 1000000 AS expected_i
+      |FROM agg CROSS JOIN den CROSS JOIN tot""".stripMargin) { (s, d) =>
+    val cells = emb(s, d)
+      .select(
+        floor(col("embedding").getItem(0).cast("double") / 0.05)
+          .cast("long").as("cx"),
+        floor(col("embedding").getItem(1).cast("double") / 0.05)
+          .cast("long").as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("x"))
+    val tot = cells.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val dev = cells.crossJoin(broadcast(tot)) // 1-row cell totals
+      .select(col("cx"), col("cy"), col("x"),
+        (col("x") * col("n") - col("sx")).as("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shifted = dev.select(
+      explode(expr("array(struct(cx + 1 AS cx, cy AS cy), " +
+        "struct(cx AS cx, cy + 1 AS cy))")).as("sh"), col("dv"))
+      .select(col("sh.cx").as("ax"), col("sh.cy").as("ay"),
+        col("dv").as("da"))
+    val nb = shifted.join(
+      dev.select(col("cx"), col("cy"), col("dv").as("db")),
+      col("ax") === col("cx") && col("ay") === col("cy"))
+    val agg = nb.agg(sum(col("da") * col("db")).as("num"),
+      count(lit(1)).as("w2"))
+    val den = dev.agg(sum(col("dv") * col("dv")).as("den"))
+    agg.crossJoin(broadcast(den)).crossJoin(broadcast(tot))
+      .select(col("n").as("n_cells"), (col("w2") * 2).as("w_pairs"),
+        (floor(col("n").cast("double") * (col("num") * 2)
+          / ((col("w2") * 2).cast("double") * col("den"))
+          * 1000000 + lit(0.5)) / 1000000).as("morans_i"),
+        (floor(lit(-1.0) / (col("n") - 1) * 1000000 + lit(0.5)) / 1000000)
+          .as("expected_i"))
+  }
+
   val all: Seq[Q] =
-    Seq(embedStats, cosineTopK, cosinePairs, gridSpatialJoin, dbscanGrid)
+    Seq(embedStats, cosineTopK, cosinePairs, gridSpatialJoin, dbscanGrid,
+      moransI)
 }

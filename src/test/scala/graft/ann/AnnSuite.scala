@@ -155,4 +155,29 @@ class AnnSuite extends SparkSpec {
     assert(gotClusters == expected.toSet,
       s"clusters:\n${gotClusters.toSeq.sortBy(_._1)}\nvs\n${expected.sortBy(_._1)}")
   }
+
+  test("morans_i replays a naive spatial-autocorrelation computation") {
+    val pts = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("CAST(embedding[0] AS DOUBLE) AS x",
+        "CAST(embedding[1] AS DOUBLE) AS y")
+      .collect().map(r => (math.floor(r.getDouble(0) / 0.05).toLong,
+        math.floor(r.getDouble(1) / 0.05).toLong))
+    val cells = pts.groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    val n = cells.size.toLong
+    val sx = cells.values.sum
+    val dev = cells.map { case (c, x) => c -> (x * n - sx) }
+    val pairs = dev.keys.toSeq.flatMap { case (cx, cy) =>
+      Seq((cx + 1, cy), (cx, cy + 1)).filter(dev.contains)
+        .map(nb => (dev((cx, cy)), dev(nb)))
+    }
+    val num = pairs.map { case (a, b) => a * b }.sum
+    val w = pairs.size.toLong
+    val den = dev.values.map(d => d * d).sum
+    val expected = math.floor(
+      n.toDouble * (2 * num) / ((2.0 * w) * den) * 1000000 + 0.5) / 1000000
+    val r = graft.queries.VectorOps.moransI.run(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == n && r.getLong(1) == 2 * w)
+    assert(r.getDouble(2) == expected, s"I ${r.getDouble(2)} vs $expected")
+    assert(math.abs(r.getDouble(3) - (-1.0 / (n - 1))) < 2e-6)
+  }
 }

@@ -337,4 +337,42 @@ class ProfileOpsSuite extends SparkSpec {
     val ws = rows.map(r => (r.getDouble(4), r.getDouble(2)))
     assert(ws.toSeq == ws.sortBy(t => (-t._1, -t._2)).toSeq)
   }
+
+  test("tfidf_cosine_pairs: top pairs replay a naive sparse cosine") {
+    import org.apache.spark.sql.functions._
+    val docsAll = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[String](1).filter(_.nonEmpty).toArray))
+    val nDocs = docsAll.length.toLong
+    val tf = docsAll.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val sub = tf.filter(_._1 < 50)
+    def w(id: Long): Map[String, Double] =
+      sub(id).map { case (t, c) => t -> c * math.log((nDocs + 1.0) / (df(t) + 1.0)) }
+    def nrm(m: Map[String, Double]): Double =
+      math.sqrt(m.toSeq.sortBy(_._1).map(t => t._2 * t._2).sum)
+    val ids = sub.keys.toSeq.sorted
+    val cands = for {
+      i <- ids; j <- ids if i < j
+      wi = w(i); wj = w(j)
+      shared = wi.keySet.intersect(wj.keySet).toSeq.sorted
+      if shared.nonEmpty
+    } yield {
+      val dt = shared.map(t => wi(t) * wj(t)).sum
+      ((i, j), dt / (nrm(wi) * nrm(wj)))
+    }
+    val expTop = cands.sortBy(t => (-t._2, t._1._1, t._1._2)).take(20)
+      .map { case ((a, b), c) =>
+        (a, b, math.floor(c * 1000000 + 0.5) / 1000000) }
+    val got = TextOps.tfidfCosinePairs.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(t => (t._1, t._2)) == expTop.map(t => (t._1, t._2)),
+      s"pair membership/order:\n$got\nvs\n$expTop")
+    got.zip(expTop).foreach { case ((_, _, a), (_, _, b)) =>
+      assert(math.abs(a - b) < 2e-6) }
+  }
 }

@@ -425,4 +425,39 @@ class TemporalOpsSuite extends SparkSpec {
     val ds = rows.sortBy(_.getInt(0)).map(_.getLong(2))
     assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
   }
+
+  test("inventory_runout: capped-scan recurrence replays in memory") {
+    import org.apache.spark.sql.functions._
+    val dd = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey").as("sk"),
+        datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+          .as("day"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("q"))
+      .groupBy("sk", "day").agg(sum("q").as("dm"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val rows = TemporalOps.inventoryRunout.run(spark, sfDir).collect()
+    rows.foreach { out =>
+      val sk = out.getLong(0)
+      val days = dd.filter(_._1 == sk).sortBy(_._2)
+      val tot = days.map(_._3).sum
+      val span = days.last._2 - days.head._2 + 1
+      val r = (tot + span - 1) / span
+      var inv = math.max(r - days.head._3, 0L)
+      var zeros = if (r - days.head._3 <= 0) 1L else 0L
+      var mx = inv
+      var pd = days.head._2
+      days.tail.foreach { case (_, day, dm) =>
+        val supply = inv + r * (day - pd) - dm
+        inv = math.max(supply, 0L)
+        if (supply <= 0) zeros += 1
+        mx = math.max(mx, inv)
+        pd = day
+      }
+      assert(out.getLong(1) == days.length.toLong, s"n_days for $sk")
+      assert(out.getLong(2) == r, s"restock for $sk")
+      assert(out.getLong(3) == inv, s"end stock for $sk")
+      assert(out.getLong(4) == zeros, s"stockouts for $sk")
+      assert(out.getLong(5) == mx, s"peak for $sk")
+    }
+  }
 }
