@@ -838,9 +838,60 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled mixture weights (the multilingual-LM sampling
+    * rule, T=2): w_s ∝ p_s^(1/T) over per-source token shares — the
+    * standard up-weighting of tail sources before training-data
+    * mixing, reported beside the raw shares and the per-source
+    * effective epoch count w_s·N/t_s. Exact token counts; each
+    * p_s^(1/2) is one sqrt of an exact ratio; the normalizing sum
+    * folds source-sorted (20 terms); every output is floor-rounded.
+    * One token-count aggregate + a 1-row total broadcast. */
+  val temperatureMix: Q = Q(
+    "temperature_mix",
+    """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(list_filter(string_split(text, ' '),
+      |      x -> x <> ''))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM s),
+      |r AS (SELECT source, n_docs, tokens,
+      |    CAST(tokens AS DOUBLE) / tt AS p,
+      |    sqrt(CAST(tokens AS DOUBLE) / tt) AS pt
+      |  FROM s CROSS JOIN t),
+      |z AS (SELECT list_aggregate(list(pt ORDER BY source), 'sum') AS z
+      |      FROM r)
+      |SELECT source, n_docs, tokens,
+      |  floor(p * 1000000 + 0.5) / 1000000 AS raw_share,
+      |  floor(pt / z * 1000000 + 0.5) / 1000000 AS t2_share,
+      |  floor((pt / z) / p * 10000 + 0.5) / 10000 AS epochs
+      |FROM r CROSS JOIN z ORDER BY source""".stripMargin) { (s, d) =>
+    val ts = filter(split(col("text"), " "), x => x =!= "")
+    val src = docs(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(ts).cast("long")).as("tokens"))
+    val t = src.agg(sum("tokens").as("tt"))
+    val r = src.crossJoin(broadcast(t)) // 1-row token total
+      .select(col("source"), col("n_docs"), col("tokens"),
+        (col("tokens").cast("double") / col("tt")).as("p"),
+        sqrt(col("tokens").cast("double") / col("tt")).as("pt"))
+    val z = r.agg(expr(
+      "aggregate(transform(array_sort(collect_list(struct(source, pt))), " +
+        "x -> x.pt), 0D, (a, x) -> a + x)").as("z"))
+    r.crossJoin(broadcast(z)) // 1-row normalizer
+      .select(col("source"), col("n_docs"), col("tokens"),
+        (floor(col("p") * 1000000 + lit(0.5)) / 1000000).as("raw_share"),
+        (floor(col("pt") / col("z") * 1000000 + lit(0.5)) / 1000000)
+          .as("t2_share"),
+        (floor((col("pt") / col("z")) / col("p") * 10000 + lit(0.5))
+          / 10000).as("epochs"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(asofJoin, asofJoinTolerance, asofJoinForward,
     decontamOverlap,
     decontamBloom, sampleStratified, sampleQuota, splitAssign, piiScrub,
     repetitionScore, lmPerplexity, qualityClassify, samplePriority,
-    lmBackoffScore, dsirWeights, scoreCalibration, srmCheck, kneserNey)
+    lmBackoffScore, dsirWeights, scoreCalibration, srmCheck, kneserNey,
+    temperatureMix)
+
 }

@@ -1188,9 +1188,59 @@ object TemporalOps {
       .orderBy("suppkey")
   }
 
+  /** Hampel filter — ROBUST rolling outlier detection (the rolling-z
+    * of q110 breaks when the window itself contains the outlier; the
+    * rolling MEDIAN/MAD does not): over each user's daily-cents
+    * series, a centered 7-day ROWS frame collects into an array and
+    * the LOWER MEDIAN + MAD are exact integer element PICKS from the
+    * sorted frame (never float quantiles), so the flag |x−med| > 3·MAD
+    * is a pure integer comparison on both engines. Frames are
+    * user-partitioned windows — scale-safe. First 25 flagged days. */
+  val hampelFilter: Q = Q(
+    "hampel_filter",
+    """WITH daily AS (SELECT user_id,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY 1, 2),
+      |fr AS (SELECT user_id, day, cents,
+      |    list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS w
+      |  FROM daily),
+      |st AS (SELECT user_id, day, cents,
+      |    w[CAST((len(w) - 1) // 2 AS INTEGER) + 1] AS med,
+      |    list_sort(list_transform(w,
+      |      v -> abs(v - w[CAST((len(w) - 1) // 2 AS INTEGER) + 1])))
+      |      [CAST((len(w) - 1) // 2 AS INTEGER) + 1] AS mad
+      |  FROM fr)
+      |SELECT user_id, CAST(day AS INTEGER) AS day, cents, med, mad
+      |FROM st WHERE abs(cents - med) > 3 * mad
+      |ORDER BY user_id, day LIMIT 25""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev(s, d)
+      .groupBy(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .as("cents"))
+    val w7 = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(-3, 3)
+    val fr = daily.withColumn("w",
+      sort_array(collect_list(col("cents")).over(w7)))
+    val st = fr
+      .withColumn("med",
+        expr("w[CAST((size(w) - 1) DIV 2 AS INT)]"))
+      .withColumn("mad", expr(
+        "sort_array(transform(w, v -> abs(v - med)))" +
+          "[CAST((size(w) - 1) DIV 2 AS INT)]"))
+    st.filter(abs(col("cents") - col("med")) > col("mad") * 3)
+      .select(col("user_id"), col("day").cast("int").as("day"),
+        col("cents"), col("med"), col("mad"))
+      .orderBy("user_id", "day").limit(25)
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
     seasonalDecompose, markovStationary, entropyRate, forecastBacktest,
-    seqSupport, funnelLatency, inventoryRunout)
+    seqSupport, funnelLatency, inventoryRunout, hampelFilter)
 }

@@ -356,7 +356,79 @@ object VectorOps {
           .as("expected_i"))
   }
 
+  /** Getis–Ord Gi* hot-spot detection — the LOCAL companion to
+    * morans_i's global autocorrelation: for every occupied grid cell,
+    * z-score the 3×3-neighborhood point count against the global
+    * surface, Gi* = (S_i − x̄·w_i) / (s·√((n·w_i − w_i²)/(n−1))).
+    * Neighborhood sums S_i and occupied-neighbor counts w_i are EXACT
+    * integers from a ×9 offset explode + equi-join onto occupied
+    * cells; x̄ and s come from the 1-row exact-moment broadcast; each
+    * Gi* is one fixed-form double expression over identical integers.
+    * Top-10 hottest cells. */
+  val getisOrd: Q = Q(
+    "getis_ord",
+    """WITH p AS (SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.05)
+      |      AS BIGINT) AS cx,
+      |    CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.05) AS BIGINT) AS cy
+      |  FROM embeddings),
+      |cells AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS x FROM p
+      |          GROUP BY cx, cy),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx,
+      |        CAST(sum(x * x) AS BIGINT) AS sxx FROM cells),
+      |contrib AS (SELECT cx + o.dx AS tx, cy + o.dy AS ty, x FROM cells
+      |  CROSS JOIN (SELECT dx.d AS dx, dy.d AS dy
+      |    FROM (SELECT unnest([-1, 0, 1]) AS d) dx,
+      |         (SELECT unnest([-1, 0, 1]) AS d) dy) o),
+      |nbh AS (SELECT c.cx, c.cy, CAST(sum(k.x) AS BIGINT) AS si,
+      |    CAST(count(*) AS BIGINT) AS wi
+      |  FROM cells c JOIN contrib k ON k.tx = c.cx AND k.ty = c.cy
+      |  GROUP BY c.cx, c.cy),
+      |gi AS (SELECT cx, cy, si, wi,
+      |    (si - CAST(sx AS DOUBLE) / n * wi)
+      |      / (sqrt(CAST(sxx AS DOUBLE) / n
+      |          - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+      |        * sqrt((CAST(n AS DOUBLE) * wi - CAST(wi AS DOUBLE) * wi)
+      |          / (n - 1))) AS g
+      |  FROM nbh CROSS JOIN tot)
+      |SELECT cx, cy, si AS nbh_points, wi AS nbh_cells,
+      |  floor(g * 1000000 + 0.5) / 1000000 AS gi_star
+      |FROM gi ORDER BY g DESC, cx, cy LIMIT 10""".stripMargin) { (s, d) =>
+    val cells = emb(s, d)
+      .select(
+        floor(col("embedding").getItem(0).cast("double") / 0.05)
+          .cast("long").as("cx"),
+        floor(col("embedding").getItem(1).cast("double") / 0.05)
+          .cast("long").as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cells.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    val contrib = cells
+      .select(explode(expr(
+        "flatten(transform(sequence(-1, 1), dx -> " +
+          "transform(sequence(-1, 1), dy -> " +
+          "struct(cx + dx AS tx, cy + dy AS ty))))")).as("t"), col("x"))
+      .select(col("t.tx").as("tx"), col("t.ty").as("ty"), col("x"))
+    val nbh = cells.select(col("cx"), col("cy"))
+      .join(contrib, col("tx") === col("cx") && col("ty") === col("cy"))
+      .groupBy("cx", "cy")
+      .agg(sum("x").as("si"), count(lit(1)).as("wi"))
+    val xbar = col("sx").cast("double") / col("n")
+    val sdev = sqrt(col("sxx").cast("double") / col("n") - xbar * xbar)
+    nbh.crossJoin(broadcast(tot)) // 1-row exact moments
+      .select(col("cx"), col("cy"), col("si"), col("wi"),
+        ((col("si") - xbar * col("wi"))
+          / (sdev * sqrt((col("n").cast("double") * col("wi")
+            - col("wi").cast("double") * col("wi")) / (col("n") - 1))))
+          .as("g"))
+      .orderBy(col("g").desc, col("cx"), col("cy")).limit(10)
+      .select(col("cx"), col("cy"), col("si").as("nbh_points"),
+        col("wi").as("nbh_cells"),
+        (floor(col("g") * 1000000 + lit(0.5)) / 1000000).as("gi_star"))
+  }
+
   val all: Seq[Q] =
     Seq(embedStats, cosineTopK, cosinePairs, gridSpatialJoin, dbscanGrid,
-      moransI)
+      moransI, getisOrd)
 }

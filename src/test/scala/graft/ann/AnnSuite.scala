@@ -180,4 +180,34 @@ class AnnSuite extends SparkSpec {
     assert(r.getDouble(2) == expected, s"I ${r.getDouble(2)} vs $expected")
     assert(math.abs(r.getDouble(3) - (-1.0 / (n - 1))) < 2e-6)
   }
+
+  test("getis_ord: hot spots replay and z-scores are extreme where dense") {
+    val pts = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("CAST(embedding[0] AS DOUBLE) AS x",
+        "CAST(embedding[1] AS DOUBLE) AS y")
+      .collect().map(r => (math.floor(r.getDouble(0) / 0.05).toLong,
+        math.floor(r.getDouble(1) / 0.05).toLong))
+    val cells = pts.groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    val n = cells.size.toLong
+    val sx = cells.values.sum
+    val sxx = cells.values.map(v => v * v).sum
+    val xbar = sx.toDouble / n
+    val s = math.sqrt(sxx.toDouble / n - xbar * xbar)
+    val expected = cells.keys.toSeq.map { case (cx, cy) =>
+      val nb = for { dx <- -1 to 1; dy <- -1 to 1
+        v <- cells.get((cx + dx, cy + dy)) } yield v
+      val (si, wi) = (nb.sum, nb.length.toLong)
+      val g = (si - xbar * wi) /
+        (s * math.sqrt((n.toDouble * wi - wi.toDouble * wi) / (n - 1)))
+      ((cx, cy), si, wi, g)
+    }.sortBy(t => (-t._4, t._1._1, t._1._2)).take(10)
+    val rows = graft.queries.VectorOps.getisOrd.run(spark, sfDir).collect()
+    rows.zip(expected).foreach { case (r, ((cx, cy), si, wi, g)) =>
+      assert(r.getLong(0) == cx && r.getLong(1) == cy, s"cell order: $r")
+      assert(r.getLong(2) == si && r.getLong(3) == wi)
+      assert(math.abs(r.getDouble(4) - g) < 2e-6)
+    }
+    // hottest cell is hotter than the global mean by construction
+    assert(rows.head.getDouble(4) > 0)
+  }
 }

@@ -188,6 +188,8 @@ class ScaleOpsSuite extends SparkSpec {
       "brand_modularity",     // 1-row edge-total broadcast onto 25 brands
       "morans_i",             // 1-row cell-totals broadcast + report join
       "tfidf_cosine_pairs",   // 1-row corpus doc-count broadcast
+      "getis_ord",            // 1-row exact-moment broadcast onto cells
+      "temperature_mix",      // 1-row token-total + normalizer broadcasts
       "dedup_exact_stats", "cosine_dedup_stats",
       "minhash_keepfirst",    // 1-row x 1-row count report
       "lm_perplexity",        // 1-row vocab-size broadcast joined to docs

@@ -122,4 +122,23 @@ class CurateSuite extends SparkSpec {
       Curate.Params(minhash = graft.dedup.MinHashLSH.Params(threshold = 0.5)))
     assert(totalTokens === kept.agg(sum("n_tokens")).collect().head.getLong(0))
   }
+
+  test("temperature_mix: shares normalize and tails are up-weighted") {
+    val rows = graft.queries.CurationOps.temperatureMix
+      .run(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val raw = rows.map(_.getDouble(3)); val t2 = rows.map(_.getDouble(4))
+    assert(math.abs(raw.sum - 1.0) < 1e-4, s"raw shares sum ${raw.sum}")
+    assert(math.abs(t2.sum - 1.0) < 1e-4, s"t2 shares sum ${t2.sum}")
+    // temperature flattening: the largest source loses share, the
+    // smallest gains (strict when shares differ)
+    val byRaw = rows.sortBy(_.getDouble(3))
+    if (byRaw.head.getDouble(3) < byRaw.last.getDouble(3)) {
+      assert(byRaw.head.getDouble(4) >= byRaw.head.getDouble(3),
+        "smallest source must be up-weighted")
+      assert(byRaw.last.getDouble(4) <= byRaw.last.getDouble(3),
+        "largest source must be down-weighted")
+    }
+    rows.foreach(r => assert(r.getDouble(5) > 0, s"epochs positive: $r"))
+  }
 }

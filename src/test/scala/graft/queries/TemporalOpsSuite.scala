@@ -460,4 +460,29 @@ class TemporalOpsSuite extends SparkSpec {
       assert(out.getLong(5) == mx, s"peak for $sk")
     }
   }
+
+  test("hampel_filter: flags replay a naive rolling median/MAD filter") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      val s = xs.sortBy(_._2)
+      s.indices.flatMap { i =>
+        val w = s.slice(math.max(0, i - 3), math.min(s.length, i + 4))
+          .map(_._3).sorted
+        val med = w((w.length - 1) / 2)
+        val mad = w.map(v => math.abs(v - med)).sorted.apply((w.length - 1) / 2)
+        val c = s(i)._3
+        if (math.abs(c - med) > 3 * mad) Some((u, s(i)._2, c, med, mad))
+        else None
+      }
+    }.sortBy(t => (t._1, t._2)).take(25)
+    val got = TemporalOps.hampelFilter.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected, s"flags:\n$got\nvs\n$expected")
+  }
 }
