@@ -209,6 +209,109 @@ object IncrOps {
       .limit(10)
   }
 
+  /** Data-quality scorecard over `orders` — the contract-validation
+    * pass a production pipeline runs before publishing a table: one
+    * named row per rule (nulls, key uniqueness, FK integrity, value
+    * range, domain membership), each with exact violation counts and
+    * a pass rate. Everything is ONE conditional-aggregation scan plus
+    * a single anti-join for the FK rule (the q81_fk_audit shape) —
+    * rules never each rescan the table. */
+  val dqScorecard: Q = Q(
+    "dq_scorecard",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+      |base AS (SELECT
+      |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS null_key,
+      |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS null_price,
+      |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS null_date,
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      |      AS dup_keys,
+      |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS bad_price,
+      |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      |          OR o_orderdate >= TIMESTAMP '2002-01-01 00:00:00'
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS bad_date,
+      |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+      |  FROM orders),
+      |fk AS (SELECT CAST(count(*) AS BIGINT) AS orphans FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                    WHERE c.c_custkey = o.o_custkey)),
+      |rules AS (
+      |  SELECT 'null_orderkey' AS rule, null_key AS violations FROM base
+      |  UNION ALL SELECT 'null_totalprice', null_price FROM base
+      |  UNION ALL SELECT 'null_orderdate', null_date FROM base
+      |  UNION ALL SELECT 'unique_orderkey', dup_keys FROM base
+      |  UNION ALL SELECT 'price_positive', bad_price FROM base
+      |  UNION ALL SELECT 'date_in_range', bad_date FROM base
+      |  UNION ALL SELECT 'status_in_domain', bad_status FROM base
+      |  UNION ALL SELECT 'fk_custkey', orphans FROM fk)
+      |SELECT rule, n AS n_rows, violations,
+      |  floor((1 - CAST(violations AS DOUBLE) / n) * 1000000 + 0.5)
+      |    / 1000000 AS pass_rate
+      |FROM rules CROSS JOIN n ORDER BY rule""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val base = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_key"),
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L))
+        .as("null_price"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))
+        .as("null_date"),
+      (count(lit(1)) - countDistinct("o_orderkey")).as("dup_keys"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("bad_price"),
+      sum(when(col("o_orderdate") <
+          lit("1995-01-01 00:00:00").cast("timestamp") ||
+          col("o_orderdate") >= lit("2002-01-01 00:00:00").cast("timestamp"),
+        1L).otherwise(0L)).as("bad_date"),
+      sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+        .as("bad_status"))
+    val fk = o.join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    val rules = base.crossJoin(broadcast(fk)) // 1-row x 1-row audit join
+      .select(col("n"), explode(expr(
+        "array(struct('null_orderkey' AS rule, null_key AS violations), " +
+          "struct('null_totalprice' AS rule, null_price AS violations), " +
+          "struct('null_orderdate' AS rule, null_date AS violations), " +
+          "struct('unique_orderkey' AS rule, dup_keys AS violations), " +
+          "struct('price_positive' AS rule, bad_price AS violations), " +
+          "struct('date_in_range' AS rule, bad_date AS violations), " +
+          "struct('status_in_domain' AS rule, bad_status AS violations), " +
+          "struct('fk_custkey' AS rule, orphans AS violations))")).as("r"))
+    rules.select(col("r.rule").as("rule"), col("n").as("n_rows"),
+        col("r.violations").as("violations"),
+        (floor((lit(1) - col("r.violations").cast("double") / col("n"))
+          * 1000000 + lit(0.5)) / 1000000).as("pass_rate"))
+      .orderBy("rule")
+  }
+
+  /** l-diversity audit — k_anonymity's sibling: within each
+    * quasi-identifier class (nation × market segment), how many
+    * DISTINCT sensitive values (account-balance thousand-band) appear?
+    * A k-anonymous group with one sensitive value still leaks; l is
+    * the real disclosure bound. Reports the 10 least-diverse classes
+    * (the dataset's l = the head row). One grouped count-distinct. */
+  val lDiversity: Q = Q(
+    "l_diversity",
+    """SELECT c_nationkey, c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+      |    AS BIGINT) AS l_div
+      |FROM customer GROUP BY 1, 2
+      |ORDER BY l_div, c_nationkey, c_mktsegment LIMIT 10""".stripMargin) {
+    (s, d) =>
+    Tables.customer(s, d)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(floor(col("c_acctbal") / 1000).cast("long"))
+          .as("l_div"))
+      .orderBy(col("l_div"), col("c_nationkey"), col("c_mktsegment"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(incrAggMerge, compactBins, tableStats, incrJoinDelta,
-    snapshotDiff, kAnonymity)
+    snapshotDiff, kAnonymity, dqScorecard, lDiversity)
 }

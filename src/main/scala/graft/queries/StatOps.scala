@@ -1424,7 +1424,7 @@ object StatOps {
       dowSeasonality, weightedMedian, spearmanCorr, neymanAllocation,
       anovaQuantity, cramersV, multiregNormal, poissonBootstrap,
       lorenzDeciles, rfmSegments, abcClass, didEstimate, cupedAdjust,
-      propZtest, abPowerMde, jamesStein)
+      propZtest, abPowerMde, jamesStein, simpsonCheck)
 
   /** James–Stein shrinkage of the 25 per-nation mean order values
     * toward the grand mean (James & Stein 1961; the empirical-Bayes
@@ -1499,5 +1499,68 @@ object StatOps {
         (floor(col("shrink") * 1000000 + lit(0.5)) / 1000000)
           .as("shrink_factor"))
       .orderBy("nationkey")
+  }
+
+  /** Simpson's-paradox detector — the aggregation-audit every segment
+    * dashboard needs: does the POOLED association between discount and
+    * quantity keep its sign inside every return-flag segment?
+    * Per-group and pooled regression slopes come from exact integer
+    * co-moments (discount scaled ×100, quantity rounded — q82's
+    * REGR_* algebra), so the covariance NUMERATOR n·Σxy − Σx·Σy is an
+    * exact BIGINT and the flip test is pure SIGN LOGIC on those
+    * integers (kendall_tau's device — the num·pnum product overflows
+    * int64 at sf0.1). Output: one row per segment + the pooled
+    * row, with slope and a flipped flag. */
+  lazy val simpsonCheck: Q = Q(
+    "simpson_check",
+    """WITH b AS (SELECT l_returnflag AS grp,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS y
+      |  FROM lineitem),
+      |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM b GROUP BY grp),
+      |p AS (SELECT 'ALL' AS grp, CAST(sum(n) AS BIGINT) AS n,
+      |    CAST(sum(sx) AS BIGINT) AS sx, CAST(sum(sy) AS BIGINT) AS sy,
+      |    CAST(sum(sxy) AS BIGINT) AS sxy,
+      |    CAST(sum(sxx) AS BIGINT) AS sxx FROM g),
+      |ps AS (SELECT n * sxy - sx * sy AS pnum FROM p),
+      |u AS (SELECT * FROM g UNION ALL SELECT * FROM p)
+      |SELECT grp, n,
+      |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |    * 1000000 + 0.5) / 1000000 AS slope,
+      |  CASE WHEN ((n * sxy - sx * sy) < 0 AND pnum > 0)
+      |         OR ((n * sxy - sx * sy) > 0 AND pnum < 0) THEN 1 ELSE 0 END
+      |    AS flipped
+      |FROM u CROSS JOIN ps ORDER BY grp""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("grp"),
+      floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("x"),
+      floor(col("l_quantity") + lit(0.5)).cast("long").as("y"))
+    val g = b.groupBy("grp").agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val p = g.agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+      sum("sxy").as("sxy"), sum("sxx").as("sxx"))
+      .select(lit("ALL").as("grp"), col("n"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"))
+    val ps = p.select((col("n") * col("sxy") - col("sx") * col("sy"))
+      .as("pnum"))
+    val u = g.select("grp", "n", "sx", "sy", "sxy", "sxx").unionAll(p)
+    u.crossJoin(broadcast(ps)) // 1-row pooled-sign broadcast
+      .select(col("grp"), col("n"),
+        (floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n").cast("double") * col("sxx")
+            - col("sx").cast("double") * col("sx"))
+          * 1000000 + lit(0.5)) / 1000000).as("slope"),
+        when(((col("n") * col("sxy") - col("sx") * col("sy")) < 0
+            && col("pnum") > 0)
+          || ((col("n") * col("sxy") - col("sx") * col("sy")) > 0
+            && col("pnum") < 0), 1).otherwise(0).as("flipped"))
+      .orderBy("grp")
   }
 }

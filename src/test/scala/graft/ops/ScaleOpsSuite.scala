@@ -190,6 +190,8 @@ class ScaleOpsSuite extends SparkSpec {
       "tfidf_cosine_pairs",   // 1-row corpus doc-count broadcast
       "getis_ord",            // 1-row exact-moment broadcast onto cells
       "temperature_mix",      // 1-row token-total + normalizer broadcasts
+      "dq_scorecard",         // 1-row base x 1-row FK audit join
+      "simpson_check",        // 1-row pooled-sign broadcast onto 4 rows
       "dedup_exact_stats", "cosine_dedup_stats",
       "minhash_keepfirst",    // 1-row x 1-row count report
       "lm_perplexity",        // 1-row vocab-size broadcast joined to docs

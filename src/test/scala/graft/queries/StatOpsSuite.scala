@@ -541,4 +541,47 @@ class StatOpsSuite extends SparkSpec {
     // shrinkage is material on at least one small group: some js != raw
     assert(rows.exists(r => r.getDouble(2) != r.getDouble(3)))
   }
+
+  test("simpson_check: slopes replay and the pooled row is the merge") {
+    val rows = StatOps.simpsonCheck.run(spark, sfDir).collect()
+    assert(rows.length == 4)
+    val all = rows.find(_.getString(0) == "ALL").get
+    val grps = rows.filterNot(_.getString(0) == "ALL")
+    assert(all.getLong(1) == grps.map(_.getLong(1)).sum,
+      "pooled n is the sum of the groups")
+    assert(all.getInt(3) == 0, "the pooled row cannot flip against itself")
+    // naive replay of one group's slope
+    import org.apache.spark.sql.functions._
+    val b = graft.Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === grps.head.getString(0))
+      .select(floor(col("l_discount") * 100 + lit(0.5)).cast("long"),
+        floor(col("l_quantity") + lit(0.5)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = b.length.toLong
+    val (sx, sy) = (b.map(_._1).sum, b.map(_._2).sum)
+    val sxy = b.map(t => t._1 * t._2).sum
+    val sxx = b.map(t => t._1 * t._1).sum
+    val slope = math.floor((n * sxy - sx * sy).toDouble
+      / (n.toDouble * sxx - sx.toDouble * sx) * 1000000 + 0.5) / 1000000
+    assert(grps.head.getDouble(2) == slope)
+  }
+
+  test("dq_scorecard and l_diversity: clean fixture, sane diversity") {
+    val dq = IncrOps.dqScorecard.run(spark, sfDir).collect()
+    assert(dq.length == 8)
+    // the generated fixture is contract-clean: every rule passes fully
+    dq.foreach { r =>
+      assert(r.getLong(2) == 0L, s"unexpected violations: $r")
+      assert(r.getDouble(3) == 1.0)
+    }
+    val ld = IncrOps.lDiversity.run(spark, sfDir).collect()
+    assert(ld.length == 10)
+    ld.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= r.getLong(2),
+        s"l bounded by group size: $r")
+    }
+    // rows are sorted by ascending diversity — the dataset's l is row 1
+    val ls = ld.map(_.getLong(3))
+    assert(ls.toSeq == ls.sorted.toSeq)
+  }
 }
