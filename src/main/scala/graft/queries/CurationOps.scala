@@ -892,6 +892,61 @@ object CurationOps {
     decontamBloom, sampleStratified, sampleQuota, splitAssign, piiScrub,
     repetitionScore, lmPerplexity, qualityClassify, samplePriority,
     lmBackoffScore, dsirWeights, scoreCalibration, srmCheck, kneserNey,
-    temperatureMix)
+    temperatureMix, fairnessParity)
 
+
+  /** Filter-disparity (four-fifths rule) audit of the quality
+    * classifier across languages — the fairness check an LLM curation
+    * pipeline owes its corpus: per-language pass rates of the
+    * normalized-margin filter (threshold 0, score_calibration's
+    * bit-identical score), each language's selection ratio vs the
+    * most-selected language, and the adverse-impact flag at the
+    * EEOC 0.8 bound. Exact counts; one guarded division per row; the
+    * reference max rate broadcasts as one row. */
+  lazy val fairnessParity: Q = Q(
+    "fairness_parity",
+    """WITH t AS (SELECT lang,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |  FROM documents),
+      |s AS (SELECT lang, CAST(len(ts) AS INTEGER) AS n_tokens,
+      |  list_sum(list_transform(ts, tok ->
+      |    ((((list_sum(list_transform(
+      |          range(0, CAST(least(length(tok), 8) AS BIGINT)),
+      |          j -> ascii(substring(tok, CAST(j + 1 AS INTEGER), 1))
+      |               * CAST(pow(31, j) AS BIGINT))) % 1024)
+      |       * 2654435761) % 1000003) / 1000003.0 - 0.5))) AS score
+      |  FROM t WHERE len(ts) > 0),
+      |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN score / n_tokens >= 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_pass
+      |  FROM s GROUP BY lang),
+      |r AS (SELECT lang, n_docs, n_pass,
+      |    CAST(n_pass AS DOUBLE) / n_docs AS rate FROM g),
+      |mx AS (SELECT max(rate) AS mr FROM r)
+      |SELECT lang, n_docs, n_pass,
+      |  floor(rate * 1000000 + 0.5) / 1000000 AS pass_rate,
+      |  floor(rate / mr * 1000000 + 0.5) / 1000000 AS selection_ratio,
+      |  CASE WHEN rate / mr < 0.8 THEN 1 ELSE 0 END AS adverse_impact
+      |FROM r CROSS JOIN mx ORDER BY lang""".stripMargin) { (s, d) =>
+    val ts = filter(split(col("text"), " "), x => x =!= "")
+    val scored = docs(s, d)
+      .select(col("lang"), size(ts).as("n_tokens"),
+        graft.functions.GraftFunctions.linearScore(col("text"), 1024)
+          .as("raw"))
+      .filter(col("n_tokens") > 0)
+      .select(col("lang"), (col("raw") / col("n_tokens")).as("v"))
+    val g = scored.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("v") >= 0, 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("rate", col("n_pass").cast("double") / col("n_docs"))
+    val mx = g.agg(max("rate").as("mr"))
+    g.crossJoin(broadcast(mx)) // 1-row reference-rate broadcast
+      .select(col("lang"), col("n_docs"), col("n_pass"),
+        (floor(col("rate") * 1000000 + lit(0.5)) / 1000000).as("pass_rate"),
+        (floor(col("rate") / col("mr") * 1000000 + lit(0.5)) / 1000000)
+          .as("selection_ratio"),
+        when(col("rate") / col("mr") < 0.8, 1).otherwise(0)
+          .as("adverse_impact"))
+      .orderBy("lang")
+  }
 }

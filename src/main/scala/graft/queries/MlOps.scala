@@ -829,7 +829,155 @@ object MlOps {
       .orderBy("true_label", "pred_label")
   }
 
+
+  /** Per-class precision/recall/F1 + macro report over the nearest-
+    * centroid classifier's predictions — the standard multi-class eval
+    * readout on top of rocchio_classify's exact confusion (the same
+    * CTE chain, re-proven end-to-end by the oracle): per TRUE class,
+    * TP / FP / FN as exact integers, P/R/F1 as guarded single
+    * divisions, plus a macro row (label −1) whose unweighted means
+    * fold class-sorted. */
+  val f1Report: Q = Q(
+    "f1_report",
+    """WITH pts AS (SELECT vec_id AS id, label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS xi
+      |  FROM embeddings),
+      |tr AS (SELECT * FROM pts WHERE id < 100 OR id >= 140),
+      |te AS (SELECT id, label AS true_label,
+      |    list_transform(xi, v -> CAST(v AS DOUBLE) / 1048576.0) AS xd
+      |  FROM pts WHERE id >= 100 AND id < 140),
+      |cent AS (SELECT s.label, s.cs, z.cn FROM
+      |   (SELECT label, list(sx ORDER BY pos) AS cs FROM
+      |     (SELECT label, i AS pos, CAST(sum(xi[i]) AS BIGINT) AS sx
+      |      FROM tr, range(1, 65) t(i) GROUP BY label, i)
+      |    GROUP BY label) s
+      |   JOIN (SELECT label, count(*) AS cn FROM tr GROUP BY label) z
+      |     USING (label)),
+      |ce AS (SELECT label,
+      |    list_transform(cs, v -> CAST(v AS DOUBLE) / CAST(cn AS DOUBLE)
+      |      / 1048576.0) AS md
+      |  FROM cent),
+      |cx AS (SELECT label, md, list_dot_product(md, md) AS dmm FROM ce),
+      |assign AS (SELECT id, true_label, cl AS pred_label FROM (
+      |  SELECT te.id, te.true_label, c.label AS cl,
+      |    row_number() OVER (PARTITION BY te.id ORDER BY
+      |      list_dot_product(te.xd, te.xd)
+      |        - 2 * list_dot_product(te.xd, c.md) + c.dmm, c.label) AS rn
+      |  FROM te CROSS JOIN cx c) WHERE rn = 1),
+      |cls AS (SELECT DISTINCT true_label AS c FROM assign),
+      |m AS (SELECT cls.c,
+      |    CAST((SELECT count(*) FROM assign
+      |          WHERE true_label = cls.c AND pred_label = cls.c) AS BIGINT)
+      |      AS tp,
+      |    CAST((SELECT count(*) FROM assign
+      |          WHERE pred_label = cls.c AND true_label <> cls.c) AS BIGINT)
+      |      AS fp,
+      |    CAST((SELECT count(*) FROM assign
+      |          WHERE true_label = cls.c AND pred_label <> cls.c) AS BIGINT)
+      |      AS fn
+      |  FROM cls),
+      |pr AS (SELECT c, tp, fp, fn,
+      |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp)
+      |         ELSE 0.0 END AS p,
+      |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn)
+      |         ELSE 0.0 END AS r,
+      |    CASE WHEN 2 * tp + fp + fn > 0
+      |         THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+      |         ELSE 0.0 END AS f1
+      |  FROM m),
+      |macro AS (SELECT CAST(-1 AS INTEGER) AS c,
+      |    CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(fp) AS BIGINT) AS fp,
+      |    CAST(sum(fn) AS BIGINT) AS fn,
+      |    list_aggregate(list(p ORDER BY c), 'sum') / count(*) AS p,
+      |    list_aggregate(list(r ORDER BY c), 'sum') / count(*) AS r,
+      |    list_aggregate(list(f1 ORDER BY c), 'sum') / count(*) AS f1
+      |  FROM pr)
+      |SELECT c AS label, tp, fp, fn,
+      |  floor(p * 1000000 + 0.5) / 1000000 AS precision_c,
+      |  floor(r * 1000000 + 0.5) / 1000000 AS recall_c,
+      |  floor(f1 * 1000000 + 0.5) / 1000000 AS f1_c
+      |FROM (SELECT * FROM pr UNION ALL SELECT * FROM macro)
+      |ORDER BY label""".stripMargin) { (s, d) =>
+    val assign = rocchioAssignments(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = assign.groupBy(col("true_label").as("c"))
+      .agg(sum(when(col("pred_label") === col("true_label"), 1L)
+        .otherwise(0L)).as("tp"),
+        sum(when(col("pred_label") =!= col("true_label"), 1L)
+          .otherwise(0L)).as("fn"))
+    val fp = assign.groupBy(col("pred_label").as("pc"))
+      .agg(sum(when(col("pred_label") =!= col("true_label"), 1L)
+        .otherwise(0L)).as("fp"))
+    val pr = m.join(fp, col("c") === col("pc"), "left")
+      .select(col("c"), col("tp"), coalesce(col("fp"), lit(0L)).as("fp"),
+        col("fn"))
+      .select(col("c"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")))
+          .otherwise(0.0).as("p"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")))
+          .otherwise(0.0).as("r"),
+        when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          (col("tp") * 2).cast("double")
+            / (col("tp") * 2 + col("fp") + col("fn")))
+          .otherwise(0.0).as("f1"))
+    def cFold(field: String) =
+      expr(s"aggregate(transform(array_sort(collect_list(struct(c, $field))), " +
+        s"t -> t.$field), 0D, (a, x) -> a + x)")
+    val macroR = pr.agg(sum("tp").as("tp"), sum("fp").as("fp"),
+        sum("fn").as("fn"), cFold("p").as("sp"), cFold("r").as("sr"),
+        cFold("f1").as("sf"), count(lit(1)).as("k"))
+      .select(lit(-1).as("c"), col("tp"), col("fp"), col("fn"),
+        (col("sp") / col("k")).as("p"), (col("sr") / col("k")).as("r"),
+        (col("sf") / col("k")).as("f1"))
+    pr.unionAll(macroR)
+      .select(col("c").as("label"), col("tp"), col("fp"), col("fn"),
+        (floor(col("p") * 1000000 + lit(0.5)) / 1000000).as("precision_c"),
+        (floor(col("r") * 1000000 + lit(0.5)) / 1000000).as("recall_c"),
+        (floor(col("f1") * 1000000 + lit(0.5)) / 1000000).as("f1_c"))
+      .orderBy("label")
+  }
+
+  /** Shared rocchio assignment pipeline (test id, true_label,
+    * pred_label) — consumed by rocchio_classify's confusion and
+    * f1_report so the two provably evaluate the same classifier. */
+  private def rocchioAssignments(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val dot = graft.functions.GraftFunctions.dotNative _
+    val pts = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("label"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 1048576.0D) AS BIGINT))").as("xi"))
+    val tr = pts.filter(col("id") < 100 || col("id") >= 140)
+    val te = pts.filter(col("id") >= 100 && col("id") < 140)
+      .select(col("id"), col("label").as("true_label"),
+        expr("transform(xi, v -> CAST(v AS DOUBLE) / 1048576.0D)").as("xd"))
+      .withColumn("dxx", dot(col("xd"), col("xd")))
+    val sums = tr.select(col("label"), posexplode(col("xi"))
+        .as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(sum("x").as("sx"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), " +
+        "t -> t.sx)").as("cs"))
+    val sizes = tr.groupBy("label").agg(count(lit(1)).as("cn"))
+    val cx = sums.join(sizes, "label")
+      .withColumn("md", expr(
+        "transform(cs, v -> CAST(v AS DOUBLE) / CAST(cn AS DOUBLE) " +
+          "/ 1048576.0D)"))
+      .withColumn("dmm", dot(col("md"), col("md")))
+      .select(col("label").as("cl"), col("md"), col("dmm"))
+    te.crossJoin(broadcast(cx))
+      .withColumn("dist",
+        col("dxx") - lit(2) * dot(col("xd"), col("md")) + col("dmm"))
+      .select(col("id"), col("true_label"),
+        struct(col("dist"), col("cl")).as("sc"))
+      .groupBy("id", "true_label").agg(min("sc").as("m"))
+      .select(col("id"), col("true_label"), col("m.cl").as("pred_label"))
+  }
+
   val all: Seq[Q] = Seq(kmeansEmbed, clusterTopics, oovRate, cmsFreq, rpReduce,
     embedDimProfile, bestSplit, semDedup, amsF2, pcaPower, kmvDistinct,
-    knnClassify, rocchioClassify)
+    knnClassify, rocchioClassify, f1Report)
 }

@@ -192,6 +192,8 @@ class ScaleOpsSuite extends SparkSpec {
       "temperature_mix",      // 1-row token-total + normalizer broadcasts
       "dq_scorecard",         // 1-row base x 1-row FK audit join
       "simpson_check",        // 1-row pooled-sign broadcast onto 4 rows
+      "fairness_parity",      // 1-row reference-rate broadcast
+      "f1_report",            // <=10 broadcast centroid rows (rocchio)
       "dedup_exact_stats", "cosine_dedup_stats",
       "minhash_keepfirst",    // 1-row x 1-row count report
       "lm_perplexity",        // 1-row vocab-size broadcast joined to docs

@@ -141,4 +141,20 @@ class CurateSuite extends SparkSpec {
     }
     rows.foreach(r => assert(r.getDouble(5) > 0, s"epochs positive: $r"))
   }
+
+  test("fairness_parity: ratios anchored to the max group; flags at 0.8") {
+    val rows = graft.queries.CurationOps.fairnessParity
+      .run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ratios = rows.map(_.getDouble(4))
+    assert(ratios.max <= 1.0 + 1e-9, "reference group has ratio 1")
+    assert(math.abs(ratios.max - 1.0) < 2e-6)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val flagged = r.getInt(5) == 1
+      // the flag is consistent with the reported ratio up to rounding
+      if (r.getDouble(4) < 0.8 - 1e-6) assert(flagged, s"missed flag: $r")
+      if (r.getDouble(4) > 0.8 + 1e-6) assert(!flagged, s"false flag: $r")
+    }
+  }
 }

@@ -283,4 +283,29 @@ class MlOpsSuite extends SparkSpec {
     assert(got.values.sum == 40L)
     assert(got == expected, s"confusion:\n$got\nvs\n$expected")
   }
+
+  test("f1_report: per-class metrics reconcile with rocchio's confusion") {
+    val conf = MlOps.rocchioClassify.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val rows = MlOps.f1Report.run(spark, sfDir).collect()
+    val classes = rows.filter(_.getInt(0) >= 0)
+    val macroR = rows.find(_.getInt(0) == -1).get
+    classes.foreach { r =>
+      val c = r.getInt(0)
+      val tp = conf.getOrElse((c, c), 0L)
+      val fn = conf.collect { case ((t, p), n) if t == c && p != c => n }.sum
+      val fp = conf.collect { case ((t, p), n) if p == c && t != c => n }.sum
+      assert(r.getLong(1) == tp && r.getLong(2) == fp && r.getLong(3) == fn,
+        s"counts for class $c: $r")
+      if (tp + fp > 0)
+        assert(math.abs(r.getDouble(4) - tp.toDouble / (tp + fp)) < 2e-6)
+    }
+    // macro row averages the per-class metrics
+    val k = classes.length
+    assert(math.abs(macroR.getDouble(6) -
+      classes.map(_.getDouble(6)).sum / k) < 5e-6, "macro F1")
+    // micro accuracy sanity: total tp = correctly classified
+    assert(macroR.getLong(1) == conf.collect {
+      case ((t, p), n) if t == p => n }.sum)
+  }
 }
