@@ -417,6 +417,75 @@ object EvalOps {
       .orderBy("feature")
   }
 
+  /** Isotonic-regression score calibration (pool-adjacent-violators) —
+    * score_calibration's reliability diagram made actionable: fit the
+    * best MONOTONE calibration map over the binned score axis, the
+    * standard last-mile calibrator (Zadrozny & Elkan, KDD'02). The
+    * data-scale work is ONE binned count aggregate (B ≤ 20 groups);
+    * the PAV fit then runs on the bounded bin table via the exact
+    * minimax identity iso(k) = max_{i≤k} min_{j≥k} mean(i..j) —
+    * O(B³) expression work on a single row, no driver loop, no
+    * partition-less window. Every mean is ONE division of exact
+    * integer prefix sums, so both engines take min/max over the
+    * identical double multiset. Emits per-bin raw vs calibrated rates;
+    * iso_rate is non-decreasing by construction (pinned in
+    * EvalOpsSuite against a direct PAV pooling reference). */
+  val isotonicCalibration: Q = Q(
+    "isotonic_calibration",
+    """WITH b AS (SELECT
+      |    least(19, CAST(floor(o_totalprice / 25000) AS BIGINT)) AS bin,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      |  FROM orders),
+      |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS w,
+      |      CAST(sum(pos) AS BIGINT) AS p FROM b GROUP BY 1),
+      |pre AS (SELECT bin, w, p,
+      |    CAST(sum(w) OVER (ORDER BY bin) AS BIGINT) AS cw,
+      |    CAST(sum(p) OVER (ORDER BY bin) AS BIGINT) AS cp,
+      |    CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS r FROM g),
+      |m AS (SELECT i.r AS ri, j.r AS rj,
+      |    CAST(j.cp - i.cp + i.p AS DOUBLE)
+      |      / CAST(j.cw - i.cw + i.w AS DOUBLE) AS mean
+      |  FROM pre i JOIN pre j ON i.r <= j.r),
+      |t3 AS (SELECT m.ri, k.r AS rk, min(m.mean) AS mn
+      |  FROM m JOIN pre k ON m.ri <= k.r AND m.rj >= k.r
+      |  GROUP BY 1, 2),
+      |fit AS (SELECT rk, max(mn) AS iso FROM t3 GROUP BY 1)
+      |SELECT p.bin, p.w AS n_orders, p.p AS n_pos,
+      |  floor(CAST(p.p AS DOUBLE) / p.w * 1000000 + 0.5) / 1000000
+      |    AS raw_rate,
+      |  floor(f.iso * 1000000 + 0.5) / 1000000 AS iso_rate
+      |FROM pre p JOIN fit f ON f.rk = p.r ORDER BY p.bin""".stripMargin) {
+    (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        least(lit(19L), floor(col("o_totalprice") / 25000).cast("long"))
+          .as("bin"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("w"), sum("pos").as("p"))
+      .agg(expr("array_sort(collect_list(struct(bin, w, p)))").as("a"))
+      .withColumn("nb", expr("size(a)"))
+      .withColumn("pw", expr("transform(sequence(1, nb), " +
+        "j -> aggregate(slice(a, 1, j), 0L, (acc, t) -> acc + t.w))"))
+      .withColumn("pp", expr("transform(sequence(1, nb), " +
+        "j -> aggregate(slice(a, 1, j), 0L, (acc, t) -> acc + t.p))"))
+      .withColumn("iso", expr(
+        "transform(sequence(1, nb), k -> " +
+          "array_max(transform(sequence(1, k), i -> " +
+          "array_min(transform(sequence(k, nb), j -> " +
+          "CAST(pp[j-1] - IF(i = 1, 0L, pp[i-2]) AS DOUBLE) / " +
+          "CAST(pw[j-1] - IF(i = 1, 0L, pw[i-2]) AS DOUBLE))))))"))
+      .select(col("iso"), posexplode(col("a")).as(Seq("k0", "t")))
+      .select(col("t.bin").as("bin"), col("t.w").as("n_orders"),
+        col("t.p").as("n_pos"),
+        (floor(col("t.p").cast("double") / col("t.w") * 1000000 + lit(0.5))
+          / 1000000).as("raw_rate"),
+        (floor(expr("element_at(iso, k0 + 1)") * 1000000 + lit(0.5))
+          / 1000000).as("iso_rate"))
+      .orderBy("bin")
+  }
+
   val all: Seq[Q] =
-    Seq(aucRoc, prCurve, ndcgRetrieval, conformalInterval, miFeatures)
+    Seq(aucRoc, prCurve, ndcgRetrieval, conformalInterval, miFeatures,
+      isotonicCalibration)
 }

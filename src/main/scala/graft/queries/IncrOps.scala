@@ -312,6 +312,82 @@ object IncrOps {
       .limit(10)
   }
 
+  /** t-closeness audit — the third leg of the disclosure-risk tripod
+    * (k_anonymity: class size; l_diversity: distinct sensitive values;
+    * t-closeness: DISTANCE between the class's sensitive distribution
+    * and the global one — a diverse class can still leak if its
+    * distribution is skewed). Distance is the Earth Mover's Distance
+    * over the ORDERED balance bands, computed entirely on exact
+    * integers: |F_class − F_global| at band k is compared as
+    * |cum_c·N − cum_g·n_c| (no float enters the sum), and t is ONE
+    * final division per class. Shape: two grouped counts, a
+    * |classes|×B zero-filled grid (B ≤ 11 bands — bounded by the value
+    * domain, so the broadcast fan-out is constant at any data scale),
+    * and a class-partitioned cumulative window. Reports the 10 classes
+    * farthest from the global distribution. */
+  val tCloseness: Q = Q(
+    "t_closeness",
+    """WITH c AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band FROM customer),
+      |cb AS (SELECT nk, seg, band, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM c GROUP BY 1, 2, 3),
+      |bands AS (SELECT band, CAST(count(*) AS BIGINT) AS g FROM c GROUP BY 1),
+      |tot AS (SELECT CAST(sum(g) AS BIGINT) AS nn,
+      |               CAST(count(*) AS BIGINT) AS nb FROM bands),
+      |grid AS (SELECT DISTINCT nk, seg FROM cb),
+      |filled AS (SELECT gr.nk, gr.seg, b.band, b.g,
+      |    COALESCE(cb.cnt, 0) AS cnt
+      |  FROM grid gr CROSS JOIN bands b
+      |  LEFT JOIN cb ON cb.nk = gr.nk AND cb.seg = gr.seg
+      |    AND cb.band = b.band),
+      |cum AS (SELECT nk, seg,
+      |    CAST(sum(cnt) OVER (PARTITION BY nk, seg ORDER BY band)
+      |      AS BIGINT) AS cumc,
+      |    CAST(sum(g) OVER (PARTITION BY nk, seg ORDER BY band)
+      |      AS BIGINT) AS cumg,
+      |    CAST(sum(cnt) OVER (PARTITION BY nk, seg) AS BIGINT) AS ncls
+      |  FROM filled)
+      |SELECT nk AS c_nationkey, seg AS c_mktsegment,
+      |  max(ncls) AS n_members,
+      |  floor(CAST(sum(abs(cumc * nn - cumg * ncls)) AS DOUBLE)
+      |    / (CAST((any_value(nb) - 1) * any_value(ncls) AS BIGINT)
+      |       * any_value(nn)) * 1000000 + 0.5)
+      |    / 1000000 AS t_close
+      |FROM cum CROSS JOIN tot
+      |GROUP BY nk, seg
+      |ORDER BY t_close DESC, nk, seg LIMIT 10""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+      .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+    val cb = c.groupBy("nk", "seg", "band").agg(count(lit(1)).as("cnt"))
+    val bands = c.groupBy("band").agg(count(lit(1)).as("g"))
+    val tot = bands.agg(sum("g").as("nn"), count(lit(1)).as("nb"))
+    val grid = cb.select("nk", "seg").distinct()
+      .crossJoin(broadcast(bands)) // B <= 11 domain-bounded band rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("nk", "seg").orderBy("band")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("nk", "seg")
+    grid.join(cb, Seq("nk", "seg", "band"), "left")
+      .select(col("nk"), col("seg"), col("band"), col("g"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .select(col("nk"), col("seg"),
+        sum("cnt").over(w).as("cumc"),
+        sum("g").over(w).as("cumg"),
+        sum("cnt").over(wAll).as("ncls"))
+      .crossJoin(broadcast(tot)) // 1-row (N, B) totals
+      .groupBy("nk", "seg")
+      .agg(max("ncls").as("n_members"),
+        (floor(sum(abs(col("cumc") * col("nn") - col("cumg") * col("ncls")))
+          .cast("double")
+          / (((first("nb") - 1) * first("ncls")) * first("nn"))
+          * 1000000 + lit(0.5)) / 1000000).as("t_close"))
+      .select(col("nk").as("c_nationkey"), col("seg").as("c_mktsegment"),
+        col("n_members"), col("t_close"))
+      .orderBy(col("t_close").desc, col("c_nationkey"), col("c_mktsegment"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(incrAggMerge, compactBins, tableStats, incrJoinDelta,
-    snapshotDiff, kAnonymity, dqScorecard, lDiversity)
+    snapshotDiff, kAnonymity, dqScorecard, lDiversity, tCloseness)
 }

@@ -1238,9 +1238,83 @@ object TemporalOps {
       .orderBy("user_id", "day").limit(25)
   }
 
+  /** Holt–Winters additive triple exponential smoothing (level + trend
+    * + weekly seasonality, α = β = γ = 0.5, m = 7) over the GLOBAL
+    * daily revenue series — holt_linear's seasonal big sibling, the
+    * capacity-planning forecaster. The data-scale work is the daily
+    * collapse (one shuffle, exact integer cents); the fold then runs
+    * over a CALENDAR-BOUNDED series (≤ ~2,400 days regardless of
+    * corpus size), so the single-task struct fold is constant work at
+    * any scale. The state is struct(l, b, s[7]) with the seasonal ring
+    * rotated each step; every multiplier is 0.5, so both engines
+    * execute the identical IEEE operation sequence (Spark: `aggregate`
+    * over the day-sorted list; oracle: per-step recursive CTE carrying
+    * the same (l, b, s) — same recurrence, same association, bit-equal
+    * doubles). Emits the 7-day-ahead forecast fan h = 1..7. */
+  val holtWinters: Q = Q(
+    "holt_winters",
+    """WITH RECURSIVE daily AS (SELECT
+      |    strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |idx AS (SELECT CAST(y AS DOUBLE) AS yd,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+      |    CAST(count(*) OVER () AS BIGINT) AS n FROM daily),
+      |rec AS (
+      |  SELECT i, n, yd AS l, CAST(0 AS DOUBLE) AS b,
+      |    [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+      |     CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+      |     CAST(0 AS DOUBLE)] AS s
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT d.i, r.n,
+      |    0.5 * (d.yd - r.s[1]) + 0.5 * (r.l + r.b),
+      |    0.5 * ((0.5 * (d.yd - r.s[1]) + 0.5 * (r.l + r.b)) - r.l)
+      |      + 0.5 * r.b,
+      |    list_concat(r.s[2:7],
+      |      [0.5 * (d.yd - (0.5 * (d.yd - r.s[1]) + 0.5 * (r.l + r.b)))
+      |       + 0.5 * r.s[1]])
+      |  FROM rec r JOIN idx d ON d.i = r.i + 1)
+      |SELECT CAST(h AS BIGINT) AS h, n AS n_days,
+      |  floor(l / 100 * 10000 + 0.5) / 10000 AS level,
+      |  floor(b / 100 * 10000 + 0.5) / 10000 AS trend,
+      |  floor((l + h * b + s[h]) / 100 * 10000 + 0.5) / 10000 AS forecast
+      |FROM rec CROSS JOIN (SELECT unnest(range(1, 8)) AS h)
+      |WHERE i = n ORDER BY h""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("y"))
+    daily
+      .agg(count(lit(1)).as("n_days"),
+        expr("array_sort(collect_list(struct(day, CAST(y AS DOUBLE) AS yd)))")
+          .as("sd"))
+      .withColumn("fin", expr(
+        "aggregate(slice(sd, 2, size(sd) - 1), " +
+          "struct(sd[0].yd AS l, CAST(0 AS DOUBLE) AS b, " +
+          "array_repeat(CAST(0 AS DOUBLE), 7) AS s), " +
+          "(a, x) -> struct(" +
+          "0.5D * (x.yd - a.s[0]) + 0.5D * (a.l + a.b) AS l, " +
+          "0.5D * ((0.5D * (x.yd - a.s[0]) + 0.5D * (a.l + a.b)) - a.l) " +
+          "+ 0.5D * a.b AS b, " +
+          "concat(slice(a.s, 2, 6), array(" +
+          "0.5D * (x.yd - (0.5D * (x.yd - a.s[0]) + 0.5D * (a.l + a.b))) " +
+          "+ 0.5D * a.s[0])) AS s))"))
+      .select(col("n_days"), col("fin"),
+        explode(expr("sequence(1, 7)")).as("h"))
+      .select(col("h").cast("long").as("h"), col("n_days"),
+        (floor(col("fin.l") / 100 * 10000 + lit(0.5)) / 10000).as("level"),
+        (floor(col("fin.b") / 100 * 10000 + lit(0.5)) / 10000).as("trend"),
+        (floor((col("fin.l") + col("h") * col("fin.b")
+          + expr("element_at(fin.s, h)")) / 100 * 10000 + lit(0.5)) / 10000)
+          .as("forecast"))
+      .orderBy("h")
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
     seasonalDecompose, markovStationary, entropyRate, forecastBacktest,
-    seqSupport, funnelLatency, inventoryRunout, hampelFilter)
+    seqSupport, funnelLatency, inventoryRunout, hampelFilter, holtWinters)
 }

@@ -226,7 +226,8 @@ class ScaleOpsSuite extends SparkSpec {
       "good_turing",          // 1-row corpus-totals broadcast onto <=5 rows
       "term_burstiness",      // 1-row doc-count broadcast onto the vocab relation
       "markov_stationary",    // 1-row state-count broadcast onto <=5 states
-      "entropy_rate")         // 1-row state-count + 1-row fold-result report
+      "entropy_rate",         // 1-row state-count + 1-row fold-result report
+      "t_closeness")          // <=11 domain-bounded band rows + 1-row totals
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

@@ -105,4 +105,45 @@ class EvalOpsSuite extends SparkSpec {
       assert(nmi >= -1e-9 && nmi <= 1 + 1e-9, s"NMI outside [0,1]: $r")
     }
   }
+
+  test("isotonic_calibration: monotone fit equals direct PAV pooling") {
+    val rows = EvalOps.isotonicCalibration.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // monotone non-decreasing by construction
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._4 + 1e-9, s"not monotone: $a $b")
+      case _           => ()
+    }
+    // classic PAV: pool adjacent violators until monotone, weighted
+    var blocks = rows.map(r => (r._2.toDouble, r._3.toDouble)).toBuffer
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < blocks.length - 1) {
+        val (w1, p1) = blocks(i); val (w2, p2) = blocks(i + 1)
+        if (p1 / w1 > p2 / w2 + 1e-12) {
+          blocks(i) = (w1 + w2, p1 + p2)
+          blocks.remove(i + 1)
+          changed = true
+        } else i += 1
+      }
+    }
+    // expand pooled blocks back to per-bin fitted rates
+    val fitted = blocks.flatMap { case (w, p) =>
+      Seq.fill(math.round(w).toInt)(p / w)
+    }
+    // fitted has one entry per ORDER counted across bins; rebuild per-bin
+    val perBin = {
+      var off = 0
+      rows.map { r =>
+        val v = fitted(off); off += r._2.toInt; v
+      }
+    }
+    rows.zip(perBin).foreach { case ((bin, _, _, iso), pav) =>
+      assert(math.abs(iso - pav) < 1e-5, s"bin $bin: $iso vs PAV $pav")
+    }
+  }
 }

@@ -584,4 +584,34 @@ class StatOpsSuite extends SparkSpec {
     val ls = ld.map(_.getLong(3))
     assert(ls.toSeq == ls.sorted.toSeq)
   }
+
+  test("t_closeness: EMD bounded in [0,1] and matches a naive recompute") {
+    val got = IncrOps.tCloseness.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size == 10)
+    got.values.foreach { case (_, t) =>
+      assert(t >= 0.0 && t <= 1.0, s"t outside [0,1]: $t")
+    }
+    // naive EMD over ordered bands for every reported class
+    val rows = graft.Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val bands = rows.map(_._3).distinct.sorted
+    val nTotal = rows.length.toLong
+    val globalCum = bands.map(b => rows.count(_._3 <= b).toLong)
+    got.foreach { case ((nk, seg), (nMembers, t)) =>
+      val cls = rows.filter(r => r._1 == nk && r._2 == seg)
+      assert(cls.length.toLong == nMembers)
+      val nc = cls.length.toLong
+      val num = bands.zip(globalCum).map { case (b, cg) =>
+        math.abs(cls.count(_._3 <= b).toLong * nTotal - cg * nc)
+      }.sum
+      val expect = math.floor(num.toDouble
+        / ((bands.length - 1).toLong * nc * nTotal) * 1000000 + 0.5) / 1000000
+      assert(math.abs(t - expect) < 1e-9, s"class ($nk,$seg): $t vs $expect")
+    }
+  }
 }

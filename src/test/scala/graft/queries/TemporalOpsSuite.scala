@@ -169,6 +169,35 @@ class TemporalOpsSuite extends SparkSpec {
     }
   }
 
+  test("holt_winters: fold matches a naive seasonal-ring recurrence") {
+    val got = TemporalOps.holtWinters.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == (1L to 7L).toSet)
+    val ys = graft.Tables.orders(spark, sfDir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy("day").agg(sum("c").as("y")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).map(_._2.toDouble)
+    var l = ys.head; var b = 0.0; var s = Array.fill(7)(0.0)
+    ys.tail.foreach { y =>
+      val l2 = 0.5 * (y - s(0)) + 0.5 * (l + b)
+      val b2 = 0.5 * (l2 - l) + 0.5 * b
+      s = s.drop(1) :+ (0.5 * (y - l2) + 0.5 * s(0))
+      l = l2; b = b2
+    }
+    (1 to 7).foreach { h =>
+      val (nDays, gl, gt, gf) = got(h.toLong)
+      assert(nDays == ys.length)
+      assert(math.abs(gl - l / 100) < 1e-3, s"level $gl vs ${l / 100}")
+      assert(math.abs(gt - b / 100) < 1e-3, s"trend $gt vs ${b / 100}")
+      val fc = (l + h * b + s(h - 1)) / 100
+      assert(math.abs(gf - fc) < 1e-3, s"h=$h forecast $gf vs $fc")
+    }
+  }
+
   test("cusum_drift: matches a naive driver-side recurrence replay") {
     val row = TemporalOps.cusumDrift.run(spark, sfDir).collect().head
     val (nDays, cmax, day) =
