@@ -409,6 +409,66 @@ object SearchOps {
         col("s_suppkey"))
   }
 
+  /** Best-passage extraction (snippet generation) — the retrieval
+    * last mile: for a multi-term query, find each document's best
+    * width-10 token window by (distinct query terms covered, total
+    * hits, earliest start) and emit the top 15 with the passage text.
+    * The optimum window always starts AT a query-term hit, so
+    * candidates are anchored on the match postings, never on every
+    * position: the per-doc range self-join touches only the
+    * vocabulary-selective match stream (like phrase_search, the
+    * exchange carries candidate postings, not the corpus), and the
+    * winner pick is a doc-partitioned window. Passage text is sliced
+    * from the original tokens only for the 15 finalists. */
+  val bestPassage: Q = Q(
+    "best_passage",
+    """WITH tok AS (SELECT doc_id, t.i AS pos, ts[t.i] AS w FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |    LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) t(i)),
+      |m AS (SELECT doc_id, pos, w FROM tok
+      |      WHERE w IN ('hash', 'join', 'sort', 'merge')),
+      |cand AS (SELECT a.doc_id, a.pos AS s,
+      |    CAST(count(DISTINCT b.w) AS BIGINT) AS coverage,
+      |    CAST(count(*) AS BIGINT) AS n_hits
+      |  FROM m a JOIN m b ON b.doc_id = a.doc_id
+      |    AND b.pos >= a.pos AND b.pos <= a.pos + 9
+      |  GROUP BY 1, 2),
+      |best AS (SELECT doc_id, s, coverage, n_hits,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY coverage DESC, n_hits DESC, s) AS rn
+      |  FROM cand)
+      |SELECT b.doc_id AS doc_id, CAST(b.s AS BIGINT) AS win_start, b.coverage,
+      |  b.n_hits,
+      |  array_to_string((string_split(d.text, ' '))[b.s:b.s + 9], ' ')
+      |    AS passage
+      |FROM best b JOIN documents d ON d.doc_id = b.doc_id
+      |WHERE rn = 1
+      |ORDER BY coverage DESC, n_hits DESC, b.doc_id LIMIT 15""".stripMargin) {
+    (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+    val m = tok.filter(col("w").isin("hash", "join", "sort", "merge"))
+    val cand = m.select(col("doc_id"), col("pos").as("s"))
+      .join(m.select(col("doc_id").as("d2"), col("pos").as("p2"), col("w")),
+        col("doc_id") === col("d2")
+          && col("p2") >= col("s") && col("p2") <= col("s") + 9)
+      .groupBy("doc_id", "s")
+      .agg(countDistinct("w").as("coverage"), count(lit(1)).as("n_hits"))
+    val best = cand.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("coverage").desc, col("n_hits").desc, col("s"))))
+      .filter(col("rn") === 1)
+    best.join(Tables.documents(s, d).select("doc_id", "text"), "doc_id")
+      .select(col("doc_id"), col("s").cast("long").as("win_start"),
+        col("coverage"), col("n_hits"),
+        expr("array_join(slice(split(text, ' '), CAST(s AS INT), 10), ' ')")
+          .as("passage"))
+      .orderBy(col("coverage").desc, col("n_hits").desc, col("doc_id"))
+      .limit(15)
+  }
+
   val all: Seq[Q] = Seq(phraseSearch, tableFingerprint, qlDirichlet, dlMatch,
-    jwMatch, rrfFusion, fsLinkage)
+    jwMatch, rrfFusion, fsLinkage, bestPassage)
 }

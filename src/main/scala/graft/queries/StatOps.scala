@@ -1418,13 +1418,168 @@ object StatOps {
         + lit(0.5)) / 1000000).as("mde_rel"))
   }
 
+  /** Benjamini–Hochberg FDR screening over 25 per-brand independence
+    * tests (is a brand's return-flag mix different from the global
+    * one?) — the multiple-testing correction any per-segment anomaly
+    * scan needs before alerting on 10,000 segments. Each brand's χ²
+    * (2 dof) is built from EXACT integer cells as Σ (o·N − n_b·g)² /
+    * (n_b·g·N); with 2 dof the p-value is exp(−χ²/2), so the BH
+    * step-up condition p_(k) ≤ αk/m is evaluated on the χ² scale as
+    * χ²_(k) ≥ −2·ln(αk/m) — `ln` of identical exact rationals on both
+    * engines, never `exp`. Scale: one brand-keyed count pass; the
+    * step-up runs on the bounded 25-row test table collapsed to a
+    * single sorted array (no partition-less window). α = 0.1. */
+  val bhFdr: Q = Q(
+    "bh_fdr",
+    """WITH l AS (SELECT p.p_brand AS brand, li.l_returnflag AS flag
+      |  FROM lineitem li JOIN part p ON p.p_partkey = li.l_partkey),
+      |cells AS (SELECT brand, flag, CAST(count(*) AS BIGINT) AS o
+      |          FROM l GROUP BY 1, 2),
+      |gf AS (SELECT flag, CAST(count(*) AS BIGINT) AS g FROM l GROUP BY 1),
+      |bt AS (SELECT brand, CAST(count(*) AS BIGINT) AS nb FROM l GROUP BY 1),
+      |tot AS (SELECT CAST(sum(g) AS BIGINT) AS nn FROM gf),
+      |terms AS (SELECT bt.brand, gf.flag,
+      |    CAST(COALESCE(c.o, 0) * nn - bt.nb * gf.g AS DOUBLE)
+      |      * CAST(COALESCE(c.o, 0) * nn - bt.nb * gf.g AS DOUBLE)
+      |      / CAST(bt.nb * gf.g * nn AS DOUBLE) AS term
+      |  FROM bt CROSS JOIN gf CROSS JOIN tot
+      |  LEFT JOIN cells c ON c.brand = bt.brand AND c.flag = gf.flag),
+      |chis AS (SELECT brand,
+      |    list_aggregate(list(term ORDER BY flag), 'sum') AS chi2
+      |  FROM terms GROUP BY brand),
+      |ranked AS (SELECT brand, chi2,
+      |    CAST(row_number() OVER (ORDER BY chi2 DESC, brand) AS BIGINT)
+      |      AS rank,
+      |    CAST(count(*) OVER () AS BIGINT) AS m FROM chis),
+      |ks AS (SELECT max(CASE WHEN chi2 >= -2.0 * ln(0.1 * rank / m)
+      |    THEN rank ELSE 0 END) AS kstar FROM ranked)
+      |SELECT brand, floor(chi2 * 1000000 + 0.5) / 1000000 AS chi2, rank,
+      |  floor(-2.0 * ln(0.1 * rank / m) * 1000000 + 0.5) / 1000000
+      |    AS bh_thresh,
+      |  rank <= kstar AS discovery
+      |FROM ranked CROSS JOIN ks ORDER BY rank""".stripMargin) { (s, d) =>
+    val l = Tables.lineitem(s, d)
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"), col("l_returnflag").as("flag"))
+    val cells = l.groupBy("brand", "flag").agg(count(lit(1)).as("o"))
+    val gf = l.groupBy("flag").agg(count(lit(1)).as("g"))
+    val bt = l.groupBy("brand").agg(count(lit(1)).as("nb"))
+    val tot = gf.agg(sum("g").as("nn"))
+    val terms = bt.crossJoin(broadcast(gf)) // 3-flag domain grid
+      .crossJoin(broadcast(tot))            // 1-row corpus total
+      .join(cells, Seq("brand", "flag"), "left")
+      .select(col("brand"), col("flag"),
+        ((coalesce(col("o"), lit(0L)) * col("nn") - col("nb") * col("g"))
+          .cast("double")
+          * (coalesce(col("o"), lit(0L)) * col("nn") - col("nb") * col("g"))
+            .cast("double")
+          / (col("nb") * col("g") * col("nn")).cast("double")).as("term"))
+    terms.groupBy("brand")
+      .agg(expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(flag, term))), t -> t.term), 0D, (a, x) -> a + x)")
+        .as("chi2"))
+      .agg(expr("array_sort(collect_list(struct(-chi2 AS nc, brand)))")
+        .as("sorted"))
+      .withColumn("m", expr("size(sorted)"))
+      .withColumn("kstar", expr("aggregate(sequence(1, m), 0, (acc, k) -> " +
+        "IF(-sorted[k-1].nc >= -2.0D * ln(0.1D * k / m), k, acc))"))
+      .select(col("m"), col("kstar"), posexplode(col("sorted")).as(Seq("k0", "t")))
+      .select(col("t.brand").as("brand"),
+        (floor(-col("t.nc") * 1000000 + lit(0.5)) / 1000000).as("chi2"),
+        (col("k0") + 1).cast("long").as("rank"),
+        (floor(lit(-2.0) * log(lit(0.1) * (col("k0") + 1) / col("m"))
+          * 1000000 + lit(0.5)) / 1000000).as("bh_thresh"),
+        ((col("k0") + 1) <= col("kstar")).as("discovery"))
+      .orderBy("rank")
+  }
+
+  /** Matched-pairs treatment-effect estimate (1-NN covariate matching
+    * — the propensity-matching shape): BUILDING-segment customers are
+    * "treated", each matched to its nearest non-BUILDING control by
+    * account balance, and ATT = mean(treated spend − matched control
+    * spend). Matching is the SCALABLE banded 1-NN: controls fan out
+    * to ±1 balance bands (a bounded ×3 explode), the candidate join
+    * is a plain band equi-join (any control within one band width is
+    * guaranteed a candidate; farther-only treated stay unmatched and
+    * are counted), and the winner is a treated-partitioned window
+    * with a deterministic (|Δ|, control-key) order. All money in
+    * exact cents; the two final divisions are single double ops. */
+  val psMatch: Q = Q(
+    "ps_match",
+    """WITH spend AS (SELECT o_custkey,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |cs AS (SELECT c_custkey AS ck, c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS score,
+      |    COALESCE(sp.cents, 0) AS outcome
+      |  FROM customer LEFT JOIN spend sp ON sp.o_custkey = c_custkey),
+      |t AS (SELECT ck, score, outcome,
+      |    CAST(floor(score / 2000.0) AS BIGINT) AS b
+      |  FROM cs WHERE seg = 'BUILDING'),
+      |c0 AS (SELECT ck AS cck, score AS cscore, outcome AS cout,
+      |    CAST(floor(score / 2000.0) AS BIGINT) AS b0
+      |  FROM cs WHERE seg <> 'BUILDING'),
+      |c1 AS (SELECT cck, cscore, cout, b0 + o AS b
+      |  FROM c0 CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o)),
+      |best AS (SELECT t.ck AS mck, c1.cout,
+      |    abs(t.score - c1.cscore) AS adiff,
+      |    row_number() OVER (PARTITION BY t.ck
+      |      ORDER BY abs(t.score - c1.cscore), c1.cck) AS rn
+      |  FROM t JOIN c1 ON c1.b = t.b)
+      |SELECT CAST(count(*) AS BIGINT) AS n_treated,
+      |  CAST(count(m.mck) AS BIGINT) AS n_matched,
+      |  floor(CAST(sum(CASE WHEN m.mck IS NOT NULL
+      |      THEN t.outcome - m.cout END) AS DOUBLE)
+      |    / count(m.mck) / 100 * 10000 + 0.5) / 10000 AS att,
+      |  floor(CAST(sum(m.adiff) AS DOUBLE) / count(m.mck) / 100
+      |    * 10000 + 0.5) / 10000 AS mean_gap
+      |FROM t LEFT JOIN (SELECT mck, cout, adiff FROM best WHERE rn = 1) m
+      |  ON m.mck = t.ck""".stripMargin) { (s, d) =>
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .as("cents"))
+    val cs = Tables.customer(s, d)
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("score"))
+      .join(spend, col("ck") === col("o_custkey"), "left")
+      .select(col("ck"), col("seg"), col("score"),
+        coalesce(col("cents"), lit(0L)).as("outcome"))
+    val treated = cs.filter(col("seg") === "BUILDING")
+      .select(col("ck"), col("score"), col("outcome"),
+        floor(col("score") / lit(2000.0)).cast("long").as("b"))
+    val control = cs.filter(col("seg") =!= "BUILDING")
+      .select(col("ck").as("cck"), col("score").as("cscore"),
+        col("outcome").as("cout"),
+        floor(col("score") / lit(2000.0)).cast("long").as("b0"))
+      .select(col("cck"), col("cscore"), col("cout"),
+        explode(expr("array(b0 - 1, b0, b0 + 1)")).as("b"))
+    val best = treated.join(control, Seq("b"))
+      .withColumn("adiff", abs(col("score") - col("cscore")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ck")
+          .orderBy(col("adiff"), col("cck"))))
+      .filter(col("rn") === 1)
+      .select(col("ck").as("mck"), col("cout"), col("adiff"))
+    treated.join(best, col("ck") === col("mck"), "left")
+      .agg(count(lit(1)).as("n_treated"),
+        count(col("mck")).as("n_matched"),
+        (floor(sum(when(col("mck").isNotNull, col("outcome") - col("cout")))
+          .cast("double") / count(col("mck")) / 100 * 10000 + lit(0.5))
+          / 10000).as("att"),
+        (floor(sum(col("adiff")).cast("double") / count(col("mck")) / 100
+          * 10000 + lit(0.5)) / 10000).as("mean_gap"))
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
       dowSeasonality, weightedMedian, spearmanCorr, neymanAllocation,
       anovaQuantity, cramersV, multiregNormal, poissonBootstrap,
       lorenzDeciles, rfmSegments, abcClass, didEstimate, cupedAdjust,
-      propZtest, abPowerMde, jamesStein, simpsonCheck)
+      propZtest, abPowerMde, jamesStein, simpsonCheck, bhFdr, psMatch)
 
   /** James–Stein shrinkage of the 25 per-nation mean order values
     * toward the grand mean (James & Stein 1961; the empirical-Bayes

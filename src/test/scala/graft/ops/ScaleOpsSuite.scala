@@ -227,7 +227,8 @@ class ScaleOpsSuite extends SparkSpec {
       "term_burstiness",      // 1-row doc-count broadcast onto the vocab relation
       "markov_stationary",    // 1-row state-count broadcast onto <=5 states
       "entropy_rate",         // 1-row state-count + 1-row fold-result report
-      "t_closeness")          // <=11 domain-bounded band rows + 1-row totals
+      "t_closeness",          // <=11 domain-bounded band rows + 1-row totals
+      "bh_fdr")               // 3-flag domain grid + 1-row corpus total
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

@@ -375,4 +375,43 @@ class ProfileOpsSuite extends SparkSpec {
     got.zip(expTop).foreach { case ((_, _, a), (_, _, b)) =>
       assert(math.abs(a - b) < 2e-6) }
   }
+
+  test("best_passage: windows replay a naive per-doc sweep") {
+    val terms = Set("hash", "join", "sort", "merge")
+    val got = SearchOps.bestPassage.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.nonEmpty && got.length <= 15)
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    got.foreach { case (doc, s, cov, hits, passage) =>
+      val toks = texts(doc)
+      // the returned window really has that coverage/hit count
+      val win = toks.slice(s.toInt - 1, s.toInt - 1 + 10)
+      assert(win.mkString(" ") == passage, s"doc $doc passage mismatch")
+      val inWin = win.filter(terms)
+      assert(inWin.length.toLong == hits, s"doc $doc hits")
+      assert(inWin.distinct.length.toLong == cov, s"doc $doc coverage")
+      // and no anchored window in the doc beats it
+      val anchors = toks.zipWithIndex.collect {
+        case (w, i) if terms(w) => i + 1
+      }
+      anchors.foreach { a =>
+        val aw = toks.slice(a - 1, a - 1 + 10).filter(terms)
+        val key = (aw.distinct.length, aw.length)
+        assert(key._1 < cov
+          || (key._1 == cov && key._2 < hits)
+          || (key._1 == cov.toInt && key._2 == hits.toInt && a >= s),
+          s"doc $doc: anchor $a ($key) beats returned ($cov, $hits, $s)")
+      }
+    }
+    // ranked by coverage then hits
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._4 > b._4) ||
+          (a._3 == b._3 && a._4 == b._4 && a._1 < b._1))
+      case _ => ()
+    }
+  }
 }

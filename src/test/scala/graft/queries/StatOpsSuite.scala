@@ -614,4 +614,71 @@ class StatOpsSuite extends SparkSpec {
       assert(math.abs(t - expect) < 1e-9, s"class ($nk,$seg): $t vs $expect")
     }
   }
+
+  test("bh_fdr: step-up discovery set is consistent with the thresholds") {
+    val rows = StatOps.bhFdr.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+      .sortBy(_._3)
+    val m = rows.length
+    assert(m > 0)
+    // ranks are 1..m and chi2 is non-increasing in rank
+    assert(rows.map(_._3).toSeq == (1 to m).map(_.toLong))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 >= b._2, s"chi2 order: $a $b")
+      case _           => ()
+    }
+    rows.foreach { case (_, chi2, _, _, _) => assert(chi2 >= 0) }
+    // BH: discoveries are exactly ranks <= max{k: chi2_k >= thresh_k}
+    val kstar = rows.filter(r => r._2 >= r._4 - 1e-9).map(_._3)
+      .foldLeft(0L)(math.max)
+    rows.foreach { case (brand, _, rank, _, disc) =>
+      assert(disc == (rank <= kstar), s"$brand rank $rank vs k*=$kstar")
+    }
+    // thresholds replay -2 ln(0.1 k / m)
+    rows.foreach { case (_, _, k, th, _) =>
+      val expect =
+        math.floor(-2.0 * math.log(0.1 * k / m) * 1000000 + 0.5) / 1000000
+      assert(math.abs(th - expect) < 1e-9)
+    }
+  }
+
+  test("ps_match: matches replay a naive banded 1-NN and ATT is exact") {
+    val row = StatOps.psMatch.run(spark, sfDir).collect().head
+    val (nT, nM, att, gap) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+    assert(nM <= nT && nM > 0)
+    val spend = graft.Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cs = graft.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal").collect()
+      .map { r =>
+        val score = math.floor(r.getDouble(2) * 100 + 0.5).toLong
+        (r.getLong(0), r.getString(1), score,
+          spend.getOrElse(r.getLong(0), 0L))
+      }
+    val treated = cs.filter(_._2 == "BUILDING")
+    val control = cs.filter(_._2 != "BUILDING")
+    def band(sc: Long): Long = math.floor(sc / 2000.0).toLong
+    var sumDiff = 0L; var sumGap = 0L; var matched = 0
+    treated.foreach { case (_, _, sc, out) =>
+      val cands = control.filter(c => math.abs(band(c._3) - band(sc)) <= 1)
+      if (cands.nonEmpty) {
+        val bst = cands.minBy(c => (math.abs(sc - c._3), c._1))
+        sumDiff += out - bst._4
+        sumGap += math.abs(sc - bst._3)
+        matched += 1
+      }
+    }
+    assert(nT == treated.length.toLong && nM == matched.toLong)
+    val expAtt =
+      math.floor(sumDiff.toDouble / matched / 100 * 10000 + 0.5) / 10000
+    val expGap =
+      math.floor(sumGap.toDouble / matched / 100 * 10000 + 0.5) / 10000
+    assert(math.abs(att - expAtt) < 1e-9, s"att $att vs $expAtt")
+    assert(math.abs(gap - expGap) < 1e-9, s"gap $gap vs $expGap")
+  }
 }
