@@ -485,7 +485,64 @@ object EvalOps {
       .orderBy("bin")
   }
 
+  /** Cohen's κ inter-rater agreement (Cohen 1960) between the quality
+    * classifier's sign (rater A: normalized margin > 0) and the 'en'
+    * label (rater B) — the chance-corrected agreement check run
+    * before trusting auto-labels against a reference labeler. The
+    * 2×2 confusion fills from ONE conditional-aggregation scan, and
+    * κ = (N·agree − Σ marginal products) / (N² − Σ marginal products)
+    * is computed ENTIRELY on exact integers with a single final
+    * division (no po/pe float intermediates — N² stays < 2⁶³ past
+    * 10⁹ docs). po and pe are reported as their own one-division
+    * rationals. The fixture scorer is hash-random, so the gate pins
+    * the agreement algebra, not label quality. */
+  val cohenKappa: Q = Q(
+    "cohen_kappa",
+    scoreCte + """,
+      |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN score / n_tokens > 0 AND lang = 'en'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS a11,
+      |    CAST(sum(CASE WHEN score / n_tokens > 0 AND lang <> 'en'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS a10,
+      |    CAST(sum(CASE WHEN score / n_tokens <= 0 AND lang = 'en'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS a01,
+      |    CAST(sum(CASE WHEN score / n_tokens <= 0 AND lang <> 'en'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS a00
+      |  FROM s)
+      |SELECT n AS n_docs, a11 + a00 AS n_agree,
+      |  floor(CAST(a11 + a00 AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+      |    AS po,
+      |  floor(CAST((a11 + a10) * (a11 + a01) + (a01 + a00) * (a10 + a00)
+      |      AS DOUBLE) / (n * n) * 1000000 + 0.5) / 1000000 AS pe,
+      |  floor(CAST(n * (a11 + a00)
+      |      - ((a11 + a10) * (a11 + a01) + (a01 + a00) * (a10 + a00))
+      |      AS DOUBLE)
+      |    / CAST(n * n
+      |      - ((a11 + a10) * (a11 + a01) + (a01 + a00) * (a10 + a00))
+      |      AS DOUBLE) * 1000000 + 0.5) / 1000000 AS kappa
+      |FROM c""".stripMargin) { (s, d) =>
+    val a = col("v") > 0
+    val b = col("lang") === "en"
+    val c = scoredDocs(s, d).agg(
+      count(lit(1)).as("n"),
+      sum(when(a && b, 1L).otherwise(0L)).as("a11"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("a10"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("a01"),
+      sum(when(!a && !b, 1L).otherwise(0L)).as("a00"))
+    val prodSum = (col("a11") + col("a10")) * (col("a11") + col("a01")) +
+      (col("a01") + col("a00")) * (col("a10") + col("a00"))
+    c.select(col("n").as("n_docs"),
+      (col("a11") + col("a00")).as("n_agree"),
+      (floor((col("a11") + col("a00")).cast("double") / col("n")
+        * 1000000 + lit(0.5)) / 1000000).as("po"),
+      (floor(prodSum.cast("double") / (col("n") * col("n"))
+        * 1000000 + lit(0.5)) / 1000000).as("pe"),
+      (floor((col("n") * (col("a11") + col("a00")) - prodSum).cast("double")
+        / (col("n") * col("n") - prodSum).cast("double")
+        * 1000000 + lit(0.5)) / 1000000).as("kappa"))
+  }
+
   val all: Seq[Q] =
     Seq(aucRoc, prCurve, ndcgRetrieval, conformalInterval, miFeatures,
-      isotonicCalibration)
+      isotonicCalibration, cohenKappa)
 }

@@ -1573,13 +1573,75 @@ object StatOps {
           * 10000 + lit(0.5)) / 10000).as("mean_gap"))
   }
 
+  /** Instrumental-variable estimation (two-stage least squares with a
+    * single instrument, in its closed Wald form β_IV = cov(z,y)/
+    * cov(z,x)) — the causal answer when the treatment is endogenous:
+    * does discount (x) CAUSE quantity (y), instrumenting with part
+    * size (z, set at manufacture, plausibly exogenous to demand
+    * shocks)? Reported next to the naive OLS slope and the
+    * first-stage slope (the weak-instrument check). ONE aggregate
+    * scan collects all co-moments as exact BIGINTs (the
+    * n·Σab − Σa·Σb forms stay < 2⁶³ through sf1); each estimate is a
+    * single double division, identical on both engines. */
+  val iv2sls: Q = Q(
+    "iv_2sls",
+    """WITH b AS (SELECT CAST(p.p_size AS BIGINT) AS z,
+      |    CAST(floor(li.l_discount * 100 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(li.l_quantity + 0.5) AS BIGINT) AS y
+      |  FROM lineitem li JOIN part p ON p.p_partkey = li.l_partkey),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(z) AS BIGINT) AS sz, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(z * x) AS BIGINT) AS szx,
+      |    CAST(sum(z * y) AS BIGINT) AS szy,
+      |    CAST(sum(z * z) AS BIGINT) AS szz,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM b)
+      |SELECT n,
+      |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |    AS beta_ols,
+      |  floor(CAST(n * szy - sz * sy AS DOUBLE)
+      |    / CAST(n * szx - sz * sx AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |    AS beta_iv,
+      |  floor(CAST(n * szx - sz * sx AS DOUBLE)
+      |    / CAST(n * szz - sz * sz AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |    AS first_stage
+      |FROM m""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_size").cast("long").as("z"),
+        floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("x"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum("z").as("sz"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("z") * col("x")).as("szx"),
+        sum(col("z") * col("y")).as("szy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"),
+        (floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * 1000000 + lit(0.5)) / 1000000).as("beta_ols"),
+        (floor((col("n") * col("szy") - col("sz") * col("sy")).cast("double")
+          / (col("n") * col("szx") - col("sz") * col("sx")).cast("double")
+          * 1000000 + lit(0.5)) / 1000000).as("beta_iv"),
+        (floor((col("n") * col("szx") - col("sz") * col("sx")).cast("double")
+          / (col("n") * col("szz") - col("sz") * col("sz")).cast("double")
+          * 1000000 + lit(0.5)) / 1000000).as("first_stage"))
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
       dowSeasonality, weightedMedian, spearmanCorr, neymanAllocation,
       anovaQuantity, cramersV, multiregNormal, poissonBootstrap,
       lorenzDeciles, rfmSegments, abcClass, didEstimate, cupedAdjust,
-      propZtest, abPowerMde, jamesStein, simpsonCheck, bhFdr, psMatch)
+      propZtest, abPowerMde, jamesStein, simpsonCheck, bhFdr, psMatch,
+      iv2sls)
 
   /** James–Stein shrinkage of the 25 per-nation mean order values
     * toward the grand mean (James & Stein 1961; the empirical-Bayes

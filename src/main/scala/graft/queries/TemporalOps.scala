@@ -1312,9 +1312,89 @@ object TemporalOps {
       .orderBy("h")
   }
 
+  /** SAX symbolic discretization (Lin et al., DMKD'07) of each user's
+    * daily-spend series — the time-series indexing primitive: z-
+    * normalize per user, PAA-average into 8 segments, map each to a
+    * 4-letter Gaussian-breakpoint alphabet, then group identical words
+    * to surface the corpus's dominant temporal motifs. Everything
+    * stays exact until one final division per segment: z's numerator
+    * n·Σ_seg − c·S and the variance radicand n·Q − S² are pure BIGINT
+    * co-moments, and `sqrt` is IEEE-correctly-rounded, so both
+    * engines compare identical doubles against identical breakpoint
+    * literals. Per-user series are calendar-bounded (≤31 days), all
+    * windows are user-partitioned, and the word collapse is one
+    * shuffle on the ≤4⁸ word space. */
+  val saxSymbols: Q = Q(
+    "sax_symbols",
+    """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS y
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (SELECT user_id, y,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS BIGINT) AS i,
+      |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+      |    CAST(sum(y) OVER (PARTITION BY user_id) AS BIGINT) AS s,
+      |    CAST(sum(y * y) OVER (PARTITION BY user_id) AS BIGINT) AS q
+      |  FROM daily),
+      |seg AS (SELECT user_id, ((i - 1) * 8) // n AS g,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(count(*) AS BIGINT) AS c,
+      |    any_value(n) AS n, any_value(s) AS s, any_value(q) AS q
+      |  FROM idx WHERE n >= 8 GROUP BY 1, 2),
+      |sym AS (SELECT user_id, g,
+      |    CASE WHEN n * q - s * s = 0 THEN 'c'
+      |      WHEN CAST(n * sy - c * s AS DOUBLE)
+      |          / (c * sqrt(CAST(n * q - s * s AS DOUBLE))) < -0.6745
+      |        THEN 'a'
+      |      WHEN CAST(n * sy - c * s AS DOUBLE)
+      |          / (c * sqrt(CAST(n * q - s * s AS DOUBLE))) < 0.0 THEN 'b'
+      |      WHEN CAST(n * sy - c * s AS DOUBLE)
+      |          / (c * sqrt(CAST(n * q - s * s AS DOUBLE))) < 0.6745
+      |        THEN 'c'
+      |      ELSE 'd' END AS ch
+      |  FROM seg),
+      |words AS (SELECT user_id, string_agg(ch, '' ORDER BY g) AS word
+      |  FROM sym GROUP BY 1)
+      |SELECT word, CAST(count(*) AS BIGINT) AS n_users
+      |FROM words GROUP BY word
+      |ORDER BY n_users DESC, word LIMIT 15""".stripMargin) { (s, d) =>
+    val wUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val wOrd = wUser.orderBy("day")
+    val daily = ev(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("user_id", "day").agg(sum("cents").as("y"))
+    val idx = daily.select(col("user_id"), col("y"),
+      row_number().over(wOrd).cast("long").as("i"),
+      count(lit(1)).over(wUser).as("n"),
+      sum("y").over(wUser).as("s"),
+      sum(col("y") * col("y")).over(wUser).as("q"))
+    val seg = idx.filter(col("n") >= 8)
+      .withColumn("g", expr("((i - 1) * 8) div n"))
+      .groupBy("user_id", "g")
+      .agg(sum("y").as("sy"), count(lit(1)).as("c"),
+        first("n").as("n"), first("s").as("s"), first("q").as("q"))
+    val z = col("zn").cast("double") / (col("c") * sqrt(col("rad").cast("double")))
+    val sym = seg
+      .withColumn("zn", col("n") * col("sy") - col("c") * col("s"))
+      .withColumn("rad", col("n") * col("q") - col("s") * col("s"))
+      .select(col("user_id"), col("g"),
+        when(col("rad") === 0, "c")
+          .when(z < -0.6745, "a")
+          .when(z < 0.0, "b")
+          .when(z < 0.6745, "c")
+          .otherwise("d").as("ch"))
+    sym.groupBy("user_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(g, ch))), t -> t.ch), '')").as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("word")).limit(15)
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
     seasonalDecompose, markovStationary, entropyRate, forecastBacktest,
-    seqSupport, funnelLatency, inventoryRunout, hampelFilter, holtWinters)
+    seqSupport, funnelLatency, inventoryRunout, hampelFilter, holtWinters,
+    saxSymbols)
 }

@@ -146,4 +146,30 @@ class EvalOpsSuite extends SparkSpec {
       assert(math.abs(iso - pav) < 1e-5, s"bin $bin: $iso vs PAV $pav")
     }
   }
+
+  test("cohen_kappa: agreement algebra replays the 2x2 confusion") {
+    val row = EvalOps.cohenKappa.run(spark, sfDir).collect().head
+    val (n, agree, po, pe, kappa) = (row.getLong(0), row.getLong(1),
+      row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    val ts = filter(split(col("text"), " "), x => x =!= "")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("lang"), size(ts).as("nt"),
+        graft.functions.GraftFunctions.linearScore(col("text"), 1024)
+          .as("raw"))
+      .filter(col("nt") > 0).collect()
+      .map(r => (r.getDouble(2) / r.getInt(1) > 0, r.getString(0) == "en"))
+    val a11 = docs.count(t => t._1 && t._2).toLong
+    val a10 = docs.count(t => t._1 && !t._2).toLong
+    val a01 = docs.count(t => !t._1 && t._2).toLong
+    val a00 = docs.count(t => !t._1 && !t._2).toLong
+    assert(n == docs.length.toLong && agree == a11 + a00)
+    val prodSum = (a11 + a10) * (a11 + a01) + (a01 + a00) * (a10 + a00)
+    def r6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000
+    assert(po == r6(agree.toDouble / n))
+    assert(pe == r6(prodSum.toDouble / (n * n)))
+    assert(kappa ==
+      r6((n * agree - prodSum).toDouble / (n * n - prodSum).toDouble))
+    // kappa consistency with (po - pe) / (1 - pe) up to display rounding
+    assert(math.abs(kappa - (po - pe) / (1 - pe)) < 1e-3)
+  }
 }

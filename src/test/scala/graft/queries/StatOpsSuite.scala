@@ -681,4 +681,31 @@ class StatOpsSuite extends SparkSpec {
     assert(math.abs(att - expAtt) < 1e-9, s"att $att vs $expAtt")
     assert(math.abs(gap - expGap) < 1e-9, s"gap $gap vs $expGap")
   }
+
+  test("iv_2sls: Wald estimate replays exact driver-side co-moments") {
+    val row = StatOps.iv2sls.run(spark, sfDir).collect().head
+    val b = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_size").cast("long"),
+        floor(col("l_discount") * 100 + lit(0.5)).cast("long"),
+        floor(col("l_quantity") + lit(0.5)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = b.length.toLong
+    val (sz, sx, sy) = (b.map(_._1).sum, b.map(_._2).sum, b.map(_._3).sum)
+    val szy = b.map(t => t._1 * t._3).sum
+    val szx = b.map(t => t._1 * t._2).sum
+    val szz = b.map(t => t._1 * t._1).sum
+    val sxx = b.map(t => t._2 * t._2).sum
+    val sxy = b.map(t => t._2 * t._3).sum
+    def r6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000
+    assert(row.getLong(0) == n)
+    assert(row.getDouble(1) ==
+      r6((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble))
+    assert(row.getDouble(2) ==
+      r6((n * szy - sz * sy).toDouble / (n * szx - sz * sx).toDouble))
+    assert(row.getDouble(3) ==
+      r6((n * szx - sz * sx).toDouble / (n * szz - sz * sz).toDouble))
+  }
 }

@@ -198,6 +198,51 @@ class TemporalOpsSuite extends SparkSpec {
     }
   }
 
+  test("sax_symbols: words replay a naive per-user SAX pipeline") {
+    val got = TemporalOps.saxSymbols.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.nonEmpty && got.length <= 15)
+    got.foreach { case (w, _) =>
+      assert(w.length == 8 && w.forall("abcd".contains(_)), s"word $w")
+    }
+    val daily = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy("user_id", "day").agg(sum("c").as("y"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+    val words = daily.toSeq.flatMap { case (_, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3)
+      val n = ys.length
+      if (n < 8) None
+      else {
+        val s0 = ys.sum; val q = ys.map(y => y * y).sum
+        val rad = n * q - s0 * s0
+        val word = (0 until 8).map { g =>
+          val seg = ys.zipWithIndex.filter(t => (t._2 * 8) / n == g).map(_._1)
+          val zn = n * seg.sum - seg.length * s0
+          if (rad == 0) 'c'
+          else {
+            val z = zn.toDouble / (seg.length * math.sqrt(rad.toDouble))
+            if (z < -0.6745) 'a' else if (z < 0) 'b'
+            else if (z < 0.6745) 'c' else 'd'
+          }
+        }.mkString
+        Some(word)
+      }
+    }
+    val counts = words.groupBy(identity).map { case (w, l) => w -> l.size.toLong }
+    got.foreach { case (w, n) =>
+      assert(counts.getOrElse(w, 0L) == n, s"word $w: $n vs ${counts.get(w)}")
+    }
+    // the returned rows are the true top by count
+    val minGot = got.map(_._2).min
+    counts.foreach { case (w, n) =>
+      assert(n <= minGot || got.exists(_._1 == w) || got.length < 15,
+        s"missed high-count word $w ($n)")
+    }
+  }
+
   test("cusum_drift: matches a naive driver-side recurrence replay") {
     val row = TemporalOps.cusumDrift.run(spark, sfDir).collect().head
     val (nDays, cmax, day) =
