@@ -542,7 +542,52 @@ object EvalOps {
         * 1000000 + lit(0.5)) / 1000000).as("kappa"))
   }
 
+  /** Expected / maximum calibration error (ECE / MCE, Naeini et al.
+    * AAAI'15) over score_calibration's 10 reliability bins — the
+    * headline scalar a model eval reports where the reliability table
+    * is the diagnostic detail. The per-bin gap |acc_b − conf_b| (bin
+    * confidence = midpoint (2b+1)/20) is kept EXACT: its numerator
+    * |20·p_b − (2b+1)·w_b| is a pure integer, so ECE = Σ_b num_b /
+    * (20N) is ONE division and MCE's max compares identical doubles.
+    * One binned count scan; 10-row finals. */
+  val eceCalibration: Q = Q(
+    "ece_calibration",
+    scoreCte + """,
+      |b AS (SELECT least(greatest(
+      |      CAST(floor((score / n_tokens + 0.5) * 10) AS BIGINT), 0), 9)
+      |      AS bin,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM s),
+      |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS w,
+      |      CAST(sum(pos) AS BIGINT) AS p FROM b GROUP BY 1),
+      |f AS (SELECT CAST(sum(w) AS BIGINT) AS n,
+      |    CAST(sum(abs(20 * p - (2 * bin + 1) * w)) AS BIGINT) AS num,
+      |    max(CAST(abs(20 * p - (2 * bin + 1) * w) AS DOUBLE) / (20 * w))
+      |      AS mce
+      |  FROM g)
+      |SELECT n AS n_docs,
+      |  floor(CAST(num AS DOUBLE) / (20 * n) * 1000000 + 0.5) / 1000000
+      |    AS ece,
+      |  floor(mce * 1000000 + 0.5) / 1000000 AS mce
+      |FROM f""".stripMargin) { (s, d) =>
+    val g = scoredDocs(s, d)
+      .select(
+        least(greatest(
+          floor((col("v") + lit(0.5)) * 10).cast("long"), lit(0L)), lit(9L))
+          .as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("w"), sum("pos").as("p"))
+    val num = abs(lit(20) * col("p") - (lit(2) * col("bin") + 1) * col("w"))
+    g.agg(sum("w").as("n"), sum(num).as("num"),
+        max(num.cast("double") / (lit(20) * col("w"))).as("mce"))
+      .select(col("n").as("n_docs"),
+        (floor(col("num").cast("double") / (lit(20) * col("n"))
+          * 1000000 + lit(0.5)) / 1000000).as("ece"),
+        (floor(col("mce") * 1000000 + lit(0.5)) / 1000000).as("mce"))
+  }
+
   val all: Seq[Q] =
     Seq(aucRoc, prCurve, ndcgRetrieval, conformalInterval, miFeatures,
-      isotonicCalibration, cohenKappa)
+      isotonicCalibration, cohenKappa, eceCalibration)
 }

@@ -791,8 +791,96 @@ object GraphOps {
       .orderBy("brand")
   }
 
+  /** Double-sweep BFS diameter estimation (Magnien, Latapy & Habib,
+    * JEA'09) over the co-purchase graph: BFS from the max-degree node,
+    * then BFS again from the farthest node found — the second
+    * eccentricity is the classic cheap diameter LOWER BOUND (exact on
+    * trees, near-tight on real small-world graphs). Sweeps run 2
+    * rounds each (this graph family's observed reach horizon — both
+    * fixtures cover every node by hop 2; a sparser graph raises the
+    * constant):
+    * each round is one adjacency equi-join + frontier anti-join on the
+    * cached pre-partitioned edge list, so a sweep costs O(rounds)
+    * shuffles regardless of node count — never a per-node BFS. Node
+    * picks (max degree, farthest) are 1-row struct-max aggregates with
+    * min-id tie-breaks; persists are swept by the battery reset(). */
+  val graphDiameter: Q = Q(
+    "graph_diameter",
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |und AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |adj AS (SELECT u AS src, v AS dst FROM und
+      |        UNION ALL SELECT v, u FROM und),
+      |deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY 1),
+      |s0 AS (SELECT src AS node FROM deg ORDER BY deg DESC, src LIMIT 1),
+      |a1 AS (SELECT DISTINCT adj.dst AS node FROM adj
+      |       JOIN s0 ON adj.src = s0.node),
+      |a2 AS (SELECT DISTINCT adj.dst AS node FROM adj
+      |       JOIN a1 ON adj.src = a1.node),
+      |u1 AS (SELECT node, min(dist) AS dist FROM (
+      |    SELECT node, 0 AS dist FROM s0
+      |    UNION ALL SELECT node, 1 FROM a1
+      |    UNION ALL SELECT node, 2 FROM a2) GROUP BY node),
+      |far AS (SELECT node FROM u1
+      |        WHERE dist = (SELECT max(dist) FROM u1)
+      |        ORDER BY node LIMIT 1),
+      |b1 AS (SELECT DISTINCT adj.dst AS node FROM adj
+      |       JOIN far ON adj.src = far.node),
+      |b2 AS (SELECT DISTINCT adj.dst AS node FROM adj
+      |       JOIN b1 ON adj.src = b1.node),
+      |u2 AS (SELECT node, min(dist) AS dist FROM (
+      |    SELECT node, 0 AS dist FROM far
+      |    UNION ALL SELECT node, 1 FROM b1
+      |    UNION ALL SELECT node, 2 FROM b2) GROUP BY node)
+      |SELECT (SELECT node FROM s0) AS start_node,
+      |  CAST((SELECT max(dist) FROM u1) AS INTEGER) AS ecc1,
+      |  (SELECT node FROM far) AS far_node,
+      |  CAST((SELECT max(dist) FROM u2) AS INTEGER) AS diam_lb,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM u2) AS n_reached""".stripMargin) {
+    (s, d) =>
+    val und = copurchaseEdges(s, d)
+    val adj = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The two sweep seeds are single node ids; pulling each to the
+    // driver (one bounded scalar, AnnIvf's centroid-pull discipline)
+    // keeps every BFS round's lineage LINEAR — seeding with the 1-row
+    // DataFrame instead re-derives the whole upstream sweep inside
+    // every later round's plan (measured: minutes vs seconds at sf0.1).
+    val s0 = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      .agg(max(struct(col("deg"), (-col("src")).as("nn"))).as("m"))
+      .select((-col("m.nn")).as("node"))
+      .collect().head.getLong(0)
+    def sweep(seed: Long): DataFrame = {
+      var visited = s.range(1)
+        .select(lit(seed).as("node"), lit(0).as("dist"))
+      var frontier = visited.select("node")
+      for (hop <- 1 to 2) {
+        val next = adj.join(frontier.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+        visited = visited.union(next.select(col("node"), lit(hop).as("dist")))
+        frontier = next
+      }
+      visited.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val u1 = sweep(s0)
+    val farRow = u1
+      .agg(max(struct(col("dist"), (-col("node")).as("nn"))).as("m"))
+      .select(col("m.dist").as("ecc1"), (-col("m.nn")).as("node"))
+      .collect().head
+    val (ecc1, far) = (farRow.getInt(0), farRow.getLong(1))
+    val u2 = sweep(far)
+    u2.agg(max(struct(col("dist"), (-col("node")).as("nn"))).as("m"),
+        count(lit(1)).as("n_reached"))
+      .select(lit(s0).as("start_node"), lit(ecc1).as("ecc1"),
+        lit(far).as("far_node"), col("m.dist").as("diam_lb"),
+        col("n_reached"))
+  }
+
   val all: Seq[Q] =
     Seq(pagerankBipartite, triangles, khopBfs, linkPredict, labelProp,
       assortativity, clusteringCoeff, kcorePeel, hitsScores, richClub,
-      brandModularity)
+      brandModularity, graphDiameter)
 }

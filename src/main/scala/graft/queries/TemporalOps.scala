@@ -1391,10 +1391,95 @@ object TemporalOps {
       .orderBy(col("n_users").desc, col("word")).limit(15)
   }
 
+  /** Shapley-value marketing attribution (the game-theoretic upgrade
+    * of q108's last-touch): each purchase's preceding touch-set over
+    * channels {click, view, signup} defines the coalition data, the
+    * characteristic function v(S) counts purchases whose touch-set ⊆
+    * S, and every channel gets its exact Shapley credit φ_i =
+    * Σ_S |S|!(c−|S|−1)!/c! · (v(S∪i) − v(S)). With c = 3 the weights
+    * are sixths, so 6φ is computed as an EXACT integer — both engines
+    * divide once at the end. The data-scale work is one user-
+    * partitioned preceding-window pass + an ≤8-row subset collapse;
+    * the 8×8 subset algebra runs on a single row (no driver loop).
+    * Efficiency (Σφ = v(C) − v(∅)) is pinned in TemporalOpsSuite. */
+  val shapleyAttribution: Q = Q(
+    "shapley_attribution",
+    """WITH t AS (SELECT user_id, ts, event_id, event_type,
+      |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
+      |      AS cf,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w
+      |      AS vf,
+      |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER w
+      |      AS sf
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |p AS (SELECT COALESCE(cf, 0) + 2 * COALESCE(vf, 0)
+      |    + 4 * COALESCE(sf, 0) AS tset
+      |  FROM t WHERE event_type = 'purchase'),
+      |nt AS (SELECT tset, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
+      |subsets AS (SELECT unnest(range(0, 8)) AS s),
+      |v AS (SELECT s.s,
+      |    CAST(COALESCE(sum(CASE WHEN (nt.tset & s.s) = nt.tset
+      |      THEN nt.n END), 0) AS BIGINT) AS v
+      |  FROM subsets s LEFT JOIN nt ON TRUE GROUP BY s.s),
+      |ch AS (SELECT * FROM (VALUES ('click', 1), ('view', 2),
+      |  ('signup', 4)) c(channel, b)),
+      |phi AS (SELECT c.channel,
+      |    CAST(sum(CASE WHEN (s.s & c.b) = 0 THEN
+      |      (CASE bit_count(s.s) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END)
+      |      * (vb.v - vs.v) ELSE 0 END) AS BIGINT) AS phi6
+      |  FROM ch c CROSS JOIN subsets s
+      |  JOIN v vs ON vs.s = s.s
+      |  JOIN v vb ON vb.s = (s.s | c.b)
+      |  GROUP BY 1),
+      |tot AS (SELECT (SELECT v FROM v WHERE s = 7)
+      |  - (SELECT v FROM v WHERE s = 0) AS attributable)
+      |SELECT channel,
+      |  floor(CAST(phi6 AS DOUBLE) / 6 * 10000 + 0.5) / 10000 AS phi,
+      |  floor(CAST(phi6 AS DOUBLE) / (6 * attributable) * 1000000 + 0.5)
+      |    / 1000000 AS share
+      |FROM phi CROSS JOIN tot ORDER BY channel""".stripMargin) { (s, d) =>
+    val wPrev = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def flag(t: String) =
+      max(when(col("event_type") === t, 1).otherwise(0)).over(wPrev)
+    val nt = ev(s, d)
+      .withColumn("cf", flag("click"))
+      .withColumn("vf", flag("view"))
+      .withColumn("sf", flag("signup"))
+      .filter(col("event_type") === "purchase")
+      .select((coalesce(col("cf"), lit(0)) + coalesce(col("vf"), lit(0)) * 2
+        + coalesce(col("sf"), lit(0)) * 4).as("tset"))
+      .groupBy("tset").agg(count(lit(1)).as("n"))
+    nt.agg(expr("map_from_entries(collect_list(struct(tset, n)))").as("m"))
+      .withColumn("nt",
+        expr("transform(sequence(0, 7), t -> coalesce(element_at(m, t), 0L))"))
+      .withColumn("v", expr("transform(sequence(0, 7), s -> " +
+        "aggregate(sequence(0, 7), 0L, (a, t) -> " +
+        "a + IF((t & s) = t, nt[t], 0L)))"))
+      .select(col("v"), explode(expr(
+        "array(struct('click' AS channel, 1 AS b), " +
+          "struct('view' AS channel, 2 AS b), " +
+          "struct('signup' AS channel, 4 AS b))")).as("c"))
+      .select(col("c.channel").as("channel"), col("v"), col("c.b").as("b"))
+      .withColumn("phi6", expr("aggregate(sequence(0, 7), 0L, (a, s) -> " +
+        "a + IF((s & b) = 0, " +
+        "CAST(CASE bit_count(s) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END " +
+        "AS BIGINT) * (v[s | b] - v[s]), 0L))"))
+      .select(col("channel"),
+        (floor(col("phi6").cast("double") / 6 * 10000 + lit(0.5)) / 10000)
+          .as("phi"),
+        (floor(col("phi6").cast("double")
+          / (lit(6) * (expr("v[7] - v[0]"))) * 1000000 + lit(0.5)) / 1000000)
+          .as("share"))
+      .orderBy("channel")
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
     seasonalDecompose, markovStationary, entropyRate, forecastBacktest,
     seqSupport, funnelLatency, inventoryRunout, hampelFilter, holtWinters,
-    saxSymbols)
+    saxSymbols, shapleyAttribution)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Plan and property pins for the round-6 analytics operators — the
   * claims their scaladocs make about physical shape, beyond the value
@@ -365,5 +366,78 @@ class AnalyticsSuite extends SparkSpec {
     // modularity of a partition is always <= 1 and > -1
     val q = rows.map(_.getDouble(3)).sum
     assert(q > -1 && q < 1, s"Q out of range: $q")
+  }
+
+  test("graph_diameter: double sweep replays a naive capped BFS") {
+    val row = GraphOps.graphDiameter.run(spark, sfDir).collect().head
+    val (s0, ecc1, far, diam, nReach) = (row.getLong(0), row.getInt(1),
+      row.getLong(2), row.getInt(3), row.getLong(4))
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    li.foreach { grp =>
+      val ps = grp.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b) adj(a) = adj(a) + b
+    }
+    val expS0 = adj.toSeq.map { case (n, nbr) => (nbr.size, n) }
+      .sortBy(t => (-t._1, t._2)).head._2
+    def bfs(src: Long): Map[Long, Int] = {
+      var dist = Map(src -> 0); var frontier = Set(src)
+      for (h <- 1 to 2) {
+        val next = frontier.flatMap(adj).diff(dist.keySet)
+        dist = dist ++ next.map(_ -> h); frontier = next
+      }
+      dist
+    }
+    assert(s0 == expS0, s"start $s0 vs $expS0")
+    val d1 = bfs(expS0)
+    val expEcc = d1.values.max
+    val expFar = d1.filter(_._2 == expEcc).keys.min
+    assert(ecc1 == expEcc && far == expFar)
+    val d2 = bfs(expFar)
+    assert(diam == d2.values.max && nReach == d2.size.toLong)
+    assert(diam >= ecc1 || diam == 2) // lower bound improves unless capped
+  }
+
+  test("shapley_attribution: efficiency and naive coalition replay") {
+    val rows = TemporalOps.shapleyAttribution.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq("click", "signup", "view"))
+    // shares partition the attributable conversions
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+    // naive replay: per-purchase preceding touch-sets
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val nt = scala.collection.mutable.Map.empty[Int, Long]
+      .withDefaultValue(0L)
+    ev.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      var (cf, vf, sf) = (0, 0, 0)
+      sorted.foreach { e =>
+        if (e._4 == "purchase") nt(cf + 2 * vf + 4 * sf) += 1
+        if (e._4 == "click") cf = 1
+        if (e._4 == "view") vf = 1
+        if (e._4 == "signup") sf = 1
+      }
+    }
+    def v(sset: Int): Long =
+      (0 to 7).filter(t => (t & sset) == t).map(nt).sum
+    val phi6 = Map("click" -> 1, "view" -> 2, "signup" -> 4).map {
+      case (c, b) =>
+        c -> (0 to 7).filter(s => (s & b) == 0).map { s =>
+          val coef = if (Integer.bitCount(s) == 1) 1L else 2L
+          coef * (v(s | b) - v(s))
+        }.sum
+    }
+    assert(phi6.values.sum == 6 * (v(7) - v(0)), "efficiency")
+    rows.foreach { case (c, phi, _) =>
+      val expect = math.floor(phi6(c).toDouble / 6 * 10000 + 0.5) / 10000
+      assert(phi == expect, s"$c: $phi vs $expect")
+    }
   }
 }

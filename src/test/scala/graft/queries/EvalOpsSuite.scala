@@ -172,4 +172,31 @@ class EvalOpsSuite extends SparkSpec {
     // kappa consistency with (po - pe) / (1 - pe) up to display rounding
     assert(math.abs(kappa - (po - pe) / (1 - pe)) < 1e-3)
   }
+
+  test("ece_calibration: exact-integer gaps replay; mce bounds ece") {
+    val row = EvalOps.eceCalibration.run(spark, sfDir).collect().head
+    val (n, ece, mce) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    assert(ece >= 0 && mce >= ece - 1e-9 && mce <= 1 + 1e-9)
+    val ts = filter(split(col("text"), " "), x => x =!= "")
+    val bins = graft.Tables.documents(spark, sfDir)
+      .select(col("lang"), size(ts).as("nt"),
+        graft.functions.GraftFunctions.linearScore(col("text"), 1024)
+          .as("raw"))
+      .filter(col("nt") > 0).collect()
+      .map { r =>
+        val v = r.getDouble(2) / r.getInt(1)
+        val bin = math.min(math.max(math.floor((v + 0.5) * 10).toLong, 0L), 9L)
+        (bin, if (r.getString(0) == "en") 1L else 0L)
+      }.groupBy(_._1).map { case (b, l) =>
+        (b, l.size.toLong, l.map(_._2).sum)
+      }
+    val nn = bins.map(_._2).sum
+    val num = bins.map { case (b, w, p) => math.abs(20 * p - (2 * b + 1) * w) }.sum
+    val expEce = math.floor(num.toDouble / (20 * nn) * 1000000 + 0.5) / 1000000
+    val expMce = math.floor(bins.map { case (b, w, p) =>
+      math.abs(20 * p - (2 * b + 1) * w).toDouble / (20 * w)
+    }.max * 1000000 + 0.5) / 1000000
+    assert(n == nn && ece == expEce && mce == expMce,
+      s"($n,$ece,$mce) vs ($nn,$expEce,$expMce)")
+  }
 }
