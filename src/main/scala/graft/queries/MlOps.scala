@@ -977,7 +977,129 @@ object MlOps {
       .select(col("id"), col("true_label"), col("m.cl").as("pred_label"))
   }
 
+  /** Greedy depth-2 decision tree (best_split's CART recursion, one
+    * level deeper): the root splits on event value via the same
+    * PrefixScan-threshold sweep, then EACH leaf finds its own best
+    * split on a second feature (hour of day). The root threshold is a
+    * 1-row broadcast onto the second pass; level-2 thresholds sweep
+    * the hour domain (≤24 values) with a leaf-partitioned cumulative
+    * window, so no partition-less scan appears anywhere. The gini
+    * score reuses best_split's exact-integer algebra (numerator and
+    * denominator ≤ N³ — double-exact through 2·10⁵ rows/leaf, one
+    * deterministic division). Emits the three nodes of the fitted
+    * tree. */
+  val treeDepth2: Q = Q(
+    "tree_depth2",
+    """WITH e AS (SELECT value AS v, CAST(hour(ts) AS BIGINT) AS h,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |c AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+      |      CAST(sum(b) AS BIGINT) AS cb FROM e GROUP BY v),
+      |n AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,
+      |      CAST(sum(cb) AS BIGINT) AS n2 FROM c),
+      |sc AS (SELECT v,
+      |    CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS al,
+      |    CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS bl FROM c),
+      |sp AS (SELECT v, al, bl, n1 - al AS ar, n2 - bl AS br,
+      |    al + bl AS nl, (n1 - al) + (n2 - bl) AS nr FROM sc, n),
+      |sg AS (SELECT v, nl, nr,
+      |    (CAST(nl * nl - al * al - bl * bl AS DOUBLE) * nr
+      |     + CAST(nr * nr - ar * ar - br * br AS DOUBLE) * nl)
+      |      / (CAST(nl AS DOUBLE) * nr) AS gini
+      |  FROM sp WHERE nl > 0 AND nr > 0),
+      |root AS (SELECT v, nl, nr, gini FROM sg ORDER BY gini, v LIMIT 1),
+      |lv AS (SELECT CASE WHEN e.v <= root.v THEN 'left' ELSE 'right' END
+      |    AS leaf, e.h, e.a, e.b FROM e CROSS JOIN root),
+      |lc AS (SELECT leaf, h, CAST(sum(a) AS BIGINT) AS ca,
+      |      CAST(sum(b) AS BIGINT) AS cb FROM lv GROUP BY 1, 2),
+      |ln AS (SELECT leaf, CAST(sum(ca) AS BIGINT) AS n1,
+      |      CAST(sum(cb) AS BIGINT) AS n2 FROM lc GROUP BY 1),
+      |lsc AS (SELECT leaf, h,
+      |    CAST(sum(ca) OVER (PARTITION BY leaf ORDER BY h) AS BIGINT)
+      |      AS al,
+      |    CAST(sum(cb) OVER (PARTITION BY leaf ORDER BY h) AS BIGINT)
+      |      AS bl FROM lc),
+      |lsp AS (SELECT s.leaf, s.h, s.al, s.bl, t.n1 - s.al AS ar,
+      |    t.n2 - s.bl AS br, s.al + s.bl AS nl,
+      |    (t.n1 - s.al) + (t.n2 - s.bl) AS nr
+      |  FROM lsc s JOIN ln t ON t.leaf = s.leaf),
+      |lsg AS (SELECT leaf, h, nl, nr,
+      |    (CAST(nl * nl - al * al - bl * bl AS DOUBLE) * nr
+      |     + CAST(nr * nr - ar * ar - br * br AS DOUBLE) * nl)
+      |      / (CAST(nl AS DOUBLE) * nr) AS gini,
+      |    row_number() OVER (PARTITION BY leaf ORDER BY
+      |      (CAST(nl * nl - al * al - bl * bl AS DOUBLE) * nr
+      |       + CAST(nr * nr - ar * ar - br * br AS DOUBLE) * nl)
+      |        / (CAST(nl AS DOUBLE) * nr), h) AS rn
+      |  FROM lsp WHERE nl > 0 AND nr > 0)
+      |SELECT node, feature, split_at, nl, nr,
+      |  floor(gini * 1000000 + 0.5) / 1000000 AS weighted_gini
+      |FROM (
+      |  SELECT 'root' AS node, 'value' AS feature, v AS split_at,
+      |    nl, nr, gini FROM root
+      |  UNION ALL
+      |  SELECT leaf, 'hour', CAST(h AS DOUBLE), nl, nr, gini
+      |  FROM lsg WHERE rn = 1)
+      |ORDER BY node""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("value").as("v"), hour(col("ts")).cast("long").as("h"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("a"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("b"))
+    def gini(nl: org.apache.spark.sql.Column, nr: org.apache.spark.sql.Column,
+        al: org.apache.spark.sql.Column, bl: org.apache.spark.sql.Column,
+        ar: org.apache.spark.sql.Column, br: org.apache.spark.sql.Column) =
+      ((nl * nl - al * al - bl * bl).cast("double") * nr
+        + (nr * nr - ar * ar - br * br).cast("double") * nl) /
+        (nl.cast("double") * nr)
+    val c = e.groupBy("v").agg(sum("a").as("ca"), sum("b").as("cb"))
+    val (scanned, totals) = graft.ops.PrefixScan.withCumSums(
+      c, Seq(col("v")), Seq("ca", "cb"))
+    val (n1, n2) = (totals(0), totals(1))
+    val sp = scanned.select(col("v"),
+      col("cum_ca").as("al"), col("cum_cb").as("bl"),
+      (lit(n1) - col("cum_ca")).as("ar"), (lit(n2) - col("cum_cb")).as("br"),
+      (col("cum_ca") + col("cum_cb")).as("nl"),
+      ((lit(n1) - col("cum_ca")) + (lit(n2) - col("cum_cb"))).as("nr"))
+    val root = sp.filter(col("nl") > 0 && col("nr") > 0)
+      .select(col("v"), col("nl"), col("nr"),
+        gini(col("nl"), col("nr"), col("al"), col("bl"), col("ar"),
+          col("br")).as("gini"))
+      .orderBy(col("gini"), col("v")).limit(1)
+    val lv = e.crossJoin(broadcast(root.select(col("v").as("rootv"))))
+      .select(when(col("v") <= col("rootv"), "left").otherwise("right")
+        .as("leaf"), col("h"), col("a"), col("b"))
+    val lc = lv.groupBy("leaf", "h").agg(sum("a").as("ca"), sum("b").as("cb"))
+    val wLeaf = org.apache.spark.sql.expressions.Window.partitionBy("leaf")
+    val wCum = wLeaf.orderBy("h")
+    val lsp = lc.select(col("leaf"), col("h"),
+        sum("ca").over(wCum).as("al"), sum("cb").over(wCum).as("bl"),
+        (sum("ca").over(wLeaf) - sum("ca").over(wCum)).as("ar"),
+        (sum("cb").over(wLeaf) - sum("cb").over(wCum)).as("br"))
+      .select(col("leaf"), col("h"), col("al"), col("bl"), col("ar"),
+        col("br"), (col("al") + col("bl")).as("nl"),
+        (col("ar") + col("br")).as("nr"))
+    val leaves = lsp.filter(col("nl") > 0 && col("nr") > 0)
+      .select(col("leaf"), col("h"), col("nl"), col("nr"),
+        gini(col("nl"), col("nr"), col("al"), col("bl"), col("ar"),
+          col("br")).as("gini"))
+      .withColumn("rn", row_number().over(
+        wLeaf.orderBy(col("gini"), col("h"))))
+      .filter(col("rn") === 1)
+    root.select(lit("root").as("node"), lit("value").as("feature"),
+        col("v").as("split_at"), col("nl"), col("nr"), col("gini"))
+      .unionAll(leaves.select(col("leaf").as("node"),
+        lit("hour").as("feature"), col("h").cast("double").as("split_at"),
+        col("nl"), col("nr"), col("gini")))
+      .select(col("node"), col("feature"), col("split_at"), col("nl"),
+        col("nr"),
+        (floor(col("gini") * 1000000 + lit(0.5)) / 1000000)
+          .as("weighted_gini"))
+      .orderBy("node")
+  }
+
   val all: Seq[Q] = Seq(kmeansEmbed, clusterTopics, oovRate, cmsFreq, rpReduce,
     embedDimProfile, bestSplit, semDedup, amsF2, pcaPower, kmvDistinct,
-    knnClassify, rocchioClassify, f1Report)
+    knnClassify, rocchioClassify, f1Report, treeDepth2)
 }

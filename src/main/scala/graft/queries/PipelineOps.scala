@@ -423,7 +423,75 @@ object PipelineOps {
     graft.pipeline.Curate.report(Tables.documents(s, d))
   }
 
+  /** Framed audio feature extraction over the WAV corpus slice — the
+    * speech-pipeline front end (50-sample frames ≈ the classic 25 ms
+    * hop at 2 kHz): per-frame ENERGY Σs² and ZERO-CROSSING count,
+    * collapsed to per-clip features (frame count, total crossings,
+    * peak frame + its energy). Decode runs through the real RIFF/WAV
+    * codec; the oracle recomputes the expected samples from the
+    * fixture formula, so the gate proves decoder + framing + feature
+    * algebra together. Everything is EXACT integer arithmetic
+    * (products cast to BIGINT before squaring — 16-bit samples square
+    * past int32), map-only per clip; only the 4-column feature row
+    * flows onward (the 100 TB discipline: features leave, payloads
+    * don't). */
+  val audioFeatures: Q = Q(
+    "audio_features",
+    """WITH w AS (SELECT doc_id, text, length(text) AS len,
+      |    200 + (doc_id % 100) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (SELECT doc_id, t.i AS i, CAST(t.i // 50 AS BIGINT) AS fr,
+      |    unicode(substr(text, CAST(t.i % len AS INT) + 1, 1)) * 257
+      |      - 16384 AS v
+      |  FROM w, LATERAL (SELECT unnest(range(0, n)) AS i) t(i)),
+      |lagd AS (SELECT doc_id, fr, v,
+      |    lag(v) OVER (PARTITION BY doc_id, fr ORDER BY i) AS pv
+      |  FROM s),
+      |fe AS (SELECT doc_id, fr,
+      |    CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS e,
+      |    CAST(sum(CASE WHEN CAST(pv AS BIGINT) * v < 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS zc
+      |  FROM lagd GROUP BY 1, 2),
+      |pk AS (SELECT doc_id, fr, e, zc,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY e DESC, fr)
+      |      AS rn,
+      |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS nf,
+      |    CAST(sum(zc) OVER (PARTITION BY doc_id) AS BIGINT) AS tzc
+      |  FROM fe)
+      |SELECT doc_id AS media_id, nf AS n_frames, tzc AS total_zc,
+      |  fr AS peak_frame, e AS peak_energy
+      |FROM pk WHERE rn = 1 ORDER BY media_id""".stripMargin) { (s, d) =>
+    import graft.functions.GraftFunctions._
+    val media = Multimodal
+      .fabricateMedia(Tables.documents(s, d), "doc_id", "text")
+      .filter(col("format") === "wav")
+    media
+      .select(col("media_id"),
+        wavDecode(col("payload")).getField("samples").as("sm"))
+      .withColumn("nf", expr("CAST((size(sm) + 49) div 50 AS BIGINT)"))
+      .withColumn("frs", expr("transform(sequence(0, CAST(nf AS INT) - 1), " +
+        "f -> slice(sm, f * 50 + 1, 50))"))
+      .withColumn("es", expr("transform(frs, " +
+        "fr -> aggregate(fr, 0L, (a, x) -> a + CAST(x AS BIGINT) * x))"))
+      // guard: a 1-sample tail frame has no adjacent pair (Spark's
+      // sequence(1, 0) DESCENDS, so the unguarded fold indexed past
+      // the frame)
+      .withColumn("tzc", expr("aggregate(frs, 0L, (a, fr) -> " +
+        "a + IF(size(fr) > 1, aggregate(sequence(1, size(fr) - 1), 0L, " +
+        "(z, i) -> z + IF(CAST(fr[i - 1] AS BIGINT) * fr[i] < 0, 1L, 0L))" +
+        ", 0L))"))
+      .withColumn("pk", expr("aggregate(sequence(0, CAST(nf AS INT) - 1), " +
+        "struct(CAST(-1 AS BIGINT) AS e, CAST(0 AS BIGINT) AS f), " +
+        "(a, i) -> IF(es[i] > a.e, " +
+        "struct(es[i] AS e, CAST(i AS BIGINT) AS f), a))"))
+      .select(col("media_id"), col("nf").as("n_frames"),
+        col("tzc").as("total_zc"), col("pk.f").as("peak_frame"),
+        col("pk.e").as("peak_energy"))
+      .orderBy("media_id")
+  }
+
   val all: Seq[Q] = Seq(tokenCounts, langidProfile, multimodalFeats,
     mediaDecodeStats, mediaThumbnail, mediaFrameSample, mediaPngStats,
-    mediaGifFrames, mediaJpegStats, mediaMjpegFrames, curateCorpus)
+    mediaGifFrames, mediaJpegStats, mediaMjpegFrames, curateCorpus,
+    audioFeatures)
 }

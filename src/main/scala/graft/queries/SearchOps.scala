@@ -469,6 +469,62 @@ object SearchOps {
       .limit(15)
   }
 
+  /** Entity-resolution blocking audit — the quality report run before
+    * trusting a blocked matcher at scale: for q70's length-band
+    * blocking over the capped customer slice, report the REDUCTION
+    * RATIO (share of the quadratic pair space the blocks prune) and
+    * PAIR COMPLETENESS (share of true matches — levenshtein ≤ 2 —
+    * that survive blocking), the two standing ER metrics
+    * (Christen 2012). The full pair space is evaluated only on the
+    * ≤200-entity audit slice (bounded by design, like q70); at
+    * production scale completeness is estimated on exactly such a
+    * capped sample while the reduction ratio comes free from block
+    * sizes. Pure integer counts, two final divisions. */
+  val erBlockMetrics: Q = Q(
+    "er_block_metrics",
+    """WITH c AS (SELECT c_custkey AS id, c_name AS nm,
+      |    length(c_name) AS ln
+      |  FROM customer WHERE c_custkey <= 200),
+      |p AS (SELECT a.id AS ia, b.id AS ib,
+      |    CASE WHEN abs(a.ln - b.ln) <= 2 THEN 1 ELSE 0 END AS blocked,
+      |    CASE WHEN levenshtein(a.nm, b.nm) <= 2 THEN 1 ELSE 0 END
+      |      AS istrue
+      |  FROM c a JOIN c b ON a.id < b.id),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS np,
+      |    CAST(sum(blocked) AS BIGINT) AS nc,
+      |    CAST(sum(istrue) AS BIGINT) AS nt,
+      |    CAST(sum(blocked * istrue) AS BIGINT) AS ntb FROM p)
+      |SELECT np AS n_pairs, nc AS n_candidates,
+      |  floor((1 - CAST(nc AS DOUBLE) / np) * 1000000 + 0.5) / 1000000
+      |    AS reduction_ratio,
+      |  nt AS n_true, ntb AS n_true_blocked,
+      |  floor(CAST(ntb AS DOUBLE) / nt * 1000000 + 0.5) / 1000000
+      |    AS pair_completeness
+      |FROM m""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("id"), col("c_name").as("nm"),
+        length(col("c_name")).as("ln"))
+    val a = c.select(col("id").as("ia"), col("nm").as("na"),
+      col("ln").as("la"))
+    val b = c.select(col("id").as("ib"), col("nm").as("nb"),
+      col("ln").as("lb"))
+    a.join(b, col("ia") < col("ib")) // <=200-entity capped audit slice
+      .select(
+        when(abs(col("la") - col("lb")) <= 2, 1L).otherwise(0L)
+          .as("blocked"),
+        when(levenshtein(col("na"), col("nb")) <= 2, 1L).otherwise(0L)
+          .as("istrue"))
+      .agg(count(lit(1)).as("np"),
+        sum("blocked").as("nc"), sum("istrue").as("nt"),
+        sum(col("blocked") * col("istrue")).as("ntb"))
+      .select(col("np").as("n_pairs"), col("nc").as("n_candidates"),
+        (floor((lit(1) - col("nc").cast("double") / col("np")) * 1000000
+          + lit(0.5)) / 1000000).as("reduction_ratio"),
+        col("nt").as("n_true"), col("ntb").as("n_true_blocked"),
+        (floor(col("ntb").cast("double") / col("nt") * 1000000 + lit(0.5))
+          / 1000000).as("pair_completeness"))
+  }
+
   val all: Seq[Q] = Seq(phraseSearch, tableFingerprint, qlDirichlet, dlMatch,
-    jwMatch, rrfFusion, fsLinkage, bestPassage)
+    jwMatch, rrfFusion, fsLinkage, bestPassage, erBlockMetrics)
 }

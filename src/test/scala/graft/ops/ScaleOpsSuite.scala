@@ -228,7 +228,12 @@ class ScaleOpsSuite extends SparkSpec {
       "markov_stationary",    // 1-row state-count broadcast onto <=5 states
       "entropy_rate",         // 1-row state-count + 1-row fold-result report
       "t_closeness",          // <=11 domain-bounded band rows + 1-row totals
-      "bh_fdr")               // 3-flag domain grid + 1-row corpus total
+      "bh_fdr",               // 3-flag domain grid + 1-row corpus total
+      "tree_depth2",          // 1-row root-threshold broadcast onto pass 2
+      "er_block_metrics",     // <=200-entity capped audit pair space
+      "graph_diameter")       // 1-row literal BFS-seed relations (collapsed
+                              // to constants, so Catalyst plans them as
+                              // 1-row nested loops by construction)
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

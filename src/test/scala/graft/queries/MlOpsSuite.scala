@@ -116,6 +116,47 @@ class MlOpsSuite extends SparkSpec {
     assert(math.abs(row.getDouble(3) - best._2) < 1e-6)
   }
 
+  test("tree_depth2: all three nodes match an exhaustive greedy search") {
+    val rows = MlOps.treeDepth2.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(rows.keySet == Set("root", "left", "right"))
+    val evs = graft.Tables.events(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("purchase", "click"))
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"),
+        org.apache.spark.sql.functions.expr("CAST(hour(ts) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getString(0) == "purchase", r.getDouble(1), r.getLong(2)))
+    def bestOn[T: Ordering](data: Seq[(Boolean, T)]): (T, Double) = {
+      val n1 = data.count(_._1).toLong
+      val n2 = data.size - n1
+      val ord = implicitly[Ordering[T]]
+      data.map(_._2).distinct.sorted.flatMap { t =>
+        val al = data.count(e => e._1 && ord.lteq(e._2, t)).toLong
+        val bl = data.count(e => !e._1 && ord.lteq(e._2, t)).toLong
+        val (ar, br) = (n1 - al, n2 - bl)
+        val (nl, nr) = (al + bl, ar + br)
+        if (nl == 0 || nr == 0) None
+        else Some((t, ((nl * nl - al * al - bl * bl).toDouble * nr
+          + (nr * nr - ar * ar - br * br).toDouble * nl)
+          / (nl.toDouble * nr)))
+      }.minBy { case (t, g) => (g, t) }
+    }
+    val (rootV, rootG) = bestOn(evs.map(e => (e._1, e._2)).toSeq)
+    assert(math.abs(rows("root")._2 - rootV) < 1e-12)
+    assert(math.abs(rows("root")._5 - rootG) < 1e-6)
+    Seq(("left", (e: (Boolean, Double, Long)) => e._2 <= rootV),
+        ("right", (e: (Boolean, Double, Long)) => e._2 > rootV))
+      .foreach { case (leaf, pred) =>
+        val (h, g) = bestOn(evs.filter(pred).map(e => (e._1, e._3)).toSeq)
+        assert(rows(leaf)._1 == "hour")
+        assert(rows(leaf)._2 == h.toDouble, s"$leaf split ${rows(leaf)._2} vs $h")
+        assert(math.abs(rows(leaf)._5 - g) < 1e-6, s"$leaf gini")
+      }
+  }
+
   test("graph_assortativity: r in [-1, 1] and matches a naive recompute") {
     val row = GraphOps.assortativity.run(spark, sfDir).collect().head
     val r = row.getDouble(1)

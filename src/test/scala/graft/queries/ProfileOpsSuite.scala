@@ -376,6 +376,61 @@ class ProfileOpsSuite extends SparkSpec {
       assert(math.abs(a - b) < 2e-6) }
   }
 
+  test("audio_features: features replay the fixture formula driver-side") {
+    val got = PipelineOps.audioFeatures.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 3 == 1)
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val n = (200 + id % 100).toInt
+      val sm = Array.tabulate(n)(i => text.charAt(i % text.length).toInt * 257 - 16384)
+      val frames = sm.grouped(50).toArray
+      val es = frames.map(_.map(x => x.toLong * x).sum)
+      val zc = frames.map(fr =>
+        fr.sliding(2).count(p => p.length == 2 && p(0).toLong * p(1) < 0)
+      ).sum.toLong
+      val peak = es.zipWithIndex.maxBy(t => (t._1, -t._2))
+      val (nf, tzc, pf, pe) = got(id)
+      assert(nf == frames.length.toLong, s"doc $id frames")
+      assert(tzc == zc, s"doc $id zc: $tzc vs $zc")
+      assert(pf == peak._2.toLong && pe == peak._1, s"doc $id peak")
+    }
+  }
+
+  test("er_block_metrics: metrics replay a naive full-pair audit") {
+    val row = SearchOps.erBlockMetrics.run(spark, sfDir).collect().head
+    val c = graft.Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") <= 200)
+      .select("c_custkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    var np = 0L; var nc = 0L; var nt = 0L; var ntb = 0L
+    for (i <- c.indices; j <- c.indices if c(i)._1 < c(j)._1) {
+      np += 1
+      val blocked = math.abs(c(i)._2.length - c(j)._2.length) <= 2
+      val istrue = lev(c(i)._2, c(j)._2) <= 2
+      if (blocked) nc += 1
+      if (istrue) nt += 1
+      if (blocked && istrue) ntb += 1
+    }
+    assert(row.getLong(0) == np && row.getLong(1) == nc)
+    assert(row.getLong(3) == nt && row.getLong(4) == ntb)
+    def r6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000
+    assert(row.getDouble(2) == r6(1 - nc.toDouble / np))
+    assert(row.getDouble(5) == r6(ntb.toDouble / nt))
+  }
+
   test("best_passage: windows replay a naive per-doc sweep") {
     val terms = Set("hash", "join", "sort", "merge")
     val got = SearchOps.bestPassage.run(spark, sfDir).collect()
