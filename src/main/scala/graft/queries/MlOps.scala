@@ -1099,7 +1099,112 @@ object MlOps {
       .orderBy("node")
   }
 
+  /** Deterministic RANSAC line fit (Fischler & Bolles 1981) of
+    * extended price against quantity: candidate lines come from all
+    * pairs of a CAPPED sample slice (l_orderkey ≤ 24, first line
+    * items — bounded at any corpus size, the er_block_metrics
+    * discipline), every candidate is scored against the FULL table in
+    * one broadcast pass (hypotheses move to the data, never the
+    * reverse — the robust-fitting shape that survives 100 TB), and
+    * the consensus winner is least-squares refit on its inliers with
+    * exact integer co-moments (n·Σxy crosses 2⁶³ at sf0.1, so the
+    * final normal-equation products run in IEEE doubles of exact
+    * longs — identical on both engines). */
+  val ransacFit: Q = Q(
+    "ransac_fit",
+    """WITH pts0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk,
+      |    l_suppkey AS sk,
+      |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      |  FROM lineitem WHERE l_orderkey <= 24 AND l_linenumber = 1),
+      |cand AS (SELECT CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS m,
+      |    CAST(a.y AS DOUBLE)
+      |      - CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) * a.x AS c
+      |  FROM pts0 a JOIN pts0 b
+      |    ON (a.ok < b.ok OR (a.ok = b.ok AND (a.pk < b.pk
+      |        OR (a.pk = b.pk AND a.sk < b.sk))))
+      |   AND a.x <> b.x),
+      |all_pts AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      |  FROM lineitem),
+      |sc AS (SELECT m, c, CAST(count(*) AS BIGINT) AS inl
+      |  FROM all_pts p CROSS JOIN cand
+      |  WHERE abs(p.y - (cand.m * p.x + cand.c)) <= 1500000
+      |  GROUP BY m, c),
+      |best AS (SELECT m, c, inl FROM sc ORDER BY inl DESC, m, c LIMIT 1),
+      |fit AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(p.x) AS BIGINT) AS sx, CAST(sum(p.y) AS BIGINT) AS sy,
+      |    CAST(sum(p.x * p.y) AS BIGINT) AS sxy,
+      |    CAST(sum(p.x * p.x) AS BIGINT) AS sxx,
+      |    any_value(best.inl) AS inl
+      |  FROM all_pts p CROSS JOIN best
+      |  WHERE abs(p.y - (best.m * p.x + best.c)) <= 1500000),
+      |meta AS (SELECT
+      |    (SELECT CAST(count(*) AS BIGINT) FROM pts0) AS n_sample,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand)
+      |SELECT n_sample, n_cand, inl AS best_inliers,
+      |  floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |    * 10000 + 0.5) / 10000 AS slope,
+      |  floor((sy - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+      |    / n / 100 * 10000 + 0.5) / 10000 AS intercept
+      |FROM fit CROSS JOIN meta""".stripMargin) { (s, d) =>
+    val pts0 = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 24 && col("l_linenumber") === 1)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+        col("l_suppkey").as("sk"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("x"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("y"))
+      .distinct()
+    val a = pts0.select(col("ok").as("aok"), col("pk").as("apk"),
+      col("sk").as("ask"), col("x").as("ax"), col("y").as("ay"))
+    val b = pts0.select(col("ok").as("bok"), col("pk").as("bpk"),
+      col("sk").as("bsk"), col("x").as("bx"), col("y").as("by"))
+    // when-guarded: the ax != bx join condition does exclude these
+    // pairs, but plan fusion can evaluate the projection inside the
+    // nested-loop consume before the residual condition filters, and
+    // ANSI mode turns that transient /0 into a hard error
+    val slopeC = when(col("bx") =!= col("ax"),
+      (col("by") - col("ay")).cast("double") / (col("bx") - col("ax")))
+    val cand = a.join(b,
+        (col("aok") < col("bok") || (col("aok") === col("bok")
+          && (col("apk") < col("bpk") || (col("apk") === col("bpk")
+            && col("ask") < col("bsk")))))
+          && col("ax") =!= col("bx"))
+      .select(slopeC.as("m"),
+        (col("ay").cast("double") - slopeC * col("ax")).as("c"))
+    val allPts = Tables.lineitem(s, d)
+      .select(floor(col("l_quantity") + lit(0.5)).cast("long").as("x"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("y"))
+    val sc = allPts.crossJoin(broadcast(cand)) // <=~200 capped hypotheses
+      .filter(abs(col("y") - (col("m") * col("x") + col("c"))) <= 1500000)
+      .groupBy("m", "c").agg(count(lit(1)).as("inl"))
+    val best = sc
+      .agg(max(struct(col("inl"), (-col("m")).as("nm"), (-col("c")).as("nc")))
+        .as("b"))
+      .select(col("b.inl").as("inl"), (-col("b.nm")).as("m"),
+        (-col("b.nc")).as("c"))
+    val slopeFit = (col("n").cast("double") * col("sxy")
+      - col("sx").cast("double") * col("sy")) /
+      (col("n").cast("double") * col("sxx")
+        - col("sx").cast("double") * col("sx"))
+    val fit = allPts.crossJoin(broadcast(best)) // 1-row consensus winner
+      .filter(abs(col("y") - (col("m") * col("x") + col("c"))) <= 1500000)
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        first("inl").as("inl"))
+    fit
+      .crossJoin(broadcast(pts0.agg(count(lit(1)).as("n_sample"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .select(col("n_sample"), col("n_cand"), col("inl").as("best_inliers"),
+        (floor(slopeFit * 10000 + lit(0.5)) / 10000).as("slope"),
+        (floor((col("sy") - slopeFit * col("sx")) / col("n") / 100
+          * 10000 + lit(0.5)) / 10000).as("intercept"))
+  }
+
   val all: Seq[Q] = Seq(kmeansEmbed, clusterTopics, oovRate, cmsFreq, rpReduce,
     embedDimProfile, bestSplit, semDedup, amsF2, pcaPower, kmvDistinct,
-    knnClassify, rocchioClassify, f1Report, treeDepth2)
+    knnClassify, rocchioClassify, f1Report, treeDepth2, ransacFit)
 }

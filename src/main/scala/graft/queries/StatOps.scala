@@ -1634,6 +1634,118 @@ object StatOps {
           * 1000000 + lit(0.5)) / 1000000).as("first_stage"))
   }
 
+  /** Sequential probability ratio test (Wald 1945) monitoring the
+    * purchase rate day by day — the always-valid sequential A/B
+    * monitor that stops the moment the evidence crosses a boundary,
+    * instead of peeking a fixed-horizon test. H₀: p = 0.15 vs H₁:
+    * p = 0.22, α = β = 0.05 (boundaries ±ln 19). The cumulative LLR
+    * is kept EXACT until the last step: daily (trials, conversions)
+    * cumulate as integers through the distributed PrefixScan, and
+    * LLR_t = cumConv·ln(p₁/p₀) + cumNon·ln((1−p₁)/(1−p₀)) is two
+    * integer×literal products per row (`ln` of identical literals —
+    * corpus-wide parity established). Emits the monitoring trace up
+    * to and including the first boundary crossing. */
+  val sprtMonitor: Q = Q(
+    "sprt_monitor",
+    """WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')
+      |      AS day,
+      |    CAST(count(*) AS BIGINT) AS trials,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS conv
+      |  FROM events GROUP BY 1),
+      |cum AS (SELECT day, trials, conv,
+      |    CAST(sum(trials) OVER (ORDER BY day) AS BIGINT) AS ct,
+      |    CAST(sum(conv) OVER (ORDER BY day) AS BIGINT) AS cc
+      |  FROM daily),
+      |llr AS (SELECT day, trials, conv,
+      |    cc * ln(0.22 / 0.15) + (ct - cc) * ln(0.78 / 0.85) AS llr
+      |  FROM cum),
+      |cross_day AS (SELECT min(day) AS cd FROM llr
+      |  WHERE llr >= ln(19.0) OR llr <= -ln(19.0))
+      |SELECT day, trials, conv,
+      |  floor(llr * 10000 + 0.5) / 10000 AS llr,
+      |  CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
+      |       WHEN llr <= -ln(19.0) THEN 'accept_h0'
+      |       ELSE 'continue' END AS state
+      |FROM llr CROSS JOIN cross_day
+      |WHERE cd IS NULL OR day <= cd
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val daily = ev(s, d)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .agg(count(lit(1)).as("trials"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+    val (scanned, _) = graft.ops.PrefixScan.withCumSums(
+      daily, Seq(col("day")), Seq("trials", "conv"))
+    val llr = scanned.select(col("day"), col("trials"), col("conv"),
+      (col("cum_conv") * log(lit(0.22) / 0.15)
+        + (col("cum_trials") - col("cum_conv")) * log(lit(0.78) / 0.85))
+        .as("llr"))
+    val crossDay = llr
+      .filter(col("llr") >= log(lit(19.0)) || col("llr") <= -log(lit(19.0)))
+      .agg(min("day").as("cd"))
+    llr.crossJoin(broadcast(crossDay)) // 1-row first-crossing day
+      .filter(col("cd").isNull || col("day") <= col("cd"))
+      .select(col("day"), col("trials"), col("conv"),
+        (floor(col("llr") * 10000 + lit(0.5)) / 10000).as("llr"),
+        when(col("llr") >= log(lit(19.0)), "accept_h1")
+          .when(col("llr") <= -log(lit(19.0)), "accept_h0")
+          .otherwise("continue").as("state"))
+      .orderBy("day")
+  }
+
+  /** Wilson score confidence intervals (Wilson 1927) for each
+    * nation's completed-order rate — the interval that behaves at
+    * small n and extreme rates where the naive Wald CI collapses;
+    * the per-segment dashboard primitive. Each row is exact integer
+    * (k, n) plus one fixed-form double evaluation mirrored textually
+    * on both engines (`sqrt` is IEEE-correctly-rounded); z = 1.96's
+    * full-precision quantile 1.959964. One grouped count scan. */
+  val wilsonCi: Q = Q(
+    "wilson_ci",
+    """WITH g AS (SELECT c.c_nationkey AS nation,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1)
+      |SELECT nation, n, k,
+      |  floor(CAST(k AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS rate,
+      |  floor(((CAST(k AS DOUBLE) / n + 1.959964e0 * 1.959964e0 / (2 * n)
+      |    - 1.959964e0 * sqrt(CAST(k AS DOUBLE) / n
+      |      * (1 - CAST(k AS DOUBLE) / n) / n
+      |      + 1.959964e0 * 1.959964e0 / (4.0e0 * n * n)))
+      |    / (1 + 1.959964e0 * 1.959964e0 / n)) * 1000000 + 0.5) / 1000000
+      |    AS lo,
+      |  floor(((CAST(k AS DOUBLE) / n + 1.959964e0 * 1.959964e0 / (2 * n)
+      |    + 1.959964e0 * sqrt(CAST(k AS DOUBLE) / n
+      |      * (1 - CAST(k AS DOUBLE) / n) / n
+      |      + 1.959964e0 * 1.959964e0 / (4.0e0 * n * n)))
+      |    / (1 + 1.959964e0 * 1.959964e0 / n)) * 1000000 + 0.5) / 1000000
+      |    AS hi
+      |FROM g ORDER BY nation""".stripMargin) { (s, d) =>
+    val g = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("k"))
+    val p = col("k").cast("double") / col("n")
+    val z2 = lit(1.959964) * 1.959964
+    val rad = sqrt(p * (lit(1) - p) / col("n")
+      + z2 / (lit(4.0) * col("n") * col("n")))
+    val den = lit(1) + z2 / col("n")
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000 + lit(0.5)) / 1000000
+    g.select(col("nation"), col("n"), col("k"), r6(p).as("rate"),
+        r6((p + z2 / (lit(2) * col("n")) - lit(1.959964) * rad) / den)
+          .as("lo"),
+        r6((p + z2 / (lit(2) * col("n")) + lit(1.959964) * rad) / den)
+          .as("hi"))
+      .orderBy("nation")
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
@@ -1641,7 +1753,7 @@ object StatOps {
       anovaQuantity, cramersV, multiregNormal, poissonBootstrap,
       lorenzDeciles, rfmSegments, abcClass, didEstimate, cupedAdjust,
       propZtest, abPowerMde, jamesStein, simpsonCheck, bhFdr, psMatch,
-      iv2sls)
+      iv2sls, sprtMonitor, wilsonCi)
 
   /** James–Stein shrinkage of the 25 per-nation mean order values
     * toward the grand mean (James & Stein 1961; the empirical-Bayes

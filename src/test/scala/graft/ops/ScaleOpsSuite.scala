@@ -231,9 +231,12 @@ class ScaleOpsSuite extends SparkSpec {
       "bh_fdr",               // 3-flag domain grid + 1-row corpus total
       "tree_depth2",          // 1-row root-threshold broadcast onto pass 2
       "er_block_metrics",     // <=200-entity capped audit pair space
-      "graph_diameter")       // 1-row literal BFS-seed relations (collapsed
+      "graph_diameter",       // 1-row literal BFS-seed relations (collapsed
                               // to constants, so Catalyst plans them as
                               // 1-row nested loops by construction)
+      "ransac_fit",           // capped sample pair space + <=200-hypothesis
+                              // broadcast + 1-row consensus winner
+      "sprt_monitor")         // 1-row first-crossing-day broadcast
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

@@ -157,6 +157,52 @@ class MlOpsSuite extends SparkSpec {
       }
   }
 
+  test("ransac_fit: consensus and refit replay a full driver-side RANSAC") {
+    val row = MlOps.ransacFit.run(spark, sfDir).collect().head
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) + 0.5).toLong,
+        math.floor(r.getDouble(4) * 100 + 0.5).toLong))
+    val sample1 = graft.Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") <= 24 && col("l_linenumber") === 1)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) + 0.5).toLong,
+        math.floor(r.getDouble(4) * 100 + 0.5).toLong)).distinct
+    val cands = for {
+      a <- sample1; b <- sample1
+      if a._1 < b._1 || (a._1 == b._1 && (a._2 < b._2 ||
+        (a._2 == b._2 && a._3 < b._3)))
+      if a._4 != b._4
+    } yield {
+      val m = (b._5 - a._5).toDouble / (b._4 - a._4)
+      (m, a._5.toDouble - m * a._4)
+    }
+    assert(row.getLong(0) == sample1.length.toLong)
+    assert(row.getLong(1) == cands.length.toLong)
+    val pts = li.map(t => (t._4, t._5))
+    val scored = cands.map { case (m, c) =>
+      (pts.count(p => math.abs(p._2 - (m * p._1 + c)) <= 1500000).toLong,
+        m, c)
+    }
+    val best = scored.maxBy(t => (t._1, -t._2, -t._3))
+    assert(row.getLong(2) == best._1, s"inliers ${row.getLong(2)} vs $best")
+    val inl = pts.filter(p => math.abs(p._2 - (best._2 * p._1 + best._3))
+      <= 1500000)
+    val n = inl.length.toLong
+    val (sx, sy) = (inl.map(_._1).sum, inl.map(_._2).sum)
+    val sxy = inl.map(p => p._1 * p._2).sum
+    val sxx = inl.map(p => p._1 * p._1).sum
+    val m2 = (n.toDouble * sxy - sx.toDouble * sy) /
+      (n.toDouble * sxx - sx.toDouble * sx)
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(math.abs(row.getDouble(3) - r4(m2)) < 1e-9)
+    assert(math.abs(row.getDouble(4) - r4((sy - m2 * sx) / n / 100)) < 1e-9)
+  }
+
   test("graph_assortativity: r in [-1, 1] and matches a naive recompute") {
     val row = GraphOps.assortativity.run(spark, sfDir).collect().head
     val r = row.getDouble(1)

@@ -682,6 +682,57 @@ class StatOpsSuite extends SparkSpec {
     assert(math.abs(gap - expGap) < 1e-9, s"gap $gap vs $expGap")
   }
 
+  test("sprt_monitor: trace replays the cumulative LLR and stops at crossing") {
+    val rows = StatOps.sprtMonitor.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val l1 = math.log(0.22 / 0.15); val l0 = math.log(0.78 / 0.85)
+    val b = math.log(19.0)
+    var (ct, cc) = (0L, 0L)
+    val trace = daily.map { case (day, t, c) =>
+      ct += t; cc += c
+      val llr = cc * l1 + (ct - cc) * l0
+      (day, t, c, llr,
+        if (llr >= b) "accept_h1" else if (llr <= -b) "accept_h0"
+        else "continue")
+    }
+    val cross = trace.indexWhere(_._5 != "continue")
+    val expected = if (cross < 0) trace else trace.take(cross + 1)
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 && g._5 == e._5)
+      assert(math.abs(g._4 - math.floor(e._4 * 10000 + 0.5) / 10000) < 1e-9)
+    }
+    // every non-final row is 'continue'
+    rows.init.foreach(r => assert(r._5 == "continue"))
+  }
+
+  test("wilson_ci: bounds bracket the rate and replay the formula") {
+    val rows = StatOps.wilsonCi.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 25)
+    rows.foreach { case (_, n, k, rate, lo, hi) =>
+      assert(k <= n && lo <= rate + 1e-9 && rate <= hi + 1e-9)
+      assert(lo >= -1e-9 && hi <= 1 + 1e-9)
+      val z = 1.959964; val p = k.toDouble / n
+      val rad = math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+      val den = 1 + z * z / n
+      def r6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000
+      assert(math.abs(lo - r6((p + z * z / (2 * n) - z * rad) / den)) < 1e-9)
+      assert(math.abs(hi - r6((p + z * z / (2 * n) + z * rad) / den)) < 1e-9)
+    }
+  }
+
   test("iv_2sls: Wald estimate replays exact driver-side co-moments") {
     val row = StatOps.iv2sls.run(spark, sfDir).collect().head
     val b = graft.Tables.lineitem(spark, sfDir)
