@@ -879,8 +879,67 @@ object GraphOps {
         col("n_reached"))
   }
 
+  /** Item-item collaborative filtering (Sarwar et al., WWW'01) over
+    * the weighted co-purchase graph: similarity(u, v) = c_uv /
+    * √(n_u·n_v) — co-occurrence cosine over order baskets — and the
+    * top-5 recommendations for each of the 10 most popular parts.
+    * The pair stream is bounded per order (q68's discipline), the
+    * anchor set is a 10-row broadcast so only anchor-adjacent edges
+    * survive the semijoin, and the ranking window is anchor-
+    * partitioned. Exact integer counts; one IEEE √ + division per
+    * surviving edge. */
+  val itemCfRecs: Q = Q(
+    "item_cf_recs",
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |           FROM lineitem),
+      |pc AS (SELECT a.pk AS u, b.pk AS v, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2),
+      |pop AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY 1),
+      |top AS (SELECT pk, n FROM pop ORDER BY n DESC, pk LIMIT 10),
+      |ed AS (SELECT u AS src, v AS dst, cnt FROM pc
+      |       UNION ALL SELECT v, u, cnt FROM pc),
+      |sc AS (SELECT t.pk AS anchor, e.dst AS rec, e.cnt,
+      |    CAST(e.cnt AS DOUBLE) / sqrt(CAST(t.n * p.n AS DOUBLE)) AS sim
+      |  FROM top t JOIN ed e ON e.src = t.pk
+      |  JOIN pop p ON p.pk = e.dst),
+      |rk AS (SELECT anchor, rec, cnt, sim,
+      |    row_number() OVER (PARTITION BY anchor
+      |      ORDER BY sim DESC, rec) AS rn
+      |  FROM sc)
+      |SELECT anchor, rec, cnt AS n_co,
+      |  floor(sim * 1000000 + 0.5) / 1000000 AS sim
+      |FROM rk WHERE rn <= 5 ORDER BY anchor, rn""".stripMargin) { (s, d) =>
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pc = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cnt"))
+    val pop = op.groupBy("pk").agg(count(lit(1)).as("n"))
+    val top = pop.orderBy(col("n").desc, col("pk")).limit(10)
+    val ed = pc.select(col("u").as("src"), col("v").as("dst"), col("cnt"))
+      .union(pc.select(col("v").as("src"), col("u").as("dst"), col("cnt")))
+    ed.join(broadcast(top.select(col("pk").as("src"), col("n").as("na"))),
+        "src")
+      .join(pop.select(col("pk").as("dst"), col("n").as("nb")), "dst")
+      .select(col("src").as("anchor"), col("dst").as("rec"), col("cnt"),
+        (col("cnt").cast("double")
+          / sqrt((col("na") * col("nb")).cast("double"))).as("sim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("anchor")
+          .orderBy(col("sim").desc, col("rec"))))
+      .filter(col("rn") <= 5)
+      .select(col("anchor"), col("rec"), col("cnt").as("n_co"),
+        (floor(col("sim") * 1000000 + lit(0.5)) / 1000000).as("sim"),
+        col("rn"))
+      .orderBy("anchor", "rn")
+      .drop("rn")
+  }
+
   val all: Seq[Q] =
     Seq(pagerankBipartite, triangles, khopBfs, linkPredict, labelProp,
       assortativity, clusteringCoeff, kcorePeel, hitsScores, richClub,
-      brandModularity, graphDiameter)
+      brandModularity, graphDiameter, itemCfRecs)
 }

@@ -1476,10 +1476,56 @@ object TemporalOps {
       .orderBy("channel")
   }
 
+  /** Exponential time-decay popularity ranking — the feature-store /
+    * trending-items primitive: every order contributes 2^(−age/28d)
+    * (a power-of-two half-life every 4 weeks), so recent demand
+    * dominates but history never fully vanishes. Decay ages are
+    * INTEGER bucket indices (floor-div 28 against the fixture's fixed
+    * anchor date), making each weight an exactly-representable dyadic
+    * 2^−k — pow(half, integer) is exact in both engines — and each
+    * part folds its ≤86 bucket terms in k-sorted order, so the double
+    * accumulation sequence is identical cross-engine. One join + one
+    * (part, bucket) collapse; the fold is O(buckets) per part. */
+  val decayedPopularity: Q = Q(
+    "decayed_popularity",
+    """WITH a AS (SELECT li.l_partkey AS pk,
+      |    date_diff('day', o.o_orderdate,
+      |      TIMESTAMP '2001-08-01 00:00:00') // 28 AS k
+      |  FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey),
+      |c AS (SELECT pk, CAST(k AS BIGINT) AS k,
+      |      CAST(count(*) AS BIGINT) AS cnt FROM a GROUP BY 1, 2),
+      |s0 AS (SELECT pk, CAST(sum(cnt) AS BIGINT) AS n_orders,
+      |    list(cnt ORDER BY k) AS cs, list(k ORDER BY k) AS ks
+      |  FROM c GROUP BY pk),
+      |s AS (SELECT pk, n_orders,
+      |    list_aggregate(list_transform(range(1, len(cs) + 1),
+      |      i -> cs[i] * pow(0.5, CAST(ks[i] AS DOUBLE))), 'sum') AS score
+      |  FROM s0)
+      |SELECT pk AS part, n_orders,
+      |  floor(score * 10000 + 0.5) / 10000 AS decayed_score
+      |FROM s ORDER BY decayed_score DESC, part LIMIT 15""".stripMargin) {
+    (s, d) =>
+    val a = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_partkey").as("pk"),
+        expr("CAST(datediff(TIMESTAMP '2001-08-01 00:00:00', o_orderdate) " +
+          "div 28 AS BIGINT)").as("k"))
+    a.groupBy("pk", "k").agg(count(lit(1)).as("cnt"))
+      .groupBy("pk")
+      .agg(sum("cnt").as("n_orders"),
+        expr("aggregate(array_sort(collect_list(struct(k, cnt))), 0D, " +
+          "(acc, t) -> acc + t.cnt * pow(0.5D, CAST(t.k AS DOUBLE)))")
+          .as("score"))
+      .select(col("pk").as("part"), col("n_orders"),
+        (floor(col("score") * 10000 + lit(0.5)) / 10000)
+          .as("decayed_score"))
+      .orderBy(col("decayed_score").desc, col("part")).limit(15)
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
     seasonalDecompose, markovStationary, entropyRate, forecastBacktest,
     seqSupport, funnelLatency, inventoryRunout, hampelFilter, holtWinters,
-    saxSymbols, shapleyAttribution)
+    saxSymbols, shapleyAttribution, decayedPopularity)
 }

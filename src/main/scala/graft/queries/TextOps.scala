@@ -1291,6 +1291,52 @@ object TextOps {
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
   }
 
+  /** Chao1 unseen-species estimate (Chao 1984, bias-corrected form
+    * Chao1 = V + F1(F1−1)/(2(F2+1))) + Good–Turing sample coverage
+    * over word TRIGRAMS — "how many trigram types has this corpus NOT
+    * seen yet", the question behind tokenizer sizing and crawl-more
+    * decisions (heaps_law's model-free sibling; the unigram vocabulary
+    * is closed on this fixture so trigrams are the open species
+    * space). Only the frequency-of-frequencies head is needed, so the
+    * whole estimate is ONE conditional aggregation over the trigram
+    * counts: every input is exact-integer and each estimate a single
+    * division; the corrected form is defined even at F2 = 0. */
+  val chao1Vocab: Q = Q(
+    "chao1_vocab",
+    """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+      |tok AS (SELECT ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS w
+      |      FROM t, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i)
+      |        q(i)),
+      |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+      |m AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS vocab,
+      |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM wc)
+      |SELECT n_tokens, vocab, f1, f2,
+      |  floor((vocab + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1)))
+      |    * 10000 + 0.5) / 10000 AS chao1,
+      |  floor((1 - CAST(f1 AS DOUBLE) / n_tokens) * 1000000 + 0.5)
+      |    / 1000000 AS coverage
+      |FROM m""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 3), " +
+          "i -> concat_ws(' ', ts[i], ts[i + 1], ts[i + 2]))")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        (floor((col("vocab") + (col("f1") * (col("f1") - 1)).cast("double")
+          / (lit(2) * (col("f2") + 1))) * 10000 + lit(0.5)) / 10000)
+          .as("chao1"),
+        (floor((lit(1) - col("f1").cast("double") / col("n_tokens"))
+          * 1000000 + lit(0.5)) / 1000000).as("coverage"))
+  }
+
   val all: Seq[Q] = Seq(
     wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
     dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard,
@@ -1298,6 +1344,6 @@ object TextOps {
     bpeMergeStep, bpeTrainRounds, zipfFit, heapsLaw, markovNext, crossContam,
     chi2Terms, jsDivergence, rakeKeywords, containmentPairs, gopherRules,
     tokenFertility, goodTuring, termBurstiness, textrankKeywords,
-    tfidfCosinePairs)
+    tfidfCosinePairs, chao1Vocab)
 
 }

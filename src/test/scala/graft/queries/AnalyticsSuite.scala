@@ -368,6 +368,43 @@ class AnalyticsSuite extends SparkSpec {
     assert(q > -1 && q < 1, s"Q out of range: $q")
   }
 
+  test("item_cf_recs: recommendations replay a naive basket cosine") {
+    val rows = GraphOps.itemCfRecs.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 50)
+    val op = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pop = op.groupBy(_._2).map { case (p, l) => p -> l.length.toLong }
+    val co = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    op.groupBy(_._1).values.foreach { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        co((ps(i), ps(j))) += 1
+    }
+    val top10 = pop.toSeq.sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+    rows.groupBy(_._1).foreach { case (anchor, recs) =>
+      assert(top10(anchor), s"anchor $anchor not in top-10 popular")
+      // each rec's sim replays the basket cosine
+      recs.foreach { case (a, b, nCo, sim) =>
+        val cnt = co.getOrElse((math.min(a, b), math.max(a, b)), 0L)
+        assert(cnt == nCo, s"pair ($a,$b): $nCo vs $cnt")
+        val exp = math.floor(cnt / math.sqrt((pop(a) * pop(b)).toDouble)
+          * 1000000 + 0.5) / 1000000
+        assert(math.abs(sim - exp) < 1e-9)
+      }
+      // and they are the true top-5 by (sim, rec)
+      val cands = co.collect {
+        case ((u, v), c) if u == anchor || v == anchor =>
+          val other = if (u == anchor) v else u
+          (other, c / math.sqrt((pop(anchor) * pop(other)).toDouble))
+      }.toSeq.sortBy(t => (-t._2, t._1)).take(5).map(_._1)
+      assert(recs.map(_._2).toSeq == cands,
+        s"anchor $anchor: ${recs.map(_._2).toSeq} vs $cands")
+    }
+  }
+
   test("graph_diameter: double sweep replays a naive capped BFS") {
     val row = GraphOps.graphDiameter.run(spark, sfDir).collect().head
     val (s0, ecc1, far, diam, nReach) = (row.getLong(0), row.getInt(1),

@@ -376,6 +376,27 @@ class ProfileOpsSuite extends SparkSpec {
       assert(math.abs(a - b) < 2e-6) }
   }
 
+  test("chao1_vocab: estimator replays the trigram frequency head") {
+    val row = TextOps.chao1Vocab.run(spark, sfDir).collect().head
+    val (n, v, f1, f2, chao1, cov) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getDouble(4), row.getDouble(5))
+    val grams = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().flatMap { r =>
+        val ts = r.getString(0).split(" ", -1)
+        ts.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+      }
+    val counts = grams.groupBy(identity).map(_._2.size)
+    assert(n == grams.length.toLong && v == counts.size.toLong)
+    assert(f1 == counts.count(_ == 1).toLong)
+    assert(f2 == counts.count(_ == 2).toLong)
+    assert(chao1 >= v, "Chao1 never estimates below the observed richness")
+    val exp = math.floor((v + f1.toDouble * (f1 - 1) / (2 * (f2 + 1)))
+      * 10000 + 0.5) / 10000
+    assert(math.abs(chao1 - exp) < 1e-9)
+    assert(math.abs(cov - math.floor((1 - f1.toDouble / n) * 1000000 + 0.5)
+      / 1000000) < 1e-9)
+  }
+
   test("audio_features: features replay the fixture formula driver-side") {
     val got = PipelineOps.audioFeatures.run(spark, sfDir).collect()
       .map(r => r.getLong(0) ->

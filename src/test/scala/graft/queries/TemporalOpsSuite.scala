@@ -198,6 +198,31 @@ class TemporalOpsSuite extends SparkSpec {
     }
   }
 
+  test("decayed_popularity: scores replay a k-sorted dyadic fold") {
+    val rows = TemporalOps.decayedPopularity.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 15)
+    val data = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_partkey"),
+        expr("CAST(datediff(TIMESTAMP '2001-08-01 00:00:00', o_orderdate) " +
+          "div 28 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val scores = data.groupBy(_._1).map { case (p, l) =>
+      val byK = l.groupBy(_._2).map { case (k, g) => (k, g.length.toLong) }
+        .toSeq.sortBy(_._1)
+      val sc = byK.foldLeft(0.0) { case (acc, (k, cnt)) =>
+        acc + cnt * math.pow(0.5, k.toDouble)
+      }
+      (p, l.length.toLong, math.floor(sc * 10000 + 0.5) / 10000)
+    }.toSeq
+    val expTop = scores.sortBy(t => (-t._3, t._1)).take(15)
+    assert(rows.toSeq == expTop, s"${rows.toSeq}\nvs\n$expTop")
+    // recency dominance: a score can never exceed the order count
+    rows.foreach { case (_, n, sc) => assert(sc <= n + 1e-9) }
+  }
+
   test("sax_symbols: words replay a naive per-user SAX pipeline") {
     val got = TemporalOps.saxSymbols.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1))
