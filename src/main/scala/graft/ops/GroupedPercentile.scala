@@ -31,30 +31,45 @@ object GroupedPercentile {
     * here); rank ties between equal values are broken arbitrarily but
     * harmlessly (equal values interpolate to the same result). */
   def exact(df: DataFrame, groupCol: String, valueCol: String,
-      q: Double, outCol: String): DataFrame = {
-    require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0, 1]")
+      q: Double, outCol: String): DataFrame =
+    exactMulti(df, groupCol, valueCol, Seq(q -> outCol))
+
+  /** Multi-quantile form: ONE range shuffle + rank pass serves every
+    * requested quantile (ship_latency's p50+p90 halved its wall time
+    * moving off two exact() calls). Same interpolation contract. */
+  def exactMulti(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(Double, String)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(t => t._1 >= 0.0 && t._1 <= 1.0),
+      s"quantiles ${qs.map(_._1)} outside [0, 1]")
     val ranked = DistributedNtile.withGlobalRank(
       df.select(col(groupCol), col(valueCol).cast("double").as(valueCol)),
       Seq(col(groupCol), col(valueCol)))
     // group extents in the global order — one small row per group
-    val stats = ranked.groupBy(groupCol)
+    var stats = ranked.groupBy(groupCol)
       .agg(min("global_rank").as("start"), count(lit(1)).as("n"))
-      .withColumn("pos", (col("n") - 1) * lit(q))
-      .withColumn("lo", floor(col("pos")).cast("long"))
-      .withColumn("hi", ceil(col("pos")).cast("long"))
-    ranked.join(broadcast(stats), groupCol)
+    qs.zipWithIndex.foreach { case ((q, _), i) =>
+      stats = stats.withColumn(s"pos_$i", (col("n") - 1) * lit(q))
+        .withColumn(s"lo_$i", floor(col(s"pos_$i")).cast("long"))
+        .withColumn(s"hi_$i", ceil(col(s"pos_$i")).cast("long"))
+    }
+    val boundary = qs.indices
+      .map(i => col("lr") === col(s"lo_$i") || col("lr") === col(s"hi_$i"))
+      .reduce(_ || _)
+    val joined = ranked.join(broadcast(stats), groupCol)
       .withColumn("lr", col("global_rank") - col("start")) // 0-based local
-      .filter(col("lr") === col("lo") || col("lr") === col("hi"))
-      // lo == hi (integer position) yields ONE row matching both arms;
-      // min() collapses it into both vlo and vhi
-      .groupBy(groupCol)
-      .agg(
-        min(col("pos")).as("pos"),
-        min(col("lo")).as("lo"),
-        min(when(col("lr") === col("lo"), col(valueCol))).as("vlo"),
-        min(when(col("lr") === col("hi"), col(valueCol))).as("vhi"))
-      .select(col(groupCol),
-        (col("vlo") + (col("pos") - col("lo")) * (col("vhi") - col("vlo")))
-          .as(outCol))
+      .filter(boundary)
+    // lo == hi (integer position) yields ONE row matching both arms;
+    // min() collapses it into both vlo and vhi
+    val aggs = qs.indices.flatMap { i =>
+      Seq(min(col(s"pos_$i")).as(s"posv_$i"),
+        min(col(s"lo_$i")).as(s"lov_$i"),
+        min(when(col("lr") === col(s"lo_$i"), col(valueCol))).as(s"vlo_$i"),
+        min(when(col("lr") === col(s"hi_$i"), col(valueCol))).as(s"vhi_$i"))
+    }
+    joined.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol) +: qs.zipWithIndex.map { case ((_, name), i) =>
+        (col(s"vlo_$i") + (col(s"posv_$i") - col(s"lov_$i"))
+          * (col(s"vhi_$i") - col(s"vlo_$i"))).as(name)
+      }: _*)
   }
 }

@@ -1522,10 +1522,118 @@ object TemporalOps {
       .orderBy(col("decayed_score").desc, col("part")).limit(15)
   }
 
+  /** Event-sequence pattern matching (the MATCH_RECOGNIZE shape): each
+    * user's journey compresses to an ordered event-initial string —
+    * one (ts, event_id)-sorted fold per user, journeys are bounded by
+    * per-user activity — and the pattern "click, then purchase, with
+    * no error between" is the regex `c[^e]*p` counted per journey.
+    * Regex runs once per USER (≤ ~70 chars), never per event; both
+    * engines scan leftmost-first with the same greedy semantics, so
+    * non-overlapping match counts agree. Emits the top-20 converting
+    * journeys. */
+  val eventRegexMatch: Q = Q(
+    "event_regex_match",
+    """WITH j AS (SELECT user_id,
+      |    string_agg(CASE event_type WHEN 'click' THEN 'c'
+      |      WHEN 'view' THEN 'v' WHEN 'signup' THEN 's'
+      |      WHEN 'purchase' THEN 'p' ELSE 'e' END,
+      |      '' ORDER BY ts, event_id) AS journey
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(length(journey) AS BIGINT) AS n_events,
+      |  CAST(len(regexp_extract_all(journey, 'c[^e]*p')) AS BIGINT)
+      |    AS n_matches
+      |FROM j
+      |WHERE len(regexp_extract_all(journey, 'c[^e]*p')) > 0
+      |ORDER BY n_matches DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "click", "c")
+          .when(col("event_type") === "view", "v")
+          .when(col("event_type") === "signup", "s")
+          .when(col("event_type") === "purchase", "p")
+          .otherwise("e").as("ini"))
+      .groupBy("user_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(ts, event_id, ini))), t -> t.ini), '')").as("journey"))
+      .select(col("user_id"),
+        length(col("journey")).cast("long").as("n_events"),
+        expr("CAST(regexp_count(journey, 'c[^e]*p') AS BIGINT)")
+          .as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("n_matches").desc, col("user_id")).limit(20)
+  }
+
+  /** Trailing 14-day rolling correlation between daily purchase
+    * revenue and daily click volume — "does engagement still track
+    * spend this fortnight", the co-movement monitor behind anomaly
+    * alerts. Each day fans out to the ≤14 window ends it supports
+    * (sliding_distinct_users' bounded-explode device — shuffle ∝ the
+    * DAILY table, never the raw events), windows collapse to exact
+    * BIGINT co-moments, and r's numerator/denominator are assembled
+    * from those integers with IEEE-only double steps (the variance
+    * product crosses 2⁶³, so the two factors convert exactly to
+    * doubles first). Full 14-day windows only; zero-variance guards
+    * keep ANSI mode happy. */
+  val rollingCorr: Q = Q(
+    "rolling_corr",
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |days AS (SELECT day FROM daily),
+      |fan AS (SELECT d.day + o * INTERVAL 1 DAY AS wend, d.x, d.y
+      |  FROM daily d CROSS JOIN (SELECT unnest(range(0, 14)) AS o)),
+      |w AS (SELECT f.wend, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(f.x) AS BIGINT) AS sx, CAST(sum(f.y) AS BIGINT) AS sy,
+      |    CAST(sum(f.x * f.y) AS BIGINT) AS sxy,
+      |    CAST(sum(f.x * f.x) AS BIGINT) AS sxx,
+      |    CAST(sum(f.y * f.y) AS BIGINT) AS syy
+      |  FROM fan f JOIN days dy ON dy.day = f.wend
+      |  GROUP BY f.wend)
+      |SELECT strftime(wend, '%Y-%m-%d') AS window_end,
+      |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+      |    floor((CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |             * CAST(n * syy - sy * sy AS DOUBLE)))
+      |      * 1000000 + 0.5) / 1000000 END AS corr_14d
+      |FROM w WHERE n = 14 ORDER BY window_end""".stripMargin) { (s, d) =>
+    val daily = ev(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("y"))
+    val days = daily.select(col("day").as("dday"))
+    val w = daily
+      .withColumn("o", explode(sequence(lit(0), lit(13))))
+      .select((col("day") + expr("make_interval(0, 0, 0, o, 0, 0, 0)"))
+        .as("wend"), col("x"), col("y"))
+      .join(broadcast(days), col("wend") === col("dday"), "left_semi")
+      .groupBy("wend")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n") === 14)
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    w.select(date_format(col("wend"), "yyyy-MM-dd").as("window_end"),
+        when(vx > 0 && vy > 0,
+          floor(((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / sqrt(vx.cast("double") * vy.cast("double")))
+            * 1000000 + lit(0.5)) / 1000000).as("corr_14d"))
+      .orderBy("window_end")
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
     seasonalDecompose, markovStationary, entropyRate, forecastBacktest,
     seqSupport, funnelLatency, inventoryRunout, hampelFilter, holtWinters,
-    saxSymbols, shapleyAttribution, decayedPopularity)
+    saxSymbols, shapleyAttribution, decayedPopularity, eventRegexMatch,
+    rollingCorr)
 }

@@ -744,9 +744,43 @@ object TpchLike {
       .limit(100)
   }
 
+  /** Order-to-ship latency SLA percentiles per order priority — the
+    * fulfillment dashboard query: exact interpolated p50/p90 of
+    * (ship date − order date) in days, computed through the
+    * distributed range-partitioned rank path (GroupedPercentile —
+    * never buffers a group; two quantile passes share the join
+    * input). Day deltas are exact integers; interpolation is the one
+    * deterministic double step. */
+  val shipLatency: Q = Q(
+    "ship_latency",
+    """WITH l AS (SELECT o.o_orderpriority AS pri,
+      |    CAST(date_diff('day', o.o_orderdate, li.l_shipdate) AS DOUBLE)
+      |      AS lat
+      |  FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey)
+      |SELECT pri AS o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  floor(quantile_cont(lat, 0.50) * 10000 + 0.5) / 10000 AS p50_days,
+      |  floor(quantile_cont(lat, 0.90) * 10000 + 0.5) / 10000 AS p90_days
+      |FROM l GROUP BY pri ORDER BY pri""".stripMargin) { (s, d) =>
+    val l = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority").as("pri"),
+        expr("CAST(datediff(l_shipdate, o_orderdate) AS DOUBLE)").as("lat"))
+    val counts = l.groupBy("pri").agg(count(lit(1)).as("n_lines"))
+    val ps = graft.ops.GroupedPercentile.exactMulti(l, "pri", "lat",
+      Seq(0.50 -> "p50", 0.90 -> "p90"))
+    counts.join(ps, "pri")
+      .select(col("pri").as("o_orderpriority"), col("n_lines"),
+        (floor(col("p50") * 10000 + lit(0.5)) / 10000).as("p50_days"),
+        (floor(col("p90") * 10000 + lit(0.5)) / 10000).as("p90_days"))
+      .orderBy("o_orderpriority")
+  }
+
+
   val all: Seq[Q] = Seq(q60TpchQ3, q61TpchQ5, q62TpchQ10, q76TpchQ17,
     q77TpchQ18, q83TpchQ7, q84TpchQ14, q85TpchQ19, q86TpchQ22,
     q89TpchQ4, q90TpchQ12, q91TpchQ15, q92TpchQ21,
     q98TpchQ6, q99TpchQ13, q100TpchQ8, q101TpchQ9, q102TpchQ11,
-    q103TpchQ16, q104TpchQ20, q105TpchQ2)
+    q103TpchQ16, q104TpchQ20, q105TpchQ2, shipLatency)
+
 }

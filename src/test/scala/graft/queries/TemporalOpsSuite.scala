@@ -198,6 +198,93 @@ class TemporalOpsSuite extends SparkSpec {
     }
   }
 
+  test("event_regex_match: counts replay a per-user journey regex") {
+    val got = TemporalOps.eventRegexMatch.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val journeys = ev.groupBy(_._1).map { case (u, l) =>
+      u -> l.sortBy(e => (e._2, e._3)).map(e => e._4 match {
+        case "click" => 'c'; case "view" => 'v'; case "signup" => 's'
+        case "purchase" => 'p'; case _ => 'e'
+      }).mkString
+    }
+    val pat = java.util.regex.Pattern.compile("c[^e]*p")
+    val counts = journeys.map { case (u, j) =>
+      val m = pat.matcher(j); var c = 0L
+      while (m.find()) c += 1
+      (u, j.length.toLong, c)
+    }.filter(_._3 > 0).toSeq
+      .sortBy(t => (-t._3, t._1)).take(20)
+    assert(got.toSeq == counts, s"${got.toSeq}\nvs\n$counts")
+  }
+
+  test("rolling_corr: windows replay exact co-moments; r in [-1, 1]") {
+    val rows = TemporalOps.rollingCorr.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, c) => assert(c >= -1 - 1e-9 && c <= 1 + 1e-9) }
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .agg(sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100 + lit(0.5)).cast("long")).otherwise(0L))
+          .as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val expected = daily.indices.flatMap { i =>
+      if (i < 13) None
+      else {
+        val w = daily.slice(i - 13, i + 1)
+        val n = w.length.toLong
+        val (sx, sy) = (w.map(_._2).sum, w.map(_._3).sum)
+        val sxy = w.map(t => t._2 * t._3).sum
+        val sxx = w.map(t => t._2 * t._2).sum
+        val syy = w.map(t => t._3 * t._3).sum
+        val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+        if (vx <= 0 || vy <= 0) Some((daily(i)._1, Double.NaN))
+        else Some((daily(i)._1, math.floor(
+          (n * sxy - sx * sy).toDouble / math.sqrt(vx.toDouble * vy.toDouble)
+            * 1000000 + 0.5) / 1000000))
+      }
+    }
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case ((d1, c1), (d2, c2)) =>
+      assert(d1 == d2 && math.abs(c1 - c2) < 1e-9, s"$d1: $c1 vs $c2")
+    }
+  }
+
+  test("ship_latency: percentiles replay a sorted interpolation") {
+    val got = TpchLike.shipLatency.run(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val lats = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        expr("CAST(datediff(l_shipdate, o_orderdate) AS DOUBLE)"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1)
+    assert(got.keySet == lats.keySet)
+    lats.foreach { case (pri, l) =>
+      val v = l.map(_._2).sorted
+      def q(p: Double): Double = {
+        val pos = (v.length - 1) * p
+        val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+        val x = v(lo) + (pos - lo) * (v(hi) - v(lo))
+        math.floor(x * 10000 + 0.5) / 10000
+      }
+      val (n, p50, p90) = got(pri)
+      assert(n == v.length.toLong)
+      assert(math.abs(p50 - q(0.5)) < 1e-9, s"$pri p50 $p50 vs ${q(0.5)}")
+      assert(math.abs(p90 - q(0.9)) < 1e-9, s"$pri p90 $p90 vs ${q(0.9)}")
+    }
+  }
+
   test("decayed_popularity: scores replay a k-sorted dyadic fold") {
     val rows = TemporalOps.decayedPopularity.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
