@@ -879,8 +879,123 @@ object DedupAnn {
       .orderBy(col("csize").desc, col("component")).limit(15)
   }
 
+  /** B-cubed clustering evaluation (Bagga & Baldwin 1998) of a LOOSE
+    * dedup threshold against the gold one — the metric that answers
+    * "if I cut the near-dup threshold from 0.8 to 0.02 Jaccard, how
+    * much do I over-merge?" per DOCUMENT (B³ weights by item, so one
+    * giant wrong cluster is penalized in proportion to its size,
+    * unlike pair-F1). Both clusterings run on the ≤80-doc audit slice
+    * (bounded, like ngram_jaccard_pairs); thresholds compare as EXACT
+    * integer cross-products (inter·50 ≥ union ⟺ J ≥ 0.02; inter·5 ≥
+    * union·4 ⟺ J ≥ 0.8) so no double ever decides an edge; labels
+    * come from the shared ConnectedComponents fixpoint; and the B³
+    * sums Σ m²/n_cluster fold (sys, gold)-sorted so both engines add
+    * identical doubles in identical order. */
+  val bcubedEval: Q = Q(
+    "bcubed_eval",
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-3, 0) + 2),
+      |    i -> array_to_string(ts[i:i+2], ' '))) AS grams
+      |  FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents) t
+      |  WHERE doc_id < 80),
+      |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS i,
+      |    CAST(len(list_distinct(a.grams || b.grams)) AS BIGINT) AS u
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |se AS (SELECT id_a, id_b FROM pr WHERE i * 50 >= u),
+      |ge AS (SELECT id_a, id_b FROM pr WHERE i * 5 >= u * 4),
+      |ssym AS (SELECT id_a AS src, id_b AS dst FROM se
+      |         UNION SELECT id_b, id_a FROM se),
+      |sreach AS (SELECT src AS node, src AS r FROM ssym
+      |  UNION SELECT sreach.node, ssym.dst
+      |  FROM sreach JOIN ssym ON sreach.r = ssym.src),
+      |slbl AS (SELECT node AS doc_id, min(r) AS sc FROM sreach
+      |         GROUP BY node),
+      |gsym AS (SELECT id_a AS src, id_b AS dst FROM ge
+      |         UNION SELECT id_b, id_a FROM ge),
+      |greach AS (SELECT src AS node, src AS r FROM gsym
+      |  UNION SELECT greach.node, gsym.dst
+      |  FROM greach JOIN gsym ON greach.r = gsym.src),
+      |glbl AS (SELECT node AS doc_id, min(r) AS gc FROM greach
+      |         GROUP BY node),
+      |t AS (SELECT sh.doc_id, COALESCE(slbl.sc, sh.doc_id) AS sc,
+      |    COALESCE(glbl.gc, sh.doc_id) AS gc
+      |  FROM sh LEFT JOIN slbl ON slbl.doc_id = sh.doc_id
+      |  LEFT JOIN glbl ON glbl.doc_id = sh.doc_id),
+      |cells AS (SELECT sc, gc, CAST(count(*) AS BIGINT) AS m
+      |          FROM t GROUP BY 1, 2),
+      |nsc AS (SELECT sc, CAST(sum(m) AS BIGINT) AS ns FROM cells
+      |        GROUP BY sc),
+      |ngc AS (SELECT gc, CAST(sum(m) AS BIGINT) AS ng FROM cells
+      |        GROUP BY gc),
+      |one AS (SELECT CAST(sum(c.m) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT c.sc) AS BIGINT) AS n_sys,
+      |    CAST(count(DISTINCT c.gc) AS BIGINT) AS n_gold,
+      |    list(c.m ORDER BY c.sc, c.gc) AS ms,
+      |    list(s.ns ORDER BY c.sc, c.gc) AS nss,
+      |    list(g.ng ORDER BY c.sc, c.gc) AS ngs
+      |  FROM cells c JOIN nsc s ON s.sc = c.sc
+      |  JOIN ngc g ON g.gc = c.gc),
+      |sums AS (SELECT n, n_sys, n_gold,
+      |    list_aggregate(list_transform(range(1, len(ms) + 1),
+      |      i -> CAST(ms[i] * ms[i] AS DOUBLE) / nss[i]), 'sum') AS psum,
+      |    list_aggregate(list_transform(range(1, len(ms) + 1),
+      |      i -> CAST(ms[i] * ms[i] AS DOUBLE) / ngs[i]), 'sum') AS rsum
+      |  FROM one)
+      |SELECT n AS n_docs, n_sys AS n_sys_clusters, n_gold AS n_gold_clusters,
+      |  floor(psum / n * 1000000 + 0.5) / 1000000 AS b3_precision,
+      |  floor(rsum / n * 1000000 + 0.5) / 1000000 AS b3_recall,
+      |  floor(2 * (psum / n) * (rsum / n) / (psum / n + rsum / n)
+      |    * 1000000 + 0.5) / 1000000 AS b3_f1
+      |FROM sums""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d).filter(col("doc_id") < 80)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, greatest(size(ts) - 3, 0) + 1), " +
+          "i -> concat_ws(' ', ts[i - 1], ts[i], ts[i + 1])))").as("grams"))
+    val a = sh.select(col("doc_id").as("id_a"), col("grams").as("ga"))
+    val b = sh.select(col("doc_id").as("id_b"), col("grams").as("gb"))
+    val pr = a.join(b, col("id_a") < col("id_b")) // <80-doc audit slice
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("i"),
+        size(array_union(col("ga"), col("gb"))).cast("long").as("u"))
+    val se = pr.filter(col("i") * 50 >= col("u")).select("id_a", "id_b")
+    val ge = pr.filter(col("i") * 5 >= col("u") * 4).select("id_a", "id_b")
+    val slbl = graft.dedup.ConnectedComponents.components(se)
+      .select(col("id").as("doc_id"), col("label").as("sc"))
+    val glbl = graft.dedup.ConnectedComponents.components(ge)
+      .select(col("id").as("doc_id"), col("label").as("gc"))
+    val t = sh.select("doc_id")
+      .join(slbl, Seq("doc_id"), "left")
+      .join(glbl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sc"), col("doc_id")).as("sc"),
+        coalesce(col("gc"), col("doc_id")).as("gc"))
+    val cells = t.groupBy("sc", "gc").agg(count(lit(1)).as("m"))
+    val nsc = cells.groupBy("sc").agg(sum("m").as("ns"))
+    val ngc = cells.groupBy("gc").agg(sum("m").as("ng"))
+    val one = cells.join(nsc, "sc").join(ngc, "gc")
+      .agg(sum("m").as("n"),
+        countDistinct("sc").as("n_sys"), countDistinct("gc").as("n_gold"),
+        expr("array_sort(collect_list(struct(sc, gc, m, ns, ng)))")
+          .as("cl"))
+      .withColumn("psum", expr("aggregate(cl, 0D, (a, t) -> " +
+        "a + CAST(t.m * t.m AS DOUBLE) / t.ns)"))
+      .withColumn("rsum", expr("aggregate(cl, 0D, (a, t) -> " +
+        "a + CAST(t.m * t.m AS DOUBLE) / t.ng)"))
+    one.select(col("n").as("n_docs"), col("n_sys").as("n_sys_clusters"),
+      col("n_gold").as("n_gold_clusters"),
+      (floor(col("psum") / col("n") * 1000000 + lit(0.5)) / 1000000)
+        .as("b3_precision"),
+      (floor(col("rsum") / col("n") * 1000000 + lit(0.5)) / 1000000)
+        .as("b3_recall"),
+      (floor(lit(2) * (col("psum") / col("n")) * (col("rsum") / col("n"))
+        / (col("psum") / col("n") + col("rsum") / col("n"))
+        * 1000000 + lit(0.5)) / 1000000).as("b3_f1"))
+  }
+
   val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, dedupComponents,
     dedupKeepBest, simhashPairs, annTopK, cosineDedupStats, ivfTopK,
     pqEncode, pqAdcTopK, ivfpqTopK, setsimJoin, dupSpans, mmrRerank,
-    goldenRecord)
+    goldenRecord, bcubedEval)
 }

@@ -1746,6 +1746,67 @@ object StatOps {
       .orderBy("nation")
   }
 
+  /** Brown–Forsythe robust variance-homogeneity test (Levene's test
+    * with group MEDIANS — the recommended form under non-normality):
+    * are quantity spreads equal across return-flag groups? The
+    * assumption check that gates anova_quantity's pooled-variance F.
+    * Group medians come from the distributed GroupedPercentile rank
+    * path; absolute deviations stay EXACT integers via the ×2 device
+    * (|2q − 2·med| — an integer even when the median interpolates to
+    * .5), and the one-way F over deviations is fixed-form double
+    * algebra on exact BIGINT moments. */
+  val leveneTest: Q = Q(
+    "levene_test",
+    """WITH q AS (SELECT l_returnflag AS g,
+      |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS y FROM lineitem),
+      |med AS (SELECT g, CAST(2 * quantile_cont(y, 0.50) AS BIGINT) AS m2
+      |        FROM (SELECT g, CAST(y AS DOUBLE) AS y FROM q) GROUP BY g),
+      |dv AS (SELECT q.g, abs(2 * q.y - med.m2) AS d
+      |       FROM q JOIN med ON med.g = q.g),
+      |gm AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(d) AS BIGINT) AS s,
+      |    CAST(sum(d * d) AS BIGINT) AS ss FROM dv GROUP BY g),
+      |tot0 AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+      |    CAST(sum(s) AS BIGINT) AS st,
+      |    CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(ss) AS BIGINT) AS sst,
+      |    list(s ORDER BY g) AS sl, list(n ORDER BY g) AS nl
+      |  FROM gm),
+      |tot AS (SELECT nn, st, k, sst,
+      |    list_aggregate(list_transform(range(1, len(sl) + 1),
+      |      i -> CAST(sl[i] AS DOUBLE) * sl[i] / nl[i]), 'sum') AS sb
+      |  FROM tot0)
+      |SELECT k AS n_groups, nn AS n_rows,
+      |  floor((sb - CAST(st AS DOUBLE) * st / nn) * 10000 + 0.5) / 10000
+      |    AS ss_between,
+      |  floor((sst - sb) * 10000 + 0.5) / 10000 AS ss_within,
+      |  floor(((sb - CAST(st AS DOUBLE) * st / nn) / (k - 1))
+      |    / ((sst - sb) / (nn - k)) * 1000000 + 0.5) / 1000000 AS f_stat
+      |FROM tot""".stripMargin) { (s, d) =>
+    val q = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("g"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("y"))
+    val med = graft.ops.GroupedPercentile.exact(q, "g", "y", 0.5, "med")
+      .select(col("g"), (lit(2) * col("med")).cast("long").as("m2"))
+    val gm = q.join(med, "g")
+      .select(col("g"), abs(lit(2) * col("y") - col("m2")).as("d"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("d").as("s"),
+        sum(col("d") * col("d")).as("ss"))
+    val tot = gm.agg(sum("n").as("nn"), sum("s").as("st"),
+      count(lit(1)).as("k"), sum("ss").as("sst"),
+      expr("aggregate(array_sort(collect_list(struct(g, s, n))), 0D, " +
+        "(a, t) -> a + CAST(t.s AS DOUBLE) * t.s / t.n)").as("sb"))
+    tot.select(col("k").as("n_groups"), col("nn").as("n_rows"),
+      (floor((col("sb") - col("st").cast("double") * col("st") / col("nn"))
+        * 10000 + lit(0.5)) / 10000).as("ss_between"),
+      (floor((col("sst") - col("sb")) * 10000 + lit(0.5)) / 10000)
+        .as("ss_within"),
+      (floor(((col("sb") - col("st").cast("double") * col("st") / col("nn"))
+        / (col("k") - 1)) / ((col("sst") - col("sb")) / (col("nn") - col("k")))
+        * 1000000 + lit(0.5)) / 1000000).as("f_stat"))
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
@@ -1753,7 +1814,7 @@ object StatOps {
       anovaQuantity, cramersV, multiregNormal, poissonBootstrap,
       lorenzDeciles, rfmSegments, abcClass, didEstimate, cupedAdjust,
       propZtest, abPowerMde, jamesStein, simpsonCheck, bhFdr, psMatch,
-      iv2sls, sprtMonitor, wilsonCi)
+      iv2sls, sprtMonitor, wilsonCi, leveneTest)
 
   /** James–Stein shrinkage of the 25 per-nation mean order values
     * toward the grand mean (James & Stein 1961; the empirical-Bayes

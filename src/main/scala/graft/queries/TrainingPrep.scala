@@ -189,6 +189,91 @@ object TrainingPrep {
       .orderBy("source")
   }
 
+  /** Skip-gram training-pair generation with deterministic negative
+    * sampling (word2vec's data-prep stage, Mikolov 2013): positives
+    * are (center, context) pairs within a ±2 window — two lead
+    * columns from ONE doc-partitioned pass, never a self-join — and
+    * each positive draws one negative from the sorted vocabulary by a
+    * position-keyed multiplicative hash (reproducible across runs and
+    * engines; the real pipeline's seeded sampler). The gate pins the
+    * ENTIRE generated multiset, not just counts: the output carries
+    * an order-independent md5+poly31 fingerprint per label (the
+    * table_fingerprint device), so one wrong pair anywhere breaks the
+    * hash match. Vocabulary is a 1-row broadcast; generation is
+    * map-only. */
+  val skipgramPairs: Q = Q(
+    "skipgram_pairs",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+      |           FROM documents),
+      |tok AS (SELECT doc_id, q.i AS pos, ts[q.i] AS w FROM t,
+      |  LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) q(i)),
+      |led AS (SELECT doc_id, pos, w AS center,
+      |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS c1,
+      |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS c2
+      |  FROM tok),
+      |vocab AS (SELECT list(w ORDER BY w) AS vl,
+      |    CAST(count(*) AS BIGINT) AS v
+      |  FROM (SELECT DISTINCT w FROM tok)),
+      |pos1 AS (
+      |  SELECT doc_id, pos, center, c1 AS ctx, 1 AS off FROM led
+      |  WHERE c1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, pos, center, c2, 2 FROM led WHERE c2 IS NOT NULL),
+      |pairs AS (
+      |  SELECT center, ctx, CAST(1 AS BIGINT) AS lbl FROM pos1
+      |  UNION ALL
+      |  SELECT p.center,
+      |    vl[CAST(((p.doc_id % 524287) * 8191 + p.pos * 131
+      |      + p.off * 7919) % 1000003 % v + 1 AS BIGINT)],
+      |    CAST(0 AS BIGINT)
+      |  FROM pos1 p CROSS JOIN vocab),
+      |h AS (SELECT lbl, center, ctx,
+      |    md5(center || '|' || ctx || '|' || CAST(lbl AS VARCHAR)) AS hh
+      |  FROM pairs)
+      |SELECT lbl, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(count(DISTINCT center || '|' || ctx) AS BIGINT) AS n_distinct,
+      |  CAST(sum(list_aggregate(list_transform(range(0, 8),
+      |    j -> ascii(substring(hh, CAST(j + 1 AS INTEGER), 1))
+      |         * CAST(pow(31, j) AS BIGINT)), 'sum') % 1000003) AS BIGINT)
+      |    AS fingerprint
+      |FROM h GROUP BY lbl ORDER BY lbl""".stripMargin) { (s, d) =>
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+    val led = tok.select(col("doc_id"), col("pos"), col("w").as("center"),
+      lead("w", 1).over(wDoc).as("c1"), lead("w", 2).over(wDoc).as("c2"))
+    val pos1 = led.filter(col("c1").isNotNull)
+      .select(col("doc_id"), col("pos"), col("center"),
+        col("c1").as("ctx"), lit(1).as("off"))
+      .unionAll(led.filter(col("c2").isNotNull)
+        .select(col("doc_id"), col("pos"), col("center"),
+          col("c2").as("ctx"), lit(2).as("off")))
+    val vocab = tok.select("w").distinct()
+      .agg(expr("array_sort(collect_list(w))").as("vl"),
+        count(lit(1)).as("v"))
+    val pairs = pos1.select(col("center"), col("ctx"), lit(1L).as("lbl"))
+      .unionAll(pos1.crossJoin(broadcast(vocab)) // 1-row vocabulary
+        .select(col("center"),
+          expr("element_at(vl, CAST(((doc_id % 524287) * 8191 + pos * 131 " +
+            "+ off * 7919) % 1000003 % v + 1 AS INT))").as("ctx"),
+          lit(0L).as("lbl")))
+    val poly = expr("aggregate(transform(sequence(0, 7), " +
+      "j -> ascii(substring(hh, CAST(j + 1 AS INT), 1)) " +
+      "* CAST(pow(31, j) AS BIGINT)), 0L, (a, x) -> a + x) % 1000003")
+    pairs
+      .withColumn("hh", md5(concat_ws("|", col("center"), col("ctx"),
+        col("lbl"))))
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(concat_ws("|", col("center"), col("ctx")))
+          .as("n_distinct"),
+        sum(poly).as("fingerprint"))
+      .orderBy("lbl")
+  }
+
   val all: Seq[Q] = Seq(docChunk, packSequences, embedQuantize, textNormalize,
-    mixtureAllocate)
+    mixtureAllocate, skipgramPairs)
 }

@@ -194,4 +194,53 @@ class DedupSuite extends SparkSpec {
     assert(out(1) === Seq("a b"))
     assert(out(2) === Seq("x x x"))
   }
+
+  test("bcubed_eval: B3 replays a naive union-find + per-doc average") {
+    val row = graft.queries.DedupAnn.bcubedEval.run(spark, sfDir)
+      .collect().head
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 80)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    def grams(ts: Array[String]): Set[String] = {
+      val n = math.max(ts.length - 3, 0) + 1
+      (1 to n).map(i => ts.slice(i - 1, i + 2).mkString(" ")).toSet
+    }
+    val g = docs.map { case (id, ts) => id -> grams(ts) }.toMap
+    val ids = docs.map(_._1).sorted
+    def clusters(pred: (Long, Long) => Boolean): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for (i <- ids; j <- ids if i < j && pred(i, j)) {
+        val (a, b) = (find(i), find(j))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+      ids.map(i => i -> find(i)).toMap
+    }
+    def jacEdge(mult: Int, umult: Int)(a: Long, b: Long): Boolean = {
+      val inter = g(a).intersect(g(b)).size.toLong
+      val uni = g(a).union(g(b)).size.toLong
+      inter * mult >= uni * umult
+    }
+    val sys = clusters(jacEdge(50, 1))
+    val gold = clusters(jacEdge(5, 4))
+    val n = ids.length
+    val bySys = ids.groupBy(sys)
+    val byGold = ids.groupBy(gold)
+    val p = ids.map { d =>
+      val c = bySys(sys(d)); val gcl = byGold(gold(d)).toSet
+      c.count(gcl).toDouble / c.length
+    }.sum / n
+    val r = ids.map { d =>
+      val gcl = byGold(gold(d)); val c = bySys(sys(d)).toSet
+      gcl.count(c).toDouble / gcl.length
+    }.sum / n
+    assert(row.getLong(0) == n.toLong)
+    assert(row.getLong(1) == bySys.size.toLong)
+    assert(row.getLong(2) == byGold.size.toLong)
+    assert(math.abs(row.getDouble(3) - p) < 1e-5, s"P ${row.getDouble(3)} vs $p")
+    assert(math.abs(row.getDouble(4) - r) < 1e-5, s"R ${row.getDouble(4)} vs $r")
+    assert(math.abs(row.getDouble(5) - 2 * p * r / (p + r)) < 1e-5)
+  }
 }

@@ -236,7 +236,9 @@ class ScaleOpsSuite extends SparkSpec {
                               // 1-row nested loops by construction)
       "ransac_fit",           // capped sample pair space + <=200-hypothesis
                               // broadcast + 1-row consensus winner
-      "sprt_monitor")         // 1-row first-crossing-day broadcast
+      "sprt_monitor",         // 1-row first-crossing-day broadcast
+      "bcubed_eval",          // <80-doc capped audit pair space
+      "skipgram_pairs")       // 1-row vocabulary broadcast
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

@@ -376,6 +376,43 @@ class ProfileOpsSuite extends SparkSpec {
       assert(math.abs(a - b) < 2e-6) }
   }
 
+  test("skipgram_pairs: generated multiset replays incl. fingerprint") {
+    val rows = TrainingPrep.skipgramPairs.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet == Set(0L, 1L))
+    // one negative per positive by construction
+    assert(rows(0L)._1 == rows(1L)._1)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val vocab = docs.flatMap(_._2).distinct.sorted
+    val v = vocab.length.toLong
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    docs.foreach { case (id, ts) =>
+      for (p0 <- ts.indices; off <- 1 to 2 if p0 + off < ts.length) {
+        val pos = p0 + 1L
+        pairs += ((ts(p0), ts(p0 + off), 1L))
+        val idx = ((id % 524287) * 8191 + pos * 131 + off * 7919) % 1000003 % v
+        pairs += ((ts(p0), vocab(idx.toInt), 0L))
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fp(c: String, x: String, l: Long): Long = {
+      val hex = md.digest(s"$c|$x|$l".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (0 until 8).map(j => hex(j).toLong * math.pow(31, j).toLong).sum % 1000003
+    }
+    Seq(0L, 1L).foreach { lbl =>
+      val sub = pairs.filter(_._3 == lbl)
+      val (n, nd, f) = rows(lbl)
+      assert(n == sub.length.toLong, s"lbl $lbl count")
+      assert(nd == sub.map(t => t._1 + "|" + t._2).distinct.length.toLong)
+      val expF = sub.map(t => fp(t._1, t._2, t._3)).sum
+      assert(f == expF, s"lbl $lbl fingerprint $f vs $expF")
+    }
+  }
+
   test("chao1_vocab: estimator replays the trigram frequency head") {
     val row = TextOps.chao1Vocab.run(spark, sfDir).collect().head
     val (n, v, f1, f2, chao1, cov) = (row.getLong(0), row.getLong(1),

@@ -733,6 +733,38 @@ class StatOpsSuite extends SparkSpec {
     }
   }
 
+  test("levene_test: Brown-Forsythe F replays a naive recompute") {
+    val row = StatOps.leveneTest.run(spark, sfDir).collect().head
+    val data = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity") + lit(0.5)).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    val devs = data.toSeq.sortBy(_._1).map { case (gname, l) =>
+      val v = l.map(_._2).sorted
+      val pos = (v.length - 1) * 0.5
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      val med2 = math.round(2 * (v(lo) + (pos - lo) * (v(hi) - v(lo))))
+      gname -> l.map(t => math.abs(2 * t._2 - med2))
+    }
+    val k = devs.length.toLong
+    val nn = devs.map(_._2.length).sum.toLong
+    val st = devs.map(_._2.sum).sum
+    val sst = devs.map(_._2.map(x => x * x).sum).sum
+    val sb = devs.map { case (_, ds) =>
+      val sg = ds.sum
+      sg.toDouble * sg / ds.length
+    }.sum
+    val ssb = sb - st.toDouble * st / nn
+    val ssw = sst - sb
+    val f = (ssb / (k - 1)) / (ssw / (nn - k))
+    assert(row.getLong(0) == k && row.getLong(1) == nn)
+    assert(math.abs(row.getDouble(2) - ssb) < 1e-2)
+    assert(math.abs(row.getDouble(3) - ssw) < 1e-2)
+    assert(math.abs(row.getDouble(4) - f) < 1e-4, s"F ${row.getDouble(4)} vs $f")
+    assert(row.getDouble(4) >= 0)
+  }
+
   test("iv_2sls: Wald estimate replays exact driver-side co-moments") {
     val row = StatOps.iv2sls.run(spark, sfDir).collect().head
     val b = graft.Tables.lineitem(spark, sfDir)
