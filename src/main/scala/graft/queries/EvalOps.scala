@@ -587,7 +587,45 @@ object EvalOps {
         (floor(col("mce") * 1000000 + lit(0.5)) / 1000000).as("mce"))
   }
 
+  /** McNemar's paired test (McNemar 1947, continuity-corrected) on
+    * the same two raters as cohen_kappa — κ asks "do they agree";
+    * McNemar asks the DIRECTIONAL question "when they disagree, is
+    * one systematically more positive", the test for comparing two
+    * classifiers on identical items. Only the discordant counts
+    * matter: χ² = (|b−c|−1)²/(b+c), every input an exact integer from
+    * the same single-scan confusion, one division. Significance at
+    * the χ²₁ 5% bound 3.841459. */
+  val mcnemarTest: Q = Q(
+    "mcnemar_test",
+    scoreCte + """,
+      |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN score / n_tokens > 0 AND lang <> 'en'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN score / n_tokens <= 0 AND lang = 'en'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS cc
+      |  FROM s)
+      |SELECT n AS n_docs, b, cc AS c, b + cc AS n_discordant,
+      |  floor(CAST((abs(b - cc) - 1) * (abs(b - cc) - 1) AS DOUBLE)
+      |    / (b + cc) * 1000000 + 0.5) / 1000000 AS chi2,
+      |  CAST((abs(b - cc) - 1) * (abs(b - cc) - 1) AS DOUBLE) / (b + cc)
+      |    > 3.841459 AS significant
+      |FROM c""".stripMargin) { (s, d) =>
+    val a = col("v") > 0
+    val en = col("lang") === "en"
+    val c = scoredDocs(s, d).agg(
+      count(lit(1)).as("n"),
+      sum(when(a && !en, 1L).otherwise(0L)).as("b"),
+      sum(when(!a && en, 1L).otherwise(0L)).as("cc"))
+    val num = ((abs(col("b") - col("cc")) - 1)
+      * (abs(col("b") - col("cc")) - 1)).cast("double")
+    c.select(col("n").as("n_docs"), col("b"), col("cc").as("c"),
+      (col("b") + col("cc")).as("n_discordant"),
+      (floor(num / (col("b") + col("cc")) * 1000000 + lit(0.5)) / 1000000)
+        .as("chi2"),
+      (num / (col("b") + col("cc")) > 3.841459).as("significant"))
+  }
+
   val all: Seq[Q] =
     Seq(aucRoc, prCurve, ndcgRetrieval, conformalInterval, miFeatures,
-      isotonicCalibration, cohenKappa, eceCalibration)
+      isotonicCalibration, cohenKappa, eceCalibration, mcnemarTest)
 }

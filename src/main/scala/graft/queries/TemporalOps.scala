@@ -1629,11 +1629,68 @@ object TemporalOps {
       .orderBy("window_end")
   }
 
+  /** Dickey–Fuller unit-root test (no-lag form, Dickey & Fuller 1979)
+    * on the daily revenue series — "is this series mean-reverting or
+    * a random walk", the stationarity check run before ARIMA-family
+    * modeling. Δy_t regresses on (1, y_{t−1}) with the lag pairs
+    * built as a DATE-KEYED equi-join of the daily aggregate with
+    * itself (acf's device — no partition-less window, survives
+    * arbitrarily long series), all co-moments exact BIGINTs in whole
+    * dollars (cents²·days crosses 2⁶³), and β̂/t from the standard
+    * OLS identities as mirrored double steps. Decision at the 5% DF
+    * critical value −2.86. */
+  val adfTest: Q = Q(
+    "adf_test",
+    """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+      |    CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      / 100) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |pr AS (SELECT a.y AS x, b.y - a.y AS dy FROM daily a
+      |  JOIN daily b ON b.day = a.day + INTERVAL 1 DAY),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+      |    CAST(sum(x * dy) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(dy * dy) AS BIGINT) AS syy FROM pr),
+      |f AS (SELECT n,
+      |    sxx - CAST(sx AS DOUBLE) * sx / n AS cxx,
+      |    sxy - CAST(sx AS DOUBLE) * sy / n AS cxy,
+      |    syy - CAST(sy AS DOUBLE) * sy / n AS cyy FROM m),
+      |g AS (SELECT n, cxx, cxy / cxx AS beta,
+      |    (cyy - cxy / cxx * cxy) / (n - 2) AS s2 FROM f)
+      |SELECT n AS n_pairs,
+      |  floor(beta * 1000000 + 0.5) / 1000000 AS beta,
+      |  floor(beta / sqrt(s2 / cxx) * 10000 + 0.5) / 10000 AS t_stat,
+      |  beta / sqrt(s2 / cxx) < -2.86 AS stationary
+      |FROM g""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(floor(sum(floor(col("o_totalprice") * 100 + lit(0.5))
+        .cast("long")) / 100).cast("long").as("y"))
+    val pr = daily.as("a").join(daily.as("b"),
+        col("b.day") === col("a.day") + expr("INTERVAL 1 DAY"))
+      .select(col("a.y").as("x"), (col("b.y") - col("a.y")).as("dy"))
+    val m = pr.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("dy").as("sy"), sum(col("x") * col("dy")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    val cxx = col("sxx") - col("sx").cast("double") * col("sx") / col("n")
+    val cxy = col("sxy") - col("sx").cast("double") * col("sy") / col("n")
+    val cyy = col("syy") - col("sy").cast("double") * col("sy") / col("n")
+    val beta = cxy / cxx
+    val s2 = (cyy - cxy / cxx * cxy) / (col("n") - 2)
+    m.select(col("n").as("n_pairs"),
+      (floor(beta * 1000000 + lit(0.5)) / 1000000).as("beta"),
+      (floor(beta / sqrt(s2 / cxx) * 10000 + lit(0.5)) / 10000)
+        .as("t_stat"),
+      (beta / sqrt(s2 / cxx) < -2.86).as("stationary"))
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
     seasonalDecompose, markovStationary, entropyRate, forecastBacktest,
     seqSupport, funnelLatency, inventoryRunout, hampelFilter, holtWinters,
     saxSymbols, shapleyAttribution, decayedPopularity, eventRegexMatch,
-    rollingCorr)
+    rollingCorr, adfTest)
 }

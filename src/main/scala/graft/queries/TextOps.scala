@@ -1337,6 +1337,103 @@ object TextOps {
           * 1000000 + lit(0.5)) / 1000000).as("coverage"))
   }
 
+  /** Optimal prefix-code lengths for the corpus vocabulary (Huffman
+    * 1952) — "how many bits/token would an entropy coder spend", the
+    * compression-ratio bound a tokenizer design is judged against.
+    * The corpus-scale work is ONE word-count aggregate; the tree then
+    * builds on the BOUNDED vocabulary collapsed to a single row, with
+    * the V−1 merge rounds as a pure expression fold (each round sorts
+    * the node list by (weight, member-set) — a total, engine-agreed
+    * order — and merges the two smallest; the oracle replays the
+    * identical rounds in a recursive CTE). Exact integer weights
+    * throughout; avg-bits and the Shannon bound are the only doubles,
+    * folded word-sorted. Spec pins Kraft equality and the
+    * H ≤ avg < H+1 sandwich. */
+  val huffmanCodes: Q = Q(
+    "huffman_codes",
+    """WITH RECURSIVE wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |base AS (SELECT list(w ORDER BY w) AS words,
+      |    list(c ORDER BY w) AS ws,
+      |    CAST(count(*) AS BIGINT) AS v, CAST(sum(c) AS BIGINT) AS n
+      |  FROM wc),
+      |rec AS (
+      |  SELECT 0 AS i, v, n, words, ws,
+      |    list_transform(range(0, v), k ->
+      |      {'w': ws[CAST(k + 1 AS BIGINT)], 'ms': [k]}) AS nodes,
+      |    list_transform(range(0, v), k -> CAST(0 AS BIGINT)) AS depths
+      |  FROM base
+      |  UNION ALL
+      |  SELECT i + 1, v, n, words, ws,
+      |    list_concat(srt[3:], [{'w': srt[1].w + srt[2].w,
+      |      'ms': list_concat(srt[1].ms, srt[2].ms)}]),
+      |    list_transform(range(0, v), k -> depths[CAST(k + 1 AS BIGINT)]
+      |      + CASE WHEN list_contains(srt[1].ms, k)
+      |          OR list_contains(srt[2].ms, k) THEN 1 ELSE 0 END)
+      |  FROM (SELECT i, v, n, words, ws, list_sort(nodes) AS srt, depths
+      |        FROM rec) WHERE i < v - 1),
+      |fin AS (SELECT v, n, words, ws, depths FROM rec WHERE i = v - 1),
+      |per AS (SELECT unnest(words) AS word, unnest(ws) AS cnt,
+      |    unnest(depths) AS code_len, v, n FROM fin),
+      |s AS (SELECT total_bits,
+      |    list_aggregate(list_transform(range(1, len(cs) + 1), i ->
+      |      -(CAST(cs[i] AS DOUBLE) / nmax)
+      |        * (ln(CAST(cs[i] AS DOUBLE) / nmax) / ln(2.0))), 'sum')
+      |      AS entropy
+      |  FROM (SELECT CAST(sum(cnt * code_len) AS BIGINT) AS total_bits,
+      |          list(cnt ORDER BY word) AS cs,
+      |          any_value(n) AS nmax FROM per))
+      |SELECT p.word, p.cnt, p.code_len,
+      |  floor(CAST(s.total_bits AS DOUBLE) / p.n * 10000 + 0.5) / 10000
+      |    AS avg_bits,
+      |  floor(s.entropy * 10000 + 0.5) / 10000 AS entropy_bits
+      |FROM per p CROSS JOIN s ORDER BY p.word""".stripMargin) { (s, d) =>
+    val wc = docs(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val base = wc.agg(
+      expr("transform(array_sort(collect_list(struct(w, c))), t -> t.w)")
+        .as("words"),
+      expr("transform(array_sort(collect_list(struct(w, c))), t -> t.c)")
+        .as("ws"),
+      count(lit(1)).as("v"), sum("c").as("n"))
+    val folded = base.withColumn("fin", expr(
+      "aggregate(sequence(1, CAST(v AS INT) - 1), " +
+        "struct(transform(sequence(0, CAST(v AS INT) - 1), " +
+        "k -> struct(ws[k] AS w, array(k) AS ms)) AS nodes, " +
+        "transform(sequence(0, CAST(v AS INT) - 1), k -> 0L) AS depths), " +
+        "(st, it) -> struct(" +
+        "concat(slice(array_sort(st.nodes), 3, size(st.nodes) - 2), " +
+        "array(struct(" +
+        "element_at(array_sort(st.nodes), 1).w " +
+        "+ element_at(array_sort(st.nodes), 2).w AS w, " +
+        "concat(element_at(array_sort(st.nodes), 1).ms, " +
+        "element_at(array_sort(st.nodes), 2).ms) AS ms))) AS nodes, " +
+        "transform(sequence(0, CAST(v AS INT) - 1), " +
+        "k -> st.depths[k] + IF(" +
+        "array_contains(element_at(array_sort(st.nodes), 1).ms, k) OR " +
+        "array_contains(element_at(array_sort(st.nodes), 2).ms, k), " +
+        "1L, 0L)) AS depths))"))
+      .withColumn("total_bits", expr("aggregate(sequence(0, " +
+        "CAST(v AS INT) - 1), 0L, (a, k) -> a + ws[k] * fin.depths[k])"))
+      .withColumn("entropy", expr("aggregate(sequence(0, " +
+        "CAST(v AS INT) - 1), 0D, (a, k) -> a - (CAST(ws[k] AS DOUBLE) / n)" +
+        " * (ln(CAST(ws[k] AS DOUBLE) / n) / ln(2.0D)))"))
+    folded
+      .select(col("n"), col("total_bits"), col("entropy"),
+        posexplode(arrays_zip(col("words"), col("ws"), col("fin.depths")))
+          .as(Seq("k", "z")))
+      .select(col("z.words").as("word"), col("z.ws").as("cnt"),
+        col("z.depths").as("code_len"),
+        (floor(col("total_bits").cast("double") / col("n") * 10000
+          + lit(0.5)) / 10000).as("avg_bits"),
+        (floor(col("entropy") * 10000 + lit(0.5)) / 10000)
+          .as("entropy_bits"))
+      .orderBy("word")
+  }
+
   val all: Seq[Q] = Seq(
     wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
     dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard,
@@ -1344,6 +1441,6 @@ object TextOps {
     bpeMergeStep, bpeTrainRounds, zipfFit, heapsLaw, markovNext, crossContam,
     chi2Terms, jsDivergence, rakeKeywords, containmentPairs, gopherRules,
     tokenFertility, goodTuring, termBurstiness, textrankKeywords,
-    tfidfCosinePairs, chao1Vocab)
+    tfidfCosinePairs, chao1Vocab, huffmanCodes)
 
 }

@@ -173,6 +173,22 @@ class EvalOpsSuite extends SparkSpec {
     assert(math.abs(kappa - (po - pe) / (1 - pe)) < 1e-3)
   }
 
+  test("mcnemar_test: discordant counts tie to kappa's confusion") {
+    val mc = EvalOps.mcnemarTest.run(spark, sfDir).collect().head
+    val (n, b, c, nd, chi2, sig) = (mc.getLong(0), mc.getLong(1),
+      mc.getLong(2), mc.getLong(3), mc.getDouble(4), mc.getBoolean(5))
+    assert(nd == b + c && nd <= n)
+    val exp = math.floor((math.abs(b - c) - 1).toDouble
+      * (math.abs(b - c) - 1) / (b + c) * 1000000 + 0.5) / 1000000
+    assert(math.abs(chi2 - exp) < 1e-9)
+    assert(sig == ((math.abs(b - c) - 1).toDouble
+      * (math.abs(b - c) - 1) / (b + c) > 3.841459))
+    // the discordant cells must match cohen_kappa's confusion exactly
+    val kp = EvalOps.cohenKappa.run(spark, sfDir).collect().head
+    val agree = kp.getLong(1)
+    assert(n == kp.getLong(0) && n - agree == b + c)
+  }
+
   test("ece_calibration: exact-integer gaps replay; mce bounds ece") {
     val row = EvalOps.eceCalibration.run(spark, sfDir).collect().head
     val (n, ece, mce) = (row.getLong(0), row.getDouble(1), row.getDouble(2))

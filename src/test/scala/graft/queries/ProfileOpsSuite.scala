@@ -413,6 +413,40 @@ class ProfileOpsSuite extends SparkSpec {
     }
   }
 
+  test("huffman_codes: Kraft equality, entropy sandwich, naive replay") {
+    val rows = TextOps.huffmanCodes.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // Kraft equality for a complete prefix code: sum 2^-len == 1
+    val kraft = rows.map(r => math.pow(2, -r._3.toDouble)).sum
+    assert(math.abs(kraft - 1.0) < 1e-9, s"Kraft sum $kraft")
+    val (avg, h) = (rows.head._4, rows.head._5)
+    assert(h <= avg + 1e-9 && avg < h + 1, s"H=$h avg=$avg")
+    // naive Huffman replay with the same (weight, member-set) order
+    case class Node(w: Long, ms: List[Int])
+    // member sets are disjoint, so lexicographic ms order == head order
+    implicit val ord: Ordering[Node] = Ordering.by(n => (n.w, n.ms.head))
+    val sorted = rows.sortBy(_._1)
+    var nodes = sorted.zipWithIndex.map { case (r, i) => Node(r._2, List(i)) }
+      .toVector
+    val depths = Array.fill(nodes.length)(0L)
+    while (nodes.length > 1) {
+      val s = nodes.sorted
+      val (a, b) = (s(0), s(1))
+      (a.ms ++ b.ms).foreach(i => depths(i) += 1)
+      nodes = s.drop(2) :+ Node(a.w + b.w, a.ms ++ b.ms)
+    }
+    sorted.zipWithIndex.foreach { case ((w, _, len, _, _), i) =>
+      assert(len == depths(i), s"word $w: $len vs ${depths(i)}")
+    }
+    // avg replays sum(cnt*len)/N
+    val n = sorted.map(_._2).sum
+    val exp = math.floor(sorted.map(r => r._2 * r._3).sum.toDouble / n
+      * 10000 + 0.5) / 10000
+    assert(math.abs(avg - exp) < 1e-9)
+  }
+
   test("chao1_vocab: estimator replays the trigram frequency head") {
     val row = TextOps.chao1Vocab.run(spark, sfDir).collect().head
     val (n, v, f1, f2, chao1, cov) = (row.getLong(0), row.getLong(1),

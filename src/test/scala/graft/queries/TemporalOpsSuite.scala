@@ -198,6 +198,37 @@ class TemporalOpsSuite extends SparkSpec {
     }
   }
 
+  test("adf_test: beta and t replay a naive lag-pair OLS") {
+    val row = TemporalOps.adfTest.run(spark, sfDir).collect().head
+    val daily = graft.Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(floor(sum(floor(col("o_totalprice") * 100 + lit(0.5))
+        .cast("long")) / 100).cast("long").as("y"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+      .sortBy(_._1).toMap
+    val dayMs = 86400000L
+    val pairs = daily.toSeq.flatMap { case (t, y) =>
+      daily.get(t + dayMs).map(y2 => (y, y2 - y))
+    }
+    val n = pairs.length.toLong
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val cxx = sxx - sx.toDouble * sx / n
+    val cxy = sxy - sx.toDouble * sy / n
+    val cyy = syy - sy.toDouble * sy / n
+    val beta = cxy / cxx
+    val s2 = (cyy - cxy / cxx * cxy) / (n - 2)
+    val t = beta / math.sqrt(s2 / cxx)
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(1)
+      - math.floor(beta * 1000000 + 0.5) / 1000000) < 1e-9)
+    assert(math.abs(row.getDouble(2)
+      - math.floor(t * 10000 + 0.5) / 10000) < 1e-9)
+    assert(row.getBoolean(3) == (t < -2.86))
+  }
+
   test("event_regex_match: counts replay a per-user journey regex") {
     val got = TemporalOps.eventRegexMatch.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
