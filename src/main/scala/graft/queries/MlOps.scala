@@ -1204,7 +1204,90 @@ object MlOps {
           * 10000 + lit(0.5)) / 10000).as("intercept"))
   }
 
+  /** Davies–Bouldin cluster-validity index (Davies & Bouldin 1979,
+    * variance-form scatter s_i = √(SSE_i/n_i)) over the SHARED Lloyd
+    * clustering — "how separated are the clusters k-means found", the
+    * k-selection diagnostic beside kmeans_embed's report. Per-cluster
+    * scatter comes from exact integer-lattice moments (Σ‖x‖² and the
+    * centroid sums the recompute already materializes — no second
+    * data pass beyond one Σ‖x‖² aggregate); centroid distances and
+    * the 8×8 ratio grid live on the bounded centroid relation; every
+    * double fold is dimension- or cid-sorted. A third oracle consumer
+    * re-proving the Lloyd composition end-to-end. */
+  val daviesBouldin: Q = Q(
+    "davies_bouldin",
+    s"""WITH $kmA3Ctes,
+       |${kmRecomputeCte("c3", "a3")},
+       |px AS (SELECT cid,
+       |    list_aggregate(list_transform(xi, x -> x * x), 'sum') AS xx
+       |  FROM a3),
+       |sx AS (SELECT cid, CAST(sum(xx) AS BIGINT) AS sxx FROM px
+       |       GROUP BY cid),
+       |cl AS (SELECT c3.cid, c3.cn, sx.sxx, c3.cs,
+       |    list_transform(c3.cs, v -> CAST(v AS DOUBLE)
+       |      / CAST(c3.cn AS DOUBLE) / 1048576.0) AS md
+       |  FROM c3 JOIN sx USING (cid)),
+       |si AS (SELECT cid, cn, md,
+       |    sqrt((CAST(sxx AS DOUBLE) - list_aggregate(
+       |      list_transform(range(1, 65),
+       |        i -> CAST(cs[i] AS DOUBLE) * cs[i] / cn), 'sum')) / cn)
+       |      / 1048576.0 AS s
+       |  FROM cl),
+       |pr AS (SELECT a.cid AS ci, a.cn AS cn, a.s AS sa, b.s AS sb,
+       |    sqrt(list_aggregate(list_transform(range(1, 65),
+       |      i -> (a.md[i] - b.md[i]) * (a.md[i] - b.md[i])), 'sum'))
+       |      AS dij
+       |  FROM si a JOIN si b ON a.cid <> b.cid),
+       |mx AS (SELECT ci AS cid, any_value(cn) AS n,
+       |    max((sa + sb) / dij) AS rmax FROM pr GROUP BY ci),
+       |db AS (SELECT list_aggregate(list(rmax ORDER BY cid), 'sum')
+       |    / CAST(count(*) AS DOUBLE) AS dbi FROM mx)
+       |SELECT s.cid, m.n AS size,
+       |  floor(s.s * 1000000 + 0.5) / 1000000 AS scatter,
+       |  floor(m.rmax * 1000000 + 0.5) / 1000000 AS r_max,
+       |  floor(db.dbi * 1000000 + 0.5) / 1000000 AS db_index
+       |FROM si s JOIN mx m ON m.cid = s.cid CROSS JOIN db
+       |ORDER BY s.cid""".stripMargin) { (s, d) =>
+    val (a3, c3f, cleanup) = lloyd(s, d)
+    val sx = a3
+      .select(col("cid"), expr("aggregate(xi, 0L, (a, x) -> a + x * x)")
+        .as("xx"))
+      .groupBy("cid").agg(sum("xx").as("sxx"))
+    val si = c3f().join(sx, "cid")
+      .withColumn("md", expr("transform(cs, v -> CAST(v AS DOUBLE) " +
+        "/ CAST(cn AS DOUBLE) / 1048576.0D)"))
+      .withColumn("s", sqrt((col("sxx").cast("double")
+        - expr("aggregate(sequence(1, 64), 0D, (a, i) -> " +
+          "a + CAST(cs[i - 1] AS DOUBLE) * cs[i - 1] / cn)"))
+        / col("cn")) / 1048576.0)
+      .select("cid", "cn", "md", "s")
+    val a = si.select(col("cid").as("ci"), col("cn"), col("md").as("mda"),
+      col("s").as("sa"))
+    val b = si.select(col("cid").as("cj"), col("md").as("mdb"),
+      col("s").as("sb"))
+    val mx = a.join(broadcast(b), col("ci") =!= col("cj")) // 8x8 grid
+      .withColumn("dij", sqrt(expr("aggregate(sequence(1, 64), 0D, " +
+        "(a, i) -> a + (mda[i - 1] - mdb[i - 1]) " +
+        "* (mda[i - 1] - mdb[i - 1]))")))
+      .groupBy(col("ci").as("cid"))
+      .agg(first("cn").as("n"),
+        max((col("sa") + col("sb")) / col("dij")).as("rmax"))
+    val db = mx.agg((expr("aggregate(transform(array_sort(" +
+      "collect_list(struct(cid, rmax))), t -> t.rmax), 0D, (a, x) -> a + x)")
+      / count(lit(1)).cast("double")).as("dbi"))
+    val out = si.join(mx, "cid")
+      .crossJoin(broadcast(db)) // 1-row index
+      .select(col("cid"), col("n").as("size"),
+        (floor(col("s") * 1000000 + lit(0.5)) / 1000000).as("scatter"),
+        (floor(col("rmax") * 1000000 + lit(0.5)) / 1000000).as("r_max"),
+        (floor(col("dbi") * 1000000 + lit(0.5)) / 1000000).as("db_index"))
+      .orderBy("cid")
+    cleanup()
+    out
+  }
+
   val all: Seq[Q] = Seq(kmeansEmbed, clusterTopics, oovRate, cmsFreq, rpReduce,
     embedDimProfile, bestSplit, semDedup, amsF2, pcaPower, kmvDistinct,
-    knnClassify, rocchioClassify, f1Report, treeDepth2, ransacFit)
+    knnClassify, rocchioClassify, f1Report, treeDepth2, ransacFit,
+    daviesBouldin)
 }

@@ -1686,11 +1686,197 @@ object TemporalOps {
       (beta / sqrt(s2 / cxx) < -2.86).as("stationary"))
   }
 
+  /** Kleinberg burst detection (Kleinberg, KDD'02 — the 2-state
+    * infinite-automaton reduced to its standard 2-level form): which
+    * days does the purchase rate BURST above baseline? State 0 emits
+    * at the corpus rate p₀, state 1 at 2p₀; entering the burst state
+    * costs γ·ln T (γ = 1) and the minimum-cost state sequence comes
+    * from an exact Viterbi pass. Both the forward pass (costs +
+    * predecessor choices) and the backtrace run as expression folds
+    * over the CALENDAR-BOUNDED daily array on one collapsed row; the
+    * oracle replays them with two recursive CTEs carrying the
+    * identical (d0, d1, preds) state, so every min/ln/compare is the
+    * same IEEE op in the same order. Emission costs are
+    * integer-count × ln-of-exact-rational products; ties prefer the
+    * base state on entry (≤) and the burst state on stay (<) —
+    * pinned in both engines' CASE order. */
+  val kleinbergBurst: Q = Q(
+    "kleinberg_burst",
+    """WITH RECURSIVE daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')
+      |      AS day,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |base AS (SELECT list(day ORDER BY day) AS days,
+      |    list(n ORDER BY day) AS ns, list(c ORDER BY day) AS cs,
+      |    CAST(count(*) AS BIGINT) AS tt,
+      |    CAST(sum(n) AS BIGINT) AS nn, CAST(sum(c) AS BIGINT) AS cc
+      |  FROM daily),
+      |cons AS (SELECT days, ns, cs, tt,
+      |    ln(CAST(cc AS DOUBLE) / nn) AS lh0,
+      |    ln(1.0 - CAST(cc AS DOUBLE) / nn) AS lm0,
+      |    ln(2.0 * (CAST(cc AS DOUBLE) / nn)) AS lh1,
+      |    ln(1.0 - 2.0 * (CAST(cc AS DOUBLE) / nn)) AS lm1,
+      |    ln(CAST(tt AS DOUBLE)) AS lnt
+      |  FROM base),
+      |fwd AS (
+      |  SELECT CAST(1 AS BIGINT) AS i, days, ns, cs, tt, lh0, lm0, lh1,
+      |    lm1, lnt,
+      |    -(cs[1] * lh0 + (ns[1] - cs[1]) * lm0) AS d0,
+      |    lnt + -(cs[1] * lh1 + (ns[1] - cs[1]) * lm1) AS d1,
+      |    []::STRUCT(p0 INTEGER, p1 INTEGER)[] AS preds
+      |  FROM cons
+      |  UNION ALL
+      |  SELECT i + 1, days, ns, cs, tt, lh0, lm0, lh1, lm1, lnt,
+      |    -(cs[i + 1] * lh0 + (ns[i + 1] - cs[i + 1]) * lm0)
+      |      + CASE WHEN d0 <= d1 THEN d0 ELSE d1 END,
+      |    -(cs[i + 1] * lh1 + (ns[i + 1] - cs[i + 1]) * lm1)
+      |      + CASE WHEN d0 + lnt < d1 THEN d0 + lnt ELSE d1 END,
+      |    list_concat(preds, [{'p0': CASE WHEN d0 <= d1 THEN 0 ELSE 1 END,
+      |      'p1': CASE WHEN d0 + lnt < d1 THEN 0 ELSE 1 END}])
+      |  FROM fwd WHERE i < tt),
+      |fin AS (SELECT days, ns, cs, tt, preds,
+      |    CASE WHEN d0 <= d1 THEN 0 ELSE 1 END AS fs
+      |  FROM fwd WHERE i = tt),
+      |bwd AS (
+      |  SELECT tt AS j, days, ns, cs, tt, preds, fs AS cur, [fs] AS flags
+      |  FROM fin
+      |  UNION ALL
+      |  SELECT j - 1, days, ns, cs, tt, preds,
+      |    CASE WHEN cur = 0 THEN preds[CAST(j - 1 AS BIGINT)].p0
+      |         ELSE preds[CAST(j - 1 AS BIGINT)].p1 END,
+      |    list_prepend(CASE WHEN cur = 0 THEN preds[CAST(j - 1 AS BIGINT)].p0
+      |         ELSE preds[CAST(j - 1 AS BIGINT)].p1 END, flags)
+      |  FROM bwd WHERE j > 1),
+      |res AS (SELECT days, ns, cs, flags FROM bwd WHERE j = 1)
+      |SELECT unnest(days) AS day, unnest(ns) AS n_events,
+      |  unnest(cs) AS n_purchases, unnest(flags) = 1 AS burst
+      |FROM res ORDER BY day""".stripMargin) { (s, d) =>
+    val daily = ev(s, d)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c"))
+    val base = daily.agg(
+      expr("transform(array_sort(collect_list(struct(day, n, c))), " +
+        "t -> t.day)").as("days"),
+      expr("transform(array_sort(collect_list(struct(day, n, c))), " +
+        "t -> t.n)").as("ns"),
+      expr("transform(array_sort(collect_list(struct(day, n, c))), " +
+        "t -> t.c)").as("cs"),
+      count(lit(1)).as("tt"), sum("n").as("nn"), sum("c").as("cc"))
+    val cons = base.select(col("days"), col("ns"), col("cs"), col("tt"),
+      log(col("cc").cast("double") / col("nn")).as("lh0"),
+      log(lit(1.0) - col("cc").cast("double") / col("nn")).as("lm0"),
+      log(lit(2.0) * (col("cc").cast("double") / col("nn"))).as("lh1"),
+      log(lit(1.0) - lit(2.0) * (col("cc").cast("double") / col("nn")))
+        .as("lm1"),
+      log(col("tt").cast("double")).as("lnt"))
+    val fwd = cons.withColumn("fin", expr(
+      "aggregate(sequence(2, CAST(tt AS INT)), " +
+        "struct(-(cs[0] * lh0 + (ns[0] - cs[0]) * lm0) AS d0, " +
+        "lnt + -(cs[0] * lh1 + (ns[0] - cs[0]) * lm1) AS d1, " +
+        "CAST(array() AS array<struct<p0: int, p1: int>>) AS preds), " +
+        "(a, i) -> struct(" +
+        "-(cs[i - 1] * lh0 + (ns[i - 1] - cs[i - 1]) * lm0) " +
+        "+ IF(a.d0 <= a.d1, a.d0, a.d1) AS d0, " +
+        "-(cs[i - 1] * lh1 + (ns[i - 1] - cs[i - 1]) * lm1) " +
+        "+ IF(a.d0 + lnt < a.d1, a.d0 + lnt, a.d1) AS d1, " +
+        "concat(a.preds, array(struct(" +
+        "IF(a.d0 <= a.d1, 0, 1) AS p0, " +
+        "IF(a.d0 + lnt < a.d1, 0, 1) AS p1))) AS preds))"))
+      .withColumn("fs", expr("IF(fin.d0 <= fin.d1, 0, 1)"))
+    val bwd = fwd.withColumn("flags", expr(
+      "aggregate(sequence(CAST(tt AS INT) - 1, 1, -1), " +
+        "struct(fs AS cur, array(fs) AS flags), " +
+        "(a, j) -> struct(" +
+        "IF(a.cur = 0, fin.preds[j - 1].p0, fin.preds[j - 1].p1) AS cur, " +
+        "concat(array(IF(a.cur = 0, fin.preds[j - 1].p0, " +
+        "fin.preds[j - 1].p1)), a.flags) AS flags)).flags"))
+    bwd
+      .select(posexplode(arrays_zip(col("days"), col("ns"), col("cs"),
+        col("flags"))).as(Seq("k", "z")))
+      .select(col("z.days").as("day"), col("z.ns").as("n_events"),
+        col("z.cs").as("n_purchases"), (col("z.flags") === 1).as("burst"))
+      .orderBy("day")
+  }
+
+  /** Maximum drawdown of the cumulative net flow (daily purchase
+    * revenue minus error-event value) — the worst peak-to-trough
+    * slide, finance's standard risk summary applied to an ops
+    * metric. Two PrefixScan passes (cumulative sum, then running
+    * peak of that sum — withCumMaxs' 2nd consumer) keep everything
+    * range-partitioned exact integers; the trough is a 1-row
+    * struct-max pick (earliest day on ties) and the governing peak
+    * day one broadcast filter. */
+  val maxDrawdown: Q = Q(
+    "max_drawdown",
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |        WHEN event_type = 'error'
+      |        THEN -CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |        ELSE 0 END) AS BIGINT) AS flow
+      |  FROM events GROUP BY 1),
+      |cum AS (SELECT day, CAST(sum(flow) OVER (ORDER BY day) AS BIGINT)
+      |      AS cumv
+      |  FROM daily),
+      |pk AS (SELECT day, cumv, CAST(max(cumv) OVER (ORDER BY day)
+      |      AS BIGINT) AS peak
+      |  FROM cum),
+      |dd AS (SELECT day, cumv, peak, peak - cumv AS draw FROM pk),
+      |mx AS (SELECT max(draw) AS mdd FROM dd),
+      |tr AS (SELECT min(day) AS trough_day FROM dd CROSS JOIN mx
+      |       WHERE draw = mdd),
+      |pv AS (SELECT d.peak AS peakv FROM dd d JOIN tr
+      |       ON d.day = tr.trough_day),
+      |pkday AS (SELECT min(day) AS peak_day FROM dd CROSS JOIN pv
+      |       WHERE cumv = peakv)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+      |  strftime((SELECT peak_day FROM pkday), '%Y-%m-%d') AS peak_day,
+      |  strftime((SELECT trough_day FROM tr), '%Y-%m-%d') AS trough_day,
+      |  floor(CAST((SELECT mdd FROM mx) AS DOUBLE) / 100 * 10000 + 0.5)
+      |    / 10000 AS max_drawdown""".stripMargin) { (s, d) =>
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val daily = ev(s, d)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .agg(sum(when(col("event_type") === "purchase", cents)
+        .when(col("event_type") === "error", -cents)
+        .otherwise(0L)).as("flow"))
+    val (cum, _) = graft.ops.PrefixScan.withCumSums(
+      daily, Seq(col("day")), Seq("flow"))
+    val cumv = cum.select(col("day"), col("cum_flow").as("cumv"))
+    val (pk, _) = graft.ops.PrefixScan.withCumMaxs(
+      cumv, Seq(col("day")), Seq("cumv"))
+    val dd = pk.select(col("day"), col("cumv"),
+      col("cummax_cumv").as("peak"),
+      (col("cummax_cumv") - col("cumv")).as("draw"))
+    val tr = dd
+      .agg(max(struct(col("draw"),
+        expr("CAST(-unix_date(CAST(day AS DATE)) AS BIGINT)").as("nd"),
+        col("peak").as("pv"))).as("m"),
+        count(lit(1)).as("n_days"))
+      .select(col("n_days"), col("m.draw").as("mdd"),
+        expr("date_format(date_add(DATE '1970-01-01', " +
+          "CAST(-m.nd AS INT)), 'yyyy-MM-dd')").as("trough_day"),
+        col("m.pv").as("peakv"))
+    dd.crossJoin(broadcast(tr)) // 1-row trough/peak-value broadcast
+      .filter(col("cumv") === col("peakv") && col("day") <= col("trough_day"))
+      .agg(first("n_days").as("n_days"), min("day").as("peak_day"),
+        first("trough_day").as("trough_day"),
+        (floor(first("mdd").cast("double") / 100 * 10000 + lit(0.5))
+          / 10000).as("max_drawdown"))
+      .select("n_days", "peak_day", "trough_day", "max_drawdown")
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
     seasonalDecompose, markovStationary, entropyRate, forecastBacktest,
     seqSupport, funnelLatency, inventoryRunout, hampelFilter, holtWinters,
     saxSymbols, shapleyAttribution, decayedPopularity, eventRegexMatch,
-    rollingCorr, adfTest)
+    rollingCorr, adfTest, kleinbergBurst, maxDrawdown)
 }

@@ -238,7 +238,9 @@ class ScaleOpsSuite extends SparkSpec {
                               // broadcast + 1-row consensus winner
       "sprt_monitor",         // 1-row first-crossing-day broadcast
       "bcubed_eval",          // <80-doc capped audit pair space
-      "skipgram_pairs")       // 1-row vocabulary broadcast
+      "skipgram_pairs",       // 1-row vocabulary broadcast
+      "davies_bouldin",       // 8x8 centroid grid + 1-row index
+      "max_drawdown")         // 1-row trough/peak-value broadcast
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

@@ -203,6 +203,42 @@ class MlOpsSuite extends SparkSpec {
     assert(math.abs(row.getDouble(4) - r4((sy - m2 * sx) / n / 100)) < 1e-9)
   }
 
+  test("davies_bouldin: index replays a naive scatter/separation grid") {
+    val rows = MlOps.daviesBouldin.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 8)
+    val (a3, _, cleanup) = MlOps.lloyd(spark, sfDir)
+    val pts = a3.select("id", "cid", "xi").collect()
+      .map(r => (r.getInt(1), r.getSeq[Long](2).toArray))
+    cleanup()
+    val byC = pts.groupBy(_._1)
+    val dims = pts.head._2.length
+    val stats = byC.map { case (cid, l) =>
+      val n = l.length
+      val sums = Array.tabulate(dims)(d => l.map(_._2(d)).sum)
+      val sxx = l.map(_._2.map(x => x * x).sum).sum
+      val num = sxx.toDouble -
+        sums.map(s0 => s0.toDouble * s0 / n).sum
+      val md = sums.map(_.toDouble / n / 1048576.0)
+      cid -> (n.toLong, math.sqrt(num / n) / 1048576.0, md)
+    }
+    val dbTerms = stats.map { case (ci, (_, si, mi)) =>
+      ci -> stats.collect { case (cj, (_, sj, mj)) if cj != ci =>
+        val dij = math.sqrt(mi.zip(mj).map(t => (t._1 - t._2) * (t._1 - t._2)).sum)
+        (si + sj) / dij
+      }.max
+    }
+    val dbi = dbTerms.values.sum / dbTerms.size
+    rows.foreach { case (cid, n, sc, rmax, db) =>
+      val (en, es, _) = stats(cid)
+      assert(n == en)
+      assert(math.abs(sc - es) < 1e-5, s"cluster $cid scatter $sc vs $es")
+      assert(math.abs(rmax - dbTerms(cid)) < 1e-4)
+      assert(math.abs(db - dbi) < 1e-4)
+    }
+  }
+
   test("graph_assortativity: r in [-1, 1] and matches a naive recompute") {
     val row = GraphOps.assortativity.run(spark, sfDir).collect().head
     val r = row.getDouble(1)

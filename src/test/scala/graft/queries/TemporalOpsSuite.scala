@@ -198,6 +198,76 @@ class TemporalOpsSuite extends SparkSpec {
     }
   }
 
+  test("kleinberg_burst: flags replay a naive Viterbi") {
+    val rows = TemporalOps.kleinbergBurst.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1)
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val tt = daily.length
+    val nn = daily.map(_._2).sum; val cc = daily.map(_._3).sum
+    val p0 = cc.toDouble / nn
+    val (lh0, lm0) = (math.log(p0), math.log(1.0 - p0))
+    val (lh1, lm1) = (math.log(2.0 * p0), math.log(1.0 - 2.0 * p0))
+    val lnt = math.log(tt.toDouble)
+    def sig(i: Int, lh: Double, lm: Double): Double =
+      -(daily(i)._3 * lh + (daily(i)._2 - daily(i)._3) * lm)
+    var d0 = sig(0, lh0, lm0); var d1 = lnt + sig(0, lh1, lm1)
+    val preds = Array.ofDim[(Int, Int)](tt - 1)
+    for (i <- 1 until tt) {
+      val p0c = if (d0 <= d1) 0 else 1
+      val p1c = if (d0 + lnt < d1) 0 else 1
+      preds(i - 1) = (p0c, p1c)
+      val nd0 = sig(i, lh0, lm0) + math.min(d0, d1)
+      val nd1 = sig(i, lh1, lm1) + math.min(d0 + lnt, d1)
+      d0 = nd0; d1 = nd1
+    }
+    var cur = if (d0 <= d1) 0 else 1
+    val flags = Array.fill(tt)(0)
+    flags(tt - 1) = cur
+    for (i <- tt - 1 to 1 by -1) {
+      cur = if (cur == 0) preds(i - 1)._1 else preds(i - 1)._2
+      flags(i - 1) = cur
+    }
+    assert(rows.length == tt)
+    rows.zip(daily).zipWithIndex.foreach { case (((rd, rn, rc, rb), (dd, dn, dc)), i) =>
+      assert(rd == dd && rn == dn && rc == dc)
+      assert(rb == (flags(i) == 1), s"day $rd burst $rb vs ${flags(i)}")
+    }
+  }
+
+  test("max_drawdown: replays a naive running-peak scan") {
+    val row = TemporalOps.maxDrawdown.run(spark, sfDir).collect().head
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .agg(sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .when(col("event_type") === "error",
+          -floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .otherwise(0L)).as("flow"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L; var peak = Long.MinValue; var peakDayOfPeak = ""
+    var mdd = Long.MinValue; var trough = ""; var peakDay = ""
+    daily.foreach { case (day, f) =>
+      cum += f
+      if (cum > peak) { peak = cum; peakDayOfPeak = day }
+      val draw = peak - cum
+      if (draw > mdd) { mdd = draw; trough = day; peakDay = peakDayOfPeak }
+    }
+    assert(row.getLong(0) == daily.length.toLong)
+    assert(row.getString(1) == peakDay, s"${row.getString(1)} vs $peakDay")
+    assert(row.getString(2) == trough)
+    assert(math.abs(row.getDouble(3)
+      - math.floor(mdd.toDouble / 100 * 10000 + 0.5) / 10000) < 1e-9)
+  }
+
   test("adf_test: beta and t replay a naive lag-pair OLS") {
     val row = TemporalOps.adfTest.run(spark, sfDir).collect().head
     val daily = graft.Tables.orders(spark, sfDir)
