@@ -994,8 +994,58 @@ object DedupAnn {
         * 1000000 + lit(0.5)) / 1000000).as("b3_f1"))
   }
 
+  /** LSH banding planner — the parameter sweep run BEFORE committing
+    * a MinHash-LSH configuration (this library's own (16, 4) included):
+    * for every (bands, rows) factorization of the 64-hash signature,
+    * the S-curve threshold estimate (1/b)^(1/r) and the collision
+    * probability 1 − (1 − s^r)^b at similarity 0.5 and 0.8. The
+    * integer-exponent powers run as EXPLICIT multiply folds (never
+    * libm pow — both engines execute the identical multiplication
+    * sequence); the fractional-exponent threshold goes through
+    * exp(ln·)/engine-established ln parity. Pure bounded math — the
+    * planner costs nothing at any scale. */
+  val lshPlanner: Q = Q(
+    "lsh_planner",
+    """WITH grid(b, r) AS (VALUES (64, 1), (32, 2), (16, 4), (8, 8),
+      |  (4, 16), (2, 32), (1, 64)),
+      |p AS (SELECT b, r,
+      |    exp(ln(CAST(b AS DOUBLE)) * (-1.0 / r)) AS t_est,
+      |    1 - list_reduce(list_transform(range(0, b), i ->
+      |      1 - list_reduce(list_transform(range(0, r),
+      |        j -> CAST(0.5 AS DOUBLE)), (a, x) -> a * x)),
+      |      (a, x) -> a * x) AS p05,
+      |    1 - list_reduce(list_transform(range(0, b), i ->
+      |      1 - list_reduce(list_transform(range(0, r),
+      |        j -> CAST(0.8 AS DOUBLE)), (a, x) -> a * x)),
+      |      (a, x) -> a * x) AS p08
+      |  FROM grid)
+      |SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows,
+      |  floor(t_est * 10000 + 0.5) / 10000 AS t_est,
+      |  floor(p05 * 1000000 + 0.5) / 1000000 AS p_at_05,
+      |  floor(p08 * 1000000 + 0.5) / 1000000 AS p_at_08
+      |FROM p ORDER BY bands DESC""".stripMargin) { (s, d) =>
+    def pcol(sim: String): String =
+      "1.0D - aggregate(sequence(1, b), 1.0D, (a, i) -> a * " +
+        s"(1.0D - aggregate(sequence(1, r), 1.0D, (a2, j) -> a2 * $sim)))"
+    s.range(1)
+      .select(explode(expr("array(struct(64 AS b, 1 AS r), " +
+        "struct(32 AS b, 2 AS r), struct(16 AS b, 4 AS r), " +
+        "struct(8 AS b, 8 AS r), struct(4 AS b, 16 AS r), " +
+        "struct(2 AS b, 32 AS r), struct(1 AS b, 64 AS r))")).as("g"))
+      .select(col("g.b").as("b"), col("g.r").as("r"))
+      .select(col("b").cast("long").as("bands"),
+        col("r").cast("long").as("rows"),
+        (floor(expr("exp(ln(CAST(b AS DOUBLE)) * (-1.0D / r))")
+          * 10000 + lit(0.5)) / 10000).as("t_est"),
+        (floor(expr(pcol("0.5D")) * 1000000 + lit(0.5)) / 1000000)
+          .as("p_at_05"),
+        (floor(expr(pcol("0.8D")) * 1000000 + lit(0.5)) / 1000000)
+          .as("p_at_08"))
+      .orderBy(col("bands").desc)
+  }
+
   val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, dedupComponents,
     dedupKeepBest, simhashPairs, annTopK, cosineDedupStats, ivfTopK,
     pqEncode, pqAdcTopK, ivfpqTopK, setsimJoin, dupSpans, mmrRerank,
-    goldenRecord, bcubedEval)
+    goldenRecord, bcubedEval, lshPlanner)
 }

@@ -388,6 +388,73 @@ object IncrOps {
       .limit(10)
   }
 
+  /** Zone-map (min/max data-skipping) effectiveness audit — the
+    * layout decision every 100 TB table faces, measured instead of
+    * guessed: for a Q1'1997 ship-date predicate, how many file-bins
+    * could a zone map prune under (a) a round-robin/insertion layout
+    * (l_orderkey % 32 — per-bin date ranges span everything, nothing
+    * prunes) vs (b) a date-partitioned layout (ship month — all but
+    * the 3 matching partitions prune)? A bin prunes iff its [min,max]
+    * ship-date range misses the predicate; scan_efficiency =
+    * matching rows / rows in surviving bins. Two grouped min/max
+    * passes + tiny bin-level aggregates, exact integers throughout. */
+  val zonemapAudit: Q = Q(
+    "zonemap_audit",
+    """WITH li AS (SELECT l_orderkey, l_shipdate FROM lineitem),
+      |binned AS (
+      |  SELECT 'a_roundrobin' AS layout,
+      |    CAST(l_orderkey % 32 AS BIGINT) AS bin, l_shipdate FROM li
+      |  UNION ALL
+      |  SELECT 'b_bydate',
+      |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT),
+      |    l_shipdate FROM li),
+      |bins AS (SELECT layout, bin, CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+      |    min(l_shipdate) AS lo, max(l_shipdate) AS hi
+      |  FROM binned GROUP BY 1, 2),
+      |audit AS (SELECT layout, bin, n_rows, n_match,
+      |    CASE WHEN hi < TIMESTAMP '1997-01-01 00:00:00'
+      |      OR lo >= TIMESTAMP '1997-04-01 00:00:00'
+      |      THEN 0 ELSE 1 END AS scanned
+      |  FROM bins)
+      |SELECT layout, CAST(count(*) AS BIGINT) AS n_bins,
+      |  CAST(sum(scanned) AS BIGINT) AS n_scanned,
+      |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+      |  CAST(sum(scanned * n_rows) AS BIGINT) AS rows_scanned,
+      |  CAST(sum(n_match) AS BIGINT) AS rows_matching,
+      |  floor(CAST(sum(n_match) AS DOUBLE) / sum(scanned * n_rows)
+      |    * 1000000 + 0.5) / 1000000 AS scan_efficiency
+      |FROM audit GROUP BY layout ORDER BY layout""".stripMargin) { (s, d) =>
+    val lo = lit("1997-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-04-01 00:00:00").cast("timestamp")
+    val li0 = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    val binned = li0
+      .select(lit("a_roundrobin").as("layout"),
+        (col("l_orderkey") % 32).cast("long").as("bin"), col("l_shipdate"))
+      .unionAll(li0.select(lit("b_bydate").as("layout"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast("long").as("bin"), col("l_shipdate")))
+    val bins = binned.groupBy("layout", "bin")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_shipdate") >= lo && col("l_shipdate") < hi, 1L)
+          .otherwise(0L)).as("n_match"),
+        min("l_shipdate").as("blo"), max("l_shipdate").as("bhi"))
+      .withColumn("scanned",
+        when(col("bhi") < lo || col("blo") >= hi, 0L).otherwise(1L))
+    bins.groupBy("layout")
+      .agg(count(lit(1)).as("n_bins"), sum("scanned").as("n_scanned"),
+        sum("n_rows").as("rows_total"),
+        sum(col("scanned") * col("n_rows")).as("rows_scanned"),
+        sum("n_match").as("rows_matching"),
+        (floor(sum("n_match").cast("double")
+          / sum(col("scanned") * col("n_rows")) * 1000000 + lit(0.5))
+          / 1000000).as("scan_efficiency"))
+      .orderBy("layout")
+  }
+
   val all: Seq[Q] = Seq(incrAggMerge, compactBins, tableStats, incrJoinDelta,
-    snapshotDiff, kAnonymity, dqScorecard, lDiversity, tCloseness)
+    snapshotDiff, kAnonymity, dqScorecard, lDiversity, tCloseness,
+    zonemapAudit)
 }

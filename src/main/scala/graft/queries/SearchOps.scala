@@ -525,6 +525,99 @@ object SearchOps {
           / 1000000).as("pair_completeness"))
   }
 
+  /** Rocchio pseudo-relevance-feedback query expansion (Rocchio 1971
+    * — the classic PRF loop): BM25-rank the corpus for the seed query
+    * {spark, vector}, take the top-5 docs as pseudo-relevant, and
+    * emit the 5 best NEW expansion terms by summed tf·idf weight over
+    * that feedback set. The feedback set is a 5-row broadcast, so the
+    * expansion scan touches only feedback-doc tokens; BM25 reuses the
+    * established bm25_topdocs algebra (term-sorted folds, ln parity);
+    * expansion weights fold doc-sorted per term. */
+  val rocchioExpand: Q = Q(
+    "rocchio_expand",
+    """WITH qt(term) AS (VALUES ('spark'), ('vector')),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |         FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs,
+      |                 avg(CAST(len AS DOUBLE)) AS avg_len FROM dl),
+      |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+      |       JOIN qt ON tok = qt.term GROUP BY doc_id, tok),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+      |       GROUP BY term),
+      |contrib AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |      * (tf * 2.2)
+      |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.len / avg_len)) AS c
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      |  CROSS JOIN stats),
+      |scored AS (
+      |  SELECT doc_id, round(list_sum(list(c ORDER BY term)), 6) AS score
+      |  FROM contrib GROUP BY doc_id),
+      |rel AS (SELECT doc_id FROM scored
+      |        ORDER BY score DESC, doc_id LIMIT 5),
+      |alldf AS (SELECT tok AS term, CAST(count(DISTINCT doc_id) AS BIGINT)
+      |      AS df FROM toks GROUP BY tok),
+      |rtf AS (SELECT t.tok AS term, t.doc_id,
+      |      CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks t JOIN rel ON rel.doc_id = t.doc_id
+      |  WHERE t.tok <> '' AND t.tok NOT IN (SELECT term FROM qt)
+      |  GROUP BY 1, 2),
+      |wt AS (SELECT r.term, any_value(a.df) AS df,
+      |    list_aggregate(list_transform(list(r.tf ORDER BY r.doc_id),
+      |      x -> CAST(x AS DOUBLE)), 'sum')
+      |      * ln(CAST((SELECT n_docs FROM stats) AS DOUBLE)
+      |           / any_value(a.df)) AS w
+      |  FROM rtf r JOIN alldf a ON a.term = r.term
+      |  GROUP BY r.term)
+      |SELECT term, df, floor(w * 1000000 + 0.5) / 1000000 AS weight
+      |FROM wt ORDER BY w DESC, term LIMIT 5""".stripMargin) { (s, d) =>
+    val qTerms = Seq("spark", "vector")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("len").cast("double")).as("avg_len"))
+    val tf = toks.filter(col("tok").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("tok").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val contrib = tf.join(broadcast(df), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          * (col("tf") * 2.2)
+          / (col("tf") + lit(1.2) * (lit(1) - 0.75
+            + lit(0.75) * col("len") / col("avg_len")))).as("c"),
+        col("term"))
+    val rel = contrib.groupBy("doc_id")
+      .agg(round(expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(term, c))), t -> t.c), 0D, (a, x) -> a + x)"), 6)
+        .as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(5)
+      .select("doc_id")
+    val alldf = toks.groupBy(col("tok").as("term"))
+      .agg(countDistinct("doc_id").as("adf"))
+    val rtf = toks
+      .join(broadcast(rel), "doc_id")
+      .filter(col("tok") =!= "" && !col("tok").isin(qTerms: _*))
+      .groupBy(col("tok").as("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    rtf.join(alldf, "term")
+      .crossJoin(broadcast(stats.select("n_docs")))
+      .groupBy("term")
+      .agg(first("adf").as("df"),
+        (expr("aggregate(transform(array_sort(collect_list(" +
+          "struct(doc_id, tf))), t -> CAST(t.tf AS DOUBLE)), 0D, " +
+          "(a, x) -> a + x)")
+          * log(first("n_docs").cast("double") / first("adf"))).as("w"))
+      .select(col("term"), col("df"),
+        (floor(col("w") * 1000000 + lit(0.5)) / 1000000).as("weight"))
+      .orderBy(col("w").desc, col("term")).limit(5)
+  }
+
   val all: Seq[Q] = Seq(phraseSearch, tableFingerprint, qlDirichlet, dlMatch,
-    jwMatch, rrfFusion, fsLinkage, bestPassage, erBlockMetrics)
+    jwMatch, rrfFusion, fsLinkage, bestPassage, erBlockMetrics,
+    rocchioExpand)
 }

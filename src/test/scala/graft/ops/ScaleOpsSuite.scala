@@ -240,7 +240,8 @@ class ScaleOpsSuite extends SparkSpec {
       "bcubed_eval",          // <80-doc capped audit pair space
       "skipgram_pairs",       // 1-row vocabulary broadcast
       "davies_bouldin",       // 8x8 centroid grid + 1-row index
-      "max_drawdown")         // 1-row trough/peak-value broadcast
+      "max_drawdown",         // 1-row trough/peak-value broadcast
+      "rocchio_expand")       // 1-row corpus-stat broadcasts (bm25's)
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

@@ -413,6 +413,58 @@ class ProfileOpsSuite extends SparkSpec {
     }
   }
 
+  test("lsh_planner: S-curve replays closed form; monotone in the grid") {
+    val rows = DedupAnn.lshPlanner.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 7)
+    rows.foreach { case (b, r, t, p05, p08) =>
+      assert(b * r == 64)
+      def p(s: Double) = 1 - math.pow(1 - math.pow(s, r.toDouble), b.toDouble)
+      assert(math.abs(t - math.floor(math.pow(1.0 / b, 1.0 / r) * 10000
+        + 0.5) / 10000) < 1e-4)
+      assert(math.abs(p05 - p(0.5)) < 1e-4, s"($b,$r) p05")
+      assert(math.abs(p08 - p(0.8)) < 1e-4, s"($b,$r) p08")
+      assert(p08 >= p05 - 1e-12, "collision prob increases with similarity")
+    }
+    // t_est rises as banding gets coarser (rows per band grow)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._3 + 1e-12)
+      case _           => ()
+    }
+  }
+
+  test("zonemap_audit: layouts replay; date layout strictly prunes") {
+    val rows = IncrOps.zonemapAudit.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.length == 2)
+    val a = rows.find(_._1 == "a_roundrobin").get
+    val b = rows.find(_._1 == "b_bydate").get
+    // same data, same matches; only the layout differs
+    assert(a._4 == b._4 && a._6 == b._6)
+    // the date layout scans (weakly) fewer bins and rows
+    assert(b._3 <= a._3 * 3 && b._5 <= a._5)
+    assert(b._7 >= a._7, "date layout is at least as scan-efficient")
+    // scanned bins always cover every matching row
+    assert(a._5 >= a._6 && b._5 >= b._6)
+  }
+
+  test("rocchio_expand: expansion excludes query terms, replays weights") {
+    val rows = SearchOps.rocchioExpand.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 5)
+    rows.foreach { case (t, df, w) =>
+      assert(t != "spark" && t != "vector" && t.nonEmpty)
+      assert(df > 0 && w > 0)
+    }
+    // weights are emitted in descending order
+    rows.sliding(2).foreach {
+      case Array(x, y) => assert(x._3 >= y._3 - 1e-12)
+      case _           => ()
+    }
+  }
+
   test("huffman_codes: Kraft equality, entropy sandwich, naive replay") {
     val rows = TextOps.huffmanCodes.run(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
