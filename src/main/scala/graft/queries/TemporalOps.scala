@@ -1872,11 +1872,210 @@ object TemporalOps {
       .select("n_days", "peak_day", "trough_day", "max_drawdown")
   }
 
+  /** Ljung–Box portmanteau test (Ljung & Box 1978) on the daily
+    * order-count series — "is there ANY autocorrelation left", the
+    * whiteness check a forecaster's residuals must pass. Reuses
+    * q109_acf's exact-co-moment ρ̂ₖ algebra (date-keyed lag joins,
+    * never a partition-less window) for lags 1..5, then
+    * Q = n(n+2)·Σ ρ̂ₖ²/(n−k) with the 5 terms folded lag-sorted.
+    * Significance at the χ²₅ 5% bound 11.0705. */
+  val ljungBox: Q = Q(
+    "ljung_box",
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS x
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM daily),
+      |lags AS (SELECT unnest(range(1, 6)) AS lag),
+      |pairs AS (SELECT l.lag, a.x AS xa, b.x AS xb
+      |  FROM lags l
+      |    JOIN daily a ON TRUE
+      |    JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+      |num AS (SELECT lag, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(xa * xb) AS BIGINT) AS sxy,
+      |    CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(xb) AS BIGINT) AS sb
+      |  FROM pairs GROUP BY lag),
+      |rho AS (SELECT lag,
+      |    (sxy - (CAST(sx AS DOUBLE) / n) * (sa + sb)
+      |      + c * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+      |    / (sxx - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+      |      AS r, n
+      |  FROM num CROSS JOIN tot),
+      |q0 AS (SELECT any_value(n) AS n, list(r ORDER BY lag) AS rl,
+      |    list(lag ORDER BY lag) AS ll FROM rho),
+      |q AS (SELECT n, list_aggregate(list_transform(range(1, 6), k ->
+      |    rl[k] * rl[k] / (n - ll[k])), 'sum') AS s FROM q0)
+      |SELECT n AS n_days,
+      |  floor(n * (n + 2) * s * 10000 + 0.5) / 10000 AS q_stat,
+      |  CAST(5 AS BIGINT) AS lb_df,
+      |  n * (n + 2) * s > 11.0705 AS significant
+      |FROM q""".stripMargin) { (s, d) =>
+    val daily = ev2ord(s, d)
+    val tot = daily.agg(count(lit(1)).cast("long").as("n"),
+      sum("x").cast("long").as("sx"),
+      sum(col("x") * col("x")).cast("long").as("sxx"))
+    val lags = s.range(1, 6).select(col("id").as("lag"))
+    val a = daily.crossJoin(lags)
+      .select(col("lag"), col("x").as("xa"),
+        date_add(col("day"), col("lag").cast("int")).as("jday"))
+    val b = daily.select(col("day").as("jday"), col("x").as("xb"))
+    val mu = col("sx").cast("double") / col("n")
+    val rho = a.join(b, "jday")
+      .groupBy("lag")
+      .agg(count(lit(1)).cast("long").as("c"),
+        sum(col("xa") * col("xb")).cast("long").as("sxy"),
+        sum("xa").cast("long").as("sa"), sum("xb").cast("long").as("sb"))
+      .crossJoin(broadcast(tot))
+      .select(col("lag"), col("n"),
+        ((col("sxy") - mu * (col("sa") + col("sb")) + col("c") * mu * mu)
+          / (col("sxx") - col("n") * mu * mu)).as("r"))
+    rho.agg(first("n").as("n"),
+        expr("aggregate(transform(array_sort(collect_list(" +
+          "struct(lag, r, n))), t -> t.r * t.r / (t.n - t.lag)), 0D, " +
+          "(a, x) -> a + x)").as("s"))
+      .select(col("n").as("n_days"),
+        (floor(col("n") * (col("n") + 2) * col("s") * 10000 + lit(0.5))
+          / 10000).as("q_stat"),
+        lit(5L).as("lb_df"),
+        (col("n") * (col("n") + 2) * col("s") > 11.0705).as("significant"))
+  }
+
+  private def ev2ord(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+
+  /** Index-of-dispersion (overdispersion) check on daily purchase
+    * counts — Poisson says variance = mean; real traffic rarely
+    * obeys, and the count-model family (Poisson vs negative binomial)
+    * hangs on this one ratio. Exact BIGINT moments → D = s²/x̄ and
+    * the normal-approximation z = (D−1)·√((n−1)/2), flagged at the
+    * one-sided 5% bound 1.644854. One daily collapse; 1-row output. */
+  val overdispersionCheck: Q = Q(
+    "overdispersion_check",
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s,
+      |    CAST(sum(c * c) AS BIGINT) AS ss FROM daily),
+      |f AS (SELECT n,
+      |    CAST(s AS DOUBLE) / n AS mean,
+      |    (ss - CAST(s AS DOUBLE) * s / n) / (n - 1) AS var FROM m)
+      |SELECT n AS n_days,
+      |  floor(mean * 10000 + 0.5) / 10000 AS mean,
+      |  floor(var * 10000 + 0.5) / 10000 AS variance,
+      |  floor(var / mean * 10000 + 0.5) / 10000 AS dispersion,
+      |  floor((var / mean - 1) * sqrt((n - 1) / 2.0) * 10000 + 0.5)
+      |    / 10000 AS z,
+      |  (var / mean - 1) * sqrt((n - 1) / 2.0) > 1.644854
+      |    AS overdispersed
+      |FROM f""".stripMargin) { (s, d) =>
+    val m = ev(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("c"))
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("ss"))
+    val mean = col("s").cast("double") / col("n")
+    val vr = (col("ss") - col("s").cast("double") * col("s") / col("n")) /
+      (col("n") - 1)
+    m.select(col("n").as("n_days"),
+      (floor(mean * 10000 + lit(0.5)) / 10000).as("mean"),
+      (floor(vr * 10000 + lit(0.5)) / 10000).as("variance"),
+      (floor(vr / mean * 10000 + lit(0.5)) / 10000).as("dispersion"),
+      (floor((vr / mean - 1) * sqrt((col("n") - 1) / lit(2.0)) * 10000
+        + lit(0.5)) / 10000).as("z"),
+      ((vr / mean - 1) * sqrt((col("n") - 1) / lit(2.0)) > 1.644854)
+        .as("overdispersed"))
+  }
+
+  /** Seasonal-strength measure (Hyndman & Athanasopoulos, FPP:
+    * F_s = max(0, 1 − Var(remainder)/Var(detrended))) over
+    * seasonal_decompose's exact machinery — "is the weekly pattern
+    * real enough to model". Both variances come from EXACT integer
+    * co-moments of the ×7-scaled detrended series: the remainder's
+    * per-dow sum telescopes to zero, so Var(R) reduces to per-dow
+    * moment algebra (n²Σd² − n·S² terms) folded dow-sorted — no
+    * double is ever summed across data rows. */
+  val seasonalStrength: Q = Q(
+    "seasonal_strength",
+    """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev FROM events GROUP BY 1),
+      |win AS (SELECT a.day, a.rev,
+      |    CAST(sum(b.rev) AS BIGINT) AS s7, CAST(count(*) AS BIGINT) AS w
+      |  FROM daily a JOIN daily b
+      |    ON b.day BETWEEN a.day - 3 AND a.day + 3
+      |  GROUP BY a.day, a.rev),
+      |det AS (SELECT dayofweek(day) + 1 AS dow, 7 * rev - s7 AS det7
+      |      FROM win WHERE w = 7),
+      |gm AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(det7) AS BIGINT) AS sd,
+      |    CAST(sum(det7 * det7) AS BIGINT) AS sdd FROM det GROUP BY dow),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+      |    CAST(sum(sd) AS BIGINT) AS st,
+      |    CAST(sum(sdd) AS BIGINT) AS sst,
+      |    list(n ORDER BY dow) AS nl, list(sd ORDER BY dow) AS sl,
+      |    list(sdd ORDER BY dow) AS ddl
+      |  FROM gm),
+      |f AS (SELECT nn,
+      |    (CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * st / nn)
+      |      / (49.0 * nn) AS var_det,
+      |    list_aggregate(list_transform(range(1, len(nl) + 1), i ->
+      |      (CAST(nl[i] AS DOUBLE) * nl[i] * ddl[i]
+      |        - CAST(nl[i] AS DOUBLE) * sl[i] * sl[i])
+      |      / (49.0 * nl[i] * nl[i])), 'sum') / nn AS var_rem
+      |  FROM tot)
+      |SELECT nn AS n_days,
+      |  floor(var_det / 10000 * 10000 + 0.5) / 10000 AS var_detrended,
+      |  floor(var_rem / 10000 * 10000 + 0.5) / 10000 AS var_remainder,
+      |  floor(greatest(0.0, 1 - var_rem / var_det) * 1000000 + 0.5)
+      |    / 1000000 AS seasonal_strength
+      |FROM f""".stripMargin) { (s, d) =>
+    val daily = ev(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("rev"))
+    val b = daily.select(col("day").as("bday"), col("rev").as("brev"))
+    val win = daily
+      .withColumn("o", explode(sequence(lit(-3), lit(3))))
+      .select(col("day"), col("rev"), expr("date_add(day, o)").as("nday"))
+      .join(b, col("nday") === col("bday"))
+      .groupBy("day", "rev")
+      .agg(sum("brev").as("s7"), count(lit(1)).as("w"))
+    val gm = win.filter(col("w") === 7)
+      .select(dayofweek(col("day")).cast("long").as("dow"),
+        (lit(7) * col("rev") - col("s7")).as("det7"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n"), sum("det7").as("sd"),
+        sum(col("det7") * col("det7")).as("sdd"))
+    val tot = gm.agg(sum("n").as("nn"), sum("sd").as("st"),
+      sum("sdd").as("sst"),
+      expr("aggregate(array_sort(collect_list(struct(dow, n, sd, sdd))), " +
+        "0D, (a, t) -> a + (CAST(t.n AS DOUBLE) * t.n * t.sdd " +
+        "- CAST(t.n AS DOUBLE) * t.sd * t.sd) / (49.0D * t.n * t.n))")
+        .as("remsum"))
+    val varDet = (col("sst").cast("double")
+      - col("st").cast("double") * col("st") / col("nn")) /
+      (lit(49.0) * col("nn"))
+    val varRem = col("remsum") / col("nn")
+    tot.select(col("nn").as("n_days"),
+      (floor(varDet / 10000 * 10000 + lit(0.5)) / 10000)
+        .as("var_detrended"),
+      (floor(varRem / 10000 * 10000 + lit(0.5)) / 10000)
+        .as("var_remainder"),
+      (floor(greatest(lit(0.0), lit(1) - varRem / varDet) * 1000000
+        + lit(0.5)) / 1000000).as("seasonal_strength"))
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
     seasonalDecompose, markovStationary, entropyRate, forecastBacktest,
     seqSupport, funnelLatency, inventoryRunout, hampelFilter, holtWinters,
     saxSymbols, shapleyAttribution, decayedPopularity, eventRegexMatch,
-    rollingCorr, adfTest, kleinbergBurst, maxDrawdown)
+    rollingCorr, adfTest, kleinbergBurst, maxDrawdown, ljungBox,
+    overdispersionCheck, seasonalStrength)
 }

@@ -198,6 +198,62 @@ class TemporalOpsSuite extends SparkSpec {
     }
   }
 
+  test("ljung_box: Q replays the acf lags and respects the bound") {
+    val row = TemporalOps.ljungBox.run(spark, sfDir).collect().head
+    val (n, q, df, sig) = (row.getLong(0), row.getDouble(1),
+      row.getLong(2), row.getBoolean(3))
+    assert(df == 5 && q >= 0)
+    assert(sig == (q > 11.0705 || (q == 11.0705 && false)))
+    val daily = graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .toMap
+    assert(n == daily.size.toLong)
+    val sx = daily.values.sum; val sxx = daily.values.map(x => x * x).sum
+    val mu = sx.toDouble / n
+    val s = (1 to 5).map { k =>
+      val pairs = daily.toSeq.flatMap { case (d0, x) =>
+        daily.get(d0 + k).map(x2 => (x, x2))
+      }
+      val c = pairs.length.toLong
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sa = pairs.map(_._1).sum; val sb = pairs.map(_._2).sum
+      val r = (sxy - mu * (sa + sb) + c * mu * mu) / (sxx - n * mu * mu)
+      r * r / (n - k)
+    }.sum
+    val expQ = math.floor(n * (n + 2) * s * 10000 + 0.5) / 10000
+    assert(math.abs(q - expQ) < 1e-6, s"Q $q vs $expQ")
+  }
+
+  test("overdispersion_check: moments replay; identity D = var/mean") {
+    val row = TemporalOps.overdispersionCheck.run(spark, sfDir)
+      .collect().head
+    val cs = graft.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("c")).collect().map(_.getLong(1))
+    val n = cs.length
+    val mean = cs.sum.toDouble / n
+    val vr = (cs.map(c => c.toDouble * c).sum - cs.sum.toDouble * cs.sum / n) / (n - 1)
+    assert(row.getLong(0) == n.toLong)
+    assert(math.abs(row.getDouble(1) - math.floor(mean * 10000 + 0.5) / 10000) < 1e-9)
+    assert(math.abs(row.getDouble(3)
+      - math.floor(vr / mean * 10000 + 0.5) / 10000) < 1e-3)
+    val z = (vr / mean - 1) * math.sqrt((n - 1) / 2.0)
+    assert(row.getBoolean(5) == (z > 1.644854))
+  }
+
+  test("seasonal_strength: in [0,1] and consistent with decompose") {
+    val row = TemporalOps.seasonalStrength.run(spark, sfDir).collect().head
+    val fs = row.getDouble(3)
+    assert(fs >= 0 && fs <= 1, s"strength $fs")
+    val (vd, vr) = (row.getDouble(1), row.getDouble(2))
+    assert(vd > 0 && vr >= 0 && vr <= vd + 1e-6)
+    // identity: strength == 1 - var_rem/var_det up to display rounding
+    assert(math.abs(fs - math.max(0.0, 1 - vr / vd)) < 1e-3)
+  }
+
   test("kleinberg_burst: flags replay a naive Viterbi") {
     val rows = TemporalOps.kleinbergBurst.run(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
