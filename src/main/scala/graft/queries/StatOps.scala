@@ -1807,6 +1807,54 @@ object StatOps {
         * 1000000 + lit(0.5)) / 1000000).as("f_stat"))
   }
 
+  /** Grubbs-style maximum-studentized-deviation outlier scan (Grubbs
+    * 1950) over the daily revenue series: which single day deviates
+    * most from the mean, in standard-deviation units? The ARGMAX runs
+    * on exact integers (|n·y − S| — no float ever picks the day; ties
+    * break to the earliest day), and G = (dev/n)/s is assembled from
+    * exact BIGINT moments with mirrored double steps. Flagged at the
+    * conventional G > 3 screen. */
+  val grubbsTest: Q = Q(
+    "grubbs_test",
+    """WITH daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS DATE)
+      |      AS day,
+      |    CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      / 100) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS s,
+      |    CAST(sum(y * y) AS BIGINT) AS ss FROM daily),
+      |dev AS (SELECT day, y, n, s, ss, abs(n * y - s) AS d
+      |        FROM daily CROSS JOIN tot),
+      |top AS (SELECT day, y, n, s, ss, d FROM dev
+      |        ORDER BY d DESC, day LIMIT 1)
+      |SELECT n AS n_days, strftime(day, '%Y-%m-%d') AS outlier_day, y AS value,
+      |  floor((CAST(d AS DOUBLE) / n)
+      |    / sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1))
+      |    * 10000 + 0.5) / 10000 AS g_stat,
+      |  (CAST(d AS DOUBLE) / n)
+      |    / sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)) > 3.0
+      |    AS flagged
+      |FROM top""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+      .agg(floor(sum(floor(col("o_totalprice") * 100 + lit(0.5))
+        .cast("long")) / 100).cast("long").as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("y").as("s"),
+      sum(col("y") * col("y")).as("ss"))
+    val top = daily.crossJoin(broadcast(tot)) // 1-row moments broadcast
+      .withColumn("d", abs(col("n") * col("y") - col("s")))
+      .orderBy(col("d").desc, col("day")).limit(1)
+    val g = (col("d").cast("double") / col("n")) /
+      sqrt((col("ss") - col("s").cast("double") * col("s") / col("n")) /
+        (col("n") - 1))
+    top.select(col("n").as("n_days"),
+      date_format(col("day"), "yyyy-MM-dd").as("outlier_day"),
+      col("y").as("value"),
+      (floor(g * 10000 + lit(0.5)) / 10000).as("g_stat"),
+      (g > 3.0).as("flagged"))
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
@@ -1814,7 +1862,7 @@ object StatOps {
       anovaQuantity, cramersV, multiregNormal, poissonBootstrap,
       lorenzDeciles, rfmSegments, abcClass, didEstimate, cupedAdjust,
       propZtest, abPowerMde, jamesStein, simpsonCheck, bhFdr, psMatch,
-      iv2sls, sprtMonitor, wilsonCi, leveneTest)
+      iv2sls, sprtMonitor, wilsonCi, leveneTest, grubbsTest)
 
   /** James–Stein shrinkage of the 25 per-nation mean order values
     * toward the grand mean (James & Stein 1961; the empirical-Bayes

@@ -2070,6 +2070,69 @@ object TemporalOps {
         + lit(0.5)) / 1000000).as("seasonal_strength"))
   }
 
+  /** Top-k assortment turnover — how much of the monthly best-seller
+    * list is NEW each month, the catalog-stability metric behind
+    * "trending" features and cache sizing. Monthly part order-counts
+    * collapse once; top-20 per month via a month-partitioned rank
+    * window; consecutive months meet on an integer month key
+    * (equi-join, scales to arbitrary history), and the overlap is an
+    * exact 20∩20 set count with Jaccard = |∩|/(40 − |∩|). */
+  val topkTurnover: Q = Q(
+    "topk_turnover",
+    """WITH mc AS (SELECT
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |      AS mk,
+      |    strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+      |    li.l_partkey AS pk, CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+      |  GROUP BY 1, 2, 3),
+      |rk AS (SELECT mk, mon, pk,
+      |    row_number() OVER (PARTITION BY mk ORDER BY c DESC, pk) AS rn
+      |  FROM mc),
+      |top AS (SELECT mk, mon, pk FROM rk WHERE rn <= 20),
+      |ov AS (SELECT a.mk AS mka, CAST(count(*) AS BIGINT) AS inter
+      |  FROM top a JOIN top b ON b.mk = a.mk + 1 AND b.pk = a.pk
+      |  GROUP BY a.mk),
+      |mons AS (SELECT DISTINCT mk, mon FROM top)
+      |SELECT ma.mon AS month_a, mb.mon AS month_b,
+      |  COALESCE(ov.inter, 0) AS n_common,
+      |  floor(CAST(COALESCE(ov.inter, 0) AS DOUBLE)
+      |    / (40 - COALESCE(ov.inter, 0)) * 1000000 + 0.5) / 1000000
+      |    AS jaccard
+      |FROM mons ma JOIN mons mb ON mb.mk = ma.mk + 1
+      |LEFT JOIN ov ON ov.mka = ma.mk
+      |ORDER BY month_a""".stripMargin) { (s, d) =>
+    val mc = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mk"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+          .as("mon"),
+        col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("c"))
+    val top = mc.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("mk")
+          .orderBy(col("c").desc, col("pk"))))
+      .filter(col("rn") <= 20)
+      .select("mk", "mon", "pk")
+    val ov = top.as("a")
+      .join(top.as("b"),
+        col("b.mk") === col("a.mk") + 1 && col("b.pk") === col("a.pk"))
+      .groupBy(col("a.mk").as("mka"))
+      .agg(count(lit(1)).as("inter"))
+    val mons = top.select("mk", "mon").distinct()
+    mons.as("ma")
+      .join(mons.as("mb"), col("mb.mk") === col("ma.mk") + 1)
+      .join(ov, col("mka") === col("ma.mk"), "left")
+      .select(col("ma.mon").as("month_a"), col("mb.mon").as("month_b"),
+        coalesce(col("inter"), lit(0L)).as("n_common"),
+        (floor(coalesce(col("inter"), lit(0L)).cast("double")
+          / (lit(40) - coalesce(col("inter"), lit(0L))) * 1000000
+          + lit(0.5)) / 1000000).as("jaccard"))
+      .orderBy("month_a")
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
@@ -2077,5 +2140,5 @@ object TemporalOps {
     seqSupport, funnelLatency, inventoryRunout, hampelFilter, holtWinters,
     saxSymbols, shapleyAttribution, decayedPopularity, eventRegexMatch,
     rollingCorr, adfTest, kleinbergBurst, maxDrawdown, ljungBox,
-    overdispersionCheck, seasonalStrength)
+    overdispersionCheck, seasonalStrength, topkTurnover)
 }

@@ -428,7 +428,52 @@ object VectorOps {
         (floor(col("g") * 1000000 + lit(0.5)) / 1000000).as("gi_star"))
   }
 
+  /** Embedding-space isotropy probe (Ethayarajh 2019's observation
+    * that contextual embeddings collapse into a cone): the mean and
+    * max |cosine| over all pairs of a capped 40-vector sample — near
+    * 0 for an isotropic space, near 1 for a collapsed one; the check
+    * run before trusting cosine retrieval at all. Pairs are bounded
+    * by construction (cosine_pairs' device); the 780 |cos| terms fold
+    * (id_a, id_b)-sorted through the established bit-identical
+    * sequential dot. */
+  val embedIsotropy: Q = Q(
+    "embed_isotropy",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+      |           FROM embeddings WHERE vec_id < 40),
+      |pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |    abs(list_dot_product(a.ev, b.ev)
+      |      / (sqrt(list_dot_product(a.ev, a.ev))
+      |         * sqrt(list_dot_product(b.ev, b.ev)))) AS ac
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id),
+      |one AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |    list_aggregate(list(ac ORDER BY ia, ib), 'sum') AS s,
+      |    max(ac) AS mx FROM pr)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_sample,
+      |  n_pairs,
+      |  floor(s / n_pairs * 1000000 + 0.5) / 1000000 AS mean_abs_cos,
+      |  floor(mx * 1000000 + 0.5) / 1000000 AS max_abs_cos
+      |FROM one""".stripMargin) { (s, d) =>
+    val v = emb(s, d).filter(col("vec_id") < 40)
+    val a = v.select(col("vec_id").as("ia"),
+      col("embedding").cast("array<double>").as("ea"))
+    val b = v.select(col("vec_id").as("ib"),
+      col("embedding").cast("array<double>").as("eb"))
+    val pr = a.join(b, col("ia") < col("ib")) // 40-vector capped sample
+      .select(col("ia"), col("ib"),
+        abs(cosine(col("ea"), col("eb"))).as("ac"))
+    pr.agg(count(lit(1)).as("n_pairs"),
+        expr("aggregate(transform(array_sort(collect_list(" +
+          "struct(ia, ib, ac))), t -> t.ac), 0D, (a, x) -> a + x)").as("s"),
+        max("ac").as("mx"))
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("n_sample"))))
+      .select(col("n_sample"), col("n_pairs"),
+        (floor(col("s") / col("n_pairs") * 1000000 + lit(0.5)) / 1000000)
+          .as("mean_abs_cos"),
+        (floor(col("mx") * 1000000 + lit(0.5)) / 1000000)
+          .as("max_abs_cos"))
+  }
+
   val all: Seq[Q] =
     Seq(embedStats, cosineTopK, cosinePairs, gridSpatialJoin, dbscanGrid,
-      moransI, getisOrd)
+      moransI, getisOrd, embedIsotropy)
 }

@@ -210,4 +210,29 @@ class AnnSuite extends SparkSpec {
     // hottest cell is hotter than the global mean by construction
     assert(rows.head.getDouble(4) > 0)
   }
+
+  test("embed_isotropy: replays brute-force pair cosines") {
+    val row = graft.queries.VectorOps.embedIsotropy.run(spark, sfDir)
+      .collect().head
+    val (ns, np, mean, mx) = (row.getLong(0), row.getLong(1),
+      row.getDouble(2), row.getDouble(3))
+    assert(np == ns * (ns - 1) / 2)
+    assert(mean >= 0 && mx >= mean - 1e-9 && mx <= 1 + 1e-9)
+    val vs = graft.Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 40)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val acs = for (i <- vs.indices; j <- i + 1 until vs.length)
+      yield math.abs(cos(vs(i)._2, vs(j)._2))
+    assert(math.abs(mean - math.floor(acs.sum / acs.length * 1000000 + 0.5)
+      / 1000000) < 1e-4)
+    assert(math.abs(mx - math.floor(acs.max * 1000000 + 0.5) / 1000000)
+      < 1e-6)
+  }
 }

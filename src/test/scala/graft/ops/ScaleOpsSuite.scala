@@ -241,7 +241,9 @@ class ScaleOpsSuite extends SparkSpec {
       "skipgram_pairs",       // 1-row vocabulary broadcast
       "davies_bouldin",       // 8x8 centroid grid + 1-row index
       "max_drawdown",         // 1-row trough/peak-value broadcast
-      "rocchio_expand")       // 1-row corpus-stat broadcasts (bm25's)
+      "rocchio_expand",       // 1-row corpus-stat broadcasts (bm25's)
+      "embed_isotropy",       // 40-vector capped sample pair space
+      "grubbs_test")          // 1-row moments broadcast onto the scan
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

@@ -733,6 +733,28 @@ class StatOpsSuite extends SparkSpec {
     }
   }
 
+  test("grubbs_test: argmax day and G replay exact moments") {
+    val row = StatOps.grubbsTest.run(spark, sfDir).collect().head
+    val daily = graft.Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+      .agg(floor(sum(floor(col("o_totalprice") * 100 + lit(0.5))
+        .cast("long")) / 100).cast("long").as("y"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val n = daily.length.toLong
+    val s0 = daily.map(_._2).sum
+    val ss = daily.map(t => t._2 * t._2).sum
+    val best = daily.map { case (day, y) =>
+      (math.abs(n * y - s0), day, y)
+    }.minBy(t => (-t._1, t._2))
+    val g = (best._1.toDouble / n) /
+      math.sqrt((ss - s0.toDouble * s0 / n) / (n - 1))
+    assert(row.getLong(0) == n)
+    assert(row.getString(1) == best._2 && row.getLong(2) == best._3)
+    assert(math.abs(row.getDouble(3)
+      - math.floor(g * 10000 + 0.5) / 10000) < 1e-9)
+    assert(row.getBoolean(4) == (g > 3.0))
+  }
+
   test("levene_test: Brown-Forsythe F replays a naive recompute") {
     val row = StatOps.leveneTest.run(spark, sfDir).collect().head
     val data = graft.Tables.lineitem(spark, sfDir)

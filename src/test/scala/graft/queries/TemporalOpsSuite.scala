@@ -198,6 +198,32 @@ class TemporalOpsSuite extends SparkSpec {
     }
   }
 
+  test("topk_turnover: overlaps replay a naive monthly top-20") {
+    val rows = TemporalOps.topkTurnover.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val mc = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+        "yyyy-MM").as("mon"), col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val tops = mc.map { case (m, l) =>
+      m -> l.sortBy(t => (-t._3, t._2)).take(20).map(_._2).toSet
+    }
+    rows.foreach { case (ma, mb, common, jac) =>
+      val inter = tops(ma).intersect(tops(mb)).size.toLong
+      assert(common == inter, s"$ma->$mb: $common vs $inter")
+      assert(math.abs(jac - math.floor(inter.toDouble / (40 - inter)
+        * 1000000 + 0.5) / 1000000) < 1e-9)
+    }
+    // every consecutive month pair with data appears exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
   test("ljung_box: Q replays the acf lags and respects the bound") {
     val row = TemporalOps.ljungBox.run(spark, sfDir).collect().head
     val (n, q, df, sig) = (row.getLong(0), row.getDouble(1),
