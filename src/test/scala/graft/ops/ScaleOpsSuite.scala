@@ -243,7 +243,8 @@ class ScaleOpsSuite extends SparkSpec {
       "max_drawdown",         // 1-row trough/peak-value broadcast
       "rocchio_expand",       // 1-row corpus-stat broadcasts (bm25's)
       "embed_isotropy",       // 40-vector capped sample pair space
-      "grubbs_test")          // 1-row moments broadcast onto the scan
+      "grubbs_test",          // 1-row moments broadcast onto the scan
+      "ljung_box")            // q109's 5-row literal lag range + 1-row totals
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,
