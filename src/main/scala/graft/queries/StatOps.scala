@@ -1855,6 +1855,140 @@ object StatOps {
       (g > 3.0).as("flagged"))
   }
 
+  /** Partial correlation r_xy·z — does quantity correlate with line
+    * revenue once part size is controlled for? The confounder check
+    * behind every "X drives Y" dashboard claim. All three pairwise
+    * correlations come from ONE exact-integer co-moment scan
+    * (n·Σab − Σa·Σb forms), then
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) is a single
+    * mirrored double expression. */
+  val partialCorr: Q = Q(
+    "partial_corr",
+    """WITH b AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y,
+      |    CAST(p.p_size AS BIGINT) AS z
+      |  FROM lineitem li JOIN part p ON p.p_partkey = li.l_partkey),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(z) AS BIGINT) AS sz,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * z) AS BIGINT) AS sxz,
+      |    CAST(sum(y * z) AS BIGINT) AS syz,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(z * z) AS BIGINT) AS szz FROM b),
+      |r AS (SELECT n,
+      |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |      / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |             * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+      |      AS rxy,
+      |    (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+      |      / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |             * (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+      |      AS rxz,
+      |    (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+      |      / sqrt((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+      |             * (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+      |      AS ryz
+      |  FROM m)
+      |SELECT n AS n_rows,
+      |  floor(rxy * 1000000 + 0.5) / 1000000 AS r_xy,
+      |  floor(rxz * 1000000 + 0.5) / 1000000 AS r_xz,
+      |  floor(ryz * 1000000 + 0.5) / 1000000 AS r_yz,
+      |  floor((rxy - rxz * ryz)
+      |    / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) * 1000000 + 0.5)
+      |    / 1000000 AS r_xy_given_z
+      |FROM r""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d)
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .select(floor(col("l_quantity") + lit(0.5)).cast("long").as("x"),
+        floor(col("l_extendedprice") + lit(0.5)).cast("long").as("y"),
+        col("p_size").cast("long").as("z"))
+    val m = b.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"),
+      sum(col("y") * col("z")).as("syz"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"))
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      (col("n").cast("double") * col(sab)
+        - col(sa).cast("double") * col(sb)) /
+        sqrt((col("n").cast("double") * col(saa)
+            - col(sa).cast("double") * col(sa))
+          * (col("n").cast("double") * col(sbb)
+            - col(sb).cast("double") * col(sb)))
+    val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = r("syz", "sy", "sz", "syy", "szz")
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000 + lit(0.5)) / 1000000
+    m.select(col("n").as("n_rows"), r6(rxy).as("r_xy"), r6(rxz).as("r_xz"),
+      r6(ryz).as("r_yz"),
+      r6((rxy - rxz * ryz)
+        / sqrt((lit(1) - rxz * rxz) * (lit(1) - ryz * ryz)))
+        .as("r_xy_given_z"))
+  }
+
+  /** Lincoln–Petersen capture–recapture estimate (the mark-recapture
+    * estimator ecology and dedup-coverage audits share): customers
+    * "captured" by 1996 orders, "recaptured" by 1997 orders, and the
+    * implied total active population N̂ = n₁n₂/m (Chapman's
+    * bias-corrected form alongside), compared against the directly
+    * counted truth — the estimator-validation row. Three semi-join
+    * counts + exact-integer arithmetic. */
+  val captureRecapture: Q = Q(
+    "capture_recapture",
+    """WITH c1 AS (SELECT DISTINCT o_custkey AS k FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      |c2 AS (SELECT DISTINCT o_custkey AS k FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |truth AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS nt
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |m AS (SELECT
+      |    (SELECT CAST(count(*) AS BIGINT) FROM c1) AS n1,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM c2) AS n2,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM c1 JOIN c2 USING (k))
+      |      AS mm)
+      |SELECT n1, n2, mm AS n_both,
+      |  floor(CAST(n1 AS DOUBLE) * n2 / mm * 100 + 0.5) / 100
+      |    AS lp_estimate,
+      |  floor((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (mm + 1) - 1)
+      |    * 100 + 0.5) / 100 AS chapman_estimate,
+      |  nt AS true_population
+      |FROM m CROSS JOIN truth""".stripMargin) { (s, d) =>
+    def yr(a: String, b: String) = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(a).cast("timestamp")
+        && col("o_orderdate") < lit(b).cast("timestamp"))
+      .select(col("o_custkey").as("k")).distinct()
+    val c1 = yr("1996-01-01 00:00:00", "1997-01-01 00:00:00")
+    val c2 = yr("1997-01-01 00:00:00", "1998-01-01 00:00:00")
+    val truth = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00")
+        .cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01 00:00:00")
+          .cast("timestamp"))
+      .agg(countDistinct("o_custkey").as("nt"))
+    c1.agg(count(lit(1)).as("n1"))
+      .crossJoin(broadcast(c2.agg(count(lit(1)).as("n2"))))
+      .crossJoin(broadcast(
+        c1.join(c2, "k").agg(count(lit(1)).as("mm"))))
+      .crossJoin(broadcast(truth)) // three 1-row capture counts
+      .select(col("n1"), col("n2"), col("mm").as("n_both"),
+        (floor(col("n1").cast("double") * col("n2") / col("mm") * 100
+          + lit(0.5)) / 100).as("lp_estimate"),
+        (floor(((col("n1") + 1).cast("double") * (col("n2") + 1)
+          / (col("mm") + 1) - 1) * 100 + lit(0.5)) / 100)
+          .as("chapman_estimate"),
+        col("nt").as("true_population"))
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
@@ -1862,7 +1996,8 @@ object StatOps {
       anovaQuantity, cramersV, multiregNormal, poissonBootstrap,
       lorenzDeciles, rfmSegments, abcClass, didEstimate, cupedAdjust,
       propZtest, abPowerMde, jamesStein, simpsonCheck, bhFdr, psMatch,
-      iv2sls, sprtMonitor, wilsonCi, leveneTest, grubbsTest)
+      iv2sls, sprtMonitor, wilsonCi, leveneTest, grubbsTest, partialCorr,
+      captureRecapture)
 
   /** James–Stein shrinkage of the 25 per-nation mean order values
     * toward the grand mean (James & Stein 1961; the empirical-Bayes

@@ -2133,6 +2133,80 @@ object TemporalOps {
       .orderBy("month_a")
   }
 
+  /** Laspeyres / Paasche / Fisher price indices by year over the
+    * 25-brand basket (base 1995) — the inflation-adjustment triple
+    * every revenue trend should be deflated by. Per-(year, brand)
+    * unit prices are exact-integer ratios (Σcents/Σqty); the four
+    * basket sums fold over the BOUNDED brand dimension in brand-sorted
+    * order, so both engines chain identical doubles; Fisher is the
+    * geometric mean √(L·P) (IEEE sqrt). One fact-table collapse; the
+    * index algebra rides 25-row relations. */
+  val priceIndex: Q = Q(
+    "price_index",
+    """WITH yb AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+      |    p.p_brand AS brand,
+      |    CAST(sum(CAST(floor(li.l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev,
+      |    CAST(sum(CAST(floor(li.l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS qty
+      |  FROM lineitem li
+      |  JOIN orders o ON o.o_orderkey = li.l_orderkey
+      |  JOIN part p ON p.p_partkey = li.l_partkey
+      |  GROUP BY 1, 2),
+      |base AS (SELECT brand, rev AS rb, qty AS qb FROM yb
+      |         WHERE yr = 1995),
+      |j AS (SELECT yb.yr, yb.brand, yb.rev AS rt, yb.qty AS qt,
+      |      base.rb, base.qb
+      |  FROM yb JOIN base USING (brand)),
+      |one AS (SELECT yr,
+      |    list(rt ORDER BY brand) AS rts, list(qt ORDER BY brand) AS qts,
+      |    list(rb ORDER BY brand) AS rbs, list(qb ORDER BY brand) AS qbs
+      |  FROM j GROUP BY yr),
+      |f AS (SELECT yr,
+      |    list_aggregate(list_transform(range(1, len(rts) + 1), i ->
+      |      CAST(rts[i] AS DOUBLE) / qts[i] * qbs[i]), 'sum')
+      |    / list_aggregate(list_transform(range(1, len(rts) + 1), i ->
+      |      CAST(rbs[i] AS DOUBLE) / qbs[i] * qbs[i]), 'sum') AS lasp,
+      |    list_aggregate(list_transform(range(1, len(rts) + 1), i ->
+      |      CAST(rts[i] AS DOUBLE) / qts[i] * qts[i]), 'sum')
+      |    / list_aggregate(list_transform(range(1, len(rts) + 1), i ->
+      |      CAST(rbs[i] AS DOUBLE) / qbs[i] * qts[i]), 'sum') AS paas
+      |  FROM one)
+      |SELECT yr AS year,
+      |  floor(lasp * 10000 + 0.5) / 10000 AS laspeyres,
+      |  floor(paas * 10000 + 0.5) / 10000 AS paasche,
+      |  floor(sqrt(lasp * paas) * 10000 + 0.5) / 10000 AS fisher
+      |FROM f ORDER BY year""".stripMargin) { (s, d) =>
+    val yb = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        col("p_brand").as("brand"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"),
+        sum(floor(col("l_quantity") + lit(0.5)).cast("long")).as("qty"))
+    val base = yb.filter(col("yr") === 1995)
+      .select(col("brand"), col("rev").as("rb"), col("qty").as("qb"))
+    val one = yb.join(base, "brand")
+      .groupBy("yr")
+      .agg(expr("array_sort(collect_list(struct(brand, rev, qty, rb, qb)))")
+        .as("cl"))
+    def fold(term: String) =
+      s"aggregate(cl, 0D, (a, t) -> a + $term)"
+    val f = one.select(col("yr"),
+      (expr(fold("CAST(t.rev AS DOUBLE) / t.qty * t.qb"))
+        / expr(fold("CAST(t.rb AS DOUBLE) / t.qb * t.qb"))).as("lasp"),
+      (expr(fold("CAST(t.rev AS DOUBLE) / t.qty * t.qty"))
+        / expr(fold("CAST(t.rb AS DOUBLE) / t.qb * t.qty"))).as("paas"))
+    f.select(col("yr").as("year"),
+        (floor(col("lasp") * 10000 + lit(0.5)) / 10000).as("laspeyres"),
+        (floor(col("paas") * 10000 + lit(0.5)) / 10000).as("paasche"),
+        (floor(sqrt(col("lasp") * col("paas")) * 10000 + lit(0.5)) / 10000)
+          .as("fisher"))
+      .orderBy("year")
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
@@ -2140,5 +2214,5 @@ object TemporalOps {
     seqSupport, funnelLatency, inventoryRunout, hampelFilter, holtWinters,
     saxSymbols, shapleyAttribution, decayedPopularity, eventRegexMatch,
     rollingCorr, adfTest, kleinbergBurst, maxDrawdown, ljungBox,
-    overdispersionCheck, seasonalStrength, topkTurnover)
+    overdispersionCheck, seasonalStrength, topkTurnover, priceIndex)
 }

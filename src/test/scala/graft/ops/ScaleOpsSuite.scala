@@ -244,7 +244,8 @@ class ScaleOpsSuite extends SparkSpec {
       "rocchio_expand",       // 1-row corpus-stat broadcasts (bm25's)
       "embed_isotropy",       // 40-vector capped sample pair space
       "grubbs_test",          // 1-row moments broadcast onto the scan
-      "ljung_box")            // q109's 5-row literal lag range + 1-row totals
+      "ljung_box",            // q109's 5-row literal lag range + 1-row totals
+      "capture_recapture")    // three 1-row capture-count broadcasts
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

@@ -733,6 +733,53 @@ class StatOpsSuite extends SparkSpec {
     }
   }
 
+  test("partial_corr: correlations replay exact driver-side co-moments") {
+    val row = StatOps.partialCorr.run(spark, sfDir).collect().head
+    val b = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .select(floor(col("l_quantity") + lit(0.5)).cast("long"),
+        floor(col("l_extendedprice") + lit(0.5)).cast("long"),
+        col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = b.length.toLong
+    def corr(f: ((Long, Long, Long)) => Long,
+        g: ((Long, Long, Long)) => Long): Double = {
+      val sa = b.map(f).sum; val sb = b.map(g).sum
+      val sab = b.map(t => f(t) * g(t)).sum
+      val saa = b.map(t => f(t) * f(t)).sum
+      val sbb = b.map(t => g(t) * g(t)).sum
+      (n.toDouble * sab - sa.toDouble * sb) /
+        math.sqrt((n.toDouble * saa - sa.toDouble * sa)
+          * (n.toDouble * sbb - sb.toDouble * sb))
+    }
+    val rxy = corr(_._1, _._2); val rxz = corr(_._1, _._3)
+    val ryz = corr(_._2, _._3)
+    def r6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(1) - r6(rxy)) < 1e-9)
+    assert(math.abs(row.getDouble(4) - r6((rxy - rxz * ryz)
+      / math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)))) < 1e-9)
+  }
+
+  test("capture_recapture: estimator brackets and replays truth") {
+    val row = StatOps.captureRecapture.run(spark, sfDir).collect().head
+    val (n1, n2, m, lp, chap, truth) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getDouble(3), row.getDouble(4), row.getLong(5))
+    assert(m <= math.min(n1, n2) && m > 0)
+    assert(lp >= math.max(n1, n2) - 1e-9,
+      "the union can't be smaller than either capture")
+    assert(math.abs(lp - math.floor(n1.toDouble * n2 / m * 100 + 0.5)
+      / 100) < 1e-9)
+    assert(math.abs(chap - math.floor(((n1 + 1).toDouble * (n2 + 1)
+      / (m + 1) - 1) * 100 + 0.5) / 100) < 1e-9)
+    // truth is the directly counted union of both captures
+    assert(truth == n1 + n2 - m)
+    // on a closed population LP should land within 25% of truth
+    assert(math.abs(lp - truth) / truth < 0.25, s"LP $lp vs truth $truth")
+  }
+
   test("grubbs_test: argmax day and G replay exact moments") {
     val row = StatOps.grubbsTest.run(spark, sfDir).collect().head
     val daily = graft.Tables.orders(spark, sfDir)

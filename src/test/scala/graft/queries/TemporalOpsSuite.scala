@@ -198,6 +198,22 @@ class TemporalOpsSuite extends SparkSpec {
     }
   }
 
+  test("price_index: base year is unity and Fisher sits between L and P") {
+    val rows = TemporalOps.priceIndex.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rows.nonEmpty && rows.head._1 == 1995L)
+    assert(rows.head._2 == 1.0 && rows.head._3 == 1.0
+      && rows.head._4 == 1.0, s"base year ${rows.head}")
+    rows.foreach { case (y, l, p, f) =>
+      assert(l > 0 && p > 0, s"year $y")
+      assert(f >= math.min(l, p) - 1e-4 && f <= math.max(l, p) + 1e-4,
+        s"year $y: fisher $f outside [$l, $p]")
+      // the geometric-mean identity up to display rounding
+      assert(math.abs(f - math.sqrt(l * p)) < 1e-3)
+    }
+  }
+
   test("topk_turnover: overlaps replay a naive monthly top-20") {
     val rows = TemporalOps.topkTurnover.run(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
