@@ -454,7 +454,38 @@ object IncrOps {
       .orderBy("layout")
   }
 
+  /** Catalog coverage audit — dead-stock detection per brand: how
+    * many catalog parts have NEVER been ordered? One distinct
+    * projection of the fact table + a left-join flag per part, then a
+    * 25-row brand rollup with exact counts; the anti-join shape every
+    * assortment review runs. */
+  val catalogCoverage: Q = Q(
+    "catalog_coverage",
+    """WITH sold AS (SELECT DISTINCT l_partkey AS pk FROM lineitem),
+      |p AS (SELECT p_brand AS brand, p_partkey,
+      |    CASE WHEN sold.pk IS NULL THEN 0 ELSE 1 END AS ordered
+      |  FROM part LEFT JOIN sold ON sold.pk = p_partkey)
+      |SELECT brand, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(ordered) AS BIGINT) AS n_ordered,
+      |  CAST(count(*) - sum(ordered) AS BIGINT) AS n_dead,
+      |  floor(CAST(sum(ordered) AS DOUBLE) / count(*) * 1000000 + 0.5)
+      |    / 1000000 AS coverage
+      |FROM p GROUP BY brand ORDER BY brand""".stripMargin) { (s, d) =>
+    val sold = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk")).distinct()
+    Tables.part(s, d)
+      .join(sold, col("pk") === col("p_partkey"), "left")
+      .select(col("p_brand").as("brand"),
+        when(col("pk").isNull, 0L).otherwise(1L).as("ordered"))
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n_parts"), sum("ordered").as("n_ordered"),
+        (count(lit(1)) - sum("ordered")).as("n_dead"),
+        (floor(sum("ordered").cast("double") / count(lit(1)) * 1000000
+          + lit(0.5)) / 1000000).as("coverage"))
+      .orderBy("brand")
+  }
+
   val all: Seq[Q] = Seq(incrAggMerge, compactBins, tableStats, incrJoinDelta,
     snapshotDiff, kAnonymity, dqScorecard, lDiversity, tCloseness,
-    zonemapAudit)
+    zonemapAudit, catalogCoverage)
 }

@@ -2207,6 +2207,120 @@ object TemporalOps {
       .orderBy("year")
   }
 
+  /** Day-N retention curve — the product-analytics survival summary:
+    * of users whose FIRST signup lands on day d, what share is active
+    * again exactly k days later (k = 1..7)? Each user contributes one
+    * (signup day, active-day set) pass: the signup anchor is a
+    * per-user min aggregate, activity joins back on a user+day key,
+    * and the ×7 horizon fan-out is bounded (sliding_distinct's
+    * device). Exact integer cohort counts; one division per k. */
+  val retentionCurve: Q = Q(
+    "retention_curve",
+    """WITH su AS (SELECT user_id,
+      |    min(CAST(date_trunc('day', ts) AS DATE)) AS sday
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |act AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('day', ts) AS DATE) AS aday FROM events),
+      |fan AS (SELECT su.user_id, su.sday, k.k,
+      |    su.sday + CAST(k.k AS INTEGER) AS tday
+      |  FROM su CROSS JOIN (SELECT unnest(range(1, 8)) AS k) k),
+      |hit AS (SELECT f.k, CAST(count(*) AS BIGINT) AS n_active
+      |  FROM fan f JOIN act a
+      |    ON a.user_id = f.user_id AND a.aday = f.tday
+      |  GROUP BY f.k),
+      |coh AS (SELECT CAST(count(*) AS BIGINT) AS n_cohort FROM su)
+      |SELECT CAST(ks.k AS BIGINT) AS day_k, n_cohort,
+      |  COALESCE(hit.n_active, 0) AS n_active,
+      |  floor(CAST(COALESCE(hit.n_active, 0) AS DOUBLE) / n_cohort
+      |    * 1000000 + 0.5) / 1000000 AS retention
+      |FROM (SELECT unnest(range(1, 8)) AS k) ks
+      |LEFT JOIN hit ON hit.k = ks.k CROSS JOIN coh
+      |ORDER BY day_k""".stripMargin) { (s, d) =>
+    val su = ev(s, d).filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(date_trunc("day", col("ts")).cast("date")).as("sday"))
+    val act = ev(s, d)
+      .select(col("user_id").as("auid"),
+        date_trunc("day", col("ts")).cast("date").as("aday"))
+      .distinct()
+    val fan = su.withColumn("k", explode(sequence(lit(1), lit(7))))
+      .select(col("user_id"), col("k"),
+        expr("date_add(sday, k)").as("tday"))
+    val hit = fan.join(act,
+        col("auid") === col("user_id") && col("aday") === col("tday"))
+      .groupBy("k").agg(count(lit(1)).as("n_active"))
+    val coh = su.agg(count(lit(1)).as("n_cohort"))
+    s.range(1, 8).select(col("id").as("k"))
+      .join(hit, Seq("k"), "left")
+      .crossJoin(broadcast(coh)) // 1-row cohort size
+      .select(col("k").cast("long").as("day_k"), col("n_cohort"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        (floor(coalesce(col("n_active"), lit(0L)).cast("double")
+          / col("n_cohort") * 1000000 + lit(0.5)) / 1000000)
+          .as("retention"))
+      .orderBy("day_k")
+  }
+
+  /** Order-value distribution drift as KL divergence (1996 ∥ 2000,
+    * Laplace-smoothed decile-band bins) — drift_psi's
+    * information-theoretic sibling on the money axis: "how differently
+    * were order values distributed five years on". Exact bin counts,
+    * probabilities as single divisions, and the ≤12-term KL sum folds
+    * bin-sorted (ln parity corpus-established). */
+  val valueDriftKl: Q = Q(
+    "value_drift_kl",
+    """WITH b AS (SELECT
+      |    CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bin,
+      |    CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |      THEN 1 ELSE 0 END AS p,
+      |    CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |      AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
+      |      THEN 1 ELSE 0 END AS q
+      |  FROM orders),
+      |g AS (SELECT bin, CAST(sum(p) AS BIGINT) AS cp,
+      |      CAST(sum(q) AS BIGINT) AS cq FROM b
+      |  WHERE p = 1 OR q = 1 GROUP BY bin),
+      |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+      |    CAST(sum(cq) AS BIGINT) AS nq,
+      |    CAST(count(*) AS BIGINT) AS nb,
+      |    list(cp ORDER BY bin) AS cps, list(cq ORDER BY bin) AS cqs
+      |  FROM g),
+      |f AS (SELECT np, nq, nb,
+      |    list_aggregate(list_transform(range(1, nb + 1), i ->
+      |      ((cps[i] + 1.0) / (np + nb))
+      |        * ln(((cps[i] + 1.0) / (np + nb))
+      |             / ((cqs[i] + 1.0) / (nq + nb)))), 'sum') AS kl
+      |  FROM tot)
+      |SELECT np AS n_1996, nq AS n_2000, nb AS n_bins,
+      |  floor(kl * 1000000 + 0.5) / 1000000 AS kl_divergence
+      |FROM f""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val g = o.select(
+        least(floor(col("o_totalprice") / 50000), lit(9)).cast("long")
+          .as("bin"),
+        when(col("o_orderdate") >= lit("1996-01-01 00:00:00")
+          .cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01 00:00:00")
+            .cast("timestamp"), 1L).otherwise(0L).as("p"),
+        when(col("o_orderdate") >= lit("2000-01-01 00:00:00")
+          .cast("timestamp")
+          && col("o_orderdate") < lit("2001-01-01 00:00:00")
+            .cast("timestamp"), 1L).otherwise(0L).as("q"))
+      .filter(col("p") === 1 || col("q") === 1)
+      .groupBy("bin").agg(sum("p").as("cp"), sum("q").as("cq"))
+    g.agg(sum("cp").as("np"), sum("cq").as("nq"),
+        count(lit(1)).as("nb"),
+        expr("array_sort(collect_list(struct(bin, cp, cq)))").as("cl"))
+      .withColumn("kl", expr("aggregate(cl, 0D, (a, t) -> " +
+        "a + ((t.cp + 1.0D) / (np + nb)) " +
+        "* ln(((t.cp + 1.0D) / (np + nb)) / ((t.cq + 1.0D) / (nq + nb))))"))
+      .select(col("np").as("n_1996"), col("nq").as("n_2000"),
+        col("nb").as("n_bins"),
+        (floor(col("kl") * 1000000 + lit(0.5)) / 1000000)
+          .as("kl_divergence"))
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
@@ -2214,5 +2328,6 @@ object TemporalOps {
     seqSupport, funnelLatency, inventoryRunout, hampelFilter, holtWinters,
     saxSymbols, shapleyAttribution, decayedPopularity, eventRegexMatch,
     rollingCorr, adfTest, kleinbergBurst, maxDrawdown, ljungBox,
-    overdispersionCheck, seasonalStrength, topkTurnover, priceIndex)
+    overdispersionCheck, seasonalStrength, topkTurnover, priceIndex,
+    retentionCurve, valueDriftKl)
 }

@@ -245,7 +245,8 @@ class ScaleOpsSuite extends SparkSpec {
       "embed_isotropy",       // 40-vector capped sample pair space
       "grubbs_test",          // 1-row moments broadcast onto the scan
       "ljung_box",            // q109's 5-row literal lag range + 1-row totals
-      "capture_recapture")    // three 1-row capture-count broadcasts
+      "capture_recapture",    // three 1-row capture-count broadcasts
+      "retention_curve")      // 7-row horizon axis + 1-row cohort size
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

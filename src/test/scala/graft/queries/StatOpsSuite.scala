@@ -733,6 +733,26 @@ class StatOpsSuite extends SparkSpec {
     }
   }
 
+  test("catalog_coverage: flags replay a naive anti-join per brand") {
+    val rows = IncrOps.catalogCoverage.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.length == 25)
+    val sold = graft.Tables.lineitem(spark, sfDir)
+      .select("l_partkey").distinct().collect().map(_.getLong(0)).toSet
+    val parts = graft.Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand").collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._2)
+    rows.foreach { case (brand, n, nOrd, nDead, cov) =>
+      val ps = parts(brand)
+      assert(n == ps.length.toLong)
+      val ordered = ps.count(p => sold(p._1)).toLong
+      assert(nOrd == ordered && nDead == n - ordered)
+      assert(math.abs(cov - math.floor(ordered.toDouble / n * 1000000
+        + 0.5) / 1000000) < 1e-9)
+    }
+  }
+
   test("partial_corr: correlations replay exact driver-side co-moments") {
     val row = StatOps.partialCorr.run(spark, sfDir).collect().head
     val b = graft.Tables.lineitem(spark, sfDir)

@@ -198,6 +198,50 @@ class TemporalOpsSuite extends SparkSpec {
     }
   }
 
+  test("retention_curve: cohort shares replay a naive per-user check") {
+    val rows = TemporalOps.retentionCurve.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1L to 7L))
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).cast("date")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toLocalDate))
+    val signup = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, l) => u -> l.map(_._3).min }
+    val active = ev.groupBy(_._1).map { case (u, l) => u -> l.map(_._3).toSet }
+    (1 to 7).foreach { k =>
+      val n = signup.count { case (u, sd) => active(u).contains(sd.plusDays(k)) }
+      val row = rows(k - 1)
+      assert(row._2 == signup.size.toLong)
+      assert(row._3 == n.toLong, s"day $k: ${row._3} vs $n")
+      assert(math.abs(row._4 - math.floor(n.toDouble / signup.size
+        * 1000000 + 0.5) / 1000000) < 1e-9)
+    }
+  }
+
+  test("value_drift_kl: KL nonnegative and replays smoothed bins") {
+    val row = TemporalOps.valueDriftKl.run(spark, sfDir).collect().head
+    val (np, nq, nb, kl) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getDouble(3))
+    assert(np > 0 && nq > 0 && nb >= 1 && nb <= 10)
+    assert(kl >= -1e-9, s"KL must be nonnegative, got $kl")
+    val os = graft.Tables.orders(spark, sfDir)
+      .select(col("o_totalprice"), year(col("o_orderdate"))).collect()
+      .map(r => (math.min(math.floor(r.getDouble(0) / 50000).toLong, 9L),
+        r.getInt(1)))
+    val p = os.filter(_._2 == 1996).groupBy(_._1).map(t => t._1 -> t._2.size)
+    val q = os.filter(_._2 == 2000).groupBy(_._1).map(t => t._1 -> t._2.size)
+    val bins = (p.keySet ++ q.keySet).toSeq.sorted
+    assert(nb == bins.length.toLong)
+    val expKl = bins.map { b =>
+      val cp = p.getOrElse(b, 0); val cq = q.getOrElse(b, 0)
+      val pp = (cp + 1.0) / (np + nb); val qq = (cq + 1.0) / (nq + nb)
+      pp * math.log(pp / qq)
+    }.sum
+    assert(math.abs(kl - math.floor(expKl * 1000000 + 0.5) / 1000000)
+      < 1e-6)
+  }
+
   test("price_index: base year is unity and Fisher sits between L and P") {
     val rows = TemporalOps.priceIndex.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
