@@ -294,6 +294,129 @@ object FeatureOps {
       .orderBy("source", "decile")
   }
 
+  /** Log-rank test (Mantel 1966) comparing kaplan_meier's survival
+    * curve between BUILDING-segment customers and the rest — "do the
+    * two segments churn at the same rate", the two-sample question KM
+    * alone can't answer. Same duration/censoring protocol as
+    * kaplan_meier; per-group risk sets come from a GROUP-partitioned
+    * cumulative window over the zero-filled (t × group) grid (bands
+    * bounded by the calendar), the O−E and variance terms are exact
+    * rationals per event time, and their sums fold t-sorted on one
+    * collapsed row. χ² at the 5% bound 3.841459. */
+  val logRank: Q = Q(
+    "log_rank",
+    """WITH cust AS (SELECT o.o_custkey,
+      |    CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+      |    min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+      |      AS first_d,
+      |    max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+      |      AS last_d
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2),
+      |mx AS (SELECT max(last_d) AS mx FROM cust),
+      |c2 AS (SELECT g, CAST(last_d - first_d AS BIGINT) AS t,
+      |    CASE WHEN mx - last_d >= 90 THEN 1 ELSE 0 END AS death
+      |  FROM cust CROSS JOIN mx),
+      |byt AS (SELECT g, t, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(death) AS BIGINT) AS d FROM c2 GROUP BY g, t),
+      |ts AS (SELECT DISTINCT t FROM byt),
+      |grid AS (SELECT gg.g, ts.t, COALESCE(byt.cnt, 0) AS cnt,
+      |    COALESCE(byt.d, 0) AS d
+      |  FROM ts CROSS JOIN (SELECT unnest([0, 1]) AS g) gg
+      |  LEFT JOIN byt ON byt.g = gg.g AND byt.t = ts.t),
+      |cum AS (SELECT g, t, cnt, d,
+      |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY t) AS BIGINT)
+      |      AS cumc,
+      |    CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS ng
+      |  FROM grid),
+      |att AS (SELECT t,
+      |    CAST(sum(CASE WHEN g = 1 THEN ng - (cumc - cnt) END) AS BIGINT)
+      |      AS n1,
+      |    CAST(sum(CASE WHEN g = 1 THEN d END) AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN g = 0 THEN ng - (cumc - cnt) END) AS BIGINT)
+      |      AS n0,
+      |    CAST(sum(CASE WHEN g = 0 THEN d END) AS BIGINT) AS d0
+      |  FROM cum GROUP BY t),
+      |terms AS (SELECT t, d1,
+      |    (d1 + d0) * (CAST(n1 AS DOUBLE) / (n1 + n0)) AS e1,
+      |    (d1 + d0) * (CAST(n1 AS DOUBLE) / (n1 + n0))
+      |      * (CAST(n0 AS DOUBLE) / (n1 + n0))
+      |      * (n1 + n0 - (d1 + d0)) / (n1 + n0 - 1) AS v
+      |  FROM att WHERE d1 + d0 > 0 AND n1 + n0 > 1),
+      |one AS (SELECT list(d1 - e1 ORDER BY t) AS oes,
+      |    list(v ORDER BY t) AS vs FROM terms),
+      |f AS (SELECT list_aggregate(oes, 'sum') AS oe,
+      |    list_aggregate(vs, 'sum') AS vv FROM one),
+      |meta AS (SELECT
+      |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(sum(CASE WHEN g = 1 THEN death ELSE 0 END) AS BIGINT)
+      |      AS e1,
+      |    CAST(sum(CASE WHEN g = 0 THEN death ELSE 0 END) AS BIGINT)
+      |      AS e0
+      |  FROM c2)
+      |SELECT meta.n1 AS n_building, meta.n0 AS n_other,
+      |  meta.e1 AS events_building, meta.e0 AS events_other,
+      |  floor(f.oe * f.oe / f.vv * 10000 + 0.5) / 10000 AS chi2,
+      |  f.oe * f.oe / f.vv > 3.841459 AS significant
+      |FROM f CROSS JOIN meta""".stripMargin) { (s, d) =>
+    val day = datediff(to_date(col("o_orderdate")),
+      to_date(lit("1970-01-01")))
+    val cust = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("o_custkey"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("g"))
+      .agg(min(day).as("first_d"), max(day).as("last_d"))
+    val mx = cust.agg(max("last_d").as("mx"))
+    val c2 = cust.crossJoin(broadcast(mx)) // 1-row corpus max date
+      .select(col("g"), (col("last_d") - col("first_d")).cast("long")
+        .as("t"),
+        when(col("mx") - col("last_d") >= 90, 1L).otherwise(0L).as("death"))
+    val byt = c2.groupBy("g", "t")
+      .agg(count(lit(1)).as("cnt"), sum("death").as("d"))
+    val grid = byt.select("t").distinct()
+      .crossJoin(broadcast(s.range(2).select(col("id").as("g"))))
+      .join(byt, Seq("g", "t"), "left")
+      .select(col("g"), col("t"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("d"), lit(0L)).as("d"))
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val cum = grid
+      .withColumn("cumc", sum("cnt").over(wG.orderBy("t")))
+      .withColumn("ng", sum("cnt").over(wG))
+    val att = cum.groupBy("t")
+      .agg(sum(when(col("g") === 1, col("ng") - (col("cumc") - col("cnt"))))
+        .as("n1"),
+        sum(when(col("g") === 1, col("d"))).as("d1"),
+        sum(when(col("g") === 0, col("ng") - (col("cumc") - col("cnt"))))
+          .as("n0"),
+        sum(when(col("g") === 0, col("d"))).as("d0"))
+    val nt = col("n1") + col("n0")
+    val dt = col("d1") + col("d0")
+    val terms = att.filter(dt > 0 && nt > 1)
+      .select(col("t"), col("d1"),
+        (dt * (col("n1").cast("double") / nt)).as("e1"),
+        (dt * (col("n1").cast("double") / nt)
+          * (col("n0").cast("double") / nt)
+          * (nt - dt) / (nt - 1)).as("v"))
+    val f = terms.agg(
+      expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(t, d1 - e1 AS oe))), x -> x.oe), 0D, (a, x) -> a + x)")
+        .as("oe"),
+      expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(t, v))), x -> x.v), 0D, (a, x) -> a + x)").as("vv"))
+    val meta = c2.agg(
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("g") === 0, 1L).otherwise(0L)).as("no"),
+      sum(when(col("g") === 1, col("death")).otherwise(0L)).as("eb"),
+      sum(when(col("g") === 0, col("death")).otherwise(0L)).as("eo"))
+    f.crossJoin(broadcast(meta)) // 1-row cohort summary
+      .select(col("nb").as("n_building"), col("no").as("n_other"),
+        col("eb").as("events_building"), col("eo").as("events_other"),
+        (floor(col("oe") * col("oe") / col("vv") * 10000 + lit(0.5))
+          / 10000).as("chi2"),
+        (col("oe") * col("oe") / col("vv") > 3.841459).as("significant"))
+  }
+
   val all: Seq[Q] = Seq(targetEncodeLoo, woeIv, kaplanMeier,
-    quantileNormalize)
+    quantileNormalize, logRank)
 }

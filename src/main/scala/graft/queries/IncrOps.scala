@@ -485,7 +485,68 @@ object IncrOps {
       .orderBy("brand")
   }
 
+  /** Broadcast-join advisor — the planner decision every star join
+    * hinges on, made from MEASURED sizes instead of row-count folklore:
+    * per table, estimated in-memory bytes = 8·(fixed-width cols)·rows
+    * + exact summed string lengths, compared against the classic
+    * 10 MB auto-broadcast threshold. One aggregate per table (six
+    * scans of schema-pruned columns), exact integers; the fact table
+    * lands on 'shuffle' and every dimension of this fixture on
+    * 'broadcast' — with the margin visible, which is the point. */
+  val broadcastAdvisor: Q = Q(
+    "broadcast_advisor",
+    """WITH est AS (
+      |  SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(count(*) * 8 * 1 + sum(length(r_name)) AS BIGINT) AS est
+      |  FROM region
+      |  UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) * 8 * 2 + sum(length(n_name)) AS BIGINT)
+      |  FROM nation
+      |  UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) * 8 * 3 + sum(length(s_name)) AS BIGINT)
+      |  FROM supplier
+      |  UNION ALL SELECT 'customer', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) * 8 * 3
+      |      + sum(length(c_name) + length(c_mktsegment)) AS BIGINT)
+      |  FROM customer
+      |  UNION ALL SELECT 'part', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) * 8 * 3 + sum(length(p_name) + length(p_brand)
+      |      + length(p_type)) AS BIGINT)
+      |  FROM part
+      |  UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) * 8 * 9 + sum(length(l_returnflag)
+      |      + length(l_linestatus)) AS BIGINT)
+      |  FROM lineitem)
+      |SELECT tbl, n_rows, est AS est_bytes,
+      |  CASE WHEN est <= 10 * 1024 * 1024 THEN 'broadcast'
+      |       ELSE 'shuffle' END AS advice
+      |FROM est ORDER BY tbl""".stripMargin) { (s, d) =>
+    def est(name: String, df: org.apache.spark.sql.DataFrame,
+        numCols: Int, strBytes: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) * 8 * numCols + sum(strBytes)).as("est"))
+        .select(lit(name).as("tbl"), col("n_rows"),
+          col("est").as("est_bytes"))
+    est("region", Tables.region(s, d), 1, length(col("r_name")).cast("long"))
+      .unionAll(est("nation", Tables.nation(s, d), 2,
+        length(col("n_name")).cast("long")))
+      .unionAll(est("supplier", Tables.supplier(s, d), 3,
+        length(col("s_name")).cast("long")))
+      .unionAll(est("customer", Tables.customer(s, d), 3,
+        (length(col("c_name")) + length(col("c_mktsegment"))).cast("long")))
+      .unionAll(est("part", Tables.part(s, d), 3,
+        (length(col("p_name")) + length(col("p_brand"))
+          + length(col("p_type"))).cast("long")))
+      .unionAll(est("lineitem", Tables.lineitem(s, d), 9,
+        (length(col("l_returnflag")) + length(col("l_linestatus")))
+          .cast("long")))
+      .select(col("tbl"), col("n_rows"), col("est_bytes"),
+        when(col("est_bytes") <= 10 * 1024 * 1024, "broadcast")
+          .otherwise("shuffle").as("advice"))
+      .orderBy("tbl")
+  }
+
   val all: Seq[Q] = Seq(incrAggMerge, compactBins, tableStats, incrJoinDelta,
     snapshotDiff, kAnonymity, dqScorecard, lDiversity, tCloseness,
-    zonemapAudit, catalogCoverage)
+    zonemapAudit, catalogCoverage, broadcastAdvisor)
 }

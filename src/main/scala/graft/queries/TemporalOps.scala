@@ -2321,6 +2321,68 @@ object TemporalOps {
           .as("kl_divergence"))
   }
 
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975 — theil_sen's
+    * significance companion): is the daily order-count series
+    * trending, without assuming linearity or normality? S = Σ_{i<j}
+    * sgn(y_j − y_i) is an EXACT integer over the calendar-bounded
+    * daily pair space (kendall_tau's whitelisted shape), the variance
+    * carries the exact tie correction Σ tp(tp−1)(2tp+5), and the
+    * continuity-corrected z is one mirrored double expression. */
+  val mannKendall: Q = Q(
+    "mann_kendall",
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS y FROM orders GROUP BY 1),
+      |s AS (SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+      |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS ss
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+      |ties AS (SELECT CAST(COALESCE(sum(tp * (tp - 1) * (2 * tp + 5)), 0)
+      |      AS BIGINT) AS tc
+      |  FROM (SELECT y, CAST(count(*) AS BIGINT) AS tp FROM daily
+      |        GROUP BY y) WHERE tp > 1),
+      |v AS (SELECT n, ss, tc,
+      |    (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tc) / 18.0 AS vr
+      |  FROM s CROSS JOIN n CROSS JOIN ties)
+      |SELECT n AS n_days, ss AS s_stat,
+      |  floor(vr * 100 + 0.5) / 100 AS variance,
+      |  floor(CASE WHEN ss > 0 THEN (ss - 1) / sqrt(vr)
+      |        WHEN ss < 0 THEN (ss + 1) / sqrt(vr)
+      |        ELSE 0.0 END * 10000 + 0.5) / 10000 AS z,
+      |  CASE WHEN (CASE WHEN ss > 0 THEN (ss - 1) / sqrt(vr)
+      |        WHEN ss < 0 THEN (ss + 1) / sqrt(vr) ELSE 0.0 END)
+      |      > 1.959964 THEN 'increasing'
+      |    WHEN (CASE WHEN ss > 0 THEN (ss - 1) / sqrt(vr)
+      |        WHEN ss < 0 THEN (ss + 1) / sqrt(vr) ELSE 0.0 END)
+      |      < -1.959964 THEN 'decreasing'
+      |    ELSE 'none' END AS trend
+      |FROM v""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val a = daily.select(col("day").as("da"), col("y").as("ya"))
+    val b = daily.select(col("day").as("db"), col("y").as("yb"))
+    val ss = a.join(b, col("da") < col("db")) // calendar-bounded pairs
+      .agg(sum(when(col("yb") > col("ya"), 1L)
+        .when(col("yb") < col("ya"), -1L).otherwise(0L)).as("ss"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy("y").agg(count(lit(1)).as("tp"))
+      .filter(col("tp") > 1)
+      .agg(coalesce(sum(col("tp") * (col("tp") - 1)
+        * (lit(2) * col("tp") + 5)), lit(0L)).as("tc"))
+    val vr = (col("n").cast("double") * (col("n") - 1)
+      * (lit(2) * col("n") + 5) - col("tc")) / lit(18.0)
+    val z = when(col("ss") > 0, (col("ss") - 1) / sqrt(vr))
+      .when(col("ss") < 0, (col("ss") + 1) / sqrt(vr))
+      .otherwise(lit(0.0))
+    ss.crossJoin(broadcast(n)).crossJoin(broadcast(ties)) // 1-row stats
+      .select(col("n").as("n_days"), col("ss").as("s_stat"),
+        (floor(vr * 100 + lit(0.5)) / 100).as("variance"),
+        (floor(z * 10000 + lit(0.5)) / 10000).as("z"),
+        when(z > 1.959964, "increasing")
+          .when(z < -1.959964, "decreasing")
+          .otherwise("none").as("trend"))
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
@@ -2329,5 +2391,5 @@ object TemporalOps {
     saxSymbols, shapleyAttribution, decayedPopularity, eventRegexMatch,
     rollingCorr, adfTest, kleinbergBurst, maxDrawdown, ljungBox,
     overdispersionCheck, seasonalStrength, topkTurnover, priceIndex,
-    retentionCurve, valueDriftKl)
+    retentionCurve, valueDriftKl, mannKendall)
 }

@@ -246,7 +246,9 @@ class ScaleOpsSuite extends SparkSpec {
       "grubbs_test",          // 1-row moments broadcast onto the scan
       "ljung_box",            // q109's 5-row literal lag range + 1-row totals
       "capture_recapture",    // three 1-row capture-count broadcasts
-      "retention_curve")      // 7-row horizon axis + 1-row cohort size
+      "retention_curve",      // 7-row horizon axis + 1-row cohort size
+      "log_rank",             // 2-row group axis + 1-row max/cohort rows
+      "mann_kendall")         // calendar-bounded daily pair space + 1-rows
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

@@ -133,4 +133,45 @@ class FeatureOpsSuite extends SparkSpec {
       assert(r.getLong(4) == docs(golden)._1, "golden_len matches")
     }
   }
+
+  test("log_rank: chi2 replays a naive risk-set walk") {
+    val row = FeatureOps.logRank.run(spark, sfDir).collect().head
+    val data = graft.Tables.orders(spark, sfDir)
+      .join(graft.Tables.customer(spark, sfDir),
+        org.apache.spark.sql.functions.col("c_custkey") ===
+          org.apache.spark.sql.functions.col("o_custkey"))
+      .select("o_custkey", "c_mktsegment", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getString(1) == "BUILDING",
+        r.getTimestamp(2).toLocalDateTime.toLocalDate.toEpochDay))
+      .groupBy(_._1)
+    val cust = data.values.map { l =>
+      val days = l.map(_._3)
+      (l.head._2, days.max - days.min, days.max)
+    }.toSeq
+    val mx = cust.map(_._3).max
+    val obs = cust.map { case (g, t, last) => (g, t, mx - last >= 90) }
+    assert(row.getLong(0) == obs.count(_._1).toLong)
+    assert(row.getLong(1) == obs.count(!_._1).toLong)
+    assert(row.getLong(2) == obs.count(o => o._1 && o._3).toLong)
+    assert(row.getLong(3) == obs.count(o => !o._1 && o._3).toLong)
+    // naive log-rank over event times
+    val times = obs.filter(_._3).map(_._2).distinct.sorted
+    var oe = 0.0; var vv = 0.0
+    times.foreach { t =>
+      val n1 = obs.count(o => o._1 && o._2 >= t).toLong
+      val n0 = obs.count(o => !o._1 && o._2 >= t).toLong
+      val d1 = obs.count(o => o._1 && o._3 && o._2 == t).toLong
+      val d0 = obs.count(o => !o._1 && o._3 && o._2 == t).toLong
+      val nt = n1 + n0; val dt = d1 + d0
+      if (dt > 0 && nt > 1) {
+        oe += d1 - dt * (n1.toDouble / nt)
+        vv += dt * (n1.toDouble / nt) * (n0.toDouble / nt) *
+          (nt - dt) / (nt - 1)
+      }
+    }
+    val chi2 = oe * oe / vv
+    assert(math.abs(row.getDouble(4) - chi2) < 1e-2,
+      s"chi2 ${row.getDouble(4)} vs $chi2")
+    assert(row.getBoolean(5) == (chi2 > 3.841459))
+  }
 }

@@ -733,6 +733,25 @@ class StatOpsSuite extends SparkSpec {
     }
   }
 
+  test("broadcast_advisor: estimates replay and rank by table size") {
+    val rows = IncrOps.broadcastAdvisor.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == 6)
+    rows.foreach { case (t, n, est, adv) =>
+      assert(n > 0 && est > 8 * n, s"$t estimate too small")
+      assert(adv == (if (est <= 10 * 1024 * 1024) "broadcast"
+        else "shuffle"))
+    }
+    val byT = rows.map(r => r._1 -> r._3).toMap
+    // the fact table dominates every dimension
+    assert(byT("lineitem") > byT("customer") && byT("lineitem") > byT("part"))
+    assert(byT("region") < byT("nation")) // 5 regions < 25 nations always
+    // region really is its exact counted size
+    val exp = graft.Tables.region(spark, sfDir)
+      .select(length(col("r_name"))).collect().map(_.getInt(0) + 8L).sum
+    assert(byT("region") == exp)
+  }
+
   test("catalog_coverage: flags replay a naive anti-join per brand") {
     val rows = IncrOps.catalogCoverage.run(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

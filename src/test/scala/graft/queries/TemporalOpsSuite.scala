@@ -198,6 +198,30 @@ class TemporalOpsSuite extends SparkSpec {
     }
   }
 
+  test("mann_kendall: S and z replay a naive pair scan with ties") {
+    val row = TemporalOps.mannKendall.run(spark, sfDir).collect().head
+    val ys = graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    val n = ys.length
+    var s0 = 0L
+    for (i <- ys.indices; j <- i + 1 until n)
+      s0 += java.lang.Long.signum(ys(j) - ys(i))
+    val tc = ys.groupBy(identity).values.map(_.size.toLong)
+      .filter(_ > 1).map(tp => tp * (tp - 1) * (2 * tp + 5)).sum
+    val vr = (n.toDouble * (n - 1) * (2 * n + 5) - tc) / 18.0
+    val z = if (s0 > 0) (s0 - 1) / math.sqrt(vr)
+      else if (s0 < 0) (s0 + 1) / math.sqrt(vr) else 0.0
+    assert(row.getLong(0) == n.toLong && row.getLong(1) == s0)
+    assert(math.abs(row.getDouble(3)
+      - math.floor(z * 10000 + 0.5) / 10000) < 1e-9)
+    val trend = if (z > 1.959964) "increasing"
+      else if (z < -1.959964) "decreasing" else "none"
+    assert(row.getString(4) == trend)
+  }
+
   test("retention_curve: cohort shares replay a naive per-user check") {
     val rows = TemporalOps.retentionCurve.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
