@@ -1989,6 +1989,55 @@ object StatOps {
         col("nt").as("true_population"))
   }
 
+  /** Shannon diversity + Pielou evenness of each nation's brand mix —
+    * the assortment-concentration view hhi_concentration's
+    * squared-share index flattens (two nations with equal HHI can
+    * have very different tail richness). Exact (nation, brand) counts
+    * feed H = −Σ p ln p with the ≤25 terms per nation folded
+    * brand-sorted; evenness J = H/ln(k) is one more division.
+    * One fact collapse; 25-row finals. */
+  val brandDiversity: Q = Q(
+    "brand_diversity",
+    """WITH nb AS (SELECT c.c_nationkey AS nation, p.p_brand AS brand,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem li
+      |  JOIN orders o ON o.o_orderkey = li.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN part p ON p.p_partkey = li.l_partkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT nation, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS k,
+      |    list(c ORDER BY brand) AS cs
+      |  FROM nb GROUP BY nation),
+      |f AS (SELECT nation, n, k,
+      |    -list_aggregate(list_transform(range(1, len(cs) + 1), i ->
+      |      (CAST(cs[i] AS DOUBLE) / n) * ln(CAST(cs[i] AS DOUBLE) / n)),
+      |      'sum') AS h
+      |  FROM tot)
+      |SELECT nation, n AS n_lines, k AS n_brands,
+      |  floor(h * 1000000 + 0.5) / 1000000 AS shannon_h,
+      |  floor(h / ln(CAST(k AS DOUBLE)) * 1000000 + 0.5) / 1000000
+      |    AS evenness
+      |FROM f ORDER BY nation""".stripMargin) { (s, d) =>
+    val nb = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("c_nationkey").as("nation"), col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("c"))
+    nb.groupBy("nation")
+      .agg(sum("c").as("n"), count(lit(1)).as("k"),
+        expr("array_sort(collect_list(struct(brand, c)))").as("cl"))
+      .withColumn("h", expr("-aggregate(cl, 0D, (a, t) -> " +
+        "a + (CAST(t.c AS DOUBLE) / n) * ln(CAST(t.c AS DOUBLE) / n))"))
+      .select(col("nation"), col("n").as("n_lines"), col("k").as("n_brands"),
+        (floor(col("h") * 1000000 + lit(0.5)) / 1000000).as("shannon_h"),
+        (floor(col("h") / log(col("k").cast("double")) * 1000000
+          + lit(0.5)) / 1000000).as("evenness"))
+      .orderBy("nation")
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
@@ -1997,7 +2046,7 @@ object StatOps {
       lorenzDeciles, rfmSegments, abcClass, didEstimate, cupedAdjust,
       propZtest, abPowerMde, jamesStein, simpsonCheck, bhFdr, psMatch,
       iv2sls, sprtMonitor, wilsonCi, leveneTest, grubbsTest, partialCorr,
-      captureRecapture)
+      captureRecapture, brandDiversity)
 
   /** James–Stein shrinkage of the 25 per-nation mean order values
     * toward the grand mean (James & Stein 1961; the empirical-Bayes

@@ -2383,6 +2383,65 @@ object TemporalOps {
           .otherwise("none").as("trend"))
   }
 
+  /** Cohort LTV matrix — q56_cohort's money dimension: per signup-week
+    * cohort, cumulative purchase revenue PER USER at each age week,
+    * the unit-economics view every growth model feeds on. Cohort and
+    * age keys are engine-neutral integer epoch-week buckets (div 7 on
+    * epoch days — never engine week-truncation semantics); revenue is
+    * exact cents; cumulation runs over the ≤5-week bounded age axis
+    * via a cohort-partitioned window; one division per cell. */
+  val cohortLtv: Q = Q(
+    "cohort_ltv",
+    """WITH su AS (SELECT user_id,
+      |    min(date_diff('day', DATE '1970-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE))) AS sday
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |coh AS (SELECT user_id, sday, sday // 7 AS cw FROM su),
+      |sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users FROM coh
+      |       GROUP BY cw),
+      |pur AS (SELECT e.user_id,
+      |    date_diff('day', DATE '1970-01-01',
+      |      CAST(date_trunc('day', e.ts) AS DATE)) AS pday,
+      |    CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events e WHERE e.event_type = 'purchase'),
+      |cell AS (SELECT c.cw, (p.pday - c.sday) // 7 AS age,
+      |    CAST(sum(p.cents) AS BIGINT) AS rev
+      |  FROM pur p JOIN coh c ON c.user_id = p.user_id
+      |  WHERE p.pday >= c.sday GROUP BY 1, 2),
+      |cum AS (SELECT cw, age, rev,
+      |    CAST(sum(rev) OVER (PARTITION BY cw ORDER BY age) AS BIGINT)
+      |      AS cum_rev
+      |  FROM cell)
+      |SELECT CAST(cum.cw AS BIGINT) AS cohort_week,
+      |  CAST(cum.age AS BIGINT) AS age_week, sz.n_users,
+      |  floor(CAST(cum.cum_rev AS DOUBLE) / sz.n_users / 100 * 10000
+      |    + 0.5) / 10000 AS ltv_per_user
+      |FROM cum JOIN sz ON sz.cw = cum.cw
+      |ORDER BY cohort_week, age_week""".stripMargin) { (s, d) =>
+    val day = datediff(date_trunc("day", col("ts")).cast("date"),
+      to_date(lit("1970-01-01")))
+    val coh = ev(s, d).filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(day).as("sday"))
+      .withColumn("cw", expr("sday div 7"))
+    val sz = coh.groupBy("cw").agg(count(lit(1)).as("n_users"))
+    val pur = ev(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("puid"), day.as("pday"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val cell = pur.join(coh, col("puid") === col("user_id"))
+      .filter(col("pday") >= col("sday"))
+      .groupBy(col("cw"), expr("(pday - sday) div 7").as("age"))
+      .agg(sum("cents").as("rev"))
+    val cum = cell.withColumn("cum_rev",
+      sum("rev").over(org.apache.spark.sql.expressions.Window
+        .partitionBy("cw").orderBy("age")))
+    cum.join(sz, "cw")
+      .select(col("cw").cast("long").as("cohort_week"),
+        col("age").cast("long").as("age_week"), col("n_users"),
+        (floor(col("cum_rev").cast("double") / col("n_users") / 100
+          * 10000 + lit(0.5)) / 10000).as("ltv_per_user"))
+      .orderBy("cohort_week", "age_week")
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
@@ -2391,5 +2450,6 @@ object TemporalOps {
     saxSymbols, shapleyAttribution, decayedPopularity, eventRegexMatch,
     rollingCorr, adfTest, kleinbergBurst, maxDrawdown, ljungBox,
     overdispersionCheck, seasonalStrength, topkTurnover, priceIndex,
-    retentionCurve, valueDriftKl, mannKendall)
+    retentionCurve, valueDriftKl, mannKendall, cohortLtv)
+
 }

@@ -733,6 +733,39 @@ class StatOpsSuite extends SparkSpec {
     }
   }
 
+  test("brand_diversity: H bounded by ln(k); replay of one nation") {
+    val rows = StatOps.brandDiversity.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.length == 25)
+    rows.foreach { case (nat, n, k, h, j) =>
+      assert(h >= -1e-9 && h <= math.log(k.toDouble) + 1e-6,
+        s"nation $nat: H $h outside [0, ln $k]")
+      assert(j >= -1e-9 && j <= 1 + 1e-6)
+    }
+    // replay the densest nation
+    val target = rows.maxBy(_._2)._1
+    val cs = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(graft.Tables.customer(spark, sfDir)
+        .filter(col("c_nationkey") === target),
+        col("c_custkey") === col("o_custkey"))
+      .join(graft.Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand")),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val n = cs.map(_._2).sum
+    val h = -cs.map { case (_, c) =>
+      (c.toDouble / n) * math.log(c.toDouble / n)
+    }.sum
+    val got = rows.find(_._1 == target).get
+    assert(got._2 == n && got._3 == cs.length.toLong)
+    assert(math.abs(got._4 - math.floor(h * 1000000 + 0.5) / 1000000)
+      < 1e-6)
+  }
+
   test("broadcast_advisor: estimates replay and rank by table size") {
     val rows = IncrOps.broadcastAdvisor.run(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))

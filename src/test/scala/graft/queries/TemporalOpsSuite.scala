@@ -198,6 +198,36 @@ class TemporalOpsSuite extends SparkSpec {
     }
   }
 
+  test("cohort_ltv: per-cohort LTV is cumulative and replays naively") {
+    val rows = TemporalOps.cohortLtv.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // LTV never decreases with age inside a cohort
+    rows.groupBy(_._1).values.foreach { l =>
+      l.sortBy(_._2).map(_._4).sliding(2).foreach {
+        case Array(a, b) => assert(b >= a - 1e-9)
+        case _           => ()
+      }
+    }
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("datediff(CAST(date_trunc('day', ts) AS DATE), " +
+          "DATE '1970-01-01')"),
+        floor(col("value") * 100 + lit(0.5)).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val su = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, l) => u -> l.map(_._3).min }
+    val sz = su.values.groupBy(d => d / 7).map(t => (t._1.toLong, t._2.size))
+    rows.foreach { case (cw, age, nUsers, ltv) =>
+      assert(nUsers == sz(cw).toLong)
+      val rev = ev.filter(e => e._2 == "purchase" && su.contains(e._1)
+        && su(e._1) / 7 == cw && e._3 >= su(e._1)
+        && (e._3 - su(e._1)) / 7 <= age).map(_._4).sum
+      val exp = math.floor(rev.toDouble / nUsers / 100 * 10000 + 0.5) / 10000
+      assert(math.abs(ltv - exp) < 1e-9, s"cohort $cw age $age: $ltv vs $exp")
+    }
+  }
+
   test("mann_kendall: S and z replay a naive pair scan with ties") {
     val row = TemporalOps.mannKendall.run(spark, sfDir).collect().head
     val ys = graft.Tables.orders(spark, sfDir)
