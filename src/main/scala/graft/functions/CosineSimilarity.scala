@@ -224,6 +224,10 @@ object GraftFunctions {
     org.apache.spark.sql.GraftColumnBridge.column(
       AviFrames(org.apache.spark.sql.GraftColumnBridge.expression(payload)))
 
+  def h264Decode(payload: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      H264Decode(org.apache.spark.sql.GraftColumnBridge.expression(payload)))
+
   /** Per-row char-n-gram histogram (map<ngram, count>), one native pass —
     * the explode-compaction for n-gram LM train/score. */
   def charNgramCounts(text: Column, n: Int): Column =
