@@ -159,6 +159,41 @@ object Multimodal {
       enc(col(idCol), col(textCol)).as("payload"))
   }
 
+  /** H.264 media table: one real Annex B stream per document — SPS /
+    * PPS / one IDR I-slice per frame, all-I_PCM macroblocks so the
+    * decode is LOSSLESS and the `media_h264_pcm` oracle can recompute
+    * the decoded plane sums straight from the generation formula (the
+    * same discipline as [[fabricateMedia]]'s BMP/WAV/Y4M). Generation
+    * (text is ASCII, cp <= 127, a valid sample value):
+    *   w = 32, h = 16, nf = 1 + id%3,
+    *   y[j]  = cp((f*11 + j)     % len)   for j < 512
+    *   cb[j] = cp((f*11 + 2j+3)  % len)   for j < 128
+    *   cr[j] = cp((f*11 + 3j+5)  % len)   for j < 128
+    * The CAVLC/intra/IDCT paths are gated separately by the pinned
+    * `media_h264_stats` fixtures and H264Suite. */
+  def fabricateH264(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enc = udf { (id: Long, text: String) =>
+      require(text.nonEmpty, "media synthesis needs non-empty text")
+      val len = text.length
+      def cp(j: Int): Int = {
+        val c = text.charAt(j % len)
+        require(c < 128, f"non-ASCII char U+${c.toInt}%04X in H.264 fixture text")
+        c.toInt
+      }
+      val nf = (1 + Math.floorMod(id, 3L)).toInt
+      val frames = (0 until nf).map { f =>
+        (Array.tabulate(512)(j => cp(f * 11 + j)),
+          Array.tabulate(128)(j => cp(f * 11 + 2 * j + 3)),
+          Array.tabulate(128)(j => cp(f * 11 + 3 * j + 5)))
+      }
+      H264Encoder.encode(32, 16, frames, qp = 26, allPcm = true)._1
+    }
+    docs.select(
+      col(idCol).as("media_id"),
+      lit("h264").as("format"),
+      enc(col(idCol), col(textCol)).as("payload"))
+  }
+
   /** Feature extraction over the decoded sample: mean/min/max byte and
     * a coarse 4-bucket histogram — the plumbing a real embedding model
     * would replace. */

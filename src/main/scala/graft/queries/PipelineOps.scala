@@ -377,6 +377,97 @@ object PipelineOps {
       .orderBy("vid", "frame_idx")
   }
 
+  /** Compressed VIDEO through the from-scratch H.264 decoder, lossless
+    * path: every document becomes a real Annex B stream (SPS + PPS +
+    * one IDR I-slice per frame, all-I_PCM macroblocks), demuxed and
+    * decoded by the native H264Decode expression. I_PCM is bit-exact,
+    * so the oracle recomputes the decoded plane sums straight from the
+    * generation formula (Multimodal.fabricateH264 scaladoc) without
+    * ever parsing a stream — any bug in NAL/EP/SPS/PPS/slice/MB-layer
+    * parsing on the decode side OR in the writer breaks the match.
+    * CAVLC/intra/IDCT correctness is gated by `media_h264_stats` and
+    * H264Suite. Plan: map-only decode, payloads never shuffle. */
+  val mediaH264Pcm: Q = Q(
+    "media_h264_pcm",
+    """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      |f AS (SELECT doc_id, text, len,
+      |        unnest(range(0, 1 + doc_id % 3)) AS fi
+      |      FROM d)
+      |SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
+      |  32 AS width, 16 AS height,
+      |  CAST(list_sum(list_transform(range(0, 512),
+      |    j -> unicode(substr(text, CAST((fi*11 + j) % len AS INT) + 1, 1))))
+      |    AS BIGINT) AS y_sum,
+      |  CAST(list_sum(list_transform(range(0, 128),
+      |    j -> unicode(substr(text, CAST((fi*11 + 2*j + 3) % len AS INT) + 1, 1))))
+      |    AS BIGINT) AS cb_sum,
+      |  CAST(list_sum(list_transform(range(0, 128),
+      |    j -> unicode(substr(text, CAST((fi*11 + 3*j + 5) % len AS INT) + 1, 1))))
+      |    AS BIGINT) AS cr_sum
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+    import graft.functions.GraftFunctions._
+    val media = Multimodal.fabricateH264(Tables.documents(s, d), "doc_id", "text")
+    def sumOf(values: org.apache.spark.sql.Column) =
+      aggregate(values, lit(0L), (a, x) => a + x)
+    media.select(col("media_id"), h264Decode(col("payload")).as("dec"))
+      .select(col("media_id"),
+        col("dec.width").as("width"), col("dec.height").as("height"),
+        posexplode(col("dec.frames")).as(Seq("frame_idx", "px")))
+      .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+        col("width"), col("height"),
+        sumOf(slice(col("px"), 1, 512)).as("y_sum"),
+        sumOf(slice(col("px"), 513, 128)).as("cb_sum"),
+        sumOf(slice(col("px"), 641, 128)).as("cr_sum"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** H.264 CAVLC + intra + IDCT over the committed fixtures
+    * (src/main/resources/graft/h264, generated ONCE by H264FixtureGen's
+    * mixed I_PCM / I_16x16 / I_4x4 encoder — see its scaladoc). H.264's
+    * lossy path has no SQL replica, so like `media_jpeg_stats` the
+    * oracle pins this engine's decode of the fixed bytes as constants;
+    * H264Suite independently ties the decoder to hand-authored
+    * bitstreams and exact encoder-reconstruction parity. Regenerate
+    * fixtures -> regenerate constants. */
+  val mediaH264Stats: Q = Q(
+    "media_h264_stats",
+    """SELECT * FROM (VALUES
+      |  ('crop_34x18_q20', 34, 18, 1, 0, CAST(89432 AS BIGINT), CAST(20020 AS BIGINT), CAST(22557 AS BIGINT)),
+      |  ('gradient_48x32_q24', 48, 32, 2, 0, CAST(206085 AS BIGINT), CAST(48888 AS BIGINT), CAST(48976 AS BIGINT)),
+      |  ('gradient_48x32_q24', 48, 32, 2, 1, CAST(193714 AS BIGINT), CAST(47572 AS BIGINT), CAST(52666 AS BIGINT)),
+      |  ('gradient_64x48_q30', 64, 48, 1, 0, CAST(390352 AS BIGINT), CAST(107300 AS BIGINT), CAST(95797 AS BIGINT)),
+      |  ('lowqp_32x32_q12', 32, 32, 3, 0, CAST(137225 AS BIGINT), CAST(35027 AS BIGINT), CAST(35499 AS BIGINT)),
+      |  ('lowqp_32x32_q12', 32, 32, 3, 1, CAST(128966 AS BIGINT), CAST(29438 AS BIGINT), CAST(37384 AS BIGINT)),
+      |  ('lowqp_32x32_q12', 32, 32, 3, 2, CAST(121359 AS BIGINT), CAST(28578 AS BIGINT), CAST(34921 AS BIGINT)))
+      |  t(name, width, height, n_frames, frame_idx, y_sum, cb_sum, cr_sum)
+      |ORDER BY name, frame_idx""".stripMargin) { (s, d) =>
+    import graft.functions.GraftFunctions._
+    val names = Seq("gradient_48x32_q24", "gradient_64x48_q30",
+      "crop_34x18_q20", "lowqp_32x32_q12")
+    val rows = names.map { n =>
+      val in = getClass.getResourceAsStream(s"/graft/h264/$n.264")
+      require(in != null, s"missing committed fixture $n.264")
+      try (n, in.readAllBytes()) finally in.close()
+    }
+    import s.implicits._
+    def sumOf(values: org.apache.spark.sql.Column) =
+      aggregate(values, lit(0L), (a, x) => a + x)
+    val ysz = col("width") * col("height")
+    val csz = (col("width") / 2).cast("int") * (col("height") / 2).cast("int")
+    rows.toDF("name", "payload")
+      .select(col("name"), h264Decode(col("payload")).as("dec"))
+      .select(col("name"),
+        col("dec.width").as("width"), col("dec.height").as("height"),
+        col("dec.n_frames").as("n_frames"),
+        posexplode(col("dec.frames")).as(Seq("frame_idx", "px")))
+      .select(col("name"), col("width"), col("height"), col("n_frames"),
+        col("frame_idx").cast("int").as("frame_idx"),
+        sumOf(slice(col("px"), lit(1), ysz)).as("y_sum"),
+        sumOf(slice(col("px"), ysz + 1, csz)).as("cb_sum"),
+        sumOf(slice(col("px"), ysz + csz + 1, csz)).as("cr_sum"))
+      .orderBy("name", "frame_idx")
+  }
+
   /** Capstone: the full curation pipeline (language floor → quality
     * filters → exact dedup → MinHash near-dedup keep-first → token
     * accounting) with EVERY stage replicated in the oracle SQL. The
@@ -492,6 +583,6 @@ object PipelineOps {
 
   val all: Seq[Q] = Seq(tokenCounts, langidProfile, multimodalFeats,
     mediaDecodeStats, mediaThumbnail, mediaFrameSample, mediaPngStats,
-    mediaGifFrames, mediaJpegStats, mediaMjpegFrames, curateCorpus,
-    audioFeatures)
+    mediaGifFrames, mediaJpegStats, mediaMjpegFrames, mediaH264Pcm,
+    mediaH264Stats, curateCorpus, audioFeatures)
 }
