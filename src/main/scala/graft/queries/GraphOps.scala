@@ -130,16 +130,26 @@ object GraphOps {
     * data constant), so the self-join output is linear in |lineitem|.
     * Shared by the triangle / clustering-coefficient / k-core family. */
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    // No distinct on the (order, part) projection: rare duplicate line
-    // items only duplicate PAIR rows, and the edge-level distinct
-    // already dedupes those — the edge SET is provably identical, and
-    // skipping the extra full shuffle measured 4.8s → 2.1s at sf0.1
-    // (speeds q75 / clustering_coeff / kcore_peel alike).
-    val li = Tables.lineitem(s, d)
+    // ONE groupBy shuffle of (ok, pk) rows + map-side pair expansion
+    // beats the self-join formulation (two shuffled join sides plus the
+    // joined pair stream through an exchange): items/order is a data
+    // constant (~4, ≤7 in TPC-H), so collect_set stays O(1) per key and
+    // the u<v pair fan-out happens AFTER the shuffle, executor-side.
+    // The edge-level distinct is still required (the same pair can
+    // recur across orders) and is the only pair-sized shuffle left.
+    // Edge SET is provably identical to the former a.pk < b.pk
+    // self-join (r7 verdict #4 follow-on; 2.1s -> ~1.2s base at sf0.1,
+    // speeding q75 / clustering_coeff / kcore_peel / brand_modularity
+    // alike).
+    Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
+      .select(explode(expr(
+        """flatten(transform(pks, (x, i) ->
+          |  transform(filter(pks, y -> y > x),
+          |            y -> struct(x AS u, y AS v))))""".stripMargin))
+        .as("e"))
+      .select(col("e.u"), col("e.v")).distinct()
   }
 
   /** Per-node triangle counts over the co-purchase graph plus the
@@ -591,12 +601,23 @@ object GraphOps {
       val alive = deg.filter(col("dg") >= k).select("n")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nNodes = alive.count() // bounded driver hop, warms `alive`
+      // r7 verdict #4: the alive set is degree-filtered and |V|-bounded,
+      // and nNodes is ALREADY measured — broadcast both semi-joins when
+      // it fits (one hash-agg shuffle per round instead of three edge
+      // shuffles), falling back to shuffled semi-joins for a giant core
+      // (the 100 TB guard: |alive| can reach |parts| ≈ 20M·SF).
+      val aliveSide =
+        if (nNodes < 5000000) broadcast(alive) else alive
       val e2 = e
-        .join(alive.select(col("n").as("u")), Seq("u"), "left_semi")
-        .join(alive.select(col("n").as("v")), Seq("v"), "left_semi")
+        .join(aliveSide.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(aliveSide.select(col("n").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nEdges = e2.count() // bounded driver hop, warms `e2`
+      // free superseded round state NOW instead of leaking all four
+      // materializations to battery reset() (r7 verdict #4)
+      e.unpersist(blocking = false)
+      alive.unpersist(blocking = false)
       e = e2
       (r, nNodes, nEdges)
     }
