@@ -625,7 +625,86 @@ object EvalOps {
       (num / (col("b") + col("cc")) > 3.841459).as("significant"))
   }
 
+  /** Bradley–Terry preference ranking (Bradley & Terry 1952), one full
+    * distributed minorization-maximization step past the closed-form
+    * start — the aggregation a pairwise-preference (RLHF-style)
+    * pipeline runs over judgment logs. Comparisons: within each order,
+    * the higher-priced part "wins" each pairwise matchup (ties to the
+    * smaller key) — deterministic and fan-out-bounded (items/order is
+    * a data constant). From w⁰=1 the first MM update collapses to the
+    * closed form w¹_i = 2·wins_i/n_i (exact rational); the second is
+    * the real distributed step: pair relation joined to BOTH
+    * endpoints' w¹, per-pair terms n_uv/(w¹_u+w¹_v) rounded to the
+    * 1e-9 grid (order-independent sum), grouped per node, one
+    * division. Plan: per-order pair expansion → pair groupBy → two
+    * |V|-keyed joins + node groupBy. */
+  val bradleyTerry: Q = Q(
+    "bradley_terry",
+    """WITH ip AS (SELECT l_orderkey AS ok, l_partkey AS pk,
+      |    max(l_extendedprice) AS pr FROM lineitem GROUP BY 1, 2),
+      |pairs AS (SELECT a.pk AS u, b.pk AS v,
+      |    CASE WHEN a.pr > b.pr OR (a.pr = b.pr AND a.pk < b.pk)
+      |         THEN 1 ELSE 0 END AS uw
+      |  FROM ip a JOIN ip b ON a.ok = b.ok AND a.pk < b.pk),
+      |pg AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n_uv,
+      |    CAST(sum(uw) AS BIGINT) AS u_wins FROM pairs GROUP BY u, v),
+      |node AS (SELECT pk, CAST(sum(n) AS BIGINT) AS n_i,
+      |    CAST(sum(w) AS BIGINT) AS wins
+      |  FROM (SELECT u AS pk, n_uv AS n, u_wins AS w FROM pg
+      |        UNION ALL SELECT v, n_uv, n_uv - u_wins FROM pg)
+      |  GROUP BY pk),
+      |w1 AS (SELECT pk, 2.0 * wins / n_i AS w FROM node),
+      |dirs AS (SELECT u AS pk, v AS o, n_uv AS n FROM pg
+      |         UNION ALL SELECT v, u, n_uv FROM pg),
+      |terms AS (SELECT dirs.pk,
+      |    floor(dirs.n / (wa.w + wb.w) * 1000000000 + 0.5) / 1000000000
+      |      AS t
+      |  FROM dirs JOIN w1 wa ON wa.pk = dirs.pk
+      |            JOIN w1 wb ON wb.pk = dirs.o
+      |  WHERE wa.w + wb.w > 0),
+      |den AS (SELECT pk, sum(t) AS dn FROM terms GROUP BY pk)
+      |SELECT node.pk AS part_id, node.wins, node.n_i,
+      |  floor(node.wins / den.dn * 1000000 + 0.5) / 1000000 AS bt_score
+      |FROM node JOIN den ON den.pk = node.pk
+      |WHERE node.wins > 0 AND den.dn > 0
+      |ORDER BY bt_score DESC, part_id LIMIT 20""".stripMargin) { (s, d) =>
+    val ip = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .agg(max(col("l_extendedprice")).as("pr"))
+    val pairs = ip.as("a").join(ip.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"),
+        when(col("a.pr") > col("b.pr") ||
+          (col("a.pr") === col("b.pr") && col("a.pk") < col("b.pk")), 1)
+          .otherwise(0).as("uw"))
+    val pg = pairs.groupBy("u", "v")
+      .agg(count(lit(1)).as("n_uv"), sum("uw").as("u_wins"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val node = pg.select(col("u").as("pk"), col("n_uv").as("n"), col("u_wins").as("w"))
+      .union(pg.select(col("v"), col("n_uv"), col("n_uv") - col("u_wins")))
+      .groupBy("pk").agg(sum("n").as("n_i"), sum("w").as("wins"))
+    val w1 = node.select(col("pk"), (lit(2.0) * col("wins") / col("n_i")).as("w"))
+    val dirs = pg.select(col("u").as("pk"), col("v").as("o"), col("n_uv").as("n"))
+      .union(pg.select(col("v"), col("u"), col("n_uv")))
+    val terms = dirs
+      .join(w1.select(col("pk"), col("w").as("wa")), "pk")
+      .join(w1.select(col("pk").as("o"), col("w").as("wb")), "o")
+      .filter(col("wa") + col("wb") > 0)
+      .select(col("pk"),
+        (floor(col("n") / (col("wa") + col("wb")) * 1000000000L + lit(0.5))
+          / 1000000000L).as("t"))
+    val den = terms.groupBy("pk").agg(sum("t").as("dn"))
+    node.join(den, "pk")
+      .filter(col("wins") > 0 && col("dn") > 0)
+      .select(col("pk").as("part_id"), col("wins"), col("n_i"),
+        (floor(col("wins") / col("dn") * 1000000 + lit(0.5)) / 1000000)
+          .as("bt_score"))
+      .orderBy(col("bt_score").desc, col("part_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] =
     Seq(aucRoc, prCurve, ndcgRetrieval, conformalInterval, miFeatures,
-      isotonicCalibration, cohenKappa, eceCalibration, mcnemarTest)
+      isotonicCalibration, cohenKappa, eceCalibration, mcnemarTest,
+      bradleyTerry)
 }

@@ -959,8 +959,159 @@ object GraphOps {
       .drop("rn")
   }
 
+  /** Transitive closure by POINTER DOUBLING — the recursive-CTE
+    * capability Spark SQL lacks (DuckDB's WITH RECURSIVE is the
+    * oracle), re-expressed as an iterative self-join fixpoint: the
+    * closure C_{k+1} = C_k ∪ (C_k ∘ C_k) squares reachable path
+    * length per round, so a depth-D hierarchy converges in ⌈log2 D⌉
+    * joins (11-level tree → 4 rounds) instead of D chained joins —
+    * THE scale trick for deep hierarchies (a 100 TB BOM with depth
+    * 10^3 is 10 rounds). Hierarchy: the implicit binary tree
+    * parent(p) = p DIV 2 over part keys — deterministic, derivable in
+    * both engines without a fixture. Each round is one key-partitioned
+    * equi-join + union + distinct; the driver sees ONE Long per round
+    * (convergence check). Output per part: depth (= #ancestors) and
+    * the ancestor-key checksum, so every closure row is hash-gated. */
+  val recursiveClosure: Q = Q(
+    "recursive_closure",
+    """WITH RECURSIVE anc AS (
+      |  SELECT p_partkey AS p, p_partkey // 2 AS a FROM part
+      |  WHERE p_partkey > 1
+      |  UNION ALL
+      |  SELECT p, a // 2 FROM anc WHERE a > 1)
+      |SELECT p AS part_id, CAST(count(*) AS BIGINT) AS depth,
+      |  CAST(sum(a) AS BIGINT) AS anc_sum
+      |FROM anc GROUP BY p ORDER BY part_id""".stripMargin) { (s, d) =>
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // C_0: the direct parent edge (p, p DIV 2, that is 1 jump)
+    var closure = Tables.part(s, d)
+      .select(col("p_partkey").as("p"), (col("p_partkey") / 2).cast("long").as("a"))
+      .filter(col("p") > 1)
+      .persist(mem)
+    var size = closure.count()
+    var grown = true
+    var rounds = 0
+    while (grown && rounds < 40) {
+      // compose: ancestors-of-ancestors discovered 2^k deeper per round
+      val next = closure
+        .union(closure.as("l").join(closure.as("r"),
+            col("l.a") === col("r.p"))
+          .select(col("l.p").as("p"), col("r.a").as("a")))
+        .distinct()
+        .persist(mem)
+      val n = next.count() // ONE Long per round crosses to the driver
+      closure.unpersist(blocking = false)
+      closure = next
+      grown = n > size
+      size = n
+      rounds += 1
+    }
+    closure.groupBy(col("p").as("part_id"))
+      .agg(count(lit(1)).as("depth"), sum(col("a")).as("anc_sum"))
+      .orderBy("part_id")
+  }
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003): common-neighbor
+    * evidence weighted by 1/ln(deg) of the shared neighbor, so hub
+    * co-occurrence counts less — the standard refinement over q111's
+    * raw common-neighbor count, sharing its degree-capped wedge
+    * discipline (hubs above the cap cannot generate wedges; the
+    * 1/ln(d) weight rides the SAME wedge stream as a map-side column,
+    * zero extra shuffle vs q111). */
+  val adamicAdar: Q = Q(
+    "adamic_adar",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |adj AS (SELECT DISTINCT a.l_partkey AS c, b.l_partkey AS n
+      |        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |          AND a.l_partkey <> b.l_partkey),
+      |deg AS (SELECT c, count(*) AS d FROM adj GROUP BY c),
+      |capped AS (SELECT adj.c, adj.n, deg.d FROM adj JOIN deg ON deg.c = adj.c
+      |           WHERE deg.d <= 64 AND deg.d >= 2),
+      |aa AS (SELECT a1.n AS u, a2.n AS v,
+      |         sum(1.0 / ln(a1.d)) AS score, count(*) AS common
+      |       FROM capped a1 JOIN capped a2
+      |         ON a1.c = a2.c AND a1.n <> a2.n
+      |       WHERE a1.n % 20 = 0
+      |       GROUP BY a1.n, a2.n),
+      |pred AS (SELECT aa.u, aa.v, aa.score, aa.common FROM aa
+      |         LEFT JOIN adj ON adj.c = aa.u AND adj.n = aa.v
+      |         WHERE adj.c IS NULL)
+      |SELECT u, v, CAST(common AS BIGINT) AS common,
+      |  floor(score * 1000000 + 0.5) / 1000000 AS aa_score
+      |FROM pred
+      |ORDER BY floor(score * 1000000 + 0.5) / 1000000 DESC, u, v
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val adj = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("c"), col("b.pk").as("n")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy("c").agg(count(lit(1)).as("d"))
+    val capped = adj.join(
+      deg.filter(col("d") <= 64 && col("d") >= 2), "c")
+    val targetSide = capped.filter(col("n") % 20 === 0)
+    val aa = targetSide.as("a1").join(capped.as("a2"),
+        col("a1.c") === col("a2.c") && col("a1.n") =!= col("a2.n"))
+      .groupBy(col("a1.n").as("u"), col("a2.n").as("v"))
+      .agg(sum(lit(1.0) / log(col("a1.d"))).as("score"),
+        count(lit(1)).as("common"))
+    aa.join(adj.select(col("c").as("u"), col("n").as("v")),
+        Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"), col("common"),
+        (floor(col("score") * 1000000 + lit(0.5)) / 1000000).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  /** Truncated Katz index (Katz 1953), k ≤ 2, over the co-purchase
+    * graph with β = 1/4 scaled integer-exact: score = 4·deg + #2-paths
+    * (16·(β·deg + β²·paths₂)) — every term a BIGINT, so the gate is
+    * exact with no float-drift discipline (the same trick as
+    * hits_scores). The 2-path count rides one wedge join over the
+    * degree-capped adjacency; hubs beyond the cap keep their exact
+    * degree term and only forfeit wedge enumeration, stated in the
+    * oracle identically. */
+  val katzIndex: Q = Q(
+    "katz_index",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |adj AS (SELECT DISTINCT a.l_partkey AS c, b.l_partkey AS n
+      |        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |          AND a.l_partkey <> b.l_partkey),
+      |deg AS (SELECT c, count(*) AS d FROM adj GROUP BY c),
+      |capped AS (SELECT adj.c, adj.n FROM adj JOIN deg ON deg.c = adj.c
+      |           WHERE deg.d <= 64),
+      |p2 AS (SELECT a1.c AS node, count(*) AS paths2
+      |       FROM capped a1 JOIN capped a2 ON a1.n = a2.c
+      |       WHERE a2.n <> a1.c
+      |       GROUP BY a1.c),
+      |sc AS (SELECT deg.c AS node,
+      |         4 * deg.d + coalesce(p2.paths2, 0) AS katz16
+      |       FROM deg LEFT JOIN p2 ON p2.node = deg.c)
+      |SELECT node, CAST(katz16 AS BIGINT) AS katz16
+      |FROM sc ORDER BY katz16 DESC, node LIMIT 25""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val adj = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("c"), col("b.pk").as("n")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy("c").agg(count(lit(1)).as("d"))
+    val capped = adj.join(deg.filter(col("d") <= 64).select("c"), "c")
+    val p2 = capped.as("a1").join(capped.as("a2"),
+        col("a1.n") === col("a2.c") && col("a2.n") =!= col("a1.c"))
+      .groupBy(col("a1.c").as("node")).agg(count(lit(1)).as("paths2"))
+    deg.select(col("c").as("node"), col("d"))
+      .join(p2, Seq("node"), "left_outer")
+      .select(col("node"),
+        (lit(4) * col("d") + coalesce(col("paths2"), lit(0L))).as("katz16"))
+      .orderBy(col("katz16").desc, col("node"))
+      .limit(25)
+  }
+
   val all: Seq[Q] =
     Seq(pagerankBipartite, triangles, khopBfs, linkPredict, labelProp,
       assortativity, clusteringCoeff, kcorePeel, hitsScores, richClub,
-      brandModularity, graphDiameter, itemCfRecs)
+      brandModularity, graphDiameter, itemCfRecs, recursiveClosure,
+      adamicAdar, katzIndex)
 }

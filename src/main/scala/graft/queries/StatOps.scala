@@ -2038,6 +2038,59 @@ object StatOps {
       .orderBy("nation")
   }
 
+  /** Tukey–Kramer HSD post-hoc pairwise comparisons — the step AFTER
+    * anova_quantity rejects: which group pairs actually differ?
+    * q_ij = |x̄_i − x̄_j| / √(MSW/2 · (1/n_i + 1/n_j)) with MSW the
+    * pooled within-group mean square, computed from the SAME exact
+    * BIGINT group moments (and the same 1e-6-grid between-sum trick)
+    * as the ANOVA — zero extra passes over data: one grouped
+    * aggregate, a k-row pair cross of group stats, and a 1-row MSW
+    * broadcast. k(k−1)/2 output rows regardless of data size. */
+  val tukeyHsd: Q = Q(
+    "tukey_hsd",
+    """WITH b AS (SELECT l_returnflag AS f,
+      |    CAST(floor(l_quantity) AS BIGINT) AS c FROM lineitem),
+      |g AS (SELECT f, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+      |  FROM b GROUP BY f),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+      |    CAST(sum(s2) AS BIGINT) AS s2,
+      |    CAST(sum(floor(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n
+      |      * 1000000 + 0.5) / 1000000) AS DOUBLE) AS tb
+      |  FROM g),
+      |m AS (SELECT (CAST(s2 AS DOUBLE) - tb) / (n - k) AS msw FROM t)
+      |SELECT g1.f AS f1, g2.f AS f2,
+      |  floor((CAST(g1.s1 AS DOUBLE) / g1.n
+      |       - CAST(g2.s1 AS DOUBLE) / g2.n) * 1000000 + 0.5) / 1000000
+      |    AS mean_diff,
+      |  floor(abs(CAST(g1.s1 AS DOUBLE) / g1.n
+      |          - CAST(g2.s1 AS DOUBLE) / g2.n)
+      |    / sqrt(m.msw / 2 * (1.0 / g1.n + 1.0 / g2.n))
+      |    * 1000000 + 0.5) / 1000000 AS q_stat
+      |FROM g g1 JOIN g g2 ON g1.f < g2.f CROSS JOIN m
+      |ORDER BY f1, f2""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d).select(col("l_returnflag").as("f"),
+      floor(col("l_quantity")).cast("long").as("c"))
+    val g = b.groupBy("f").agg(count(lit(1)).as("n"),
+      sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
+    val t = g.agg(count(lit(1)).as("k"), sum("n").as("n"),
+      sum("s2").as("s2"),
+      sum(floor(col("s1").cast("double") * col("s1").cast("double")
+        / col("n") * 1000000 + lit(0.5)) / 1000000).cast("double").as("tb"))
+    val m = t.select(((col("s2").cast("double") - col("tb"))
+      / (col("n") - col("k"))).as("msw"))
+    val diff = col("g1.s1").cast("double") / col("g1.n") -
+      col("g2.s1").cast("double") / col("g2.n")
+    g.as("g1").join(g.as("g2"), col("g1.f") < col("g2.f"))
+      .crossJoin(broadcast(m))
+      .select(col("g1.f").as("f1"), col("g2.f").as("f2"),
+        (floor(diff * 1000000 + lit(0.5)) / 1000000).as("mean_diff"),
+        (floor(abs(diff)
+          / sqrt(col("msw") / 2 * (lit(1.0) / col("g1.n") + lit(1.0) / col("g2.n")))
+          * 1000000 + lit(0.5)) / 1000000).as("q_stat"))
+      .orderBy("f1", "f2")
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
@@ -2046,7 +2099,7 @@ object StatOps {
       lorenzDeciles, rfmSegments, abcClass, didEstimate, cupedAdjust,
       propZtest, abPowerMde, jamesStein, simpsonCheck, bhFdr, psMatch,
       iv2sls, sprtMonitor, wilsonCi, leveneTest, grubbsTest, partialCorr,
-      captureRecapture, brandDiversity)
+      captureRecapture, brandDiversity, tukeyHsd)
 
   /** James–Stein shrinkage of the 25 per-nation mean order values
     * toward the grand mean (James & Stein 1961; the empirical-Bayes

@@ -389,7 +389,56 @@ object StreamingOps {
     s.read.parquet(s"$sinkBase/v${version.get()}").orderBy("user_id")
   }
 
+  /** Append-mode FILE sink parity (r7 verdict #7): the same
+    * watermarked tumbling aggregate as stream_watermark_parity, but
+    * written through the real parquet FileStreamSink — finalized
+    * windows land as committed files tracked by the _spark_metadata
+    * exactly-once log, and the gate reads the WRITTEN parquet back, so
+    * the sink's commit protocol (not just the in-memory result) is
+    * what the oracle hashes. The DuckDB replica is the same
+    * deterministic watermark-protocol replay: the id-mod-4 chunks fix
+    * each micro-batch's watermark, a window emits only when the
+    * watermark passes its end, and windows never finalized by the last
+    * batch are absent from the files. */
+  val streamFileSinkParity: Q = Q(
+    "stream_file_sink_parity",
+    """WITH e AS (SELECT ts, event_type, event_id % 4 AS c FROM events),
+      |cm AS (SELECT c, max(ts) AS mx FROM e GROUP BY c),
+      |wm AS (SELECT c,
+      |    (SELECT max(mx) FROM cm c2 WHERE c2.c <= cm.c - 2)
+      |      - INTERVAL 10 MINUTE AS wm_drop
+      |  FROM cm),
+      |fin AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm_final FROM e),
+      |surv AS (SELECT e.ts, e.event_type FROM e JOIN wm USING (c)
+      |  WHERE wm.wm_drop IS NULL
+      |    OR date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.wm_drop)
+      |SELECT epoch_ms(date_trunc('hour', ts)) AS w_ms, event_type,
+      |  count(*) AS n
+      |FROM surv, fin
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < wm_final
+      |GROUP BY 1, 2 ORDER BY w_ms, event_type""".stripMargin) { (s, d) =>
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_file_sink_out_").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_file_sink_ckpt_").toString
+    withStatePartitions(s, 8) {
+      val q = fileStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("w.start")).as("w_ms"), col("event_type"),
+          col("n"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.read.parquet(outDir).orderBy("w_ms", "event_type")
+  }
+
   val all: Seq[Q] = Seq(streamFileParity, streamSlideParity,
     streamSessionParity, streamJoinParity, streamDedupParity,
-    streamWatermarkParity, streamUpsertParity)
+    streamWatermarkParity, streamUpsertParity, streamFileSinkParity)
 }

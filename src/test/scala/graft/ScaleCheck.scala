@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** sf1 scale spot-check for the superlinear-risk query family
+  * (r7 verdict #5): runs triangles / clustering / k-core /
+  * link-predict / set-similarity / DBSCAN on sf0.1 AND on a 10x
+  * synthetic blow-up, recording wall-time + shuffle ratios so the
+  * "bounded wedge/pair stream" claims get an empirical growth point
+  * (want: ~<=12x time for a 10x data step — sub-quadratic evidence).
+  *
+  * Blow-up construction (tools/SCALECHECK.json documents the run):
+  *  - lineitem: 10 key-shifted copies (orderkey/partkey/suppkey offset
+  *    per copy). This matches TPC-H's own scaling law — |orders| and
+  *    |parts| both grow with SF while items/order and degree stay
+  *    roughly constant — so the co-purchase graph grows to 10x |V| and
+  *    ~10x |E| at constant density, which is exactly the regime the
+  *    100 TB claims are about. Copies are disconnected; real sf1 has
+  *    cross-chunk edges but the same per-node degree profile, and the
+  *    wedge/pair stream sizes scale with sum(deg^2), which this
+  *    preserves.
+  *  - documents: 10 copies, each token-rotated + copy-salted so copies
+  *    do not form cross-copy near-duplicate pairs (an identical-copy
+  *    blow-up would MANUFACTURE a quadratic pair explosion that no
+  *    real 10x corpus has).
+  *  - embeddings: 10 copies shifted apart in embedding space (one
+  *    offset direction per copy) so per-cell density stays constant —
+  *    a real 10x corpus adds volume, and fixed-eps DBSCAN on 10x
+  *    density is a semantics question, not an implementation one.
+  *
+  * Run: tools/scale_check.sh (writes tools/SCALECHECK.json).
+  */
+object ScaleCheck {
+
+  private val Queries = Seq("q75_triangles", "clustering_coeff",
+    "kcore_peel", "q111_link_predict", "setsim_join", "dbscan_grid")
+
+  private final class Shuffle extends SparkListener {
+    val bytes = new AtomicLong(0)
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        bytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        ()
+      }
+    }
+  }
+
+  private def buildBlowup(s: SparkSession, src: String, dst: String): Unit = {
+    val done = java.nio.file.Paths.get(dst, "_SUCCESS")
+    if (java.nio.file.Files.exists(done)) return
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+    val copies = 10
+
+    val li = s.read.parquet(s"$src/lineitem.parquet")
+    val okMax = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    val pkMax = li.agg(max("l_partkey")).head.getLong(0) + 1
+    val skMax = li.agg(max("l_suppkey")).head.getLong(0) + 1
+    (0 until copies).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * okMax))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * pkMax))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * skMax))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    val docs = s.read.parquet(s"$src/documents.parquet")
+    val idMax = docs.agg(max("doc_id")).head.getLong(0) + 1
+    (0 until copies).map { i =>
+      docs
+        .withColumn("doc_id", col("doc_id") + lit(i * idMax))
+        // rotate tokens by i and salt with a copy token: same length
+        // profile and vocabulary, no cross-copy near-dup pairs
+        .withColumn("text", concat(
+          lit(s"cpy$i "),
+          array_join(slice(split(col("text"), " "), i + 1, 100000), " "),
+          lit(" "),
+          array_join(slice(split(col("text"), " "), 1, i), " ")))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = s.read.parquet(s"$src/embeddings.parquet")
+    val vMax = emb.agg(max("vec_id")).head.getLong(0) + 1
+    (0 until copies).map { i =>
+      emb
+        .withColumn("vec_id", col("vec_id") + lit(i * vMax))
+        // shift each copy far apart along one axis (index i mod dim):
+        // constant per-cell density, as in a real larger corpus
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, j) -> IF(j = $i % size(embedding), x + CAST(100.0 * $i AS FLOAT), x))"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    // tables the six queries do not touch are passed through 1x so
+    // Tables.* resolves; they do not affect the measured queries
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "events").foreach { t =>
+      s.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    java.nio.file.Files.createFile(done)
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = "/root/testdata/sf0.1"
+    val blow = "target/scale10"
+    val s = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    val listener = new Shuffle
+    s.sparkContext.addSparkListener(listener)
+    buildBlowup(s, sf01, blow)
+
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
+    def reset(): Unit = {
+      s.catalog.clearCache()
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
+    def run(name: String, dir: String): (Double, Double) = {
+      val fn = SparkEntry.queries(name)
+      // warm
+      fn(s, dir).write.format("noop").mode("overwrite").save()
+      reset()
+      val times = (1 to 2).map { _ =>
+        val b0 = listener.bytes.get()
+        val t0 = System.nanoTime()
+        fn(s, dir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        reset()
+        (dt, (listener.bytes.get() - b0) / 1048576.0)
+      }
+      val best = times.minBy(_._1)
+      best
+    }
+
+    val load0 = loadAvg()
+    val rows = Queries.map { q =>
+      val (t1, sh1) = run(q, sf01)
+      val (t10, sh10) = run(q, blow)
+      val r = t10 / t1
+      println(f"[scale] $q%-18s sf0.1 $t1%6.2fs ${sh1}%8.1fMB | 10x $t10%6.2fs ${sh10}%8.1fMB | ratio $r%5.2fx")
+      (q, t1, sh1, t10, sh10, r)
+    }
+    val json = rows.map { case (q, t1, sh1, t10, sh10, r) =>
+      f"""  "$q": {"sf01_s": $t1%.2f, "sf01_shuffle_mb": $sh1%.1f, "x10_s": $t10%.2f, "x10_shuffle_mb": $sh10%.1f, "ratio": $r%.2f}"""
+    }.mkString(",\n")
+    val body = s"""{\n  "data_step": "10x synthetic blow-up of sf0.1 (see ScaleCheck scaladoc)",\n  "load_avg_start": $load0,\n  "load_avg_end": ${loadAvg()},\n$json\n}\n"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("tools/SCALECHECK.json"), body)
+    println(body)
+    s.stop()
+  }
+}
