@@ -2091,6 +2091,112 @@ object StatOps {
       .orderBy("f1", "f2")
   }
 
+  /** Robust regression: ONE Huber IRLS step past OLS (Huber 1964) for
+    * price-vs-quantity — outliers get down-weighted by w = min(1,
+    * k·s/|r|) (k = 1.345, s = the mean absolute residual) and the
+    * weighted normal equations re-solve. Cross-engine exactness
+    * discipline: both passes are EXACT BIGINT sums — residual
+    * magnitudes quantize to the 1e-4 grid as LONGs before summing
+    * (order-independent), weights to a 1e-4 grid so every weighted
+    * moment (w·x·y ≤ 5e10/row) stays integer — and the only doubles
+    * are the closed-form divisions, identical expression shape on
+    * both sides. Plan: two scans + two 1-row broadcasts, no shuffle
+    * beyond the partial aggregates. */
+  val huberIrls: Q = Q(
+    "huber_irls",
+    """WITH b AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice / 100) AS BIGINT) AS y FROM lineitem),
+      |m1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx FROM b),
+      |ols AS (SELECT n, sx, sy,
+      |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b1
+      |  FROM m1),
+      |ols2 AS (SELECT n, b1, (CAST(sy AS DOUBLE) - b1 * sx) / n AS a1
+      |  FROM ols),
+      |sc AS (SELECT CAST(sum(CAST(floor(
+      |      abs(CAST(y AS DOUBLE) - (a1 + b1 * x)) * 10000 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS sr4
+      |  FROM b CROSS JOIN ols2),
+      |s0 AS (SELECT ols2.a1, ols2.b1,
+      |    CAST(sc.sr4 AS DOUBLE) / 10000 / ols2.n AS scale
+      |  FROM ols2 CROSS JOIN sc),
+      |w AS (SELECT x, y, CAST(floor(least(1.0,
+      |      1.345 * s0.scale
+      |        / greatest(abs(CAST(y AS DOUBLE) - (s0.a1 + s0.b1 * x)),
+      |                   0.000000001)) * 10000 + 0.5) AS BIGINT) AS wm
+      |  FROM b CROSS JOIN s0),
+      |m2 AS (SELECT CAST(sum(wm) AS BIGINT) AS sw,
+      |    CAST(sum(wm * x) AS BIGINT) AS swx,
+      |    CAST(sum(wm * y) AS BIGINT) AS swy,
+      |    CAST(sum(wm * x * y) AS BIGINT) AS swxy,
+      |    CAST(sum(wm * x * x) AS BIGINT) AS swxx,
+      |    CAST(sum(CASE WHEN wm < 10000 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_down
+      |  FROM w),
+      |fin AS (SELECT s0.a1, s0.b1, s0.scale, m2.n_down,
+      |    (CAST(m2.sw AS DOUBLE) * m2.swxy
+      |      - CAST(m2.swx AS DOUBLE) * m2.swy)
+      |      / (CAST(m2.sw AS DOUBLE) * m2.swxx
+      |      - CAST(m2.swx AS DOUBLE) * m2.swx) AS b2,
+      |    m2.sw, m2.swx, m2.swy
+      |  FROM m2 CROSS JOIN s0)
+      |SELECT floor(b1 * 1000000 + 0.5) / 1000000 AS slope_ols,
+      |  floor(a1 * 1000000 + 0.5) / 1000000 AS icept_ols,
+      |  floor(scale * 1000000 + 0.5) / 1000000 AS scale_mar,
+      |  floor(b2 * 1000000 + 0.5) / 1000000 AS slope_huber,
+      |  floor((CAST(swy AS DOUBLE) - b2 * swx) / sw * 1000000 + 0.5)
+      |    / 1000000 AS icept_huber,
+      |  n_down
+      |FROM fin""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d).select(
+      floor(col("l_quantity")).cast("long").as("x"),
+      floor(col("l_extendedprice") / 100).cast("long").as("y"))
+    val m1 = b.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val ols = m1.select(col("n"), col("sx"), col("sy"),
+      ((col("n").cast("double") * col("sxy")
+        - col("sx").cast("double") * col("sy"))
+        / (col("n").cast("double") * col("sxx")
+          - col("sx").cast("double") * col("sx"))).as("b1"))
+    val ols2 = ols.select(col("n"), col("b1"),
+      ((col("sy").cast("double") - col("b1") * col("sx")) / col("n")).as("a1"))
+    val resid = col("y").cast("double") - (col("a1") + col("b1") * col("x"))
+    val sc = b.crossJoin(broadcast(ols2))
+      .agg(sum(floor(abs(resid) * 10000 + lit(0.5)).cast("long")).as("sr4"))
+    val s0 = ols2.crossJoin(broadcast(sc))
+      .select(col("a1"), col("b1"),
+        (col("sr4").cast("double") / 10000 / col("n")).as("scale"))
+    val w = b.crossJoin(broadcast(s0))
+      .select(col("x"), col("y"), col("a1"), col("b1"), col("scale"),
+        floor(least(lit(1.0),
+          lit(1.345) * col("scale") / greatest(abs(resid), lit(0.000000001)))
+          * 10000 + lit(0.5)).cast("long").as("wm"))
+    val m2 = w.agg(sum("wm").as("sw"), sum(col("wm") * col("x")).as("swx"),
+      sum(col("wm") * col("y")).as("swy"),
+      sum(col("wm") * col("x") * col("y")).as("swxy"),
+      sum(col("wm") * col("x") * col("x")).as("swxx"),
+      sum(when(col("wm") < 10000, 1).otherwise(0)).cast("long").as("n_down"))
+    val fin = m2.crossJoin(broadcast(s0))
+      .select(col("a1"), col("b1"), col("scale"), col("n_down"),
+        ((col("sw").cast("double") * col("swxy")
+          - col("swx").cast("double") * col("swy"))
+          / (col("sw").cast("double") * col("swxx")
+            - col("swx").cast("double") * col("swx"))).as("b2"),
+        col("sw"), col("swx"), col("swy"))
+    fin.select(
+      (floor(col("b1") * 1000000 + lit(0.5)) / 1000000).as("slope_ols"),
+      (floor(col("a1") * 1000000 + lit(0.5)) / 1000000).as("icept_ols"),
+      (floor(col("scale") * 1000000 + lit(0.5)) / 1000000).as("scale_mar"),
+      (floor(col("b2") * 1000000 + lit(0.5)) / 1000000).as("slope_huber"),
+      (floor((col("swy").cast("double") - col("b2") * col("swx")) / col("sw")
+        * 1000000 + lit(0.5)) / 1000000).as("icept_huber"),
+      col("n_down"))
+  }
+
   val all: Seq[Q] =
     Seq(nbLangid, ksTest, driftPsi, winsorize, joinCardinality, multiQuantile,
       welchTtest, benfordLaw, mannWhitney, giniSpend, hhiConcentration,
@@ -2099,7 +2205,7 @@ object StatOps {
       lorenzDeciles, rfmSegments, abcClass, didEstimate, cupedAdjust,
       propZtest, abPowerMde, jamesStein, simpsonCheck, bhFdr, psMatch,
       iv2sls, sprtMonitor, wilsonCi, leveneTest, grubbsTest, partialCorr,
-      captureRecapture, brandDiversity, tukeyHsd)
+      captureRecapture, brandDiversity, tukeyHsd, huberIrls)
 
   /** James–Stein shrinkage of the 25 per-nation mean order values
     * toward the grand mean (James & Stein 1961; the empirical-Bayes

@@ -2442,6 +2442,107 @@ object TemporalOps {
       .orderBy("cohort_week", "age_week")
   }
 
+  /** Calendar-aligned growth: monthly revenue with month-over-month and
+    * year-over-year percentages — the BI staple whose correctness trap
+    * is CALENDAR alignment (Jan vs Dec, Jan vs last-Jan), not
+    * arithmetic. Months key as year·12+month so both offsets are
+    * integer subtraction; prior periods attach by two self-joins on
+    * that key (partition-safe — no global-order window), left so the
+    * first month/year still appear. Cents are exact BIGINTs; the two
+    * ratios are the only doubles, floor-rounded at 1e-6. */
+  val momYoyGrowth: Q = Q(
+    "mom_yoy_growth",
+    """WITH m AS (SELECT CAST(year(o_orderdate) * 12
+      |      + month(o_orderdate) - 1 AS BIGINT) AS mk,
+      |    strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT cur.ym, cur.cents,
+      |  floor((CAST(cur.cents AS DOUBLE) / mom.cents - 1) * 1000000 + 0.5)
+      |    / 1000000 AS mom_pct,
+      |  floor((CAST(cur.cents AS DOUBLE) / yoy.cents - 1) * 1000000 + 0.5)
+      |    / 1000000 AS yoy_pct
+      |FROM m cur
+      |LEFT JOIN m mom ON mom.mk = cur.mk - 1
+      |LEFT JOIN m yoy ON yoy.mk = cur.mk - 12
+      |ORDER BY cur.ym""".stripMargin) { (s, d) =>
+    val m = Tables.orders(s, d)
+      .groupBy(
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mk"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+          .as("ym"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .as("cents"))
+    m.as("cur")
+      .join(m.as("mom"), col("mom.mk") === col("cur.mk") - 1, "left_outer")
+      .join(m.as("yoy"), col("yoy.mk") === col("cur.mk") - 12, "left_outer")
+      .select(col("cur.ym").as("ym"), col("cur.cents").as("cents"),
+        (floor((col("cur.cents").cast("double") / col("mom.cents") - 1)
+          * 1000000 + lit(0.5)) / 1000000).as("mom_pct"),
+        (floor((col("cur.cents").cast("double") / col("yoy.cents") - 1)
+          * 1000000 + lit(0.5)) / 1000000).as("yoy_pct"))
+      .orderBy("ym")
+  }
+
+  /** Changepoint detection by BINARY SEGMENTATION (first split): the
+    * split day maximizing the between-segment sum-of-squares gain
+    * s²/n + (S−s)²/(N−n) − S²/N over the daily revenue series — the
+    * offline counterpart of cusum_drift's sequential monitor. Prefix
+    * (n, s) pairs come from a bounded self-join on the day key (the
+    * series is one row per day; per-key series at scale partition by
+    * series id), every sum an exact BIGINT; gains round to the 1e-6
+    * grid with the earlier day as tie-break, so the argmax is a pure
+    * function. Output: the split plus both segment means. */
+  val binsegSplit: Q = Q(
+    "binseg_split",
+    """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+      |    CAST(sum(rev) AS BIGINT) AS ss FROM daily),
+      |pre AS (SELECT a.day, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(b.rev) AS BIGINT) AS s
+      |  FROM daily a JOIN daily b ON b.day <= a.day
+      |  GROUP BY a.day),
+      |gain AS (SELECT pre.day, pre.n, pre.s, tot.nn, tot.ss,
+      |    floor((CAST(pre.s AS DOUBLE) * pre.s / pre.n
+      |      + CAST(tot.ss - pre.s AS DOUBLE) * (tot.ss - pre.s)
+      |        / (tot.nn - pre.n)
+      |      - CAST(tot.ss AS DOUBLE) * tot.ss / tot.nn) / 10000
+      |      * 1000000 + 0.5) / 1000000 AS g
+      |  FROM pre CROSS JOIN tot
+      |  WHERE pre.n >= 2 AND tot.nn - pre.n >= 2)
+      |SELECT strftime(day, '%Y-%m-%d') AS split_day, g AS gain,
+      |  floor(CAST(s AS DOUBLE) / n / 100 * 10000 + 0.5) / 10000
+      |    AS mean_left,
+      |  floor(CAST(ss - s AS DOUBLE) / (nn - n) / 100 * 10000 + 0.5) / 10000
+      |    AS mean_right
+      |FROM gain ORDER BY g DESC, split_day LIMIT 1""".stripMargin) { (s, d) =>
+    val daily = ev(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("rev"))
+    val tot = daily.agg(count(lit(1)).as("nn"), sum("rev").as("ss"))
+    val pre = daily.as("a").join(daily.as("b"), col("b.day") <= col("a.day"))
+      .groupBy(col("a.day").as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("b.rev")).as("s"))
+    val g = (col("s").cast("double") * col("s") / col("n")
+      + (col("ss") - col("s")).cast("double") * (col("ss") - col("s"))
+        / (col("nn") - col("n"))
+      - col("ss").cast("double") * col("ss") / col("nn")) / 10000
+    pre.crossJoin(broadcast(tot))
+      .filter(col("n") >= 2 && col("nn") - col("n") >= 2)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("split_day"),
+        (floor(g * 1000000 + lit(0.5)) / 1000000).as("gain"),
+        (floor(col("s").cast("double") / col("n") / 100 * 10000 + lit(0.5))
+          / 10000).as("mean_left"),
+        (floor((col("ss") - col("s")).cast("double") / (col("nn") - col("n"))
+          / 100 * 10000 + lit(0.5)) / 10000).as("mean_right"))
+      .orderBy(col("gain").desc, col("split_day"))
+      .limit(1)
+  }
+
   val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
@@ -2450,6 +2551,7 @@ object TemporalOps {
     saxSymbols, shapleyAttribution, decayedPopularity, eventRegexMatch,
     rollingCorr, adfTest, kleinbergBurst, maxDrawdown, ljungBox,
     overdispersionCheck, seasonalStrength, topkTurnover, priceIndex,
-    retentionCurve, valueDriftKl, mannKendall, cohortLtv)
+    retentionCurve, valueDriftKl, mannKendall, cohortLtv, momYoyGrowth,
+    binsegSplit)
 
 }

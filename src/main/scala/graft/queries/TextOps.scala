@@ -1434,6 +1434,44 @@ object TextOps {
       .orderBy("word")
   }
 
+  /** Flesch reading-ease per document — the readability band a quality
+    * pipeline filters on (too-low = legalese/spam, implausibly-high =
+    * word salad). Syllables are the standard vowel-group heuristic
+    * (runs of [aeiouy], min 1 per word), sentences are terminal-punct
+    * runs (min 1 — the synthetic fixture has none, so each doc is one
+    * sentence; the formula and its gate are corpus-agnostic). Pure
+    * map + per-doc arithmetic: zero shuffles, trivially 100 TB-safe. */
+  val readabilityFlesch: Q = Q(
+    "readability_flesch",
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+      |             1) AS n_sent,
+      |    CAST(list_sum(list_transform(string_split(text, ' '),
+      |      w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+      |      AS BIGINT) AS syls
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sent, syls,
+      |  floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+      |    - 84.6 * (CAST(syls AS DOUBLE) / n_words)) * 10000 + 0.5) / 10000
+      |    AS flesch
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)"))
+          .cast("long"), lit(1L)).as("n_sent"),
+        expr("""aggregate(transform(split(text, ' '),
+              |  w -> greatest(size(regexp_extract_all(w, '[aeiouy]+', 0)), 1)),
+              |  0L, (a, x) -> a + x)""".stripMargin).as("syls"))
+      .select(col("doc_id"), col("n_words"), col("n_sent"), col("syls"),
+        (floor((lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sent"))
+          - lit(84.6) * (col("syls").cast("double") / col("n_words")))
+          * 10000 + lit(0.5)) / 10000).as("flesch"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     wcWords, textStats, textQuality, textLangProfile, dedupExactStats,
     dedupExactKeep, docFingerprint, winnowFingerprint, tfidfTop, ngramJaccard,
@@ -1441,6 +1479,6 @@ object TextOps {
     bpeMergeStep, bpeTrainRounds, zipfFit, heapsLaw, markovNext, crossContam,
     chi2Terms, jsDivergence, rakeKeywords, containmentPairs, gopherRules,
     tokenFertility, goodTuring, termBurstiness, textrankKeywords,
-    tfidfCosinePairs, chao1Vocab, huffmanCodes)
+    tfidfCosinePairs, chao1Vocab, huffmanCodes, readabilityFlesch)
 
 }

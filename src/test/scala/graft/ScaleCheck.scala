@@ -23,10 +23,14 @@ import java.util.concurrent.atomic.AtomicLong
   *    cross-chunk edges but the same per-node degree profile, and the
   *    wedge/pair stream sizes scale with sum(deg^2), which this
   *    preserves.
-  *  - documents: 10 copies, each token-rotated + copy-salted so copies
-  *    do not form cross-copy near-duplicate pairs (an identical-copy
-  *    blow-up would MANUFACTURE a quadratic pair explosion that no
-  *    real 10x corpus has).
+  *  - documents: 10 copies with per-copy token namespaces (every
+  *    token prefixed c{i}_), i.e. 10 disjoint domains: cross-copy
+  *    docs share no shingles, so near-dup pair density scales 10x as
+  *    in a real corpus of 10 sources. (A first attempt used token
+  *    ROTATION, which preserves bigram sets — the copies became
+  *    cross-copy near-duplicates and setsim_join measured a
+  *    manufactured 16.8x candidate explosion; rotation is a
+  *    cautionary tale recorded here deliberately.)
   *  - embeddings: 10 copies shifted apart in embedding space (one
   *    offset direction per copy) so per-cell density stays constant —
   *    a real 10x corpus adds volume, and fixed-eps DBSCAN on 10x
@@ -73,13 +77,11 @@ object ScaleCheck {
     (0 until copies).map { i =>
       docs
         .withColumn("doc_id", col("doc_id") + lit(i * idMax))
-        // rotate tokens by i and salt with a copy token: same length
-        // profile and vocabulary, no cross-copy near-dup pairs
-        .withColumn("text", concat(
-          lit(s"cpy$i "),
-          array_join(slice(split(col("text"), " "), i + 1, 100000), " "),
-          lit(" "),
-          array_join(slice(split(col("text"), " "), 1, i), " ")))
+        // disjoint per-copy token namespace: same length profile and
+        // within-copy dup structure, zero cross-copy shingle overlap
+        .withColumn("text", array_join(
+          expr(s"transform(split(text, ' '), t -> concat('c$i', '_', t))"),
+          " "))
         .withColumn("n_chars", length(col("text")))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
