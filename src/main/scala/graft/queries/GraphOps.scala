@@ -1109,9 +1109,81 @@ object GraphOps {
       .limit(25)
   }
 
+  /** Harmonic centrality (Boldi & Vigna 2014) from a seed set, horizon
+    * 3: h(s) = Σ_{v≠s, d(s,v)≤3} 1/d(s,v), reported integer-exact as
+    * h6 = 6·n₁ + 3·n₂ + 2·n₃ (no float enters the metric). Same
+    * delta-frontier + anti-join-visited discipline as q78_khop, but
+    * multi-source: the frontier carries (seed, node) pairs so all
+    * seeds expand in the SAME three adjacency joins — seed count
+    * multiplies rows, not rounds. Seeds are the deterministic
+    * pk % 500 slice; the 1/500 sampling is the scale knob (exact
+    * centrality for a seed panel, not all-pairs). */
+  val harmonicCentrality: Q = Q(
+    "harmonic_centrality",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |adj AS (SELECT DISTINCT a.l_partkey AS c, b.l_partkey AS n
+      |        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |          AND a.l_partkey <> b.l_partkey),
+      |seeds AS (SELECT DISTINCT c AS s FROM adj WHERE c % 500 = 0),
+      |d1 AS (SELECT DISTINCT sd.s, a.n FROM seeds sd JOIN adj a
+      |       ON a.c = sd.s),
+      |d2 AS (SELECT DISTINCT d1.s, a.n FROM d1 JOIN adj a ON a.c = d1.n
+      |       WHERE a.n <> d1.s
+      |         AND NOT EXISTS (SELECT 1 FROM d1 x
+      |                         WHERE x.s = d1.s AND x.n = a.n)),
+      |d3 AS (SELECT DISTINCT d2.s, a.n FROM d2 JOIN adj a ON a.c = d2.n
+      |       WHERE a.n <> d2.s
+      |         AND NOT EXISTS (SELECT 1 FROM d1 x
+      |                         WHERE x.s = d2.s AND x.n = a.n)
+      |         AND NOT EXISTS (SELECT 1 FROM d2 x
+      |                         WHERE x.s = d2.s AND x.n = a.n)),
+      |cnt AS (SELECT s,
+      |    (SELECT count(*) FROM d1 WHERE d1.s = cnt0.s) AS n1,
+      |    (SELECT count(*) FROM d2 WHERE d2.s = cnt0.s) AS n2,
+      |    (SELECT count(*) FROM d3 WHERE d3.s = cnt0.s) AS n3
+      |  FROM seeds cnt0)
+      |SELECT s AS seed, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(n3 AS BIGINT) AS n3,
+      |  CAST(6 * n1 + 3 * n2 + 2 * n3 AS BIGINT) AS h6
+      |FROM cnt ORDER BY seed""".stripMargin) { (s, d) =>
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val adj = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("c"), col("b.pk").as("n")).distinct()
+      .persist(mem)
+    val seeds = adj.filter(col("c") % 500 === 0).select(col("c").as("s"))
+      .distinct()
+    val d1 = seeds.join(adj, col("s") === col("c"))
+      .select(col("s"), col("n")).distinct().persist(mem)
+    def expand(frontier: DataFrame, visited: Seq[DataFrame]): DataFrame = {
+      val next = frontier.select(col("s"), col("n").as("hop"))
+        .join(adj, col("hop") === col("c"))
+        .filter(col("n") =!= col("s"))
+        .select(col("s"), col("n")).distinct()
+      visited.foldLeft(next)((f, v) => f.join(v, Seq("s", "n"), "left_anti"))
+        .persist(mem)
+    }
+    val d2 = expand(d1, Seq(d1))
+    val d3 = expand(d2, Seq(d1, d2))
+    val c1 = d1.groupBy("s").agg(count(lit(1)).as("n1"))
+    val c2 = d2.groupBy("s").agg(count(lit(1)).as("n2"))
+    val c3 = d3.groupBy("s").agg(count(lit(1)).as("n3"))
+    seeds.join(c1, Seq("s"), "left_outer")
+      .join(c2, Seq("s"), "left_outer")
+      .join(c3, Seq("s"), "left_outer")
+      .select(col("s").as("seed"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("n3"), lit(0L)).as("n3"))
+      .withColumn("h6", lit(6) * col("n1") + lit(3) * col("n2") + lit(2) * col("n3"))
+      .orderBy("seed")
+  }
+
   val all: Seq[Q] =
     Seq(pagerankBipartite, triangles, khopBfs, linkPredict, labelProp,
       assortativity, clusteringCoeff, kcorePeel, hitsScores, richClub,
       brandModularity, graphDiameter, itemCfRecs, recursiveClosure,
-      adamicAdar, katzIndex)
+      adamicAdar, katzIndex, harmonicCentrality)
 }

@@ -473,7 +473,101 @@ object VectorOps {
           .as("max_abs_cos"))
   }
 
+  /** Matryoshka-truncation retrieval audit (Kusupati 2022 MRL): does
+    * half-dimension cosine retrieval agree with full-dimension? Top-3
+    * is computed twice — full 64-d and the 32-d prefix — and the
+    * per-query overlap is the quality signal a dimension-truncation
+    * rollout decision reads. Same brute-force plan as cosine_topk
+    * (broadcast 5-row query side, ONE corpus scan each, window top-k);
+    * the truncated pass is the cheap half. */
+  val mrlTruncation: Q = Q(
+    "mrl_truncation",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |fullk AS (SELECT qid, vec_id FROM (
+      |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |    ORDER BY round(list_dot_product(qv, cv)
+      |      / (sqrt(list_dot_product(qv, qv))
+      |         * sqrt(list_dot_product(cv, cv))), 6) DESC, vec_id) AS rn
+      |  FROM q JOIN c ON qid <> vec_id) t WHERE rn <= 3),
+      |halfk AS (SELECT qid, vec_id FROM (
+      |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |    ORDER BY round(list_dot_product(qv[1:32], cv[1:32])
+      |      / (sqrt(list_dot_product(qv[1:32], qv[1:32]))
+      |         * sqrt(list_dot_product(cv[1:32], cv[1:32]))), 6) DESC,
+      |      vec_id) AS rn
+      |  FROM q JOIN c ON qid <> vec_id) t WHERE rn <= 3)
+      |SELECT f.qid, CAST(count(h.vec_id) AS BIGINT) AS overlap3
+      |FROM fullk f LEFT JOIN halfk h
+      |  ON h.qid = f.qid AND h.vec_id = f.vec_id
+      |GROUP BY f.qid ORDER BY f.qid""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val q = emb(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val c = emb(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+    def topk(qc: Column, cc: Column): DataFrame = {
+      val scored = c.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          round(graft.functions.GraftFunctions.cosineNative(qc, cc), 6)
+            .as("cos"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select("qid", "vec_id")
+    }
+    val fullk = topk(col("qv"), col("cv"))
+    val halfk = topk(slice(col("qv"), 1, 32), slice(col("cv"), 1, 32))
+    fullk.as("f").join(halfk.as("h"),
+        col("h.qid") === col("f.qid") && col("h.vec_id") === col("f.vec_id"),
+        "left_outer")
+      .groupBy(col("f.qid").as("qid"))
+      .agg(count(col("h.vec_id")).as("overlap3"))
+      .orderBy("qid")
+  }
+
+  /** Per-dimension whitening statistics (mean + variance), the
+    * preprocessing pass before PCA/whitening or isotropy fixes.
+    * Components quantize to an exact 1e-6 LONG grid BEFORE the sums, so
+    * both moments are order-independent BIGINT aggregates (the same
+    * drift discipline as huber_irls) and the only doubles are two final
+    * divisions. Plan: posexplode → (dim)-keyed partial agg — one
+    * shuffle of 64 keyed rows per partition regardless of corpus
+    * size. */
+  val embeddingWhiten: Q = Q(
+    "embedding_whiten",
+    """WITH x AS (SELECT u.i AS dim,
+      |    CAST(floor(u.v * 1000000 + 0.5) AS BIGINT) AS xq
+      |  FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |               generate_subscripts(embedding, 1) - 1 AS i
+      |        FROM embeddings) u),
+      |m AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(xq) AS BIGINT) AS s1, CAST(sum(xq * xq) AS BIGINT) AS s2
+      |  FROM x GROUP BY dim)
+      |SELECT CAST(dim AS INTEGER) AS dim,
+      |  floor(CAST(s1 AS DOUBLE) / n + 0.5) / 1000000 AS mean,
+      |  floor((CAST(s2 AS DOUBLE) / n
+      |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |    / 1000000 + 0.5) / 1000000 AS variance
+      |FROM m ORDER BY dim""".stripMargin) { (s, d) =>
+    emb(s, d)
+      .select(posexplode(asDouble(col("embedding"))).as(Seq("dim", "v")))
+      .select(col("dim"),
+        floor(col("v") * 1000000 + lit(0.5)).cast("long").as("xq"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("xq").as("s1"),
+        sum(col("xq") * col("xq")).as("s2"))
+      .select(col("dim").cast("int").as("dim"),
+        (floor(col("s1").cast("double") / col("n") + lit(0.5)) / 1000000)
+          .as("mean"),
+        (floor((col("s2").cast("double") / col("n")
+          - (col("s1").cast("double") / col("n"))
+            * (col("s1").cast("double") / col("n"))) / 1000000 + lit(0.5))
+          / 1000000).as("variance"))
+      .orderBy("dim")
+  }
+
   val all: Seq[Q] =
     Seq(embedStats, cosineTopK, cosinePairs, gridSpatialJoin, dbscanGrid,
-      moransI, getisOrd, embedIsotropy)
+      moransI, getisOrd, embedIsotropy, mrlTruncation, embeddingWhiten)
 }
