@@ -892,7 +892,32 @@ object CurationOps {
     decontamBloom, sampleStratified, sampleQuota, splitAssign, piiScrub,
     repetitionScore, lmPerplexity, qualityClassify, samplePriority,
     lmBackoffScore, dsirWeights, scoreCalibration, srmCheck, kneserNey,
-    temperatureMix, fairnessParity)
+    temperatureMix, fairnessParity, boilerplatePrefix)
+
+  /** Boilerplate/template detection by shared leading-token
+    * fingerprint: documents opening with the SAME first-8-token prefix
+    * are template instances (mirror dumps, scraped headers, generated
+    * spam) — the cheap screen run before shingle-level near-dedup.
+    * One groupBy on the prefix fingerprint; only cluster summaries
+    * come out (md5 keeps the wide prefix text off the wire). */
+  lazy val boilerplatePrefix: Q = Q(
+    "boilerplate_prefix",
+    """WITH p AS (SELECT doc_id,
+      |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS ph
+      |  FROM documents),
+      |g AS (SELECT ph, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(min(doc_id) AS BIGINT) AS min_doc
+      |  FROM p GROUP BY ph HAVING count(*) > 1)
+      |SELECT ph, n_docs, min_doc FROM g
+      |ORDER BY n_docs DESC, ph""".stripMargin) { (s, d) =>
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(array_join(slice(split(col("text"), " "), 1, 8), " ")).as("ph"))
+      .groupBy("ph")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("ph"))
+  }
 
 
   /** Filter-disparity (four-fifths rule) audit of the quality

@@ -2205,7 +2205,101 @@ object StatOps {
       lorenzDeciles, rfmSegments, abcClass, didEstimate, cupedAdjust,
       propZtest, abPowerMde, jamesStein, simpsonCheck, bhFdr, psMatch,
       iv2sls, sprtMonitor, wilsonCi, leveneTest, grubbsTest, partialCorr,
-      captureRecapture, brandDiversity, tukeyHsd, huberIrls)
+      captureRecapture, brandDiversity, tukeyHsd, huberIrls, groupwiseOls,
+      robustScaler)
+
+  /** Robust (median/IQR) scaling per group + the outlier census it
+    * exists for: |x − med| > 3·IQR flags per return flag. Pass 1 is
+    * the exact interpolated multi-quantile per group (q117's
+    * machinery); pass 2 re-scans with the k-row stats broadcast. Both
+    * engines compare against the SAME 1e-4-rounded med/IQR, so the
+    * boundary is a shared grid point, not an ulp race. */
+  lazy val robustScaler: Q = Q(
+    "robust_scaler",
+    """WITH g AS (SELECT l_returnflag AS f,
+      |    floor(quantile_cont(l_extendedprice, 0.50) * 10000 + 0.5) / 10000
+      |      AS med,
+      |    floor((quantile_cont(l_extendedprice, 0.75)
+      |         - quantile_cont(l_extendedprice, 0.25)) * 10000 + 0.5) / 10000
+      |      AS iqr
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT g.f, g.med, g.iqr,
+      |  CAST(sum(CASE WHEN abs(l.l_extendedprice - g.med) > 3 * g.iqr
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem l JOIN g ON g.f = l.l_returnflag
+      |GROUP BY g.f, g.med, g.iqr ORDER BY g.f""".stripMargin) { (s, d) =>
+    val g = Tables.lineitem(s, d).groupBy(col("l_returnflag").as("f"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))")
+        .as("ps"))
+      .select(col("f"),
+        (floor(col("ps").getItem(1) * 10000 + lit(0.5)) / 10000).as("med"),
+        (floor((col("ps").getItem(2) - col("ps").getItem(0)) * 10000
+          + lit(0.5)) / 10000).as("iqr"))
+    Tables.lineitem(s, d)
+      .join(broadcast(g), col("l_returnflag") === col("f"))
+      .groupBy("f", "med", "iqr")
+      .agg(sum(when(abs(col("l_extendedprice") - col("med"))
+          > lit(3) * col("iqr"), 1).otherwise(0)).cast("long")
+        .as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy("f")
+  }
+
+  /** Per-group simple regression — price-vs-quantity slope for every
+    * return flag in ONE grouped aggregate (the per-segment elasticity
+    * sweep; multireg_normal is the single global fit). All five
+    * moments are exact BIGINTs per group; slope/intercept/r² are
+    * fixed-form double expressions over them, so the gate is
+    * bit-deterministic. Map-side partial aggregation makes this a
+    * full scan + k-row shuffle at any scale. */
+  lazy val groupwiseOls: Q = Q(
+    "groupwise_ols",
+    """WITH b AS (SELECT l_returnflag AS f,
+      |    CAST(floor(l_quantity) AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice / 100) AS BIGINT) AS y FROM lineitem),
+      |g AS (SELECT f, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM b GROUP BY f)
+      |SELECT f, n,
+      |  floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |    * 1000000 + 0.5) / 1000000 AS slope,
+      |  floor((CAST(sy AS DOUBLE)
+      |      - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |        / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+      |    / n * 1000000 + 0.5) / 1000000 AS icept,
+      |  floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |       * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+      |    * 1000000 + 0.5) / 1000000 AS r2
+      |FROM g ORDER BY f""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d).select(col("l_returnflag").as("f"),
+      floor(col("l_quantity")).cast("long").as("x"),
+      floor(col("l_extendedprice") / 100).cast("long").as("y"))
+    val g = b.groupBy("f").agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = col("n").cast("double") * col("sxy") -
+      col("sx").cast("double") * col("sy")
+    val denx = col("n").cast("double") * col("sxx") -
+      col("sx").cast("double") * col("sx")
+    val deny = col("n").cast("double") * col("syy") -
+      col("sy").cast("double") * col("sy")
+    g.select(col("f"), col("n"),
+      (floor(num / denx * 1000000 + lit(0.5)) / 1000000).as("slope"),
+      (floor((col("sy").cast("double") - num / denx * col("sx")) / col("n")
+        * 1000000 + lit(0.5)) / 1000000).as("icept"),
+      (floor(num * num / (denx * deny) * 1000000 + lit(0.5)) / 1000000)
+        .as("r2"))
+      .orderBy("f")
+  }
 
   /** James–Stein shrinkage of the 25 per-nation mean order values
     * toward the grand mean (James & Stein 1961; the empirical-Bayes
