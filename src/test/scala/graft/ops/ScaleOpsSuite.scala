@@ -149,6 +149,10 @@ class ScaleOpsSuite extends SparkSpec {
     // at scale. Sweep EVERY declared query's physical plan.
     val boundedByDesign = Set(
       "q16_join_cross",       // 5x25 region x nation, the cross-join demo
+      "binseg_split",         // 1-row series-total broadcast onto the day prefix
+      "huber_irls",           // three 1-row moment/scale broadcasts, two scans
+      "mrl_truncation",       // 5 broadcast query vectors, theta join (x2 dims)
+      "tukey_hsd",            // k(k-1)/2 group-pair cross + 1-row MSW broadcast
       "q17_join_theta",       // non-equi range join, 25-row broadcast side
       "ngram_jaccard_pairs",  // doc_id < 50 capped pair set
       "containment_pairs",    // same doc_id < 50 capped pair set, both directions
