@@ -892,7 +892,60 @@ object CurationOps {
     decontamBloom, sampleStratified, sampleQuota, splitAssign, piiScrub,
     repetitionScore, lmPerplexity, qualityClassify, samplePriority,
     lmBackoffScore, dsirWeights, scoreCalibration, srmCheck, kneserNey,
-    temperatureMix, fairnessParity, boilerplatePrefix)
+    temperatureMix, fairnessParity, boilerplatePrefix, hamiltonApportion)
+
+  /** Hamilton (largest-remainder) apportionment of a fixed sampling
+    * budget across sources — the allocation step a mixture pipeline
+    * runs AFTER choosing weights: S = 100000 slots split proportional
+    * to token mass must land on integers that sum EXACTLY to S
+    * (floor-everything undershoots; round-everything drifts). Pure
+    * integer arithmetic end-to-end: base = S·tk DIV T, remainder
+    * ranks break ties by source, and the leftover L = S − Σbase goes
+    * to the top-L remainders. Ranking is a k-source bounded pair
+    * cross (k = |sources|), never data-sized. */
+  lazy val hamiltonApportion: Q = Q(
+    "hamilton_apportion",
+    """WITH tk AS (SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM tk),
+      |q AS (SELECT source, tokens,
+      |    (100000 * tokens) // tt AS base,
+      |    (100000 * tokens) % tt AS rem
+      |  FROM tk CROSS JOIN t),
+      |l AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS left_over FROM q),
+      |r AS (SELECT a.source, a.tokens, a.base, a.rem,
+      |    CAST(count(b.source) AS BIGINT) AS rk
+      |  FROM q a LEFT JOIN q b
+      |    ON b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source)
+      |  GROUP BY a.source, a.tokens, a.base, a.rem)
+      |SELECT source, tokens, CAST(base AS BIGINT) AS base,
+      |  CAST(rem AS BIGINT) AS rem,
+      |  CAST(base + CASE WHEN rk < l.left_over THEN 1 ELSE 0 END
+      |    AS BIGINT) AS alloc
+      |FROM r CROSS JOIN l ORDER BY source""".stripMargin) { (s, d) =>
+    val tk = graft.Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("tokens"))
+    val t = tk.agg(sum("tokens").as("tt"))
+    val q = tk.crossJoin(broadcast(t))
+      .select(col("source"), col("tokens"),
+        expr("(100000 * tokens) div tt").as("base"), // exact integer div
+        pmod(lit(100000L) * col("tokens"), col("tt")).as("rem"))
+    val l = q.agg((lit(100000L) - sum("base")).as("left_over"))
+    val r = q.as("a").join(q.as("b"),
+        col("b.rem") > col("a.rem") ||
+          (col("b.rem") === col("a.rem") && col("b.source") < col("a.source")),
+        "left_outer")
+      .groupBy(col("a.source").as("source"), col("a.tokens").as("tokens"),
+        col("a.base").as("base"), col("a.rem").as("rem"))
+      .agg(count(col("b.source")).as("rk"))
+    r.crossJoin(broadcast(l))
+      .select(col("source"), col("tokens"), col("base"), col("rem"),
+        (col("base") + when(col("rk") < col("left_over"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("source")
+  }
 
   /** Boilerplate/template detection by shared leading-token
     * fingerprint: documents opening with the SAME first-8-token prefix

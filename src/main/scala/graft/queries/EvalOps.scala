@@ -703,8 +703,63 @@ object EvalOps {
       .limit(20)
   }
 
+  /** Per-segment conditional average treatment effect (the two-group
+    * CATE table behind an uplift report): treatment = deep discount
+    * (l_discount > 0.05), outcome = quantity, segment = brand. One
+    * fact-dim join + one conditional grouped aggregate: exact BIGINT
+    * (n, sum) per arm per brand, difference-of-means + pooled-SE
+    * z per segment as fixed-form doubles. The causal caveat is the
+    * did_estimate/cuped family's; this is the SEGMENTED descriptive
+    * layer. */
+  lazy val cateSegments: Q = Q(
+    "cate_segments",
+    """WITH b AS (SELECT p.p_brand AS brand,
+      |    CASE WHEN li.l_discount > 0.05 THEN 1 ELSE 0 END AS t,
+      |    CAST(floor(li.l_quantity) AS BIGINT) AS y
+      |  FROM lineitem li JOIN part p ON p.p_partkey = li.l_partkey),
+      |g AS (SELECT brand,
+      |    CAST(sum(t) AS BIGINT) AS nt,
+      |    CAST(sum(1 - t) AS BIGINT) AS nc,
+      |    CAST(sum(y * t) AS BIGINT) AS st,
+      |    CAST(sum(y * (1 - t)) AS BIGINT) AS sc,
+      |    CAST(sum(y * y * t) AS BIGINT) AS qt,
+      |    CAST(sum(y * y * (1 - t)) AS BIGINT) AS qc
+      |  FROM b GROUP BY brand)
+      |SELECT brand, nt, nc,
+      |  floor((CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc)
+      |    * 1000000 + 0.5) / 1000000 AS cate,
+      |  floor((CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc)
+      |    / sqrt((CAST(qt AS DOUBLE) / nt
+      |        - (CAST(st AS DOUBLE) / nt) * (CAST(st AS DOUBLE) / nt)) / nt
+      |      + (CAST(qc AS DOUBLE) / nc
+      |        - (CAST(sc AS DOUBLE) / nc) * (CAST(sc AS DOUBLE) / nc)) / nc)
+      |    * 10000 + 0.5) / 10000 AS z
+      |FROM g WHERE nt >= 30 AND nc >= 30 ORDER BY brand""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+      .select(col("p_brand").as("brand"),
+        when(col("l_discount") > 0.05, 1).otherwise(0).as("t"),
+        floor(col("l_quantity")).cast("long").as("y"))
+    val g = b.groupBy("brand").agg(
+      sum("t").cast("long").as("nt"),
+      sum(lit(1) - col("t")).cast("long").as("nc"),
+      sum(col("y") * col("t")).as("st"),
+      sum(col("y") * (lit(1) - col("t"))).as("sc"),
+      sum(col("y") * col("y") * col("t")).as("qt"),
+      sum(col("y") * col("y") * (lit(1) - col("t"))).as("qc"))
+    val mt = col("st").cast("double") / col("nt")
+    val mc = col("sc").cast("double") / col("nc")
+    val vt = (col("qt").cast("double") / col("nt") - mt * mt) / col("nt")
+    val vc = (col("qc").cast("double") / col("nc") - mc * mc) / col("nc")
+    g.filter(col("nt") >= 30 && col("nc") >= 30)
+      .select(col("brand"), col("nt"), col("nc"),
+        (floor((mt - mc) * 1000000 + lit(0.5)) / 1000000).as("cate"),
+        (floor((mt - mc) / sqrt(vt + vc) * 10000 + lit(0.5)) / 10000).as("z"))
+      .orderBy("brand")
+  }
+
   val all: Seq[Q] =
     Seq(aucRoc, prCurve, ndcgRetrieval, conformalInterval, miFeatures,
       isotonicCalibration, cohenKappa, eceCalibration, mcnemarTest,
-      bradleyTerry)
+      bradleyTerry, cateSegments)
 }

@@ -777,7 +777,44 @@ object TpchLike {
   }
 
 
-  val all: Seq[Q] = Seq(q60TpchQ3, q61TpchQ5, q62TpchQ10, q76TpchQ17,
+  /** Apdex (Application Performance Index) over ship latency per
+    * order priority: satisfied <= T, tolerating <= 4T (T = 30 days),
+    * apdex = (sat + tol/2) / n. Pure conditional counting on the same
+    * fact-dim join as ship_latency — one scan, exact BIGINTs, a single
+    * division per group. The standard SLA rollup for a latency
+    * distribution too skewed for means. */
+  lazy val apdexScore: Q = Q(
+    "apdex_score",
+    """WITH l AS (SELECT o.o_orderpriority AS pri,
+      |    date_diff('day', o.o_orderdate, li.l_shipdate) AS lat
+      |  FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey),
+      |g AS (SELECT pri, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN lat <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_sat,
+      |    CAST(sum(CASE WHEN lat > 30 AND lat <= 120 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_tol
+      |  FROM l GROUP BY pri)
+      |SELECT pri AS o_orderpriority, n, n_sat, n_tol,
+      |  floor((n_sat + CAST(n_tol AS DOUBLE) / 2) / n * 1000000 + 0.5)
+      |    / 1000000 AS apdex
+      |FROM g ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority").as("pri"),
+        expr("datediff(l_shipdate, o_orderdate)").as("lat"))
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lat") <= 30, 1).otherwise(0)).cast("long").as("n_sat"),
+        sum(when(col("lat") > 30 && col("lat") <= 120, 1).otherwise(0))
+          .cast("long").as("n_tol"))
+      .select(col("pri").as("o_orderpriority"), col("n"), col("n_sat"),
+        col("n_tol"),
+        (floor((col("n_sat") + col("n_tol").cast("double") / 2) / col("n")
+          * 1000000 + lit(0.5)) / 1000000).as("apdex"))
+      .orderBy("o_orderpriority")
+  }
+
+  val all: Seq[Q] = Seq(apdexScore, q60TpchQ3, q61TpchQ5, q62TpchQ10, q76TpchQ17,
     q77TpchQ18, q83TpchQ7, q84TpchQ14, q85TpchQ19, q86TpchQ22,
     q89TpchQ4, q90TpchQ12, q91TpchQ15, q92TpchQ21,
     q98TpchQ6, q99TpchQ13, q100TpchQ8, q101TpchQ9, q102TpchQ11,

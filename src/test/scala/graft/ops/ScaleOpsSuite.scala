@@ -153,6 +153,7 @@ class ScaleOpsSuite extends SparkSpec {
       "huber_irls",           // three 1-row moment/scale broadcasts, two scans
       "mrl_truncation",       // 5 broadcast query vectors, theta join (x2 dims)
       "tukey_hsd",            // k(k-1)/2 group-pair cross + 1-row MSW broadcast
+      "hamilton_apportion",   // k-source bounded pair cross + 1-row totals
       "q17_join_theta",       // non-equi range join, 25-row broadcast side
       "ngram_jaccard_pairs",  // doc_id < 50 capped pair set
       "containment_pairs",    // same doc_id < 50 capped pair set, both directions
