@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Property / naive-replay pins for the round-8 operators, at sf0.001 —
+  * the spec leg of the oracle+spec+plan discipline. Each test checks
+  * an algebraic invariant or recomputes the answer with an independent
+  * driver-side naive algorithm over collected fixture rows (small at
+  * this SF), so a bug that happened to fool the SQL oracle's
+  * formulation is still caught. */
+class Round8OpsSuite extends SparkSpec {
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+
+  test("recursive_closure: depth and ancestor sum match the closed form") {
+    // parent(p) = p DIV 2 means depth(p) = floor(log2 p) and the
+    // ancestor multiset is exactly {p/2, p/4, ..., 1}
+    val rows = run("recursive_closure").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getLong(0); val depth = r.getLong(1); val ancSum = r.getLong(2)
+      val expDepth = (63 - java.lang.Long.numberOfLeadingZeros(p)).toLong
+      assert(depth == expDepth, s"part $p depth $depth != $expDepth")
+      var a = p / 2; var sum = 0L
+      while (a >= 1) { sum += a; a /= 2 }
+      assert(ancSum == sum, s"part $p ancestor sum $ancSum != $sum")
+    }
+  }
+
+  test("hamilton_apportion: allocations sum to the budget, within 1 of quota") {
+    val rows = run("hamilton_apportion").collect()
+    val totalAlloc = rows.map(_.getLong(4)).sum
+    assert(totalAlloc == 100000L, s"allocations must sum exactly: $totalAlloc")
+    val totalTokens = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val quota = 100000.0 * r.getLong(1) / totalTokens
+      val alloc = r.getLong(4)
+      assert(math.abs(alloc - quota) < 1.0,
+        s"${r.getString(0)}: alloc $alloc vs quota $quota breaks quota rule")
+      assert(alloc == r.getLong(2) || alloc == r.getLong(2) + 1)
+    }
+  }
+
+  test("tukey_hsd: q statistics match a naive recompute from raw rows") {
+    val raw = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), floor(col("l_quantity")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = raw.groupBy(_._1).map { case (f, xs) =>
+      f -> xs.map(_._2.toDouble)
+    }
+    val k = groups.size
+    val n = raw.length
+    val msw = {
+      val ssw = groups.values.map { xs =>
+        val m = xs.sum / xs.size
+        xs.map(x => (x - m) * (x - m)).sum
+      }.sum
+      ssw / (n - k)
+    }
+    val expected = groups.toSeq.sortBy(_._1).combinations(2).map {
+      case Seq((f1, a), (f2, b)) =>
+        val diff = a.sum / a.size - b.sum / b.size
+        val q = math.abs(diff) / math.sqrt(msw / 2 * (1.0 / a.size + 1.0 / b.size))
+        (f1, f2, q)
+    }.toSeq
+    val got = run("tukey_hsd").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    assert(got.length == expected.length)
+    got.sortBy(t => (t._1, t._2)).zip(expected.sortBy(t => (t._1, t._2)))
+      .foreach { case ((f1, f2, qGot), (e1, e2, qExp)) =>
+        assert(f1 == e1 && f2 == e2)
+        // the query rounds MSW's between-sum on a 1e-6 grid; allow 1e-3
+        assert(math.abs(qGot - qExp) < 1e-3,
+          s"($f1,$f2) q $qGot vs naive $qExp")
+      }
+  }
+
+  test("bradley_terry: scores match a naive MM recompute") {
+    val ip = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"), col("l_partkey"))
+      .agg(max(col("l_extendedprice")).as("pr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = ip.groupBy(_._1).values.toSeq.flatMap { itemsArr =>
+      val items = itemsArr.toSeq
+      for {
+        a <- items; b <- items if a._2 < b._2
+      } yield {
+        val uw = a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)
+        ((a._2, b._2), if (uw) 1 else 0)
+      }
+    }.toSeq
+    val pg = pairs.groupBy(_._1).map { case ((u, v), xs) =>
+      (u, v, xs.size.toLong, xs.map(_._2).sum.toLong)
+    }
+    val node = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    pg.foreach { case (u, v, nUv, uWins) =>
+      val (n1, w1) = node.getOrElse(u, (0L, 0L))
+      node(u) = (n1 + nUv, w1 + uWins)
+      val (n2, w2) = node.getOrElse(v, (0L, 0L))
+      node(v) = (n2 + nUv, w2 + nUv - uWins)
+    }
+    val w1 = node.map { case (pk, (ni, wins)) => pk -> 2.0 * wins / ni }
+    val den = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    pg.foreach { case (u, v, nUv, _) =>
+      val s = w1(u) + w1(v)
+      if (s > 0) {
+        val t = math.floor(nUv / s * 1e9 + 0.5) / 1e9
+        den(u) += t; den(v) += t
+      }
+    }
+    val naive = node.collect {
+      case (pk, (_, wins)) if wins > 0 && den(pk) > 0 =>
+        pk -> math.floor(wins / den(pk) * 1e6 + 0.5) / 1e6
+    }.toMap
+    val got = run("bradley_terry").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.nonEmpty && got.length <= 20)
+    got.foreach { case (pk, sc) =>
+      assert(naive.contains(pk) && math.abs(naive(pk) - sc) < 1e-9,
+        s"part $pk bt $sc vs naive ${naive.get(pk)}")
+    }
+    // and the top-20 really are the top by score
+    val worstShown = got.map(_._2).min
+    val shown = got.map(_._1).toSet
+    naive.foreach { case (pk, sc) =>
+      assert(shown.contains(pk) || sc <= worstShown + 1e-12,
+        s"part $pk score $sc should have made the top-20 (cutoff $worstShown)")
+    }
+  }
+
+  test("huber_irls: weights bounded, robust slope differs from OLS sanely") {
+    val r = run("huber_irls").collect().head
+    val (slopeOls, slopeHuber) = (r.getDouble(0), r.getDouble(3))
+    val nDown = r.getLong(5)
+    assert(nDown > 0, "some rows must be down-weighted on real data")
+    assert(r.getDouble(2) > 0, "mean absolute residual scale must be positive")
+    // robust fit stays in the same regime as OLS on this data
+    assert(math.abs(slopeHuber - slopeOls) / math.abs(slopeOls) < 0.5)
+  }
+
+  test("binseg_split: the reported split maximizes the naive gain scan") {
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("rev"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val totN = daily.length.toLong
+    val totS = daily.map(_._2).sum
+    val gains = daily.indices.drop(1).map { i =>
+      val n = (i + 1).toLong
+      val s = daily.take(i + 1).map(_._2).sum
+      val g = if (n >= 2 && totN - n >= 2)
+        s.toDouble * s / n + (totS - s).toDouble * (totS - s) / (totN - n) -
+          totS.toDouble * totS / totN
+      else Double.NegativeInfinity
+      (daily(i)._1, g / 10000)
+    }
+    val bestNaive = gains.maxBy(t => (t._2, -t._1.hashCode)) // gain first
+    val got = run("binseg_split").collect().head
+    assert(math.abs(got.getDouble(1) -
+      math.floor(bestNaive._2 * 1e6 + 0.5) / 1e6) < 1e-6,
+      s"gain ${got.getDouble(1)} vs naive ${bestNaive._2}")
+  }
+
+  test("harmonic_centrality: h6 matches a naive BFS on collected edges") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Set[(Long, Long)] = li.groupBy(_._1).values.toSeq.flatMap { itemsArr =>
+      val items = itemsArr.toSeq
+      for { a <- items; b <- items if a._2 != b._2 } yield (a._2, b._2)
+    }.toSet
+    val adjMap: Map[Long, Set[Long]] =
+      adj.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val rows = run("harmonic_centrality").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val seed = r.getLong(0)
+      var frontier = Set(seed); var visited = Set(seed)
+      val levels = (1 to 3).map { _ =>
+        val next = frontier.flatMap(n => adjMap.getOrElse(n, Set.empty)) --
+          visited - seed
+        visited ++= next; frontier = next
+        next.size.toLong
+      }
+      val h6 = 6 * levels(0) + 3 * levels(1) + 2 * levels(2)
+      assert(r.getLong(4) == h6,
+        s"seed $seed h6 ${r.getLong(4)} != naive $h6 (levels $levels)")
+    }
+  }
+
+  test("mrl_truncation: overlaps in [0,3]; apdex within [0,1]") {
+    val mrl = run("mrl_truncation").collect()
+    assert(mrl.length == 5)
+    mrl.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) <= 3))
+    val apdex = run("apdex_score").collect()
+    apdex.foreach { r =>
+      val a = r.getDouble(4)
+      assert(a >= 0 && a <= 1)
+      assert(r.getLong(2) + r.getLong(3) <= r.getLong(1))
+    }
+  }
+
+  test("media_h264_pcm: decode equals the generation formula exactly") {
+    // independent check of the oracle formula: recompute expected sums
+    // in Scala from the raw documents and compare to the decoded rows
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val rows = run("media_h264_pcm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, fi) = (r.getLong(0), r.getInt(1))
+      val text = docs(id); val len = text.length
+      def cp(j: Int) = text.charAt(j % len).toInt
+      val ySum = (0 until 512).map(j => cp(fi * 11 + j).toLong).sum
+      val cbSum = (0 until 128).map(j => cp(fi * 11 + 2 * j + 3).toLong).sum
+      val crSum = (0 until 128).map(j => cp(fi * 11 + 3 * j + 5).toLong).sum
+      assert(r.getLong(4) == ySum && r.getLong(5) == cbSum &&
+        r.getLong(6) == crSum, s"doc $id frame $fi plane sums diverge")
+    }
+  }
+
+  test("embedding_whiten and groupwise_ols: invariants") {
+    val wh = run("embedding_whiten").collect()
+    assert(wh.length == 64)
+    wh.foreach(r => assert(r.getDouble(2) >= 0, "variance must be >= 0"))
+    val ols = run("groupwise_ols").collect()
+    assert(ols.nonEmpty)
+    ols.foreach { r =>
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1.0 + 1e-9,
+        s"r2 out of range: ${r.getDouble(4)}")
+    }
+  }
+}
