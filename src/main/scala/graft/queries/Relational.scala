@@ -571,6 +571,44 @@ object Relational {
       .orderBy("ck")
   }
 
+  /** INTERSECT ALL / EXCEPT ALL — the BAG-semantics halves of the set
+    * family (q31/q32 are the distinct halves): multiplicities are
+    * min() / difference of per-value counts, which both engines
+    * implement with the same count-equijoin rewrite. Summarized as
+    * per-value counts so the gate pins the multiplicity math itself. */
+  val q34SetBagOps: Q = Q(
+    "q34_set_bag_ops",
+    """WITH ia AS (
+      |  SELECT o_custkey AS ck FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  INTERSECT ALL
+      |  SELECT o_custkey AS ck FROM orders WHERE o_orderpriority = '2-HIGH'),
+      |ea AS (
+      |  SELECT o_custkey AS ck FROM orders
+      |  EXCEPT ALL
+      |  SELECT o_custkey AS ck FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT ck) AS BIGINT) AS n_keys,
+      |  CAST(sum(ck) AS BIGINT) AS key_sum FROM ia
+      |UNION ALL
+      |SELECT 'except_all', CAST(count(*) AS BIGINT),
+      |  CAST(count(DISTINCT ck) AS BIGINT), CAST(sum(ck) AS BIGINT) FROM ea
+      |ORDER BY op""".stripMargin) { (s, d) =>
+    val urgent = ord(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("ck"))
+    val high = ord(s, d).filter(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_custkey").as("ck"))
+    val allCk = ord(s, d).select(col("o_custkey").as("ck"))
+    val ia = urgent.intersectAll(high)
+      .agg(lit("intersect_all").as("op"), count(lit(1)).as("n_rows"),
+        countDistinct(col("ck")).as("n_keys"), sum(col("ck")).as("key_sum"))
+    val ea = allCk.exceptAll(urgent)
+      .agg(lit("except_all").as("op"), count(lit(1)).as("n_rows"),
+        countDistinct(col("ck")).as("n_keys"), sum(col("ck")).as("key_sum"))
+    ia.select("op", "n_rows", "n_keys", "key_sum")
+      .union(ea.select("op", "n_rows", "n_keys", "key_sum"))
+      .orderBy("op")
+  }
+
   /** dropDuplicates on a projection (DISTINCT). */
   val q33Distinct: Q = Q(
     "q33_distinct",
@@ -1875,7 +1913,7 @@ object Relational {
     q64WindowPctRank, q65ArrayAdvanced, q66RollupReuse, q67SaltedJoin,
     q68Copurchase, q69Histogram, q70FuzzyMatch, q71KeySkewProfile,
     q72SequencePattern,
-    q27QuartileBuckets, q28Subqueries, q29GapFill,
+    q27QuartileBuckets, q28Subqueries, q29GapFill, q34SetBagOps,
     q50Pivot, q51Unpivot, q52Percentile, q53PercentileExact,
     q54PercentileDist, q55Funnel, q56Cohort,
     q01PricingSummary, q02ProjectFilter, q03AggStats, q04AggRollup, q05AggCube,
