@@ -1044,8 +1044,58 @@ object DedupAnn {
       .orderBy(col("bands").desc)
   }
 
+  /** Train/val/test LEAKAGE audit: near-duplicate pairs that straddle
+    * split boundaries — the eval-integrity failure document-level
+    * random splits cannot see (a test doc whose near-copy sits in
+    * train inflates every metric). Composes the minhash_dedup_pairs
+    * edge set with split_assign's deterministic hash split and counts
+    * pairs per (split, split) cell; every off-diagonal row IS leakage.
+    * Same oracle validity argument as minhash_dedup_pairs (exact
+    * Jaccard on fixture pairs far from the 0.8 threshold). */
+  lazy val splitLeakage: Q = Q(
+    "split_leakage",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-3, 0) + 2),
+      |    i -> array_to_string(ts[i:i+2], ' '))) AS grams
+      |  FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents) t),
+      |pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |      / len(list_distinct(a.grams || b.grams)) >= 0.8),
+      |sp AS (SELECT doc_id,
+      |  CASE WHEN ((doc_id & 2147483647) * 2246822519) % 1000 < 800 THEN 'train'
+      |       WHEN ((doc_id & 2147483647) * 2246822519) % 1000 < 900 THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM documents),
+      |lab AS (SELECT least(sa.split, sb.split) AS split_a,
+      |    greatest(sa.split, sb.split) AS split_b
+      |  FROM pr JOIN sp sa ON sa.doc_id = pr.id_a
+      |          JOIN sp sb ON sb.doc_id = pr.id_b)
+      |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CASE WHEN split_a <> split_b THEN 'LEAK' ELSE 'ok' END AS verdict
+      |FROM lab GROUP BY split_a, split_b
+      |ORDER BY split_a, split_b""".stripMargin) { (s, d) =>
+    val pairs = MinHashLSH.dedupPairs(Tables.documents(s, d), "doc_id",
+      "text", mhParams).select(col("id_a"), col("id_b"))
+    val r = (col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2246822519L)) % 1000
+    val sp = Tables.documents(s, d).select(col("doc_id"),
+      when(r < 800, "train").when(r < 900, "val").otherwise("test")
+        .as("split"))
+    pairs
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("verdict",
+        when(col("split_a") =!= col("split_b"), "LEAK").otherwise("ok"))
+      .orderBy("split_a", "split_b")
+  }
+
   val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, dedupComponents,
     dedupKeepBest, simhashPairs, annTopK, cosineDedupStats, ivfTopK,
     pqEncode, pqAdcTopK, ivfpqTopK, setsimJoin, dupSpans, mmrRerank,
-    goldenRecord, bcubedEval, lshPlanner)
+    goldenRecord, bcubedEval, lshPlanner, splitLeakage)
 }
