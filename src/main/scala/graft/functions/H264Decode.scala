@@ -31,6 +31,12 @@ case class H264Decode(child: Expression) extends MediaDecodeExpr {
     copy(child = newChild)
 }
 
+/** test-only invocation counter (asserting single evaluation per row
+  * would be the real gate; the counter makes over-evaluation visible). */
+object H264DecodeCounter {
+  val n = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 object H264Decode {
   val schema: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
@@ -41,6 +47,7 @@ object H264Decode {
         containsNull = false), nullable = false)))
 
   def compute(bytes: Array[Byte]): InternalRow = {
+    H264DecodeCounter.n.incrementAndGet()
     val dec = H264Codec.decode(bytes)
     val arrs: Array[Any] = dec.frames.map { f =>
       val out = new Array[Int](f.y.length + f.cb.length + f.cr.length)
