@@ -637,7 +637,8 @@ object EvalOps {
     * endpoints' w¹, per-pair terms n_uv/(w¹_u+w¹_v) rounded to the
     * 1e-9 grid (order-independent sum), grouped per node, one
     * division. Plan: per-order pair expansion → pair groupBy → two
-    * |V|-keyed joins + node groupBy. */
+    * BROADCAST |V|-sized weight lookups (the pair stream never
+    * re-shuffles) + node groupBy. */
   val bradleyTerry: Q = Q(
     "bradley_terry",
     """WITH ip AS (SELECT l_orderkey AS ok, l_partkey AS pk,
@@ -686,9 +687,12 @@ object EvalOps {
     val w1 = node.select(col("pk"), (lit(2.0) * col("wins") / col("n_i")).as("w"))
     val dirs = pg.select(col("u").as("pk"), col("v").as("o"), col("n_uv").as("n"))
       .union(pg.select(col("v"), col("u"), col("n_uv")))
+    // w1 is |V|-sized (one row per part) — broadcast both endpoint
+    // lookups so the pair-sized `dirs` stream never shuffles; the only
+    // exchange after pg is the map-side-combined groupBy in `den`.
     val terms = dirs
-      .join(w1.select(col("pk"), col("w").as("wa")), "pk")
-      .join(w1.select(col("pk").as("o"), col("w").as("wb")), "o")
+      .join(broadcast(w1.select(col("pk"), col("w").as("wa"))), "pk")
+      .join(broadcast(w1.select(col("pk").as("o"), col("w").as("wb"))), "o")
       .filter(col("wa") + col("wb") > 0)
       .select(col("pk"),
         (floor(col("n") / (col("wa") + col("wb")) * 1000000000L + lit(0.5))

@@ -1084,10 +1084,16 @@ object GraphOps {
     * graph with β = 1/4 scaled integer-exact: score = 4·deg + #2-paths
     * (16·(β·deg + β²·paths₂)) — every term a BIGINT, so the gate is
     * exact with no float-drift discipline (the same trick as
-    * hits_scores). The 2-path count rides one wedge join over the
-    * degree-capped adjacency; hubs beyond the cap keep their exact
-    * degree term and only forfeit wedge enumeration, stated in the
-    * oracle identically. */
+    * hits_scores). The 2-path count is LINEARIZED: on this symmetric
+    * adjacency the wedge count collapses exactly to
+    * paths2(x) = Σ_{m∈N(x), deg(m)≤64} (deg(m)−1) — the back-edge
+    * m→x always exists, so the "≠ x" exclusion removes exactly one
+    * endpoint per mid-node. The oracle states the quadratic wedge
+    * join; Spark computes the identical values with one broadcast
+    * degree lookup + groupBy (no pair-stream shuffle at all — at
+    * 100 TB the wedge form shuffles O(Σdeg²), this form O(|E|)).
+    * Hubs beyond the cap keep their exact degree term and only
+    * forfeit wedge enumeration, stated in the oracle identically. */
   val katzIndex: Q = Q(
     "katz_index",
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1113,14 +1119,20 @@ object GraphOps {
       .select(col("a.pk").as("c"), col("b.pk").as("n")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = adj.groupBy("c").agg(count(lit(1)).as("d"))
-    val capped = adj.join(deg.filter(col("d") <= 64).select("c"), "c")
-    val p2 = capped.as("a1").join(capped.as("a2"),
-        col("a1.n") === col("a2.c") && col("a2.n") =!= col("a1.c"))
-      .groupBy(col("a1.c").as("node")).agg(count(lit(1)).as("paths2"))
+    // paths2(x) = Σ_{m∈N(x), deg(m)≤64} (deg(m)−1): |V|-sized degree
+    // table broadcast onto the edge stream; the only shuffle left is
+    // the map-side-combined groupBy on x. Sources above the cap get
+    // their p2 zeroed in the final select (the oracle's capped a1).
+    val midW = deg.filter(col("d") <= 64)
+      .select(col("c").as("m"), (col("d") - 1).as("w"))
+    val p2 = adj.join(broadcast(midW), col("n") === col("m"))
+      .groupBy(col("c").as("node")).agg(sum(col("w")).as("paths2"))
     deg.select(col("c").as("node"), col("d"))
       .join(p2, Seq("node"), "left_outer")
       .select(col("node"),
-        (lit(4) * col("d") + coalesce(col("paths2"), lit(0L))).as("katz16"))
+        (lit(4) * col("d") + when(col("d") <= 64,
+          coalesce(col("paths2"), lit(0L))).otherwise(lit(0L)))
+          .as("katz16"))
       .orderBy(col("katz16").desc, col("node"))
       .limit(25)
   }
@@ -1171,6 +1183,12 @@ object GraphOps {
       .persist(mem)
     val seeds = adj.filter(col("c") % 500 === 0).select(col("c").as("s"))
       .distinct()
+    // Broadcast-frontier expansion was tried and REVERTED with a
+    // measurement (5.66 -> 9.66s sf0.1): the ~|seeds|·|V| frontiers
+    // and visited sets cost four driver collect+rebroadcast builds per
+    // battery run, which exceeds the adjacency shuffle they avoid at
+    // this seed-panel size. The shuffle form below keeps every
+    // exchange map-side-combined and frontier-bounded.
     val d1 = seeds.join(adj, col("s") === col("c"))
       .select(col("s"), col("n")).distinct().persist(mem)
     def expand(frontier: DataFrame, visited: Seq[DataFrame]): DataFrame = {
