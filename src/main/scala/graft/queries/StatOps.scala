@@ -2206,7 +2206,8 @@ object StatOps {
       propZtest, abPowerMde, jamesStein, simpsonCheck, bhFdr, psMatch,
       iv2sls, sprtMonitor, wilsonCi, leveneTest, grubbsTest, partialCorr,
       captureRecapture, brandDiversity, tukeyHsd, huberIrls, groupwiseOls,
-      robustScaler)
+      robustScaler, kruskalWallis, fisherExact, cohensD, cliffsDelta,
+      wasserstein1d, durbinWatson)
 
   /** Robust (median/IQR) scaling per group + the outlier census it
     * exists for: |x − med| > 3·IQR flags per return flag. Pass 1 is
@@ -2437,5 +2438,433 @@ object StatOps {
           || ((col("n") * col("sxy") - col("sx") * col("sy")) > 0
             && col("pnum") < 0), 1).otherwise(0).as("flipped"))
       .orderBy("grp")
+  }
+
+  /** Kruskal–Wallis H (rank one-way ANOVA): does quantity's
+    * DISTRIBUTION differ across return flags, without anova_quantity's
+    * normality assumption? Quantity is a 50-value discrete column, so
+    * mid-ranks are exact integers on the doubled grid (m2 = 2·ranks):
+    * per-(flag,value) counts collapse the 600k-row scan to ≤150 cells,
+    * the cumulative-below table is a 50×50 bounded self-join (no
+    * partition-less window), and H folds the 3 per-group R²/n terms in
+    * group-sorted order. Everything is BIGINT until the final 3
+    * divisions; the tie-corrected divisor uses Σ(t³−t) exactly. At
+    * 100 TB the only full-scan shuffle is the ≤150-cell partial agg. */
+  lazy val kruskalWallis: Q = Q(
+    "kruskal_wallis",
+    """WITH b AS (SELECT l_returnflag AS grp,
+      |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS q FROM lineitem),
+      |cgq AS (SELECT grp, q, CAST(count(*) AS BIGINT) AS c FROM b
+      |  GROUP BY grp, q),
+      |cq AS (SELECT q, CAST(sum(c) AS BIGINT) AS cv FROM cgq GROUP BY q),
+      |cum AS (SELECT a.q, any_value(a.cv) AS cv,
+      |    CAST(COALESCE(sum(b2.cv), 0) AS BIGINT) AS cb
+      |  FROM cq a LEFT JOIN cq b2 ON b2.q < a.q GROUP BY a.q),
+      |g AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_g,
+      |    CAST(sum(c * (2 * cum.cb + cum.cv + 1)) AS BIGINT) AS r2
+      |  FROM cgq JOIN cum ON cum.q = cgq.q GROUP BY grp),
+      |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS k FROM g),
+      |tie AS (SELECT CAST(sum(cv * cv * cv - cv) AS BIGINT) AS t FROM cq),
+      |h AS (SELECT n, k, t,
+      |    12.0 / (CAST(n AS DOUBLE) * (n + 1))
+      |      * list_aggregate(list(CAST(r2 AS DOUBLE) * r2
+      |          / (4.0 * n_g) ORDER BY grp), 'sum')
+      |      - 3.0 * (n + 1) AS hraw
+      |  FROM g CROSS JOIN tot CROSS JOIN tie
+      |  GROUP BY n, k, t),
+      |hc AS (SELECT n, k,
+      |    hraw / (1.0 - CAST(t AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * n * n - n)) AS h FROM h)
+      |SELECT g.grp, g.n_g,
+      |  floor(CAST(g.r2 AS DOUBLE) / (2.0 * g.n_g) * 10000 + 0.5) / 10000
+      |    AS mean_rank,
+      |  floor(hc.h * 1000000 + 0.5) / 1000000 AS h_corr,
+      |  hc.h > 5.991465 AS reject
+      |FROM g CROSS JOIN hc ORDER BY g.grp""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+      floor(col("l_quantity") + lit(0.5)).cast("long").as("q"))
+    val cgq = b.groupBy("grp", "q").agg(count(lit(1)).as("c"))
+    val cq = cgq.groupBy("q").agg(sum("c").as("cv"))
+    val cum = cq.as("a")
+      .join(cq.select(col("q").as("q2"), col("cv").as("cv2")),
+        col("q2") < col("a.q"), "left_outer")
+      .groupBy(col("a.q").as("q")).agg(first("cv").as("cv"),
+        coalesce(sum("cv2"), lit(0L)).as("cb"))
+    val g = cgq.join(broadcast(cum), "q")
+      .groupBy("grp").agg(sum("c").as("n_g"),
+        sum(col("c") * (lit(2) * col("cb") + col("cv") + 1)).as("r2"))
+    val tot = g.agg(sum("n_g").as("n"), count(lit(1)).as("k"))
+    val tie = cq.agg(sum(col("cv") * col("cv") * col("cv") - col("cv"))
+      .as("t"))
+    // 3-term R²/n fold in group-sorted order: both engines add the
+    // identical doubles in the identical sequence.
+    val h = g.crossJoin(broadcast(tot)).crossJoin(broadcast(tie))
+      .groupBy("n", "k", "t")
+      .agg(expr("aggregate(array_sort(collect_list(struct(grp, " +
+        "CAST(r2 AS DOUBLE) * r2 / (4.0 * n_g) AS term))), 0D, " +
+        "(acc, x) -> acc + x.term)").as("s2"))
+      .select(col("n"), col("k"),
+        ((lit(12.0) / (col("n").cast("double") * (col("n") + 1)) * col("s2")
+          - lit(3.0) * (col("n") + 1))
+          / (lit(1.0) - col("t").cast("double")
+            / (col("n").cast("double") * col("n") * col("n") - col("n"))))
+          .as("h"))
+    g.crossJoin(broadcast(h))
+      .select(col("grp"), col("n_g"),
+        (floor(col("r2").cast("double") / (lit(2.0) * col("n_g")) * 10000
+          + lit(0.5)) / 10000).as("mean_rank"),
+        (floor(col("h") * 1000000 + lit(0.5)) / 1000000).as("h_corr"),
+        (col("h") > 5.991465).as("reject"))
+      .orderBy("grp")
+  }
+
+  /** Fisher's exact test on the Brand#4 × large-size 2×2 over `part`
+    * — the small-margin independence test chi² can't justify when a
+    * cell is sparse. The hypergeometric support is bounded by the
+    * SMALLER margin (≈800 at sf0.1): log-weights come from the exact
+    * product recurrence lnw(k+1) = lnw(k) + ln((r1−k)(c1−k)) −
+    * ln((k+1)(N−r1−c1+k+1)) folded in ascending k on one collapsed
+    * row (O(s²) double-ops, margin-bounded — at 100 TB margins this
+    * size keep it sub-second; for huge margins the χ²/z tests are the
+    * right tool and already exist). Two-sided p sums exp(lnw−max) for
+    * every table at-or-below the observed weight (1e-9 log-space
+    * slack); ln/exp parity is the corpus-wide discipline
+    * (lm_perplexity, bh_fdr). */
+  lazy val fisherExact: Q = Q(
+    "fisher_exact",
+    """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN p_brand = 'Brand#4' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r1,
+      |    CAST(sum(CASE WHEN p_size > 25 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN p_brand = 'Brand#4' AND p_size > 25
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS a FROM part),
+      |k AS (SELECT *, greatest(0, r1 + c1 - n) AS kmin,
+      |    least(r1, c1) AS kmax FROM m),
+      |lw AS (SELECT k.*, list_transform(generate_series(kmin, kmax),
+      |    kk -> COALESCE(list_aggregate(list_transform(
+      |        list_filter(generate_series(kmin, kmax - 1), j -> j < kk),
+      |        j -> ln(CAST((r1 - j) * (c1 - j) AS DOUBLE))
+      |           - ln(CAST((j + 1) * (n - r1 - c1 + j + 1) AS DOUBLE))),
+      |      'sum'), 0.0)) AS lnw FROM k),
+      |st AS (SELECT lw.*, list_aggregate(lnw, 'max') AS mx,
+      |    lnw[CAST(a - kmin + 1 AS INTEGER)] AS lna FROM lw),
+      |pp AS (SELECT n, r1, c1, a, kmax - kmin + 1 AS n_tables,
+      |    CAST(len(list_filter(lnw, x -> x <= lna + 1e-9)) AS BIGINT)
+      |      AS tail_tables,
+      |    list_aggregate(list_transform(
+      |      list_filter(lnw, x -> x <= lna + 1e-9),
+      |      x -> exp(x - mx)), 'sum')
+      |    / list_aggregate(list_transform(lnw, x -> exp(x - mx)), 'sum')
+      |      AS p FROM st)
+      |SELECT n, r1, c1, a AS a_obs, n_tables, tail_tables,
+      |  floor(p * 1000000 + 0.5) / 1000000 AS p_two_sided,
+      |  floor(CAST(a AS DOUBLE) * (n - r1 - c1 + a)
+      |    / ((r1 - a) * (c1 - a)) * 1000000 + 0.5) / 1000000
+      |    AS odds_ratio
+      |FROM pp""".stripMargin) { (s, d) =>
+    val m = Tables.part(s, d).agg(count(lit(1)).as("n"),
+      sum(when(col("p_brand") === "Brand#4", 1L).otherwise(0L)).as("r1"),
+      sum(when(col("p_size") > 25, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("p_brand") === "Brand#4" && col("p_size") > 25, 1L)
+        .otherwise(0L)).as("a"))
+    m.withColumn("kmin", greatest(lit(0L), col("r1") + col("c1") - col("n")))
+      .withColumn("kmax", least(col("r1"), col("c1")))
+      .withColumn("lnw", expr(
+        "transform(sequence(kmin, kmax), kk -> " +
+          "aggregate(filter(sequence(kmin, kmax - 1), j -> j < kk), 0D, " +
+          "(acc, j) -> acc + ln(CAST((r1 - j) * (c1 - j) AS DOUBLE)) " +
+          "- ln(CAST((j + 1) * (n - r1 - c1 + j + 1) AS DOUBLE))))"))
+      .withColumn("mx", expr("array_max(lnw)"))
+      .withColumn("lna", expr("element_at(lnw, CAST(a - kmin + 1 AS INT))"))
+      .select(col("n"), col("r1"), col("c1"), col("a").as("a_obs"),
+        (col("kmax") - col("kmin") + 1).as("n_tables"),
+        expr("CAST(size(filter(lnw, x -> x <= lna + 1e-9)) AS BIGINT)")
+          .as("tail_tables"),
+        (floor(expr("aggregate(transform(filter(lnw, x -> x <= lna + 1e-9), " +
+          "x -> exp(x - mx)), 0D, (acc, x) -> acc + x)")
+          / expr("aggregate(transform(lnw, x -> exp(x - mx)), 0D, " +
+            "(acc, x) -> acc + x)") * 1000000 + lit(0.5)) / 1000000)
+          .as("p_two_sided"),
+        (floor(col("a").cast("double")
+          * (col("n") - col("r1") - col("c1") + col("a"))
+          / ((col("r1") - col("a")) * (col("c1") - col("a")))
+          * 1000000 + lit(0.5)) / 1000000).as("odds_ratio"))
+  }
+
+  /** Cohen's d / Hedges' g effect size for the A-vs-R quantity gap —
+    * the "is it LARGE, not just significant" companion to
+    * welch_ttest. One conditional-aggregate scan (map-side combined,
+    * 1-row result); every moment is BIGINT and d/g are fixed
+    * closed-form double expressions over them, so both engines emit
+    * bit-identical values before the shared 1e-6 grid. */
+  lazy val cohensD: Q = Q(
+    "cohens_d",
+    """WITH m AS (SELECT
+      |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN l_returnflag = 'A'
+      |      THEN CAST(floor(l_quantity + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS s1,
+      |    CAST(sum(CASE WHEN l_returnflag = 'A'
+      |      THEN CAST(floor(l_quantity + 0.5) AS BIGINT)
+      |         * CAST(floor(l_quantity + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS ss1,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R'
+      |      THEN CAST(floor(l_quantity + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS s2,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R'
+      |      THEN CAST(floor(l_quantity + 0.5) AS BIGINT)
+      |         * CAST(floor(l_quantity + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS ss2
+      |  FROM lineitem),
+      |e AS (SELECT n1, n2,
+      |    (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+      |    / sqrt(((ss1 - CAST(s1 AS DOUBLE) * s1 / n1)
+      |          + (ss2 - CAST(s2 AS DOUBLE) * s2 / n2))
+      |        / (n1 + n2 - 2)) AS d FROM m)
+      |SELECT n1, n2, floor(d * 1000000 + 0.5) / 1000000 AS cohens_d,
+      |  floor(d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9)) * 1000000 + 0.5)
+      |    / 1000000 AS hedges_g,
+      |  CASE WHEN abs(d) < 0.2 THEN 'negligible'
+      |    WHEN abs(d) < 0.5 THEN 'small'
+      |    WHEN abs(d) < 0.8 THEN 'medium' ELSE 'large' END AS magnitude
+      |FROM e""".stripMargin) { (s, d) =>
+    val q = floor(col("l_quantity") + lit(0.5)).cast("long")
+    def side(f: String, e: Column): Column =
+      sum(when(col("l_returnflag") === f, e).otherwise(0L))
+    val m = Tables.lineitem(s, d).agg(
+      side("A", lit(1L)).as("n1"), side("A", q).as("s1"),
+      side("A", q * q).as("ss1"),
+      side("R", lit(1L)).as("n2"), side("R", q).as("s2"),
+      side("R", q * q).as("ss2"))
+    val dd = (col("s1").cast("double") / col("n1")
+      - col("s2").cast("double") / col("n2")) /
+      sqrt(((col("ss1") - col("s1").cast("double") * col("s1") / col("n1"))
+        + (col("ss2") - col("s2").cast("double") * col("s2") / col("n2")))
+        / (col("n1") + col("n2") - 2))
+    m.select(col("n1"), col("n2"),
+      (floor(dd * 1000000 + lit(0.5)) / 1000000).as("cohens_d"),
+      (floor(dd * (lit(1.0) - lit(3.0) / (lit(4.0) * (col("n1") + col("n2"))
+        - 9)) * 1000000 + lit(0.5)) / 1000000).as("hedges_g"),
+      when(abs(dd) < 0.2, "negligible").when(abs(dd) < 0.5, "small")
+        .when(abs(dd) < 0.8, "medium").otherwise("large").as("magnitude"))
+  }
+
+  /** Cliff's delta — the ordinal effect size P(X>Y) − P(X<Y) for the
+    * same A-vs-R contrast, EXACT without the O(n²) pair walk: quantity
+    * has ≤50 distinct values, so the dominance sums ride a 50×50
+    * value-count cross (integer products, one division at the end).
+    * The full-scan work is one ≤100-cell partial aggregate; the pair
+    * logic never touches row-level data — the shape that survives any
+    * scale as long as the value domain stays bounded. */
+  lazy val cliffsDelta: Q = Q(
+    "cliffs_delta",
+    """WITH b AS (SELECT l_returnflag AS grp,
+      |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS q FROM lineitem
+      |  WHERE l_returnflag IN ('A', 'R')),
+      |c AS (SELECT grp, q, CAST(count(*) AS BIGINT) AS c FROM b
+      |  GROUP BY grp, q),
+      |x AS (SELECT q, c FROM c WHERE grp = 'A'),
+      |y AS (SELECT q, c FROM c WHERE grp = 'R'),
+      |n AS (SELECT (SELECT sum(c) FROM x) AS n1,
+      |    (SELECT sum(c) FROM y) AS n2),
+      |dom AS (SELECT
+      |    CAST(sum(CASE WHEN x.q > y.q THEN x.c * y.c ELSE 0 END)
+      |      AS BIGINT) AS gt,
+      |    CAST(sum(CASE WHEN x.q < y.q THEN x.c * y.c ELSE 0 END)
+      |      AS BIGINT) AS lt
+      |  FROM x CROSS JOIN y)
+      |SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+      |  dom.gt, dom.lt,
+      |  floor((CAST(dom.gt AS DOUBLE) - dom.lt)
+      |    / (CAST(n.n1 AS DOUBLE) * n.n2) * 1000000 + 0.5) / 1000000
+      |    AS delta,
+      |  CASE WHEN abs((CAST(dom.gt AS DOUBLE) - dom.lt)
+      |      / (CAST(n.n1 AS DOUBLE) * n.n2)) < 0.147 THEN 'negligible'
+      |    WHEN abs((CAST(dom.gt AS DOUBLE) - dom.lt)
+      |      / (CAST(n.n1 AS DOUBLE) * n.n2)) < 0.33 THEN 'small'
+      |    WHEN abs((CAST(dom.gt AS DOUBLE) - dom.lt)
+      |      / (CAST(n.n1 AS DOUBLE) * n.n2)) < 0.474 THEN 'medium'
+      |    ELSE 'large' END AS magnitude
+      |FROM dom CROSS JOIN n""".stripMargin) { (s, d) =>
+    val c = Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag").as("grp"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("q"))
+      .groupBy("grp", "q").agg(count(lit(1)).as("c"))
+    val x = c.filter(col("grp") === "A").select(col("q").as("qx"),
+      col("c").as("cx"))
+    val y = c.filter(col("grp") === "R").select(col("q").as("qy"),
+      col("c").as("cy"))
+    val n = x.agg(sum("cx").as("n1"))
+      .crossJoin(y.agg(sum("cy").as("n2"))) // 1-row × 1-row
+    val dom = x.crossJoin(broadcast(y)) // ≤50 × ≤50 value cells
+      .agg(sum(when(col("qx") > col("qy"), col("cx") * col("cy"))
+        .otherwise(0L)).as("gt"),
+        sum(when(col("qx") < col("qy"), col("cx") * col("cy"))
+          .otherwise(0L)).as("lt"))
+    val delta = (col("gt").cast("double") - col("lt")) /
+      (col("n1").cast("double") * col("n2"))
+    dom.crossJoin(broadcast(n)) // 1-row stats
+      .select(col("n1"), col("n2"), col("gt"), col("lt"),
+        (floor(delta * 1000000 + lit(0.5)) / 1000000).as("delta"),
+        when(abs(delta) < 0.147, "negligible")
+          .when(abs(delta) < 0.33, "small")
+          .when(abs(delta) < 0.474, "medium")
+          .otherwise("large").as("magnitude"))
+  }
+
+  /** Exact 1-D Wasserstein (earth-mover) distance between quantity
+    * distributions for every return-flag pair — the drift metric that,
+    * unlike KS, weighs HOW FAR mass moved, not just the largest gap.
+    * W1 = Σ |F1−F2| Δx over the merged support: with ≤50 distinct
+    * values everything after the ≤150-cell count collapse is bounded
+    * joins of value tables, and |F1·n2 − F2·n1|·Δx keeps the sum in
+    * exact BIGINT until the single final division per pair. */
+  lazy val wasserstein1d: Q = Q(
+    "wasserstein_1d",
+    """WITH b AS (SELECT l_returnflag AS grp,
+      |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS q FROM lineitem),
+      |c AS (SELECT grp, q, CAST(count(*) AS BIGINT) AS c FROM b
+      |  GROUP BY grp, q),
+      |n AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY grp),
+      |v AS (SELECT DISTINCT q FROM c),
+      |nx AS (SELECT a.q, min(b2.q) AS qn FROM v a JOIN v b2
+      |  ON b2.q > a.q GROUP BY a.q),
+      |pr AS (SELECT a.grp AS g1, b2.grp AS g2 FROM n a JOIN n b2
+      |  ON a.grp < b2.grp),
+      |cum AS (SELECT n.grp, v.q, CAST(COALESCE(sum(c.c), 0) AS BIGINT)
+      |    AS cum
+      |  FROM n CROSS JOIN v LEFT JOIN c
+      |    ON c.grp = n.grp AND c.q <= v.q
+      |  GROUP BY n.grp, v.q),
+      |t AS (SELECT pr.g1, pr.g2,
+      |    CAST(sum(abs(c1.cum * n2.n - c2.cum * n1.n) * (nx.qn - nx.q))
+      |      AS BIGINT) AS num
+      |  FROM pr JOIN nx ON TRUE
+      |    JOIN cum c1 ON c1.grp = pr.g1 AND c1.q = nx.q
+      |    JOIN cum c2 ON c2.grp = pr.g2 AND c2.q = nx.q
+      |    JOIN n n1 ON n1.grp = pr.g1 JOIN n n2 ON n2.grp = pr.g2
+      |  GROUP BY pr.g1, pr.g2)
+      |SELECT t.g1, t.g2, n1.n AS n1, n2.n AS n2,
+      |  floor(CAST(t.num AS DOUBLE) / (CAST(n1.n AS DOUBLE) * n2.n)
+      |    * 1000000 + 0.5) / 1000000 AS w1
+      |FROM t JOIN n n1 ON n1.grp = t.g1 JOIN n n2 ON n2.grp = t.g2
+      |ORDER BY t.g1, t.g2""".stripMargin) { (s, d) =>
+    val c = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("grp"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("q"))
+      .groupBy("grp", "q").agg(count(lit(1)).as("c"))
+    val n = c.groupBy("grp").agg(sum("c").as("n"))
+    val v = c.select("q").distinct()
+    val nx = v.as("a")
+      .join(v.select(col("q").as("q2")), col("q2") > col("a.q"))
+      .groupBy(col("a.q").as("q")).agg(min("q2").as("qn"))
+    val pr = n.select(col("grp").as("g1"))
+      .join(n.select(col("grp").as("g2")), col("g1") < col("g2"))
+    val cum = n.select(col("grp")).crossJoin(broadcast(v))
+      .join(c.select(col("grp").as("cg"), col("q").as("cq"),
+        col("c").as("cc")),
+        col("cg") === col("grp") && col("cq") <= col("q"), "left_outer")
+      .groupBy("grp", "q").agg(coalesce(sum("cc"), lit(0L)).as("cum"))
+    val nn1 = n.select(col("grp").as("g1"), col("n").as("n1"))
+    val nn2 = n.select(col("grp").as("g2"), col("n").as("n2"))
+    val t = pr.crossJoin(broadcast(nx))
+      .join(cum.select(col("grp").as("g1"), col("q"), col("cum").as("cum1")),
+        Seq("g1", "q"))
+      .join(cum.select(col("grp").as("g2"), col("q"), col("cum").as("cum2")),
+        Seq("g2", "q"))
+      .join(broadcast(nn1), "g1").join(broadcast(nn2), "g2")
+      .groupBy("g1", "g2")
+      .agg(sum(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))
+        * (col("qn") - col("q"))).as("num"))
+    t.join(broadcast(nn1), "g1").join(broadcast(nn2), "g2")
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        (floor(col("num").cast("double")
+          / (col("n1").cast("double") * col("n2")) * 1000000 + lit(0.5))
+          / 1000000).as("w1"))
+      .orderBy("g1", "g2")
+  }
+
+  /** Durbin–Watson serial-correlation statistic on the residuals of
+    * the daily-order-count trend line — "is what the trend leaves
+    * behind still autocorrelated?" (the classic regression-diagnostic
+    * companion to q109_acf, which works on the raw series). OLS
+    * coefficients are exact rationals over BIGINT sums; residuals are
+    * one shared double expression; both quadratic forms fold in
+    * day-sorted order via sorted-list aggregation, and consecutive
+    * pairing is a calendar-bounded next-observed-day self-join (no
+    * partition-less window, ~2.4k days regardless of SF). */
+  lazy val durbinWatson: Q = Q(
+    "durbin_watson",
+    """WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+      |      CAST(o_orderdate AS DATE)) AS t,
+      |    CAST(count(*) AS BIGINT) AS y FROM orders GROUP BY 1),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(t * t) AS BIGINT) AS stt,
+      |    CAST(sum(t * y) AS BIGINT) AS sty FROM daily),
+      |cf AS (SELECT n,
+      |    CAST(n * sty - st * sy AS DOUBLE)
+      |      / (n * stt - st * st) AS b,
+      |    (sy - CAST(n * sty - st * sy AS DOUBLE)
+      |      / (n * stt - st * st) * st) / n AS a FROM m),
+      |e AS (SELECT d.t, d.y - cf.a - cf.b * d.t AS e
+      |  FROM daily d CROSS JOIN cf),
+      |nxt AS (SELECT a.t, min(b2.t) AS tn FROM daily a JOIN daily b2
+      |  ON b2.t > a.t GROUP BY a.t),
+      |den AS (SELECT list_aggregate(list(e * e ORDER BY t), 'sum')
+      |    AS den FROM e),
+      |num AS (SELECT list_aggregate(list((e2.e - e1.e) * (e2.e - e1.e)
+      |      ORDER BY e1.t), 'sum') AS num
+      |  FROM nxt JOIN e e1 ON e1.t = nxt.t JOIN e e2 ON e2.t = nxt.tn)
+      |SELECT cf.n AS n_days,
+      |  floor(num.num / den.den * 1000000 + 0.5) / 1000000 AS dw,
+      |  floor((1.0 - num.num / den.den / 2.0) * 1000000 + 0.5) / 1000000
+      |    AS rho_approx,
+      |  CASE WHEN num.num / den.den < 1.5 THEN 'positive'
+      |    WHEN num.num / den.den > 2.5 THEN 'negative'
+      |    ELSE 'none' END AS serial_corr
+      |FROM num CROSS JOIN den CROSS JOIN cf""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("t"))
+      .agg(count(lit(1)).as("y"))
+    val m = daily.agg(count(lit(1)).as("n"), sum("t").as("st"),
+      sum("y").as("sy"), sum(col("t") * col("t")).as("stt"),
+      sum(col("t") * col("y")).as("sty"))
+    val bC = (col("n") * col("sty") - col("st") * col("sy")).cast("double") /
+      (col("n") * col("stt") - col("st") * col("st"))
+    val cf = m.select(col("n"), bC.as("b"),
+      ((col("sy") - bC * col("st")) / col("n")).as("a"))
+    val e = daily.crossJoin(broadcast(cf))
+      .select(col("t"), col("n"),
+        (col("y") - col("a") - col("b") * col("t")).as("e"))
+    val nxt = daily.as("a")
+      .join(daily.select(col("t").as("t2")), col("t2") > col("a.t"))
+      .groupBy(col("a.t").as("t")).agg(min("t2").as("tn"))
+    // day-sorted double folds: identical accumulation order on both
+    // engines (the kleinberg/durbin discipline)
+    val den = e.agg(expr("aggregate(array_sort(collect_list(struct(t, " +
+      "e * e AS s))), 0D, (acc, x) -> acc + x.s)").as("den"))
+    val num = nxt
+      .join(e.select(col("t"), col("e").as("e1")), "t")
+      .join(e.select(col("t").as("tn"), col("e").as("e2")), "tn")
+      .agg(expr("aggregate(array_sort(collect_list(struct(t, " +
+        "(e2 - e1) * (e2 - e1) AS s))), 0D, (acc, x) -> acc + x.s)")
+        .as("num"))
+    num.crossJoin(broadcast(den)).crossJoin(broadcast(cf.select("n")))
+      .select(col("n").as("n_days"),
+        (floor(col("num") / col("den") * 1000000 + lit(0.5)) / 1000000)
+          .as("dw"),
+        (floor((lit(1.0) - col("num") / col("den") / 2.0) * 1000000
+          + lit(0.5)) / 1000000).as("rho_approx"),
+        when(col("num") / col("den") < 1.5, "positive")
+          .when(col("num") / col("den") > 2.5, "negative")
+          .otherwise("none").as("serial_corr"))
   }
 }

@@ -932,4 +932,124 @@ class StatOpsSuite extends SparkSpec {
     assert(row.getDouble(3) ==
       r6((n * szx - sz * sx).toDouble / (n * szz - sz * sz).toDouble))
   }
+
+  private def quantities(flag: String): Array[Long] =
+    graft.Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === flag)
+      .select(floor(col("l_quantity") + lit(0.5)).cast("long"))
+      .collect().map(_.getLong(0))
+
+  test("kruskal_wallis: H replays a naive midrank computation") {
+    val rows = StatOps.kruskalWallis.run(spark, sfDir).collect()
+    val groups = rows.map(_.getString(0)).sorted
+    val data = groups.map(g => g -> quantities(g)).toMap
+    val all = data.values.flatten.toArray.sorted
+    val n = all.length.toDouble
+    // midrank per value
+    val rank = all.distinct.map { v =>
+      val below = all.count(_ < v)
+      val eq = all.count(_ == v)
+      v -> (below + (eq + 1) / 2.0)
+    }.toMap
+    val sumT = all.groupBy(identity).values
+      .map(g => g.length.toLong).map(t => t * t * t - t).sum
+    val h = 12.0 / (n * (n + 1)) * groups.map { g =>
+      val rs = data(g).map(rank).sum
+      rs * rs / data(g).length
+    }.sum - 3 * (n + 1)
+    val hc = h / (1.0 - sumT / (n * n * n - n))
+    val got = rows.head.getDouble(3)
+    assert(math.abs(got - hc) < 1e-4, s"H $got vs naive $hc")
+    // weighted mean of mean-ranks is the global mean rank (N+1)/2
+    val wm = rows.map(r => r.getDouble(2) * r.getLong(1)).sum / n
+    assert(math.abs(wm - (n + 1) / 2) < 1e-2)
+  }
+
+  test("fisher_exact: p replays the log-space hypergeometric walk") {
+    val row = StatOps.fisherExact.run(spark, sfDir).collect().head
+    val (n, r1, c1, a) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3))
+    val kmin = math.max(0L, r1 + c1 - n)
+    val kmax = math.min(r1, c1)
+    val lnr = (kmin until kmax).map(j =>
+      math.log(((r1 - j) * (c1 - j)).toDouble) -
+        math.log(((j + 1) * (n - r1 - c1 + j + 1)).toDouble))
+    val lnw = lnr.scanLeft(0.0)(_ + _) // lnw(kmin)=0, cumulative
+    val mx = lnw.max
+    val lna = lnw((a - kmin).toInt)
+    val tail = lnw.filter(_ <= lna + 1e-9)
+    val p = tail.map(x => math.exp(x - mx)).sum /
+      lnw.map(x => math.exp(x - mx)).sum
+    assert(row.getLong(4) == kmax - kmin + 1)
+    assert(row.getLong(5) == tail.length.toLong)
+    val got = row.getDouble(6)
+    assert(got >= 0.0 && got <= 1.0)
+    assert(math.abs(got - p) < 1e-5, s"p $got vs naive $p")
+  }
+
+  test("cohens_d: replays the pooled-SD effect size") {
+    val row = StatOps.cohensD.run(spark, sfDir).collect().head
+    val (x1, x2) = (quantities("A").map(_.toDouble),
+      quantities("R").map(_.toDouble))
+    def mean(x: Array[Double]) = x.sum / x.length
+    def ss(x: Array[Double]) = {
+      val m = mean(x); x.map(v => (v - m) * (v - m)).sum
+    }
+    val d = (mean(x1) - mean(x2)) /
+      math.sqrt((ss(x1) + ss(x2)) / (x1.length + x2.length - 2))
+    assert(math.abs(row.getDouble(2) - d) < 1e-5,
+      s"d ${row.getDouble(2)} vs naive $d")
+    assert(math.abs(row.getDouble(3)) <= math.abs(row.getDouble(2)),
+      "Hedges g shrinks toward zero")
+  }
+
+  test("cliffs_delta: dominance counts replay the naive pair walk") {
+    val row = StatOps.cliffsDelta.run(spark, sfDir).collect().head
+    val (x, y) = (quantities("A"), quantities("R"))
+    var gt = 0L; var lt = 0L
+    for (a <- x; b <- y) { if (a > b) gt += 1 else if (a < b) lt += 1 }
+    assert(row.getLong(2) == gt && row.getLong(3) == lt)
+    val delta = (gt - lt).toDouble / (x.length.toLong * y.length)
+    assert(math.abs(row.getDouble(4) - delta) < 1e-6)
+  }
+
+  test("wasserstein_1d: replays |ECDF gap| * gap-width and is a metric") {
+    val rows = StatOps.wasserstein1d.run(spark, sfDir).collect()
+    assert(rows.length == 3) // A-N, A-R, N-R
+    rows.foreach { r =>
+      val (x, y) = (quantities(r.getString(0)), quantities(r.getString(1)))
+      val vals = (x ++ y).distinct.sorted
+      var w = 0.0
+      for (i <- 0 until vals.length - 1) {
+        val f1 = x.count(_ <= vals(i)).toDouble / x.length
+        val f2 = y.count(_ <= vals(i)).toDouble / y.length
+        w += math.abs(f1 - f2) * (vals(i + 1) - vals(i))
+      }
+      assert(r.getDouble(4) >= 0.0)
+      assert(math.abs(r.getDouble(4) - w) < 1e-5,
+        s"${r.getString(0)}-${r.getString(1)}: ${r.getDouble(4)} vs $w")
+    }
+  }
+
+  test("durbin_watson: replays OLS residual serial ratio, dw in (0,4)") {
+    val row = StatOps.durbinWatson.run(spark, sfDir).collect().head
+    val daily = graft.Tables.orders(spark, sfDir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("t"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1))).sortBy(_._1)
+    val n = daily.length.toDouble
+    val (st, sy) = (daily.map(_._1).sum, daily.map(_._2).sum)
+    val stt = daily.map(t => t._1 * t._1).sum
+    val sty = daily.map(t => t._1 * t._2).sum
+    val b = (n * sty - st.toDouble * sy) / (n * stt - st.toDouble * st)
+    val a = (sy - b * st) / n
+    val e = daily.map { case (t, y) => y - a - b * t }
+    val den = e.map(v => v * v).sum
+    val num = e.sliding(2).map(p => (p(1) - p(0)) * (p(1) - p(0))).sum
+    val dw = num / den
+    assert(row.getDouble(1) > 0 && row.getDouble(1) < 4)
+    assert(math.abs(row.getDouble(1) - dw) < 1e-5,
+      s"dw ${row.getDouble(1)} vs naive $dw")
+  }
 }
