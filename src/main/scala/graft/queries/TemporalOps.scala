@@ -2552,6 +2552,427 @@ object TemporalOps {
     rollingCorr, adfTest, kleinbergBurst, maxDrawdown, ljungBox,
     overdispersionCheck, seasonalStrength, topkTurnover, priceIndex,
     retentionCurve, valueDriftKl, mannKendall, cohortLtv, momYoyGrowth,
-    binsegSplit)
+    binsegSplit, bollingerBands, rsiCutler, varCvar, activityStreaks,
+    ccfLeadlag, pacfLags)
 
+  /** Bollinger-band breakout days per brand: 20-observation SMA ± 2σ
+    * over each brand's daily revenue, reporting only the days that
+    * close OUTSIDE the band (%B < 0 or > 1) once the window is full.
+    * Revenue is exact cents, the rolling moments are BIGINT sums over
+    * a brand-keyed ROWS frame (25 bounded window states — no
+    * partition-less window), and sma/σ/%B are fixed double
+    * expressions over those integers, so both engines flag identical
+    * days. At 100 TB the scan collapses to (brand × day) cells before
+    * any window state exists. */
+  lazy val bollingerBands: Q = Q(
+    "bollinger_bands",
+    """WITH base AS (SELECT p.p_brand AS brand,
+      |    CAST(l.l_shipdate AS DATE) AS day,
+      |    CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+      |daily AS (SELECT brand, day, CAST(sum(cents) AS BIGINT) AS rev
+      |  FROM base GROUP BY brand, day),
+      |w AS (SELECT brand, day, rev,
+      |    count(*) OVER win AS n, sum(rev) OVER win AS s,
+      |    sum(rev * rev) OVER win AS ss
+      |  FROM daily WINDOW win AS (PARTITION BY brand ORDER BY day
+      |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      |b AS (SELECT brand, day, rev, s / 20.0 AS sma,
+      |    sqrt((ss - CAST(s AS DOUBLE) * s / 20) / 20) AS sd
+      |  FROM w WHERE n = 20)
+      |SELECT brand, strftime(day, '%Y-%m-%d') AS day, rev,
+      |  floor((rev - (sma - 2 * sd)) / (4 * sd) * 10000 + 0.5) / 10000
+      |    AS pctb,
+      |  floor(4 * sd / sma * 10000 + 0.5) / 10000 AS bandwidth,
+      |  CASE WHEN rev > sma + 2 * sd THEN 'above' ELSE 'below' END
+      |    AS side
+      |FROM b WHERE rev > sma + 2 * sd OR rev < sma - 2 * sd
+      |ORDER BY brand, day""".stripMargin) { (s, d) =>
+    val daily = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        col("l_shipdate").cast("date").as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+    val win = Window.partitionBy("brand").orderBy("day").rowsBetween(-19, 0)
+    val w = daily
+      .withColumn("n", count(lit(1)).over(win))
+      .withColumn("s", sum("rev").over(win))
+      .withColumn("ss", sum(col("rev") * col("rev")).over(win))
+      .filter(col("n") === 20)
+    val sma = col("s") / 20.0
+    val sd = sqrt((col("ss") - col("s").cast("double") * col("s") / 20) / 20)
+    w.filter(col("rev") > sma + lit(2) * sd || col("rev") < sma - lit(2) * sd)
+      .select(col("brand"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("rev"),
+        (floor((col("rev") - (sma - lit(2) * sd)) / (lit(4) * sd) * 10000
+          + lit(0.5)) / 10000).as("pctb"),
+        (floor(lit(4) * sd / sma * 10000 + lit(0.5)) / 10000).as("bandwidth"),
+        when(col("rev") > sma + lit(2) * sd, "above").otherwise("below")
+          .as("side"))
+      .orderBy("brand", "day")
+  }
+
+  /** Cutler's RSI (14-period, SMA-based — the window-expressible RSI
+    * variant; Wilder's recursive smoothing deliberately NOT used so
+    * both engines stay in exact integers) per brand over daily
+    * revenue deltas. RSI = 100·ΣG/(ΣG+ΣL) is an exact rational over
+    * BIGINT gain/loss sums, so overbought/oversold day counts are
+    * exact. Two stacked brand-keyed windows (prev-day delta, then the
+    * 14-row moment frame); the scan collapses to (brand × day) cells
+    * first. */
+  lazy val rsiCutler: Q = Q(
+    "rsi_cutler",
+    """WITH base AS (SELECT p.p_brand AS brand,
+      |    CAST(l.l_shipdate AS DATE) AS day,
+      |    CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+      |daily AS (SELECT brand, day, CAST(sum(cents) AS BIGINT) AS rev
+      |  FROM base GROUP BY brand, day),
+      |dl AS (SELECT brand, day,
+      |    rev - lag(rev) OVER (PARTITION BY brand ORDER BY day) AS dlt
+      |  FROM daily),
+      |g AS (SELECT brand, day,
+      |    CASE WHEN dlt > 0 THEN dlt ELSE 0 END AS gain,
+      |    CASE WHEN dlt < 0 THEN -dlt ELSE 0 END AS loss
+      |  FROM dl WHERE dlt IS NOT NULL),
+      |w AS (SELECT brand, day,
+      |    count(*) OVER win AS n, sum(gain) OVER win AS sg,
+      |    sum(loss) OVER win AS sl
+      |  FROM g WINDOW win AS (PARTITION BY brand ORDER BY day
+      |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+      |r AS (SELECT brand,
+      |    CASE WHEN sg + sl = 0 THEN 50.0
+      |      ELSE 100.0 * sg / (sg + sl) END AS rsi
+      |  FROM w WHERE n = 14)
+      |SELECT brand, CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(sum(CASE WHEN rsi >= 70 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_overbought,
+      |  CAST(sum(CASE WHEN rsi <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oversold,
+      |  floor(max(rsi) * 10000 + 0.5) / 10000 AS max_rsi,
+      |  floor(min(rsi) * 10000 + 0.5) / 10000 AS min_rsi
+      |FROM r GROUP BY brand ORDER BY brand""".stripMargin) { (s, d) =>
+    val daily = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        col("l_shipdate").cast("date").as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+    val lagw = Window.partitionBy("brand").orderBy("day")
+    val g = daily
+      .withColumn("dlt", col("rev") - lag("rev", 1).over(lagw))
+      .filter(col("dlt").isNotNull)
+      .select(col("brand"), col("day"),
+        when(col("dlt") > 0, col("dlt")).otherwise(0L).as("gain"),
+        when(col("dlt") < 0, -col("dlt")).otherwise(0L).as("loss"))
+    val win = Window.partitionBy("brand").orderBy("day").rowsBetween(-13, 0)
+    val w = g
+      .withColumn("n", count(lit(1)).over(win))
+      .withColumn("sg", sum("gain").over(win))
+      .withColumn("sl", sum("loss").over(win))
+      .filter(col("n") === 14)
+    val rsi = when(col("sg") + col("sl") === 0, lit(50.0))
+      .otherwise(lit(100.0) * col("sg") / (col("sg") + col("sl")))
+    w.select(col("brand"), rsi.as("rsi"))
+      .groupBy("brand").agg(count(lit(1)).as("n_days"),
+        sum(when(col("rsi") >= 70, 1L).otherwise(0L)).as("n_overbought"),
+        sum(when(col("rsi") <= 30, 1L).otherwise(0L)).as("n_oversold"),
+        (floor(max("rsi") * 10000 + lit(0.5)) / 10000).as("max_rsi"),
+        (floor(min("rsi") * 10000 + lit(0.5)) / 10000).as("min_rsi"))
+      .orderBy("brand")
+  }
+
+  /** Historical VaR + expected shortfall (CVaR) of the daily global
+    * revenue CHANGE at 95% and 99% — risk quantiles a revenue desk
+    * actually monitors. Changes are exact integer cents over
+    * consecutive observed days (calendar-bounded next-day self-join),
+    * order statistics come from the distinct-value cumulative table
+    * (min v with cum ≥ k — no engine quantile semantics involved),
+    * interpolation is one shared double expression, and the tail mean
+    * is an exact integer sum with the boundary value weighted by the
+    * remaining count. Everything after the daily collapse is
+    * calendar-bounded (~2.4k rows at any SF). */
+  lazy val varCvar: Q = Q(
+    "var_cvar",
+    """WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+      |      CAST(l_shipdate AS DATE)) AS t,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |nxt AS (SELECT a.t, min(b2.t) AS tn FROM daily a JOIN daily b2
+      |  ON b2.t > a.t GROUP BY a.t),
+      |ch AS (SELECT d2.rev - d1.rev AS v FROM nxt
+      |  JOIN daily d1 ON d1.t = nxt.t JOIN daily d2 ON d2.t = nxt.tn),
+      |c AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY v),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+      |cum AS (SELECT a.v, any_value(a.c) AS c,
+      |    CAST(COALESCE(sum(b2.c), 0) AS BIGINT) AS clt
+      |  FROM c a LEFT JOIN c b2 ON b2.v < a.v GROUP BY a.v),
+      |al AS (SELECT unnest([0.95, 0.99]) AS alpha),
+      |kk AS (SELECT al.alpha, n.n,
+      |    (1.0 - al.alpha) * (n.n - 1) AS r,
+      |    CAST(floor((1.0 - al.alpha) * (n.n - 1)) AS BIGINT) + 1 AS k1,
+      |    CAST(floor((1.0 - al.alpha) * (n.n - 1)) AS BIGINT) + 2 AS k2,
+      |    greatest(1, CAST(floor((1.0 - al.alpha) * n.n) AS BIGINT)) AS m
+      |  FROM al CROSS JOIN n),
+      |v1 AS (SELECT kk.alpha, min(cum.v) AS v1 FROM kk JOIN cum
+      |  ON cum.clt + cum.c >= kk.k1 GROUP BY kk.alpha),
+      |v2 AS (SELECT kk.alpha, min(cum.v) AS v2 FROM kk JOIN cum
+      |  ON cum.clt + cum.c >= kk.k2 GROUP BY kk.alpha),
+      |vb AS (SELECT kk.alpha, min(cum.v) AS vb FROM kk JOIN cum
+      |  ON cum.clt + cum.c >= kk.m GROUP BY kk.alpha),
+      |tl AS (SELECT kk.alpha,
+      |    CAST(COALESCE(sum(CASE WHEN cum.v < vb.vb THEN cum.c * cum.v
+      |      ELSE 0 END), 0) AS BIGINT) AS ts,
+      |    CAST(COALESCE(sum(CASE WHEN cum.v < vb.vb THEN cum.c
+      |      ELSE 0 END), 0) AS BIGINT) AS tc
+      |  FROM kk JOIN vb ON vb.alpha = kk.alpha
+      |    LEFT JOIN cum ON TRUE
+      |  GROUP BY kk.alpha)
+      |SELECT kk.alpha, kk.n AS n_changes,
+      |  floor((v1.v1 + (kk.r - floor(kk.r)) * (v2.v2 - v1.v1)) / 100.0
+      |    * 10000 + 0.5) / 10000 AS var_dollars,
+      |  floor((CAST(tl.ts + (kk.m - tl.tc) * vb.vb AS DOUBLE) / kk.m)
+      |    / 100.0 * 10000 + 0.5) / 10000 AS cvar_dollars,
+      |  kk.m AS tail_days
+      |FROM kk JOIN v1 ON v1.alpha = kk.alpha
+      |  JOIN v2 ON v2.alpha = kk.alpha JOIN vb ON vb.alpha = kk.alpha
+      |  JOIN tl ON tl.alpha = kk.alpha
+      |ORDER BY kk.alpha""".stripMargin) { (s, d) =>
+    val daily = Tables.lineitem(s, d)
+      .groupBy(datediff(col("l_shipdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("t"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+    val nxt = daily.as("a")
+      .join(daily.select(col("t").as("t2")), col("t2") > col("a.t"))
+      .groupBy(col("a.t").as("t")).agg(min("t2").as("tn"))
+    val ch = nxt
+      .join(daily.select(col("t"), col("rev").as("r1")), "t")
+      .join(daily.select(col("t").as("tn"), col("rev").as("r2")), "tn")
+      .select((col("r2") - col("r1")).as("v"))
+    val c = ch.groupBy("v").agg(count(lit(1)).as("c"))
+    val n = c.agg(sum("c").as("n"))
+    val cum = c.as("a")
+      .join(c.select(col("v").as("v2"), col("c").as("c2")),
+        col("v2") < col("a.v"), "left_outer")
+      .groupBy(col("a.v").as("v")).agg(first("c").as("c"),
+        coalesce(sum("c2"), lit(0L)).as("clt"))
+      .withColumn("cle", col("clt") + col("c"))
+    val al = s.createDataFrame(Seq(Tuple1(0.95), Tuple1(0.99)))
+      .toDF("alpha")
+    val r = (lit(1.0) - col("alpha")) * (col("n") - 1)
+    val kk = al.crossJoin(broadcast(n))
+      .select(col("alpha"), col("n"), r.as("r"),
+        (floor(r).cast("long") + 1).as("k1"),
+        (floor(r).cast("long") + 2).as("k2"),
+        greatest(lit(1L), floor((lit(1.0) - col("alpha")) * col("n"))
+          .cast("long")).as("m"))
+    def kth(key: org.apache.spark.sql.Column, out: String): DataFrame = kk
+      .join(cum, col("cle") >= key)
+      .groupBy("alpha").agg(min("v").as(out))
+    val v1 = kth(col("k1"), "v1")
+    val v2 = kth(col("k2"), "v2")
+    val vb = kth(col("m"), "vb")
+    val tl = kk.join(vb, "alpha").crossJoin(cum)
+      .groupBy("alpha")
+      .agg(coalesce(sum(when(col("v") < col("vb"), col("c") * col("v"))
+        .otherwise(0L)), lit(0L)).as("ts"),
+        coalesce(sum(when(col("v") < col("vb"), col("c")).otherwise(0L)),
+          lit(0L)).as("tc"))
+    kk.join(v1, "alpha").join(v2, "alpha").join(vb, "alpha").join(tl, "alpha")
+      .select(col("alpha"), col("n").as("n_changes"),
+        (floor((col("v1") + (col("r") - floor(col("r")))
+          * (col("v2") - col("v1"))) / 100.0 * 10000 + lit(0.5)) / 10000)
+          .as("var_dollars"),
+        (floor((col("ts") + (col("m") - col("tc")) * col("vb"))
+          .cast("double") / col("m") / 100.0 * 10000 + lit(0.5)) / 10000)
+          .as("cvar_dollars"),
+        col("m").as("tail_days"))
+      .orderBy("alpha")
+  }
+
+  /** Longest consecutive-day activity streak per user (the classic
+    * gaps-and-islands shape): distinct (user, day) cells, island id =
+    * epoch-day − row_number inside a user-keyed window, islands
+    * collapse to (length, start), best-per-user ties break on earliest
+    * start. Top 25 by streak length with a total day/user tiebreak.
+    * Every window is user-keyed; the scan collapses to distinct
+    * activity cells first. */
+  lazy val activityStreaks: Q = Q(
+    "activity_streaks",
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '1970-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) AS d FROM events),
+      |rn AS (SELECT user_id, d, row_number()
+      |    OVER (PARTITION BY user_id ORDER BY d) AS rn FROM ud),
+      |isl AS (SELECT user_id, d - rn AS island,
+      |    CAST(count(*) AS BIGINT) AS len, min(d) AS start
+      |  FROM rn GROUP BY user_id, d - rn),
+      |best AS (SELECT user_id, len, start, row_number()
+      |    OVER (PARTITION BY user_id ORDER BY len DESC, start) AS b
+      |  FROM isl)
+      |SELECT user_id, len AS streak_days,
+      |  strftime(DATE '1970-01-01' + CAST(start AS INTEGER), '%Y-%m-%d')
+      |    AS start_day
+      |FROM best WHERE b = 1
+      |ORDER BY streak_days DESC, start_day, user_id
+      |LIMIT 25""".stripMargin) { (s, d) =>
+    val ud = ev(s, d)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .as("d"))
+      .distinct()
+    val rn = ud.withColumn("rn",
+      row_number().over(Window.partitionBy("user_id").orderBy("d")))
+    val isl = rn.groupBy(col("user_id"), (col("d") - col("rn")).as("island"))
+      .agg(count(lit(1)).as("len"), min("d").as("start"))
+    val best = isl.withColumn("b", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("len").desc, col("start"))))
+      .filter(col("b") === 1)
+    best.select(col("user_id"), col("len").as("streak_days"),
+        date_format(date_add(lit("1970-01-01").cast("date"),
+          col("start").cast("int")), "yyyy-MM-dd").as("start_day"))
+      .orderBy(col("streak_days").desc, col("start_day"), col("user_id"))
+      .limit(25)
+  }
+
+  /** Lead–lag cross-correlation: does the daily CLICK series lead the
+    * daily PURCHASE series? Pearson r between (click_t, purchase_{t+l})
+    * for l ∈ [−7, 7], each lag over its complete day-joined pair set —
+    * every sum BIGINT, r one fixed double expression, so the peak-lag
+    * flag is exact. The join is calendar-bounded (~365 days × 15
+    * lags); positive peak lag reads "clicks lead purchases". */
+  lazy val ccfLeadlag: Q = Q(
+    "ccf_leadlag",
+    """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |lags AS (SELECT unnest(range(-7, 8)) AS lag),
+      |pr AS (SELECT l.lag, a.x, b.y
+      |  FROM lags l JOIN daily a ON TRUE
+      |  JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+      |mm AS (SELECT lag, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM pr GROUP BY lag),
+      |r AS (SELECT CAST(lag AS INTEGER) AS lag, c,
+      |    floor((c * sxy - CAST(sx AS DOUBLE) * sy)
+      |      / sqrt((c * sxx - CAST(sx AS DOUBLE) * sx)
+      |           * (c * syy - CAST(sy AS DOUBLE) * sy))
+      |      * 1000000 + 0.5) / 1000000 AS ccf
+      |  FROM mm)
+      |SELECT lag, c AS n_pairs, ccf,
+      |  abs(ccf) = (SELECT max(abs(ccf)) FROM r) AS is_peak
+      |FROM r ORDER BY lag""".stripMargin) { (s, d) =>
+    val daily = ev(s, d)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    val lags = s.range(-7, 8).select(col("id").as("lag"))
+    val a = daily.crossJoin(broadcast(lags))
+      .select(col("lag"), col("x"),
+        date_add(col("day"), col("lag").cast("int")).as("jday"))
+    val b = daily.select(col("day").as("jday"), col("y"))
+    val mm = a.join(b, "jday").groupBy("lag")
+      .agg(count(lit(1)).as("c"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val r = mm.select(col("lag").cast("int").as("lag"), col("c"),
+      (floor((col("c") * col("sxy") - col("sx").cast("double") * col("sy"))
+        / sqrt((col("c") * col("sxx") - col("sx").cast("double") * col("sx"))
+          * (col("c") * col("syy") - col("sy").cast("double") * col("sy")))
+        * 1000000 + lit(0.5)) / 1000000).as("ccf"))
+    val mx = r.agg(max(abs(col("ccf"))).as("mxa"))
+    r.crossJoin(broadcast(mx))
+      .select(col("lag"), col("c").as("n_pairs"), col("ccf"),
+        (abs(col("ccf")) === col("mxa")).as("is_peak"))
+      .orderBy("lag")
+  }
+
+  /** Partial autocorrelation of the daily order-count series at lags
+    * 1–3 via the Durbin–Levinson closed forms — q109_acf answers "is
+    * there memory?", this answers "how many AR terms does it take?".
+    * The ρ inputs reuse acf's exact pair-complete integer sums
+    * UNROUNDED; φ22/φ33 are fixed scalar expressions over them on one
+    * collapsed row, so both engines agree bit-for-bit before the 1e-6
+    * grid. Calendar-bounded pair joins, nothing row-level survives the
+    * daily collapse. */
+  lazy val pacfLags: Q = Q(
+    "pacf_lags",
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS x
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM daily),
+      |lags AS (SELECT unnest(range(1, 4)) AS lag),
+      |pairs AS (SELECT l.lag, a.x AS xa, b.x AS xb
+      |  FROM lags l JOIN daily a ON TRUE
+      |  JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+      |num AS (SELECT lag, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(xa * xb) AS BIGINT) AS sxy,
+      |    CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(xb) AS BIGINT) AS sb
+      |  FROM pairs GROUP BY lag),
+      |rho AS (SELECT lag,
+      |    (sxy - (CAST(sx AS DOUBLE) / n) * (sa + sb)
+      |      + c * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+      |    / (sxx - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+      |      AS r
+      |  FROM num CROSS JOIN tot),
+      |p AS (SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+      |    max(CASE WHEN lag = 2 THEN r END) AS r2,
+      |    max(CASE WHEN lag = 3 THEN r END) AS r3 FROM rho),
+      |dl AS (SELECT r1 AS p1, (r2 - r1 * r1) / (1 - r1 * r1) AS p22,
+      |    r1, r2, r3 FROM p),
+      |dl2 AS (SELECT p1, p22, r1, r2, r3,
+      |    r1 - p22 * r1 AS p21 FROM dl)
+      |SELECT floor(p1 * 1000000 + 0.5) / 1000000 AS pacf1,
+      |  floor(p22 * 1000000 + 0.5) / 1000000 AS pacf2,
+      |  floor((r3 - p21 * r2 - p22 * r1)
+      |    / (1 - p21 * r1 - p22 * r2) * 1000000 + 0.5) / 1000000
+      |    AS pacf3
+      |FROM dl2""".stripMargin) { (s, d) =>
+    val daily = ord(s, d).groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    val lags = s.range(1, 4).select(col("id").as("lag"))
+    val a = daily.crossJoin(broadcast(lags))
+      .select(col("lag"), col("x").as("xa"),
+        date_add(col("day"), col("lag").cast("int")).as("jday"))
+    val b = daily.select(col("day").as("jday"), col("x").as("xb"))
+    val num = a.join(b, "jday").groupBy("lag")
+      .agg(count(lit(1)).as("c"), sum(col("xa") * col("xb")).as("sxy"),
+        sum("xa").as("sa"), sum("xb").as("sb"))
+    val mu = col("sx").cast("double") / col("n")
+    val rho = num.crossJoin(broadcast(tot))
+      .select(col("lag"),
+        ((col("sxy") - mu * (col("sa") + col("sb")) + col("c") * mu * mu)
+          / (col("sxx") - col("n") * mu * mu)).as("r"))
+    val p = rho.agg(max(when(col("lag") === 1, col("r"))).as("r1"),
+      max(when(col("lag") === 2, col("r"))).as("r2"),
+      max(when(col("lag") === 3, col("r"))).as("r3"))
+    val p22 = (col("r2") - col("r1") * col("r1"))
+    p.select(col("r1"), col("r2"), col("r3"),
+        (p22 / (lit(1) - col("r1") * col("r1"))).as("p22"))
+      .withColumn("p21", col("r1") - col("p22") * col("r1"))
+      .select((floor(col("r1") * 1000000 + lit(0.5)) / 1000000).as("pacf1"),
+        (floor(col("p22") * 1000000 + lit(0.5)) / 1000000).as("pacf2"),
+        (floor((col("r3") - col("p21") * col("r2") - col("p22") * col("r1"))
+          / (lit(1) - col("p21") * col("r1") - col("p22") * col("r2"))
+          * 1000000 + lit(0.5)) / 1000000).as("pacf3"))
+  }
 }

@@ -968,4 +968,158 @@ class TemporalOpsSuite extends SparkSpec {
         r.getLong(4))).toSeq
     assert(got == expected, s"flags:\n$got\nvs\n$expected")
   }
+
+  test("bollinger_bands: flagged days replay the naive 20-day band walk") {
+    val got = TemporalOps.bollingerBands.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(5)))
+    val rows = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_shipdate").cast("date").as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2)))
+    val naive = rows.groupBy(_._1).toSeq.flatMap { case (b, xs) =>
+      val s = xs.sortBy(_._2)
+      s.indices.drop(19).flatMap { i =>
+        val w = s.slice(i - 19, i + 1).map(_._3)
+        val mean = w.sum.toDouble / 20
+        val sd = math.sqrt(w.map(v => (v - mean) * (v - mean)).sum / 20)
+        val rev = s(i)._3
+        if (rev > mean + 2 * sd) Some((b, s(i)._2, "above"))
+        else if (rev < mean - 2 * sd) Some((b, s(i)._2, "below"))
+        else None
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == naive, s"${got.length} flags vs naive ${naive.length}")
+  }
+
+  test("rsi_cutler: per-brand extremes replay the naive 14-day SMA RSI") {
+    val rows = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_shipdate").cast("date").as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2)))
+    val naive = rows.groupBy(_._1).map { case (b, xs) =>
+      val revs = xs.sortBy(_._2).map(_._3)
+      val deltas = revs.sliding(2).map(p => p(1) - p(0)).toSeq
+      val rsis = deltas.indices.drop(13).map { i =>
+        val w = deltas.slice(i - 13, i + 1)
+        val sg = w.filter(_ > 0).sum.toDouble
+        val sl = -w.filter(_ < 0).sum.toDouble
+        if (sg + sl == 0) 50.0 else 100.0 * sg / (sg + sl)
+      }
+      b -> rsis
+    }
+    val got = TemporalOps.rsiCutler.run(spark, sfDir).collect()
+    got.foreach { r =>
+      val rsis = naive(r.getString(0))
+      assert(r.getLong(1) == rsis.length.toLong)
+      assert(r.getLong(2) == rsis.count(_ >= 70).toLong, s"${r.getString(0)} overbought")
+      assert(r.getLong(3) == rsis.count(_ <= 30).toLong, s"${r.getString(0)} oversold")
+      assert(math.abs(r.getDouble(4) - rsis.max) < 1e-3)
+      assert(math.abs(r.getDouble(5) - rsis.min) < 1e-3)
+    }
+  }
+
+  test("var_cvar: CVaR is no better than VaR and replays the sorted tail") {
+    val got = TemporalOps.varCvar.run(spark, sfDir).collect()
+    assert(got.length == 2)
+    val daily = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    val ch = daily.sliding(2).map(p => p(1) - p(0)).toArray.sorted
+    val n = ch.length
+    got.foreach { row =>
+      val alpha = row.getDouble(0)
+      val r = (1 - alpha) * (n - 1)
+      val lo = math.floor(r).toInt
+      val varc = ch(lo) + (r - lo) * (ch(lo + 1) - ch(lo))
+      val m = math.max(1, math.floor((1 - alpha) * n).toInt)
+      val cvarc = ch.take(m).map(_.toDouble).sum / m
+      assert(math.abs(row.getDouble(2) - varc / 100) < 1e-3,
+        s"var ${row.getDouble(2)} vs ${varc / 100}")
+      assert(math.abs(row.getDouble(3) - cvarc / 100) < 1e-3,
+        s"cvar ${row.getDouble(3)} vs ${cvarc / 100}")
+      assert(row.getDouble(3) <= row.getDouble(2) + 1e-9,
+        "expected shortfall is at least as extreme as VaR")
+    }
+  }
+
+  test("activity_streaks: top streaks replay the naive gaps-and-islands") {
+    val ud = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1)))
+    val best = ud.groupBy(_._1).map { case (u, xs) =>
+      val ds = xs.map(_._2).sorted
+      var streaks = Seq.empty[(Int, Int)] // (len, start)
+      var start = ds.head; var len = 1
+      for (i <- 1 until ds.length) {
+        if (ds(i) == ds(i - 1) + 1) len += 1
+        else { streaks :+= ((len, start)); start = ds(i); len = 1 }
+      }
+      streaks :+= ((len, start))
+      val top = streaks.sortBy(t => (-t._1, t._2)).head
+      (u, top._1.toLong, java.time.LocalDate.ofEpochDay(top._2).toString)
+    }.toSeq.sortBy(t => (-t._2, t._3, t._1)).take(25)
+    val got = TemporalOps.activityStreaks.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == best, s"\n$got\nvs\n$best")
+  }
+
+  test("ccf_leadlag: lag-0 matches naive Pearson; peak flag attained") {
+    val rows = TemporalOps.ccfLeadlag.run(spark, sfDir).collect()
+    assert(rows.length == 15)
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    assert(rows.count(_.getBoolean(3)) >= 1)
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val n = daily.length
+    val (sx, sy) = (daily.map(_._1).sum, daily.map(_._2).sum)
+    val sxy = daily.map(t => t._1 * t._2).sum
+    val sxx = daily.map(t => t._1 * t._1).sum
+    val syy = daily.map(t => t._2 * t._2).sum
+    val r0 = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val got0 = rows.find(_.getInt(0) == 0).get.getDouble(2)
+    assert(math.abs(got0 - r0) < 1e-5, s"lag0 $got0 vs $r0")
+  }
+
+  test("pacf_lags: Durbin-Levinson replays from naive autocorrelations") {
+    val daily = graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .toMap
+    val n = daily.size
+    val mu = daily.values.sum.toDouble / n
+    val den = daily.values.map(v => (v - mu) * (v - mu)).sum
+    def rho(l: Int): Double = daily.toSeq.flatMap { case (d, x) =>
+      daily.get(d + l).map(y => (x - mu) * (y - mu))
+    }.sum / den
+    val (r1, r2, r3) = (rho(1), rho(2), rho(3))
+    val p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    val p21 = r1 - p22 * r1
+    val p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    val row = TemporalOps.pacfLags.run(spark, sfDir).collect().head
+    assert(math.abs(row.getDouble(0) - r1) < 1e-5)
+    assert(math.abs(row.getDouble(1) - p22) < 1e-5)
+    assert(math.abs(row.getDouble(2) - p33) < 1e-5)
+  }
 }
