@@ -2553,7 +2553,199 @@ object TemporalOps {
     overdispersionCheck, seasonalStrength, topkTurnover, priceIndex,
     retentionCurve, valueDriftKl, mannKendall, cohortLtv, momYoyGrowth,
     binsegSplit, bollingerBands, rsiCutler, varCvar, activityStreaks,
-    ccfLeadlag, pacfLags)
+    ccfLeadlag, pacfLags, grangerLag1, hurstRs)
+
+  /** Granger-causality F-test at lag 1: do yesterday's CLICKS carry
+    * information about today's PURCHASES beyond yesterday's purchases
+    * alone? Restricted (AR(1)) vs unrestricted (AR(1)+click) OLS via
+    * centered co-moments — every raw sum BIGINT over the
+    * calendar-bounded consecutive-day triple join, β/RSS/F fixed
+    * double expressions, so both engines agree bit-for-bit before the
+    * grids. The F(1, n−3) 5% line is the shared 3.8415 constant. */
+  lazy val grangerLag1: Q = Q(
+    "granger_lag1",
+    """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |tri AS (SELECT b.y AS yt, a.y AS u, a.x AS v
+      |  FROM daily a JOIN daily b ON b.day = a.day + 1),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(u) AS BIGINT) AS su, CAST(sum(v) AS BIGINT) AS sv,
+      |    CAST(sum(yt) AS BIGINT) AS sy,
+      |    CAST(sum(u * u) AS BIGINT) AS suu,
+      |    CAST(sum(v * v) AS BIGINT) AS svv,
+      |    CAST(sum(u * v) AS BIGINT) AS suv,
+      |    CAST(sum(u * yt) AS BIGINT) AS suy,
+      |    CAST(sum(v * yt) AS BIGINT) AS svy,
+      |    CAST(sum(yt * yt) AS BIGINT) AS syy FROM tri),
+      |c AS (SELECT n,
+      |    suu - CAST(su AS DOUBLE) * su / n AS cuu,
+      |    svv - CAST(sv AS DOUBLE) * sv / n AS cvv,
+      |    suv - CAST(su AS DOUBLE) * sv / n AS cuv,
+      |    suy - CAST(su AS DOUBLE) * sy / n AS cuy,
+      |    svy - CAST(sv AS DOUBLE) * sy / n AS cvy,
+      |    syy - CAST(sy AS DOUBLE) * sy / n AS cyy FROM m),
+      |f AS (SELECT n,
+      |    (cuy * cvv - cvy * cuv) / (cuu * cvv - cuv * cuv) AS b,
+      |    (cvy * cuu - cuy * cuv) / (cuu * cvv - cuv * cuv) AS cc,
+      |    cyy - cuy * cuy / cuu AS rss_r,
+      |    cyy - (cuy * cvv - cvy * cuv) / (cuu * cvv - cuv * cuv) * cuy
+      |        - (cvy * cuu - cuy * cuv) / (cuu * cvv - cuv * cuv) * cvy
+      |      AS rss_u
+      |  FROM c)
+      |SELECT n AS n_days,
+      |  floor(b * 1000000 + 0.5) / 1000000 AS beta_ylag,
+      |  floor(cc * 1000000 + 0.5) / 1000000 AS beta_xlag,
+      |  floor((rss_r - rss_u) / (rss_u / (n - 3)) * 10000 + 0.5) / 10000
+      |    AS f_stat,
+      |  (rss_r - rss_u) / (rss_u / (n - 3)) > 3.8415 AS granger_causes
+      |FROM f""".stripMargin) { (s, d) =>
+    val daily = ev(s, d)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    val tri = daily.as("a")
+      .join(daily.select(date_sub(col("day"), 1).as("day"),
+        col("y").as("yt")), "day")
+      .select(col("yt"), col("y").as("u"), col("x").as("v"))
+    val m = tri.agg(count(lit(1)).as("n"), sum("u").as("su"),
+      sum("v").as("sv"), sum("yt").as("sy"),
+      sum(col("u") * col("u")).as("suu"),
+      sum(col("v") * col("v")).as("svv"),
+      sum(col("u") * col("v")).as("suv"),
+      sum(col("u") * col("yt")).as("suy"),
+      sum(col("v") * col("yt")).as("svy"),
+      sum(col("yt") * col("yt")).as("syy"))
+    val cuu = col("suu") - col("su").cast("double") * col("su") / col("n")
+    val cvv = col("svv") - col("sv").cast("double") * col("sv") / col("n")
+    val cuv = col("suv") - col("su").cast("double") * col("sv") / col("n")
+    val cuy = col("suy") - col("su").cast("double") * col("sy") / col("n")
+    val cvy = col("svy") - col("sv").cast("double") * col("sy") / col("n")
+    val cyy = col("syy") - col("sy").cast("double") * col("sy") / col("n")
+    val det = cuu * cvv - cuv * cuv
+    val b = (cuy * cvv - cvy * cuv) / det
+    val cc = (cvy * cuu - cuy * cuv) / det
+    val rssR = cyy - cuy * cuy / cuu
+    val rssU = cyy - b * cuy - cc * cvy
+    val fstat = (rssR - rssU) / (rssU / (col("n") - 3))
+    m.select(col("n").as("n_days"),
+      (floor(b * 1000000 + lit(0.5)) / 1000000).as("beta_ylag"),
+      (floor(cc * 1000000 + lit(0.5)) / 1000000).as("beta_xlag"),
+      (floor(fstat * 10000 + lit(0.5)) / 10000).as("f_stat"),
+      (fstat > 3.8415).as("granger_causes"))
+  }
+
+  /** Hurst exponent by rescaled-range (R/S) analysis of the daily
+    * order-count series over dyadic scales 32–256: H ≈ 0.5 reads
+    * "no long memory", H > 0.5 persistent. Day indexing and the
+    * within-window cumulative both stay keyed ((scale, window)
+    * partitions of ≤256 rows — no partition-less state); R and S are
+    * fixed double expressions over BIGINT window sums; per-scale
+    * means and the final log-log slope fold in explicitly sorted
+    * order. Everything after the daily collapse is calendar-bounded. */
+  lazy val hurstRs: Q = Q(
+    "hurst_rs",
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS y FROM orders GROUP BY 1),
+      |idx AS (SELECT a.day, any_value(a.y) AS y,
+      |    CAST(count(b2.day) AS BIGINT) AS i
+      |  FROM daily a LEFT JOIN daily b2 ON b2.day < a.day GROUP BY a.day),
+      |sc AS (SELECT unnest([32, 64, 128, 256]) AS scale),
+      |w AS (SELECT sc.scale, idx.i // sc.scale AS win, idx.i, idx.y
+      |  FROM sc JOIN idx ON TRUE),
+      |full_w AS (SELECT scale, win FROM w GROUP BY scale, win
+      |  HAVING count(*) = scale),
+      |ww AS (SELECT w.scale, w.win, w.i, w.y,
+      |    sum(w.y) OVER (PARTITION BY w.scale, w.win ORDER BY w.i) AS cum,
+      |    row_number() OVER (PARTITION BY w.scale, w.win ORDER BY w.i)
+      |      AS j,
+      |    sum(w.y) OVER (PARTITION BY w.scale, w.win) AS s,
+      |    sum(w.y * w.y) OVER (PARTITION BY w.scale, w.win) AS ss
+      |  FROM w JOIN full_w ON full_w.scale = w.scale
+      |    AND full_w.win = w.win),
+      |rs AS (SELECT scale, win,
+      |    (max(cum - j * (CAST(s AS DOUBLE) / scale))
+      |      - min(cum - j * (CAST(s AS DOUBLE) / scale)))
+      |    / sqrt((ss - CAST(s AS DOUBLE) * s / scale) / scale) AS rs
+      |  FROM (SELECT scale, win, cum, j, s, ss FROM ww) t
+      |  GROUP BY scale, win, s, ss
+      |  HAVING (ss - CAST(s AS DOUBLE) * s / scale) > 0),
+      |ms AS (SELECT scale, CAST(count(*) AS BIGINT) AS n_windows,
+      |    list_aggregate(list(rs ORDER BY win), 'sum') / count(*) AS mrs
+      |  FROM rs GROUP BY scale),
+      |fit AS (SELECT CAST(count(*) AS BIGINT) AS k,
+      |    list_aggregate(list(ln(CAST(scale AS DOUBLE)) ORDER BY scale),
+      |      'sum') AS slx,
+      |    list_aggregate(list(ln(mrs) ORDER BY scale), 'sum') AS sly,
+      |    list_aggregate(list(ln(CAST(scale AS DOUBLE)) * ln(mrs)
+      |      ORDER BY scale), 'sum') AS slxy,
+      |    list_aggregate(list(ln(CAST(scale AS DOUBLE))
+      |      * ln(CAST(scale AS DOUBLE)) ORDER BY scale), 'sum') AS slxx
+      |  FROM ms)
+      |SELECT CAST(ms.scale AS BIGINT) AS scale, ms.n_windows,
+      |  floor(ms.mrs * 1000000 + 0.5) / 1000000 AS rs_mean,
+      |  floor((fit.k * fit.slxy - fit.slx * fit.sly)
+      |    / (fit.k * fit.slxx - fit.slx * fit.slx) * 1000000 + 0.5)
+      |    / 1000000 AS hurst
+      |FROM ms CROSS JOIN fit ORDER BY ms.scale""".stripMargin) { (s, d) =>
+    val daily = ord(s, d).groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val idx = daily.as("a")
+      .join(daily.select(col("day").as("d2")), col("d2") < col("a.day"),
+        "left_outer")
+      .groupBy(col("a.day").as("day")).agg(first("y").as("y"),
+        count(col("d2")).as("i"))
+    val sc = s.createDataFrame(Seq(Tuple1(32L), Tuple1(64L), Tuple1(128L),
+      Tuple1(256L))).toDF("scale")
+    val w = sc.crossJoin(idx)
+      .select(col("scale"), floor(col("i") / col("scale")).cast("long")
+        .as("win"), col("i"), col("y"))
+    val fullW = w.groupBy("scale", "win").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") === col("scale")).select("scale", "win")
+    val part = Window.partitionBy("scale", "win")
+    val ww = w.join(fullW, Seq("scale", "win"))
+      .withColumn("cum", sum("y").over(part.orderBy("i")))
+      .withColumn("j", row_number().over(part.orderBy("i")))
+      .withColumn("s", sum("y").over(part))
+      .withColumn("ss", sum(col("y") * col("y")).over(part))
+    val zc = col("cum") - col("j") * (col("s").cast("double") / col("scale"))
+    val rs = ww.groupBy("scale", "win", "s", "ss")
+      .agg(max(zc).as("zmax"), min(zc).as("zmin"))
+      .filter((col("ss") - col("s").cast("double") * col("s")
+        / col("scale")) > 0)
+      .select(col("scale"), col("win"),
+        ((col("zmax") - col("zmin"))
+          / sqrt((col("ss") - col("s").cast("double") * col("s")
+            / col("scale")) / col("scale"))).as("rs"))
+    val ms = rs.groupBy("scale")
+      .agg(count(lit(1)).as("n_windows"),
+        (expr("aggregate(array_sort(collect_list(struct(win, rs AS v))), " +
+          "0D, (acc, x) -> acc + x.v)") / count(lit(1))).as("mrs"))
+    val fit = ms.agg(count(lit(1)).as("k"),
+      expr("aggregate(array_sort(collect_list(struct(scale, " +
+        "ln(CAST(scale AS DOUBLE)) AS v))), 0D, (acc, x) -> acc + x.v)")
+        .as("slx"),
+      expr("aggregate(array_sort(collect_list(struct(scale, ln(mrs) AS v))), " +
+        "0D, (acc, x) -> acc + x.v)").as("sly"),
+      expr("aggregate(array_sort(collect_list(struct(scale, " +
+        "ln(CAST(scale AS DOUBLE)) * ln(mrs) AS v))), 0D, " +
+        "(acc, x) -> acc + x.v)").as("slxy"),
+      expr("aggregate(array_sort(collect_list(struct(scale, " +
+        "ln(CAST(scale AS DOUBLE)) * ln(CAST(scale AS DOUBLE)) AS v))), " +
+        "0D, (acc, x) -> acc + x.v)").as("slxx"))
+    ms.crossJoin(broadcast(fit))
+      .select(col("scale"), col("n_windows"),
+        (floor(col("mrs") * 1000000 + lit(0.5)) / 1000000).as("rs_mean"),
+        (floor((col("k") * col("slxy") - col("slx") * col("sly"))
+          / (col("k") * col("slxx") - col("slx") * col("slx"))
+          * 1000000 + lit(0.5)) / 1000000).as("hurst"))
+      .orderBy("scale")
+  }
 
   /** Bollinger-band breakout days per brand: 20-observation SMA ± 2σ
     * over each brand's daily revenue, reporting only the days that

@@ -1479,6 +1479,115 @@ object TextOps {
     bpeMergeStep, bpeTrainRounds, zipfFit, heapsLaw, markovNext, crossContam,
     chi2Terms, jsDivergence, rakeKeywords, containmentPairs, gopherRules,
     tokenFertility, goodTuring, termBurstiness, textrankKeywords,
-    tfidfCosinePairs, chao1Vocab, huffmanCodes, readabilityFlesch)
+    tfidfCosinePairs, chao1Vocab, huffmanCodes, readabilityFlesch,
+    ngramNovelty, distinctNgrams)
+
+  /** Trigram novelty of the held-out split vs the training split —
+    * the memorization-vs-generalization census a data team reads
+    * before trusting an eval set: how much of val's 3-gram space did
+    * train already cover? Same deterministic 80/20 hash split as
+    * nb_langid; grams shuffle once on the gram key for the distinct
+    * and once for the anti-join (both map-side combined; the gram
+    * space, not the corpus, bounds state at 100 TB). */
+  lazy val ngramNovelty: Q = Q(
+    "ngram_novelty",
+    """WITH s AS (SELECT doc_id, source, text,
+      |    ((doc_id & 2147483647) * 1442695041) % 100 < 80 AS is_train
+      |  FROM documents),
+      |tg AS (SELECT doc_id, source, is_train, g FROM (
+      |    SELECT doc_id, source, is_train,
+      |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |        i -> string_split(text, ' ')[i] || ' ' ||
+      |             string_split(text, ' ')[i + 1] || ' ' ||
+      |             string_split(text, ' ')[i + 2])) AS g
+      |    FROM s)),
+      |tr AS (SELECT DISTINCT g FROM tg WHERE is_train),
+      |vg AS (SELECT DISTINCT source, g FROM tg WHERE NOT is_train),
+      |nv AS (SELECT vg.source,
+      |    CAST(count(*) AS BIGINT) AS n_val_grams,
+      |    CAST(sum(CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_novel
+      |  FROM vg LEFT JOIN tr ON tr.g = vg.g GROUP BY vg.source)
+      |SELECT source, n_val_grams, n_novel,
+      |  floor(CAST(n_novel AS DOUBLE) / n_val_grams * 1000000 + 0.5)
+      |    / 1000000 AS novelty
+      |FROM nv ORDER BY source""".stripMargin) { (s, d) =>
+    val base = docs(s, d).withColumn("is_train",
+      (col("doc_id").bitwiseAND(lit(2147483647L)) * lit(1442695041L)) % 100 < 80)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("source"), col("is_train"),
+        explode(expr("transform(sequence(1, size(t) - 2), i -> " +
+          "concat_ws(' ', element_at(t, i), element_at(t, i + 1), " +
+          "element_at(t, i + 2)))")).as("g"))
+    val tr = base.filter(col("is_train")).select("g").distinct()
+    val vg = base.filter(!col("is_train")).select("source", "g").distinct()
+    vg.join(tr.withColumn("hit", lit(1)), Seq("g"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_val_grams"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("source"), col("n_val_grams"), col("n_novel"),
+        (floor(col("n_novel").cast("double") / col("n_val_grams") * 1000000
+          + lit(0.5)) / 1000000).as("novelty"))
+      .orderBy("source")
+  }
+
+  /** Distinct-n diversity (distinct-1/2/3 ratios) per source — the
+    * standard degeneration/diversity metric for generated or scraped
+    * corpora (Li 2016): unique n-grams over total n-grams. One
+    * explode per n, gram-keyed distinct counts vs token totals; all
+    * integer until three final divisions. */
+  lazy val distinctNgrams: Q = Q(
+    "distinct_ngrams",
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+      |  FROM documents),
+      |u AS (SELECT source, CAST(sum(len(ts)) AS BIGINT) AS total1,
+      |    CAST(sum(len(ts) - 1) AS BIGINT) AS total2,
+      |    CAST(sum(len(ts) - 2) AS BIGINT) AS total3
+      |  FROM t GROUP BY source),
+      |d1 AS (SELECT source, CAST(count(DISTINCT g) AS BIGINT) AS d1
+      |  FROM (SELECT source, unnest(ts) AS g FROM t) GROUP BY source),
+      |d2 AS (SELECT source, CAST(count(DISTINCT g) AS BIGINT) AS d2
+      |  FROM (SELECT source, unnest(list_transform(range(1, len(ts)),
+      |      i -> ts[i] || ' ' || ts[i + 1])) AS g FROM t)
+      |  GROUP BY source),
+      |d3 AS (SELECT source, CAST(count(DISTINCT g) AS BIGINT) AS d3
+      |  FROM (SELECT source, unnest(list_transform(range(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS g
+      |    FROM t) GROUP BY source)
+      |SELECT u.source, u.total1 AS n_tokens,
+      |  floor(CAST(d1.d1 AS DOUBLE) / u.total1 * 1000000 + 0.5) / 1000000
+      |    AS distinct1,
+      |  floor(CAST(d2.d2 AS DOUBLE) / u.total2 * 1000000 + 0.5) / 1000000
+      |    AS distinct2,
+      |  floor(CAST(d3.d3 AS DOUBLE) / u.total3 * 1000000 + 0.5) / 1000000
+      |    AS distinct3
+      |FROM u JOIN d1 ON d1.source = u.source
+      |  JOIN d2 ON d2.source = u.source JOIN d3 ON d3.source = u.source
+      |ORDER BY u.source""".stripMargin) { (s, d) =>
+    val t = docs(s, d).select(col("source"), split(col("text"), " ").as("ts"))
+    val u = t.groupBy("source").agg(
+      sum(size(col("ts"))).as("total1"),
+      sum(size(col("ts")) - 1).as("total2"),
+      sum(size(col("ts")) - 2).as("total3"))
+    def dn(n: Int, out: String): DataFrame = {
+      val g =
+        if (n == 1) t.select(col("source"), explode(col("ts")).as("g"))
+        else t.select(col("source"), explode(expr(
+          s"transform(sequence(1, size(ts) - ${n - 1}), i -> concat_ws(' ', " +
+            (0 until n).map(k => s"element_at(ts, i + $k)").mkString(", ")
+            + "))")).as("g"))
+      g.groupBy("source").agg(countDistinct("g").as(out))
+    }
+    u.join(dn(1, "d1"), "source").join(dn(2, "d2"), "source")
+      .join(dn(3, "d3"), "source")
+      .select(col("source"), col("total1").as("n_tokens"),
+        (floor(col("d1").cast("double") / col("total1") * 1000000
+          + lit(0.5)) / 1000000).as("distinct1"),
+        (floor(col("d2").cast("double") / col("total2") * 1000000
+          + lit(0.5)) / 1000000).as("distinct2"),
+        (floor(col("d3").cast("double") / col("total3") * 1000000
+          + lit(0.5)) / 1000000).as("distinct3"))
+      .orderBy("source")
+  }
 
 }

@@ -569,5 +569,80 @@ object VectorOps {
 
   val all: Seq[Q] =
     Seq(embedStats, cosineTopK, cosinePairs, gridSpatialJoin, dbscanGrid,
-      moransI, getisOrd, embedIsotropy, mrlTruncation, embeddingWhiten)
+      moransI, getisOrd, embedIsotropy, mrlTruncation, embeddingWhiten,
+      quantizeRecall)
+
+  /** Retrieval impact of int8 quantization: recall@10 of the
+    * asymmetric path (fp32 probe × dequantized int8 corpus) against
+    * the fp32 brute-force ground truth, per probe — the measurement
+    * that decides whether embed_quantize's 4× compression is free.
+    * Quantization replays embed_quantize's exact grid (scale =
+    * 127/max|x|, floor(x·s + 0.5)); both rankings use the 1e-6-rounded
+    * cosine with vec_id tie-break (the cosine_topk discipline), so
+    * the overlap count is engine-exact. Plan: 5-row probe side
+    * broadcast twice, corpus streamed twice, two per-probe top-k
+    * windows, one 50-row join — the scale shape of the fp baseline
+    * itself. */
+  lazy val quantizeRecall: Q = Q(
+    "quantize_recall",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |m AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+      |    CAST(list_max(list_transform(embedding, x -> abs(x)))
+      |      AS DOUBLE) AS mx
+      |  FROM embeddings),
+      |dq AS (SELECT vec_id, cv,
+      |    list_transform(cv, x -> CAST(floor(x * (127.0 / mx) + 0.5)
+      |      AS INTEGER) * (mx / 127.0)) AS dv
+      |  FROM m WHERE mx > 0),
+      |fp AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |    ORDER BY round(list_dot_product(qv, cv)
+      |      / (sqrt(list_dot_product(qv, qv))
+      |        * sqrt(list_dot_product(cv, cv))), 6) DESC, vec_id) AS rn
+      |  FROM q JOIN dq ON qid <> vec_id),
+      |qt AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |    ORDER BY round(list_dot_product(qv, dv)
+      |      / (sqrt(list_dot_product(qv, qv))
+      |        * sqrt(list_dot_product(dv, dv))), 6) DESC, vec_id) AS rn
+      |  FROM q JOIN dq ON qid <> vec_id)
+      |SELECT fp.qid, CAST(count(qt.vec_id) AS BIGINT) AS n_match,
+      |  floor(count(qt.vec_id) / 10.0 * 1000000 + 0.5) / 1000000
+      |    AS recall_at_10
+      |FROM fp LEFT JOIN qt ON qt.qid = fp.qid AND qt.vec_id = fp.vec_id
+      |  AND qt.rn <= 10
+      |WHERE fp.rn <= 10
+      |GROUP BY fp.qid ORDER BY fp.qid""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    import graft.functions.GraftFunctions.cosineNative
+    val q = emb(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val dq = emb(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("cv"),
+        expr("CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE)")
+          .as("mx"))
+      .filter(col("mx") > 0)
+      .withColumn("dv", expr("transform(cv, x -> " +
+        "CAST(floor(x * (127.0d / mx) + 0.5d) AS INT) * (mx / 127.0d))"))
+      .select("vec_id", "cv", "dv")
+    def top10(scoreCol: Column, side: DataFrame): DataFrame = {
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id"))
+      side.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          round(scoreCol, 6).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("qid", "vec_id")
+    }
+    val fp = top10(cosineNative(col("qv"), col("cv")), dq)
+    val qt = top10(cosineNative(col("qv"), col("dv")), dq)
+      .withColumn("hit", lit(1))
+    fp.join(qt, Seq("qid", "vec_id"), "left_outer")
+      .groupBy("qid")
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_match"))
+      .select(col("qid"), col("n_match"),
+        (floor(col("n_match") / 10.0 * 1000000 + lit(0.5)) / 1000000)
+          .as("recall_at_10"))
+      .orderBy("qid")
+  }
 }

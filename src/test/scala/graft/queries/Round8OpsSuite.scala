@@ -234,4 +234,136 @@ class Round8OpsSuite extends SparkSpec {
         s"r2 out of range: ${r.getDouble(4)}")
     }
   }
+
+  private def docTokens(): Seq[(Long, String, Array[String])] =
+    graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+      .toSeq
+
+  test("ngram_novelty: replays the naive trigram split census") {
+    val ds = docTokens()
+    def grams(t: Array[String]): Seq[String] =
+      if (t.length < 3) Seq.empty
+      else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+    def isTrain(id: Long): Boolean = ((id & 2147483647L) * 1442695041L) % 100 < 80
+    val train = ds.filter(d => isTrain(d._1)).flatMap(d => grams(d._3)).toSet
+    val bysrc = ds.filter(d => !isTrain(d._1)).groupBy(_._2).map {
+      case (src, docs) =>
+        val vg = docs.flatMap(d => grams(d._3)).toSet
+        (src, vg.size.toLong, vg.count(g => !train.contains(g)).toLong)
+    }
+    val got = run("ngram_novelty").collect()
+    got.foreach { r =>
+      val (_, nv, nn) = bysrc.find(_._1 == r.getString(0)).get
+      assert(r.getLong(1) == nv, s"${r.getString(0)} val grams")
+      assert(r.getLong(2) == nn, s"${r.getString(0)} novel grams")
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+    }
+  }
+
+  test("distinct_ngrams: replays naive distinct-n ratios per source") {
+    val ds = docTokens()
+    val got = run("distinct_ngrams").collect()
+    got.foreach { r =>
+      val docs = ds.filter(_._2 == r.getString(0)).map(_._3)
+      val tot1 = docs.map(_.length.toLong).sum
+      def dn(n: Int): Long = docs.flatMap(t =>
+        (0 to t.length - n).map(i => t.slice(i, i + n).mkString(" ")))
+        .distinct.length.toLong
+      assert(r.getLong(1) == tot1)
+      def r6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000
+      assert(r.getDouble(2) == r6(dn(1).toDouble / tot1))
+      assert(r.getDouble(3) == r6(dn(2).toDouble / docs.map(_.length - 1L).sum))
+      assert(r.getDouble(4) == r6(dn(3).toDouble / docs.map(_.length - 2L).sum))
+    }
+  }
+
+  test("quantize_recall: replays the naive fp32-vs-int8 top-10 overlap") {
+    val embs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dq = embs.flatMap { case (id, v) =>
+      val mx = v.map(math.abs).max
+      if (mx <= 0) None
+      else Some((id, v, v.map(x =>
+        math.floor(x * (127.0 / mx) + 0.5).toInt * (mx / 127.0))))
+    }
+    def top10(qid: Long, qv: Array[Double],
+        pick: ((Long, Array[Double], Array[Double])) => Array[Double]): Set[Long] =
+      dq.filter(_._1 != qid).map { t =>
+        val cv = pick(t)
+        (t._1, round6(dot(qv, cv) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(cv, cv)))))
+      }.sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+    val got = run("quantize_recall").collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val qid = r.getLong(0)
+      val qv = embs.find(_._1 == qid).get._2
+      val n = (top10(qid, qv, _._2) intersect top10(qid, qv, _._3)).size
+      assert(r.getLong(1) == n.toLong, s"probe $qid overlap ${r.getLong(1)} vs $n")
+    }
+  }
+
+  test("granger_lag1: replays the two-regressor OLS F-test") {
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val m = daily.map(t => t._1 -> t).toMap
+    val tri = daily.flatMap { case (d, _, yprev) =>
+      m.get(d + 1).map { case (_, _, yt) => (yt, m(d)._3, m(d)._2) }
+    }
+    val n = tri.length.toDouble
+    val (su, sv, sy) = (tri.map(_._2).sum, tri.map(_._3).sum, tri.map(_._1).sum)
+    val cuu = tri.map(t => t._2 * t._2).sum - su * su / n
+    val cvv = tri.map(t => t._3 * t._3).sum - sv * sv / n
+    val cuv = tri.map(t => t._2 * t._3).sum - su * sv / n
+    val cuy = tri.map(t => t._2 * t._1).sum - su * sy / n
+    val cvy = tri.map(t => t._3 * t._1).sum - sv * sy / n
+    val cyy = tri.map(t => t._1 * t._1).sum - sy * sy / n
+    val det = cuu * cvv - cuv * cuv
+    val b = (cuy * cvv - cvy * cuv) / det
+    val c = (cvy * cuu - cuy * cuv) / det
+    val rssR = cyy - cuy * cuy / cuu
+    val rssU = cyy - b * cuy - c * cvy
+    val f = (rssR - rssU) / (rssU / (n - 3))
+    val row = run("granger_lag1").collect().head
+    assert(row.getLong(0) == tri.length.toLong)
+    assert(math.abs(row.getDouble(3) - f) < 1e-2, s"F ${row.getDouble(3)} vs $f")
+    assert(rssU <= rssR + 1e-9, "unrestricted RSS can only be lower")
+  }
+
+  test("hurst_rs: replays naive R/S over dyadic windows") {
+    val daily = graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .sortBy(_._1).map(_._2.toDouble)
+    def rsMean(scale: Int): (Int, Double) = {
+      val wins = daily.grouped(scale).filter(_.length == scale).toSeq
+      val rss = wins.flatMap { w =>
+        val mean = w.sum / scale
+        val z = w.scanLeft(0.0)(_ + _).drop(1).zipWithIndex
+          .map { case (cum, j) => cum - (j + 1) * mean }
+        val sd = math.sqrt(w.map(v => (v - mean) * (v - mean)).sum / scale)
+        if (sd > 0) Some((z.max - z.min) / sd) else None
+      }
+      (rss.length, if (rss.isEmpty) 0.0 else rss.sum / rss.length)
+    }
+    val got = run("hurst_rs").collect()
+    got.foreach { r =>
+      val (nw, mrs) = rsMean(r.getLong(0).toInt)
+      assert(r.getLong(1) == nw.toLong, s"scale ${r.getLong(0)} windows")
+      assert(math.abs(r.getDouble(2) - mrs) < 1e-4,
+        s"scale ${r.getLong(0)}: ${r.getDouble(2)} vs $mrs")
+      assert(r.getDouble(3) > 0 && r.getDouble(3) < 1.2)
+    }
+  }
 }
