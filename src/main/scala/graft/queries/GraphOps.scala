@@ -179,31 +179,45 @@ object GraphOps {
         when(uLower, col("dv")).otherwise(col("du")).as("ddeg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val closure = oriented.select(col("src").as("b"), col("dst").as("c"))
-    // Wedge-side bloom prefilter: the wedge stream is Σ out-deg² rows
-    // (~38M at sf0.1 — 30× the edge count), and without a prefilter ALL
-    // of it crosses the closure-join exchange (measured 913 MB). A
-    // ~1%-FP sketch of the edge pairs drops non-closing wedges BEFORE
-    // the shuffle, so the exchange carries ~(triangles + FP) rows; the
-    // exact join then removes the FPs — same discipline as
-    // decontam_bloom. One bounded driver action ships the sketch; its
-    // size grows with |E| (×10 edges → ×10 bits for the same FP rate),
-    // so at extreme scale you'd raise fpp or drop the prefilter — the
-    // shuffle join underneath stays the scale-correct plan either way.
-    val bloomBytes = closure
-      .select(graft.functions.BloomBridge
-        .bloomFilterAgg(xxhash64(col("b"), col("c")), 4000000L, fpp = 0.01)
-        .as("bf"))
-      .head().getAs[Array[Byte]](0)
+    // The wedge stream is Σ out-deg² rows (~38M at sf0.1 — 30× the
+    // edge count); how it meets the closure edge set is a measured
+    // size decision (the kcore_peel aliveSide pattern — the count also
+    // warms the persist that every downstream read shares):
+    //  - |E| within executor memory → BROADCAST the closure pairs: the
+    //    wedge stream never crosses an exchange at all, and the
+    //    broadcast hash join IS the prefilter (no sketch pass needed).
+    //  - giant |E| (the 100 TB guard) → wedge-side bloom prefilter
+    //    (~1% FP over the edge-pair hashes) so the closure-join
+    //    exchange carries ~(triangles + FP) rows instead of the full
+    //    wedge stream (913 MB → ~300 MB measured), then the exact
+    //    shuffle join removes the FPs — same discipline as
+    //    decontam_bloom. Sketch size grows with |E| (×10 edges → ×10
+    //    bits at fixed FP), so at extreme scale raise fpp or drop the
+    //    prefilter; the shuffle join underneath stays the
+    //    scale-correct plan either way.
+    val nEdges = oriented.count() // bounded driver hop, warms `oriented`
     val o1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("bdeg"))
     val o2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("cdeg"))
-    val wedges = o1.join(o2, Seq("src"))
+    val wedgesUnfiltered = o1.join(o2, Seq("src"))
       .filter(col("bdeg") < col("cdeg")
         || (col("bdeg") === col("cdeg") && col("b") < col("c")))
       .select(col("src"), col("b"), col("c"))
-      .filter(graft.functions.BloomBridge
-        .mightContain(bloomBytes, xxhash64(col("b"), col("c"))))
-    val tri = wedges.join(closure, Seq("b", "c"))
-      .select(col("src").as("a"), col("b"), col("c"))
+    val tri =
+      if (nEdges <= 3000000L) {
+        wedgesUnfiltered.join(broadcast(closure), Seq("b", "c"))
+          .select(col("src").as("a"), col("b"), col("c"))
+      } else {
+        val bloomBytes = closure
+          .select(graft.functions.BloomBridge
+            .bloomFilterAgg(xxhash64(col("b"), col("c")), 4000000L, fpp = 0.01)
+            .as("bf"))
+          .head().getAs[Array[Byte]](0)
+        wedgesUnfiltered
+          .filter(graft.functions.BloomBridge
+            .mightContain(bloomBytes, xxhash64(col("b"), col("c"))))
+          .join(closure, Seq("b", "c"))
+          .select(col("src").as("a"), col("b"), col("c"))
+      }
     val triCounts = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
