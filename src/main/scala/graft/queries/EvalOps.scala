@@ -765,5 +765,144 @@ object EvalOps {
   val all: Seq[Q] =
     Seq(aucRoc, prCurve, ndcgRetrieval, conformalInterval, miFeatures,
       isotonicCalibration, cohenKappa, eceCalibration, mcnemarTest,
-      bradleyTerry, cateSegments)
+      bradleyTerry, cateSegments, brierDecomposition, youdenMcc)
+
+  /** Murphy decomposition of the binned Brier score (reliability −
+    * resolution + uncertainty) over ece_calibration's 10 bins — ECE
+    * says HOW FAR the bins sit from the diagonal; this splits the
+    * total probability loss into blame (miscalibration) vs skill
+    * (resolution). Every per-bin numerator is exact integer algebra
+    * (((2b+1)w − 20p)², (pN − Pw)²); the ten per-bin terms fold
+    * bin-sorted; four final divisions. One binned count scan. */
+  lazy val brierDecomposition: Q = Q(
+    "brier_decomposition",
+    scoreCte + """,
+      |b AS (SELECT least(greatest(
+      |      CAST(floor((score / n_tokens + 0.5) * 10) AS BIGINT), 0), 9)
+      |      AS bin,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM s),
+      |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS w,
+      |      CAST(sum(pos) AS BIGINT) AS p FROM b GROUP BY 1),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS n,
+      |      CAST(sum(p) AS BIGINT) AS pp FROM g),
+      |f AS (SELECT n, pp,
+      |    list_aggregate(list(
+      |      CAST(((2 * bin + 1) * w - 20 * p) AS DOUBLE)
+      |        * ((2 * bin + 1) * w - 20 * p) / (400.0 * w)
+      |      ORDER BY bin), 'sum') / n AS rel,
+      |    list_aggregate(list(
+      |      CAST((p * n - pp * w) AS DOUBLE) * (p * n - pp * w)
+      |        / (w * CAST(n AS DOUBLE) * n)
+      |      ORDER BY bin), 'sum') / n AS res
+      |  FROM g CROSS JOIN tot GROUP BY n, pp)
+      |SELECT n AS n_docs,
+      |  floor(rel * 1000000 + 0.5) / 1000000 AS reliability,
+      |  floor(res * 1000000 + 0.5) / 1000000 AS resolution,
+      |  floor(CAST(pp AS DOUBLE) * (n - pp) / (CAST(n AS DOUBLE) * n)
+      |    * 1000000 + 0.5) / 1000000 AS uncertainty,
+      |  floor((rel - res + CAST(pp AS DOUBLE) * (n - pp)
+      |    / (CAST(n AS DOUBLE) * n)) * 1000000 + 0.5) / 1000000
+      |    AS brier_binned
+      |FROM f""".stripMargin) { (s, d) =>
+    val g = scoredDocs(s, d)
+      .select(
+        least(greatest(
+          floor((col("v") + lit(0.5)) * 10).cast("long"), lit(0L)), lit(9L))
+          .as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("w"), sum("pos").as("p"))
+    val t = g.agg(sum("w").as("n"), sum("p").as("pp"))
+    val f = g.crossJoin(broadcast(t)).groupBy("n", "pp")
+      .agg(
+        (expr("aggregate(array_sort(collect_list(struct(bin, " +
+          "CAST(((2 * bin + 1) * w - 20 * p) AS DOUBLE) " +
+          "* ((2 * bin + 1) * w - 20 * p) / (400.0d * w) AS term))), 0D, " +
+          "(acc, x) -> acc + x.term)") / col("n")).as("rel"),
+        (expr("aggregate(array_sort(collect_list(struct(bin, " +
+          "CAST((p * n - pp * w) AS DOUBLE) * (p * n - pp * w) " +
+          "/ (w * CAST(n AS DOUBLE) * n) AS term))), 0D, " +
+          "(acc, x) -> acc + x.term)") / col("n")).as("res"))
+    val unc = col("pp").cast("double") * (col("n") - col("pp")) /
+      (col("n").cast("double") * col("n"))
+    f.select(col("n").as("n_docs"),
+      (floor(col("rel") * 1000000 + lit(0.5)) / 1000000).as("reliability"),
+      (floor(col("res") * 1000000 + lit(0.5)) / 1000000).as("resolution"),
+      (floor(unc * 1000000 + lit(0.5)) / 1000000).as("uncertainty"),
+      (floor((col("rel") - col("res") + unc) * 1000000 + lit(0.5)) / 1000000)
+        .as("brier_binned"))
+  }
+
+  /** Operating-point selection: sweep the nine bin-boundary
+    * thresholds, report the one maximizing Youden's J (TPR − FPR, the
+    * ROC-domain criterion pr_curve's PR sweep doesn't cover) plus the
+    * MCC at that point. Confusion cells are exact integer sums of the
+    * 10-bin table (90 threshold×bin cells total); J's argmax compares
+    * exact rationals via cross-multiplication-safe doubles and ties
+    * break toward the lower threshold. */
+  lazy val youdenMcc: Q = Q(
+    "youden_mcc",
+    scoreCte + """,
+      |b AS (SELECT least(greatest(
+      |      CAST(floor((score / n_tokens + 0.5) * 10) AS BIGINT), 0), 9)
+      |      AS bin,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM s),
+      |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS w,
+      |      CAST(sum(pos) AS BIGINT) AS p FROM b GROUP BY 1),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS n,
+      |      CAST(sum(p) AS BIGINT) AS pp FROM g),
+      |th AS (SELECT unnest(range(1, 10)) AS th),
+      |cf AS (SELECT th.th,
+      |    CAST(sum(CASE WHEN g.bin >= th.th THEN g.p ELSE 0 END)
+      |      AS BIGINT) AS tp,
+      |    CAST(sum(CASE WHEN g.bin >= th.th THEN g.w - g.p ELSE 0 END)
+      |      AS BIGINT) AS fp
+      |  FROM th CROSS JOIN g GROUP BY th.th),
+      |m AS (SELECT cf.th, tp, fp, tot.pp - tp AS fn,
+      |    tot.n - tot.pp - fp AS tn, tot.pp, tot.n,
+      |    CAST(tp AS DOUBLE) / tot.pp
+      |      - CAST(fp AS DOUBLE) / (tot.n - tot.pp) AS j
+      |  FROM cf CROSS JOIN tot)
+      |SELECT CAST(th AS DOUBLE) / 10 AS threshold, tp, fp, fn, tn,
+      |  floor(j * 1000000 + 0.5) / 1000000 AS youden_j,
+      |  floor((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+      |    / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp)
+      |      * (tn + fn)) * 1000000 + 0.5) / 1000000 AS mcc
+      |FROM m ORDER BY j DESC, th LIMIT 1""".stripMargin) { (s, d) =>
+    val g = scoredDocs(s, d)
+      .select(
+        least(greatest(
+          floor((col("v") + lit(0.5)) * 10).cast("long"), lit(0L)), lit(9L))
+          .as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("w"), sum("pos").as("p"))
+    val t = g.agg(sum("w").as("n"), sum("p").as("pp"))
+    val th = s.range(1, 10).select(col("id").as("th"))
+    val cf = th.crossJoin(broadcast(g)).groupBy("th")
+      .agg(sum(when(col("bin") >= col("th"), col("p")).otherwise(0L))
+        .as("tp"),
+        sum(when(col("bin") >= col("th"), col("w") - col("p"))
+          .otherwise(0L)).as("fp"))
+    val j = col("tp").cast("double") / col("pp") -
+      col("fp").cast("double") / (col("n") - col("pp"))
+    val fn = col("pp") - col("tp")
+    val tn = col("n") - col("pp") - col("fp")
+    cf.crossJoin(broadcast(t))
+      .select(col("th"), col("tp"), col("fp"), fn.as("fn"), tn.as("tn"),
+        j.as("j"))
+      .orderBy(col("j").desc, col("th"))
+      .limit(1)
+      .select((col("th").cast("double") / 10).as("threshold"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        (floor(col("j") * 1000000 + lit(0.5)) / 1000000).as("youden_j"),
+        (floor((col("tp").cast("double") * col("tn")
+          - col("fp").cast("double") * col("fn"))
+          / sqrt((col("tp") + col("fp")).cast("double")
+            * (col("tp") + col("fn")) * (col("tn") + col("fp"))
+            * (col("tn") + col("fn"))) * 1000000 + lit(0.5)) / 1000000)
+          .as("mcc"))
+  }
 }

@@ -2207,7 +2207,7 @@ object StatOps {
       iv2sls, sprtMonitor, wilsonCi, leveneTest, grubbsTest, partialCorr,
       captureRecapture, brandDiversity, tukeyHsd, huberIrls, groupwiseOls,
       robustScaler, kruskalWallis, fisherExact, cohensD, cliffsDelta,
-      wasserstein1d, durbinWatson)
+      wasserstein1d, durbinWatson, kendallsW, cochranQ, friedmanTest)
 
   /** Robust (median/IQR) scaling per group + the outlier census it
     * exists for: |x − med| > 3·IQR flags per return flag. Pass 1 is
@@ -2866,5 +2866,210 @@ object StatOps {
         when(col("num") / col("den") < 1.5, "positive")
           .when(col("num") / col("den") > 2.5, "negative")
           .otherwise("none").as("serial_corr"))
+  }
+
+  /** Kendall's W — concordance of the brand revenue RANKINGS across
+    * 1996/1997/1998: did the same brands win every year? Ranks are
+    * competition ranks with a deterministic brand tie-break (exact-
+    * cent revenue ties are practically impossible and the tie-break is
+    * identical on both engines), assigned by a bounded 25×25 per-year
+    * self-join — never a partition-less window. W and the χ²
+    * approximation are exact integer ratios until two final
+    * divisions. */
+  lazy val kendallsW: Q = Q(
+    "kendalls_w",
+    """WITH cell AS (SELECT p.p_brand AS brand,
+      |    CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+      |    CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |  WHERE year(l.l_shipdate) BETWEEN 1996 AND 1998
+      |  GROUP BY brand, yr),
+      |rk AS (SELECT a.brand, a.yr,
+      |    1 + CAST(COALESCE(sum(CASE WHEN b2.rev > a.rev
+      |      OR (b2.rev = a.rev AND b2.brand < a.brand) THEN 1 ELSE 0 END),
+      |      0) AS BIGINT) AS rnk
+      |  FROM cell a LEFT JOIN cell b2
+      |    ON b2.yr = a.yr AND b2.brand <> a.brand
+      |  GROUP BY a.brand, a.yr, a.rev),
+      |rs AS (SELECT brand, CAST(sum(rnk) AS BIGINT) AS r,
+      |    CAST(count(*) AS BIGINT) AS m FROM rk GROUP BY brand),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(any_value(m) AS BIGINT) AS mm FROM rs),
+      |sdev AS (SELECT CAST(sum((2 * r - n.mm * (n.n + 1))
+      |      * (2 * r - n.mm * (n.n + 1))) AS BIGINT) AS s4
+      |  FROM rs CROSS JOIN n)
+      |SELECT n.n AS n_brands, n.mm AS m_years,
+      |  floor(3.0 * s4 / (CAST(n.mm AS DOUBLE) * n.mm * (n.n * n.n * n.n
+      |    - n.n)) * 1000000 + 0.5) / 1000000 AS w,
+      |  floor(CAST(n.mm AS DOUBLE) * (n.n - 1) * (3.0 * s4
+      |    / (CAST(n.mm AS DOUBLE) * n.mm * (n.n * n.n * n.n - n.n)))
+      |    * 10000 + 0.5) / 10000 AS chi2,
+      |  CAST(n.mm AS DOUBLE) * (n.n - 1) * (3.0 * s4
+      |    / (CAST(n.mm AS DOUBLE) * n.mm * (n.n * n.n * n.n - n.n)))
+      |    > 36.415028 AS significant
+      |FROM sdev CROSS JOIN n""".stripMargin) { (s, d) =>
+    val cell = Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")).between(1996, 1998))
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        year(col("l_shipdate")).cast("long").as("yr"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+    val rk = cell.as("a")
+      .join(cell.select(col("brand").as("b2"), col("yr").as("y2"),
+        col("rev").as("r2")),
+        col("y2") === col("a.yr") && col("b2") =!= col("a.brand"),
+        "left_outer")
+      .groupBy(col("a.brand").as("brand"), col("a.yr").as("yr"))
+      .agg((lit(1) + coalesce(sum(when(col("r2") > col("a.rev")
+        || (col("r2") === col("a.rev") && col("b2") < col("a.brand")), 1L)
+        .otherwise(0L)), lit(0L))).as("rnk"))
+    val rs = rk.groupBy("brand")
+      .agg(sum("rnk").as("r"), count(lit(1)).as("m"))
+    val n = rs.agg(count(lit(1)).as("n"), first("m").as("my"))
+    // S in quarter units: Σ(2R − m(n+1))² = 4·Σ(R − m(n+1)/2)²
+    val sdev = rs.crossJoin(broadcast(n))
+      .agg(sum((lit(2) * col("r") - col("my") * (col("n") + 1))
+        * (lit(2) * col("r") - col("my") * (col("n") + 1))).as("s4"))
+    val w = lit(3.0) * col("s4") / (col("my").cast("double") * col("my")
+      * (col("n") * col("n") * col("n") - col("n")))
+    val chi2 = col("my").cast("double") * (col("n") - 1) * w
+    sdev.crossJoin(broadcast(n))
+      .select(col("n").as("n_brands"), col("my").as("m_years"),
+        (floor(w * 1000000 + lit(0.5)) / 1000000).as("w"),
+        (floor(chi2 * 10000 + lit(0.5)) / 10000).as("chi2"),
+        (chi2 > 36.415028).as("significant"))
+  }
+
+  /** Cochran's Q — did part availability (≥1 sale) CHANGE across
+    * 1996/1997/1998? The binary repeated-measures test (k = 3
+    * correlated proportions over the same subjects). All-zero and
+    * all-one subject rows provably cancel in both numerator margins
+    * and denominator (kR − R² = 0 at R ∈ {0, k}), so the per-part
+    * flag table needs only parts that sold at all. Exact integers,
+    * one division; χ²₂ 5% bound. */
+  lazy val cochranQ: Q = Q(
+    "cochran_q",
+    """WITH f AS (SELECT l_partkey,
+      |    max(CASE WHEN year(l_shipdate) = 1996 THEN 1 ELSE 0 END) AS x1,
+      |    max(CASE WHEN year(l_shipdate) = 1997 THEN 1 ELSE 0 END) AS x2,
+      |    max(CASE WHEN year(l_shipdate) = 1998 THEN 1 ELSE 0 END) AS x3
+      |  FROM lineitem WHERE year(l_shipdate) BETWEEN 1996 AND 1998
+      |  GROUP BY l_partkey),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS np,
+      |    CAST(sum(x1) AS BIGINT) AS c1, CAST(sum(x2) AS BIGINT) AS c2,
+      |    CAST(sum(x3) AS BIGINT) AS c3,
+      |    CAST(sum(3 * (x1 + x2 + x3) - (x1 + x2 + x3) * (x1 + x2 + x3))
+      |      AS BIGINT) AS den FROM f)
+      |SELECT np AS n_parts, c1 AS c_1996, c2 AS c_1997, c3 AS c_1998,
+      |  floor(2.0 * (3 * (CAST(c1 AS DOUBLE) * c1 + CAST(c2 AS DOUBLE) * c2
+      |      + CAST(c3 AS DOUBLE) * c3)
+      |    - CAST(c1 + c2 + c3 AS DOUBLE) * (c1 + c2 + c3)) / den
+      |    * 10000 + 0.5) / 10000 AS q,
+      |  2.0 * (3 * (CAST(c1 AS DOUBLE) * c1 + CAST(c2 AS DOUBLE) * c2
+      |      + CAST(c3 AS DOUBLE) * c3)
+      |    - CAST(c1 + c2 + c3 AS DOUBLE) * (c1 + c2 + c3)) / den
+      |    > 5.991465 AS significant
+      |FROM m""".stripMargin) { (s, d) =>
+    def flag(y: Int): Column =
+      max(when(year(col("l_shipdate")) === y, 1L).otherwise(0L))
+    val f = Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")).between(1996, 1998))
+      .groupBy("l_partkey")
+      .agg(flag(1996).as("x1"), flag(1997).as("x2"), flag(1998).as("x3"))
+    val r = col("x1") + col("x2") + col("x3")
+    val m = f.agg(count(lit(1)).as("np"), sum("x1").as("c1"),
+      sum("x2").as("c2"), sum("x3").as("c3"),
+      sum(lit(3) * r - r * r).as("den"))
+    val num = lit(3) * (col("c1").cast("double") * col("c1")
+      + col("c2").cast("double") * col("c2")
+      + col("c3").cast("double") * col("c3")) -
+      (col("c1") + col("c2") + col("c3")).cast("double") *
+        (col("c1") + col("c2") + col("c3"))
+    val q = lit(2.0) * num / col("den")
+    m.select(col("np").as("n_parts"), col("c1").as("c_1996"),
+      col("c2").as("c_1997"), col("c3").as("c_1998"),
+      (floor(q * 10000 + lit(0.5)) / 10000).as("q"),
+      (q > 5.991465).as("significant"))
+  }
+
+  /** Friedman's rank test for a weekday effect in daily order volume:
+    * blocks = complete epoch-weeks (all 7 days observed), treatments =
+    * day-of-week, values midranked WITHIN each block on the doubled
+    * grid (2·below + eq + 1 — exact under ties) via a 7×7 per-week
+    * self-join. The tie-robust Conover form collapses to pure integer
+    * algebra: χ² = 6·Σ_j(R2_j − 8b)² / (Σm2² − 448b), one division.
+    * Complements dow_seasonality (which reports the means; this tests
+    * the ranking). */
+  lazy val friedmanTest: Q = Q(
+    "friedman_test",
+    """WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+      |      CAST(o_orderdate AS DATE)) AS t,
+      |    CAST(count(*) AS BIGINT) AS y FROM orders GROUP BY 1),
+      |wk AS (SELECT t // 7 AS w, t % 7 AS dow, y FROM daily),
+      |fullw AS (SELECT w FROM wk GROUP BY w HAVING count(*) = 7),
+      |b AS (SELECT wk.w, wk.dow, wk.y FROM wk JOIN fullw
+      |  ON fullw.w = wk.w),
+      |m2 AS (SELECT a.w, a.dow,
+      |    CAST(2 * sum(CASE WHEN b2.y < a.y THEN 1 ELSE 0 END)
+      |      + sum(CASE WHEN b2.y = a.y THEN 1 ELSE 0 END) + 2 AS BIGINT)
+      |      AS m2
+      |  FROM b a JOIN b b2 ON b2.w = a.w AND b2.dow <> a.dow
+      |  GROUP BY a.w, a.dow, a.y),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM fullw),
+      |rj AS (SELECT dow, CAST(sum(m2) AS BIGINT) AS r2 FROM m2
+      |  GROUP BY dow),
+      |den AS (SELECT CAST(sum(m2 * m2) AS BIGINT) AS sm2 FROM m2),
+      |s2 AS (SELECT CAST(sum((r2 - 8 * nb.b) * (r2 - 8 * nb.b))
+      |      AS BIGINT) AS s2, any_value(nb.b) AS b
+      |  FROM rj CROSS JOIN nb),
+      |chi AS (SELECT 6.0 * s2.s2 / (den.sm2 - 448 * s2.b) AS chi2,
+      |    s2.b AS b
+      |  FROM s2 CROSS JOIN den)
+      |SELECT rj.dow, rj.r2,
+      |  floor(CAST(rj.r2 AS DOUBLE) / (2 * chi.b) * 10000 + 0.5) / 10000
+      |    AS mean_rank,
+      |  chi.b AS n_weeks,
+      |  floor(chi.chi2 * 10000 + 0.5) / 10000 AS chi2,
+      |  chi.chi2 > 12.591587 AS significant
+      |FROM rj CROSS JOIN chi ORDER BY rj.dow""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("t"))
+      .agg(count(lit(1)).as("y"))
+    val wk = daily.select(floor(col("t") / 7).cast("long").as("w"),
+      pmod(col("t"), lit(7)).cast("long").as("dow"), col("y"))
+    val fullw = wk.groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") === 7).select("w")
+    val b = wk.join(broadcast(fullw), "w")
+    val m2 = b.as("a")
+      .join(b.select(col("w"), col("dow").as("d2"), col("y").as("y2")),
+        Seq("w"))
+      .filter(col("d2") =!= col("dow"))
+      .groupBy(col("w"), col("dow"), col("y"))
+      .agg((lit(2) * sum(when(col("y2") < col("y"), 1L).otherwise(0L))
+        + sum(when(col("y2") === col("y"), 1L).otherwise(0L)) + 2)
+        .as("m2"))
+    val nb = fullw.agg(count(lit(1)).as("b"))
+    val rj = m2.groupBy("dow").agg(sum("m2").as("r2"))
+    val den = m2.agg(sum(col("m2") * col("m2")).as("sm2"))
+    val s2 = rj.crossJoin(broadcast(nb))
+      .agg(sum((col("r2") - lit(8) * col("b"))
+        * (col("r2") - lit(8) * col("b"))).as("s2"),
+        first("b").as("b"))
+    val chi = s2.crossJoin(broadcast(den))
+      .select((lit(6.0) * col("s2")
+        / (col("sm2") - lit(448) * col("b"))).as("chi2"), col("b"))
+    rj.crossJoin(broadcast(chi))
+      .select(col("dow"), col("r2"),
+        (floor(col("r2").cast("double") / (lit(2) * col("b")) * 10000
+          + lit(0.5)) / 10000).as("mean_rank"),
+        col("b").as("n_weeks"),
+        (floor(col("chi2") * 10000 + lit(0.5)) / 10000).as("chi2"),
+        (col("chi2") > 12.591587).as("significant"))
+      .orderBy("dow")
   }
 }

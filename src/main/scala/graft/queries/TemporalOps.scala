@@ -2553,7 +2553,68 @@ object TemporalOps {
     overdispersionCheck, seasonalStrength, topkTurnover, priceIndex,
     retentionCurve, valueDriftKl, mannKendall, cohortLtv, momYoyGrowth,
     binsegSplit, bollingerBands, rsiCutler, varCvar, activityStreaks,
-    ccfLeadlag, pacfLags, grangerLag1, hurstRs)
+    ccfLeadlag, pacfLags, grangerLag1, hurstRs, theilU)
+
+  /** Theil's U2 — does a DRIFT forecast (carry yesterday's change
+    * forward) beat the naive no-change forecast on daily revenue?
+    * U2 < 1 means the model earns its keep; forecast_backtest grades
+    * one model, this grades it against the canonical benchmark. Each
+    * relative error is integer cents over integer cents (one division
+    * per term); both quadratic sums fold in day-sorted order; triples
+    * ride two calendar-bounded next-observed-day joins. */
+  lazy val theilU: Q = Q(
+    "theil_u",
+    """WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+      |      CAST(l_shipdate AS DATE)) AS t,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |nxt AS (SELECT a.t, min(b2.t) AS tn FROM daily a JOIN daily b2
+      |  ON b2.t > a.t GROUP BY a.t),
+      |tri AS (SELECT n1.t, d0.rev AS y0, d1.rev AS y1, d2.rev AS y2
+      |  FROM nxt n1 JOIN nxt n2 ON n2.t = n1.tn
+      |    JOIN daily d0 ON d0.t = n1.t
+      |    JOIN daily d1 ON d1.t = n1.tn
+      |    JOIN daily d2 ON d2.t = n2.tn),
+      |terms AS (SELECT t,
+      |    (CAST(2 * y1 - y0 AS DOUBLE) - y2) / y1 AS fpe,
+      |    CAST(y2 - y1 AS DOUBLE) / y1 AS ape
+      |  FROM tri),
+      |f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    list_aggregate(list(fpe * fpe ORDER BY t), 'sum') AS sf,
+      |    list_aggregate(list(ape * ape ORDER BY t), 'sum') AS sa
+      |  FROM terms)
+      |SELECT n AS n_triples,
+      |  floor(sqrt(sf / sa) * 1000000 + 0.5) / 1000000 AS u2,
+      |  sqrt(sf / sa) < 1.0 AS beats_naive
+      |FROM f""".stripMargin) { (s, d) =>
+    val daily = Tables.lineitem(s, d)
+      .groupBy(datediff(col("l_shipdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("t"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+    val nxt = daily.as("a")
+      .join(daily.select(col("t").as("t2")), col("t2") > col("a.t"))
+      .groupBy(col("a.t").as("t")).agg(min("t2").as("tn"))
+    val tri = nxt.as("n1")
+      .join(nxt.select(col("t").as("tn"), col("tn").as("tnn")), "tn")
+      .join(daily.select(col("t"), col("rev").as("y0")), "t")
+      .join(daily.select(col("t").as("tn"), col("rev").as("y1")), "tn")
+      .join(daily.select(col("t").as("tnn"), col("rev").as("y2")), "tnn")
+    val terms = tri.select(col("t"),
+      (((lit(2) * col("y1") - col("y0")).cast("double") - col("y2"))
+        / col("y1")).as("fpe"),
+      ((col("y2") - col("y1")).cast("double") / col("y1")).as("ape"))
+    val f = terms.agg(count(lit(1)).as("n"),
+      expr("aggregate(array_sort(collect_list(struct(t, fpe * fpe AS s))), " +
+        "0D, (acc, x) -> acc + x.s)").as("sf"),
+      expr("aggregate(array_sort(collect_list(struct(t, ape * ape AS s))), " +
+        "0D, (acc, x) -> acc + x.s)").as("sa"))
+    f.select(col("n").as("n_triples"),
+      (floor(sqrt(col("sf") / col("sa")) * 1000000 + lit(0.5)) / 1000000)
+        .as("u2"),
+      (sqrt(col("sf") / col("sa")) < 1.0).as("beats_naive"))
+  }
 
   /** Granger-causality F-test at lag 1: do yesterday's CLICKS carry
     * information about today's PURCHASES beyond yesterday's purchases

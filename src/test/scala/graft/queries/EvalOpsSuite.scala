@@ -215,4 +215,65 @@ class EvalOpsSuite extends SparkSpec {
     assert(n == nn && ece == expEce && mce == expMce,
       s"($n,$ece,$mce) vs ($nn,$expEce,$expMce)")
   }
+
+  private def binTable(): Iterable[(Long, Long, Long)] = {
+    val ts = filter(split(col("text"), " "), x => x =!= "")
+    graft.Tables.documents(spark, sfDir)
+      .select(col("lang"), size(ts).as("nt"),
+        graft.functions.GraftFunctions.linearScore(col("text"), 1024)
+          .as("raw"))
+      .filter(col("nt") > 0).collect()
+      .map { r =>
+        val v = r.getDouble(2) / r.getInt(1)
+        val bin = math.min(math.max(math.floor((v + 0.5) * 10).toLong, 0L), 9L)
+        (bin, if (r.getString(0) == "en") 1L else 0L)
+      }.groupBy(_._1).map { case (b, l) =>
+        (b, l.size.toLong, l.map(_._2).sum)
+      }
+  }
+
+  test("brier_decomposition: replays Murphy terms; identity holds") {
+    val row = EvalOps.brierDecomposition.run(spark, sfDir).collect().head
+    val bins = binTable().toSeq.sortBy(_._1)
+    val n = bins.map(_._2).sum.toDouble
+    val pp = bins.map(_._3).sum.toDouble
+    val rel = bins.map { case (b, w, p) =>
+      val d = (2 * b + 1) * w - 20 * p
+      d.toDouble * d / (400.0 * w)
+    }.sum / n
+    val res = bins.map { case (b, w, p) =>
+      val d = p * n - pp * w
+      d * d / (w * n * n)
+    }.sum / n
+    val unc = pp * (n - pp) / (n * n)
+    assert(row.getLong(0) == n.toLong)
+    assert(math.abs(row.getDouble(1) - rel) < 1e-5, s"rel ${row.getDouble(1)} vs $rel")
+    assert(math.abs(row.getDouble(2) - res) < 1e-5, s"res ${row.getDouble(2)} vs $res")
+    assert(math.abs(row.getDouble(3) - unc) < 1e-5)
+    assert(math.abs(row.getDouble(4) - (rel - res + unc)) < 1e-5)
+    assert(row.getDouble(1) >= 0 && row.getDouble(2) >= 0)
+    assert(row.getDouble(3) <= 0.25 + 1e-9)
+  }
+
+  test("youden_mcc: replays the argmax over the nine-threshold sweep") {
+    val row = EvalOps.youdenMcc.run(spark, sfDir).collect().head
+    val bins = binTable()
+    val nn = bins.map(_._2).sum
+    val pp = bins.map(_._3).sum
+    val sweep = (1L to 9L).map { th =>
+      val tp = bins.filter(_._1 >= th).map(_._3).sum
+      val fp = bins.filter(_._1 >= th).map(t => t._2 - t._3).sum
+      val j = tp.toDouble / pp - fp.toDouble / (nn - pp)
+      (th, tp, fp, j)
+    }
+    val best = sweep.sortBy(t => (-t._4, t._1)).head
+    assert(row.getDouble(0) == best._1 / 10.0)
+    assert(row.getLong(1) == best._2 && row.getLong(2) == best._3)
+    val (tp, fp) = (best._2.toDouble, best._3.toDouble)
+    val (fn, tn) = (pp - tp, nn - pp - fp)
+    val mcc = (tp * tn - fp * fn) /
+      math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    assert(math.abs(row.getDouble(6) - mcc) < 1e-5)
+    assert(math.abs(row.getDouble(5) - best._4) < 1e-5)
+  }
 }

@@ -1052,4 +1052,89 @@ class StatOpsSuite extends SparkSpec {
     assert(math.abs(row.getDouble(1) - dw) < 1e-5,
       s"dw ${row.getDouble(1)} vs naive $dw")
   }
+
+  test("kendalls_w: replays rank-sum concordance over brand-year cells") {
+    val cells = graft.Tables.lineitem(spark, sfDir)
+      .filter(year(col("l_shipdate")).between(1996, 1998))
+      .join(graft.Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), year(col("l_shipdate")).as("yr"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val years = cells.map(_._2).distinct.sorted
+    val ranks = years.flatMap { y =>
+      val yr = cells.filter(_._2 == y).sortBy(t => (-t._3, t._1))
+      yr.zipWithIndex.map { case ((b, _, _), i) => (b, i + 1L) }
+    }
+    val rs = ranks.groupBy(_._1).map { case (b, l) => b -> l.map(_._2).sum }
+    val n = rs.size.toDouble
+    val m = years.length.toDouble
+    val sBar = m * (n + 1) / 2
+    val sDev = rs.values.map(r => (r - sBar) * (r - sBar)).sum
+    val w = 12.0 * sDev / (m * m * (n * n * n - n))
+    val row = StatOps.kendallsW.run(spark, sfDir).collect().head
+    assert(row.getLong(0) == n.toLong && row.getLong(1) == m.toLong)
+    assert(math.abs(row.getDouble(2) - w) < 1e-5,
+      s"W ${row.getDouble(2)} vs naive $w")
+    assert(row.getDouble(2) >= 0 && row.getDouble(2) <= 1 + 1e-9)
+  }
+
+  test("cochran_q: replays the repeated-measures binary algebra") {
+    val flags = graft.Tables.lineitem(spark, sfDir)
+      .filter(year(col("l_shipdate")).between(1996, 1998))
+      .groupBy("l_partkey")
+      .agg(max(when(year(col("l_shipdate")) === 1996, 1L).otherwise(0L))
+        .as("x1"),
+        max(when(year(col("l_shipdate")) === 1997, 1L).otherwise(0L))
+          .as("x2"),
+        max(when(year(col("l_shipdate")) === 1998, 1L).otherwise(0L))
+          .as("x3"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (c1, c2, c3) = (flags.map(_._1).sum, flags.map(_._2).sum,
+      flags.map(_._3).sum)
+    val den = flags.map { t =>
+      val r = t._1 + t._2 + t._3; 3 * r - r * r
+    }.sum
+    val num = 3.0 * (c1.toDouble * c1 + c2.toDouble * c2 + c3.toDouble * c3) -
+      (c1 + c2 + c3).toDouble * (c1 + c2 + c3)
+    val q = 2.0 * num / den
+    val row = StatOps.cochranQ.run(spark, sfDir).collect().head
+    assert(row.getLong(0) == flags.length.toLong)
+    assert((row.getLong(1), row.getLong(2), row.getLong(3)) == ((c1, c2, c3)))
+    assert(math.abs(row.getDouble(4) - q) < 1e-3, s"Q ${row.getDouble(4)} vs $q")
+  }
+
+  test("friedman_test: replays midranked weekday blocks") {
+    val daily = graft.Tables.orders(spark, sfDir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("t"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1)))
+    val weeks = daily.groupBy(t => t._1 / 7).filter(_._2.length == 7)
+    val b = weeks.size.toDouble
+    // midranks within each week: m2 = 2*LT(others) + EQ(others) + 2
+    val m2fix = weeks.toSeq.flatMap { case (_, days) =>
+      days.map { case (t, y) =>
+        val others = days.filter(_._1 != t)
+        (t % 7, 2L * others.count(_._2 < y) + others.count(_._2 == y) + 2)
+      }
+    }
+    val rj = m2fix.groupBy(_._1).map { case (d, l) => d -> l.map(_._2).sum }
+    val sm2 = m2fix.map(t => t._2 * t._2).sum
+    val s2 = rj.values.map(r => (r - 8 * b.toLong) * (r - 8 * b.toLong)).sum
+    val chi = 6.0 * s2 / (sm2 - 448 * b)
+    val rows = StatOps.friedmanTest.run(spark, sfDir).collect()
+    assert(rows.length == 7)
+    assert(rows.head.getLong(3) == b.toLong)
+    assert(math.abs(rows.head.getDouble(4) - chi) < 1e-3,
+      s"chi2 ${rows.head.getDouble(4)} vs $chi")
+    rows.foreach { r =>
+      assert(r.getLong(1) == rj(r.getLong(0)), s"dow ${r.getLong(0)} rank sum")
+    }
+    // mean ranks over a week average to (k+1)/2 = 4
+    val wm = rows.map(_.getDouble(2)).sum / 7
+    assert(math.abs(wm - 4.0) < 1e-3, s"mean of mean-ranks $wm")
+  }
 }

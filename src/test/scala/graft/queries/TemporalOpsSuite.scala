@@ -1122,4 +1122,25 @@ class TemporalOpsSuite extends SparkSpec {
     assert(math.abs(row.getDouble(1) - p22) < 1e-5)
     assert(math.abs(row.getDouble(2) - p33) < 1e-5)
   }
+
+  test("theil_u: replays drift-vs-naive relative error ratio") {
+    val daily = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1).map(_._2.toDouble)
+    val (sf, sa) = daily.sliding(3).foldLeft((0.0, 0.0)) {
+      case ((f, a), w) =>
+        val fpe = (2 * w(1) - w(0) - w(2)) / w(1)
+        val ape = (w(2) - w(1)) / w(1)
+        (f + fpe * fpe, a + ape * ape)
+    }
+    val u2 = math.sqrt(sf / sa)
+    val row = TemporalOps.theilU.run(spark, sfDir).collect().head
+    assert(row.getLong(0) == daily.length - 2L)
+    assert(math.abs(row.getDouble(1) - u2) < 1e-5,
+      s"U2 ${row.getDouble(1)} vs naive $u2")
+    assert(row.getBoolean(2) == (u2 < 1.0))
+  }
 }
