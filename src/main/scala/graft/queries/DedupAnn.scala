@@ -1097,5 +1097,175 @@ object DedupAnn {
   val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, dedupComponents,
     dedupKeepBest, simhashPairs, annTopK, cosineDedupStats, ivfTopK,
     pqEncode, pqAdcTopK, ivfpqTopK, setsimJoin, dupSpans, mmrRerank,
-    goldenRecord, bcubedEval, lshPlanner, splitLeakage)
+    goldenRecord, bcubedEval, lshPlanner, splitLeakage, lshRecall)
+
+  /** Fixed seeded affine coefficients for lsh_recall, emitted as
+    * literals into BOTH engines (the sign-LSH precedent): 16 hashes =
+    * 8 bands × 2 rows at τ = 0.5 — a regime where banding genuinely
+    * misses pairs, unlike the production 64×16 setting whose recall
+    * at 0.8 rounds to 1. */
+  private lazy val lrCoef: (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(20260815L)
+    (Seq.fill(16)(1L + rnd.nextInt(Int.MaxValue - 1).toLong),
+      Seq.fill(16)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+  private def lrAs: Seq[Long] = lrCoef._1
+  private def lrBs: Seq[Long] = lrCoef._2
+
+  /** MEASURED banding recall/precision — lsh_planner predicts the
+    * candidate-capture probability from (bands, rows); this measures
+    * it against exact corpus-wide ground truth at τ = 0.5. The whole
+    * pipeline is engine-portable: shingle hash = the ascii-polynomial
+    * score hash (nb_langid's device) mod 2³¹−1, 16 seeded affine
+    * minhashes with the (a, b) literals above re-emitted into the
+    * SQL, band key = the 2-row signature slice packed into one
+    * BIGINT. Spark plan: map-side shingle→sig, band explode +
+    * band-key self-join for candidates (never all-pairs); the exact
+    * leg is setsim_join's PPJoin prefix filter re-derived for τ = 0.5
+    * (prefix = n − ⌈n/2⌉ + 1 on df-rare-first order, size ratio ≥ ½,
+    * positional α = ⌈(na+nb)/3⌉) with the integer verify 3c ≥ na+nb —
+    * exact and sub-quadratic, so the ground-truth leg scales; the
+    * brute-force all-pairs form lives only in the DuckDB oracle. */
+  lazy val lshRecall: Q = {
+    val asLit = lrAs.mkString("[", ", ", "]")
+    val bsLit = lrBs.mkString("[", ", ", "]")
+    Q(
+      "lsh_recall",
+      s"""WITH sm AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 4),
+        |wp AS (SELECT doc_id, list_transform(ts, w ->
+        |      list_sum(list_transform(
+        |        range(0, CAST(least(length(w), 8) AS BIGINT)),
+        |        j -> ascii(substring(w, CAST(j + 1 AS INTEGER), 1))
+        |             * CAST(pow(31, j) AS BIGINT))) % 2147483647) AS whs
+        |  FROM sm),
+        |hs AS (SELECT doc_id,
+        |    list_transform(range(1, len(whs) - 2), i ->
+        |      ((((whs[CAST(i AS INTEGER)] * 1000003
+        |          + whs[CAST(i + 1 AS INTEGER)]) % 2147483647) * 1000003
+        |          + whs[CAST(i + 2 AS INTEGER)]) % 2147483647 * 1000003
+        |          + whs[CAST(i + 3 AS INTEGER)]) % 2147483647) AS hh
+        |  FROM wp),
+        |hd AS (SELECT doc_id, list_distinct(hh) AS hhd, hh FROM hs),
+        |sig AS (SELECT doc_id,
+        |    list_transform(range(0, 16), k ->
+        |      list_min(list_transform(hh, h ->
+        |        (($asLit)[CAST(k + 1 AS INTEGER)] * h
+        |          + ($bsLit)[CAST(k + 1 AS INTEGER)]) % 2147483647)))
+        |      AS sig
+        |  FROM hd),
+        |band AS (SELECT doc_id, bi AS band_idx,
+        |    sig[CAST(2 * bi + 1 AS INTEGER)] * 2147483648
+        |      + sig[CAST(2 * bi + 2 AS INTEGER)] AS band_key
+        |  FROM sig, unnest(range(0, 8)) AS t(bi)),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM band x JOIN band y ON x.band_idx = y.band_idx
+        |    AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM hd a JOIN hd b ON a.doc_id < b.doc_id
+        |    AND len(a.hhd) * 2 >= len(b.hhd)
+        |    AND len(b.hhd) * 2 >= len(a.hhd)
+        |  WHERE 3 * len(list_intersect(a.hhd, b.hhd))
+        |      >= len(a.hhd) + len(b.hhd)),
+        |m AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cand JOIN ex
+        |       ON ex.id_a = cand.id_a AND ex.id_b = cand.id_b) AS n_hit)
+        |SELECT n_exact, n_cand, n_hit,
+        |  CASE WHEN n_exact > 0 THEN
+        |    floor(CAST(n_hit AS DOUBLE) / n_exact * 1000000 + 0.5)
+        |      / 1000000 END AS recall,
+        |  CASE WHEN n_cand > 0 THEN
+        |    floor(CAST(n_hit AS DOUBLE) / n_cand * 1000000 + 0.5)
+        |      / 1000000 END AS precision
+        |FROM m""".stripMargin) { (s, d) =>
+      // collision-resistant portable gram hash: exact 8-char word
+      // polynomials (every fixture token is <= 8 chars) chained with
+      // R = 1000003 mod P per 4-token window. The hashed-shingle SET
+      // (hhd) is the similarity universe for BOTH legs — long-array
+      // ops, no string grams anywhere past the word split.
+      val hs = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 4)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .withColumn("whs", expr(
+          "transform(ts, w -> aggregate(" +
+            "sequence(0, least(length(w), 8) - 1), 0L, " +
+            "(acc, j) -> acc + ascii(substring(w, CAST(j + 1 AS INT), 1)) " +
+            "* CAST(pow(31, j) AS BIGINT)) % 2147483647)"))
+        .withColumn("hh", expr(
+          "transform(sequence(1, size(whs) - 3), i -> " +
+            "((((element_at(whs, CAST(i AS INT)) * 1000003L " +
+            "+ element_at(whs, CAST(i + 1 AS INT))) % 2147483647L) " +
+            "* 1000003L + element_at(whs, CAST(i + 2 AS INT))) " +
+            "% 2147483647L * 1000003L " +
+            "+ element_at(whs, CAST(i + 3 AS INT))) % 2147483647L)"))
+        .withColumn("hhd", expr("array_distinct(hh)"))
+        .select("doc_id", "hh", "hhd")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val asArr = lrAs.mkString("array(", "L, ", "L)")
+      val bsArr = lrBs.mkString("array(", "L, ", "L)")
+      val sig = hs.withColumn("sig", expr(
+        s"zip_with($asArr, $bsArr, (a, b) -> " +
+          "array_min(transform(hh, h -> (a * h + b) % 2147483647)))"))
+      val band = sig.select(col("doc_id"),
+          explode(expr("transform(sequence(0, 7), i -> struct(i AS band_idx, " +
+            "element_at(sig, 2 * i + 1) * 2147483648L " +
+            "+ element_at(sig, 2 * i + 2) AS band_key))")).as("b"))
+        .select(col("doc_id"), col("b.band_idx"), col("b.band_key"))
+      val cand = band.as("x")
+        .join(band.as("y"),
+          col("x.band_idx") === col("y.band_idx")
+            && col("x.band_key") === col("y.band_key")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      // exact leg: PPJoin prefix filter at tau = 0.5 over the hashed
+      // shingle set (setsim_join's machinery re-derived: prefix =
+      // n - ceil(n/2) + 1 on df-rare-first order, size ratio >= 1/2,
+      // positional alpha = ceil((na+nb)/3)) — exact and sub-quadratic,
+      // so the ground-truth leg scales; the brute-force all-pairs form
+      // lives only in the DuckDB oracle.
+      val tok = hs.select(col("doc_id"), size(col("hhd")).as("n"),
+        explode(col("hhd")).as("g"))
+      val dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
+      val prefLen = (col("n") - floor((col("n") + 1) / 2) + 1).cast("int")
+      val prefix = tok.join(dfreq, "g")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("df"), col("g"))))
+        .filter(col("rn") <= prefLen)
+        .select(col("doc_id"), col("n"), col("rn"), col("g"))
+      val alpha = floor((col("na") + col("nb") + 2) / 3)
+      val candEx = prefix.select(col("doc_id").as("id_a"),
+          col("n").as("na"), col("rn").as("ra"), col("g"))
+        .join(prefix.select(col("doc_id").as("id_b"), col("n").as("nb"),
+          col("rn").as("rb"), col("g")), "g")
+        .filter(col("id_a") < col("id_b")
+          && col("na") * 2 >= col("nb") && col("nb") * 2 >= col("na")
+          && col("na") - col("ra") + 1 >= alpha
+          && col("nb") - col("rb") + 1 >= alpha)
+        .select("id_a", "id_b", "na", "nb").distinct()
+      val ex = candEx
+        .join(hs.select(col("doc_id").as("id_a"), col("hhd").as("ga")),
+          "id_a")
+        .join(hs.select(col("doc_id").as("id_b"), col("hhd").as("gb")),
+          "id_b")
+        .filter(lit(3) * size(array_intersect(col("ga"), col("gb")))
+          >= col("na") + col("nb"))
+        .select(col("id_a"), col("id_b"))
+      val nEx = ex.agg(count(lit(1)).as("n_exact"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nHit = cand.join(ex, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_hit"))
+      nEx.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+        .select(col("n_exact"), col("n_cand"), col("n_hit"),
+          when(col("n_exact") > 0,
+            floor(col("n_hit").cast("double") / col("n_exact") * 1000000
+              + lit(0.5)) / 1000000).as("recall"),
+          when(col("n_cand") > 0,
+            floor(col("n_hit").cast("double") / col("n_cand") * 1000000
+              + lit(0.5)) / 1000000).as("precision"))
+    }
+  }
 }

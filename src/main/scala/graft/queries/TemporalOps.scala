@@ -2553,7 +2553,245 @@ object TemporalOps {
     overdispersionCheck, seasonalStrength, topkTurnover, priceIndex,
     retentionCurve, valueDriftKl, mannKendall, cohortLtv, momYoyGrowth,
     binsegSplit, bollingerBands, rsiCutler, varCvar, activityStreaks,
-    ccfLeadlag, pacfLags, grangerLag1, hurstRs, theilU)
+    ccfLeadlag, pacfLags, grangerLag1, hurstRs, theilU, evtGumbel,
+    xbarChart, crostonSma, maseEval)
+
+  /** Extreme-value fit: Gumbel location/scale by method of moments
+    * over monthly block maxima of daily revenue, plus the 10-year
+    * (120-month) return level — the "how bad can a peak day get"
+    * planning number. Monthly maxima are exact cents; mean/variance
+    * come from BIGINT Σx/Σx² over integer DOLLARS (cents² overflows
+    * int64 once daily revenue reaches ~$10M — measured at sf0.1, so
+    * the downshift is load-bearing, not hypothetical); μ̂/σ̂/return level are fixed double
+    * expressions with the Euler–Mascheroni and √6/π constants shared
+    * verbatim. Calendar-bounded after the daily collapse. */
+  lazy val evtGumbel: Q = Q(
+    "evt_gumbel",
+    """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |mm AS (SELECT year(day) * 12 + month(day) AS mon,
+      |    CAST(max(rev) // 100 AS BIGINT) AS mx FROM daily GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(mx) AS BIGINT) AS sx,
+      |    CAST(sum(mx * mx) AS BIGINT) AS sxx FROM mm),
+      |fit AS (SELECT n,
+      |    CAST(sx AS DOUBLE) / n AS mean,
+      |    sqrt((sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+      |      * 0.7796968012336761 AS beta
+      |  FROM st)
+      |SELECT n AS n_months,
+      |  floor((mean - 0.5772156649015329 * beta) * 100 + 0.5) / 100
+      |    AS mu_dollars,
+      |  floor(beta * 100 + 0.5) / 100 AS beta_dollars,
+      |  floor((mean - 0.5772156649015329 * beta
+      |    - beta * ln(-ln(1.0 - 1.0 / 120))) * 100 + 0.5) / 100
+      |    AS rl_10y_dollars
+      |FROM fit""".stripMargin) { (s, d) =>
+    val daily = Tables.lineitem(s, d)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+    val mm = daily
+      .groupBy((year(col("day")) * 12 + month(col("day"))).as("mon"))
+      .agg(floor(max("rev") / 100).cast("long").as("mx"))
+    val st = mm.agg(count(lit(1)).as("n"), sum("mx").as("sx"),
+      sum(col("mx") * col("mx")).as("sxx"))
+    val mean = col("sx").cast("double") / col("n")
+    val beta = sqrt((col("sxx") - col("sx").cast("double") * col("sx")
+      / col("n")) / (col("n") - 1)) * 0.7796968012336761
+    val mu = mean - lit(0.5772156649015329) * beta
+    st.select(col("n").as("n_months"),
+      (floor(mu * 100 + lit(0.5)) / 100).as("mu_dollars"),
+      (floor(beta * 100 + lit(0.5)) / 100).as("beta_dollars"),
+      (floor((mu - beta * log(-log(lit(1.0) - lit(1.0) / 120))) * 100
+        + lit(0.5)) / 100).as("rl_10y_dollars"))
+  }
+
+  /** Shewhart X̄/R control chart over weekly subgroups of daily order
+    * counts (n = 7; A2/D3/D4 constants for subgroup size 7 shared
+    * verbatim): grand mean, mean range, control limits, and the
+    * out-of-control week counts on both charts. Subgroup statistics
+    * are exact integer sums/ranges; the limit comparisons are fixed
+    * double expressions — both engines flag identical weeks. */
+  lazy val xbarChart: Q = Q(
+    "xbar_chart",
+    """WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+      |      CAST(o_orderdate AS DATE)) AS t,
+      |    CAST(count(*) AS BIGINT) AS y FROM orders GROUP BY 1),
+      |wk AS (SELECT t // 7 AS w, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(max(y) - min(y) AS BIGINT) AS r,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM daily GROUP BY 1 HAVING count(*) = 7),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS b,
+      |    CAST(sum(sy) AS BIGINT) AS tot,
+      |    CAST(sum(r) AS BIGINT) AS sr FROM wk),
+      |lim AS (SELECT b,
+      |    CAST(tot AS DOUBLE) / (7 * b) AS xbb,
+      |    CAST(sr AS DOUBLE) / b AS rb FROM g),
+      |fl AS (SELECT
+      |    CAST(sum(CASE WHEN CAST(sy AS DOUBLE) / 7
+      |        > xbb + 0.419 * rb
+      |      OR CAST(sy AS DOUBLE) / 7 < xbb - 0.419 * rb
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS out_x,
+      |    CAST(sum(CASE WHEN r > 1.924 * rb OR r < 0.076 * rb
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS out_r
+      |  FROM wk CROSS JOIN lim)
+      |SELECT lim.b AS n_weeks,
+      |  floor(lim.xbb * 10000 + 0.5) / 10000 AS xbar_grand,
+      |  floor(lim.rb * 10000 + 0.5) / 10000 AS r_bar,
+      |  floor((lim.xbb + 0.419 * lim.rb) * 10000 + 0.5) / 10000 AS ucl_x,
+      |  floor((lim.xbb - 0.419 * lim.rb) * 10000 + 0.5) / 10000 AS lcl_x,
+      |  fl.out_x AS n_out_xbar, fl.out_r AS n_out_range
+      |FROM lim CROSS JOIN fl""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("t"))
+      .agg(count(lit(1)).as("y"))
+    val wk = daily.groupBy(floor(col("t") / 7).cast("long").as("w"))
+      .agg(sum("y").as("sy"), (max("y") - min("y")).as("r"),
+        count(lit(1)).as("c"))
+      .filter(col("c") === 7)
+    val g = wk.agg(count(lit(1)).as("b"), sum("sy").as("tot"),
+      sum("r").as("sr"))
+    val xbb = col("tot").cast("double") / (lit(7) * col("b"))
+    val rb = col("sr").cast("double") / col("b")
+    val lim = g.select(col("b"), xbb.as("xbb"), rb.as("rb"))
+    val fl = wk.crossJoin(broadcast(lim))
+      .agg(sum(when(col("sy").cast("double") / 7
+          > col("xbb") + lit(0.419) * col("rb"), 1L)
+        .when(col("sy").cast("double") / 7
+          < col("xbb") - lit(0.419) * col("rb"), 1L)
+        .otherwise(0L)).as("out_x"),
+        sum(when(col("r") > lit(1.924) * col("rb"), 1L)
+          .when(col("r") < lit(0.076) * col("rb"), 1L)
+          .otherwise(0L)).as("out_r"))
+    lim.crossJoin(broadcast(fl))
+      .select(col("b").as("n_weeks"),
+        (floor(col("xbb") * 10000 + lit(0.5)) / 10000).as("xbar_grand"),
+        (floor(col("rb") * 10000 + lit(0.5)) / 10000).as("r_bar"),
+        (floor((col("xbb") + lit(0.419) * col("rb")) * 10000 + lit(0.5))
+          / 10000).as("ucl_x"),
+        (floor((col("xbb") - lit(0.419) * col("rb")) * 10000 + lit(0.5))
+          / 10000).as("lcl_x"),
+        col("out_x").as("n_out_xbar"), col("out_r").as("n_out_range"))
+  }
+
+  /** Croston's intermittent-demand forecast (SBA-free SMA variant —
+    * the recursion-free form both engines replay exactly): for slow
+    * movers (a deterministic 1-in-8 part panel), demand estimate =
+    * mean nonzero weekly demand, interval estimate = mean
+    * inter-demand gap (span/(k−1), the exact telescoped average), and
+    * forecast = ẑ/î. Exact integer sums per part, two divisions; top
+    * 25 by forecast. The panel filter rides the scan (partition-
+    * prunable at 100 TB); everything after is part-keyed. */
+  lazy val crostonSma: Q = Q(
+    "croston_sma",
+    """WITH wk AS (SELECT l_partkey AS pk,
+      |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+      |      // 7 AS w,
+      |    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS z
+      |  FROM lineitem WHERE l_partkey % 8 = 0
+      |  GROUP BY 1, 2),
+      |st AS (SELECT pk, CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(z) AS BIGINT) AS sz,
+      |    CAST(max(w) - min(w) AS BIGINT) AS span
+      |  FROM wk GROUP BY pk HAVING count(*) >= 2)
+      |SELECT pk AS partkey, k AS n_demand_weeks,
+      |  floor(CAST(sz AS DOUBLE) / k * 10000 + 0.5) / 10000
+      |    AS demand_est,
+      |  floor(CAST(span AS DOUBLE) / (k - 1) * 10000 + 0.5) / 10000
+      |    AS interval_est,
+      |  floor(CAST(sz AS DOUBLE) / k
+      |    / (CAST(span AS DOUBLE) / (k - 1)) * 10000 + 0.5) / 10000
+      |    AS croston_forecast
+      |FROM st WHERE span > 0
+      |ORDER BY croston_forecast DESC, partkey LIMIT 25""".stripMargin) {
+      (s, d) =>
+    val wk = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 8 === 0)
+      .groupBy(col("l_partkey").as("pk"),
+        floor(datediff(col("l_shipdate").cast("date"),
+          lit("1970-01-01").cast("date")) / 7).cast("long").as("w"))
+      .agg(sum(floor(col("l_quantity") + lit(0.5)).cast("long")).as("z"))
+    val st = wk.groupBy("pk")
+      .agg(count(lit(1)).as("k"), sum("z").as("sz"),
+        (max("w") - min("w")).as("span"))
+      .filter(col("k") >= 2 && col("span") > 0)
+    val dEst = col("sz").cast("double") / col("k")
+    val iEst = col("span").cast("double") / (col("k") - 1)
+    st.select(col("pk").as("partkey"), col("k").as("n_demand_weeks"),
+        (floor(dEst * 10000 + lit(0.5)) / 10000).as("demand_est"),
+        (floor(iEst * 10000 + lit(0.5)) / 10000).as("interval_est"),
+        (floor(dEst / iEst * 10000 + lit(0.5)) / 10000)
+          .as("croston_forecast"))
+      .orderBy(col("croston_forecast").desc, col("partkey"))
+      .limit(25)
+  }
+
+  /** Forecast-accuracy metric pair for the drift model theil_u rates:
+    * MASE (MAE over the in-sample naive MAE — Hyndman's scale-free
+    * standard) and sMAPE. |errors| are exact integer cents, so MASE
+    * is a pure integer ratio; sMAPE's bounded per-term rationals fold
+    * day-sorted. Same calendar-bounded consecutive-day triples as
+    * theil_u. */
+  lazy val maseEval: Q = Q(
+    "mase_eval",
+    """WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+      |      CAST(l_shipdate AS DATE)) AS t,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |nxt AS (SELECT a.t, min(b2.t) AS tn FROM daily a JOIN daily b2
+      |  ON b2.t > a.t GROUP BY a.t),
+      |tri AS (SELECT n1.t, d0.rev AS y0, d1.rev AS y1, d2.rev AS y2
+      |  FROM nxt n1 JOIN nxt n2 ON n2.t = n1.tn
+      |    JOIN daily d0 ON d0.t = n1.t
+      |    JOIN daily d1 ON d1.t = n1.tn
+      |    JOIN daily d2 ON d2.t = n2.tn),
+      |f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(abs(2 * y1 - y0 - y2)) AS BIGINT) AS mae_model,
+      |    CAST(sum(abs(y2 - y1)) AS BIGINT) AS mae_naive,
+      |    list_aggregate(list(2.0 * abs(2 * y1 - y0 - y2)
+      |      / (abs(CAST(y2 AS DOUBLE)) + abs(2.0 * y1 - y0))
+      |      ORDER BY t), 'sum') AS smape_sum
+      |  FROM tri)
+      |SELECT n AS n_triples,
+      |  floor(CAST(mae_model AS DOUBLE) / mae_naive * 1000000 + 0.5)
+      |    / 1000000 AS mase,
+      |  floor(smape_sum / n * 1000000 + 0.5) / 1000000 AS smape,
+      |  CAST(mae_model AS DOUBLE) / mae_naive < 1.0 AS beats_naive
+      |FROM f""".stripMargin) { (s, d) =>
+    val daily = Tables.lineitem(s, d)
+      .groupBy(datediff(col("l_shipdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("t"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+    val nxt = daily.as("a")
+      .join(daily.select(col("t").as("t2")), col("t2") > col("a.t"))
+      .groupBy(col("a.t").as("t")).agg(min("t2").as("tn"))
+    val tri = nxt.as("n1")
+      .join(nxt.select(col("t").as("tn"), col("tn").as("tnn")), "tn")
+      .join(daily.select(col("t"), col("rev").as("y0")), "t")
+      .join(daily.select(col("t").as("tn"), col("rev").as("y1")), "tn")
+      .join(daily.select(col("t").as("tnn"), col("rev").as("y2")), "tnn")
+    val f = tri.agg(count(lit(1)).as("n"),
+      sum(abs(lit(2) * col("y1") - col("y0") - col("y2"))).as("mae_model"),
+      sum(abs(col("y2") - col("y1"))).as("mae_naive"),
+      expr("aggregate(array_sort(collect_list(struct(t, " +
+        "2.0d * abs(2 * y1 - y0 - y2) " +
+        "/ (abs(CAST(y2 AS DOUBLE)) + abs(2.0d * y1 - y0)) AS s))), " +
+        "0D, (acc, x) -> acc + x.s)").as("smape_sum"))
+    f.select(col("n").as("n_triples"),
+      (floor(col("mae_model").cast("double") / col("mae_naive") * 1000000
+        + lit(0.5)) / 1000000).as("mase"),
+      (floor(col("smape_sum") / col("n") * 1000000 + lit(0.5)) / 1000000)
+        .as("smape"),
+      (col("mae_model").cast("double") / col("mae_naive") < 1.0)
+        .as("beats_naive"))
+  }
 
   /** Theil's U2 — does a DRIFT forecast (carry yesterday's change
     * forward) beat the naive no-change forecast on daily revenue?

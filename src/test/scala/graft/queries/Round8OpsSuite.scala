@@ -340,6 +340,138 @@ class Round8OpsSuite extends SparkSpec {
     assert(rssU <= rssR + 1e-9, "unrestricted RSS can only be lower")
   }
 
+  test("lsh_recall: full naive replay of both legs at sf0.001") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+      .filter(_._2.length >= 4)
+    val P = 2147483647L
+    def wh(w: String): Long =
+      w.take(8).zipWithIndex.map { case (c, j) =>
+        c.toLong * math.pow(31, j).toLong
+      }.sum % P
+    val hhd = docs.map { case (id, ts) =>
+      val whs = ts.map(wh)
+      val hh = (0 to ts.length - 4).map { i =>
+        ((((whs(i) * 1000003L + whs(i + 1)) % P) * 1000003L
+          + whs(i + 2)) % P * 1000003L + whs(i + 3)) % P
+      }
+      (id, hh, hh.distinct.toSet)
+    }
+    val rnd = new scala.util.Random(20260815L)
+    val as = Seq.fill(16)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val bs = Seq.fill(16)(rnd.nextInt(Int.MaxValue).toLong)
+    val sigs = hhd.map { case (id, hh, _) =>
+      id -> (0 until 16).map(k => hh.map(h => (as(k) * h + bs(k)) % P).min)
+    }.toMap
+    val cand = (for {
+      a <- hhd; b <- hhd if a._1 < b._1
+      if (0 until 8).exists(i =>
+        sigs(a._1)(2 * i) == sigs(b._1)(2 * i)
+          && sigs(a._1)(2 * i + 1) == sigs(b._1)(2 * i + 1))
+    } yield (a._1, b._1)).toSet
+    val exact = (for {
+      a <- hhd; b <- hhd if a._1 < b._1
+      if 3 * (a._3 intersect b._3).size >= a._3.size + b._3.size
+    } yield (a._1, b._1)).toSet
+    val row = run("lsh_recall").collect().head
+    assert(row.getLong(0) == exact.size.toLong, s"exact ${row.getLong(0)} vs ${exact.size}")
+    assert(row.getLong(1) == cand.size.toLong, s"cand ${row.getLong(1)} vs ${cand.size}")
+    assert(row.getLong(2) == (cand intersect exact).size.toLong)
+  }
+
+  test("evt_gumbel: replays method-of-moments over monthly maxima") {
+    val daily = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val mm = daily.groupBy(t => t._1.getYear * 12 + t._1.getMonthValue)
+      .map { case (_, xs) => xs.map(_._2).max / 100 }.map(_.toDouble).toSeq
+    val n = mm.length
+    val mean = mm.sum / n
+    val sd = math.sqrt(mm.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+    val beta = sd * math.sqrt(6) / math.Pi
+    val mu = mean - 0.5772156649015329 * beta
+    val rl = mu - beta * math.log(-math.log(1.0 - 1.0 / 120))
+    val row = run("evt_gumbel").collect().head
+    assert(row.getLong(0) == n.toLong)
+    assert(math.abs(row.getDouble(1) - mu) < 0.02 + math.abs(mu) * 1e-9)
+    assert(math.abs(row.getDouble(2) - beta) < 0.02 + beta * 1e-9)
+    assert(math.abs(row.getDouble(3) - rl) < 0.02 + rl * 1e-9)
+    assert(row.getDouble(3) > row.getDouble(1), "return level above location")
+  }
+
+  test("xbar_chart: replays Shewhart limits over complete weeks") {
+    val daily = graft.Tables.orders(spark, sfDir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("t"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1)))
+    val wks = daily.groupBy(_._1 / 7).filter(_._2.length == 7)
+      .map { case (_, xs) =>
+        (xs.map(_._2).sum, xs.map(_._2).max - xs.map(_._2).min)
+      }.toSeq
+    val b = wks.length
+    val xbb = wks.map(_._1).sum.toDouble / (7 * b)
+    val rb = wks.map(_._2).sum.toDouble / b
+    val outX = wks.count(w => w._1.toDouble / 7 > xbb + 0.419 * rb
+      || w._1.toDouble / 7 < xbb - 0.419 * rb)
+    val outR = wks.count(w => w._2 > 1.924 * rb || w._2 < 0.076 * rb)
+    val row = run("xbar_chart").collect().head
+    assert(row.getLong(0) == b.toLong)
+    assert(math.abs(row.getDouble(1) - xbb) < 1e-3)
+    assert(math.abs(row.getDouble(2) - rb) < 1e-3)
+    assert(row.getLong(5) == outX.toLong && row.getLong(6) == outR.toLong)
+    assert(row.getDouble(3) > row.getDouble(4), "UCL above LCL")
+  }
+
+  test("croston_sma: replays the intermittent-demand panel") {
+    val wk = graft.Tables.lineitem(spark, sfDir)
+      .filter(col("l_partkey") % 8 === 0)
+      .groupBy(col("l_partkey"),
+        floor(datediff(col("l_shipdate").cast("date"),
+          lit("1970-01-01").cast("date")) / 7).cast("long").as("w"))
+      .agg(sum(floor(col("l_quantity") + lit(0.5)).cast("long")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exp = wk.groupBy(_._1).flatMap { case (pk, xs) =>
+      val k = xs.length
+      val span = xs.map(_._2).max - xs.map(_._2).min
+      if (k >= 2 && span > 0) {
+        val dEst = xs.map(_._3).sum.toDouble / k
+        val iEst = span.toDouble / (k - 1)
+        Some((pk, k.toLong, dEst / iEst))
+      } else None
+    }.toSeq.sortBy(t => (-t._3, t._1)).take(25)
+    val got = run("croston_sma").collect()
+    assert(got.length == exp.length.min(25))
+    got.zip(exp).foreach { case (r, (pk, k, f)) =>
+      assert(r.getLong(0) == pk && r.getLong(1) == k)
+      assert(math.abs(r.getDouble(4) - f) < 1e-3)
+    }
+  }
+
+  test("mase_eval: MASE replays the exact integer MAE ratio") {
+    val daily = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    var maeM = 0L; var maeN = 0L; var smape = 0.0
+    daily.sliding(3).foreach { w =>
+      maeM += math.abs(2 * w(1) - w(0) - w(2))
+      maeN += math.abs(w(2) - w(1))
+      smape += 2.0 * math.abs(2 * w(1) - w(0) - w(2)) /
+        (math.abs(w(2).toDouble) + math.abs(2.0 * w(1) - w(0)))
+    }
+    val n = daily.length - 2
+    val row = run("mase_eval").collect().head
+    assert(row.getLong(0) == n.toLong)
+    assert(math.abs(row.getDouble(1) - maeM.toDouble / maeN) < 1e-5)
+    assert(math.abs(row.getDouble(2) - smape / n) < 1e-5)
+  }
+
   test("hurst_rs: replays naive R/S over dyadic windows") {
     val daily = graft.Tables.orders(spark, sfDir)
       .groupBy(col("o_orderdate").cast("date").as("day"))
