@@ -440,5 +440,53 @@ object StreamingOps {
 
   val all: Seq[Q] = Seq(streamFileParity, streamSlideParity,
     streamSessionParity, streamJoinParity, streamDedupParity,
-    streamWatermarkParity, streamUpsertParity, streamFileSinkParity)
+    streamWatermarkParity, streamUpsertParity, streamFileSinkParity,
+    streamStateParity)
+
+  /** mapGroupsWithState parity — the CUSTOM-STATE API under the
+    * declared gate (flatMapGroupsWithState sessionization is
+    * spec-gated in StreamSuite; this row runs the buffered
+    * mapGroupsWithState form through the real multi-micro-batch file
+    * stream). Exact per-user max inter-event gap requires the user's
+    * full ordered timeline in state — no built-in streaming aggregate
+    * expresses it — and the chunk split (event_id mod) deliberately
+    * delivers each user's events OUT of time order across batches, so
+    * the op's sorted-buffer merge is load-bearing, not decorative.
+    * Update-mode emissions are monotone in n_events, so the finite-
+    * stream fixpoint per user is the max-n row; the DuckDB replica is
+    * the batch lag walk. */
+  lazy val streamStateParity: Q = Q(
+    "stream_state_parity",
+    """WITH e AS (SELECT user_id, ts,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |g AS (SELECT user_id, ts, cents,
+      |    date_diff('microsecond',
+      |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) AS gap
+      |  FROM e)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents,
+      |  CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_us
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val sink = s"stream_state_parity_sink_${sinkId.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val ev = fileStream(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.Event]
+      val q = graft.streaming.StreamOps.userGapStats(ev)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val emitted = s.table(sink)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    emitted.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("n_events"), col("total_cents"),
+        col("max_gap_us"))
+      .orderBy("user_id")
+  }
 }

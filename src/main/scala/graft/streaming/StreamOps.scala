@@ -141,4 +141,48 @@ object StreamOps {
           }
       }
   }
+
+  /** Per-user exact inter-event statistics via mapGroupsWithState —
+    * the buffered-custom-state pattern (exact max inter-event gap
+    * needs the user's full ordered timeline, which no built-in
+    * streaming aggregate provides, and which must stay correct under
+    * ARBITRARY cross-batch arrival order — the parity fixture
+    * deliberately interleaves event_id mod chunks). State per user =
+    * the sorted micro-timestamp buffer + the cents total, bounded by
+    * that user's event count; a production deployment bounds it
+    * further with a watermark timeout that flushes closed users. Each
+    * update re-emits the user's current (n, total, max_gap) — Update
+    * output mode, so the final emission per user is the finite-stream
+    * fixpoint. */
+  def userGapStats(events: Dataset[Event]): Dataset[UserGap] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[GapState, UserGap](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[GapState]) =>
+          val prev = state.getOption.getOrElse(GapState(Vector.empty, 0L))
+          var cents = prev.cents
+          val add = Vector.newBuilder[Long]
+          batch.foreach { e =>
+            add += e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+            cents += math.floor(e.value * 100 + 0.5).toLong
+          }
+          val tss = (prev.tss ++ add.result()).sorted
+          state.update(GapState(tss, cents))
+          val maxGap =
+            if (tss.length < 2) 0L
+            else tss.sliding(2).map(p => p(1) - p(0)).max
+          UserGap(userId, tss.length.toLong, cents, maxGap)
+      }
+  }
 }
+
+/** mapGroupsWithState state for userGapStats: the user's sorted
+  * event-time buffer (micros) and exact cents total. */
+final case class GapState(tss: Vector[Long], cents: Long)
+
+/** One per-user emission of userGapStats. */
+final case class UserGap(
+    user_id: Long,
+    n_events: Long,
+    total_cents: Long,
+    max_gap_us: Long)

@@ -218,4 +218,33 @@ class StreamSuite extends SparkSpec {
       assert(afterReplay === 9.0, "replayed batch must not double-count")
     } finally q.stop()
   }
+
+  test("userGapStats: sorted-buffer state is exact under out-of-order batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    run(in, StreamOps.userGapStats(in.toDS()).toDF(), mode = "update") {
+      (q, name) =>
+        // deliver user 7's events DELIBERATELY out of time order across
+        // three separate micro-batches: minutes 30, then 5, then 12
+        in.addData(ev(1, 30, user = 7, value = 1.0))
+        q.processAllAvailable()
+        in.addData(ev(2, 5, user = 7, value = 2.0))
+        q.processAllAvailable()
+        in.addData(ev(3, 12, user = 7, value = 4.0))
+        q.processAllAvailable()
+        val fin = spark.table(name).as[UserGap].collect()
+          .filter(_.user_id == 7L).maxBy(_.n_events)
+        assert(fin.n_events === 3L)
+        assert(fin.total_cents === 700L)
+        // sorted timeline 5, 12, 30 → gaps 7 min and 18 min
+        assert(fin.max_gap_us === 18L * 60L * 1000000L,
+          s"max gap ${fin.max_gap_us}")
+        // intermediate emission after batch 2 already saw the sorted pair
+        val mid = spark.table(name).as[UserGap].collect()
+          .filter(r => r.user_id == 7L && r.n_events == 2L)
+        assert(mid.nonEmpty && mid.head.max_gap_us === 25L * 60L * 1000000L,
+          "second emission must reflect the 5..30 sorted gap")
+    }
+  }
 }
