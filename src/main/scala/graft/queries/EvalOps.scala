@@ -765,7 +765,64 @@ object EvalOps {
   val all: Seq[Q] =
     Seq(aucRoc, prCurve, ndcgRetrieval, conformalInterval, miFeatures,
       isotonicCalibration, cohenKappa, eceCalibration, mcnemarTest,
-      bradleyTerry, cateSegments, brierDecomposition, youdenMcc)
+      bradleyTerry, cateSegments, brierDecomposition, youdenMcc,
+      liftGain)
+
+  /** Cumulative gains / lift table: work the corpus from the highest
+    * score bin down and report, per depth, the corpus share touched,
+    * the positives captured (gain), and the lift over random — the
+    * campaign-targeting view pr_curve's per-threshold cells don't
+    * give. Ten integer bin rows, suffix sums via a bounded bin×bin
+    * cross, exact until the two final divisions per row. */
+  lazy val liftGain: Q = Q(
+    "lift_gain",
+    scoreCte + """,
+      |b AS (SELECT least(greatest(
+      |      CAST(floor((score / n_tokens + 0.5) * 10) AS BIGINT), 0), 9)
+      |      AS bin,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM s),
+      |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS w,
+      |      CAST(sum(pos) AS BIGINT) AS p FROM b GROUP BY 1),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS n,
+      |      CAST(sum(p) AS BIGINT) AS pp FROM g),
+      |cumt AS (SELECT a.bin,
+      |    CAST(sum(b2.w) AS BIGINT) AS cw, CAST(sum(b2.p) AS BIGINT) AS cp
+      |  FROM g a JOIN g b2 ON b2.bin >= a.bin GROUP BY a.bin)
+      |SELECT cumt.bin, cumt.cw AS cum_docs, cumt.cp AS cum_pos,
+      |  floor(CAST(cumt.cw AS DOUBLE) / tot.n * 1000000 + 0.5) / 1000000
+      |    AS depth,
+      |  floor(CAST(cumt.cp AS DOUBLE) / tot.pp * 1000000 + 0.5) / 1000000
+      |    AS gain,
+      |  floor(CAST(cumt.cp AS DOUBLE) * tot.n
+      |    / (CAST(cumt.cw AS DOUBLE) * tot.pp) * 1000000 + 0.5) / 1000000
+      |    AS lift
+      |FROM cumt CROSS JOIN tot ORDER BY cumt.bin""".stripMargin) { (s, d) =>
+    val g = scoredDocs(s, d)
+      .select(
+        least(greatest(
+          floor((col("v") + lit(0.5)) * 10).cast("long"), lit(0L)), lit(9L))
+          .as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("w"), sum("pos").as("p"))
+    val tot = g.agg(sum("w").as("n"), sum("p").as("pp"))
+    val cumt = g.as("a")
+      .join(g.select(col("bin").as("b2"), col("w").as("w2"),
+        col("p").as("p2")), col("b2") >= col("a.bin"))
+      .groupBy(col("a.bin").as("bin"))
+      .agg(sum("w2").as("cw"), sum("p2").as("cp"))
+    cumt.crossJoin(broadcast(tot))
+      .select(col("bin"), col("cw").as("cum_docs"), col("cp").as("cum_pos"),
+        (floor(col("cw").cast("double") / col("n") * 1000000 + lit(0.5))
+          / 1000000).as("depth"),
+        (floor(col("cp").cast("double") / col("pp") * 1000000 + lit(0.5))
+          / 1000000).as("gain"),
+        (floor(col("cp").cast("double") * col("n")
+          / (col("cw").cast("double") * col("pp")) * 1000000 + lit(0.5))
+          / 1000000).as("lift"))
+      .orderBy("bin")
+  }
 
   /** Murphy decomposition of the binned Brier score (reliability −
     * resolution + uncertainty) over ece_calibration's 10 bins — ECE

@@ -418,5 +418,133 @@ object FeatureOps {
   }
 
   val all: Seq[Q] = Seq(targetEncodeLoo, woeIv, kaplanMeier,
-    quantileNormalize, logRank)
+    quantileNormalize, logRank, nelsonAalen, kneedlePareto)
+
+  /** Nelson–Aalen cumulative hazard over kaplan_meier's exact
+    * protocol — the additive estimator (Σ d/n) whose variance and
+    * large-sample behavior survival texts prefer for inference, where
+    * KM's product gives the curve. Each hazard term is quantized to
+    * the 1e-9 integer grid (bradley_terry's device), so the per-
+    * horizon accumulations are ORDER-INDEPENDENT BIGINT sums — no
+    * ordered fold needed at all, unlike KM's product. Risk sets ride
+    * the same distributed PrefixScan; exp(−H) is the one shared
+    * transcendental at the end. */
+  lazy val nelsonAalen: Q = Q(
+    "nelson_aalen",
+    """WITH cust AS (SELECT o_custkey,
+      |    min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+      |      AS first_d,
+      |    max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+      |      AS last_d
+      |  FROM orders GROUP BY o_custkey),
+      |mx AS (SELECT max(last_d) AS mx FROM cust),
+      |c2 AS (SELECT CAST(last_d - first_d AS BIGINT) AS t,
+      |    CASE WHEN mx - last_d >= 90 THEN 1 ELSE 0 END AS death
+      |  FROM cust CROSS JOIN mx),
+      |g AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(death) AS BIGINT) AS d FROM c2 GROUP BY t),
+      |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM g),
+      |sc AS (SELECT t, cnt, d,
+      |       CAST(sum(cnt) OVER (ORDER BY t) AS BIGINT) AS cum FROM g),
+      |terms AS (SELECT t, d,
+      |    CAST(floor(CAST(d AS DOUBLE) * 1000000000
+      |      / (n - (cum - cnt)) + 0.5) AS BIGINT) AS h9,
+      |    CAST(floor(CAST(d AS DOUBLE) * 1000000000
+      |      / ((n - (cum - cnt)) * CAST(n - (cum - cnt) AS DOUBLE)) + 0.5)
+      |      AS BIGINT) AS v9
+      |  FROM sc CROSS JOIN n WHERE t <= 300),
+      |fan AS (SELECT t, d, h9, v9,
+      |    unnest(range(greatest(CAST(ceil(t / 30.0) AS BIGINT), 1), 11))
+      |      AS k
+      |  FROM terms),
+      |na AS (SELECT k, CAST(sum(d) AS BIGINT) AS events,
+      |    CAST(sum(h9) AS BIGINT) AS hh, CAST(sum(v9) AS BIGINT) AS vv
+      |  FROM fan GROUP BY k)
+      |SELECT CAST(k * 30 AS INTEGER) AS horizon_days, events,
+      |  floor(hh / 1000000000.0 * 1000000 + 0.5) / 1000000 AS cum_hazard,
+      |  floor(vv / 1000000000.0 * 1000000 + 0.5) / 1000000 AS variance,
+      |  floor(exp(-(hh / 1000000000.0)) * 1000000 + 0.5) / 1000000
+      |    AS survival_fh
+      |FROM na ORDER BY horizon_days""".stripMargin) { (s, d) =>
+    val day = datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+    val cust = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(min(day).as("first_d"), max(day).as("last_d"))
+    val mx = cust.agg(max("last_d").as("mx"))
+    val c2 = cust.crossJoin(broadcast(mx))
+      .select((col("last_d") - col("first_d")).cast("long").as("t"),
+        when(col("mx") - col("last_d") >= 90, 1L).otherwise(0L).as("death"))
+    val byT = c2.groupBy("t")
+      .agg(count(lit(1)).as("cnt"), sum("death").as("d"))
+    val (scanned, totals) = graft.ops.PrefixScan.withCumSums(
+      byT, Seq(col("t")), Seq("cnt", "d"))
+    val n = totals(0)
+    val atRisk = lit(n) - (col("cum_cnt") - col("cnt"))
+    val terms = scanned.filter(col("t") <= 300)
+      .select(col("t"), col("d"),
+        floor(col("d").cast("double") * 1000000000L / atRisk + lit(0.5))
+          .cast("long").as("h9"),
+        floor(col("d").cast("double") * 1000000000L
+          / (atRisk * atRisk.cast("double")) + lit(0.5))
+          .cast("long").as("v9"))
+    val fan = terms.select(col("t"), col("d"), col("h9"), col("v9"),
+      explode(sequence(
+        greatest(ceil(col("t") / lit(30.0)).cast("int"), lit(1)),
+        lit(10))).as("k"))
+    fan.groupBy("k")
+      .agg(sum("d").as("events"), sum("h9").as("hh"), sum("v9").as("vv"))
+      .select((col("k") * 30).cast("int").as("horizon_days"), col("events"),
+        (floor(col("hh") / 1000000000.0 * 1000000 + lit(0.5)) / 1000000)
+          .as("cum_hazard"),
+        (floor(col("vv") / 1000000000.0 * 1000000 + lit(0.5)) / 1000000)
+          .as("variance"),
+        (floor(exp(-(col("hh") / 1000000000.0)) * 1000000 + lit(0.5))
+          / 1000000).as("survival_fh"))
+      .orderBy("horizon_days")
+  }
+
+  /** Kneedle knee point of the part-revenue Pareto curve: the rank r*
+    * maximizing cumshare(r) − r/n — "how deep is the head worth
+    * chasing", the quantitative cut abc_class's fixed 80/15/5 bands
+    * assume. Parts are range-ranked by (revenue desc, key) through
+    * the distributed PrefixScan (never a partition-less window) and
+    * the knee argmax compares the exact BIGINT cross-product
+    * cum·n − rank·total. */
+  lazy val kneedlePareto: Q = Q(
+    "kneedle_pareto",
+    """WITH pr AS (SELECT l_partkey AS pk,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(rev) AS BIGINT) AS t FROM pr),
+      |sc AS (SELECT pk, rev,
+      |    CAST(sum(rev) OVER (ORDER BY rev DESC, pk) AS BIGINT) AS cum,
+      |    CAST(row_number() OVER (ORDER BY rev DESC, pk) AS BIGINT) AS r
+      |  FROM pr),
+      |best AS (SELECT sc.r, sc.cum FROM sc CROSS JOIN tot
+      |  ORDER BY sc.cum * tot.n - sc.r * tot.t DESC, sc.r LIMIT 1)
+      |SELECT tot.n AS n_parts, best.r AS knee_rank,
+      |  floor(CAST(best.r AS DOUBLE) / tot.n * 1000000 + 0.5) / 1000000
+      |    AS rank_share,
+      |  floor(CAST(best.cum AS DOUBLE) / tot.t * 1000000 + 0.5) / 1000000
+      |    AS revenue_share
+      |FROM best CROSS JOIN tot""".stripMargin) { (s, d) =>
+    val pr = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+      .withColumn("one", lit(1L))
+    val (scanned, totals) = graft.ops.PrefixScan.withCumSums(
+      pr, Seq(col("rev").desc, col("pk")), Seq("rev", "one"))
+    val (t, n) = (totals(0), totals(1))
+    val best = scanned
+      .select(col("cum_one").as("r"), col("cum_rev").as("cum"))
+      .orderBy((col("cum") * n - col("r") * t).desc, col("r"))
+      .limit(1)
+    best.select(lit(n).as("n_parts"), col("r").as("knee_rank"),
+      (floor(col("r").cast("double") / n * 1000000 + lit(0.5)) / 1000000)
+        .as("rank_share"),
+      (floor(col("cum").cast("double") / t * 1000000 + lit(0.5)) / 1000000)
+        .as("revenue_share"))
+  }
 }

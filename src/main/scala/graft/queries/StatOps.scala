@@ -2207,7 +2207,82 @@ object StatOps {
       iv2sls, sprtMonitor, wilsonCi, leveneTest, grubbsTest, partialCorr,
       captureRecapture, brandDiversity, tukeyHsd, huberIrls, groupwiseOls,
       robustScaler, kruskalWallis, fisherExact, cohensD, cliffsDelta,
-      wasserstein1d, durbinWatson, kendallsW, cochranQ, friedmanTest)
+      wasserstein1d, durbinWatson, kendallsW, cochranQ, friedmanTest,
+      boxcoxGrid)
+
+  /** Box–Cox profile log-likelihood over the λ grid
+    * {−1, −½, 0, ½, 1} for daily revenue — "which power transform
+    * makes this series most Gaussian". Every λ's transform is spelled
+    * with correctly-rounded primitives only (1/x, 1/√x, ln, √x —
+    * fractional pow deliberately avoided: its libm rounding is not a
+    * cross-engine contract), ℓ(λ) = −n/2·ln(σ̂²_λ) + (λ−1)Σln x with
+    * every Σ folded day-sorted, and the winner compares identical
+    * doubles with a smaller-λ tie-break. 5×days bounded fan. */
+  lazy val boxcoxGrid: Q = Q(
+    "boxcox_grid",
+    """WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+      |      CAST(l_shipdate AS DATE)) AS t,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      // 100 AS BIGINT) AS x
+      |  FROM lineitem GROUP BY 1 HAVING sum(l_extendedprice) > 0),
+      |lam AS (SELECT unnest([-1.0, -0.5, 0.0, 0.5, 1.0]) AS lam),
+      |y AS (SELECT lam.lam, d.t, CAST(d.x AS DOUBLE) AS x,
+      |    CASE WHEN lam.lam = 1.0 THEN CAST(d.x AS DOUBLE) - 1
+      |      WHEN lam.lam = 0.5 THEN 2 * (sqrt(CAST(d.x AS DOUBLE)) - 1)
+      |      WHEN lam.lam = 0.0 THEN ln(CAST(d.x AS DOUBLE))
+      |      WHEN lam.lam = -0.5 THEN
+      |        2 * (1 - 1 / sqrt(CAST(d.x AS DOUBLE)))
+      |      ELSE 1 - 1 / CAST(d.x AS DOUBLE) END AS y
+      |  FROM lam CROSS JOIN daily d),
+      |f AS (SELECT lam, CAST(count(*) AS BIGINT) AS n,
+      |    list_aggregate(list(y ORDER BY t), 'sum') AS sy,
+      |    list_aggregate(list(y * y ORDER BY t), 'sum') AS syy,
+      |    list_aggregate(list(ln(x) ORDER BY t), 'sum') AS slx
+      |  FROM y GROUP BY lam),
+      |ll AS (SELECT lam, n,
+      |    -(n / 2.0) * ln((syy - sy * sy / n) / n) + (lam - 1) * slx
+      |      AS loglik
+      |  FROM f),
+      |mx AS (SELECT max(loglik) AS m FROM ll)
+      |SELECT ll.lam AS lambda,
+      |  floor(ll.loglik * 10000 + 0.5) / 10000 AS loglik,
+      |  ll.loglik = mx.m AS is_best
+      |FROM ll CROSS JOIN mx ORDER BY lambda""".stripMargin) { (s, d) =>
+    val daily = Tables.lineitem(s, d)
+      .groupBy(datediff(col("l_shipdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("t"))
+      .agg(floor(sum(floor(col("l_extendedprice") * 100 + lit(0.5))
+        .cast("long")) / 100).cast("long").as("x"))
+      .filter(col("x") > 0)
+    val lam = s.createDataFrame(Seq(Tuple1(-1.0), Tuple1(-0.5), Tuple1(0.0),
+      Tuple1(0.5), Tuple1(1.0))).toDF("lam")
+    val xd = col("x").cast("double")
+    val y = lam.crossJoin(daily)
+      .select(col("lam"), col("t"), xd.as("x"),
+        when(col("lam") === 1.0, xd - 1)
+          .when(col("lam") === 0.5, lit(2) * (sqrt(xd) - 1))
+          .when(col("lam") === 0.0, log(xd))
+          .when(col("lam") === -0.5, lit(2) * (lit(1) - lit(1) / sqrt(xd)))
+          .otherwise(lit(1) - lit(1) / xd).as("y"))
+    val f = y.groupBy("lam")
+      .agg(count(lit(1)).as("n"),
+        expr("aggregate(array_sort(collect_list(struct(t, y AS v))), 0D, " +
+          "(acc, x) -> acc + x.v)").as("sy"),
+        expr("aggregate(array_sort(collect_list(struct(t, y * y AS v))), " +
+          "0D, (acc, x) -> acc + x.v)").as("syy"),
+        expr("aggregate(array_sort(collect_list(struct(t, ln(x) AS v))), " +
+          "0D, (acc, x) -> acc + x.v)").as("slx"))
+    val ll = f.select(col("lam"), col("n"),
+      (-(col("n") / 2.0) * log((col("syy") - col("sy") * col("sy")
+        / col("n")) / col("n")) + (col("lam") - 1) * col("slx"))
+        .as("loglik"))
+    val mx = ll.agg(max("loglik").as("m"))
+    ll.crossJoin(broadcast(mx))
+      .select(col("lam").as("lambda"),
+        (floor(col("loglik") * 10000 + lit(0.5)) / 10000).as("loglik"),
+        (col("loglik") === col("m")).as("is_best"))
+      .orderBy("lambda")
+  }
 
   /** Robust (median/IQR) scaling per group + the outlier census it
     * exists for: |x − med| > 3·IQR flags per return flag. Pass 1 is

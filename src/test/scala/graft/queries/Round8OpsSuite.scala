@@ -472,6 +472,108 @@ class Round8OpsSuite extends SparkSpec {
     assert(math.abs(row.getDouble(2) - smape / n) < 1e-5)
   }
 
+  test("nelson_aalen: replays the quantized hazard sum; bounds vs KM") {
+    val custs = graft.Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(min(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date"))).as("f"),
+        max(datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date"))).as("l"))
+      .collect().map(r => (r.getInt(1).toLong, r.getInt(2).toLong))
+    val mx = custs.map(_._2).max
+    val obs = custs.map { case (f, l) => (l - f, if (mx - l >= 90) 1L else 0L) }
+    val n = obs.length.toLong
+    val byT = obs.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.length.toLong, xs.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    val got = run("nelson_aalen").collect()
+    got.foreach { r =>
+      val h = r.getInt(0)
+      var before = 0L; var h9 = 0L; var ev = 0L
+      byT.foreach { case (t, cnt, d) =>
+        if (t <= math.min(h, 300)) {
+          val atRisk = n - before
+          h9 += math.floor(d.toDouble * 1e9 / atRisk + 0.5).toLong
+          ev += d
+        }
+        if (t <= math.min(h, 300)) before += cnt
+      }
+      assert(r.getLong(1) == ev, s"horizon $h events")
+      assert(math.abs(r.getDouble(2) - h9 / 1e9) < 2e-6,
+        s"horizon $h hazard ${r.getDouble(2)} vs ${h9 / 1e9}")
+      assert(r.getDouble(2) >= 0 && r.getDouble(4) <= 1.0 + 1e-9)
+    }
+    // monotone cumulative hazard
+    val hz = got.map(_.getDouble(2))
+    assert(hz.zip(hz.tail).forall(p => p._2 >= p._1 - 1e-9))
+  }
+
+  test("kneedle_pareto: replays the exact knee argmax") {
+    val revs = graft.Tables.lineitem(spark, sfDir)
+      .groupBy("l_partkey")
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(t => (-t._2, t._1))
+    val n = revs.length.toLong
+    val t = revs.map(_._2).sum
+    var cum = 0L; var best = (0L, 0L); var bestScore = Long.MinValue
+    revs.zipWithIndex.foreach { case ((_, rev), i) =>
+      cum += rev
+      val score = cum * n - (i + 1) * t
+      if (score > bestScore) { bestScore = score; best = (i + 1L, cum) }
+    }
+    val row = run("kneedle_pareto").collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == best._1,
+      s"knee ${row.getLong(1)} vs ${best._1}")
+    assert(row.getDouble(3) > row.getDouble(2),
+      "knee must sit above the diagonal")
+  }
+
+  test("lift_gain: monotone depth/gain, lift 1.0 at full depth") {
+    val rows = run("lift_gain").collect().sortBy(_.getLong(0))
+    // bins ascend; cumulative-from-top counts DESCEND with bin
+    val cw = rows.map(_.getLong(1))
+    assert(cw.zip(cw.tail).forall(p => p._1 >= p._2))
+    val full = rows.head // lowest bin = full corpus
+    assert(full.getDouble(3) == 1.0 && full.getDouble(4) == 1.0)
+    assert(math.abs(full.getDouble(5) - 1.0) < 1e-6,
+      "lift at depth 1.0 is exactly 1")
+    rows.foreach(r => assert(r.getDouble(5) >= 0))
+  }
+
+  test("boxcox_grid: replays profile log-likelihoods; one winner") {
+    val daily = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(floor(sum(floor(col("l_extendedprice") * 100 + lit(0.5))
+        .cast("long")) / 100).cast("long").as("x"))
+      .collect().map(_.getLong(1).toDouble).filter(_ > 0)
+    val n = daily.length
+    def ll(lam: Double): Double = {
+      val y = daily.map { x =>
+        if (lam == 1.0) x - 1
+        else if (lam == 0.5) 2 * (math.sqrt(x) - 1)
+        else if (lam == 0.0) math.log(x)
+        else if (lam == -0.5) 2 * (1 - 1 / math.sqrt(x))
+        else 1 - 1 / x
+      }
+      val m = y.sum / n
+      val v = y.map(d => (d - m) * (d - m)).sum / n
+      -(n / 2.0) * math.log(v) + (lam - 1) * daily.map(math.log).sum
+    }
+    val rows = run("boxcox_grid").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val e = ll(r.getDouble(0))
+      assert(math.abs(r.getDouble(1) - e) < math.abs(e) * 1e-6 + 1e-2,
+        s"lambda ${r.getDouble(0)}: ${r.getDouble(1)} vs $e")
+    }
+    assert(rows.count(_.getBoolean(2)) == 1, "exactly one best lambda")
+    val bestLam = rows.find(_.getBoolean(2)).get.getDouble(0)
+    val naiveBest = Seq(-1.0, -0.5, 0.0, 0.5, 1.0).maxBy(ll)
+    assert(bestLam == naiveBest)
+  }
+
   test("hurst_rs: replays naive R/S over dyadic windows") {
     val daily = graft.Tables.orders(spark, sfDir)
       .groupBy(col("o_orderdate").cast("date").as("day"))
