@@ -41,7 +41,11 @@ import java.util.concurrent.atomic.AtomicLong
 object ScaleCheck {
 
   private val Queries = Seq("q75_triangles", "clustering_coeff",
-    "kcore_peel", "q111_link_predict", "setsim_join", "dbscan_grid")
+    "kcore_peel", "q111_link_predict", "setsim_join", "dbscan_grid",
+    // round-8 continuation: the LSH-recall eval carries its own
+    // prefix-filtered exact-join ground truth — superlinear-risk by
+    // construction, so it joins the watched family
+    "lsh_recall")
 
   private final class Shuffle extends SparkListener {
     val bytes = new AtomicLong(0)
