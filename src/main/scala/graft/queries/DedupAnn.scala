@@ -1097,7 +1097,110 @@ object DedupAnn {
   val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, dedupComponents,
     dedupKeepBest, simhashPairs, annTopK, cosineDedupStats, ivfTopK,
     pqEncode, pqAdcTopK, ivfpqTopK, setsimJoin, dupSpans, mmrRerank,
-    goldenRecord, bcubedEval, lshPlanner, splitLeakage, lshRecall)
+    goldenRecord, bcubedEval, lshPlanner, splitLeakage, lshRecall,
+    ivfProbeSweep)
+
+  /** IVF tuning curve — lsh_recall's vector-side sibling: recall@5 of
+    * the seeded-medoid IVF index against the brute-force ground truth
+    * as nprobe sweeps 1 → 3, the accuracy-vs-cost table that decides
+    * a deployment's probe budget. Everything reuses the
+    * ivf_cosine_topk protocol (portable multiplicative-hash seeds,
+    * exact cosine assignment, rounded-rank ties), so the oracle
+    * replays all three sweeps plus the exact leg verbatim. Plan: the
+    * 8-row centroid matrix rides as literals, the corpus is scanned
+    * once per sweep (map-only assignment + bounded probe join), and
+    * the ground truth is cosine_topk's broadcast brute force. */
+  lazy val ivfProbeSweep: Q = Q(
+    "ivf_probe_sweep",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    (CAST(vec_id AS BIGINT) * 2654435761) & 2147483647 AS h
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1
+      |      AS j, v AS sv
+      |  FROM (SELECT * FROM e ORDER BY h, vec_id LIMIT 8) s0),
+      |casn AS (
+      |  SELECT id, cell FROM (
+      |    SELECT e.vec_id AS id, s.j AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, s.sv)
+      |          / (sqrt(list_dot_product(e.v, e.v))
+      |             * sqrt(list_dot_product(s.sv, s.sv))) DESC, s.j) AS rk
+      |    FROM e CROSS JOIN seeds s) t
+      |  WHERE rk = 1),
+      |nps AS (SELECT unnest([1, 2, 3]) AS np),
+      |qprobe AS (
+      |  SELECT nps.np, t.qid, t.cell FROM (
+      |    SELECT e.vec_id AS qid, s.j AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, s.sv)
+      |          / (sqrt(list_dot_product(e.v, e.v))
+      |             * sqrt(list_dot_product(s.sv, s.sv))) DESC, s.j) AS rk
+      |    FROM e CROSS JOIN seeds s WHERE e.vec_id < 5) t
+      |  JOIN nps ON t.rk <= nps.np),
+      |ivf AS (SELECT np, qid, id FROM (
+      |    SELECT c.np, c.qid, c.id,
+      |      row_number() OVER (PARTITION BY c.np, c.qid
+      |        ORDER BY c.cos DESC, c.id) AS rn
+      |    FROM (
+      |      SELECT DISTINCT qp.np, qp.qid, ca.id,
+      |        round(list_dot_product(qe.v, ce.v)
+      |          / (sqrt(list_dot_product(qe.v, qe.v))
+      |             * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cos
+      |      FROM qprobe qp JOIN casn ca USING (cell)
+      |        JOIN e ce ON ca.id = ce.vec_id
+      |        JOIN e qe ON qp.qid = qe.vec_id
+      |      WHERE ca.id <> qp.qid) c) r
+      |  WHERE rn <= 5),
+      |bf AS (SELECT qid, id FROM (
+      |    SELECT q.vec_id AS qid, c.vec_id AS id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_dot_product(q.v, c.v)
+      |          / (sqrt(list_dot_product(q.v, q.v))
+      |             * sqrt(list_dot_product(c.v, c.v))), 6) DESC, c.vec_id)
+      |        AS rn
+      |    FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id) t
+      |  WHERE rn <= 5),
+      |hit AS (SELECT nps.np,
+      |    CAST(COALESCE(sum(CASE WHEN bf.qid IS NOT NULL THEN 1 ELSE 0
+      |      END), 0) AS BIGINT) AS n_hits
+      |  FROM nps LEFT JOIN ivf ON ivf.np = nps.np
+      |    LEFT JOIN bf ON bf.qid = ivf.qid AND bf.id = ivf.id
+      |  GROUP BY nps.np)
+      |SELECT CAST(np AS BIGINT) AS nprobe, n_hits,
+      |  floor(CAST(n_hits AS DOUBLE) / 25 * 1000000 + 0.5) / 1000000
+      |    AS recall_at_5
+      |FROM hit ORDER BY nprobe""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    import graft.functions.GraftFunctions.cosineNative
+    val emb = Tables.embeddings(s, d)
+    val cents = graft.ann.AnnIvf.medoids(emb, "vec_id", "embedding", k = 8)
+    val queries = emb.filter(col("vec_id") < 5)
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qv"))
+    val c = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    val bf = c.join(broadcast(q), col("qid") =!= col("id"))
+      .withColumn("cos", round(cosineNative(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("id")).withColumn("hit", lit(1))
+    val perNp = (1 to 3).map { np =>
+      graft.ann.AnnIvf.topKWith(cents, emb, queries, "vec_id",
+        "embedding", k = 5, nProbe = np)
+        .select(col("qid"), col("id")).withColumn("np", lit(np.toLong))
+    }.reduce(_ unionAll _)
+    perNp.join(bf, Seq("qid", "id"), "left_outer")
+      .groupBy("np")
+      .agg(coalesce(sum(when(col("hit").isNotNull, 1L).otherwise(0L)),
+        lit(0L)).as("n_hits"))
+      .select(col("np").as("nprobe"), col("n_hits"),
+        (floor(col("n_hits").cast("double") / 25 * 1000000 + lit(0.5))
+          / 1000000).as("recall_at_5"))
+      .orderBy("nprobe")
+  }
 
   /** Fixed seeded affine coefficients for lsh_recall, emitted as
     * literals into BOTH engines (the sign-LSH precedent): 16 hashes =

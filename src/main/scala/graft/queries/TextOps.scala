@@ -1480,7 +1480,94 @@ object TextOps {
     chi2Terms, jsDivergence, rakeKeywords, containmentPairs, gopherRules,
     tokenFertility, goodTuring, termBurstiness, textrankKeywords,
     tfidfCosinePairs, chao1Vocab, huffmanCodes, readabilityFlesch,
-    ngramNovelty, distinctNgrams)
+    ngramNovelty, distinctNgrams, topicCoherence)
+
+  /** UMass topic coherence (Mimno 2011) treating each SOURCE as a
+    * topic: score = Σ_{i<j} ln((D(wᵢ,wⱼ)+1)/D(wⱼ)) over the source's
+    * top-5 tf-idf terms in rank order — the standard "are these top
+    * words actually about one thing" gate for any topic/cluster
+    * output (cluster_topics emits the words; this scores them).
+    * Term selection reuses tfidf_top_terms' rounded-score ranking at
+    * source granularity; D() counts ride the per-doc distinct term
+    * table (gram-keyed joins against the ≤200-row pair panel,
+    * broadcast); the ≤10 ln terms per source fold (i, j)-sorted. */
+  lazy val topicCoherence: Q = Q(
+    "topic_coherence",
+    """WITH dt AS (SELECT DISTINCT doc_id, source,
+      |    unnest(string_split(text, ' ')) AS term FROM documents),
+      |stf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, source, unnest(string_split(text, ' '))
+      |          AS term FROM documents)
+      |  GROUP BY source, term),
+      |sdf AS (SELECT term, CAST(count(DISTINCT source) AS BIGINT) AS sdf
+      |  FROM stf GROUP BY term),
+      |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS ns
+      |  FROM documents),
+      |top5 AS (SELECT source, term, rk FROM (
+      |    SELECT stf.source, stf.term,
+      |      row_number() OVER (PARTITION BY stf.source
+      |        ORDER BY round(stf.tf * ln(CAST(ns.ns AS DOUBLE) / sdf.sdf),
+      |          6) DESC, stf.term) AS rk
+      |    FROM stf JOIN sdf USING (term) CROSS JOIN ns) t
+      |  WHERE rk <= 5),
+      |pairs AS (SELECT a.source, a.rk AS ri, b.rk AS rj,
+      |    a.term AS wi, b.term AS wj
+      |  FROM top5 a JOIN top5 b
+      |    ON a.source = b.source AND a.rk < b.rk),
+      |dfw AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt
+      |  GROUP BY term),
+      |cooc AS (SELECT p.source, p.ri, p.rj, p.wj,
+      |    CAST(count(*) AS BIGINT) AS dij
+      |  FROM pairs p JOIN dt a ON a.term = p.wi
+      |    JOIN dt b ON b.term = p.wj AND b.doc_id = a.doc_id
+      |  GROUP BY p.source, p.ri, p.rj, p.wj),
+      |terms AS (SELECT p.source, p.ri, p.rj,
+      |    ln((COALESCE(c.dij, 0) + 1.0) / dfw.df) AS v
+      |  FROM pairs p
+      |    LEFT JOIN cooc c ON c.source = p.source AND c.ri = p.ri
+      |      AND c.rj = p.rj
+      |    JOIN dfw ON dfw.term = p.wj)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  floor(list_aggregate(list(v ORDER BY ri, rj), 'sum') * 1000000
+      |    + 0.5) / 1000000 AS coherence
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val toks = docs(s, d).select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("term"))
+    val dt = toks.select("doc_id", "term").distinct()
+    val stf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val sdf = stf.groupBy("term").agg(countDistinct("source").as("sdf"))
+    val ns = docs(s, d).agg(countDistinct("source").as("ns"))
+    val w = Window.partitionBy("source")
+      .orderBy(round(col("tf") * log(col("ns").cast("double") / col("sdf")),
+        6).desc, col("term"))
+    val top5 = stf.join(broadcast(sdf), "term").crossJoin(broadcast(ns))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("source", "term", "rk")
+    val pairs = top5.as("a")
+      .join(top5.select(col("source"), col("term").as("wj"),
+        col("rk").as("rj")), "source")
+      .filter(col("rk") < col("rj"))
+      .select(col("source"), col("rk").as("ri"), col("rj"),
+        col("term").as("wi"), col("wj"))
+    val dfw = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val cooc = broadcast(pairs)
+      .join(dt.select(col("term").as("wi"), col("doc_id")), "wi")
+      .join(dt.select(col("term").as("wj"), col("doc_id")),
+        Seq("wj", "doc_id"))
+      .groupBy("source", "ri", "rj").agg(count(lit(1)).as("dij"))
+    val terms = pairs
+      .join(cooc, Seq("source", "ri", "rj"), "left_outer")
+      .join(dfw.select(col("term").as("wj"), col("df")), "wj")
+      .select(col("source"), col("ri"), col("rj"),
+        log((coalesce(col("dij"), lit(0L)) + 1.0) / col("df")).as("v"))
+    terms.groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        (floor(expr("aggregate(array_sort(collect_list(struct(ri, rj, " +
+          "v AS x))), 0D, (acc, t) -> acc + t.x)") * 1000000 + lit(0.5))
+          / 1000000).as("coherence"))
+      .orderBy("source")
+  }
 
   /** Trigram novelty of the held-out split vs the training split —
     * the memorization-vs-generalization census a data team reads

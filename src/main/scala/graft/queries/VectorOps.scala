@@ -570,7 +570,91 @@ object VectorOps {
   val all: Seq[Q] =
     Seq(embedStats, cosineTopK, cosinePairs, gridSpatialJoin, dbscanGrid,
       moransI, getisOrd, embedIsotropy, mrlTruncation, embeddingWhiten,
-      quantizeRecall)
+      quantizeRecall, mmdEmbeddings)
+
+  /** Kernel two-sample test: unbiased MMD² between label-0 and
+    * label-1 embeddings under an RBF kernel (bandwidth 2σ² = 2·dim —
+    * the fixed-bandwidth convention; the median heuristic would add a
+    * quantile pass without changing the contract). The modern
+    * distribution-shift test for embedding spaces, next to ks_test's
+    * scalar ECDF gap. Squared distances come from three dot products
+    * (the established list_dot_product ≡ dotNative parity), kernel
+    * sums fold in (id_a, id_b) order, exp parity is corpus-wide.
+    * Pairs are STRATUM-BOUNDED: two label groups capped by the
+    * vec_id < 4096 panel — at 100 TB a two-sample eval runs on
+    * bounded strata samples by design, never the full corpus cross. */
+  lazy val mmdEmbeddings: Q = Q(
+    "mmd_embeddings",
+    """WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id < 4096 AND label IN (0, 1)),
+      |px AS (SELECT a.vec_id AS ia, b2.vec_id AS ib, a.label AS la,
+      |    b2.label AS lb,
+      |    exp(-(list_dot_product(a.v, a.v)
+      |        - 2 * list_dot_product(a.v, b2.v)
+      |        + list_dot_product(b2.v, b2.v)) / 128.0) AS kk
+      |  FROM b a JOIN b b2
+      |    ON a.label < b2.label
+      |      OR (a.label = b2.label AND a.vec_id < b2.vec_id)),
+      |m AS (SELECT CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS m,
+      |    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n FROM b),
+      |f AS (SELECT
+      |    list_aggregate(list(CASE WHEN la = 0 AND lb = 0 THEN kk END
+      |      ORDER BY ia, ib), 'sum') AS sxx,
+      |    list_aggregate(list(CASE WHEN la = 1 AND lb = 1 THEN kk END
+      |      ORDER BY ia, ib), 'sum') AS syy,
+      |    list_aggregate(list(CASE WHEN la = 0 AND lb = 1 THEN kk END
+      |      ORDER BY ia, ib), 'sum') AS sxy
+      |  FROM px)
+      |SELECT m.m, m.n,
+      |  floor(2.0 * f.sxx / (m.m * (m.m - 1)) * 10000000 + 0.5)
+      |    / 10000000 AS kxx_mean,
+      |  floor(2.0 * f.syy / (m.n * (m.n - 1)) * 10000000 + 0.5)
+      |    / 10000000 AS kyy_mean,
+      |  floor(f.sxy / (CAST(m.m AS DOUBLE) * m.n) * 10000000 + 0.5)
+      |    / 10000000 AS kxy_mean,
+      |  floor((2.0 * f.sxx / (m.m * (m.m - 1))
+      |    + 2.0 * f.syy / (m.n * (m.n - 1))
+      |    - 2.0 * f.sxy / (CAST(m.m AS DOUBLE) * m.n)) * 10000000 + 0.5)
+      |    / 10000000 AS mmd2
+      |FROM f CROSS JOIN m""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    import graft.functions.GraftFunctions.dotNative
+    val b = emb(s, d)
+      .filter(col("vec_id") < 4096 && col("label").isin(0, 1))
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val px = b.as("a")
+      .join(b.select(col("vec_id").as("ib"), col("label").as("lb"),
+        col("v").as("vb")),
+        col("label") < col("lb")
+          || (col("label") === col("lb") && col("vec_id") < col("ib")))
+      .select(col("vec_id").as("ia"), col("ib"),
+        col("label").as("la"), col("lb"),
+        exp(-(dotNative(col("v"), col("v"))
+          - lit(2) * dotNative(col("v"), col("vb"))
+          + dotNative(col("vb"), col("vb"))) / 128.0).as("kk"))
+    val m = b.agg(
+      sum(when(col("label") === 0, 1L).otherwise(0L)).as("m"),
+      sum(when(col("label") === 1, 1L).otherwise(0L)).as("n"))
+    def ordSum(cond: String): org.apache.spark.sql.Column =
+      expr("aggregate(transform(array_sort(collect_list(struct(ia, ib, " +
+        s"CASE WHEN $cond THEN kk END AS v))), x -> x.v), 0D, " +
+        "(acc, x) -> acc + coalesce(x, 0D))")
+    val f = px.agg(ordSum("la = 0 AND lb = 0").as("sxx"),
+      ordSum("la = 1 AND lb = 1").as("syy"),
+      ordSum("la = 0 AND lb = 1").as("sxy"))
+    val kxx = lit(2.0) * col("sxx") / (col("m") * (col("m") - 1))
+    val kyy = lit(2.0) * col("syy") / (col("n") * (col("n") - 1))
+    val kxy = col("sxy") / (col("m").cast("double") * col("n"))
+    f.crossJoin(broadcast(m))
+      .select(col("m"), col("n"),
+        (floor(kxx * 10000000 + lit(0.5)) / 10000000).as("kxx_mean"),
+        (floor(kyy * 10000000 + lit(0.5)) / 10000000).as("kyy_mean"),
+        (floor(kxy * 10000000 + lit(0.5)) / 10000000).as("kxy_mean"),
+        (floor((kxx + kyy - lit(2.0) * kxy) * 10000000 + lit(0.5))
+          / 10000000).as("mmd2"))
+  }
 
   /** Retrieval impact of int8 quantization: recall@10 of the
     * asymmetric path (fp32 probe × dequantized int8 corpus) against

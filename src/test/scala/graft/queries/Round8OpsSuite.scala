@@ -574,6 +574,101 @@ class Round8OpsSuite extends SparkSpec {
     assert(bestLam == naiveBest)
   }
 
+  test("ivf_probe_sweep: recall monotone in nprobe; replay at nprobe=8") {
+    val rows = run("ivf_probe_sweep").collect().sortBy(_.getLong(0))
+    assert(rows.length == 3)
+    val recalls = rows.map(_.getDouble(2))
+    assert(recalls.zip(recalls.tail).forall(p => p._2 >= p._1 - 1e-9),
+      s"recall must not drop as nprobe grows: ${recalls.toSeq}")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 25)
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1)
+    }
+    // with all 8 cells probed IVF degenerates to brute force: recall 1
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val cents = graft.ann.AnnIvf.medoids(emb, "vec_id", "embedding", k = 8)
+    val full = graft.ann.AnnIvf.topKWith(cents, emb,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 5, nProbe = 8).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    import graft.functions.GraftFunctions
+    GraftFunctions.ensureRegistered(spark)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    val bf = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("cv"))
+      .join(broadcast(q), col("qid") =!= col("id"))
+      .withColumn("cos",
+        round(GraftFunctions.cosineNative(col("qv"), col("cv")), 6))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("id"))))
+      .filter(col("rn") <= 5).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == bf, "nProbe = #cells must equal brute force")
+  }
+
+  test("mmd_embeddings: replays the kernel sums; within-group > cross") {
+    val vs = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 4096 && col("label").isin(0, 1))
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def k(a: Array[Double], b: Array[Double]): Double =
+      math.exp(-(dot(a, a) - 2 * dot(a, b) + dot(b, b)) / 128.0)
+    val x = vs.filter(_._2 == 0); val y = vs.filter(_._2 == 1)
+    var sxx = 0.0; var syy = 0.0; var sxy = 0.0
+    for (a <- x; b <- x if a._1 < b._1) sxx += k(a._3, b._3)
+    for (a <- y; b <- y if a._1 < b._1) syy += k(a._3, b._3)
+    for (a <- x; b <- y) sxy += k(a._3, b._3)
+    val (m, n) = (x.length.toDouble, y.length.toDouble)
+    val kxx = 2 * sxx / (m * (m - 1)); val kyy = 2 * syy / (n * (n - 1))
+    val kxy = sxy / (m * n)
+    val row = run("mmd_embeddings").collect().head
+    assert(row.getLong(0) == m.toLong && row.getLong(1) == n.toLong)
+    assert(math.abs(row.getDouble(2) - kxx) < 1e-5)
+    assert(math.abs(row.getDouble(3) - kyy) < 1e-5)
+    assert(math.abs(row.getDouble(4) - kxy) < 1e-5)
+    assert(math.abs(row.getDouble(5) - (kxx + kyy - 2 * kxy)) < 1e-5)
+  }
+
+  test("topic_coherence: replays the UMass pair walk per source") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+    val nSources = docs.map(_._2).distinct.length
+    val stf = docs.flatMap(d => d._3.map(t => (d._2, t)))
+      .groupBy(identity).map { case ((s, t), l) => (s, t, l.length.toLong) }
+    val sdf = stf.groupBy(_._2).map { case (t, l) =>
+      t -> l.map(_._1).toSeq.distinct.length.toLong
+    }
+    def r6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000
+    val top5 = stf.groupBy(_._1).map { case (s, ts) =>
+      s -> ts.toSeq.map(t =>
+          (t._2, r6(t._3 * math.log(nSources.toDouble / sdf(t._2)))))
+        .sortBy(t => (-t._2, t._1)).take(5).map(_._1)
+    }
+    val docTerms = docs.map(d => d._1 -> d._3.toSet).toMap
+    def df(t: String) = docTerms.values.count(_.contains(t))
+    def dij(a: String, b: String) =
+      docTerms.values.count(s => s.contains(a) && s.contains(b))
+    val got = run("topic_coherence").collect()
+    got.foreach { r =>
+      val ws = top5(r.getString(0))
+      var c = 0.0; var np = 0
+      for (i <- ws.indices; j <- ws.indices if i < j) {
+        c += math.log((dij(ws(i), ws(j)) + 1.0) / df(ws(j)))
+        np += 1
+      }
+      assert(r.getLong(1) == np.toLong)
+      assert(math.abs(r.getDouble(2) - c) < 1e-4,
+        s"${r.getString(0)}: ${r.getDouble(2)} vs $c")
+    }
+  }
+
   test("hurst_rs: replays naive R/S over dyadic windows") {
     val daily = graft.Tables.orders(spark, sfDir)
       .groupBy(col("o_orderdate").cast("date").as("day"))
