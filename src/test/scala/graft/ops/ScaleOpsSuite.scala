@@ -253,7 +253,35 @@ class ScaleOpsSuite extends SparkSpec {
       "capture_recapture",    // three 1-row capture-count broadcasts
       "retention_curve",      // 7-row horizon axis + 1-row cohort size
       "log_rank",             // 2-row group axis + 1-row max/cohort rows
-      "mann_kendall")         // calendar-bounded daily pair space + 1-rows
+      "mann_kendall",         // calendar-bounded daily pair space + 1-rows
+      // round-8 continuation (batches 63-70): every entry below is a
+      // 1-row stats broadcast, a literal axis, a <=50-value value-count
+      // cross, a calendar-bounded next/prev-day pair space, or an
+      // explicitly capped sample panel
+      "kruskal_wallis",       // <=50-value cumulative self-join + 1-row H
+      "cliffs_delta",         // <=50x50 value-count dominance cross + 1-rows
+      "wasserstein_1d",       // <=50-value merged-support joins per flag pair
+      "durbin_watson",        // calendar-bounded next-day self-join + 1-rows
+      "kendalls_w",           // 1-row (n, m) totals broadcast onto 25 brands
+      "friedman_test",        // 1-row chi2/blocks broadcasts onto 7 dow rows
+      "var_cvar",             // 2-row alpha axis x distinct-change cum table
+      "ccf_leadlag",          // 15-row literal lag axis + 1-row peak broadcast
+      "pacf_lags",            // 3-row literal lag axis + 1-row totals
+      "hurst_rs",             // calendar-bounded day-index self-join + 4-row
+                              // scale axis + 1-row log-log fit broadcast
+      "theil_u",              // calendar-bounded consecutive-day triples
+      "mase_eval",            // same calendar-bounded triple space
+      "quantize_recall",      // 5 broadcast probe vectors, theta join (x2)
+      "brier_decomposition",  // 1-row (N, P) totals broadcast onto 10 bins
+      "youden_mcc",           // 9-row literal threshold axis x 10 bins
+      "lift_gain",            // 10-bin suffix-sum cross + 1-row totals
+      "lsh_recall",           // three 1-row count relations in the report join
+      "xbar_chart",           // 1-row control-limit broadcast onto weeks
+      "ivf_probe_sweep",      // 5 broadcast probe vectors (ground-truth leg)
+      "mmd_embeddings",       // stratum-capped (vec_id < 4096) pair space
+      "topic_coherence",      // 1-row source-count broadcast + <=200-row
+                              // pair panel broadcast
+      "boxcox_grid")          // 5-row literal lambda axis x daily series
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,
