@@ -2208,7 +2208,173 @@ object StatOps {
       captureRecapture, brandDiversity, tukeyHsd, huberIrls, groupwiseOls,
       robustScaler, kruskalWallis, fisherExact, cohensD, cliffsDelta,
       wasserstein1d, durbinWatson, kendallsW, cochranQ, friedmanTest,
-      boxcoxGrid)
+      boxcoxGrid, medianPolish, cvmTest)
+
+  /** One full Tukey median-polish sweep over the complete
+    * brand × year (1996–98) revenue grid — the robust two-way
+    * decomposition (grand + brand effect + year effect + residual)
+    * that a mean-based ANOVA table can't give under heavy-tailed
+    * cells. Exact integer algebra end to end: the 3-value row median
+    * is Σ − max − min, the 25-value column/overall medians are the
+    * 13th order statistic from a bounded 25×25 rank join, and
+    * residuals stay BIGINT cents until the final dollar rounding. */
+  lazy val medianPolish: Q = Q(
+    "median_polish",
+    """WITH cell AS (SELECT p.p_brand AS b,
+      |    CAST(year(l.l_shipdate) AS BIGINT) AS y,
+      |    CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS r
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |  WHERE year(l.l_shipdate) BETWEEN 1996 AND 1998
+      |  GROUP BY b, y),
+      |rm AS (SELECT b, CAST(sum(r) - max(r) - min(r) AS BIGINT) AS m
+      |  FROM cell GROUP BY b),
+      |e AS (SELECT cell.b, cell.y, cell.r - rm.m AS e
+      |  FROM cell JOIN rm ON rm.b = cell.b),
+      |cm AS (SELECT a.y, min(a.e) AS c FROM (
+      |    SELECT e1.y, e1.e, (SELECT count(*) FROM e e2
+      |      WHERE e2.y = e1.y AND (e2.e < e1.e
+      |        OR (e2.e = e1.e AND e2.b <= e1.b))) AS rk
+      |    FROM e e1) a
+      |  WHERE a.rk >= 13 GROUP BY a.y),
+      |ov AS (SELECT min(m) AS o FROM (
+      |    SELECT r1.m, (SELECT count(*) FROM rm r2
+      |      WHERE r2.m < r1.m OR (r2.m = r1.m AND r2.b <= r1.b)) AS rk
+      |    FROM rm r1) t WHERE rk >= 13),
+      |res AS (SELECT max(abs(e.e - cm.c)) AS mr FROM e
+      |  JOIN cm ON cm.y = e.y),
+      |cy AS (SELECT
+      |    max(CASE WHEN y = 1996 THEN c END) AS c96,
+      |    max(CASE WHEN y = 1997 THEN c END) AS c97,
+      |    max(CASE WHEN y = 1998 THEN c END) AS c98 FROM cm)
+      |SELECT rm.b AS brand,
+      |  floor(CAST(rm.m - ov.o AS DOUBLE) / 100 * 100 + 0.5) / 100
+      |    AS brand_effect,
+      |  floor(CAST(ov.o AS DOUBLE) / 100 * 100 + 0.5) / 100 AS overall,
+      |  floor(CAST(cy.c96 AS DOUBLE) / 100 * 100 + 0.5) / 100 AS y1996,
+      |  floor(CAST(cy.c97 AS DOUBLE) / 100 * 100 + 0.5) / 100 AS y1997,
+      |  floor(CAST(cy.c98 AS DOUBLE) / 100 * 100 + 0.5) / 100 AS y1998,
+      |  floor(CAST(res.mr AS DOUBLE) / 100 * 100 + 0.5) / 100
+      |    AS max_abs_resid
+      |FROM rm CROSS JOIN ov CROSS JOIN cy CROSS JOIN res
+      |ORDER BY brand""".stripMargin) { (s, d) =>
+    val cell = Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")).between(1996, 1998))
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("b"),
+        year(col("l_shipdate")).cast("long").as("y"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("r"))
+    val rm = cell.groupBy("b")
+      .agg((sum("r") - max("r") - min("r")).as("m"))
+    val e = cell.join(rm, "b").select(col("b"), col("y"),
+      (col("r") - col("m")).as("e"))
+    // 13th order statistic of 25 values via a bounded rank join
+    def med25(df: DataFrame, part: Option[String], v: String,
+        tie: String, out: String): DataFrame = {
+      val l = df.as("l")
+      val r = df.select((part.toSeq :+ v :+ tie)
+        .map(c => col(c).as(c + "2")): _*)
+      val cond = part.map(p => col(p + "2") === col(s"l.$p"))
+        .getOrElse(lit(true)) &&
+        (col(v + "2") < col(s"l.$v") ||
+          (col(v + "2") === col(s"l.$v") && col(tie + "2") <= col(s"l.$tie")))
+      val ranked = l.join(r, cond)
+        .groupBy((part.toSeq :+ v :+ tie).map(c => col(s"l.$c")): _*)
+        .agg(count(lit(1)).as("rk"))
+      ranked.filter(col("rk") >= 13)
+        .groupBy(part.toSeq.map(c => col(s"l.$c")): _*)
+        .agg(min(col(s"l.$v")).as(out))
+    }
+    val cm = med25(e.select(col("y"), col("e"), col("b")), Some("y"),
+      "e", "b", "c").select(col("l.y").as("y"), col("c"))
+    val ov = med25(rm.select(col("m"), col("b")), None, "m", "b", "o")
+    val res = e.join(broadcast(cm), "y")
+      .agg(max(abs(col("e") - col("c"))).as("mr"))
+    val cy = cm.agg(
+      max(when(col("y") === 1996, col("c"))).as("c96"),
+      max(when(col("y") === 1997, col("c"))).as("c97"),
+      max(when(col("y") === 1998, col("c"))).as("c98"))
+    def dollars(c: Column): Column =
+      floor(c.cast("double") / 100 * 100 + lit(0.5)) / 100
+    rm.crossJoin(broadcast(ov)).crossJoin(broadcast(cy))
+      .crossJoin(broadcast(res))
+      .select(col("b").as("brand"),
+        dollars(col("m") - col("o")).as("brand_effect"),
+        dollars(col("o")).as("overall"),
+        dollars(col("c96")).as("y1996"),
+        dollars(col("c97")).as("y1997"),
+        dollars(col("c98")).as("y1998"),
+        dollars(col("mr")).as("max_abs_resid"))
+      .orderBy("brand")
+  }
+
+  /** Two-sample Cramér–von Mises statistic between the A and R
+    * quantity distributions — the QUADRATIC ECDF functional that
+    * weighs every gap, completing the trio with ks_test (max gap) and
+    * wasserstein_1d (mass moved). Computed in the atom-weighted ECDF
+    * form over the ≤50-value count table: T = mn/(m+n)² ·
+    * Σ_v (c1+c2)·ΔF(v)², with ΔF's numerator the exact BIGINT
+    * cum1·n2 − cum2·n1 and the ≤50 squared terms folded value-sorted.
+    * Reject line = the 0.461 asymptotic 5% point. */
+  lazy val cvmTest: Q = Q(
+    "cvm_test",
+    """WITH b AS (SELECT l_returnflag AS grp,
+      |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS q FROM lineitem
+      |  WHERE l_returnflag IN ('A', 'R')),
+      |c AS (SELECT q,
+      |    CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c1,
+      |    CAST(sum(CASE WHEN grp = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c2
+      |  FROM b GROUP BY q),
+      |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |    CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+      |cum AS (SELECT a.q, any_value(a.c1) AS c1, any_value(a.c2) AS c2,
+      |    CAST(sum(b2.c1) AS BIGINT) AS k1, CAST(sum(b2.c2) AS BIGINT)
+      |      AS k2
+      |  FROM c a JOIN c b2 ON b2.q <= a.q GROUP BY a.q),
+      |t AS (SELECT
+      |    list_aggregate(list((c1 + c2)
+      |      * (CAST(k1 AS DOUBLE) * n.n2 - CAST(k2 AS DOUBLE) * n.n1)
+      |      * (CAST(k1 AS DOUBLE) * n.n2 - CAST(k2 AS DOUBLE) * n.n1)
+      |      ORDER BY q), 'sum')
+      |    / (CAST(n.n1 AS DOUBLE) * n.n1 * n.n2 * n.n2)
+      |    * (CAST(n.n1 AS DOUBLE) * n.n2
+      |      / ((n.n1 + n.n2) * CAST(n.n1 + n.n2 AS DOUBLE))) AS t
+      |  FROM cum CROSS JOIN n GROUP BY n.n1, n.n2)
+      |SELECT n.n1, n.n2, floor(t.t * 1000000 + 0.5) / 1000000 AS t_stat,
+      |  t.t > 0.461 AS reject
+      |FROM t CROSS JOIN n""".stripMargin) { (s, d) =>
+    val c = Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag").as("grp"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("q"))
+      .groupBy("q")
+      .agg(sum(when(col("grp") === "A", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("grp") === "R", 1L).otherwise(0L)).as("c2"))
+    val n = c.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val cum = c.as("a")
+      .join(c.select(col("q").as("q2"), col("c1").as("d1"),
+        col("c2").as("d2")), col("q2") <= col("a.q"))
+      .groupBy(col("a.q").as("q"))
+      .agg(first("c1").as("c1"), first("c2").as("c2"),
+        sum("d1").as("k1"), sum("d2").as("k2"))
+    val t = cum.crossJoin(broadcast(n)).groupBy("n1", "n2")
+      .agg((expr("aggregate(array_sort(collect_list(struct(q, " +
+        "(c1 + c2) * (CAST(k1 AS DOUBLE) * n2 - CAST(k2 AS DOUBLE) * n1) " +
+        "* (CAST(k1 AS DOUBLE) * n2 - CAST(k2 AS DOUBLE) * n1) AS v))), " +
+        "0D, (acc, x) -> acc + x.v)")
+        / (col("n1").cast("double") * col("n1") * col("n2") * col("n2"))
+        * (col("n1").cast("double") * col("n2")
+          / ((col("n1") + col("n2"))
+            * (col("n1") + col("n2")).cast("double")))).as("t"))
+    t.select(col("n1"), col("n2"),
+      (floor(col("t") * 1000000 + lit(0.5)) / 1000000).as("t_stat"),
+      (col("t") > 0.461).as("reject"))
+  }
 
   /** Box–Cox profile log-likelihood over the λ grid
     * {−1, −½, 0, ½, 1} for daily revenue — "which power transform

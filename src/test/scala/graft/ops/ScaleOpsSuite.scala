@@ -281,7 +281,9 @@ class ScaleOpsSuite extends SparkSpec {
       "mmd_embeddings",       // stratum-capped (vec_id < 4096) pair space
       "topic_coherence",      // 1-row source-count broadcast + <=200-row
                               // pair panel broadcast
-      "boxcox_grid")          // 5-row literal lambda axis x daily series
+      "boxcox_grid",          // 5-row literal lambda axis x daily series
+      "median_polish",        // 25x25 / 3-cell bounded rank joins + 1-rows
+      "cvm_test")             // <=50-value cumulative self-join + 1-row
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,

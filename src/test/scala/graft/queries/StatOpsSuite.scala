@@ -1053,6 +1053,62 @@ class StatOpsSuite extends SparkSpec {
       s"dw ${row.getDouble(1)} vs naive $dw")
   }
 
+  test("median_polish: replays the exact one-sweep decomposition") {
+    val cells = graft.Tables.lineitem(spark, sfDir)
+      .filter(year(col("l_shipdate")).between(1996, 1998))
+      .join(graft.Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), year(col("l_shipdate")).as("yr"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+      .toMap
+    val brands = cells.keys.map(_._1).toSeq.distinct.sorted
+    val years = Seq(1996, 1997, 1998)
+    val rowMed = brands.map { b =>
+      val vs = years.map(y => cells((b, y)))
+      b -> (vs.sum - vs.max - vs.min)
+    }.toMap
+    def med25(vs: Seq[(Long, String)]): Long =
+      vs.sortBy(t => (t._1, t._2)).apply(12)._1
+    val colMed = years.map { y =>
+      y -> med25(brands.map(b => (cells((b, y)) - rowMed(b), b)))
+    }.toMap
+    val overall = med25(brands.map(b => (rowMed(b), b)))
+    val maxResid = (for (b <- brands; y <- years)
+      yield math.abs(cells((b, y)) - rowMed(b) - colMed(y))).max
+    val got = StatOps.medianPolish.run(spark, sfDir).collect()
+    assert(got.length == 25)
+    got.foreach { r =>
+      val b = r.getString(0)
+      assert(math.abs(r.getDouble(1) - (rowMed(b) - overall) / 100.0) < 0.011)
+      assert(math.abs(r.getDouble(2) - overall / 100.0) < 0.011)
+      assert(math.abs(r.getDouble(6) - maxResid / 100.0) < 0.011)
+    }
+    // overall is the median of row effects, so brand effects center on 0
+    val effs = got.map(_.getDouble(1)).sorted
+    assert(math.abs(effs(12)) < 0.011, s"median brand effect ${effs(12)}")
+  }
+
+  test("cvm_test: replays the atom-weighted quadratic ECDF functional") {
+    val (x, y) = (quantities("A"), quantities("R"))
+    val (m, n) = (x.length.toDouble, y.length.toDouble)
+    val vals = (x ++ y).distinct.sorted
+    var s = 0.0
+    vals.foreach { v =>
+      val w = x.count(_ == v) + y.count(_ == v)
+      val d = x.count(_ <= v) / m - y.count(_ <= v) / n
+      s += w * d * d
+    }
+    val t = s * m * n / ((m + n) * (m + n))
+    val row = StatOps.cvmTest.run(spark, sfDir).collect().head
+    assert(row.getLong(0) == m.toLong && row.getLong(1) == n.toLong)
+    assert(row.getDouble(2) >= 0)
+    assert(math.abs(row.getDouble(2) - t) < 1e-4,
+      s"T ${row.getDouble(2)} vs naive $t")
+  }
+
   test("kendalls_w: replays rank-sum concordance over brand-year cells") {
     val cells = graft.Tables.lineitem(spark, sfDir)
       .filter(year(col("l_shipdate")).between(1996, 1998))
