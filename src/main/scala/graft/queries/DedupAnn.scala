@@ -1234,8 +1234,10 @@ object DedupAnn {
     val bsLit = lrBs.mkString("[", ", ", "]")
     Q(
       "lsh_recall",
-      s"""WITH sm AS (SELECT doc_id, string_split(text, ' ') AS ts
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 4),
+      s"""WITH sm AS (SELECT doc_id, ts FROM (
+        |    SELECT doc_id, list_filter(string_split(text, ' '),
+        |      w -> len(w) > 0) AS ts FROM documents)
+        |  WHERE len(ts) >= 4),
         |wp AS (SELECT doc_id, list_transform(ts, w ->
         |      list_sum(list_transform(
         |        range(0, CAST(least(length(w), 8) AS BIGINT)),
@@ -1288,9 +1290,14 @@ object DedupAnn {
       // R = 1000003 mod P per 4-token window. The hashed-shingle SET
       // (hhd) is the similarity universe for BOTH legs — long-array
       // ops, no string grams anywhere past the word split.
+      // Empty tokens (consecutive spaces) are dropped BEFORE hashing:
+      // Spark's sequence(0, length('')-1) yields a descending [0,-1]
+      // (hash 0) where DuckDB's range(0, 0) is empty (NULL sum) — the
+      // one token shape where the two word hashes diverge (r8 advice).
       val hs = Tables.documents(s, d)
-        .filter(size(split(col("text"), " ")) >= 4)
-        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), w -> length(w) > 0)").as("ts"))
+        .filter(size(col("ts")) >= 4)
         .withColumn("whs", expr(
           "transform(ts, w -> aggregate(" +
             "sequence(0, least(length(w), 8) - 1), 0L, " +

@@ -1483,8 +1483,10 @@ object TextOps {
     ngramNovelty, distinctNgrams, topicCoherence)
 
   /** UMass topic coherence (Mimno 2011) treating each SOURCE as a
-    * topic: score = Σ_{i<j} ln((D(wᵢ,wⱼ)+1)/D(wⱼ)) over the source's
-    * top-5 tf-idf terms in rank order — the standard "are these top
+    * topic: score = Σ_{i<j} ln((D(wᵢ,wⱼ)+1)/D(wᵢ)) over the source's
+    * top-5 tf-idf terms in rank order — the denominator is the
+    * document frequency of the HIGHER-ranked word of the pair
+    * (Mimno's D(v_l), l < m), per the canonical definition — the standard "are these top
     * words actually about one thing" gate for any topic/cluster
     * output (cluster_topics emits the words; this scores them).
     * Term selection reuses tfidf_top_terms' rounded-score ranking at
@@ -1526,7 +1528,7 @@ object TextOps {
       |  FROM pairs p
       |    LEFT JOIN cooc c ON c.source = p.source AND c.ri = p.ri
       |      AND c.rj = p.rj
-      |    JOIN dfw ON dfw.term = p.wj)
+      |    JOIN dfw ON dfw.term = p.wi)
       |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
       |  floor(list_aggregate(list(v ORDER BY ri, rj), 'sum') * 1000000
       |    + 0.5) / 1000000 AS coherence
@@ -1558,7 +1560,7 @@ object TextOps {
       .groupBy("source", "ri", "rj").agg(count(lit(1)).as("dij"))
     val terms = pairs
       .join(cooc, Seq("source", "ri", "rj"), "left_outer")
-      .join(dfw.select(col("term").as("wj"), col("df")), "wj")
+      .join(dfw.select(col("term").as("wi"), col("df")), "wi")
       .select(col("source"), col("ri"), col("rj"),
         log((coalesce(col("dij"), lit(0L)) + 1.0) / col("df")).as("v"))
     terms.groupBy("source")
@@ -1628,8 +1630,8 @@ object TextOps {
     """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ts
       |  FROM documents),
       |u AS (SELECT source, CAST(sum(len(ts)) AS BIGINT) AS total1,
-      |    CAST(sum(len(ts) - 1) AS BIGINT) AS total2,
-      |    CAST(sum(len(ts) - 2) AS BIGINT) AS total3
+      |    CAST(sum(greatest(len(ts) - 1, 0)) AS BIGINT) AS total2,
+      |    CAST(sum(greatest(len(ts) - 2, 0)) AS BIGINT) AS total3
       |  FROM t GROUP BY source),
       |d1 AS (SELECT source, CAST(count(DISTINCT g) AS BIGINT) AS d1
       |  FROM (SELECT source, unnest(ts) AS g FROM t) GROUP BY source),
@@ -1652,17 +1654,23 @@ object TextOps {
       |  JOIN d2 ON d2.source = u.source JOIN d3 ON d3.source = u.source
       |ORDER BY u.source""".stripMargin) { (s, d) =>
     val t = docs(s, d).select(col("source"), split(col("text"), " ").as("ts"))
+    // Denominators clamp at 0 (greatest): a doc with fewer than n tokens
+    // contributes zero n-grams, not a negative count — and the gram
+    // transform is guarded the same way, because Spark's
+    // sequence(1, 0) yields a DESCENDING [1, 0] rather than the empty
+    // sequence DuckDB's range(1, 1) gives.
     val u = t.groupBy("source").agg(
       sum(size(col("ts"))).as("total1"),
-      sum(size(col("ts")) - 1).as("total2"),
-      sum(size(col("ts")) - 2).as("total3"))
+      sum(greatest(size(col("ts")) - 1, lit(0))).as("total2"),
+      sum(greatest(size(col("ts")) - 2, lit(0))).as("total3"))
     def dn(n: Int, out: String): DataFrame = {
       val g =
         if (n == 1) t.select(col("source"), explode(col("ts")).as("g"))
         else t.select(col("source"), explode(expr(
-          s"transform(sequence(1, size(ts) - ${n - 1}), i -> concat_ws(' ', " +
+          s"CASE WHEN size(ts) >= $n THEN " +
+            s"transform(sequence(1, size(ts) - ${n - 1}), i -> concat_ws(' ', " +
             (0 until n).map(k => s"element_at(ts, i + $k)").mkString(", ")
-            + "))")).as("g"))
+            + s")) ELSE CAST(array() AS ARRAY<STRING>) END")).as("g"))
       g.groupBy("source").agg(countDistinct("g").as(out))
     }
     u.join(dn(1, "d1"), "source").join(dn(2, "d2"), "source")

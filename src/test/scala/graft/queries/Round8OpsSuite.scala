@@ -274,8 +274,10 @@ class Round8OpsSuite extends SparkSpec {
       assert(r.getLong(1) == tot1)
       def r6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000
       assert(r.getDouble(2) == r6(dn(1).toDouble / tot1))
-      assert(r.getDouble(3) == r6(dn(2).toDouble / docs.map(_.length - 1L).sum))
-      assert(r.getDouble(4) == r6(dn(3).toDouble / docs.map(_.length - 2L).sum))
+      assert(r.getDouble(3) == r6(dn(2).toDouble /
+        docs.map(t => math.max(t.length - 1L, 0L)).sum))
+      assert(r.getDouble(4) == r6(dn(3).toDouble /
+        docs.map(t => math.max(t.length - 2L, 0L)).sum))
     }
   }
 
@@ -343,7 +345,7 @@ class Round8OpsSuite extends SparkSpec {
   test("lsh_recall: full naive replay of both legs at sf0.001") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
       .filter(_._2.length >= 4)
     val P = 2147483647L
     def wh(w: String): Long =
@@ -660,7 +662,7 @@ class Round8OpsSuite extends SparkSpec {
       val ws = top5(r.getString(0))
       var c = 0.0; var np = 0
       for (i <- ws.indices; j <- ws.indices if i < j) {
-        c += math.log((dij(ws(i), ws(j)) + 1.0) / df(ws(j)))
+        c += math.log((dij(ws(i), ws(j)) + 1.0) / df(ws(i)))
         np += 1
       }
       assert(r.getLong(1) == np.toLong)
