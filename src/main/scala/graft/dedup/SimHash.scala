@@ -108,10 +108,18 @@ object SimHash {
     * chunk); smaller maxDist → wider chunks → fewer, more selective
     * buckets. */
   def dedupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame =
+    bandedPairs(signatures(docs, idCol, textCol), maxDist)
+
+  /** Pigeonhole Hamming self-join over PRECOMPUTED 64-bit signatures
+    * `(id, sh)` — the hash-agnostic core of [[dedupPairs]], shared with
+    * the perceptual image hash ([[PerceptualHash]]): any 64-bit sketch
+    * whose Hamming distance tracks similarity can ride the same
+    * exhaustive chunk-bucket join. Never an all-pairs comparison. */
+  def bandedPairs(signatures: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
       "maxDist+1 chunks must each be at least 1 bit wide")
-    val sigs = signatures(docs, idCol, textCol).cache()
+    val sigs = signatures.cache()
     // maxDist+1 chunk keys partitioning the 64 signature bits; the
     // first (64 % n) chunks take the extra bit.
     val nChunks = maxDist + 1

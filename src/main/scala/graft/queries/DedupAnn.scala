@@ -1094,11 +1094,98 @@ object DedupAnn {
       .orderBy("split_a", "split_b")
   }
 
+  /** Perceptual IMAGE near-dup pairs — the multimodal→dedup bridge
+    * (r8 verdict #4): every BMP in the corpus plus a re-encode
+    * rendition of it (global +30 brightness, channel-0 salt +9 on
+    * every 37th pixel — the damage profile of a re-published
+    * thumbnail) is aHash-64 fingerprinted from its REAL decoded
+    * planes ([[graft.dedup.PerceptualHash]]), and pairs within
+    * Hamming ≤ 5 come out of the same pigeonhole chunk join as
+    * simhash_dup_pairs (6 chunks ⇒ exhaustive at maxDist 5, never
+    * all-pairs). aHash is exactly invariant to the affine brightness
+    * part, so only salt-touched blocks can flip: planted (img, 0)–
+    * (img, 1) renditions measure ≤ 5 bits apart (sf0.001/sf0.01)
+    * while unrelated cross-image pairs sit ≥ 14 (sf0.01) — threshold
+    * 5 splits them with a ≥ 9-bit margin. Fully oracle-checked: the fixture BMP
+    * pixel is a pure formula of (doc_id, text), so DuckDB replays
+    * gray planes, both renditions, all 64 block comparisons, and the
+    * all-pairs Hamming scan bit-for-bit — a bug in the BMP codec
+    * round-trip, the hash fold, or the banding breaks the match.
+    * Plan: decode + hash are per-row expressions (payloads never
+    * shuffle); only (id, hash) reaches the chunk join. */
+  val phashPairs: Q = Q(
+    "phash_dup_pairs",
+    """WITH d AS (SELECT doc_id, text, length(text) AS len,
+      |             16 + 2*(doc_id % 8) AS w, 16 + 2*((doc_id // 8) % 8) AS h
+      |           FROM documents WHERE doc_id % 3 = 0),
+      |r AS (SELECT doc_id, 0 AS rend, w, h, text, len FROM d
+      |      UNION ALL
+      |      SELECT doc_id, 1 AS rend, w, h, text, len FROM d),
+      |px AS (SELECT doc_id, rend, w, h, text, len,
+      |         unnest(range(0, w*h)) AS p FROM r),
+      |g AS (SELECT doc_id, rend, w, h, (p % w) AS x, (p // w) AS y,
+      |        list_sum(list_transform(range(0,3), c ->
+      |          unicode(substr(text, CAST((p*3 + c) % len AS INT)+1, 1))))
+      |        + CASE WHEN rend = 1
+      |               THEN 90 + CASE WHEN p % 37 = 0 THEN 9 ELSE 0 END
+      |               ELSE 0 END AS gray
+      |      FROM px),
+      |blk AS (SELECT doc_id, rend, (y*8)//h AS r, (x*8)//w AS c, gray
+      |        FROM g),
+      |bs AS (SELECT doc_id, rend, r, c, sum(gray) AS s, count(*) AS n
+      |       FROM blk GROUP BY 1,2,3,4),
+      |tot AS (SELECT doc_id, rend, sum(s) AS t, sum(n) AS nn
+      |        FROM bs GROUP BY 1,2),
+      |bits AS (SELECT bs.doc_id, bs.rend, r*8+c AS bit,
+      |           CASE WHEN bs.s * tot.nn > tot.t * bs.n THEN 1 ELSE 0 END AS b
+      |         FROM bs JOIN tot USING (doc_id, rend)),
+      |sig AS (SELECT doc_id, rend,
+      |    CAST(SUM(CASE WHEN b = 1 THEN
+      |        CASE WHEN bit = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |             ELSE CAST(CAST(1 AS BIGINT) << CAST(bit AS INT) AS HUGEINT)
+      |        END ELSE 0 END) AS BIGINT) AS ph
+      |  FROM bits GROUP BY 1,2)
+      |SELECT a.doc_id AS img_a, CAST(a.rend AS INTEGER) AS rend_a,
+      |  b.doc_id AS img_b, CAST(b.rend AS INTEGER) AS rend_b,
+      |  CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS dist
+      |FROM sig a JOIN sig b
+      |  ON (a.doc_id * 2 + a.rend) < (b.doc_id * 2 + b.rend)
+      |WHERE bit_count(xor(a.ph, b.ph)) <= 5
+      |ORDER BY img_a, rend_a, img_b, rend_b""".stripMargin) { (s, d) =>
+    import graft.functions.GraftFunctions._
+    val media = graft.multimodal.Multimodal
+      .fabricateMedia(Tables.documents(s, d), "doc_id", "text")
+      .filter(col("format") === "bmp")
+    val dec = media.select(col("media_id"), bmpDecode(col("payload")).as("dec"))
+      .select(col("media_id"), col("dec.width").as("w"),
+        col("dec.height").as("h"), col("dec.pixels").as("px"))
+    // rendition 1: positive-affine brightness (+30/channel) + sparse
+    // salt (+9 on channel 0 of every 37th pixel), applied in the
+    // decoded plane domain — the aHash contract says the affine part
+    // is distance-free and only salt blocks may flip
+    val rends = dec
+      .select(col("media_id"), lit(0).as("rend"), col("w"), col("h"), col("px"))
+      .unionAll(dec.select(col("media_id"), lit(1).as("rend"), col("w"),
+        col("h"),
+        expr("transform(px, (v, j) -> v + 30 + " +
+          "IF(j % 3 = 0 AND (j DIV 3) % 37 = 0, 9, 0))").as("px")))
+    val sigs = rends.select(
+      (col("media_id") * 2 + col("rend")).as("id"),
+      graft.dedup.PerceptualHash.aHash64("px", "w", "h").as("sh"))
+    graft.dedup.SimHash.bandedPairs(sigs, maxDist = 5)
+      .select(expr("id_a DIV 2").as("img_a"),
+        (col("id_a") % 2).cast("int").as("rend_a"),
+        expr("id_b DIV 2").as("img_b"),
+        (col("id_b") % 2).cast("int").as("rend_b"),
+        col("dist").cast("int").as("dist"))
+      .orderBy("img_a", "rend_a", "img_b", "rend_b")
+  }
+
   val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, dedupComponents,
     dedupKeepBest, simhashPairs, annTopK, cosineDedupStats, ivfTopK,
     pqEncode, pqAdcTopK, ivfpqTopK, setsimJoin, dupSpans, mmrRerank,
     goldenRecord, bcubedEval, lshPlanner, splitLeakage, lshRecall,
-    ivfProbeSweep)
+    ivfProbeSweep, phashPairs)
 
   /** IVF tuning curve — lsh_recall's vector-side sibling: recall@5 of
     * the seeded-medoid IVF index against the brute-force ground truth

@@ -45,7 +45,14 @@ object ScaleCheck {
     // round-8 continuation: the LSH-recall eval carries its own
     // prefix-filtered exact-join ground truth — superlinear-risk by
     // construction, so it joins the watched family
-    "lsh_recall")
+    "lsh_recall",
+    // round 9 (r8 verdict #2): the battery's two largest shuffles —
+    // harmonic's (seed, node) pair frontiers and adamic_adar's
+    // degree-capped wedge stream — get measured growth points. Both
+    // sampling knobs (seed % 500, target % 20) scale with the
+    // key-shifted copies, so the 10x step exercises 10x seeds/targets
+    // over 10x nodes at constant density.
+    "harmonic_centrality", "adamic_adar")
 
   private final class Shuffle extends SparkListener {
     val bytes = new AtomicLong(0)
