@@ -89,6 +89,55 @@ class Round9OpsSuite extends SparkSpec {
       "no cross-image pair may sit within the planted threshold")
   }
 
+  test("bpe_apply: merges, usage accounting, and fertility match a naive replay") {
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    // naive training: 3 rounds of corpus pair-count → lexicographic-
+    // tie-break argmax → leftmost-non-overlapping fuse
+    var cur = texts
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (_ <- 1 to 3) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      cur.foreach { t =>
+        val ws = t.split(" ", -1)
+        var i = 0
+        while (i < ws.length - 1) {
+          counts((ws(i), ws(i + 1))) = counts.getOrElse((ws(i), ws(i + 1)), 0L) + 1
+          i += 1
+        }
+      }
+      val (w1, w2) = counts.toSeq.maxBy { case ((a, b), c) => (c, a, b) }(
+        Ordering.Tuple3(Ordering.Long, Ordering.String.reverse,
+          Ordering.String.reverse))._1
+      merges += ((w1, w2))
+      cur = cur.map(_.replace(s"$w1 $w2", s"${w1}_$w2"))
+    }
+    // naive inference accounting over the original corpus
+    val stages = texts.map { t0 =>
+      val chain = merges.scanLeft(t0) { case (t, (w1, w2)) =>
+        t.replace(s"$w1 $w2", s"${w1}_$w2")
+      }
+      chain.map(_.split(" ", -1).length.toLong)
+    }
+    val s = (0 to 3).map(i => stages.map(_(i)).sum)
+    val d = (1 to 3).map(i => stages.count(st => st(i) < st(i - 1)).toLong)
+    def fert(x: Long) = math.floor(x.toDouble / s(0) * 1000000 + 0.5) / 1000000
+    val expected = Seq(
+      (0, "", 0L, 0L, s(0), 1.0),
+      (1, merges(0)._1 + "_" + merges(0)._2, d(0), s(0) - s(1), s(1), fert(s(1))),
+      (2, merges(1)._1 + "_" + merges(1)._2, d(1), s(1) - s(2), s(2), fert(s(2))),
+      (3, merges(2)._1 + "_" + merges(2)._2, d(2), s(2) - s(3), s(3), fert(s(3))))
+    val got = run("bpe_apply").collect().map(r => (r.getInt(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == expected)
+    // inference identity: applying the learned table reproduces the
+    // training loop's final corpus token count (bpe_train_rounds)
+    val trainAfter = run("bpe_train_rounds").collect()
+      .map(_.getInt(2).toLong).sum
+    assert(got(3)._5 == trainAfter,
+      "apply(learned merges) must equal training's final token count")
+  }
+
   test("phash aHash: bits invariant under any positive affine pixel map") {
     val (id, text) = {
       val r = graft.Tables.documents(spark, sfDir)
