@@ -201,6 +201,15 @@ object Bench {
     val shufMap = TrieMap.empty[String, Double]
     val peakMap = TrieMap.empty[String, Double]
     val loadMap = TrieMap.empty[String, Double]
+    // Load at the START of the battery that recorded each entry. The
+    // r9 post-mortem: a per-entry flag on MID-battery load self-
+    // triggers — a 406-query local[32] battery drives the box's own
+    // 1-minute loadavg to 2-14, so 404/406 entries flagged on a run
+    // started idle. The flag's question is "was the box busy with
+    // FOREIGN work when this entry was measured?", and only the
+    // battery-start sample answers it; per-entry mid-battery load
+    // stays recorded as attribution data for suspect_load.
+    val startLoadMap = TrieMap.empty[String, Double]
     // ONLY-mode benches a subset while iterating locally; without this
     // preload the artifact rewrite would DROP every other query's rows
     // (the previous full-battery numbers), so seed the maps from the
@@ -224,6 +233,19 @@ object Bench {
       shufMap ++= loadArtifactMap("queries_shuffle_mb")
       peakMap ++= loadArtifactMap("queries_peak_mem_mb")
       loadMap ++= loadArtifactMap("queries_load")
+      startLoadMap ++= loadArtifactMap("queries_start_load")
+      // Artifacts written before queries_start_load existed carried
+      // only the mid-battery per-entry load; seed those entries from
+      // the old artifact's own battery-start sample (load_avg[0]) so
+      // a pre-upgrade idle-started record doesn't stay flagged.
+      if (!startLoadMap.keySet.exists(minMap.contains)) {
+        val txt = try scala.io.Source.fromFile("BENCH_SELF.json").mkString
+        catch { case _: Throwable => "" }
+        val la = """"load_avg":\[(-?\d+(?:\.\d+)?)""".r
+        la.findFirstMatchIn(txt).map(_.group(1).toDouble).foreach { s0 =>
+          minMap.keys.foreach(n => startLoadMap.getOrElseUpdate(n, s0))
+        }
+      }
     }
     val rerun = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val linePrinted = new AtomicBoolean(false)
@@ -244,11 +266,13 @@ object Bench {
       }
       // Round-8 post-mortem: the flag was artifact-global, so a warm-box
       // refresh of TWO queries re-flagged a 404-entry idle record. It is
-      // now PER-ENTRY (each query keeps the load it was recorded under;
-      // in ONLY-mode the untouched entries keep their seeded loads) and
-      // the artifact flag is their disjunction — re-measuring the flagged
-      // entries from idle un-flags the artifact without a full re-run.
-      val flaggedEntries = loadMap.filter(_._2 > maxLoad).keys.toSeq.sorted
+      // PER-ENTRY (in ONLY-mode the untouched entries keep their seeded
+      // values) and the artifact flag is their disjunction. Round-9
+      // post-mortem: flagging on per-entry MID-battery load self-
+      // triggered (the battery IS the load on a 32-thread box), so each
+      // entry is flagged on the load at the START of the battery that
+      // recorded it — foreign load, not self-load.
+      val flaggedEntries = startLoadMap.filter(_._2 > maxLoad).keys.toSeq.sorted
       val entryFlagged = flaggedEntries.nonEmpty
       // suspect_load: entries that would read as round-over-round
       // regressions (>2x the best prior-round min) but were recorded
@@ -263,7 +287,8 @@ object Bench {
       val body = s"""{"metric":"total","value":$totalStr,"unit":"sec","partial":$partial,""" +
         s""""queries":${fmtMap(minMap)},"queries_median":${fmtMap(medMap)},""" +
         s""""queries_shuffle_mb":${fmtMap(shufMap)},"queries_peak_mem_mb":${fmtMap(peakMap)},""" +
-        s""""queries_load":${fmtMap(loadMap)},"load_flagged":$entryFlagged,""" +
+        s""""queries_load":${fmtMap(loadMap)},""" +
+        s""""queries_start_load":${fmtMap(startLoadMap)},"load_flagged":$entryFlagged,""" +
         s""""queries_load_flagged":${strArr(flaggedEntries)},""" +
         s""""suspect_load":${strArr(suspect)},"max_load":$maxLoad,""" +
         s""""load_avg":[$loadStart,${loadAvg()}],"remeasured":$rr,"sf":"$sfDir"}"""
@@ -385,6 +410,7 @@ object Bench {
       minMap(name) = if (ok) sortedT.head else -1.0
       medMap(name) = if (ok) sortedT(sortedT.size / 2) else -1.0
       loadMap(name) = loadAvg()
+      startLoadMap(name) = loadStart
       writeArtifact(partial = true)
     }
 

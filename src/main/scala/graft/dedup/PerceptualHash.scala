@@ -41,7 +41,8 @@ object PerceptualHash {
   /** 64-bit aHash of a decoded pixel-plane column. `px` must name an
     * integral array column laid out `[r,g,b, r,g,b, …]` row-major
     * (BmpDecode/PngDecode/JpegDecode output), `w`/`h` integral width/
-    * height columns with w ≥ 8 and h ≥ 8. All three are plain column
+    * height columns with w ≥ 8 and h ≥ 8 (ENFORCED — an undersized
+    * image raises rather than silently mis-hashing). All three are plain column
     * names (SQL-expr form; bit packing and the per-block folds are
     * native in SQL higher-order functions). Bit 63 packs via
     * shiftleft(1, 63) = Long.MinValue, the same two's-complement
@@ -53,7 +54,17 @@ object PerceptualHash {
     * so the expression is O(w·h) per row. gs/total are bound once via
     * the aggregate-over-singleton-struct trick (a SQL lambda cannot
     * declare locals; same device as SimHash.tokenHashSql). */
-  def aHash64(px: String, w: String, h: String): Column = {
+  def aHash64(px: String, w: String, h: String): Column =
+    aHash64Gray(
+      s"transform(sequence(0, $w * $h - 1), " +
+        s"p -> CAST($px[3*p] AS BIGINT) + $px[3*p+1] + $px[3*p+2])",
+      w, h)
+
+  /** [[aHash64]] over an already-gray plane: `gs` is a SQL expression
+    * producing the BIGINT gray array (row-major, w·h cells). This is
+    * the shared core — the RGB form collapses channels into it, and
+    * the video fingerprint feeds it a temporally pooled luma plane. */
+  def aHash64Gray(gs: String, w: String, h: String): Column = {
     val ylo = s"(((bb DIV 8) * $h + 7) DIV 8)"
     val yhi = s"((((bb DIV 8) + 1) * $h + 7) DIV 8 - 1)"
     val xlo = s"(((bb % 8) * $w + 7) DIV 8)"
@@ -63,11 +74,13 @@ object PerceptualHash {
          |  (sy, y) -> sy + aggregate(sequence($xlo, $xhi), CAST(0 AS BIGINT),
          |    (sx, x) -> sx + u.gs[y * $w + x]))""".stripMargin
     val nBlock = s"(($yhi - $ylo + 1) * ($xhi - $xlo + 1))"
-    expr(
+    // w,h < 8 make some blocks empty (ylo > yhi), and sequence() counts
+    // DOWN for a descending range — the fold would double-count rows
+    // and hash WRONG rather than fail (r9 advisor). Fail loudly instead:
+    // the guard is a runtime branch, so valid rows pay one comparison.
+    val hash =
       s"""aggregate(
-         |  array(named_struct('gs',
-         |    transform(sequence(0, $w * $h - 1),
-         |      p -> CAST($px[3*p] AS BIGINT) + $px[3*p+1] + $px[3*p+2]))),
+         |  array(named_struct('gs', $gs)),
          |  CAST(NULL AS BIGINT),
          |  (ig, st) -> aggregate(
          |    array(named_struct('gs', st.gs,
@@ -77,6 +90,56 @@ object PerceptualHash {
          |      (acc, bb) -> acc | IF(
          |        $blockSum * ($w * $h) > u.t * $nBlock,
          |        shiftleft(CAST(1 AS BIGINT), bb), CAST(0 AS BIGINT)))))"""
+        .stripMargin
+    expr(
+      s"""IF($w >= 8 AND $h >= 8, $hash,
+         |   CAST(raise_error(concat('aHash64 requires w,h >= 8; got ',
+         |     CAST($w AS STRING), 'x', CAST($h AS STRING))) AS BIGINT))"""
         .stripMargin)
+  }
+
+  /** 64-bit audio ENERGY hash of a decoded PCM sample column — the
+    * aHash construction transplanted to the time axis: carve the n
+    * samples into 64 contiguous blocks (block b spans samples i with
+    * i·64 div n = b — the same exact integer box-resize as the image
+    * grid), and set bit b iff the block's mean ABSOLUTE amplitude
+    * exceeds the clip's mean, cross-multiplied (`S·n > T·cnt`) so the
+    * whole fingerprint is BIGINT-exact and a DuckDB oracle replays it
+    * bit-for-bit. Invariance contract: |g·s| = g·|s| for any positive
+    * integer gain g, so a gain-shifted re-encode of the same clip
+    * lands at Hamming distance 0, and sparse damage (clicks, dropouts)
+    * flips only the time blocks it touches — while unrelated clips sit
+    * near the binomial mean of 32. `sm` names an integral array
+    * column (WavDecode's samples, or any PCM plane); n = size(sm)
+    * must be ≥ 64 (ENFORCED — shorter clips raise rather than
+    * silently mis-hashing on empty descending block ranges, the same
+    * guard as aHash64). Bit 63 packs via shiftleft(1, 63) =
+    * Long.MinValue, the SimHash/aHash two's-complement convention. */
+  def energyHash64(sm: String): Column = {
+    val ilo = s"((bb * u.n + 63) DIV 64)"
+    val ihi = s"(((bb + 1) * u.n + 63) DIV 64 - 1)"
+    val nBlock = s"($ihi - $ilo + 1)"
+    val blockSum =
+      s"""aggregate(sequence($ilo, $ihi), CAST(0 AS BIGINT),
+         |  (sx, i) -> sx + u.av[CAST(i AS INT)])""".stripMargin
+    val hash =
+      s"""aggregate(
+         |  array(named_struct('av',
+         |    transform($sm, v -> abs(CAST(v AS BIGINT))))),
+         |  CAST(NULL AS BIGINT),
+         |  (ig, st) -> aggregate(
+         |    array(named_struct('av', st.av,
+         |      't', aggregate(st.av, CAST(0 AS BIGINT), (a, v) -> a + v),
+         |      'n', CAST(size(st.av) AS BIGINT))),
+         |    CAST(NULL AS BIGINT),
+         |    (ig2, u) -> aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+         |      (acc, bb) -> acc | IF(
+         |        $blockSum * u.n > u.t * $nBlock,
+         |        shiftleft(CAST(1 AS BIGINT), bb), CAST(0 AS BIGINT)))))"""
+        .stripMargin
+    expr(
+      s"""IF(size($sm) >= 64, $hash,
+         |   CAST(raise_error(concat('energyHash64 requires >= 64 samples; got ',
+         |     CAST(size($sm) AS STRING))) AS BIGINT))""".stripMargin)
   }
 }

@@ -115,11 +115,19 @@ object SimHash {
     * `(id, sh)` — the hash-agnostic core of [[dedupPairs]], shared with
     * the perceptual image hash ([[PerceptualHash]]): any 64-bit sketch
     * whose Hamming distance tracks similarity can ride the same
-    * exhaustive chunk-bucket join. Never an all-pairs comparison. */
+    * exhaustive chunk-bucket join. Never an all-pairs comparison.
+    *
+    * This core does NOT cache (the r9 advisor: a cache() here leaked a
+    * persisted copy per invocation with no unpersist hook — lazy
+    * results give the library no materialization point to release it).
+    * CALLERS own caching if they need it; in the common sort-merge
+    * self-join plan both sides shuffle on identical (chunk_idx,
+    * chunk_key) exchanges, so Spark's ReuseExchange computes the
+    * signature scan once even uncached. */
   def bandedPairs(signatures: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
       "maxDist+1 chunks must each be at least 1 bit wide")
-    val sigs = signatures.cache()
+    val sigs = signatures
     // maxDist+1 chunk keys partitioning the 64 signature bits; the
     // first (64 % n) chunks take the extra bit.
     val nChunks = maxDist + 1

@@ -78,7 +78,15 @@ object Multimodal {
     val enc = udf { (id: Long, text: String) =>
       require(text.nonEmpty, "media synthesis needs non-empty text")
       val len = text.length
-      def cp(j: Int): Int = text.charAt(j % len).toInt
+      // Same non-Latin-1 guard fabricateGif/fabricateH264 enforce: a
+      // code point > 255 would silently wrap in the .toByte payload
+      // while the oracle replays the full unicode() value — a
+      // confusing hash mismatch instead of a loud error (r9 advisor).
+      def cp(j: Int): Int = {
+        val c = text.charAt(j % len).toInt
+        require(c < 256, s"media synthesis needs Latin-1 text; got code point $c")
+        c
+      }
       Math.floorMod(id, 3L) match {
         case 0L =>
           val w = (16 + 2 * Math.floorMod(id, 8L)).toInt
@@ -100,7 +108,17 @@ object Multimodal {
     docs.select(
       col(idCol).as("media_id"),
       when(m === 0, "bmp").when(m === 1, "wav").otherwise("y4m").as("format"),
-      enc(col(idCol), col(textCol)).as("payload"))
+      // asNondeterministic is an OPTIMIZER FENCE, not a statement about
+      // enc (which is a pure function of (id, text)): downstream
+      // derived predicates — e.g. a join's inferred
+      // isnotnull(f(payload)) where f decodes — must not be pushed
+      // through this Project, because predicate-level common-
+      // subexpression elimination then evaluates the decode EAGERLY on
+      // every row, including payloads of other modalities, and the
+      // strict codecs throw on foreign bytes (observed: a banded
+      // self-join over bmp hashes pushed a chunk-key null filter into
+      // the scan and bmpDecode met WAV bytes).
+      enc.asNondeterministic()(col(idCol), col(textCol)).as("payload"))
   }
 
   /** PNG media table: one real RFC-2083 container per document, with

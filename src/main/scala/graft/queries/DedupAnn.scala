@@ -1153,9 +1153,17 @@ object DedupAnn {
       |WHERE bit_count(xor(a.ph, b.ph)) <= 5
       |ORDER BY img_a, rend_a, img_b, rend_b""".stripMargin) { (s, d) =>
     import graft.functions.GraftFunctions._
+    // Modality is selected on doc_id BEFORE fabrication (id%3=0 ⇒ every
+    // payload IS a bmp): a post-hoc format filter left the non-BMP rows
+    // in the plan, and the banded join's derived isnotnull(chunk_key)
+    // predicates — chunk_key is a function of the decode — push below a
+    // commuting filter, evaluating bmpDecode on WAV bytes (throws).
+    // Filtering the generator column is both the fix and cheaper: the
+    // other modalities' payloads are never fabricated at all.
     val media = graft.multimodal.Multimodal
-      .fabricateMedia(Tables.documents(s, d), "doc_id", "text")
-      .filter(col("format") === "bmp")
+      .fabricateMedia(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text")
     val dec = media.select(col("media_id"), bmpDecode(col("payload")).as("dec"))
       .select(col("media_id"), col("dec.width").as("w"),
         col("dec.height").as("h"), col("dec.pixels").as("px"))
@@ -1181,11 +1189,199 @@ object DedupAnn {
       .orderBy("img_a", "rend_a", "img_b", "rend_b")
   }
 
+  /** Perceptual AUDIO near-dup pairs — the WAV half of the
+    * multimodal→dedup bridge (r9 verdict #5; phash_dup_pairs closed
+    * the image half): every PCM-WAV clip in the corpus plus a
+    * re-encode rendition of it (gain ×2, +999 click on every 53rd
+    * sample — the damage profile of a re-levelled, lightly corrupted
+    * re-publication) is energy-hash-64 fingerprinted from its REAL
+    * decoded samples ([[graft.dedup.PerceptualHash.energyHash64]]),
+    * and pairs within Hamming ≤ 5 come out of the same pigeonhole
+    * chunk join as simhash/phash (6 chunks ⇒ exhaustive at maxDist 5,
+    * never all-pairs). |2s| = 2|s| makes the gain part exactly
+    * distance-free, so only click-touched time blocks can flip.
+    * Fully oracle-checked: the fixture sample is a pure formula of
+    * (doc_id, text) — s[i] = unicode(text[i % len])·257 − 16384 — so
+    * DuckDB replays both renditions, all 64 block comparisons, and
+    * the all-pairs Hamming scan bit-for-bit; a bug in the WAV codec
+    * round-trip, the hash fold, or the banding breaks the match.
+    * Plan: decode + hash are per-row expressions (payloads never
+    * shuffle); only (id, hash) reaches the chunk join. */
+  val audioPairs: Q = Q(
+    "audio_dup_pairs",
+    """WITH d AS (SELECT doc_id, text, length(text) AS len,
+      |             200 + doc_id % 100 AS n
+      |           FROM documents WHERE doc_id % 3 = 1),
+      |r AS (SELECT doc_id, 0 AS rend, text, len, n FROM d
+      |      UNION ALL
+      |      SELECT doc_id, 1 AS rend, text, len, n FROM d),
+      |sm AS (SELECT doc_id, rend, n, text, len,
+      |         unnest(range(0, n)) AS i FROM r),
+      |v AS (SELECT doc_id, rend, n, i,
+      |        abs((unicode(substr(text, CAST(i % len AS INT) + 1, 1))
+      |               * 257 - 16384)
+      |            * CASE WHEN rend = 1 THEN 2 ELSE 1 END
+      |            + CASE WHEN rend = 1 AND i % 53 = 0 THEN 999 ELSE 0 END)
+      |          AS av
+      |      FROM sm),
+      |blk AS (SELECT doc_id, rend, (i * 64) // n AS b, av FROM v),
+      |bs AS (SELECT doc_id, rend, b, sum(av) AS s, count(*) AS cnt
+      |       FROM blk GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, rend, sum(s) AS t, sum(cnt) AS nn
+      |        FROM bs GROUP BY 1, 2),
+      |bits AS (SELECT bs.doc_id, bs.rend, b AS bit,
+      |           CASE WHEN bs.s * tot.nn > tot.t * bs.cnt
+      |                THEN 1 ELSE 0 END AS bv
+      |         FROM bs JOIN tot USING (doc_id, rend)),
+      |sig AS (SELECT doc_id, rend,
+      |    CAST(SUM(CASE WHEN bv = 1 THEN
+      |        CASE WHEN bit = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |             ELSE CAST(CAST(1 AS BIGINT) << CAST(bit AS INT) AS HUGEINT)
+      |        END ELSE 0 END) AS BIGINT) AS ah
+      |  FROM bits GROUP BY 1, 2)
+      |SELECT a.doc_id AS aud_a, CAST(a.rend AS INTEGER) AS rend_a,
+      |  b.doc_id AS aud_b, CAST(b.rend AS INTEGER) AS rend_b,
+      |  CAST(bit_count(xor(a.ah, b.ah)) AS INTEGER) AS dist
+      |FROM sig a JOIN sig b
+      |  ON (a.doc_id * 2 + a.rend) < (b.doc_id * 2 + b.rend)
+      |WHERE bit_count(xor(a.ah, b.ah)) <= 5
+      |ORDER BY aud_a, rend_a, aud_b, rend_b""".stripMargin) { (s, d) =>
+    import graft.functions.GraftFunctions._
+    // id%3=1 selected BEFORE fabrication (same reasoning as
+    // phash_dup_pairs: every payload IS a wav, so a pushed-down
+    // decode-derived predicate can never meet foreign bytes, and the
+    // other modalities are never fabricated)
+    val media = graft.multimodal.Multimodal
+      .fabricateMedia(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(3)) === 1),
+        "doc_id", "text")
+    val dec = media.select(col("media_id"),
+      wavDecode(col("payload")).getField("samples").as("sm"))
+    // rendition 1: positive gain (×2, exactly distance-free for the
+    // energy hash) + sparse click (+999 on every 53rd sample), applied
+    // in the decoded sample domain — only click-touched blocks may flip
+    val rends = dec
+      .select(col("media_id"), lit(0).as("rend"),
+        expr("transform(sm, v -> CAST(v AS BIGINT))").as("sm"))
+      .unionAll(dec.select(col("media_id"), lit(1).as("rend"),
+        expr("transform(sm, (v, i) -> CAST(v AS BIGINT) * 2 + " +
+          "IF(i % 53 = 0, 999, 0))").as("sm")))
+    val sigs = rends.select(
+      (col("media_id") * 2 + col("rend")).as("id"),
+      graft.dedup.PerceptualHash.energyHash64("sm").as("sh"))
+    graft.dedup.SimHash.bandedPairs(sigs, maxDist = 5)
+      .select(expr("id_a DIV 2").as("aud_a"),
+        (col("id_a") % 2).cast("int").as("rend_a"),
+        expr("id_b DIV 2").as("aud_b"),
+        (col("id_b") % 2).cast("int").as("rend_b"),
+        col("dist").cast("int").as("dist"))
+      .orderBy("aud_a", "rend_a", "aud_b", "rend_b")
+  }
+
+  /** Perceptual VIDEO near-dup pairs — the Y4M third of the
+    * multimodal→dedup bridge, completing the image/audio/video triple:
+    * every video's decoded luma frames are TEMPORALLY POOLED into one
+    * per-pixel sum plane (the integer-exact form of the mean frame —
+    * the classic temporally-pooled frame-hash construction), that
+    * plane is aHash-64 fingerprinted through the same shared gray core
+    * as phash ([[graft.dedup.PerceptualHash.aHash64Gray]]), and pairs
+    * within Hamming ≤ 5 come out of the same pigeonhole chunk join.
+    * Rendition 1 re-encodes every frame with a positive affine luma
+    * map (y → 2y + 5; pooled plane becomes 2·pool + 5·nf — still
+    * affine, so exactly distance-free) plus sparse salt (+7 on every
+    * 97th pixel of frame 0 only — ≤ 3 of the 64 blocks can flip).
+    * Fully oracle-checked from the fixture formula
+    * (y[f·256+j] = unicode(text[(f·256+j) % len])): DuckDB replays the
+    * pooling, both renditions, all 64 block comparisons, and the
+    * all-pairs Hamming scan bit-for-bit. Plan: decode + pool + hash
+    * are ONE per-row expression — frames never shuffle, only
+    * (id, hash) reaches the banded join. */
+  val videoPairs: Q = Q(
+    "video_dup_pairs",
+    """WITH d AS (SELECT doc_id, text, length(text) AS len,
+      |             1 + doc_id % 8 AS nf
+      |           FROM documents WHERE doc_id % 3 = 2),
+      |r AS (SELECT doc_id, 0 AS rend, text, len, nf FROM d
+      |      UNION ALL
+      |      SELECT doc_id, 1 AS rend, text, len, nf FROM d),
+      |cell AS (SELECT doc_id, rend, nf, text, len,
+      |           unnest(range(0, 256)) AS j FROM r),
+      |pool AS (SELECT doc_id, rend, j,
+      |    list_sum(list_transform(range(0, nf), f ->
+      |      unicode(substr(text, CAST((f * 256 + j) % len AS INT) + 1, 1))
+      |        * CASE WHEN rend = 1 THEN 2 ELSE 1 END
+      |      + CASE WHEN rend = 1 THEN 5 ELSE 0 END
+      |      + CASE WHEN rend = 1 AND f = 0 AND j % 97 = 0
+      |             THEN 7 ELSE 0 END)) AS g
+      |  FROM cell),
+      |blk AS (SELECT doc_id, rend,
+      |          ((j // 16) // 2) * 8 + ((j % 16) // 2) AS bit, g
+      |        FROM pool),
+      |bs AS (SELECT doc_id, rend, bit, sum(g) AS s, count(*) AS n
+      |       FROM blk GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, rend, sum(s) AS t, sum(n) AS nn
+      |        FROM bs GROUP BY 1, 2),
+      |bits AS (SELECT bs.doc_id, bs.rend, bit,
+      |           CASE WHEN bs.s * tot.nn > tot.t * bs.n
+      |                THEN 1 ELSE 0 END AS bv
+      |         FROM bs JOIN tot USING (doc_id, rend)),
+      |sig AS (SELECT doc_id, rend,
+      |    CAST(SUM(CASE WHEN bv = 1 THEN
+      |        CASE WHEN bit = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |             ELSE CAST(CAST(1 AS BIGINT) << CAST(bit AS INT) AS HUGEINT)
+      |        END ELSE 0 END) AS BIGINT) AS vh
+      |  FROM bits GROUP BY 1, 2)
+      |SELECT a.doc_id AS vid_a, CAST(a.rend AS INTEGER) AS rend_a,
+      |  b.doc_id AS vid_b, CAST(b.rend AS INTEGER) AS rend_b,
+      |  CAST(bit_count(xor(a.vh, b.vh)) AS INTEGER) AS dist
+      |FROM sig a JOIN sig b
+      |  ON (a.doc_id * 2 + a.rend) < (b.doc_id * 2 + b.rend)
+      |WHERE bit_count(xor(a.vh, b.vh)) <= 5
+      |ORDER BY vid_a, rend_a, vid_b, rend_b""".stripMargin) { (s, d) =>
+    import graft.functions.GraftFunctions._
+    // id%3=2 selected BEFORE fabrication (the phash/audio discipline:
+    // every payload IS a y4m)
+    val media = graft.multimodal.Multimodal
+      .fabricateMedia(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(3)) === 2),
+        "doc_id", "text")
+    val dec = media.select(col("media_id"),
+      y4mDecode(col("payload")).as("dec"))
+      .select(col("media_id"), col("dec.width").as("w"),
+        col("dec.height").as("h"), col("dec.frames").as("frames"))
+    // rendition 1: per-frame positive affine luma map + sparse salt on
+    // frame 0, applied in the decoded frame domain
+    val rends = dec
+      .select(col("media_id"), lit(0).as("rend"), col("w"), col("h"),
+        col("frames"))
+      .unionAll(dec.select(col("media_id"), lit(1).as("rend"), col("w"),
+        col("h"),
+        expr("""transform(frames, (fr, f) -> transform(fr, (v, j) ->
+               |  v * 2 + 5 + IF(f = 0 AND j % 97 = 0, 7, 0)))"""
+          .stripMargin).as("frames")))
+    // temporal pooling + hash as one per-row expression: pooled[j] =
+    // Σ_f frames[f][j] in BIGINT, then the shared gray aHash core
+    val pooledGs =
+      """aggregate(frames,
+        |  array_repeat(CAST(0 AS BIGINT), CAST(w * h AS INT)),
+        |  (acc, fr) -> zip_with(acc, fr, (a, b) -> a + b))""".stripMargin
+    val sigs = rends.select(
+      (col("media_id") * 2 + col("rend")).as("id"),
+      graft.dedup.PerceptualHash.aHash64Gray(pooledGs, "w", "h").as("sh"))
+    graft.dedup.SimHash.bandedPairs(sigs, maxDist = 5)
+      .select(expr("id_a DIV 2").as("vid_a"),
+        (col("id_a") % 2).cast("int").as("rend_a"),
+        expr("id_b DIV 2").as("vid_b"),
+        (col("id_b") % 2).cast("int").as("rend_b"),
+        col("dist").cast("int").as("dist"))
+      .orderBy("vid_a", "rend_a", "vid_b", "rend_b")
+  }
+
   val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, dedupComponents,
     dedupKeepBest, simhashPairs, annTopK, cosineDedupStats, ivfTopK,
     pqEncode, pqAdcTopK, ivfpqTopK, setsimJoin, dupSpans, mmrRerank,
     goldenRecord, bcubedEval, lshPlanner, splitLeakage, lshRecall,
-    ivfProbeSweep, phashPairs)
+    ivfProbeSweep, phashPairs, audioPairs, videoPairs)
 
   /** IVF tuning curve — lsh_recall's vector-side sibling: recall@5 of
     * the seeded-medoid IVF index against the brute-force ground truth

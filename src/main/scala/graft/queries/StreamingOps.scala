@@ -171,6 +171,132 @@ object StreamingOps {
     s.table(sink).orderBy("p_id", "c_id")
   }
 
+  /** STREAM-STREAM **LEFT OUTER** join — the watermark-driven
+    * NULL-EMISSION semantics none of the other parity rows pin (r8
+    * verdict #6, carried through r9): purchases left-joined to the
+    * same user's clicks in the preceding hour, where an unmatched
+    * purchase emits (p_id, NULL) only once the watermark proves no
+    * future click can match it. Outer joins REQUIRE watermarks (state
+    * must be evictable), and a watermark over the id-interleaved
+    * chunks would drop half the corpus as late input — so this row
+    * streams the TIME-ORDERED chunk layout ([[timeChunkDir]]), under
+    * which (a) no input is ever late, (b) state eviction never
+    * removes a still-matchable row (a click evicted at watermark
+    * max_k − 10 min can only match purchases with p_ts ≤ c_ts + 1h <
+    * that watermark, which would already have arrived), so the
+    * matched pairs are EXACTLY the batch inner join, and (c) a
+    * null emits iff the purchase is globally unmatched AND the FINAL
+    * watermark passed its p_ts — where the final watermark is
+    * min(max purchase ts, max click ts) − 10 min, because each
+    * withWatermark node tracks the max event time IT has seen
+    * (post-filter) and the global watermark is their min
+    * (multipleWatermarkPolicy=min, the default; pinned empirically —
+    * the clicks end before the purchases in this fixture, so the last
+    * purchases stay in state forever and the oracle says so; the
+    * trailing no-data micro-batch performs the final eviction).
+    * Output order pins NULLS LAST explicitly (Spark defaults
+    * nulls-first ASC, DuckDB nulls-last). State is hash-partitioned
+    * by user_id on both sides, never broadcast. */
+  val streamLeftJoinParity: Q = Q(
+    "stream_left_join_parity",
+    """WITH p AS (SELECT event_id AS p_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_id, user_id, ts FROM events
+      |      WHERE event_type = 'click'),
+      |m AS (SELECT p.p_id, c.c_id FROM p JOIN c
+      |        ON p.user_id = c.user_id
+      |        AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts),
+      |wm AS (SELECT least((SELECT max(ts) FROM p),
+      |                    (SELECT max(ts) FROM c))
+      |         - INTERVAL 10 MINUTE AS w)
+      |SELECT p_id, c_id FROM m
+      |UNION ALL
+      |SELECT p.p_id, CAST(NULL AS BIGINT) AS c_id FROM p, wm
+      |WHERE p.ts < wm.w
+      |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.p_id)
+      |ORDER BY p_id, c_id NULLS LAST""".stripMargin) { (s, d) =>
+    val sink = s"stream_left_join_parity_sink_${sinkId.incrementAndGet()}"
+    val p = timeOrderedFileStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val c = timeOrderedFileStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    withStatePartitions(s, 8) {
+      val q = p.join(c, col("p_user") === col("c_user")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+          && col("c_ts") <= col("p_ts"), "left_outer")
+        .select(col("p_id"), col("c_id"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(sink).orderBy(col("p_id"), col("c_id").asc_nulls_last)
+  }
+
+  /** STREAM-STREAM **FULL OUTER** join — both null-emission paths at
+    * once, completing the inner/left/full join family: unmatched
+    * purchases emit (p_id, NULL) once the watermark passes p_ts (same
+    * derivation as the LEFT row), and unmatched clicks emit
+    * (NULL, c_id) once the watermark passes c_ts + 1h — the click's
+    * no-future-match point comes from the OTHER inequality
+    * (a future purchase has p_ts > wm, a match needs
+    * p_ts ≤ c_ts + 1h, so eviction requires wm ≥ c_ts + 1h). Same
+    * time-ordered chunk scaffold and min-of-sides final watermark as
+    * [[streamLeftJoinParity]]; both boundary comparators pinned
+    * empirically at both fixture SFs and by the Round10 suite. */
+  val streamFullJoinParity: Q = Q(
+    "stream_full_join_parity",
+    """WITH p AS (SELECT event_id AS p_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_id, user_id, ts FROM events
+      |      WHERE event_type = 'click'),
+      |m AS (SELECT p.p_id, c.c_id FROM p JOIN c
+      |        ON p.user_id = c.user_id
+      |        AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts),
+      |wm AS (SELECT least((SELECT max(ts) FROM p),
+      |                    (SELECT max(ts) FROM c))
+      |         - INTERVAL 10 MINUTE AS w)
+      |SELECT p_id, c_id FROM m
+      |UNION ALL
+      |SELECT p.p_id, CAST(NULL AS BIGINT) AS c_id FROM p, wm
+      |WHERE p.ts < wm.w
+      |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.p_id)
+      |UNION ALL
+      |SELECT CAST(NULL AS BIGINT) AS p_id, c.c_id FROM c, wm
+      |WHERE c.ts + INTERVAL 1 HOUR < wm.w
+      |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.c_id = c.c_id)
+      |ORDER BY p_id NULLS LAST, c_id NULLS LAST""".stripMargin) { (s, d) =>
+    val sink = s"stream_full_join_parity_sink_${sinkId.incrementAndGet()}"
+    val p = timeOrderedFileStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val c = timeOrderedFileStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    withStatePartitions(s, 8) {
+      val q = p.join(c, col("p_user") === col("c_user")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+          && col("c_ts") <= col("p_ts"), "full_outer")
+        .select(col("p_id"), col("c_id"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(sink)
+      .orderBy(col("p_id").asc_nulls_last, col("c_id").asc_nulls_last)
+  }
+
   /** Streaming DEDUPLICATION ≡ batch distinct: dropDuplicates over a
     * file stream keeps per-key state in the state store and emits each
     * key's FIRST arrival — micro-batch arrival order is not knowable,
@@ -266,9 +392,22 @@ object StreamingOps {
     * state that must still reach the batch fixpoint. */
   private val StreamChunks = 4
 
-  private def fileStream(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def fileStream(s: org.apache.spark.sql.SparkSession, d: String) =
+    streamFromDir(s, d, chunkDir(s, d))
+
+  /** Like [[fileStream]] but over the TIME-ORDERED chunk layout
+    * ([[timeChunkDir]]): batch k's event times all precede batch
+    * k+1's, so a watermarked query never drops input as late — the
+    * arrival discipline of a landing directory fed by a time-
+    * partitioned upstream, and the one that makes OUTER-join null
+    * emission oracle-expressible (the output depends only on the
+    * FINAL watermark, not the batch schedule). */
+  private def timeOrderedFileStream(s: org.apache.spark.sql.SparkSession, d: String) =
+    streamFromDir(s, d, timeChunkDir(s, d))
+
+  private def streamFromDir(s: org.apache.spark.sql.SparkSession,
+      d: String, srcDir: String) = {
     val physical = s.read.parquet(s"$d/events.parquet").schema
-    val srcDir = chunkDir(s, d)
     val streamed = s.readStream.schema(physical)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
@@ -300,7 +439,41 @@ object StreamingOps {
     * every streaming query and every bench rep; _SUCCESS marks a
     * complete build so a killed half-write is rebuilt, and the staging
     * dir is unique per attempt so two sessions can't interleave). */
-  private[graft] def chunkDir(s: org.apache.spark.sql.SparkSession, d: String): String = synchronized {
+  private[graft] def chunkDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    buildChunkDir(s, d, "chunks") { (raw, i) =>
+      raw.filter(pmod(col("event_id"), lit(StreamChunks)) === i)
+    }
+
+  /** TIME-ORDERED chunk layout: chunk i holds the i-th ts-quartile
+    * (exact interpolated percentile boundaries; ties never straddle a
+    * boundary because assignment compares VALUES, not positions), so
+    * name-order consumption delivers the stream in event-time order —
+    * every batch's min ts ≥ every earlier batch's max ts, and a
+    * watermark can never drop input as late. */
+  private[graft] def timeChunkDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    buildChunkDir(s, d, "tchunks") { (raw, i) =>
+      val tsc =
+        (if (raw.schema("ts").dataType == LongType) col("ts")
+         else unix_micros(col("ts"))).cast("double")
+      val bounds = raw.select(
+        expr(s"percentile(${if (raw.schema("ts").dataType == LongType) "CAST(ts AS DOUBLE)"
+          else "CAST(unix_micros(ts) AS DOUBLE)"}, array(0.25, 0.5, 0.75))"))
+        .head().getSeq[Double](0)
+      val lo = if (i == 0) lit(Double.NegativeInfinity) else lit(bounds(i - 1))
+      val hi = if (i == StreamChunks - 1) lit(Double.PositiveInfinity) else lit(bounds(i))
+      raw.filter(tsc > lo && tsc <= hi)
+    }
+
+  /** Shared chunk-cache mechanics: split the events fixture into
+    * StreamChunks parquet files under a content-keyed temp dir (built
+    * once, reused by every streaming query and bench rep; _SUCCESS
+    * marks a complete build, staging is attempt-unique, publish is an
+    * atomic rename). `variant` separates layouts (id-interleaved vs
+    * time-ordered) in the cache namespace. */
+  private def buildChunkDir(s: org.apache.spark.sql.SparkSession, d: String,
+      variant: String)(
+      chunkFilter: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame)
+      : String = synchronized {
     // Key on the fixture FILE's identity (mtime + size), not just the
     // dir name: the driver regenerates /root/testdata between rounds
     // (observed round 7: ns → µs timestamps), and chunks built from a
@@ -310,14 +483,14 @@ object StreamingOps {
       catch { case _: Throwable => "nofile" }
     val key = Integer.toHexString((d + "|" + id).hashCode)
     val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_stream_chunks_$key")
+      System.getProperty("java.io.tmpdir"), s"graft_stream_${variant}_$key")
     val done = base.resolve("_SUCCESS")
     if (!java.nio.file.Files.exists(done)) {
-      val staging = java.nio.file.Files.createTempDirectory(s"graft_chunks_build_$key")
+      val staging = java.nio.file.Files.createTempDirectory(s"graft_${variant}_build_$key")
       val raw = s.read.parquet(s"$d/events.parquet")
       (0 until StreamChunks).foreach { i =>
         val part = java.nio.file.Files.createTempDirectory(s"graft_chunk_part_$i")
-        raw.filter(pmod(col("event_id"), lit(StreamChunks)) === i)
+        chunkFilter(raw, i)
           .coalesce(1).write.mode("overwrite").parquet(part.toString)
         val file = java.nio.file.Files.list(part).iterator().asScala
           .find(_.toString.endsWith(".parquet"))
@@ -439,9 +612,9 @@ object StreamingOps {
   }
 
   val all: Seq[Q] = Seq(streamFileParity, streamSlideParity,
-    streamSessionParity, streamJoinParity, streamDedupParity,
-    streamWatermarkParity, streamUpsertParity, streamFileSinkParity,
-    streamStateParity)
+    streamSessionParity, streamJoinParity, streamLeftJoinParity,
+    streamFullJoinParity, streamDedupParity, streamWatermarkParity,
+    streamUpsertParity, streamFileSinkParity, streamStateParity)
 
   /** mapGroupsWithState parity — the CUSTOM-STATE API under the
     * declared gate (flatMapGroupsWithState sessionization is

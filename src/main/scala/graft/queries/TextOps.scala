@@ -18,6 +18,36 @@ object TextOps {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** Escape a learned token for splicing into a Spark SQL single-quoted
+    * string literal. Quotes double; backslashes double too, because
+    * Spark's parser (unlike DuckDB's and unlike the naive Scala-side
+    * replay) treats `\` as an escape character inside literals — the r9
+    * advisor's latent cross-engine divergence for a token containing a
+    * backslash. */
+  private[queries] def sqlLit(t: String): String =
+    t.replace("\\", "\\\\").replace("'", "''")
+
+  /** The (count DESC, w1, w2) argmax adjacent pair of a tokenized
+    * corpus — the shared BPE-training step. Fails with a descriptive
+    * message on a degenerate corpus (no document with ≥ 2 tokens)
+    * instead of a bare NoSuchElementException (r9 advisor; the DuckDB
+    * oracle degrades to NULL there, so the loud require keeps the two
+    * engines' failure modes aligned by making the Spark leg explicit). */
+  private[queries] def topAdjacentPair(cur: org.apache.spark.sql.DataFrame): (String, String) = {
+    val ws = split(col("text"), " ")
+    val top = cur.filter(size(ws) >= 2)
+      .select(ws.as("ws"))
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+        .as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(1).collect().headOption
+    require(top.nonEmpty,
+      "BPE training found no adjacent token pair: no document has >= 2 whitespace tokens")
+    (top.get.getString(0), top.get.getString(1))
+  }
+
   /** The reference's demo tokenizer: split on space , . " ' and drop empty
     * tokens (strtok semantics, `/root/reference/test/user_tasks.cc:15-20`). */
   val RefDelims = "[ ,.'\"]"
@@ -523,15 +553,8 @@ object TextOps {
       |FROM tk ORDER BY doc_id""".stripMargin) { (s, d) =>
     val ws = split(col("text"), " ")
     val base = docs(s, d).select(col("doc_id"), col("text"), ws.as("ws"))
-    val top = base.filter(size(col("ws")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
-        .as("p"))
-      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w1"), col("w2")).limit(1).head()
-    val (w1, w2) = (top.getString(0), top.getString(1))
-    def q(t: String) = t.replace("'", "''")
+    val (w1, w2) = topAdjacentPair(base)
+    def q(t: String) = sqlLit(t)
     base.select(col("doc_id"), size(col("ws")).as("n_tok_before"),
         size(split(expr(
           s"replace(text, '${q(w1)} ${q(w2)}', '${q(w1)}_${q(w2)}')"),
@@ -587,20 +610,11 @@ object TextOps {
       |  CAST(len(string_split(t3.text, ' ')) AS INTEGER) AS n_tok_after
       |FROM t0 JOIN t3 ON t0.doc_id = t3.doc_id
       |ORDER BY t0.doc_id""".stripMargin) { (s, d) =>
-    def q(t: String) = t.replace("'", "''")
+    def q(t: String) = sqlLit(t)
     val base = docs(s, d).select(col("doc_id"), col("text"))
     var cur = base
     for (_ <- 1 to 3) {
-      val ws = split(col("text"), " ")
-      val top = cur.filter(size(ws) >= 2)
-        .select(ws.as("ws"))
-        .select(explode(expr(
-          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
-          .as("p"))
-        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("w1"), col("w2")).limit(1).head()
-      val (w1, w2) = (top.getString(0), top.getString(1))
+      val (w1, w2) = topAdjacentPair(cur)
       cur = cur.withColumn("text", expr(
         s"replace(text, '${q(w1)} ${q(w2)}', '${q(w1)}_${q(w2)}')"))
     }
@@ -691,23 +705,14 @@ object TextOps {
       |  CAST(s2 - s3 AS BIGINT), CAST(s3 AS BIGINT),
       |  floor(CAST(s3 AS DOUBLE) / s0 * 1000000 + 0.5) / 1000000 FROM a
       |ORDER BY rank""".stripMargin) { (s, d) =>
-    def q(t: String) = t.replace("'", "''")
+    def q(t: String) = sqlLit(t)
     val base = docs(s, d).select(col("doc_id"), col("text"))
     // train: identical protocol to bpe_train_rounds — 3 chained
     // (pair-count → 1-row argmax → corpus fuse) rounds
     var cur = base
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     for (_ <- 1 to 3) {
-      val ws = split(col("text"), " ")
-      val top = cur.filter(size(ws) >= 2)
-        .select(ws.as("ws"))
-        .select(explode(expr(
-          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
-          .as("p"))
-        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("w1"), col("w2")).limit(1).head()
-      val (w1, w2) = (top.getString(0), top.getString(1))
+      val (w1, w2) = topAdjacentPair(cur)
       merges += ((w1, w2))
       cur = cur.withColumn("text", expr(
         s"replace(text, '${q(w1)} ${q(w2)}', '${q(w1)}_${q(w2)}')"))

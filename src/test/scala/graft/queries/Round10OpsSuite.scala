@@ -1,0 +1,305 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Property / naive-replay pins for the round-10 operators and fixes,
+  * at sf0.001 — the spec leg of the oracle+spec+plan discipline. Each
+  * test recomputes the answer with an independent driver-side naive
+  * algorithm over collected fixture rows, or pins a guard/branch the
+  * oracle cannot see (the kcore fallback reachability, the loud
+  * undersized-input failures, the SQL-literal escaping). */
+class Round10OpsSuite extends SparkSpec {
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+
+  /** Naive energy-hash-64 replay straight from the WAV fixture
+    * generation formula — no Spark, no codec: s(i) =
+    * text[i % len]·257 − 16384, rendition 1 applies gain ×2 and the
+    * +999 click on every 53rd sample, and bit b compares the time
+    * block's |s| sum cross-multiplied against the clip total. */
+  private def naiveEnergyHash(text: String, n: Int, rend: Int): Long = {
+    val len = text.length
+    val av = Array.tabulate(n) { i =>
+      var s = text.charAt(i % len).toInt.toLong * 257 - 16384
+      if (rend == 1) s = s * 2 + (if (i % 53 == 0) 999L else 0L)
+      math.abs(s)
+    }
+    val t = av.sum
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      val ilo = (b * n + 63) / 64
+      val ihi = ((b + 1) * n + 63) / 64 - 1
+      var s = 0L
+      var i = ilo
+      while (i <= ihi) { s += av(i); i += 1 }
+      val nb = (ihi - ilo + 1).toLong
+      if (s * n > t * nb) hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
+  test("audio_dup_pairs: brute-force replay, planted recall, banding exhaustive") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.nonEmpty)
+    val sigs = docs.flatMap { case (id, text) =>
+      val n = (200 + id % 100).toInt
+      Seq((id, 0, naiveEnergyHash(text, n, 0)),
+        (id, 1, naiveEnergyHash(text, n, 1)))
+    }
+    // brute-force all-pairs scan — what the pigeonhole join must equal
+    val expected = (for {
+      a <- sigs; b <- sigs
+      if a._1 * 2 + a._2 < b._1 * 2 + b._2
+      dist = java.lang.Long.bitCount(a._3 ^ b._3)
+      if dist <= 5
+    } yield (a._1, a._2, b._1, b._2, dist))
+      .sortBy(t => (t._1, t._2, t._3, t._4))
+    val got = run("audio_dup_pairs").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4)))
+    assert(got.toSeq == expected.toSeq,
+      s"banded join must equal the brute-force scan: got ${got.length}, " +
+        s"expected ${expected.length}")
+    // planted recall: every clip's (base, rendition) pair survives the
+    // threshold — the gain part is distance-free (|2s| = 2|s|), so only
+    // the sparse clicks can spend the 5-bit budget
+    val planted = got.filter(t => t._1 == t._3 && t._2 == 0 && t._4 == 1)
+    assert(planted.length == docs.length,
+      s"all ${docs.length} planted rendition pairs must be within 5 bits, " +
+        s"got ${planted.length}")
+    // separation: at this SF no unrelated cross-clip pair sneaks under
+    assert(got.length == planted.length,
+      "no cross-clip pair may sit within the planted threshold")
+  }
+
+  test("energyHash64: bits exactly invariant under positive gain") {
+    import spark.implicits._
+    val base = Array.tabulate(200)(i => ((i * 37) % 251 - 125).toLong)
+    val df = Seq((0L, base), (1L, base.map(_ * 3)), (2L, base.map(_ * 11)))
+      .toDF("id", "sm")
+      .select(col("id"), graft.dedup.PerceptualHash.energyHash64("sm").as("sh"))
+    val hashes = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(0L) == hashes(1L) && hashes(1L) == hashes(2L),
+      "energy hash must be exactly invariant under s -> g*s (g > 0)")
+  }
+
+  test("energyHash64 / aHash64: undersized inputs raise instead of mis-hashing") {
+    import spark.implicits._
+    val shortClip = Seq((1L, Array.tabulate(63)(_.toLong))).toDF("id", "sm")
+      .select(graft.dedup.PerceptualHash.energyHash64("sm"))
+    val eA = intercept[Exception] { shortClip.collect() }
+    assert(eA.getMessage != null)
+    assert(exceptionChain(eA).exists(_.contains("energyHash64 requires >= 64")),
+      s"expected the energyHash64 guard, got: ${eA.getMessage}")
+    val smallImg = Seq((1L, Array.tabulate(7 * 7 * 3)(_.toLong), 7, 7))
+      .toDF("id", "px", "w", "h")
+      .select(graft.dedup.PerceptualHash.aHash64("px", "w", "h"))
+    val eB = intercept[Exception] { smallImg.collect() }
+    assert(exceptionChain(eB).exists(_.contains("aHash64 requires w,h >= 8")),
+      s"expected the aHash64 guard, got: ${eB.getMessage}")
+  }
+
+  private def exceptionChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+
+  test("kcoreFilterAlive: shuffled semi-join fallback reachable, equals broadcast path") {
+    val sc = spark.sparkContext
+    val edges = sc.parallelize(for {
+      u <- 0L until 40L; v <- (u + 1) until 40L
+      if (u + v) % 3 != 0
+    } yield (u, v))
+    val alive = sc.parallelize((0L until 40L).filter(_ % 2 == 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val nAlive = alive.count()
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    // gate 0 ⇒ count >= gate ⇒ the shuffled semi-join branch runs,
+    // with NO driver-side materialization of the alive set; gate ∞ ⇒
+    // broadcast branch. Both must keep exactly the same edge set.
+    val viaJoin = GraphOps.kcoreFilterAlive(spark, edges, alive, nAlive,
+      broadcastGate = 0L, storage).collect().sorted.toSeq
+    val viaBroadcast = GraphOps.kcoreFilterAlive(spark, edges, alive, nAlive,
+      broadcastGate = Long.MaxValue, storage).collect().sorted.toSeq
+    val expected = (for {
+      u <- 0L until 40L; v <- (u + 1) until 40L
+      if (u + v) % 3 != 0 && u % 2 == 0 && v % 2 == 0
+    } yield (u, v)).sorted
+    assert(viaJoin == expected, "semi-join branch must keep exactly the alive-alive edges")
+    assert(viaBroadcast == expected, "broadcast branch must agree")
+    alive.unpersist()
+  }
+
+  test("stream_left_join_parity: batch replay under the min-of-sides watermark rule") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("pu"),
+        col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("cu"),
+        col("ts").as("c_ts"))
+    val m = p.join(c, col("pu") === col("cu")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"))
+    // the executed watermark is min over BOTH withWatermark nodes, each
+    // tracking its own side's max event time — the semantics this suite
+    // pins so the oracle's least(max_p, max_c) replica stays justified
+    val wmRow = p.agg(max("p_ts")).crossJoin(c.agg(max("c_ts")))
+      .select(least(col("max(p_ts)"), col("max(c_ts)"))
+        - expr("INTERVAL 10 MINUTES")).head().getTimestamp(0)
+    val nulls = p.join(m.select(col("p_id")).distinct(), Seq("p_id"),
+        "left_anti")
+      .filter(col("p_ts") < lit(wmRow))
+      .select(col("p_id"), lit(null).cast("long").as("c_id"))
+    val expected = m.unionAll(nulls).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+    val got = run("stream_left_join_parity").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+    assert(got == expected,
+      s"streaming left join must equal batch join + watermark-gated nulls " +
+        s"(got ${got.length} rows, expected ${expected.length})")
+    assert(got.exists(_._2 == -1L), "at least one null row must have emitted")
+    // and at least one unmatched purchase must be withheld (p_ts past the
+    // final watermark) — the eviction gate is load-bearing, not vacuous
+    val withheld = p.join(m.select("p_id").distinct(), Seq("p_id"), "left_anti")
+      .filter(col("p_ts") >= lit(wmRow)).count()
+    assert(withheld > 0, "fixture must leave state-resident unmatched purchases")
+  }
+
+  /** Naive temporally-pooled video aHash replay from the Y4M fixture
+    * formula: pooled[j] = Σ_f y(f·256+j) with rendition 1 applying
+    * y → 2y + 5 per frame plus +7 salt on every 97th pixel of frame 0,
+    * then the 16×16 → 8×8 block aHash on the pooled plane. */
+  private def naiveVideoHash(text: String, nf: Int, rend: Int): Long = {
+    val len = text.length
+    val g = Array.tabulate(256) { j =>
+      var s = 0L
+      var f = 0
+      while (f < nf) {
+        var v = text.charAt((f * 256 + j) % len).toInt.toLong
+        if (rend == 1) v = v * 2 + 5 + (if (f == 0 && j % 97 == 0) 7L else 0L)
+        s += v
+        f += 1
+      }
+      s
+    }
+    val t = g.sum
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      val r = b / 8; val c = b % 8
+      var s = 0L
+      var y = 2 * r
+      while (y < 2 * r + 2) {
+        var x = 2 * c
+        while (x < 2 * c + 2) { s += g(y * 16 + x); x += 1 }
+        y += 1
+      }
+      if (s * 256 > t * 4) hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
+  test("video_dup_pairs: brute-force replay, planted recall, banding exhaustive") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.nonEmpty)
+    val sigs = docs.flatMap { case (id, text) =>
+      val nf = (1 + id % 8).toInt
+      Seq((id, 0, naiveVideoHash(text, nf, 0)),
+        (id, 1, naiveVideoHash(text, nf, 1)))
+    }
+    val expected = (for {
+      a <- sigs; b <- sigs
+      if a._1 * 2 + a._2 < b._1 * 2 + b._2
+      dist = java.lang.Long.bitCount(a._3 ^ b._3)
+      if dist <= 5
+    } yield (a._1, a._2, b._1, b._2, dist))
+      .sortBy(t => (t._1, t._2, t._3, t._4))
+    val got = run("video_dup_pairs").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4)))
+    assert(got.toSeq == expected.toSeq,
+      s"banded join must equal the brute-force scan: got ${got.length}, " +
+        s"expected ${expected.length}")
+    // planted recall: the pooled plane of rendition 1 is 2·pool + 5·nf
+    // + sparse salt — affine part distance-free, ≤ 3 salt blocks
+    val planted = got.filter(t => t._1 == t._3 && t._2 == 0 && t._4 == 1)
+    assert(planted.length == docs.length,
+      s"all ${docs.length} planted rendition pairs must be within 5 bits, " +
+        s"got ${planted.length}")
+    assert(planted.forall(_._5 <= 3),
+      "salt touches at most 3 of the 64 pooled blocks")
+  }
+
+  test("stream_full_join_parity: batch replay — both null paths emit") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("pu"),
+        col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("cu"),
+        col("ts").as("c_ts"))
+    val m = p.join(c, col("pu") === col("cu")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"))
+    val wmRow = p.agg(max("p_ts")).crossJoin(c.agg(max("c_ts")))
+      .select(least(col("max(p_ts)"), col("max(c_ts)"))
+        - expr("INTERVAL 10 MINUTES")).head().getTimestamp(0)
+    val pNulls = p.join(m.select("p_id").distinct(), Seq("p_id"), "left_anti")
+      .filter(col("p_ts") < lit(wmRow))
+      .select(col("p_id"), lit(null).cast("long").as("c_id"))
+    // the click's no-future-match point is c_ts + 1h (from the other
+    // inequality of the range condition)
+    val cNulls = c.join(m.select("c_id").distinct(), Seq("c_id"), "left_anti")
+      .filter(col("c_ts") + expr("INTERVAL 1 HOUR") < lit(wmRow))
+      .select(lit(null).cast("long").as("p_id"), col("c_id"))
+    def key(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))
+    val expected = m.unionAll(pNulls).unionAll(cNulls).collect()
+      .map(key).sorted.toSeq
+    val got = run("stream_full_join_parity").collect().map(key).sorted.toSeq
+    assert(got == expected,
+      s"full outer stream join must equal batch join + both watermark-" +
+        s"gated null sets (got ${got.length}, expected ${expected.length})")
+    assert(got.exists(_._1 == -1L), "at least one right-null row must emit")
+    assert(got.exists(_._2 == -1L), "at least one left-null row must emit")
+  }
+
+  test("BPE sqlLit: backslash tokens survive the Spark literal splice") {
+    assert(TextOps.sqlLit("""a\b""") == """a\\b""")
+    assert(TextOps.sqlLit("it's") == "it''s")
+    // executable proof: the spliced literal replaces the raw token
+    val token = """x\y's"""
+    val out = spark.sql(
+      s"SELECT replace('pre ${TextOps.sqlLit(token)} post', " +
+        s"'${TextOps.sqlLit(token)}', 'HIT') AS r").head().getString(0)
+    assert(out == "pre HIT post",
+      s"escaped splice must act on the literal token, got '$out'")
+  }
+
+  test("BPE topAdjacentPair: degenerate corpus fails loudly") {
+    import spark.implicits._
+    val degenerate = Seq((1L, "single"), (2L, "")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.topAdjacentPair(degenerate)
+    }
+    assert(e.getMessage.contains("no adjacent token pair"))
+  }
+}
