@@ -180,8 +180,13 @@ object Bench {
     // medians ~9s) — this guards hangs, not slowness.
     val queryTimeoutMs =
       sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_S").map(_.toLong * 1000).getOrElse(180000L)
-    ensureAlive()
+    // Sample ambient load BEFORE the 32-thread session spins up: the
+    // flag's question is "was the box busy with FOREIGN work at
+    // start?", and sampling after ensureAlive() reads our own session
+    // bootstrap in the 1-minute average (observed: idle box at 0.41
+    // read 2.96 post-init and self-flagged an ONLY-mode refresh).
     val loadStart = loadAvg()
+    ensureAlive()
     // Round-7 verdict #2: the shipped artifact ran at load 6+, inflating
     // medians 1.5x over mins. Load is now a gate input: the artifact is
     // FLAGGED (load_flagged:true + stderr) when the box is already busy

@@ -120,14 +120,25 @@ object SimHash {
     * This core does NOT cache (the r9 advisor: a cache() here leaked a
     * persisted copy per invocation with no unpersist hook — lazy
     * results give the library no materialization point to release it).
-    * CALLERS own caching if they need it; in the common sort-merge
-    * self-join plan both sides shuffle on identical (chunk_idx,
-    * chunk_key) exchanges, so Spark's ReuseExchange computes the
-    * signature scan once even uncached. */
+    * Instead the incoming signature pipeline is cut at an RDD
+    * boundary: without it, CollapseProject inlines the signature
+    * expression into every chunk-key expression AND the join's
+    * distance recheck (~8 copies per side), and higher-order-function
+    * expressions don't enter whole-stage codegen, so no subexpression
+    * elimination rescues the duplicates — an expensive hash (decode +
+    * aHash) measured 180× slower uncached. The LogicalRDD leaf
+    * guarantees the hash evaluates once per row PER SCAN (the
+    * self-join's two sides each scan it — a bounded 2×), and doubles
+    * as a hard optimizer fence: no join-derived predicate can be
+    * pushed into the signature pipeline. */
   def bandedPairs(signatures: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
       "maxDist+1 chunks must each be at least 1 bit wide")
+    val session = signatures.sparkSession
+    import session.implicits._
     val sigs = signatures
+      .select(col("id").cast("long"), col("sh").cast("long"))
+      .as[(Long, Long)].rdd.toDF("id", "sh")
     // maxDist+1 chunk keys partitioning the 64 signature bits; the
     // first (64 % n) chunks take the extra bit.
     val nChunks = maxDist + 1

@@ -424,8 +424,9 @@ object IncrOps {
       |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
       |  CAST(sum(scanned * n_rows) AS BIGINT) AS rows_scanned,
       |  CAST(sum(n_match) AS BIGINT) AS rows_matching,
-      |  floor(CAST(sum(n_match) AS DOUBLE) / sum(scanned * n_rows)
-      |    * 1000000 + 0.5) / 1000000 AS scan_efficiency
+      |  CASE WHEN sum(scanned * n_rows) = 0 THEN CAST(0.0 AS DOUBLE)
+      |    ELSE floor(CAST(sum(n_match) AS DOUBLE) / sum(scanned * n_rows)
+      |      * 1000000 + 0.5) / 1000000 END AS scan_efficiency
       |FROM audit GROUP BY layout ORDER BY layout""".stripMargin) { (s, d) =>
     val lo = lit("1997-01-01 00:00:00").cast("timestamp")
     val hi = lit("1997-04-01 00:00:00").cast("timestamp")
@@ -451,6 +452,103 @@ object IncrOps {
         (floor(sum("n_match").cast("double")
           / sum(col("scanned") * col("n_rows")) * 1000000 + lit(0.5))
           / 1000000).as("scan_efficiency"))
+      .orderBy("layout")
+  }
+
+  /** Z-ORDER layout audit — zonemap_audit's multi-dimensional sibling
+    * and the data-layout decision behind every OPTIMIZE ZORDER BY: for
+    * a 2-D box predicate (x ∈ [256,384) ∧ y ∈ [256,384) over the
+    * SF-invariant dims x = hash-spread l_partkey, y = price cents % 1024),
+    * how many of 32 equal-count file-bins does a min/max zone map
+    * prune under (a) a 1-D linear sort on x — tight x-ranges but every
+    * bin spans all of y, so only one dimension ever prunes — vs (b) a
+    * Z-ORDER curve layout (10+10-bit Morton interleave) — both dims
+    * stay range-bounded per bin, so the box prunes in BOTH dimensions
+    * and rows_scanned drops accordingly. Bins are the SQL-standard
+    * equal-count ntile over a TOTAL order (key, l_orderkey,
+    * l_linenumber) from the distributed-rank operator (never a
+    * partition-less window); the Morton code, the per-bin min/max, and
+    * the prune test are exact integers, so DuckDB replays the audit
+    * verbatim with its own ntile window. */
+  val zorderLayout: Q = Q(
+    "zorder_layout",
+    """WITH li AS (SELECT l_orderkey, l_linenumber,
+      |    CAST(((l_partkey & 2147483647) * 2654435761) % 1024 AS BIGINT) AS x,
+      |    CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) % 1024
+      |      AS BIGINT) AS y FROM lineitem),
+      |zz AS (SELECT l_orderkey, l_linenumber, x, y,
+      |    CAST(list_sum(list_transform(range(0, 10), b ->
+      |      (((x >> b) & 1) << (2*b)) + (((y >> b) & 1) << (2*b + 1))))
+      |      AS BIGINT) AS zv
+      |  FROM li),
+      |binned AS (
+      |  SELECT 'a_linear_x' AS layout,
+      |    CAST(ntile(32) OVER (ORDER BY x, l_orderkey, l_linenumber)
+      |      AS INTEGER) AS bucket, x, y FROM zz
+      |  UNION ALL
+      |  SELECT 'b_zorder',
+      |    CAST(ntile(32) OVER (ORDER BY zv, l_orderkey, l_linenumber)
+      |      AS INTEGER), x, y FROM zz),
+      |bins AS (SELECT layout, bucket, count(*) AS n_rows,
+      |    sum(CASE WHEN x >= 256 AND x < 384 AND y >= 256 AND y < 384
+      |        THEN 1 ELSE 0 END) AS n_match,
+      |    min(x) AS lox, max(x) AS hix,
+      |    min(y) AS loy, max(y) AS hiy
+      |  FROM binned GROUP BY 1, 2),
+      |audit AS (SELECT layout, n_rows, n_match,
+      |    CASE WHEN hix < 256 OR lox >= 384 OR hiy < 256 OR loy >= 384
+      |      THEN 0 ELSE 1 END AS scanned
+      |  FROM bins)
+      |SELECT layout, CAST(count(*) AS BIGINT) AS n_bins,
+      |  CAST(sum(scanned) AS BIGINT) AS n_scanned,
+      |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+      |  CAST(sum(scanned * n_rows) AS BIGINT) AS rows_scanned,
+      |  CAST(sum(n_match) AS BIGINT) AS rows_matching,
+      |  floor(CAST(sum(n_match) AS DOUBLE) / sum(scanned * n_rows)
+      |    * 1000000 + 0.5) / 1000000 AS scan_efficiency
+      |FROM audit GROUP BY layout ORDER BY layout""".stripMargin) { (s, d) =>
+    val li0 = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      // dims must SPREAD at every SF (raw l_partkey % 1024 is 1..200 at
+      // sf0.001 and the box is empty): a multiplicative hash of partkey
+      // and the exact integer-cents price band both cover 0..1023 at
+      // any scale, and both are replayed exactly by the oracle
+      expr("((l_partkey & 2147483647) * 2654435761L) % 1024")
+        .cast("long").as("x"),
+      (expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)") % 1024)
+        .cast("long").as("y"))
+    // 10+10-bit Morton interleave: x bits land on even positions, y on
+    // odd — one map-side expression, exact BIGINT
+    val withZ = li0.withColumn("zv", expr(
+      """aggregate(sequence(0, 9), CAST(0 AS BIGINT),
+        |  (acc, b) -> acc
+        |    | shiftleft(shiftright(x, b) & 1, 2 * b)
+        |    | shiftleft(shiftright(y, b) & 1, 2 * b + 1))""".stripMargin))
+    def layout(name: String, key: String) =
+      graft.ops.DistributedNtile.ntile(
+        withZ.withColumn("layout", lit(name)),
+        Seq(col(key), col("l_orderkey"), col("l_linenumber")), 32)
+        .select(col("layout"), col("bucket"), col("x"), col("y"))
+    val binned = layout("a_linear_x", "x").unionAll(layout("b_zorder", "zv"))
+    val inBox = col("x") >= 256 && col("x") < 384 &&
+      col("y") >= 256 && col("y") < 384
+    val bins = binned.groupBy("layout", "bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(inBox, 1L).otherwise(0L)).as("n_match"),
+        min("x").as("lox"), max("x").as("hix"),
+        min("y").as("loy"), max("y").as("hiy"))
+      .withColumn("scanned",
+        when(col("hix") < 256 || col("lox") >= 384
+          || col("hiy") < 256 || col("loy") >= 384, 0L).otherwise(1L))
+    bins.groupBy("layout")
+      .agg(count(lit(1)).as("n_bins"), sum("scanned").as("n_scanned"),
+        sum("n_rows").as("rows_total"),
+        sum(col("scanned") * col("n_rows")).as("rows_scanned"),
+        sum("n_match").as("rows_matching"),
+        when(sum(col("scanned") * col("n_rows")) === 0, lit(0.0))
+          .otherwise(floor(sum("n_match").cast("double")
+            / sum(col("scanned") * col("n_rows")) * 1000000 + lit(0.5))
+            / 1000000).as("scan_efficiency"))
       .orderBy("layout")
   }
 
@@ -548,5 +646,5 @@ object IncrOps {
 
   val all: Seq[Q] = Seq(incrAggMerge, compactBins, tableStats, incrJoinDelta,
     snapshotDiff, kAnonymity, dqScorecard, lDiversity, tCloseness,
-    zonemapAudit, catalogCoverage, broadcastAdvisor)
+    zonemapAudit, zorderLayout, catalogCoverage, broadcastAdvisor)
 }

@@ -239,6 +239,51 @@ object StreamingOps {
     s.table(sink).orderBy(col("p_id"), col("c_id").asc_nulls_last)
   }
 
+  /** STREAM-STREAM **LEFT SEMI** join — the existence-check shape
+    * (EXISTS subquery over a second stream): a purchase emits exactly
+    * once, when its first same-user preceding-hour click is seen —
+    * whether the click arrived in an earlier batch (probe into right
+    * state) or a later one (the buffered purchase emits on the
+    * click's arrival batch). Spark REQUIRES watermarks for stream
+    * semi joins (left state must be evictable), so this rides the
+    * same time-ordered chunk layout as the outer joins — no late
+    * input, and a purchase evicted at watermark w has p_ts ≤ w <
+    * any future click's c_ts, which can never satisfy c_ts ≤ p_ts —
+    * so the emitted SET is exactly the batch semi join: matched
+    * purchases, each once, which is what lets the oracle be a plain
+    * EXISTS with no watermark term at all. */
+  val streamSemiJoinParity: Q = Q(
+    "stream_semi_join_parity",
+    """SELECT p.event_id AS p_id FROM events p
+      |WHERE p.event_type = 'purchase'
+      |  AND EXISTS (SELECT 1 FROM events c
+      |    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      |      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)
+      |ORDER BY p_id""".stripMargin) { (s, d) =>
+    val sink = s"stream_semi_join_parity_sink_${sinkId.incrementAndGet()}"
+    val p = timeOrderedFileStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val c = timeOrderedFileStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    withStatePartitions(s, 8) {
+      val q = p.join(c, col("p_user") === col("c_user")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+          && col("c_ts") <= col("p_ts"), "left_semi")
+        .select(col("p_id"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(sink).orderBy("p_id")
+  }
+
   /** STREAM-STREAM **FULL OUTER** join — both null-emission paths at
     * once, completing the inner/left/full join family: unmatched
     * purchases emit (p_id, NULL) once the watermark passes p_ts (same
@@ -613,8 +658,9 @@ object StreamingOps {
 
   val all: Seq[Q] = Seq(streamFileParity, streamSlideParity,
     streamSessionParity, streamJoinParity, streamLeftJoinParity,
-    streamFullJoinParity, streamDedupParity, streamWatermarkParity,
-    streamUpsertParity, streamFileSinkParity, streamStateParity)
+    streamFullJoinParity, streamSemiJoinParity, streamDedupParity,
+    streamWatermarkParity, streamUpsertParity, streamFileSinkParity,
+    streamStateParity)
 
   /** mapGroupsWithState parity — the CUSTOM-STATE API under the
     * declared gate (flatMapGroupsWithState sessionization is

@@ -282,6 +282,45 @@ class Round10OpsSuite extends SparkSpec {
     assert(got.exists(_._2 == -1L), "at least one left-null row must emit")
   }
 
+  test("zorder_layout: Morton pruning beats linear on the off-axis dimension") {
+    val rows = run("zorder_layout").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val (binsA, scanA, totalA, rowsScanA, matchA) = rows("a_linear_x")
+    val (binsB, scanB, totalB, rowsScanB, matchB) = rows("b_zorder")
+    assert(binsA == 32 && binsB == 32)
+    assert(totalA == totalB, "both layouts bin the same table")
+    assert(matchA == matchB, "the box predicate matches the same rows")
+    // naive replay of the match count straight from the fixture
+    val xd = expr("((l_partkey & 2147483647) * 2654435761L) % 1024")
+    val yd = expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) % 1024")
+    val naive = graft.Tables.lineitem(spark, sfDir)
+      .filter(xd >= 256 && xd < 384 && yd >= 256 && yd < 384)
+      .count()
+    assert(matchA == naive, s"match count must replay: $matchA vs $naive")
+    // the layout claim itself: Z-order prunes in BOTH dims, linear in
+    // one — fewer rows scanned for the same answer
+    assert(rowsScanB < rowsScanA,
+      s"z-order must scan fewer rows than linear-x ($rowsScanB vs $rowsScanA)")
+    assert(scanB < binsB, "z-order must actually prune some bins")
+  }
+
+  test("stream_semi_join_parity: emitted set = matched purchases, each once") {
+    val got = run("stream_semi_join_parity").collect().map(_.getLong(0)).toSeq
+    assert(got == got.distinct, "each purchase emits at most once")
+    val ev = graft.Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("pu"),
+        col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"))
+    val expected = p.join(c, col("pu") === col("cu")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("c_ts") <= col("p_ts"), "left_semi")
+      .select("p_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got.sorted == expected)
+  }
+
   test("BPE sqlLit: backslash tokens survive the Spark literal splice") {
     assert(TextOps.sqlLit("""a\b""") == """a\\b""")
     assert(TextOps.sqlLit("it's") == "it''s")
