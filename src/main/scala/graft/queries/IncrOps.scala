@@ -552,6 +552,133 @@ object IncrOps {
       .orderBy("layout")
   }
 
+  /** Equi-depth histogram + selectivity estimation — the planner
+    * statistic behind every cost-based range-scan decision: 10
+    * equal-count buckets over exact order-price cents (global
+    * distributed ntile on a total order, never a partition-less
+    * window), each bucket's [lo, hi] + rowcount, and for a fixed
+    * range predicate ($100k ≤ o_totalprice ≤ $200k) the
+    * uniform-within-bucket estimate n_b·overlap DIV width per bucket
+    * against the exact per-bucket count — the row-level view shows
+    * exactly WHERE the uniformity assumption over- or under-shoots.
+    * A TOTAL row (bucket 99) carries the summed estimate against the
+    * exact answer. Integer cents and integer division throughout — no
+    * float anywhere in the gate. */
+  val equidepthHistogram: Q = Q(
+    "equidepth_histogram",
+    """WITH o AS (SELECT o_orderkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |b AS (SELECT cents,
+      |    CAST(ntile(10) OVER (ORDER BY cents, o_orderkey) AS INTEGER)
+      |      AS bucket
+      |  FROM o),
+      |hist AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN cents >= 10000000 AND cents <= 20000000
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS exact_in_range
+      |  FROM b GROUP BY bucket),
+      |est AS (SELECT bucket, n_rows, lo, hi, exact_in_range,
+      |    CAST(CASE WHEN hi < 10000000 OR lo > 20000000 THEN 0
+      |      ELSE (n_rows * (least(hi, 20000000) - greatest(lo, 10000000) + 1))
+      |           // (hi - lo + 1) END AS BIGINT) AS est_in_range
+      |  FROM hist)
+      |SELECT bucket, n_rows, lo, hi, est_in_range, exact_in_range
+      |FROM est
+      |UNION ALL
+      |SELECT 99, CAST(sum(n_rows) AS BIGINT), CAST(min(lo) AS BIGINT),
+      |  CAST(max(hi) AS BIGINT), CAST(sum(est_in_range) AS BIGINT),
+      |  CAST(sum(exact_in_range) AS BIGINT)
+      |FROM est
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+    val binned = graft.ops.DistributedNtile.ntile(
+      o, Seq(col("cents"), col("o_orderkey")), 10)
+    val (rlo, rhi) = (10000000L, 20000000L)
+    val hist = binned.groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("cents").as("lo"), max("cents").as("hi"),
+        sum(when(col("cents") >= rlo && col("cents") <= rhi, 1L)
+          .otherwise(0L)).as("exact_in_range"))
+    val est = hist.withColumn("est_in_range",
+      when(col("hi") < rlo || col("lo") > rhi, 0L)
+        .otherwise(expr(
+          s"(n_rows * (least(hi, ${rhi}L) - greatest(lo, ${rlo}L) + 1))" +
+            " DIV (hi - lo + 1)")))
+      .select(col("bucket"), col("n_rows"), col("lo"), col("hi"),
+        col("est_in_range"), col("exact_in_range"))
+    val total = est.agg(sum("n_rows").as("n_rows"), min("lo").as("lo"),
+        max("hi").as("hi"), sum("est_in_range").as("est_in_range"),
+        sum("exact_in_range").as("exact_in_range"))
+      .select(lit(99).as("bucket"), col("n_rows"), col("lo"), col("hi"),
+        col("est_in_range"), col("exact_in_range"))
+    est.unionAll(total).orderBy("bucket")
+  }
+
+  /** Column-entropy profiling — the information-theoretic column
+    * audit a data catalog runs beside table_stats: Shannon entropy
+    * (bits), distinct count, and normalized entropy (H / log2 D —
+    * how close the column sits to uniform) for the low-cardinality
+    * lineitem/orders dimensions. H = log2(n) − (Σ c·ln c)/(n·ln 2)
+    * keeps every count exact (one groupBy per column, V-bounded) and
+    * defers ln to per-GROUP values — the same cross-engine libm
+    * discipline as zipf_fit/topic_coherence — with 1e-6 floor
+    * rounding at the end. Flat/near-constant columns (norm ≈ 0) and
+    * uniform keys (norm ≈ 1) both read off directly. */
+  val columnEntropy: Q = Q(
+    "column_entropy",
+    """WITH src AS (
+      |  SELECT 'l_linestatus' AS col_name, l_linestatus AS val FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_returnflag', l_returnflag FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_quantity', CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', o_orderpriority FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', o_orderstatus FROM orders),
+      |cnt AS (SELECT col_name, val, CAST(count(*) AS BIGINT) AS c
+      |        FROM src GROUP BY 1, 2),
+      |agg AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS n_distinct,
+      |    sum(c * ln(CAST(c AS DOUBLE))) AS slc
+      |  FROM cnt GROUP BY 1)
+      |SELECT col_name, n, n_distinct,
+      |  floor((ln(CAST(n AS DOUBLE)) / ln(2.0)
+      |      - slc / (CAST(n AS DOUBLE) * ln(2.0))) * 1000000 + 0.5)
+      |    / 1000000 AS entropy_bits,
+      |  CASE WHEN n_distinct = 1 THEN CAST(0.0 AS DOUBLE)
+      |    ELSE floor((ln(CAST(n AS DOUBLE)) / ln(2.0)
+      |        - slc / (CAST(n AS DOUBLE) * ln(2.0)))
+      |      / (ln(CAST(n_distinct AS DOUBLE)) / ln(2.0))
+      |      * 1000000 + 0.5) / 1000000 END AS norm_entropy
+      |FROM agg ORDER BY col_name""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val or = Tables.orders(s, d)
+    val src = li.select(lit("l_linestatus").as("col_name"),
+        col("l_linestatus").as("val"))
+      .unionAll(li.select(lit("l_returnflag"), col("l_returnflag")))
+      .unionAll(li.select(lit("l_quantity"),
+        col("l_quantity").cast("long").cast("string")))
+      .unionAll(or.select(lit("o_orderpriority"), col("o_orderpriority")))
+      .unionAll(or.select(lit("o_orderstatus"), col("o_orderstatus")))
+    val cnt = src.groupBy("col_name", "val").agg(count(lit(1)).as("c"))
+    val agg = cnt.groupBy("col_name")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * log(col("c").cast("double"))).as("slc"))
+    val h = log(col("n").cast("double")) / log(lit(2.0)) -
+      col("slc") / (col("n").cast("double") * log(lit(2.0)))
+    agg.select(col("col_name"), col("n"), col("n_distinct"),
+        (floor(h * 1000000 + lit(0.5)) / 1000000).as("entropy_bits"),
+        when(col("n_distinct") === 1, lit(0.0))
+          .otherwise(floor(h / (log(col("n_distinct").cast("double"))
+            / log(lit(2.0))) * 1000000 + lit(0.5)) / 1000000)
+          .as("norm_entropy"))
+      .orderBy("col_name")
+  }
+
   /** Catalog coverage audit — dead-stock detection per brand: how
     * many catalog parts have NEVER been ordered? One distinct
     * projection of the fact table + a left-join flag per part, then a
@@ -646,5 +773,6 @@ object IncrOps {
 
   val all: Seq[Q] = Seq(incrAggMerge, compactBins, tableStats, incrJoinDelta,
     snapshotDiff, kAnonymity, dqScorecard, lDiversity, tCloseness,
-    zonemapAudit, zorderLayout, catalogCoverage, broadcastAdvisor)
+    zonemapAudit, zorderLayout, equidepthHistogram, columnEntropy,
+    catalogCoverage, broadcastAdvisor)
 }

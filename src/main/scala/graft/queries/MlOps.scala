@@ -1286,8 +1286,105 @@ object MlOps {
     out
   }
 
+  /** KMV set-operation estimation across two sources (the theta-sketch
+    * protocol over kmv_distinct's bottom-k machinery): sketch each
+    * source's vocabulary with its bottom-256 permuted hashes, form the
+    * union sketch (bottom-256 of the merged candidate set, threshold
+    * θ = its kth min), estimate |A∪B| ≈ 255·M/θ and |A∩B| ≈
+    * (common-below-θ / k)·est_union — the join-cardinality /
+    * overlap-planning estimate every pre-join decision at 100 TB wants
+    * WITHOUT scanning either side fully. Both estimates are probed
+    * against the exact answers (on the hash domain, isolating sketch
+    * error from collision noise) with measured relative errors, so an
+    * estimator regression fails the gate loudly. Degenerate SFs are
+    * exact by construction: when the merged candidate set fits in k,
+    * the sketch IS the set and both errors pin to 0. Plan: two
+    * distinct-projections + three k-row TakeOrdereds; only 256-row
+    * relations ever reach the driver. */
+  val kmvSetOps: Q = Q(
+    "kmv_set_ops",
+    """WITH docs2 AS (SELECT doc_id % 2 AS src, text FROM documents),
+      |tok AS (SELECT DISTINCT src, unnest(string_split(text, ' ')) AS w
+      |        FROM docs2),
+      |tw AS (SELECT src, w FROM tok WHERE w <> ''),
+      |hv AS (SELECT DISTINCT src,
+      |    ((list_sum(list_transform(
+      |        range(0, CAST(least(length(w), 8) AS BIGINT)),
+      |        j -> ascii(substring(w, CAST(j + 1 AS INTEGER), 1))
+      |             * CAST(pow(31, j) AS BIGINT))) % 1000003)
+      |     * 2654435761) % 1000003 AS v
+      |  FROM tw),
+      |ka AS (SELECT v FROM hv WHERE src = 0 ORDER BY v LIMIT 256),
+      |kb AS (SELECT v FROM hv WHERE src = 1 ORDER BY v LIMIT 256),
+      |ku AS (SELECT DISTINCT v FROM
+      |        (SELECT v FROM ka UNION ALL SELECT v FROM kb)
+      |       ORDER BY v LIMIT 256),
+      |th AS (SELECT CAST(max(v) AS BIGINT) AS theta,
+      |       CAST(count(*) AS BIGINT) AS k_used FROM ku),
+      |cm AS (SELECT CAST(count(*) AS BIGINT) AS k_common FROM ku
+      |       WHERE v IN (SELECT v FROM ka) AND v IN (SELECT v FROM kb)),
+      |eu AS (SELECT k_used, theta,
+      |    CASE WHEN k_used < 256 THEN k_used
+      |         ELSE CAST(floor(255.0 * 1000003 / theta + 0.5) AS BIGINT)
+      |    END AS est_union
+      |  FROM th),
+      |ex AS (SELECT
+      |    (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM hv) AS exact_union,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM
+      |      (SELECT v FROM hv WHERE src = 0
+      |       INTERSECT SELECT v FROM hv WHERE src = 1)) AS exact_inter)
+      |SELECT k_used, theta, est_union, k_common,
+      |  CAST(floor(CAST(k_common AS DOUBLE) / k_used * est_union + 0.5)
+      |    AS BIGINT) AS est_inter,
+      |  exact_union, exact_inter,
+      |  floor(abs(CAST(est_union - exact_union AS DOUBLE)) / exact_union
+      |    * 1000000 + 0.5) / 1000000 AS err_union,
+      |  floor(abs(CAST(floor(CAST(k_common AS DOUBLE) / k_used * est_union
+      |      + 0.5) - exact_inter AS DOUBLE)) / exact_inter
+      |    * 1000000 + 0.5) / 1000000 AS err_inter
+      |FROM eu CROSS JOIN cm CROSS JOIN ex""".stripMargin) { (s, d) =>
+    val polyHash =
+      "((aggregate(transform(sequence(0, least(length(w), 8) - 1), " +
+        "j -> ascii(substring(w, j + 1, 1)) * CAST(pow(31, j) AS BIGINT)), " +
+        "0L, (a, x) -> a + x) % 1000003) * 2654435761) % 1000003"
+    val hv = Tables.documents(s, d)
+      .select((col("doc_id") % 2).as("src"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("src"), expr(polyHash).as("v")).distinct()
+    val ka = hv.filter(col("src") === 0).select("v").orderBy("v").limit(256)
+    val kb = hv.filter(col("src") === 1).select("v").orderBy("v").limit(256)
+    val ku = ka.unionAll(kb).distinct().orderBy("v").limit(256)
+    val th = ku.agg(max("v").as("theta"), count(lit(1)).as("k_used"))
+    val cm = ku.join(ka.withColumnRenamed("v", "va"),
+        col("v") === col("va"), "left_semi")
+      .join(kb.withColumnRenamed("v", "vb"), col("v") === col("vb"),
+        "left_semi")
+      .agg(count(lit(1)).as("k_common"))
+    val eu = th.select(col("k_used"), col("theta"),
+      when(col("k_used") < 256, col("k_used"))
+        .otherwise(floor(lit(255.0) * 1000003 / col("theta") + lit(0.5))
+          .cast("long")).as("est_union"))
+    val exU = hv.agg(countDistinct("v").as("exact_union"))
+    val exI = hv.filter(col("src") === 0).select("v")
+      .intersect(hv.filter(col("src") === 1).select("v"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val estInter = floor(col("k_common").cast("double") / col("k_used")
+      * col("est_union") + lit(0.5)).cast("long")
+    eu.crossJoin(broadcast(cm)).crossJoin(broadcast(exU))
+      .crossJoin(broadcast(exI)) // 1-row sketch x 1-row exact report
+      .select(col("k_used"), col("theta"), col("est_union"), col("k_common"),
+        estInter.as("est_inter"), col("exact_union"), col("exact_inter"),
+        (floor(abs((col("est_union") - col("exact_union")).cast("double"))
+          / col("exact_union") * 1000000 + lit(0.5)) / 1000000)
+          .as("err_union"),
+        (floor(abs((estInter - col("exact_inter")).cast("double"))
+          / col("exact_inter") * 1000000 + lit(0.5)) / 1000000)
+          .as("err_inter"))
+  }
+
   val all: Seq[Q] = Seq(kmeansEmbed, clusterTopics, oovRate, cmsFreq, rpReduce,
     embedDimProfile, bestSplit, semDedup, amsF2, pcaPower, kmvDistinct,
-    knnClassify, rocchioClassify, f1Report, treeDepth2, ransacFit,
+    kmvSetOps, knnClassify, rocchioClassify, f1Report, treeDepth2, ransacFit,
     daviesBouldin)
 }

@@ -2543,7 +2543,87 @@ object TemporalOps {
       .limit(1)
   }
 
-  val all: Seq[Q] = Seq(intervalMerge, maxConcurrency, attribution, acfDaily,
+  /** Allen interval-algebra census (Allen 1983) — the relation
+    * vocabulary every temporal-reasoning pipeline classifies with:
+    * each user's per-event-type activity SPAN ([first start, last
+    * end] over that type's half-open event intervals) is compared
+    * against the user's other type spans, and the pair lands in
+    * exactly one of the 13 relations (before/after, meets/met_by,
+    * overlaps/overlapped_by, starts/started_by, during/contains,
+    * finishes/finished_by, equals) via one fixed CASE ladder —
+    * total, first-match-wins, identical in both engines, pure
+    * integer-second comparisons. Output: per ordered type pair, how
+    * many users exhibit each relation. Plan: one groupBy to a
+    * ≤|users|·|alphabet| span relation, then a user-keyed self-join
+    * fanning out ≤ C(|alphabet|,2) rows per user — the alphabet is
+    * the bound, never the corpus. */
+  val allenIntervals: Q = Q(
+    "allen_intervals",
+    """WITH iv AS (SELECT user_id, event_type,
+      |    epoch(date_trunc('second', ts)) AS st,
+      |    epoch(date_trunc('second', ts)) + CAST(floor(value) AS BIGINT) AS en
+      |  FROM events),
+      |sp AS (SELECT user_id, event_type, min(st) AS st, max(en) AS en
+      |       FROM iv GROUP BY 1, 2),
+      |pr AS (SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+      |    a.st AS ast, a.en AS aen, b.st AS bst, b.en AS ben
+      |  FROM sp a JOIN sp b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type),
+      |rel AS (SELECT type_a, type_b,
+      |    CASE
+      |      WHEN aen < bst THEN 'before'
+      |      WHEN ben < ast THEN 'after'
+      |      WHEN aen = bst AND ast < bst THEN 'meets'
+      |      WHEN ben = ast AND bst < ast THEN 'met_by'
+      |      WHEN ast = bst AND aen = ben THEN 'equals'
+      |      WHEN ast = bst AND aen < ben THEN 'starts'
+      |      WHEN ast = bst THEN 'started_by'
+      |      WHEN aen = ben AND ast > bst THEN 'finishes'
+      |      WHEN aen = ben THEN 'finished_by'
+      |      WHEN ast > bst AND aen < ben THEN 'during'
+      |      WHEN ast < bst AND aen > ben THEN 'contains'
+      |      WHEN ast < bst THEN 'overlaps'
+      |      ELSE 'overlapped_by'
+      |    END AS relation
+      |  FROM pr)
+      |SELECT type_a, type_b, relation, CAST(count(*) AS BIGINT) AS n_users
+      |FROM rel GROUP BY 1, 2, 3
+      |ORDER BY type_a, type_b, relation""".stripMargin) { (s, d) =>
+    val sp = ev(s, d).select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("st0"),
+        (unix_timestamp(col("ts")) + floor(col("value")).cast("long"))
+          .as("en0"))
+      .groupBy("user_id", "event_type")
+      .agg(min("st0").as("st"), max("en0").as("en"))
+    val a = sp.select(col("user_id"), col("event_type").as("type_a"),
+      col("st").as("ast"), col("en").as("aen"))
+    val b = sp.select(col("user_id").as("uid_b"),
+      col("event_type").as("type_b"),
+      col("st").as("bst"), col("en").as("ben"))
+    a.join(b, col("user_id") === col("uid_b")
+        && col("type_a") < col("type_b"))
+      .withColumn("relation", expr(
+        """CASE
+          |  WHEN aen < bst THEN 'before'
+          |  WHEN ben < ast THEN 'after'
+          |  WHEN aen = bst AND ast < bst THEN 'meets'
+          |  WHEN ben = ast AND bst < ast THEN 'met_by'
+          |  WHEN ast = bst AND aen = ben THEN 'equals'
+          |  WHEN ast = bst AND aen < ben THEN 'starts'
+          |  WHEN ast = bst THEN 'started_by'
+          |  WHEN aen = ben AND ast > bst THEN 'finishes'
+          |  WHEN aen = ben THEN 'finished_by'
+          |  WHEN ast > bst AND aen < ben THEN 'during'
+          |  WHEN ast < bst AND aen > ben THEN 'contains'
+          |  WHEN ast < bst THEN 'overlaps'
+          |  ELSE 'overlapped_by'
+          |END""".stripMargin))
+      .groupBy("type_a", "type_b", "relation")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("type_a", "type_b", "relation")
+  }
+
+  val all: Seq[Q] = Seq(allenIntervals, intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
     seasonalDecompose, markovStationary, entropyRate, forecastBacktest,

@@ -321,6 +321,124 @@ class Round10OpsSuite extends SparkSpec {
     assert(got.sorted == expected)
   }
 
+  test("kmv_set_ops: naive bottom-k replay of union/intersection estimates") {
+    val M = 1000003L
+    def h(w: String): Long = {
+      var a = 0L
+      var j = 0
+      val n = math.min(w.length, 8)
+      var p = 1L
+      while (j < n) { a += w.charAt(j).toInt * p; p *= 31; j += 1 }
+      ((a % M) * 2654435761L) % M
+    }
+    val bySrc = graft.Tables.documents(spark, sfDir)
+      .select((col("doc_id") % 2).as("src"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(w => (r.getLong(0), h(w)))).distinct
+    val hA = bySrc.collect { case (0L, v) => v }.toSet
+    val hB = bySrc.collect { case (1L, v) => v }.toSet
+    val ka = hA.toSeq.sorted.take(256)
+    val kb = hB.toSeq.sorted.take(256)
+    val ku = (ka ++ kb).distinct.sorted.take(256)
+    val (kUsed, theta) = (ku.size.toLong, ku.max)
+    val estU = if (kUsed < 256) kUsed
+    else math.floor(255.0 * M / theta + 0.5).toLong
+    val kaS = ka.toSet; val kbS = kb.toSet
+    val kCommon = ku.count(v => kaS(v) && kbS(v)).toLong
+    val estI = math.floor(kCommon.toDouble / kUsed * estU + 0.5).toLong
+    val exU = (hA ++ hB).size.toLong
+    val exI = (hA intersect hB).size.toLong
+    val r = run("kmv_set_ops").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((kUsed, theta, estU, kCommon, estI, exU, exI)))
+  }
+
+  test("equidepth_histogram: naive sorted-decile replay") {
+    val cents = graft.Tables.orders(spark, sfDir)
+      .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+      .collect().map(_.getLong(0))
+    val keyed = graft.Tables.orders(spark, sfDir)
+      .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"),
+        col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val n = keyed.length
+    val (base, rem) = (n / 10, n % 10)
+    val buckets = keyed.zipWithIndex.map { case ((c, _), i) =>
+      val b = if (i < rem * (base + 1)) i / (base + 1)
+      else rem + (i - rem * (base + 1)) / base
+      (b + 1, c)
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+    val (rlo, rhi) = (10000000L, 20000000L)
+    val expected = buckets.map { case (b, vs) =>
+      val cs = vs.map(_._2)
+      val (lo, hi) = (cs.min, cs.max)
+      val exact = cs.count(c => c >= rlo && c <= rhi).toLong
+      val est = if (hi < rlo || lo > rhi) 0L
+      else cs.length.toLong * (math.min(hi, rhi) - math.max(lo, rlo) + 1) /
+        (hi - lo + 1)
+      (b, cs.length.toLong, lo, hi, est, exact)
+    }
+    val got = run("equidepth_histogram").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.filter(_._1 != 99).toSeq == expected)
+    assert(cents.length == n)
+    val tot = got.find(_._1 == 99).get
+    assert(tot._2 == n.toLong && tot._6 == expected.map(_._6).sum
+      && tot._5 == expected.map(_._5).sum)
+  }
+
+  test("column_entropy: driver-side Shannon replay within rounding") {
+    val got = run("column_entropy").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val flags = graft.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag").collect().map(_.getString(0))
+    val counts = flags.groupBy(identity).map(_._2.length.toLong).toSeq
+    val n = counts.sum.toDouble
+    val h = math.log(n) / math.log(2) -
+      counts.map(c => c * math.log(c.toDouble)).sum / (n * math.log(2))
+    val (gn, gd, gh, gnorm) = got("l_returnflag")
+    assert(gn == n.toLong && gd == counts.length.toLong)
+    assert(math.abs(gh - math.floor(h * 1e6 + 0.5) / 1e6) < 2e-6)
+    assert(gnorm <= 1.0 + 1e-9 && gnorm >= 0.0)
+  }
+
+  test("allen_intervals: driver-side relation ladder replay") {
+    val spans = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("st"),
+        (unix_timestamp(col("ts")) + floor(col("value")).cast("long"))
+          .as("en")).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1)
+      .map { case ((u, t), vs) =>
+        (u, t, vs.map(_._2._1).min, vs.map(_._2._2).max) }.toSeq
+    def rel(ast: Long, aen: Long, bst: Long, ben: Long): String =
+      if (aen < bst) "before" else if (ben < ast) "after"
+      else if (aen == bst && ast < bst) "meets"
+      else if (ben == ast && bst < ast) "met_by"
+      else if (ast == bst && aen == ben) "equals"
+      else if (ast == bst && aen < ben) "starts"
+      else if (ast == bst) "started_by"
+      else if (aen == ben && ast > bst) "finishes"
+      else if (aen == ben) "finished_by"
+      else if (ast > bst && aen < ben) "during"
+      else if (ast < bst && aen > ben) "contains"
+      else if (ast < bst) "overlaps" else "overlapped_by"
+    val expected = (for {
+      a <- spans; b <- spans
+      if a._1 == b._1 && a._2 < b._2
+    } yield ((a._2, b._2, rel(a._3, a._4, b._3, b._4)), 1L))
+      .groupBy(_._1).map { case (k, vs) => (k._1, k._2, k._3, vs.size.toLong) }
+      .toSeq.sorted
+    val got = run("allen_intervals").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sorted.toSeq
+    assert(got == expected)
+  }
+
   test("BPE sqlLit: backslash tokens survive the Spark literal splice") {
     assert(TextOps.sqlLit("""a\b""") == """a\\b""")
     assert(TextOps.sqlLit("it's") == "it''s")
