@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -417,8 +417,200 @@ object FeatureOps {
         (col("oe") * col("oe") / col("vv") > 3.841459).as("significant"))
   }
 
+  /** RFM segmentation — the classic customer-value grid: per customer,
+    * recency (days from their last order to the corpus max order
+    * date), frequency (order count), monetary (exact cents), each
+    * scored into quintiles over a TOTAL order (metric, custkey — ties
+    * can never float between engines) by the distributed ntile
+    * operator, then a first-match CASE ladder names the segment
+    * (champions / loyal / big_spender / at_risk / hibernating /
+    * regular). Output: per segment, customer count and exact mean
+    * scores (1e-6 floor rounding on the single division). Three
+    * global rank passes over the |customers| relation — each the
+    * range-shuffle rank, never a partition-less window. */
+  val rfmSegments: Q = Q(
+    "rfm_segments",
+    """WITH cust AS (SELECT o_custkey AS ck,
+      |    date_diff('day', max(o_orderdate),
+      |      (SELECT max(o_orderdate) FROM orders)) AS rec,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS mon
+      |  FROM orders GROUP BY o_custkey),
+      |sc AS (SELECT ck,
+      |    CAST(ntile(5) OVER (ORDER BY rec DESC, ck) AS INTEGER) AS r_score,
+      |    CAST(ntile(5) OVER (ORDER BY freq, ck) AS INTEGER) AS f_score,
+      |    CAST(ntile(5) OVER (ORDER BY mon, ck) AS INTEGER) AS m_score
+      |  FROM cust),
+      |seg AS (SELECT ck, r_score, f_score, m_score,
+      |    CASE
+      |      WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+      |        THEN 'champions'
+      |      WHEN f_score >= 4 THEN 'loyal'
+      |      WHEN m_score >= 4 THEN 'big_spender'
+      |      WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+      |      WHEN r_score <= 2 THEN 'hibernating'
+      |      ELSE 'regular'
+      |    END AS segment
+      |  FROM sc)
+      |SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+      |  floor(CAST(sum(r_score) AS DOUBLE) / count(*) * 1000000 + 0.5)
+      |    / 1000000 AS avg_r,
+      |  floor(CAST(sum(f_score) AS DOUBLE) / count(*) * 1000000 + 0.5)
+      |    / 1000000 AS avg_f,
+      |  floor(CAST(sum(m_score) AS DOUBLE) / count(*) * 1000000 + 0.5)
+      |    / 1000000 AS avg_m
+      |FROM seg GROUP BY segment ORDER BY segment""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val maxDate = o.agg(max("o_orderdate").as("mx"))
+    val cust = o.crossJoin(broadcast(maxDate)) // 1-row corpus max
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(datediff(first("mx"), max("o_orderdate")).cast("long").as("rec"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("mon"))
+    def score(df: DataFrame, metric: Column, name: String,
+        desc: Boolean): DataFrame = {
+      val keys = if (desc) Seq(metric.desc, col("ck")) else
+        Seq(metric, col("ck"))
+      graft.ops.DistributedNtile.ntile(df, keys, 5)
+        .withColumnRenamed("bucket", name)
+    }
+    val sc0 = score(cust, col("rec"), "r_score", desc = true)
+    val sc1 = score(sc0, col("freq"), "f_score", desc = false)
+    val sc2 = score(sc1, col("mon"), "m_score", desc = false)
+    val seg = sc2.withColumn("segment", expr(
+      """CASE
+        |  WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |    THEN 'champions'
+        |  WHEN f_score >= 4 THEN 'loyal'
+        |  WHEN m_score >= 4 THEN 'big_spender'
+        |  WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |  WHEN r_score <= 2 THEN 'hibernating'
+        |  ELSE 'regular'
+        |END""".stripMargin))
+    def avg6(c: String) =
+      floor(sum(col(c)).cast("double") / count(lit(1)) * 1000000 + lit(0.5)) / 1000000
+    seg.groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"), avg6("r_score").as("avg_r"),
+        avg6("f_score").as("avg_f"), avg6("m_score").as("avg_m"))
+      .orderBy("segment")
+  }
+
+  /** Market-basket association rules over order baskets at the BRAND
+    * level (25-value alphabet keeps the pair grid bounded): for each
+    * unordered brand pair, co-occurrence count across baskets, support,
+    * the stronger-direction confidence, and lift = N·co/(n_a·n_b) —
+    * the shelf-placement / cross-sell screen every transactional
+    * dataset runs. The basket relation is one distinct projection;
+    * the pair count is a basket-keyed self-join bounded by C(25,2)
+    * per basket; all ratios are single divisions of exact integers
+    * (1e-6 floor rounding). Top 20 by lift, deterministic ties. */
+  val basketRules: Q = Q(
+    "basket_rules",
+    """WITH b AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      |           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+      |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM b),
+      |cnt AS (SELECT brand, CAST(count(*) AS BIGINT) AS c FROM b
+      |        GROUP BY brand),
+      |co AS (SELECT a.brand AS brand_a, c.brand AS brand_b,
+      |    CAST(count(*) AS BIGINT) AS n_co
+      |  FROM b a JOIN b c ON a.ok = c.ok AND a.brand < c.brand
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, n_co,
+      |  floor(CAST(n_co AS DOUBLE) / nb.n * 1000000 + 0.5) / 1000000
+      |    AS support,
+      |  floor(CAST(n_co AS DOUBLE) / least(ca.c, cb.c) * 1000000 + 0.5)
+      |    / 1000000 AS confidence,
+      |  floor(CAST(n_co AS DOUBLE) * nb.n / (ca.c * cb.c) * 1000000 + 0.5)
+      |    / 1000000 AS lift
+      |FROM co JOIN cnt ca ON ca.brand = co.brand_a
+      |        JOIN cnt cb ON cb.brand = co.brand_b
+      |        CROSS JOIN nb
+      |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey"))
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand").as("brand"))),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("ok"), col("brand")).distinct()
+    val nb = b.agg(countDistinct("ok").as("n"))
+    val cnt = b.groupBy("brand").agg(count(lit(1)).as("c"))
+    val co = b.as("x").join(b.as("y"),
+        col("x.ok") === col("y.ok") && col("x.brand") < col("y.brand"))
+      .groupBy(col("x.brand").as("brand_a"), col("y.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_co"))
+    def r6(c: Column) = floor(c * 1000000 + lit(0.5)) / 1000000
+    co.join(broadcast(cnt.select(col("brand").as("brand_a"),
+        col("c").as("ca"))), "brand_a")
+      .join(broadcast(cnt.select(col("brand").as("brand_b"),
+        col("c").as("cb"))), "brand_b")
+      .crossJoin(broadcast(nb)) // 1-row basket total
+      .select(col("brand_a"), col("brand_b"), col("n_co"),
+        r6(col("n_co").cast("double") / col("n")).as("support"),
+        r6(col("n_co").cast("double") / least(col("ca"), col("cb")))
+          .as("confidence"),
+        r6(col("n_co").cast("double") * col("n") / (col("ca") * col("cb")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+      .limit(20)
+  }
+
+  /** Revenue concentration: exact Gini coefficient + Lorenz top-decile
+    * share over per-customer revenue. G = Σ(2i − n − 1)·x_i / (n·Σx)
+    * with i the global rank by (cents, custkey) from the distributed
+    * rank operator; the weighted sum accumulates in DECIMAL(38,0)
+    * (n·x_i products reach ~2e16 at sf0.1 and grow linearly — BIGINT
+    * would wrap near sf100), and the only doubles are the two final
+    * ratio roundings. Top-decile share counts the highest-ranked
+    * ceil(n/10) customers' exact cents. */
+  val revenueGini: Q = Q(
+    "revenue_gini",
+    """WITH cust AS (SELECT o_custkey AS ck,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |rk AS (SELECT ck, cents,
+      |    CAST(row_number() OVER (ORDER BY cents, ck) AS BIGINT) AS i
+      |  FROM cust),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |      CAST(sum(cents) AS BIGINT) AS tot FROM cust),
+      |g AS (SELECT CAST(sum(CAST((2 * i - nn.n - 1) AS HUGEINT) * cents)
+      |        AS HUGEINT) AS num
+      |  FROM rk CROSS JOIN n nn),
+      |topd AS (SELECT CAST(sum(cents) AS BIGINT) AS top_cents
+      |  FROM rk CROSS JOIN n nn WHERE i > nn.n - (nn.n + 9) // 10)
+      |SELECT n.n AS n_customers, n.tot AS total_cents,
+      |  floor(CAST(g.num AS DOUBLE) / (CAST(n.n AS DOUBLE) * n.tot)
+      |    * 1000000 + 0.5) / 1000000 AS gini,
+      |  floor(CAST(topd.top_cents AS DOUBLE) / n.tot * 1000000 + 0.5)
+      |    / 1000000 AS top_decile_share
+      |FROM n CROSS JOIN g CROSS JOIN topd""".stripMargin) { (s, d) =>
+    val cust = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .as("cents"))
+    val rk = graft.ops.DistributedNtile.withGlobalRank(
+      cust, Seq(col("cents"), col("ck")))
+      .withColumnRenamed("global_rank", "i")
+    val n = cust.agg(count(lit(1)).as("n"), sum("cents").as("tot"))
+    val withN = rk.crossJoin(broadcast(n)) // 1-row totals
+    val g = withN.agg(sum((lit(2) * col("i") - col("n") - 1)
+      .cast("decimal(38,0)") * col("cents")).as("num"))
+    val topd = withN.filter(col("i") > expr("n - (n + 9) DIV 10"))
+      .agg(sum("cents").as("top_cents"))
+    n.crossJoin(broadcast(g)).crossJoin(broadcast(topd))
+      .select(col("n").as("n_customers"), col("tot").as("total_cents"),
+        (floor(col("num").cast("double")
+          / (col("n").cast("double") * col("tot")) * 1000000 + lit(0.5))
+          / 1000000).as("gini"),
+        (floor(col("top_cents").cast("double") / col("tot") * 1000000
+          + lit(0.5)) / 1000000).as("top_decile_share"))
+  }
+
   val all: Seq[Q] = Seq(targetEncodeLoo, woeIv, kaplanMeier,
-    quantileNormalize, logRank, nelsonAalen, kneedlePareto)
+    quantileNormalize, logRank, nelsonAalen, kneedlePareto,
+    rfmSegments, basketRules, revenueGini)
 
   /** Nelson–Aalen cumulative hazard over kaplan_meier's exact
     * protocol — the additive estimator (Σ d/n) whose variance and

@@ -439,6 +439,109 @@ class Round10OpsSuite extends SparkSpec {
     assert(got == expected)
   }
 
+  /** SQL-standard ntile over already-sorted values: first (n mod k)
+    * buckets take one extra row. */
+  private def naiveNtile(count: Int, k: Int): Array[Int] = {
+    val base = count / k; val rem = count % k
+    val out = new Array[Int](count)
+    var i = 0
+    while (i < count) {
+      out(i) = if (i < rem * (base + 1)) i / (base + 1) + 1
+      else rem + (i - rem * (base + 1)) / base + 1
+      i += 1
+    }
+    out
+  }
+
+  test("rfm_segments: driver-side quintile + ladder replay") {
+    val o = graft.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val maxDate = o.map(_._2).max
+    def days(a: java.sql.Timestamp, b: java.sql.Timestamp): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        b.toLocalDateTime.toLocalDate, a.toLocalDateTime.toLocalDate)
+    val cust = o.groupBy(_._1).map { case (ck, rows) =>
+      (ck, days(maxDate, rows.map(_._2).max), rows.length.toLong,
+        rows.map(_._3).sum)
+    }.toSeq
+    def quint(key: ((Long, Long, Long, Long)) => (Long, Long),
+        desc: Boolean): Map[Long, Int] = {
+      val sorted =
+        if (desc) cust.sortBy(c => (-key(c)._1, c._1))
+        else cust.sortBy(c => (key(c)._1, c._1))
+      val nt = naiveNtile(sorted.length, 5)
+      sorted.zipWithIndex.map { case (c, i) => c._1 -> nt(i) }.toMap
+    }
+    val r = quint(c => (c._2, c._1), desc = true)
+    val f = quint(c => (c._3, c._1), desc = false)
+    val m = quint(c => (c._4, c._1), desc = false)
+    def seg(rs: Int, fs: Int, ms: Int): String =
+      if (rs >= 4 && fs >= 4 && ms >= 4) "champions"
+      else if (fs >= 4) "loyal" else if (ms >= 4) "big_spender"
+      else if (rs <= 2 && fs >= 3) "at_risk"
+      else if (rs <= 2) "hibernating" else "regular"
+    val expected = cust.map(c => (seg(r(c._1), f(c._1), m(c._1)),
+        (r(c._1).toLong, f(c._1).toLong, m(c._1).toLong)))
+      .groupBy(_._1).map { case (sg, vs) =>
+        def avg6(sel: ((Long, Long, Long)) => Long) =
+          math.floor(vs.map(v => sel(v._2)).sum.toDouble / vs.size * 1e6
+            + 0.5) / 1e6
+        (sg, vs.size.toLong, avg6(_._1), avg6(_._2), avg6(_._3))
+      }.toSeq.sortBy(_._1)
+    val got = run("rfm_segments").collect()
+      .map(rr => (rr.getString(0), rr.getLong(1), rr.getDouble(2),
+        rr.getDouble(3), rr.getDouble(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("basket_rules: brute-force pair lift replay") {
+    val b = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(graft.Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand")),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nB = b.map(_._1).distinct.length.toLong
+    val cnt = b.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val co = b.groupBy(_._1).values.flatMap { rows =>
+      val brands = rows.map(_._2).sorted
+      for (i <- brands.indices; j <- (i + 1) until brands.length)
+        yield (brands(i), brands(j))
+    }.groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = co.map { case (a, bb, n) =>
+      (a, bb, n, r6(n.toDouble / nB),
+        r6(n.toDouble / math.min(cnt(a), cnt(bb))),
+        r6(n.toDouble * nB / (cnt(a) * cnt(bb))))
+    }.toSeq.sortBy(t => (-t._6, t._1, t._2)).take(20)
+    val got = run("basket_rules").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+  }
+
+  test("revenue_gini: exact driver-side Gini replay") {
+    val cents = graft.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (ck, v) => (ck, v.map(_._2).sum) }.toSeq
+      .sortBy(c => (c._2, c._1))
+    val n = cents.length.toLong
+    val tot = cents.map(_._2).sum
+    val num = cents.zipWithIndex
+      .map { case ((_, x), i0) => BigInt(2 * (i0 + 1) - n - 1) * x }.sum
+    val gini = math.floor(num.toDouble / (n.toDouble * tot) * 1e6 + 0.5) / 1e6
+    val topCents = cents.takeRight(((n + 9) / 10).toInt).map(_._2).sum
+    val share = math.floor(topCents.toDouble / tot * 1e6 + 0.5) / 1e6
+    val r = run("revenue_gini").head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      ((n, tot, gini, share)))
+  }
+
   test("BPE sqlLit: backslash tokens survive the Spark literal splice") {
     assert(TextOps.sqlLit("""a\b""") == """a\\b""")
     assert(TextOps.sqlLit("it's") == "it''s")
