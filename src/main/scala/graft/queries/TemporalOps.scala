@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.Tables
 
 /** Temporal / event-stream analytics: interval coalescing
@@ -2543,6 +2543,91 @@ object TemporalOps {
       .limit(1)
   }
 
+  /** Length-3 path census — event_transitions' order-3 sibling: the
+    * top user-journey triples (A → B → C over each user's time-ordered
+    * event stream, consecutive by position), the standard
+    * clickstream-path report behind sankey/journey dashboards. Two
+    * user-partitioned lead() windows share ONE user-keyed sort (never
+    * partition-less), the triple count is a V³-bounded groupBy, and
+    * the top-20 pick orders by (count DESC, path) for deterministic
+    * ties. */
+  val pathTriples: Q = Q(
+    "path_triples",
+    """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events),
+      |t AS (SELECT user_id, event_type AS t1,
+      |    lead(event_type, 1) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+      |    lead(event_type, 2) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+      |  FROM e)
+      |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+      |FROM t WHERE t3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev(s, d).select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
+  /** Multi-window SLO burn rate (the SRE alerting arithmetic): with
+    * SLO "value ≤ 90" and a 5% error budget, each day's 1-day and
+    * 7-day-trailing error rates become burn rates (rate / budget),
+    * and the standard two-window alert ladder fires page (1d ≥ 14.4
+    * AND 7d ≥ 6 — fast burn confirmed by the slow window) or ticket
+    * (7d ≥ 1) severities. The 7-day window is a shifted-day-key
+    * self-join of the ≤|days| daily relation (the acf device — never
+    * a partition-less window); all rates are single divisions of
+    * exact integer counts, 1e-6 floor-rounded. Output: the 15 worst
+    * days by 1-day burn. */
+  val sloBurnRate: Q = Q(
+    "slo_burn_rate",
+    """WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CASE WHEN value > 90 THEN 1 ELSE 0 END AS bad FROM events),
+      |dd AS (SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(bad) AS BIGINT) AS nbad FROM e GROUP BY day),
+      |w7 AS (SELECT a.day, CAST(sum(b.n) AS BIGINT) AS n7,
+      |    CAST(sum(b.nbad) AS BIGINT) AS nbad7
+      |  FROM dd a JOIN dd b
+      |    ON b.day >= a.day - INTERVAL 6 DAY AND b.day <= a.day
+      |  GROUP BY a.day),
+      |r AS (SELECT dd.day,
+      |    floor(CAST(dd.nbad AS DOUBLE) / dd.n / 0.05 * 1000000 + 0.5)
+      |      / 1000000 AS burn_1d,
+      |    floor(CAST(w7.nbad7 AS DOUBLE) / w7.n7 / 0.05 * 1000000 + 0.5)
+      |      / 1000000 AS burn_7d
+      |  FROM dd JOIN w7 ON w7.day = dd.day)
+      |SELECT CAST(day AS VARCHAR) AS day, burn_1d, burn_7d,
+      |  CASE WHEN burn_1d >= 14.4 AND burn_7d >= 6 THEN 'page'
+      |       WHEN burn_7d >= 1 THEN 'ticket' ELSE 'ok' END AS severity
+      |FROM r ORDER BY burn_1d DESC, day LIMIT 15""".stripMargin) { (s, d) =>
+    val dd = ev(s, d)
+      .select(to_date(date_trunc("day", col("ts"))).as("day"),
+        when(col("value") > 90, 1L).otherwise(0L).as("bad"))
+      .groupBy("day").agg(count(lit(1)).as("n"), sum("bad").as("nbad"))
+    val w7 = dd.as("a").join(dd.as("b"),
+        col("b.day") >= date_sub(col("a.day"), 6)
+          && col("b.day") <= col("a.day"))
+      .groupBy(col("a.day").as("day"))
+      .agg(sum("b.n").as("n7"), sum("b.nbad").as("nbad7"))
+    def r6(c: Column) = floor(c * 1000000 + lit(0.5)) / 1000000
+    dd.join(w7, "day")
+      .select(col("day").cast("string").as("day"),
+        r6(col("nbad").cast("double") / col("n") / 0.05).as("burn_1d"),
+        r6(col("nbad7").cast("double") / col("n7") / 0.05).as("burn_7d"))
+      .withColumn("severity",
+        when(col("burn_1d") >= 14.4 && col("burn_7d") >= 6, "page")
+          .when(col("burn_7d") >= 1, "ticket").otherwise("ok"))
+      .orderBy(col("burn_1d").desc, col("day"))
+      .limit(15)
+  }
+
   /** Allen interval-algebra census (Allen 1983) — the relation
     * vocabulary every temporal-reasoning pipeline classifies with:
     * each user's per-event-type activity SPAN ([first start, last
@@ -2623,7 +2708,7 @@ object TemporalOps {
       .orderBy("type_a", "type_b", "relation")
   }
 
-  val all: Seq[Q] = Seq(allenIntervals, intervalMerge, maxConcurrency, attribution, acfDaily,
+  val all: Seq[Q] = Seq(allenIntervals, pathTriples, sloBurnRate, intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
     seasonalDecompose, markovStationary, entropyRate, forecastBacktest,

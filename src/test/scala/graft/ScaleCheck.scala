@@ -52,7 +52,12 @@ object ScaleCheck {
     // sampling knobs (seed % 500, target % 20) scale with the
     // key-shifted copies, so the 10x step exercises 10x seeds/targets
     // over 10x nodes at constant density.
-    "harmonic_centrality", "adamic_adar")
+    "harmonic_centrality", "adamic_adar",
+    // round 10: the perceptual-dedup banded join (candidate-pair
+    // growth under 10x corpora is the quadratic risk banding must
+    // suppress — video is the heaviest of the three fingerprints) and
+    // the zorder audit's two global rank sorts over 10x lineitem
+    "video_dup_pairs", "zorder_layout")
 
   private final class Shuffle extends SparkListener {
     val bytes = new AtomicLong(0)

@@ -542,6 +542,49 @@ class Round10OpsSuite extends SparkSpec {
       ((n, tot, gini, share)))
   }
 
+  test("path_triples: driver-side consecutive-triple replay") {
+    val byUser = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getLong(3)))
+      .groupBy(_._1)
+    val expected = byUser.values.flatMap { rows =>
+      val ts = rows.sortBy(r => (r._3.getTime, r._4)).map(_._2)
+      ts.sliding(3).filter(_.length == 3).map(w => (w(0), w(1), w(2)))
+    }.toSeq.groupBy(identity)
+      .map { case (k, v) => (k._1, k._2, k._3, v.size.toLong) }.toSeq
+      .sortBy(t => (-t._4, t._1, t._2, t._3)).take(20)
+    val got = run("path_triples").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("slo_burn_rate: driver-side burn/severity replay") {
+    val days = graft.Tables.events(spark, sfDir)
+      .select(to_date(date_trunc("day", col("ts"))).as("day"), col("value"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getDouble(1)))
+      .groupBy(_._1).map { case (d, vs) =>
+        (d, vs.length.toLong, vs.count(_._2 > 90).toLong) }.toSeq
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = days.map { case (d, n, nbad) =>
+      val w = days.filter(o => !o._1.isAfter(d)
+        && !o._1.isBefore(d.minusDays(6)))
+      val (n7, nbad7) = (w.map(_._2).sum, w.map(_._3).sum)
+      val b1 = r6(nbad.toDouble / n / 0.05)
+      val b7 = r6(nbad7.toDouble / n7 / 0.05)
+      val sev = if (b1 >= 14.4 && b7 >= 6) "page"
+      else if (b7 >= 1) "ticket" else "ok"
+      (d.toString, b1, b7, sev)
+    }.sortBy(t => (-t._2, t._1)).take(15)
+    val got = run("slo_burn_rate").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getString(3))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._4 != "ok") || got.forall(_._4 == "ok"))
+  }
+
   test("BPE sqlLit: backslash tokens survive the Spark literal splice") {
     assert(TextOps.sqlLit("""a\b""") == """a\\b""")
     assert(TextOps.sqlLit("it's") == "it''s")
