@@ -283,7 +283,12 @@ class ScaleOpsSuite extends SparkSpec {
                               // pair panel broadcast
       "boxcox_grid",          // 5-row literal lambda axis x daily series
       "median_polish",        // 25x25 / 3-cell bounded rank joins + 1-rows
-      "cvm_test")             // <=50-value cumulative self-join + 1-row
+      "cvm_test",             // <=50-value cumulative self-join + 1-row
+      // round 10
+      "kmv_set_ops",          // four 1-row relations in the report join
+      "basket_rules",         // 1-row basket-total broadcast onto <=C(25,2)
+      "revenue_gini",         // 1-row (n, tot) totals onto ranks + 1-row report
+      "slo_burn_rate")        // calendar-bounded 7-day day-key self-join
     // Dead whitelist entries hide rot: every name must still be declared.
     val undeclared = boundedByDesign -- graft.SparkEntry.queries.keySet
     assert(undeclared.isEmpty,
