@@ -518,12 +518,16 @@ object IncrOps {
       (expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)") % 1024)
         .cast("long").as("y"))
     // 10+10-bit Morton interleave: x bits land on even positions, y on
-    // odd — one map-side expression, exact BIGINT
+    // odd — one map-side expression, exact BIGINT. The projection is
+    // cached because BOTH layouts rank it (2 × (count + range shuffle
+    // + rank pass) = 6 scans uncached); ~20 MB at sf0.1, battery
+    // reset() clears it (the kcore/pagerank persist discipline).
     val withZ = li0.withColumn("zv", expr(
       """aggregate(sequence(0, 9), CAST(0 AS BIGINT),
         |  (acc, b) -> acc
         |    | shiftleft(shiftright(x, b) & 1, 2 * b)
         |    | shiftleft(shiftright(y, b) & 1, 2 * b + 1))""".stripMargin))
+      .cache()
     def layout(name: String, key: String) =
       graft.ops.DistributedNtile.ntile(
         withZ.withColumn("layout", lit(name)),
