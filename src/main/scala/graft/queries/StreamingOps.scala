@@ -239,6 +239,58 @@ object StreamingOps {
     s.table(sink).orderBy(col("p_id"), col("c_id").asc_nulls_last)
   }
 
+  /** CASCADED stream-stream joins — the multi-join streaming topology
+    * (view → click → purchase attribution chain): TWO stream-stream
+    * inner joins chained in one streaming query, each buffering both
+    * sides' state, with per-user day-scale attribution windows (click
+    * within a day before the purchase, view within a day before the
+    * click — hour-scale windows match ZERO rows at fixture SFs, and a
+    * vacuous gate pins nothing). Inner joins without watermarks keep full state for the
+    * finite stream, so the emitted set is the arrival-order-independent
+    * fixpoint ≡ the batch 3-way join — the oracle is plain SQL. This
+    * pins that the engine supports CHAINED stateful join operators,
+    * not just one. */
+  val streamChainJoinParity: Q = Q(
+    "stream_chain_join_parity",
+    """SELECT v.event_id AS v_id, c.event_id AS c_id, p.event_id AS p_id
+      |FROM events p JOIN events c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND p.user_id = c.user_id
+      |  AND c.ts >= p.ts - INTERVAL 1 DAY AND c.ts <= p.ts
+      |JOIN events v
+      |  ON v.event_type = 'view' AND v.user_id = c.user_id
+      |  AND v.ts >= c.ts - INTERVAL 1 DAY AND v.ts <= c.ts
+      |ORDER BY v_id, c_id, p_id""".stripMargin) { (s, d) =>
+    val sink = s"stream_chain_join_parity_sink_${sinkId.incrementAndGet()}"
+    val p = fileStream(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = fileStream(s, d).filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val v = fileStream(s, d).filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    // 4 state partitions, not 8: TWO chained joins double the
+    // per-batch state-store commit count, and at fixture scale commit
+    // overhead IS the cost (the withStatePartitions scaladoc's
+    // arithmetic) — the RESULT is partition-count independent
+    withStatePartitions(s, 4) {
+      val q = p.join(c, col("p_user") === col("c_user")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 DAY")
+          && col("c_ts") <= col("p_ts"))
+        .join(v, col("v_user") === col("c_user")
+          && col("v_ts") >= col("c_ts") - expr("INTERVAL 1 DAY")
+          && col("v_ts") <= col("c_ts"))
+        .select(col("v_id"), col("c_id"), col("p_id"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(sink).orderBy("v_id", "c_id", "p_id")
+  }
+
   /** STREAM-STREAM **LEFT SEMI** join — the existence-check shape
     * (EXISTS subquery over a second stream): a purchase emits exactly
     * once, when its first same-user preceding-hour click is seen —
@@ -658,7 +710,8 @@ object StreamingOps {
 
   val all: Seq[Q] = Seq(streamFileParity, streamSlideParity,
     streamSessionParity, streamJoinParity, streamLeftJoinParity,
-    streamFullJoinParity, streamSemiJoinParity, streamDedupParity,
+    streamFullJoinParity, streamSemiJoinParity, streamChainJoinParity,
+    streamDedupParity,
     streamWatermarkParity, streamUpsertParity, streamFileSinkParity,
     streamStateParity)
 

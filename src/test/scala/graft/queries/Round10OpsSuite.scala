@@ -585,6 +585,27 @@ class Round10OpsSuite extends SparkSpec {
     assert(got.exists(_._4 != "ok") || got.forall(_._4 == "ok"))
   }
 
+  test("stream_chain_join_parity: batch 3-way replay, non-vacuous") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    def side(t: String, pfx: String) = ev.filter(col("event_type") === t)
+      .select(col("event_id").as(s"${pfx}_id"), col("user_id").as(s"${pfx}u"),
+        col("ts").as(s"${pfx}_ts"))
+    val expected = side("purchase", "p")
+      .join(side("click", "c"), col("pu") === col("cu")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 DAY")
+        && col("c_ts") <= col("p_ts"))
+      .join(side("view", "v"), col("vu") === col("cu")
+        && col("v_ts") >= col("c_ts") - expr("INTERVAL 1 DAY")
+        && col("v_ts") <= col("c_ts"))
+      .select("v_id", "c_id", "p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val got = run("stream_chain_join_parity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "the chain gate must not be vacuous at sf0.001")
+  }
+
   test("BPE sqlLit: backslash tokens survive the Spark literal splice") {
     assert(TextOps.sqlLit("""a\b""") == """a\\b""")
     assert(TextOps.sqlLit("it's") == "it''s")
