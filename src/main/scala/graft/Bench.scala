@@ -241,15 +241,17 @@ object Bench {
       startLoadMap ++= loadArtifactMap("queries_start_load")
       // Artifacts written before queries_start_load existed carried
       // only the mid-battery per-entry load; seed those entries from
-      // the old artifact's own battery-start sample (load_avg[0]) so
-      // a pre-upgrade idle-started record doesn't stay flagged.
-      if (!startLoadMap.keySet.exists(minMap.contains)) {
-        val txt = try scala.io.Source.fromFile("BENCH_SELF.json").mkString
-        catch { case _: Throwable => "" }
-        val la = """"load_avg":\[(-?\d+(?:\.\d+)?)""".r
-        la.findFirstMatchIn(txt).map(_.group(1).toDouble).foreach { s0 =>
-          minMap.keys.foreach(n => startLoadMap.getOrElseUpdate(n, s0))
-        }
+      // their OWN per-entry load sample, not the artifact's single
+      // load_avg[0] (r10 advisor: entries refreshed in earlier
+      // ONLY-mode runs were recorded under DIFFERENT battery starts,
+      // and a later idle battery's start sample would silently
+      // un-flag a busy-box-recorded entry). The per-entry mid-battery
+      // load is an upper bound on that entry's battery-start load, so
+      // seeding from it is conservative: genuinely load-contaminated
+      // entries stay flagged until re-measured.
+      minMap.keys.foreach { n =>
+        if (!startLoadMap.contains(n))
+          loadMap.get(n).foreach(v => startLoadMap.getOrElseUpdate(n, v))
       }
     }
     val rerun = new java.util.concurrent.ConcurrentLinkedQueue[String]()

@@ -27,6 +27,36 @@ object ConnectedComponents {
       checkEvery: Int = 1): DataFrame =
     componentsWithRounds(pairs, maxIter, checkEvery)._1
 
+  /** Driver union-find endpoint for edge sets under the size gate —
+    * the kcore `kcoreFilterAlive` discipline applied to CC: a
+    * label-propagation loop pays rounds × 3 stages of scheduler
+    * latency no matter how small the graph (dbscan_grid's ~1k-node
+    * core graph spent ~5s on ~90 near-empty stages), while a ≤5M-edge
+    * set union-finds on the driver in one collect. Union-to-min (the
+    * larger root always attaches under the smaller) + path
+    * compression makes the final root of every node exactly the
+    * component's MINIMUM member id — the same label contract as the
+    * distributed fixpoint, which the DedupSuite both-branch spec
+    * asserts on identical input. */
+  private[graft] def driverUnionFind(
+      edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toArray.map(id => (id, find(id)))
+  }
+
   /** [[components]] plus the number of propagation rounds run — the
     * observable the convergence claim is load-tested on
     * (ConnectedComponentsSuite pins a 10k-node path graph, the
@@ -44,7 +74,8 @@ object ConnectedComponents {
     * per-round persist + unpersist keeps lineage shallow either way.
     */
   def componentsWithRounds(pairs: DataFrame,
-      maxIter: Int = 20, checkEvery: Int = 1): (DataFrame, Int) = {
+      maxIter: Int = 20, checkEvery: Int = 1,
+      driverGate: Long = 5000000L): (DataFrame, Int) = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
@@ -54,11 +85,39 @@ object ConnectedComponents {
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
     // symmetric, deduped edge set keyed by dst (to pull each node's
     // neighbor labels), hash-partitioned once and reused every round
-    val nParts = math.max(1, math.min(sc.defaultParallelism,
+    val confParts = math.max(1, math.min(sc.defaultParallelism,
       (pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)))
+    val symRaw = edgeRows.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .distinct(confParts)
+    // Right-size the ROUND partitioner to the measured symmetric edge
+    // count (~200k edges/partition): a label-propagation loop pays
+    // rounds × 3 shuffles of task overhead at whatever width is chosen
+    // here, and a small graph (dbscan_grid's ~1k-node core graph) on
+    // the session's full 32 partitions is ~2,000 near-empty tasks of
+    // pure scheduling. At 100 TB the count keeps the conf width —
+    // this only ever SHRINKS the job, never the data parallelism a
+    // big graph needs. The count materializes distinct's shuffle, so
+    // the sym build below reuses it (skipped stage), not a re-scan.
+    val symCount = symRaw.count()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    // COUNT-gated driver endpoint (the kcore discipline: count first,
+    // collect only under the gate — the RDD fixpoint below stays the
+    // reachable 100 TB path, forced in the suite via driverGate = 0).
+    if (symCount <= driverGate) {
+      val labels = driverUnionFind(symRaw.collect())
+      val out = spark.createDataFrame(
+        sc.parallelize(labels.toIndexedSeq, math.max(1, confParts / 4))
+          .map { case (id, l) => org.apache.spark.sql.Row(id, l) }, schema)
+      return (out, 0)
+    }
+    val nParts = math.max(1, math.min(confParts,
+      math.ceil(symCount / 200000.0).toInt))
     val part = new HashPartitioner(nParts)
-    val sym = edgeRows.flatMap { case (a, b) => Seq((a, b), (b, a)) }
-      .distinct(nParts)
+    val sym = symRaw
       .map { case (src, dst) => (dst, src) } // (dst, src): key = dst
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -106,12 +165,7 @@ object ConnectedComponents {
     // the edge relation now rather than leaking one cached RDD per call
     sym.unpersist(blocking = false)
     val out = spark.createDataFrame(labels.map { case (id, l) =>
-      org.apache.spark.sql.Row(id, l) },
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("label",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+      org.apache.spark.sql.Row(id, l) }, schema)
     // The returned relation reads the persisted label RDD (released by
     // ContextCleaner once dropped, or by the Verify/Bench
     // getPersistentRDDs sweep between queries).

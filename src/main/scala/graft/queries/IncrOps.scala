@@ -520,8 +520,7 @@ object IncrOps {
     // 10+10-bit Morton interleave: x bits land on even positions, y on
     // odd — one map-side expression, exact BIGINT. The projection is
     // cached because BOTH layouts rank it (2 × (count + range shuffle
-    // + rank pass) = 6 scans uncached); ~20 MB at sf0.1, battery
-    // reset() clears it (the kcore/pagerank persist discipline).
+    // + rank pass) = 6 scans uncached); ~20 MB at sf0.1.
     val withZ = li0.withColumn("zv", expr(
       """aggregate(sequence(0, 9), CAST(0 AS BIGINT),
         |  (acc, b) -> acc
@@ -533,7 +532,15 @@ object IncrOps {
         withZ.withColumn("layout", lit(name)),
         Seq(col(key), col("l_orderkey"), col("l_linenumber")), 32)
         .select(col("layout"), col("bucket"), col("x"), col("y"))
-    val binned = layout("a_linear_x", "x").unionAll(layout("b_zorder", "zv"))
+    val binned =
+      try layout("a_linear_x", "x").unionAll(layout("b_zorder", "zv"))
+      finally withZ.unpersist(blocking = false)
+    // The cache is released HERE, not at battery reset() (r10 advisor:
+    // library callers leaked it): ntile's rank passes are eager, so by
+    // the time both layouts exist the cache has served all 6 scans and
+    // the returned plan reads the LogicalRDD rank output (whose range
+    // shuffles are already materialized), never withZ again — a
+    // standalone invocation leaves no persisted RDD behind.
     val inBox = col("x") >= 256 && col("x") < 384 &&
       col("y") >= 256 && col("y") < 384
     val bins = binned.groupBy("layout", "bucket")
@@ -775,8 +782,93 @@ object IncrOps {
       .orderBy("tbl")
   }
 
+  /** Build (once per session × fixture) the two bucketed managed
+    * tables behind [[bucketJoinAudit]]: lineitem and orders, both
+    * `bucketBy(8, <orderkey>).sortBy(<orderkey>)`, pre-repartitioned
+    * by the SAME hash (repartition's Murmur3-pmod IS the bucket-id
+    * function) so each write task holds exactly one bucket and each
+    * bucket lands in exactly ONE file — the single-file-per-bucket
+    * layout Spark requires before it trusts the sortBy metadata and
+    * plans a sort-free, exchange-free SortMergeJoin. Table names and
+    * external paths are content-keyed on the fixture (mtime + size:
+    * the driver regenerates /root/testdata between rounds), so sf
+    * dirs never collide and bench reps after the first reuse the
+    * layout — exactly how a production deployment amortizes the
+    * one-time bucketed rewrite across every downstream join. */
+  private def bucketedTables(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      // Spark 3+ distrusts bucket sortBy metadata by default (a bucket
+      // split across files has no global order) and inserts local
+      // Sorts before the merge join; this layout writes exactly ONE
+      // file per bucket (repartition by the bucket hash first), the
+      // one case the legacy flag exists for — with it the scan reports
+      // its sorted-by-key output ordering and the join is sort-free
+      // too, which the Round11 suite asserts.
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val src = java.nio.file.Paths.get(s"$d/lineitem.parquet")
+      val id = try s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}_${java.nio.file.Files.size(src)}"
+        catch { case _: Throwable => "nofile" }
+      val key = Integer.toHexString((d + "|" + id).hashCode)
+      val liT = s"graft_bkt_lineitem_$key"
+      val orT = s"graft_bkt_orders_$key"
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_bucketed_$key")
+      if (!s.catalog.tableExists(liT))
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .repartition(8, col("l_orderkey"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", base.resolve("lineitem").toString)
+          .mode("overwrite").saveAsTable(liT)
+      if (!s.catalog.tableExists(orT))
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+          .repartition(8, col("o_orderkey"))
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", base.resolve("orders").toString)
+          .mode("overwrite").saveAsTable(orT)
+      (liT, orT)
+    }
+
+  /** Bucketed-table layout audit (r10 verdict #1) — the physical-
+    * design decision a 100 TB deployment makes weekly: bucket the two
+    * biggest fact tables on their join key so every subsequent
+    * fact-fact join skips the shuffle ENTIRELY. lineitem and orders
+    * are written as `bucketBy(8, orderkey).sortBy(orderkey)` managed
+    * tables ([[bucketedTables]]), then joined on the bucketed key with
+    * a merge-join hint (the hint pins SortMergeJoin against
+    * fixture-scale broadcast conversion — at production scale neither
+    * side broadcasts anyway): both scans report `Bucketed: true`, the
+    * join consumes the 8 bucket partitions DIRECTLY — zero Exchange
+    * and zero Sort between scan and join (one file per bucket makes
+    * the sortBy metadata trusted) — and the only shuffle in the whole
+    * plan is the 5-group final aggregate AFTER the join. The suite
+    * asserts exactly that plan shape; this gate asserts the bucketed
+    * result ≡ the plain unbucketed join the oracle runs. Exact
+    * integers only (quantities are integral doubles, prices exact
+    * cents), so the layout cannot perturb a single bit. */
+  val bucketJoinAudit: Q = Q(
+    "bucket_join_audit",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val (liT, orT) = bucketedTables(s, d)
+    val li = s.table(liT).hint("merge")
+    val or = s.table(orT).hint("merge")
+    li.join(or, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(incrAggMerge, compactBins, tableStats, incrJoinDelta,
     snapshotDiff, kAnonymity, dqScorecard, lDiversity, tCloseness,
     zonemapAudit, zorderLayout, equidepthHistogram, columnEntropy,
-    catalogCoverage, broadcastAdvisor)
+    bucketJoinAudit, catalogCoverage, broadcastAdvisor)
 }

@@ -1337,11 +1337,13 @@ object MlOps {
       |  CAST(floor(CAST(k_common AS DOUBLE) / k_used * est_union + 0.5)
       |    AS BIGINT) AS est_inter,
       |  exact_union, exact_inter,
-      |  floor(abs(CAST(est_union - exact_union AS DOUBLE)) / exact_union
-      |    * 1000000 + 0.5) / 1000000 AS err_union,
-      |  floor(abs(CAST(floor(CAST(k_common AS DOUBLE) / k_used * est_union
-      |      + 0.5) - exact_inter AS DOUBLE)) / exact_inter
-      |    * 1000000 + 0.5) / 1000000 AS err_inter
+      |  CASE WHEN exact_union = 0 THEN CAST(0.0 AS DOUBLE)
+      |    ELSE floor(abs(CAST(est_union - exact_union AS DOUBLE))
+      |      / exact_union * 1000000 + 0.5) / 1000000 END AS err_union,
+      |  CASE WHEN exact_inter = 0 THEN CAST(0.0 AS DOUBLE)
+      |    ELSE floor(abs(CAST(floor(CAST(k_common AS DOUBLE) / k_used
+      |        * est_union + 0.5) - exact_inter AS DOUBLE)) / exact_inter
+      |      * 1000000 + 0.5) / 1000000 END AS err_inter
       |FROM eu CROSS JOIN cm CROSS JOIN ex""".stripMargin) { (s, d) =>
     val polyHash =
       "((aggregate(transform(sequence(0, least(length(w), 8) - 1), " +
@@ -1375,12 +1377,18 @@ object MlOps {
       .crossJoin(broadcast(exI)) // 1-row sketch x 1-row exact report
       .select(col("k_used"), col("theta"), col("est_union"), col("k_common"),
         estInter.as("est_inter"), col("exact_union"), col("exact_inter"),
-        (floor(abs((col("est_union") - col("exact_union")).cast("double"))
-          / col("exact_union") * 1000000 + lit(0.5)) / 1000000)
-          .as("err_union"),
-        (floor(abs((estInter - col("exact_inter")).cast("double"))
-          / col("exact_inter") * 1000000 + lit(0.5)) / 1000000)
-          .as("err_inter"))
+        // zero-denominator guard (r10 advisor): a corpus whose two
+        // doc_id halves share no hashed token has exact_inter = 0 and
+        // a degenerate one exact_union = 0 — both error ratios pin to
+        // 0 instead of NaN/Inf (cross-engine NaN never matches)
+        when(col("exact_union") === 0, lit(0.0))
+          .otherwise(floor(abs((col("est_union") - col("exact_union"))
+            .cast("double")) / col("exact_union") * 1000000 + lit(0.5))
+            / 1000000).as("err_union"),
+        when(col("exact_inter") === 0, lit(0.0))
+          .otherwise(floor(abs((estInter - col("exact_inter"))
+            .cast("double")) / col("exact_inter") * 1000000 + lit(0.5))
+            / 1000000).as("err_inter"))
   }
 
   val all: Seq[Q] = Seq(kmeansEmbed, clusterTopics, oovRate, cmsFreq, rpReduce,

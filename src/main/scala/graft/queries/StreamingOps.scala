@@ -592,7 +592,17 @@ object StreamingOps {
         val file = java.nio.file.Files.list(part).iterator().asScala
           .find(_.toString.endsWith(".parquet"))
           .getOrElse(sys.error(s"no parquet written for chunk $i"))
-        java.nio.file.Files.move(file, staging.resolve(f"chunk_$i%02d.parquet"))
+        val dst = staging.resolve(f"chunk_$i%02d.parquet")
+        java.nio.file.Files.move(file, dst)
+        // FileStreamSource orders candidate files by MODIFICATION TIME,
+        // not name; a same-millisecond tie (fast build on a coarse-
+        // granularity filesystem) falls back to unspecified ordering,
+        // which would reorder the pinned micro-batch schedule (and for
+        // the time-ordered layout, drop whole chunks as late input).
+        // Strictly increasing i-based mtimes make delivery order
+        // deterministic regardless of filesystem timestamp granularity.
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
         org.apache.commons.io.FileUtils.deleteDirectory(part.toFile)
       }
       java.nio.file.Files.createFile(staging.resolve("_SUCCESS"))
@@ -708,12 +718,78 @@ object StreamingOps {
     s.read.parquet(outDir).orderBy("w_ms", "event_type")
   }
 
+  /** flatMapGroupsWithState + EVENT-TIME TIMEOUT parity (r10 verdict
+    * #2) — the sessionizer-with-expiry, the last uncovered arbitrary-
+    * state shape: a per-user session EMITS either when a later event
+    * of the same user closes it (gap > 30 min — the data path) or
+    * when the watermark passes end + gap with NO later event (the
+    * TIMEOUT path, which only flatMapGroupsWithState can express:
+    * `state.setTimeoutTimestamp(end + gap)`, emit-and-remove in the
+    * hasTimedOut branch). Rides the TIME-ORDERED chunk layout, which
+    * makes both paths watermark-determined and oracle-expressible:
+    * (a) no input is ever late; (b) a session still extendable can
+    * never time out first (its next in-order event is ≤ gap away,
+    * but timeout needs the watermark ≥ end + gap while arriving
+    * events keep it within delay of the stream head); (c) whether a
+    * closed session emits via data or timeout depends on the batch
+    * schedule, but the EMITTED ROW is identical either way, so the
+    * output set is schedule-independent: every non-final session,
+    * plus the user's final session iff end + gap < final watermark
+    * (max event-time ms − 10 min; timeout fires on STRICT
+    * timeoutTimestamp < watermark, pinned empirically at both SFs
+    * and re-pinned by the Round11 suite, which also proves the
+    * timeout path actually fired). All arithmetic is exact: epoch-ms
+    * boundaries (Timestamp.getTime truncates µs→ms ≡ DuckDB
+    * epoch_ms), integer-cent sums. State is hash-partitioned by
+    * user_id and bounded by the watermark horizon — the production
+    * sessionizer plan at 100 TB/day. */
+  val streamTimeoutParity: Q = Q(
+    "stream_timeout_parity",
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS m,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |g AS (SELECT user_id, m, cents,
+      |    CASE WHEN lag(m) OVER (PARTITION BY user_id ORDER BY m) IS NULL
+      |      OR m - lag(m) OVER (PARTITION BY user_id ORDER BY m) > 1800000
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |s AS (SELECT user_id, m, cents,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY m
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+      |    max(m) OVER (PARTITION BY user_id) AS umax
+      |  FROM g),
+      |sess AS (SELECT user_id, CAST(min(m) AS BIGINT) AS s_ms,
+      |    CAST(max(m) AS BIGINT) AS e_ms,
+      |    CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(sum(cents) AS BIGINT) AS cents,
+      |    CAST(max(umax) AS BIGINT) AS umax
+      |  FROM s GROUP BY user_id, sid),
+      |wm AS (SELECT max(epoch_ms(ts)) - 600000 AS w FROM events)
+      |SELECT user_id, s_ms, e_ms, n_events, cents
+      |FROM sess, wm
+      |WHERE e_ms < umax OR e_ms + 1800000 < wm.w
+      |ORDER BY user_id, s_ms""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val sink = s"stream_timeout_parity_sink_${sinkId.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val ev = timeOrderedFileStream(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.Event]
+      val q = graft.streaming.StreamOps.sessionizeCents(ev)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(sink).orderBy("user_id", "s_ms")
+  }
+
   val all: Seq[Q] = Seq(streamFileParity, streamSlideParity,
     streamSessionParity, streamJoinParity, streamLeftJoinParity,
     streamFullJoinParity, streamSemiJoinParity, streamChainJoinParity,
     streamDedupParity,
     streamWatermarkParity, streamUpsertParity, streamFileSinkParity,
-    streamStateParity)
+    streamStateParity, streamTimeoutParity)
 
   /** mapGroupsWithState parity — the CUSTOM-STATE API under the
     * declared gate (flatMapGroupsWithState sessionization is

@@ -2581,11 +2581,15 @@ object TemporalOps {
     * 7-day-trailing error rates become burn rates (rate / budget),
     * and the standard two-window alert ladder fires page (1d ≥ 14.4
     * AND 7d ≥ 6 — fast burn confirmed by the slow window) or ticket
-    * (7d ≥ 1) severities. The 7-day window is a shifted-day-key
-    * self-join of the ≤|days| daily relation (the acf device — never
-    * a partition-less window); all rates are single divisions of
-    * exact integer counts, 1e-6 floor-rounded. Output: the 15 worst
-    * days by 1-day burn. */
+    * (7d ≥ 1) severities. The 7-day window is the bounded ×7 day-key
+    * FAN-OUT (the sliding_distinct_users device, r10 verdict cleanup):
+    * each day's (n, nbad) explodes to the ≤7 target days it
+    * contributes to, and one equi-join groupBy sums the trailing
+    * window — a.day receives b iff a = b.day + off, off ∈ 0..6 ⇔
+    * a−6 ≤ b.day ≤ a.day, exactly the range predicate, with no
+    * BroadcastNestedLoopJoin anywhere in the plan. All rates are
+    * single divisions of exact integer counts, 1e-6 floor-rounded.
+    * Output: the 15 worst days by 1-day burn. */
   val sloBurnRate: Q = Q(
     "slo_burn_rate",
     """WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -2611,11 +2615,14 @@ object TemporalOps {
       .select(to_date(date_trunc("day", col("ts"))).as("day"),
         when(col("value") > 90, 1L).otherwise(0L).as("bad"))
       .groupBy("day").agg(count(lit(1)).as("n"), sum("bad").as("nbad"))
-    val w7 = dd.as("a").join(dd.as("b"),
-        col("b.day") >= date_sub(col("a.day"), 6)
-          && col("b.day") <= col("a.day"))
-      .groupBy(col("a.day").as("day"))
-      .agg(sum("b.n").as("n7"), sum("b.nbad").as("nbad7"))
+    // day b contributes to trailing-7 windows of days b..b+6; the final
+    // inner join on dd keeps only target days that actually exist, so
+    // the fan-out ≡ the range self-join at 7/|days| of its pair count
+    val w7 = dd.withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select(date_add(col("day"), col("off")).as("day"),
+        col("n"), col("nbad"))
+      .groupBy("day")
+      .agg(sum("n").as("n7"), sum("nbad").as("nbad7"))
     def r6(c: Column) = floor(c * 1000000 + lit(0.5)) / 1000000
     dd.join(w7, "day")
       .select(col("day").cast("string").as("day"),

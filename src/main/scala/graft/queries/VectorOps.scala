@@ -258,12 +258,17 @@ object VectorOps {
     // The sf0.1 ε-graph's giant core component (768 nodes, effective
     // diameter ~62) needs ~25 propagation rounds — min-label moves the
     // frontier ~2.7 hops/round here, more than the dedup chains the
-    // default 20 was tuned for. The loop itself sizes its shuffles to
-    // the measured edge count, so the extra rounds are cheap.
+    // default 20 was tuned for. checkEvery = 6 folds each 6-round
+    // block into ONE materializing action (r10 verdict: the battery's
+    // slowest entry was paying ~25 convergence-count jobs of pure
+    // scheduling overhead; a block of lazy rounds is one job of ~20
+    // stages instead). Converged-early blocks waste at most 5 rounds
+    // of joins at fixpoint size — noise next to the job overhead they
+    // replace.
     val lbl = graft.dedup.ConnectedComponents.components(
       ce.filter(col("ia") < col("ib"))
         .select(col("ia").as("id_a"), col("ib").as("id_b")),
-      maxIter = 48)
+      maxIter = 48, checkEvery = 6)
     val clbl = core.join(lbl, col("v") === col("id"), "left")
       .select(col("v"), coalesce(col("label"), col("v")).as("comp"))
     val blbl = nbr

@@ -142,6 +142,64 @@ object StreamOps {
       }
   }
 
+  /** [[sessionize]]'s EXACT-ARITHMETIC sibling for the declared parity
+    * gate ([[graft.queries.StreamingOps]] `stream_timeout_parity`):
+    * identical state machine — a session closes when a newer same-user
+    * event arrives more than gapMs later (emitted on that event's
+    * batch) or when the EVENT-TIME TIMEOUT fires (watermark passes
+    * end + gap with no newer events; the session is emitted from the
+    * hasTimedOut branch and the state removed). Values are summed as
+    * floor(v·100 + 0.5) integer cents and boundaries kept in epoch ms
+    * (Timestamp.getTime truncates µs → ms; the oracle replays the
+    * same truncation via epoch_ms), so every emitted row is
+    * bit-replayable by a batch engine. Why flatMapGroupsWithState and
+    * not session_window: the timeout EMISSION path is the part the
+    * built-in operator hides — this is the sessionizer-with-expiry
+    * shape (emit a user's session when they go quiet, not when the
+    * window operator feels like flushing) every production stream
+    * eventually needs, with state bounded by the watermark horizon at
+    * 100 TB/day. */
+  def sessionizeCents(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "10 minutes"): Dataset[SessionCents] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionCents, SessionCents](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionCents]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionCents]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              val cents = math.floor(e.value * 100 + 0.5).toLong
+              open match {
+                case Some(s) if t - s.e_ms <= gapMs =>
+                  // time-ordered arrival: t >= s.e_ms always, so the
+                  // one live question is extend-vs-close
+                  open = Some(s.copy(e_ms = math.max(s.e_ms, t),
+                    n_events = s.n_events + 1, cents = s.cents + cents))
+                case Some(s) =>
+                  closed += s
+                  open = Some(SessionCents(userId, t, t, 1L, cents))
+                case None =>
+                  open = Some(SessionCents(userId, t, t, 1L, cents))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.e_ms + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Per-user exact inter-event statistics via mapGroupsWithState —
     * the buffered-custom-state pattern (exact max inter-event gap
     * needs the user's full ordered timeline, which no built-in
@@ -175,6 +233,15 @@ object StreamOps {
       }
   }
 }
+
+/** One closed (or timed-out) user session in exact units: epoch-ms
+  * boundaries, integer-cent value total. */
+final case class SessionCents(
+    user_id: Long,
+    s_ms: Long,
+    e_ms: Long,
+    n_events: Long,
+    cents: Long)
 
 /** mapGroupsWithState state for userGapStats: the user's sorted
   * event-time buffer (micros) and exact cents total. */

@@ -71,11 +71,11 @@ object ScaleCheck {
     }
   }
 
-  private def buildBlowup(s: SparkSession, src: String, dst: String): Unit = {
+  private def buildBlowup(s: SparkSession, src: String, dst: String,
+      copies: Int = 10, lineitemOnly: Boolean = false): Unit = {
     val done = java.nio.file.Paths.get(dst, "_SUCCESS")
     if (java.nio.file.Files.exists(done)) return
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
-    val copies = 10
 
     val li = s.read.parquet(s"$src/lineitem.parquet")
     val okMax = li.agg(max("l_orderkey")).head.getLong(0) + 1
@@ -87,6 +87,18 @@ object ScaleCheck {
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * skMax))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    if (lineitemOnly) {
+      // the 100x step measures the two lineitem-graph queries only;
+      // pass every other table through 1x so Tables.* resolves
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "events", "documents", "embeddings").foreach { t =>
+        s.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+      java.nio.file.Files.createFile(done)
+      return
+    }
 
     val docs = s.read.parquet(s"$src/documents.parquet")
     val idMax = docs.agg(max("doc_id")).head.getLong(0) + 1
@@ -139,7 +151,11 @@ object ScaleCheck {
     s.sparkContext.setLogLevel("WARN")
     val listener = new Shuffle
     s.sparkContext.addSparkListener(listener)
-    buildBlowup(s, sf01, blow)
+    // "100x" arg (r10 verdict #5): a single measured 100x point for
+    // the battery's two largest shuffles, instead of extrapolating
+    // the 12x-at-10x bar two orders of magnitude.
+    val mode100 = args.contains("100x")
+    if (!mode100) buildBlowup(s, sf01, blow)
 
     def loadAvg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
@@ -168,6 +184,30 @@ object ScaleCheck {
     }
 
     val load0 = loadAvg()
+    if (mode100) {
+      val blow100 = "target/scale100"
+      buildBlowup(s, sf01, blow100, copies = 100, lineitemOnly = true)
+      val entries = Seq("harmonic_centrality", "clustering_coeff").map { q =>
+        val (t1, sh1) = run(q, sf01)
+        val (t100, sh100) = run(q, blow100)
+        val r = t100 / t1
+        println(f"[scale100] $q%-18s sf0.1 $t1%6.2fs ${sh1}%8.1fMB | 100x $t100%7.2fs ${sh100}%9.1fMB | ratio $r%6.2fx")
+        f""""$q@100x": {"sf01_s": $t1%.2f, "sf01_shuffle_mb": $sh1%.1f, "x100_s": $t100%.2f, "x100_shuffle_mb": $sh100%.1f, "ratio": $r%.2f, "subquadratic_bar": 144.0, "go_no_go": "${if (r <= 144.0) "go" else "no-go: trigger HyperBall re-plan"}"}"""
+      }
+      // patch the existing artifact in place: drop stale @100x entries,
+      // insert the fresh ones before the final brace
+      val p = java.nio.file.Paths.get("tools/SCALECHECK.json")
+      val cur = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val woOld = cur.linesIterator
+        .filterNot(_.contains("@100x")).mkString("\n")
+      val at = woOld.lastIndexOf("}")
+      val patched = woOld.substring(0, at).replaceAll("[,\\s]+$", "") +
+        ",\n  " + entries.mkString(",\n  ") + "\n}\n"
+      java.nio.file.Files.writeString(p, patched)
+      println(patched)
+      s.stop()
+      return
+    }
     val rows = Queries.map { q =>
       val (t1, sh1) = run(q, sf01)
       val (t10, sh10) = run(q, blow)

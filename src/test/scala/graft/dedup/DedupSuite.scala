@@ -143,8 +143,11 @@ class DedupSuite extends SparkSpec {
     val n = 10000L
     val pairs = spark.range(n - 1)
       .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+    // driverGate = 0 forces the DISTRIBUTED fixpoint (the 100 TB
+    // path): the default gate would union-find 10k edges driver-side
     val (labels, rounds) =
-      graft.dedup.ConnectedComponents.componentsWithRounds(pairs, maxIter = 20)
+      graft.dedup.ConnectedComponents.componentsWithRounds(pairs,
+        maxIter = 20, driverGate = 0L)
     val agg = labels.agg(
       count(lit(1)).as("n"),
       sum(when(col("label") === 0L, 1L).otherwise(0L)).as("zeros"))
@@ -152,6 +155,27 @@ class DedupSuite extends SparkSpec {
     assert(agg.getLong(0) === n && agg.getLong(1) === n,
       "every node must carry the component-min label 0")
     assert(rounds <= 17, s"expected ~log2(10000)+slack rounds, got $rounds")
+  }
+
+  test("connected components: driver union-find branch ≡ distributed " +
+    "fixpoint on the same random graph") {
+    // r11: components() gained a count-gated driver union-find
+    // endpoint (≤5M symmetric edges). Force BOTH branches on one
+    // 3k-edge random graph and assert identical labels — the kcore
+    // both-branch discipline, so the gate can never silently diverge.
+    val rnd = new scala.util.Random(7)
+    val pairs = spark.createDataFrame(
+      Seq.fill(3000)((rnd.nextInt(800).toLong, rnd.nextInt(800).toLong))
+        .filter(p => p._1 != p._2)).toDF("id_a", "id_b")
+    val viaDriver = graft.dedup.ConnectedComponents
+      .componentsWithRounds(pairs, maxIter = 48)
+    val viaRdd = graft.dedup.ConnectedComponents
+      .componentsWithRounds(pairs, maxIter = 48, driverGate = 0L)
+    assert(viaDriver._2 === 0, "gate should have taken the driver branch")
+    assert(viaRdd._2 > 0, "driverGate=0 should have run the RDD fixpoint")
+    val a = viaDriver._1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = viaRdd._1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
   }
 
   test("property: signature agreement estimates Jaccard within ±0.15") {
