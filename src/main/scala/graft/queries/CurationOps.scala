@@ -887,12 +887,49 @@ object CurationOps {
       .orderBy("source")
   }
 
+  /** Weight-proportional sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    * doc draws a deterministic uniform u from the multiplicative hash
+    * (same 31-bit pre-mask as sample_stratified), and the k docs per
+    * source with the smallest key −ln(u)/w — equivalently the largest
+    * u^(1/w) — are an exact weighted sample without replacement,
+    * weights = n_chars (longer docs proportionally likelier). This is
+    * the A-ES one-pass form: key assignment is a pure map, selection
+    * is per-stratum top-k (one shuffle on source + bounded window),
+    * the mixture-sampling step a 100 TB curation pipeline runs per
+    * shard with NO reservoir state shared across executors. u is an
+    * exact integer ratio so both engines feed IDENTICAL doubles to the
+    * one libm call (ln parity established by lm_perplexity); doc_id
+    * breaks order ties. */
+  val weightedSample: Q = Q(
+    "weighted_sample",
+    """SELECT source, rn, doc_id, n_chars FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY -ln((((doc_id & 2147483647) * 2654435761) % 1000003 + 1)
+      |                   / 1000004.0) / n_chars,
+      |        doc_id) AS INTEGER) AS rn
+      |  FROM documents WHERE n_chars > 0) t
+      |WHERE rn <= 8 ORDER BY source, rn""".stripMargin) { (s, d) =>
+    val u = ((col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L))
+      % 1000003 + 1) / lit(1000004.0)
+    val key = -log(u) / col("n_chars")
+    val w = Window.partitionBy("source").orderBy(key.asc, col("doc_id").asc)
+    docs(s, d).filter(col("n_chars") > 0)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        row_number().over(w).cast("int").as("rn"))
+      .filter(col("rn") <= 8)
+      .select("source", "rn", "doc_id", "n_chars")
+      .orderBy("source", "rn")
+  }
+
   val all: Seq[Q] = Seq(asofJoin, asofJoinTolerance, asofJoinForward,
     decontamOverlap,
     decontamBloom, sampleStratified, sampleQuota, splitAssign, piiScrub,
     repetitionScore, lmPerplexity, qualityClassify, samplePriority,
     lmBackoffScore, dsirWeights, scoreCalibration, srmCheck, kneserNey,
-    temperatureMix, fairnessParity, boilerplatePrefix, hamiltonApportion)
+    temperatureMix, fairnessParity, boilerplatePrefix, hamiltonApportion,
+    weightedSample)
 
   /** Hamilton (largest-remainder) apportionment of a fixed sampling
     * budget across sources — the allocation step a mixture pipeline

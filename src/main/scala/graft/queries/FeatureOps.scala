@@ -608,9 +608,48 @@ object FeatureOps {
           + lit(0.5)) / 1000000).as("top_decile_share"))
   }
 
+  /** 2-D skyline (Pareto frontier) over parts, maximizing
+    * (p_size, price-cents) — the classic "best tradeoffs" operator
+    * (Börzsönyi et al. 2001, "The Skyline Operator"). The naive form
+    * is the O(n²) dominance anti-join the oracle runs; the engine
+    * exploits the 2-D structure: after `max(cents) GROUP BY size`
+    * (one map-side-combinable shuffle, output ≤ |distinct sizes|), a
+    * point is on the skyline iff its size-group max beats the prefix
+    * max over all STRICTLY LARGER sizes — a distributed exclusive
+    * prefix-max (the PrefixScan operator, size-descending), never a
+    * pairwise comparison. Joining the qualifying (size, cmax) pairs
+    * back to the full relation restores coordinate-duplicate points
+    * (mutual non-domination keeps them all, matching the NOT EXISTS
+    * semantics bit-for-bit — prices are exact cents). At 100 TB: one
+    * agg shuffle + one prefix scan over the group relation + one
+    * equi-join; nothing quadratic anywhere. */
+  val skylinePareto: Q = Q(
+    "skyline_pareto",
+    """WITH pts AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+      |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM part)
+      |SELECT p.p_partkey, p.p_size, p.cents FROM pts p
+      |WHERE NOT EXISTS (SELECT 1 FROM pts q
+      |  WHERE q.p_size >= p.p_size AND q.cents >= p.cents
+      |    AND (q.p_size > p.p_size OR q.cents > p.cents))
+      |ORDER BY p.p_size DESC, p.p_partkey""".stripMargin) { (s, d) =>
+    val pts = Tables.part(s, d).select(col("p_partkey"),
+      col("p_size").cast("long").as("p_size"),
+      floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("cents"))
+    val bySize = pts.groupBy("p_size").agg(max("cents").as("cmax"))
+    val (scanned, _) = graft.ops.PrefixScan.withCumMaxs(
+      bySize, Seq(col("p_size").desc), Seq("cmax"), exclusive = true)
+    val sky = scanned.filter(col("cmax") > col("cummax_cmax"))
+      .select(col("p_size").as("sk_size"), col("cmax"))
+    pts.join(sky, col("p_size") === col("sk_size")
+        && col("cents") === col("cmax"))
+      .select("p_partkey", "p_size", "cents")
+      .orderBy(col("p_size").desc, col("p_partkey"))
+  }
+
   val all: Seq[Q] = Seq(targetEncodeLoo, woeIv, kaplanMeier,
     quantileNormalize, logRank, nelsonAalen, kneedlePareto,
-    rfmSegments, basketRules, revenueGini)
+    rfmSegments, basketRules, revenueGini, skylinePareto)
 
   /** Nelson–Aalen cumulative hazard over kaplan_meier's exact
     * protocol — the additive estimator (Σ d/n) whose variance and

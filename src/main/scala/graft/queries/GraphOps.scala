@@ -1269,9 +1269,138 @@ object GraphOps {
       .orderBy("seed")
   }
 
+  /** k-BETWEENNESS centrality (Brandes & Pich 2007 — bounded-distance
+    * Brandes) over the co-purchase graph: for the harmonic seed panel
+    * (node % 500 = 0, SF-scaling like harmonic_centrality), run the
+    * exact Brandes dependency accumulation restricted to shortest
+    * paths of length ≤ 3 — the sampled-source, hop-bounded form that
+    * makes betweenness tractable at 100 TB (full Brandes is O(V·E)).
+    * Forward: 3 unrolled BFS levels carrying σ (the harmonic_centrality hop budget — level 4 doubled the frontier volume for a 33.7s sf0.1 constant; k = 3 keeps the panel comparable and the battery balanced) (shortest-path counts,
+    * exact BIGINTs — σ_{l+1}(w) = Σ σ_l(u) over DAG edges, each node
+    * counted at its first level only via anti-joins, the
+    * harmonic_centrality expansion pattern). Backward: the Brandes
+    * recurrence δ(v) = Σ_succ (σ_v/σ_w)(1+δ(w)) on the 1e-6 integer
+    * grid with PER-TERM integer division — order-independent BIGINT
+    * sums both engines reproduce bit-for-bit (σ_v ≤ σ_w keeps every
+    * term ≤ U+δ_w; the σ_v·(U+δ_w) intermediate stays under 2^63
+    * while σ_max·|V| ≲ 9e12, orders of magnitude past sf1 — scaladoc'd
+    * bound, not a silent cap). Levels-at-the-cap contribute as targets
+    * (the 1 in 1+δ) but carry δ=0, exactly the k-betweenness
+    * semantics. Every stage is an equi-join + map-side-combinable
+    * aggregate on (seed, node) keys; driver traffic is zero. */
+  val kBetweenness: Q = Q(
+    "k_betweenness",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |adj AS (SELECT DISTINCT a.l_partkey AS c, b.l_partkey AS n
+      |        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |          AND a.l_partkey <> b.l_partkey),
+      |seeds AS (SELECT DISTINCT c AS s FROM adj WHERE c % 1000 = 0),
+      |l0 AS (SELECT s, s AS v, CAST(1 AS BIGINT) AS sig FROM seeds),
+      |l1 AS (SELECT l0.s, a.n AS v, CAST(sum(l0.sig) AS BIGINT) AS sig
+      |  FROM l0 JOIN adj a ON a.c = l0.v GROUP BY 1, 2),
+      |l2 AS (SELECT l1.s, a.n AS v, CAST(sum(l1.sig) AS BIGINT) AS sig
+      |  FROM l1 JOIN adj a ON a.c = l1.v
+      |  WHERE a.n NOT IN (SELECT v FROM l0 x WHERE x.s = l1.s)
+      |    AND a.n NOT IN (SELECT v FROM l1 x WHERE x.s = l1.s)
+      |  GROUP BY 1, 2),
+      |l3 AS (SELECT l2.s, a.n AS v, CAST(sum(l2.sig) AS BIGINT) AS sig
+      |  FROM l2 JOIN adj a ON a.c = l2.v
+      |  WHERE a.n NOT IN (SELECT v FROM l0 x WHERE x.s = l2.s)
+      |    AND a.n NOT IN (SELECT v FROM l1 x WHERE x.s = l2.s)
+      |    AND a.n NOT IN (SELECT v FROM l2 x WHERE x.s = l2.s)
+      |  GROUP BY 1, 2),
+      |d2 AS (SELECT l2.s, l2.v,
+      |    coalesce((SELECT CAST(sum((l2.sig * 1000000) // w.sig)
+      |        AS BIGINT)
+      |      FROM adj a JOIN l3 w ON w.s = l2.s AND w.v = a.n
+      |      WHERE a.c = l2.v), 0) AS dq
+      |  FROM l2),
+      |d1 AS (SELECT l1.s, l1.v,
+      |    coalesce((SELECT CAST(sum((l1.sig * (1000000 + w.dq2)) // w.sig)
+      |        AS BIGINT)
+      |      FROM adj a JOIN (SELECT l2.s, l2.v, l2.sig, d2.dq AS dq2
+      |                       FROM l2 JOIN d2 ON d2.s = l2.s
+      |                         AND d2.v = l2.v) w
+      |        ON w.s = l1.s AND w.v = a.n
+      |      WHERE a.c = l1.v), 0) AS dq
+      |  FROM l1),
+      |bc AS (SELECT v, CAST(sum(dq) AS BIGINT) AS bc_units FROM (
+      |    SELECT s, v, dq FROM d1
+      |    UNION ALL SELECT s, v, dq FROM d2) u
+      |  GROUP BY v)
+      |SELECT v AS node, bc_units FROM bc
+      |ORDER BY bc_units DESC, node LIMIT 20""".stripMargin) { (s, d) =>
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val U = 1000000L
+    // same adjacency SET as harmonic's self-join form, built through
+    // the group-explode edge builder (the measured 2x cheaper path —
+    // see copurchaseEdges) and symmetrized: u<v canonical pairs plus
+    // their swaps are exactly all ordered co-purchase pairs
+    val und = copurchaseEdges(s, d)
+    val adj = und.select(col("u").as("c"), col("v").as("n"))
+      .unionAll(und.select(col("v").as("c"), col("u").as("n")))
+      .persist(mem)
+    val seeds = adj.filter(col("c") % 1000 === 0).select(col("c").as("s"))
+      .distinct()
+    val l0 = seeds.select(col("s"), col("s").as("v"), lit(1L).as("sig"))
+      .persist(mem)
+    // forward: σ-carrying frontier expansion. The raw (level-l node ×
+    // neighbor) edge stream is persisted ONCE per level and reused by
+    // the backward pass; the visited anti-join runs on the AGGREGATED
+    // (seed, node) level (≤ |seeds|·|V| rows), never on the edge
+    // stream — σ is unchanged (every contribution comes from level-l
+    // preds; edges into earlier levels are dropped node-wholesale)
+    // and the anti-join volume falls by the average degree.
+    def expandTr(cur: DataFrame, visited: Seq[DataFrame],
+        keepRaw: Boolean = true): (DataFrame, DataFrame) = {
+      val raw0 = cur.join(adj, col("v") === col("c"))
+        .select(col("s"), col("v").as("u"), col("sig"), col("n").as("w"))
+      val raw = if (keepRaw) raw0.persist(mem) else raw0
+      val agg = raw.groupBy(col("s"), col("w"))
+        .agg(sum("sig").as("sig"))
+      val seen = visited.map(_.select(col("s"), col("v").as("w")))
+        .reduce(_ unionAll _)
+      val next = agg.join(seen, Seq("s", "w"), "left_anti")
+        .select(col("s"), col("w").as("v"), col("sig"))
+        .persist(mem)
+      (raw, next)
+    }
+    val (_, l1) = expandTr(l0, Seq(l0), keepRaw = false)
+    val (tr2, l2) = expandTr(l1, Seq(l0, l1))
+    val (tr3, l3) = expandTr(l2, Seq(l0, l1, l2))
+    // backward: δ on the 1e-6 grid; per-term integer DIV keeps every
+    // accumulation an order-independent BIGINT sum. The edge stream
+    // joined against the NEXT level's (σ, δ) does the DAG filtering
+    // implicitly (only true level-(l+1) successors match).
+    def back(lv: DataFrame, tr: DataFrame, succ: DataFrame): DataFrame = {
+      tr.join(succ.select(col("s").as("s2"), col("v").as("w2"),
+            col("sig").as("wsig"), col("dq").as("wdq")),
+          col("s") === col("s2") && col("w") === col("w2"))
+        .select(col("s"), col("u").as("v"),
+          expr(s"(sig * ($U + wdq)) DIV wsig").as("term"))
+        .groupBy("s", "v").agg(sum("term").as("dqs"))
+        .as("t")
+        .join(lv.as("l"), col("t.s") === col("l.s")
+          && col("t.v") === col("l.v"), "right_outer")
+        .select(col("l.s").as("s"), col("l.v").as("v"),
+          col("l.sig").as("sig"),
+          coalesce(col("t.dqs"), lit(0L)).as("dq"))
+        .persist(mem)
+    }
+    val d3 = l3.withColumn("dq", lit(0L))
+    val d2 = back(l2, tr3, d3)
+    val d1 = back(l1, tr2, d2)
+    d1.select("v", "dq")
+      .unionAll(d2.select("v", "dq"))
+      .groupBy("v").agg(sum("dq").as("bc_units"))
+      .select(col("v").as("node"), col("bc_units"))
+      .orderBy(col("bc_units").desc, col("node"))
+      .limit(20)
+  }
+
   val all: Seq[Q] =
     Seq(pagerankBipartite, triangles, khopBfs, linkPredict, labelProp,
       assortativity, clusteringCoeff, kcorePeel, hitsScores, richClub,
       brandModularity, graphDiameter, itemCfRecs, recursiveClosure,
-      adamicAdar, katzIndex, harmonicCentrality)
+      adamicAdar, katzIndex, harmonicCentrality, kBetweenness)
 }

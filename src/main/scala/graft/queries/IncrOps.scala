@@ -867,8 +867,176 @@ object IncrOps {
       .orderBy("o_orderpriority")
   }
 
+  /** Build (once per session × fixture) the hive-partitioned orders
+    * layout behind [[partitionPruneAudit]]: orders written
+    * `partitionBy("o_month")` (80 month directories at any SF — the
+    * standard date-partitioned fact layout). Content-keyed on the
+    * fixture like [[bucketedTables]] so sf dirs never collide and
+    * bench reps reuse the one-time rewrite. */
+  private def partitionedOrders(s: SparkSession, d: String): String =
+    synchronized {
+      val src = java.nio.file.Paths.get(s"$d/orders.parquet")
+      val id = try s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}_${java.nio.file.Files.size(src)}"
+        catch { case _: Throwable => "nofile" }
+      val key = Integer.toHexString((d + "|" + id).hashCode)
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_part_orders_$key")
+      val done = out.resolve("_SUCCESS")
+      if (!java.nio.file.Files.exists(done)) {
+        Tables.orders(s, d)
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          // one file per month: partitionBy splits by directory, and
+          // repartitioning on the partition column first keeps each
+          // month's rows in one task → no small-file spray
+          .repartition(col("o_month"))
+          .write.partitionBy("o_month")
+          .mode("overwrite").parquet(out.toString)
+      }
+      out.toString
+    }
+
+  /** Partition-pruning layout audit — the other half of the physical-
+    * design family ([[bucketJoinAudit]] eliminates the JOIN shuffle;
+    * this one eliminates the SCAN): orders live hive-partitioned by
+    * month (`partitionBy("o_month")`), and a one-quarter query prunes
+    * 77 of 80 month directories at PLANNING time — `PartitionFilters`
+    * on the scan node, zero data files opened outside the quarter
+    * (Round11OpsSuite asserts the scan's numFiles equals the three
+    * months' file count and that the executed plan carries the
+    * partition filter). The oracle replays the same quarter from the
+    * RAW table, so the gate also proves the partitioned rewrite lost
+    * nothing. At 100 TB this is THE first-line scan optimization:
+    * directory-level skip before a single byte is read. */
+  val partitionPruneAudit: Q = Q(
+    "partition_prune_audit",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM orders
+      |WHERE strftime(o_orderdate, '%Y-%m') IN ('1997-01','1997-02','1997-03')
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    s.read.parquet(partitionedOrders(s, d))
+      .filter(col("o_month").isin("1997-01", "1997-02", "1997-03"))
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      .orderBy("o_month")
+  }
+
+  /** GDPR-style cascade-delete impact audit: given an erasure batch
+    * (every 10th customer by key — a deterministic stand-in for a
+    * deletion-request list), count what a referential-integrity-
+    * preserving delete removes from each downstream table: the
+    * customers themselves, their orders (FK o_custkey), and those
+    * orders' lineitems (FK l_orderkey). Pure LEFT SEMI join chain —
+    * each hop shuffles on its own FK key with no row widening, the
+    * plan a 100 TB deployment runs before every erasure batch to size
+    * the rewrite. Output: per-table cascade counts + survivor counts
+    * (n_total − n_cascade), all exact BIGINTs. */
+  val cascadeDeleteAudit: Q = Q(
+    "cascade_delete_audit",
+    """WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 3),
+      |delo AS (SELECT o_orderkey FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+      |dell AS (SELECT 1 AS x FROM lineitem
+      |  WHERE l_orderkey IN (SELECT o_orderkey FROM delo))
+      |SELECT tbl, n_cascade, n_total, n_total - n_cascade AS n_keep
+      |FROM (
+      |  SELECT 'customer' AS tbl, (SELECT count(*) FROM delc) AS n_cascade,
+      |    (SELECT count(*) FROM customer) AS n_total
+      |  UNION ALL
+      |  SELECT 'orders', (SELECT count(*) FROM delo),
+      |    (SELECT count(*) FROM orders)
+      |  UNION ALL
+      |  SELECT 'lineitem', (SELECT count(*) FROM dell),
+      |    (SELECT count(*) FROM lineitem))
+      |ORDER BY tbl""".stripMargin) { (s, d) =>
+    val delC = Tables.customer(s, d).filter(col("c_custkey") % 10 === 3)
+      .select("c_custkey")
+    val delO = Tables.orders(s, d).join(delC,
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey")
+    val delL = Tables.lineitem(s, d).join(delO,
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    def row(tbl: String, cascade: DataFrame, total: DataFrame): DataFrame =
+      cascade.agg(count(lit(1)).as("n_cascade"))
+        .crossJoin(broadcast(total.agg(count(lit(1)).as("n_total"))))
+        .select(lit(tbl).as("tbl"), col("n_cascade"), col("n_total"),
+          (col("n_total") - col("n_cascade")).as("n_keep"))
+    row("customer", delC, Tables.customer(s, d))
+      .unionAll(row("orders", delO, Tables.orders(s, d)))
+      .unionAll(row("lineitem", delL, Tables.lineitem(s, d)))
+      .orderBy("tbl")
+  }
+
+  /** The join-agg behind [[runtimeFilterAudit]], factored out so the
+    * suite can assert the injected plan under the same conf window. */
+  private[queries] def runtimeFilteredJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+
+  /** Run `body` with Spark's runtime bloom-filter injection forced ON
+    * for a shuffle join at fixture scale (thresholds that are all
+    * defaults-compatible at 100 TB: the application side IS huge and
+    * the join IS a shuffle join there; locally we pin them so the same
+    * plan materializes). Session confs are restored after — the
+    * battery runs queries sequentially. */
+  private[queries] def withRuntimeFilter[A](s: SparkSession)(body: => A): A = {
+    val pins = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = pins.map { case (k, _) => k -> s.conf.getOption(k) }
+    pins.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** RUNTIME-FILTER join pruning audit — the dynamic member of the
+    * physical-optimization family (zonemap = static data skipping,
+    * zorder = clustering, bucketing = shuffle elimination, partition
+    * dirs = planning-time pruning; this one prunes AT RUNTIME): a
+    * selective dimension filter (urgent orders) is turned by Spark's
+    * InjectRuntimeFilter rule into a bloom filter evaluated on the
+    * fact scan, so lineitem rows that cannot join are dropped BEFORE
+    * the shuffle — at 100 TB this is the difference between shuffling
+    * the whole fact table and shuffling the ~20% that survives. The
+    * suite asserts BloomFilterMightContain sits in the optimized plan
+    * under the pinned conf window; this gate asserts the bloom path
+    * loses nothing (FPs are re-verified by the join itself) vs the
+    * DuckDB replay of the plain join. Executed eagerly inside the conf
+    * window (injection happens at optimization time) — the result is
+    * one exact-integer row. */
+  val runtimeFilterAudit: Q = Q(
+    "runtime_filter_audit",
+    """SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'""".stripMargin) { (s, d) =>
+    val row = withRuntimeFilter(s) { runtimeFilteredJoin(s, d).collect() }
+    import s.implicits._
+    row.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toDF("n_items", "sum_qty", "cents")
+  }
+
   val all: Seq[Q] = Seq(incrAggMerge, compactBins, tableStats, incrJoinDelta,
     snapshotDiff, kAnonymity, dqScorecard, lDiversity, tCloseness,
     zonemapAudit, zorderLayout, equidepthHistogram, columnEntropy,
-    bucketJoinAudit, catalogCoverage, broadcastAdvisor)
+    bucketJoinAudit, partitionPruneAudit, cascadeDeleteAudit,
+    runtimeFilterAudit, catalogCoverage, broadcastAdvisor)
 }

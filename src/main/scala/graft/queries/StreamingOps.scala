@@ -419,6 +419,109 @@ object StreamingOps {
     s.table(sink).orderBy("user_id", "event_type")
   }
 
+  /** dropDuplicatesWithinWatermark parity — the ingest-dedup built-in
+    * (drop retransmissions while letting state EXPIRE so a key can
+    * legitimately re-emit with a LATER event time) pinned
+    * multi-batch. Three determinism devices over the id-interleaved
+    * chunk layout (chunk = event_id % 4 — itself SQL-expressible):
+    * (1) every row of a dedup key in a given chunk carries the SAME
+    * synthetic event time h = anchor + chunk·step + user-hash offset
+    * (step 30 min or 12 h by user mod 3; offset on a 60s-grid + 30s),
+    * so which row of a batch enters state is unobservable; (2) CLOCK
+    * rows (event_id % 5 = 0, each a never-duplicated singleton key
+    * via ck = event_id) carry h = 18h + 12h·chunk — they dominate
+    * every key time in their prefix, so the watermark is theirs and
+    * sits on the 0-mod-60s grid while key times sit on 30-mod-60s:
+    * every late/eviction comparator is STRUCTURALLY tie-free; (3) the
+    * exec's protocol was pinned empirically (75/75 keys at sf0.001,
+    * re-pinned in Round11OpsSuite): batch k late-filters input AND
+    * evicts state with the watermark of TWO triggers back, V_k =
+    * max(event time over chunks ≤ k−2) − δ — one more trigger of lag
+    * than the aggregate execs pinned by stream_watermark_parity — and
+    * a duplicate does NOT extend the stored expiry (state keeps the
+    * FIRST row's event time + δ). The oracle replays the 4-batch fold
+    * explicitly (pivot per key to h0..h3, then the late/evict/emit
+    * cascade with V_2 = M_0 − δ, V_3 = M_1 − δ). The fixture then
+    * exercises every path: all keys dup-drop at batch 1 (V = −∞, no
+    * eviction yet), 12h-step keys evict + re-emit at batch 2 and
+    * split dup-drop/re-emit at batch 3 on the hash offset, 30min-step
+    * keys go late at batches 2–3. State is hashed by the full key and
+    * bounded by the watermark horizon — the 100 TB ingest-dedup
+    * plan. */
+  val streamDedupWithinParity: Q = Q(
+    "stream_dedup_within_parity",
+    """WITH r AS (SELECT user_id, event_type, event_id % 4 AS c,
+      |    event_id % 5 = 0 AS clock,
+      |    CASE WHEN event_id % 5 = 0
+      |      THEN 64800 + (event_id % 4) * 43200
+      |      ELSE ((user_id & 2147483647) * 2654435761) % 690 * 60 + 90
+      |        + (event_id % 4) *
+      |          (CASE WHEN user_id % 3 = 0 THEN 1800 ELSE 43200 END)
+      |    END AS h
+      |  FROM events),
+      |anchor AS (SELECT date_trunc('month', min(ts)) AS a0 FROM events),
+      |cm AS (SELECT c, max(h) AS mh FROM r GROUP BY c),
+      |vs AS (SELECT (SELECT mh FROM cm WHERE c = 0) - 3600 AS v2,
+      |    (SELECT max(mh) FROM cm WHERE c <= 1) - 3600 AS v3),
+      |k AS (SELECT user_id, event_type,
+      |    max(CASE WHEN c = 0 THEN h END) AS h0,
+      |    max(CASE WHEN c = 1 THEN h END) AS h1,
+      |    max(CASE WHEN c = 2 THEN h END) AS h2,
+      |    max(CASE WHEN c = 3 THEN h END) AS h3
+      |  FROM r WHERE NOT clock GROUP BY 1, 2),
+      |f1 AS (SELECT user_id, event_type, h0, h1, h2, h3, v2, v3,
+      |    h0 IS NOT NULL AS e0,
+      |    (h0 IS NULL AND h1 IS NOT NULL) AS e1,
+      |    coalesce(h0, h1) AS s1
+      |  FROM k CROSS JOIN vs),
+      |f2 AS (SELECT *,
+      |    CASE WHEN s1 + 3600 < v2 THEN NULL ELSE s1 END AS s2in
+      |  FROM f1),
+      |f3 AS (SELECT *,
+      |    (h2 IS NOT NULL AND h2 >= v2 AND s2in IS NULL) AS e2,
+      |    CASE WHEN h2 IS NOT NULL AND h2 >= v2 AND s2in IS NULL
+      |      THEN h2 ELSE s2in END AS s3pre
+      |  FROM f2),
+      |f4 AS (SELECT *,
+      |    (h3 IS NOT NULL AND h3 >= v3 AND
+      |     (s3pre IS NULL OR s3pre + 3600 < v3)) AS e3
+      |  FROM f3),
+      |em AS (
+      |  SELECT user_id, event_type, h0 AS h FROM f4 WHERE e0
+      |  UNION ALL SELECT user_id, event_type, h1 FROM f4 WHERE e1
+      |  UNION ALL SELECT user_id, event_type, h2 FROM f4 WHERE e2
+      |  UNION ALL SELECT user_id, event_type, h3 FROM f4 WHERE e3)
+      |SELECT em.user_id, em.event_type,
+      |  epoch_ms(anchor.a0 + em.h * INTERVAL 1 SECOND) AS h_ms
+      |FROM em CROSS JOIN anchor
+      |ORDER BY user_id, event_type, h_ms""".stripMargin) { (s, d) =>
+    val sink = s"stream_dedup_within_sink_${sinkId.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = fileStream(s, d)
+        .withColumn("hts", expr(
+          """timestamp_micros(unix_micros(date_trunc('month', ts)) +
+            |(CASE WHEN event_id % 5 = 0
+            |   THEN 64800 + (event_id % 4) * 43200
+            |   ELSE ((user_id & 2147483647) * 2654435761) % 690 * 60 + 90
+            |     + (event_id % 4) *
+            |       (CASE WHEN user_id % 3 = 0 THEN 1800 ELSE 43200 END)
+            | END) * 1000000)""".stripMargin))
+        .withColumn("ck", expr(
+          "CASE WHEN event_id % 5 = 0 THEN event_id ELSE -1 END"))
+        .select(col("user_id"), col("event_type"), col("ck"), col("hts"))
+        .withWatermark("hts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "ck")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(sink).filter(col("ck") === -1)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("hts")).as("h_ms"))
+      .orderBy("user_id", "event_type", "h_ms")
+  }
+
   /** The shared scaffold: stream the raw events fixture as a parquet
     * FILE STREAM (the source only accepts directories — a production
     * stream tails a landing dir — so a temp dir symlinks the fixture,
@@ -787,7 +890,7 @@ object StreamingOps {
   val all: Seq[Q] = Seq(streamFileParity, streamSlideParity,
     streamSessionParity, streamJoinParity, streamLeftJoinParity,
     streamFullJoinParity, streamSemiJoinParity, streamChainJoinParity,
-    streamDedupParity,
+    streamDedupParity, streamDedupWithinParity,
     streamWatermarkParity, streamUpsertParity, streamFileSinkParity,
     streamStateParity, streamTimeoutParity)
 

@@ -2715,7 +2715,147 @@ object TemporalOps {
       .orderBy("type_a", "type_b", "relation")
   }
 
-  val all: Seq[Q] = Seq(allenIntervals, pathTriples, sloBurnRate, intervalMerge, maxConcurrency, attribution, acfDaily,
+  /** Markov removal-effect attribution (Anderl et al. 2016 — the
+    * data-driven alternative to Shapley/last-touch): per-user journeys
+    * (events ordered by (ts, event_id), truncated at the first
+    * purchase) define a first-order chain over channel states with
+    * START, absorbing CONV (purchase) and NULL (drop-off); each
+    * channel's credit is its REMOVAL EFFECT — how much the absorption
+    * probability P(START→CONV) falls when that channel's transitions
+    * are redirected to NULL. The metric is pinned as K = 12 synchronous
+    * value-iteration steps in 1e-9 INTEGER units with PER-TERM integer
+    * division ((cnt·V_b) div tot_a) — every accumulation is an
+    * order-independent BIGINT sum (the nelson_aalen quantization
+    * device), so both engines produce bit-identical integers with no
+    * float folds at all; shares are one final integer division (ppm,
+    * zero-guarded). Scale shape: the data-sized work is one
+    * user-partitioned lag pass + a (channels+2)²-bounded transition
+    * count; only that bounded matrix reaches the driver (the kcore
+    * gate discipline), where the 12×|variants|×|states| ≤ 12·7·7
+    * integer recurrence is O(1). The DuckDB replica runs the same
+    * recurrence as a recursive CTE over the zero-padded transition
+    * grid. */
+  val markovAttribution: Q = Q(
+    "markov_attribution",
+    """WITH RECURSIVE e AS (SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+      |      ELSE event_type END AS st
+      |  FROM events),
+      |fpr AS (SELECT user_id, ts AS fts, event_id AS fid,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM e WHERE st = 'CONV'),
+      |fp AS (SELECT user_id, fts, fid FROM fpr WHERE rn = 1),
+      |kept AS (SELECT e.user_id, e.ts, e.event_id, e.st
+      |  FROM e LEFT JOIN fp USING (user_id)
+      |  WHERE fp.user_id IS NULL OR e.ts < fp.fts
+      |    OR (e.ts = fp.fts AND e.event_id <= fp.fid)),
+      |seq AS (SELECT user_id, st,
+      |    lag(st) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rdesc,
+      |    bool_or(st = 'CONV') OVER (PARTITION BY user_id) AS conv
+      |  FROM kept),
+      |trans AS (
+      |  SELECT coalesce(prev, 'START') AS prev, st AS cur FROM seq
+      |  UNION ALL
+      |  SELECT st, 'NULL' FROM seq WHERE rdesc = 1 AND NOT conv),
+      |counts AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM trans GROUP BY 1, 2),
+      |tot AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS tot
+      |  FROM counts GROUP BY 1),
+      |states AS (SELECT DISTINCT prev AS state FROM counts),
+      |variants AS (SELECT '__none__' AS variant
+      |  UNION ALL SELECT state FROM states WHERE state <> 'START'),
+      |cpad AS (SELECT s.state AS prev, c2.state AS cur,
+      |    coalesce(c.cnt, 0) AS cnt, t.tot
+      |  FROM states s CROSS JOIN states c2
+      |  LEFT JOIN counts c ON c.prev = s.state AND c.cur = c2.state
+      |  JOIN tot t ON t.prev = s.state),
+      |consts AS (SELECT c.prev,
+      |    CAST(sum((c.cnt * 1000000000) // t.tot) AS BIGINT) AS kv
+      |  FROM counts c JOIN tot t ON t.prev = c.prev
+      |  WHERE c.cur = 'CONV' GROUP BY 1),
+      |it AS (
+      |  SELECT 0 AS k, v.variant, s.state, CAST(0 AS BIGINT) AS val
+      |  FROM variants v CROSS JOIN states s
+      |  UNION ALL
+      |  SELECT i.k + 1, i.variant, c.prev,
+      |    CAST(sum(CASE WHEN c.cur = i.variant THEN 0
+      |        ELSE (c.cnt * i.val) // c.tot END)
+      |      + coalesce(any_value(k2.kv), 0) AS BIGINT)
+      |  FROM it i
+      |  JOIN cpad c ON c.cur = i.state
+      |  LEFT JOIN consts k2 ON k2.prev = c.prev
+      |  WHERE i.k < 12
+      |  GROUP BY 1, 2, 3),
+      |fin AS (SELECT variant, val FROM it
+      |  WHERE k = 12 AND state = 'START'),
+      |base AS (SELECT val AS base FROM fin WHERE variant = '__none__'),
+      |re AS (SELECT f.variant AS channel,
+      |    CAST(b.base - f.val AS BIGINT) AS re_units, b.base
+      |  FROM fin f CROSS JOIN base b WHERE f.variant <> '__none__'),
+      |sre AS (SELECT CAST(sum(re_units) AS BIGINT) AS s FROM re)
+      |SELECT r.channel, r.base AS base_units, r.re_units,
+      |  CAST(CASE WHEN s.s = 0 THEN 0
+      |    ELSE r.re_units * 1000000 // s.s END AS BIGINT) AS share_ppm
+      |FROM re r CROSS JOIN sre s
+      |ORDER BY channel""".stripMargin) { (s, d) =>
+    val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wUd = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wAll = Window.partitionBy("user_id")
+    val e = ev(s, d).select(col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") === "purchase", "CONV")
+        .otherwise(col("event_type")).as("st"))
+    val kept = e
+      .withColumn("fp", min(when(col("st") === "CONV",
+        struct(col("ts"), col("event_id")))).over(wAll))
+      .filter(col("fp").isNull
+        || struct(col("ts"), col("event_id")) <= col("fp"))
+    val seqd = kept
+      .withColumn("prev", lag(col("st"), 1).over(wU))
+      .withColumn("rdesc", row_number().over(wUd))
+      .withColumn("conv",
+        max(when(col("st") === "CONV", 1).otherwise(0)).over(wAll))
+    val trans = seqd
+      .select(coalesce(col("prev"), lit("START")).as("prev"),
+        col("st").as("cur"))
+      .unionAll(seqd.filter(col("rdesc") === 1 && col("conv") === 0)
+        .select(col("st").as("prev"), lit("NULL").as("cur")))
+    // bounded driver traffic: ≤ (|event types| + 2)² transition cells
+    val cells = trans.groupBy("prev", "cur")
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val tot = cells.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val states = tot.keySet.toSeq.sorted // transient states (all prevs)
+    val channels = states.filterNot(_ == "START")
+    val U = 1000000000L
+    def solve(removed: Option[String]): Long = {
+      var v = states.map(_ -> 0L).toMap
+      for (_ <- 1 to 12) {
+        v = states.map { a =>
+          val ta = tot(a)
+          a -> (states.map { b =>
+            if (removed.contains(b)) 0L
+            else cells.getOrElse((a, b), 0L) * v(b) / ta
+          }.sum + cells.getOrElse((a, "CONV"), 0L) * U / ta)
+        }.toMap
+      }
+      v("START")
+    }
+    val baseV = solve(None)
+    val res = channels.map(c => (c, baseV - solve(Some(c))))
+    val sre = res.map(_._2).sum
+    import s.implicits._
+    res.map { case (c, re) =>
+      (c, baseV, re, if (sre == 0) 0L else re * 1000000L / sre)
+    }.toDF("channel", "base_units", "re_units", "share_ppm")
+      .orderBy("channel")
+  }
+
+  val all: Seq[Q] = Seq(markovAttribution, allenIntervals, pathTriples, sloBurnRate, intervalMerge, maxConcurrency, attribution, acfDaily,
     rollingZ, temporalJoin, twapValue, slidingDistinct, holtLinear,
     eventTransitions, cusumDrift, kendallTau, theilSen, runsTest,
     seasonalDecompose, markovStationary, entropyRate, forecastBacktest,

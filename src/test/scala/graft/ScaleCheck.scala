@@ -57,7 +57,11 @@ object ScaleCheck {
     // growth under 10x corpora is the quadratic risk banding must
     // suppress — video is the heaviest of the three fingerprints) and
     // the zorder audit's two global rank sorts over 10x lineitem
-    "video_dup_pairs", "zorder_layout")
+    "video_dup_pairs", "zorder_layout",
+    // round 11: sampled-source bounded-distance Brandes — the (seed,
+    // node) σ-frontiers and 4-level anti-join chain are the same
+    // superlinear-risk class as harmonic's pair frontiers
+    "k_betweenness")
 
   private final class Shuffle extends SparkListener {
     val bytes = new AtomicLong(0)
@@ -146,6 +150,14 @@ object ScaleCheck {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // zstd shuffle/spill compression: the 100x points write 40-60 GB
+      // of shuffle per execution; lz4 overflowed the scratch volume on
+      // clustering_coeff. zstd roughly halves the on-disk footprint of
+      // these integer-heavy streams. Both sides of every reported
+      // ratio are measured in the SAME session, so ratios stay
+      // apples-to-apples (absolutes shift slightly vs the bench
+      // harness, which is fine — SCALECHECK grades growth, not speed).
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -187,40 +199,85 @@ object ScaleCheck {
     if (mode100) {
       val blow100 = "target/scale100"
       buildBlowup(s, sf01, blow100, copies = 100, lineitemOnly = true)
-      val entries = Seq("harmonic_centrality", "clustering_coeff").map { q =>
+      // Run ONE query per JVM by default (extra names after "100x"
+      // select the set): a single 100x point spills ~40+ GB of shuffle
+      // which only ages out with the context — two back-to-back 100x
+      // queries in one JVM overflowed the 79 GB scratch volume.
+      val picked = args.filterNot(_ == "100x") match {
+        case Array() => Seq("harmonic_centrality", "clustering_coeff")
+        case qs => qs.toSeq
+      }
+      // ONE timed 100x run (no warm rep): a 100x point writes 40-60 GB
+      // of shuffle per execution and back-to-back reps outran the
+      // scratch volume; a single 300s-scale measurement is JIT-warm
+      // enough and is what the verdict asked for ("a single measured
+      // 100x point").
+      def runOnce(name: String, dir: String): (Double, Double) = {
+        val fn = SparkEntry.queries(name)
+        val b0 = listener.bytes.get()
+        val t0 = System.nanoTime()
+        fn(s, dir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        reset()
+        (dt, (listener.bytes.get() - b0) / 1048576.0)
+      }
+      val entries = picked.map { q =>
         val (t1, sh1) = run(q, sf01)
-        val (t100, sh100) = run(q, blow100)
+        val (t100, sh100) = runOnce(q, blow100)
         val r = t100 / t1
         println(f"[scale100] $q%-18s sf0.1 $t1%6.2fs ${sh1}%8.1fMB | 100x $t100%7.2fs ${sh100}%9.1fMB | ratio $r%6.2fx")
-        f""""$q@100x": {"sf01_s": $t1%.2f, "sf01_shuffle_mb": $sh1%.1f, "x100_s": $t100%.2f, "x100_shuffle_mb": $sh100%.1f, "ratio": $r%.2f, "subquadratic_bar": 144.0, "go_no_go": "${if (r <= 144.0) "go" else "no-go: trigger HyperBall re-plan"}"}"""
+        q -> f""""$q@100x": {"sf01_s": $t1%.2f, "sf01_shuffle_mb": $sh1%.1f, "x100_s": $t100%.2f, "x100_shuffle_mb": $sh100%.1f, "ratio": $r%.2f, "subquadratic_bar": 144.0, "go_no_go": "${if (r <= 144.0) "go" else "no-go: trigger HyperBall re-plan"}"}"""
       }
-      // patch the existing artifact in place: drop stale @100x entries,
-      // insert the fresh ones before the final brace
+      // patch the artifact in place: replace only THIS run's @100x
+      // entries (a per-query refresh must not drop the others')
       val p = java.nio.file.Paths.get("tools/SCALECHECK.json")
       val cur = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       val woOld = cur.linesIterator
-        .filterNot(_.contains("@100x")).mkString("\n")
+        .filterNot(l => entries.exists { case (q, _) => l.contains(s""""$q@100x"""") })
+        .mkString("\n")
       val at = woOld.lastIndexOf("}")
       val patched = woOld.substring(0, at).replaceAll("[,\\s]+$", "") +
-        ",\n  " + entries.mkString(",\n  ") + "\n}\n"
+        ",\n  " + entries.map(_._2).mkString(",\n  ") + "\n}\n"
       java.nio.file.Files.writeString(p, patched)
       println(patched)
       s.stop()
       return
     }
-    val rows = Queries.map { q =>
+    // optional per-query refresh: extra args select a subset; entries
+    // for unlisted queries (and all @100x entries) are preserved
+    val picked10: Seq[String] =
+      if (args.isEmpty) Queries else args.toSeq
+    val rows = picked10.map { q =>
       val (t1, sh1) = run(q, sf01)
       val (t10, sh10) = run(q, blow)
       val r = t10 / t1
       println(f"[scale] $q%-18s sf0.1 $t1%6.2fs ${sh1}%8.1fMB | 10x $t10%6.2fs ${sh10}%8.1fMB | ratio $r%5.2fx")
       (q, t1, sh1, t10, sh10, r)
     }
-    val json = rows.map { case (q, t1, sh1, t10, sh10, r) =>
+    val newLines = rows.map { case (q, t1, sh1, t10, sh10, r) =>
       f"""  "$q": {"sf01_s": $t1%.2f, "sf01_shuffle_mb": $sh1%.1f, "x10_s": $t10%.2f, "x10_shuffle_mb": $sh10%.1f, "ratio": $r%.2f}"""
-    }.mkString(",\n")
-    val body = s"""{\n  "data_step": "10x synthetic blow-up of sf0.1 (see ScaleCheck scaladoc)",\n  "load_avg_start": $load0,\n  "load_avg_end": ${loadAvg()},\n$json\n}\n"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("tools/SCALECHECK.json"), body)
+    }
+    val p = java.nio.file.Paths.get("tools/SCALECHECK.json")
+    val body = if (java.nio.file.Files.exists(p)) {
+      // merge-patch: drop this run's entries (exact `"q": {` match —
+      // never the `"q@100x": {` lines), refresh load fields only on a
+      // full-list run, insert the fresh lines before the final brace
+      val cur = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val woOld = cur.linesIterator.filterNot(l =>
+        picked10.exists(q => l.contains(s""""$q": {"""))).mkString("\n")
+      val withLoad =
+        if (args.isEmpty)
+          woOld
+            .replaceAll(""""load_avg_start": [0-9.\-]+""", s""""load_avg_start": $load0""")
+            .replaceAll(""""load_avg_end": [0-9.\-]+""", s""""load_avg_end": ${loadAvg()}""")
+        else woOld
+      val at = withLoad.lastIndexOf("}")
+      withLoad.substring(0, at).replaceAll("[,\\s]+$", "") +
+        ",\n" + newLines.mkString(",\n") + "\n}\n"
+    } else {
+      s"""{\n  "data_step": "10x synthetic blow-up of sf0.1 (see ScaleCheck scaladoc)",\n  "load_avg_start": $load0,\n  "load_avg_end": ${loadAvg()},\n${newLines.mkString(",\n")}\n}\n"""
+    }
+    java.nio.file.Files.writeString(p, body)
     println(body)
     s.stop()
   }
