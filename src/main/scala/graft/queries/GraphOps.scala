@@ -1270,8 +1270,11 @@ object GraphOps {
   }
 
   /** k-BETWEENNESS centrality (Brandes & Pich 2007 — bounded-distance
-    * Brandes) over the co-purchase graph: for the harmonic seed panel
-    * (node % 500 = 0, SF-scaling like harmonic_centrality), run the
+    * Brandes) over the co-purchase graph: for a seed panel of
+    * node % 1000 = 0 (deliberately HALF the density of harmonic's
+    * % 500 panel — the backward pass carries an extra data-sized edge
+    * stream per level, so the panel is thinned to keep the battery
+    * balanced; it SF-scales the same way, panel ∝ |V|), run the
     * exact Brandes dependency accumulation restricted to shortest
     * paths of length ≤ 3 — the sampled-source, hop-bounded form that
     * makes betweenness tractable at 100 TB (full Brandes is O(V·E)).

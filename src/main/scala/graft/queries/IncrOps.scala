@@ -875,14 +875,23 @@ object IncrOps {
     * bench reps reuse the one-time rewrite. */
   private def partitionedOrders(s: SparkSession, d: String): String =
     synchronized {
+      // Fail LOUDLY if the fixture is unreadable — a silent fallback key
+      // would reuse a possibly-stale layout built from a different
+      // fixture and fail parity downstream with no pointer back here.
       val src = java.nio.file.Paths.get(s"$d/orders.parquet")
-      val id = try s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}_${java.nio.file.Files.size(src)}"
-        catch { case _: Throwable => "nofile" }
+      val id = s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}_${java.nio.file.Files.size(src)}"
       val key = Integer.toHexString((d + "|" + id).hashCode)
       val out = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft_part_orders_$key")
+      // _SUCCESS gates completeness; cross-JVM races (bench harness and
+      // test suite concurrently) are handled the buildChunkDir way:
+      // write into an attempt-unique staging dir, then ATOMIC_MOVE into
+      // place — the loser of the rename race discards its copy and
+      // reuses the winner's (identical, content-keyed) layout.
       val done = out.resolve("_SUCCESS")
       if (!java.nio.file.Files.exists(done)) {
+        val staging = java.nio.file.Files
+          .createTempDirectory(s"graft_part_orders_build_$key")
         Tables.orders(s, d)
           .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
           // one file per month: partitionBy splits by directory, and
@@ -890,7 +899,13 @@ object IncrOps {
           // month's rows in one task → no small-file spray
           .repartition(col("o_month"))
           .write.partitionBy("o_month")
-          .mode("overwrite").parquet(out.toString)
+          .mode("overwrite").parquet(staging.toString)
+        try java.nio.file.Files.move(staging, out,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.FileSystemException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+        }
       }
       out.toString
     }
@@ -1017,9 +1032,15 @@ object IncrOps {
     * suite asserts BloomFilterMightContain sits in the optimized plan
     * under the pinned conf window; this gate asserts the bloom path
     * loses nothing (FPs are re-verified by the join itself) vs the
-    * DuckDB replay of the plain join. Executed eagerly inside the conf
-    * window (injection happens at optimization time) — the result is
-    * one exact-integer row. */
+    * DuckDB replay of the plain join. CONSTRUCTION IS EAGER: the full
+    * join runs inside a collect() during DataFrame construction, because
+    * the bloom injection happens at optimization time and the conf pins
+    * must be live (and restored) around it — so plan-only tooling
+    * (Explain / PlanAudit / plan-scanning suites) that merely constructs
+    * this query's DataFrame executes the join as a side effect. Tools
+    * that sweep every query's plan should skip this one (the plan they
+    * would see is the trivial localtable anyway); the result is one
+    * exact-integer row. */
   val runtimeFilterAudit: Q = Q(
     "runtime_filter_audit",
     """SELECT CAST(count(*) AS BIGINT) AS n_items,

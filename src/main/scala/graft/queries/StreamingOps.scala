@@ -496,10 +496,20 @@ object StreamingOps {
       |FROM em CROSS JOIN anchor
       |ORDER BY user_id, event_type, h_ms""".stripMargin) { (s, d) =>
     val sink = s"stream_dedup_within_sink_${sinkId.incrementAndGet()}"
+    // ONE global anchor — date_trunc('month', min(ts)) computed from the
+    // batch fixture, exactly the oracle's `anchor` CTE (r11 advisor: a
+    // per-row month truncation would silently shift h for any event
+    // outside the min-ts month and corrupt the tie-free watermark grid;
+    // anchoring once removes the single-calendar-month fixture
+    // invariant instead of documenting it). One tiny batch scan per
+    // invocation — the chunk-dir build already reads the fixture anyway.
+    val anchorUs = graft.Tables.events(s, d)
+      .select(unix_micros(date_trunc("MONTH", min(col("ts")))))
+      .head().getLong(0)
     withStatePartitions(s, 8) {
       val q = fileStream(s, d)
         .withColumn("hts", expr(
-          """timestamp_micros(unix_micros(date_trunc('month', ts)) +
+          s"""timestamp_micros(${anchorUs}L +
             |(CASE WHEN event_id % 5 = 0
             |   THEN 64800 + (event_id % 4) * 43200
             |   ELSE ((user_id & 2147483647) * 2654435761) % 690 * 60 + 90

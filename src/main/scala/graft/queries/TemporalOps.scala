@@ -2728,7 +2728,15 @@ object TemporalOps {
     * order-independent BIGINT sum (the nelson_aalen quantization
     * device), so both engines produce bit-identical integers with no
     * float folds at all; shares are one final integer division (ppm,
-    * zero-guarded). Scale shape: the data-sized work is one
+    * zero-guarded). Overflow bound (the k_betweenness discipline): the
+    * per-term intermediate is cnt·V with V ≤ 1e9 on the 1e-9 grid, so
+    * BIGINT requires cnt < 2^63/1e9 ≈ 9.2e9 transitions PER (prev,cur)
+    * CELL. A 100 TB corpus with ≳1e10 transitions into one cell must
+    * pre-scale the counts (divide every cnt by a common power of ten —
+    * probabilities are ratios, so the recurrence is invariant) or drop
+    * the grid to 1e-6; DuckDB would raise on the overflow while Spark
+    * wraps silently, which is why the bound is stated here rather than
+    * discovered. Scale shape: the data-sized work is one
     * user-partitioned lag pass + a (channels+2)²-bounded transition
     * count; only that bounded matrix reaches the driver (the kcore
     * gate discipline), where the 12×|variants|×|states| ≤ 12·7·7
