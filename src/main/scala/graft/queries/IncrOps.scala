@@ -1055,9 +1055,107 @@ object IncrOps {
       .toDF("n_items", "sum_qty", "cents")
   }
 
+  /** The skewed fact-dim join-agg behind [[skewJoinAudit]], factored
+    * out so the suite can assert the AQE plan under the same conf
+    * window. The fact side collapses every 4th orderkey onto the single
+    * key 0 (~25% of lineitem in ONE shuffle partition — the classic
+    * hot-key profile `q71_key_skew_profile` measures); the dim side is
+    * unique on the join key (the collapsed orders replaced by one
+    * sentinel row), so the skew is pure partition-size skew with no
+    * output blow-up. The fact side is round-robin repartitioned into 16
+    * map tasks first: AQE splits a skewed REDUCE partition along MAP-
+    * output boundaries, and the single-row-group fixture parquet would
+    * otherwise arrive from ONE mapper (unsplittable) — at 100 TB the
+    * fact side always arrives from thousands of upstream mappers, which
+    * is the shape this simulates. */
+  private[queries] def skewedJoinAgg(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(s, d).select(
+      when(col("l_orderkey") % 4 === 0, 0L)
+        .otherwise(col("l_orderkey")).as("sk"),
+      col("l_quantity"), col("l_extendedprice"))
+      .repartition(16)
+    val dim = Tables.orders(s, d).filter(col("o_orderkey") % 4 =!= 0)
+      .select(col("o_orderkey").as("rk"), col("o_orderpriority"))
+      .unionAll(s.range(1).select(lit(0L).as("rk"),
+        lit("0-SKEW").as("o_orderpriority")))
+    fact.join(dim, col("sk") === col("rk"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Run `body` with AQE's dynamic skew-join split forced live at
+    * fixture scale: thresholds scaled down so the hot partition
+    * qualifies locally (at 100 TB the DEFAULTS fire — 256MB threshold,
+    * 5x median factor — this window only shrinks the trigger sizes),
+    * broadcast disabled so the join is the SortMergeJoin the skew rule
+    * rewrites. Session confs restored after — the battery runs queries
+    * sequentially. */
+  private[queries] def withSkewSplit[A](s: SparkSession)(body: => A): A = {
+    val pins = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = pins.map { case (k, _) => k -> s.conf.getOption(k) }
+    pins.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** AQE SKEW-JOIN audit — the last missing member of the
+    * physical-optimization family (r11 verdict #4: static partition
+    * prune, runtime bloom prune, bucketed shuffle elimination, zonemap
+    * skip, zorder clustering… and now the DYNAMIC skew mitigation a
+    * production cluster reaches for FIRST, before the manual
+    * `q67_salted_join` fallback): a fact table with ~25% of its rows on
+    * one hot key is joined to a key-unique dimension under
+    * `spark.sql.adaptive.skewJoin` thresholds that let AQE detect the
+    * oversized shuffle partition at RUNTIME and split it into multiple
+    * reducer tasks (duplicating the matching dim partition), turning
+    * the straggler into parallel work with NO change to the query. The
+    * Round12 suite asserts the executed plan carries the skew markers
+    * (`isSkewJoin`/AQEShuffleRead skewed) under the pinned window AND
+    * that the un-pinned plan differs; this gate asserts the split
+    * loses nothing — result ≡ the DuckDB replay of the plain join,
+    * exact integers only. CONSTRUCTION IS EAGER (the
+    * runtime_filter_audit device): skew re-planning happens during
+    * execution, so the conf window wraps a collect() and plan-only
+    * tools should skip this op. */
+  val skewJoinAudit: Q = Q(
+    "skew_join_audit",
+    """WITH fact AS (SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0
+      |      ELSE l_orderkey END AS sk,
+      |    l_quantity, l_extendedprice FROM lineitem),
+      |dim AS (SELECT o_orderkey AS rk, o_orderpriority FROM orders
+      |    WHERE o_orderkey % 4 <> 0
+      |  UNION ALL SELECT 0, '0-SKEW')
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM fact JOIN dim ON sk = rk
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val rows = withSkewSplit(s) { skewedJoinAgg(s, d).collect() }
+    import s.implicits._
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .toDF("o_orderpriority", "n_items", "sum_qty", "cents")
+  }
+
   val all: Seq[Q] = Seq(incrAggMerge, compactBins, tableStats, incrJoinDelta,
     snapshotDiff, kAnonymity, dqScorecard, lDiversity, tCloseness,
     zonemapAudit, zorderLayout, equidepthHistogram, columnEntropy,
     bucketJoinAudit, partitionPruneAudit, cascadeDeleteAudit,
-    runtimeFilterAudit, catalogCoverage, broadcastAdvisor)
+    runtimeFilterAudit, skewJoinAudit, catalogCoverage, broadcastAdvisor)
 }

@@ -897,12 +897,153 @@ object StreamingOps {
     s.table(sink).orderBy("user_id", "s_ms")
   }
 
+  /** STREAM–STATIC enrichment join parity — the most common production
+    * streaming topology (r11 verdict #2): an event stream joined
+    * per-micro-batch to a slowly-changing DIMENSION table (customer),
+    * then aggregated over the enriched rows. Unlike the stream-stream
+    * rows, the static side keeps NO state — every micro-batch plans a
+    * fresh batch join against the dimension (which is how dimension
+    * updates between batches become visible in production), and at
+    * dimension sizes like this one Spark broadcasts it per batch
+    * (BroadcastHashJoin under the streaming plan — asserted by the
+    * Round12 suite; a 100 TB deployment keeps the dim under the
+    * broadcast threshold or pre-buckets it). The aggregate runs in
+    * complete mode with integer-cent sums, so the finite-stream
+    * fixpoint is micro-batch-schedule independent and the oracle is
+    * the plain batch join + group-by. Every event user_id resolves in
+    * customer at all SFs (user_id range ⊂ c_custkey range), so the
+    * inner join loses nothing — checked by the row-count gate. */
+  val streamStaticJoinParity: Q = Q(
+    "stream_static_join_parity",
+    """SELECT c_mktsegment, epoch_ms(date_trunc('day', ts)) AS d_ms,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY c_mktsegment, d_ms""".stripMargin) { (s, d) =>
+    val sink = s"stream_static_join_sink_${sinkId.incrementAndGet()}"
+    val dim = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    withStatePartitions(s, 8) {
+      val q = fileStream(s, d)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+        .select(col("c_mktsegment"), unix_millis(col("w.start")).as("d_ms"),
+          col("n"), col("cents"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(sink).orderBy("c_mktsegment", "d_ms")
+  }
+
+  /** Everything the Round12 suite needs to prove a checkpoint recovery
+    * actually RESUMED: the sink dir plus the per-phase data-batch ids
+    * and input-row totals, and the sink row count visible at the stop
+    * point. */
+  final case class RecoveryRun(outDir: String,
+      preBatchIds: Seq[Long], preRows: Long, rowsAtStop: Long,
+      postBatchIds: Seq[Long], postRows: Long)
+
+  /** Core of [[streamRecoveryParity]], factored out so the suite can
+    * assert the resume was real (offsets advanced, chunks 0–1 never
+    * reprocessed) rather than a silent from-scratch rerun. */
+  private[graft] def runRecovery(s: org.apache.spark.sql.SparkSession,
+      d: String): RecoveryRun = {
+    val chunks = timeChunkDir(s, d)
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_recovery_landing_")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_recovery_ckpt_")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_recovery_out_")
+    def link(i: Int): Unit = {
+      val nm = f"chunk_$i%02d.parquet"
+      java.nio.file.Files.createSymbolicLink(
+        landing.resolve(nm), java.nio.file.Paths.get(chunks, nm))
+      ()
+    }
+    // the SAME query definition both times — a restart must be able to
+    // re-plan the logical query from code and reattach to the
+    // checkpoint's offsets + state + sink log
+    def start() = {
+      val physical = s.read.parquet(s"$d/events.parquet").schema
+      val streamed = s.readStream.schema(physical)
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      val src = if (physical("ts").dataType == LongType)
+        streamed.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else streamed
+      src.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("w.start")).as("w_ms"), col("event_type"),
+          col("n"))
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+    }
+    withStatePartitions(s, 8) {
+      link(0); link(1)
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      val pre = q1.recentProgress.toSeq.filter(_.numInputRows > 0)
+      val rowsAtStop =
+        try s.read.parquet(outDir.toString).count() catch { case _: Throwable => 0L }
+      link(2); link(3)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val post = q2.recentProgress.toSeq.filter(_.numInputRows > 0)
+      RecoveryRun(outDir.toString,
+        pre.map(_.batchId), pre.map(_.numInputRows).sum, rowsAtStop,
+        post.map(_.batchId), post.map(_.numInputRows).sum)
+    }
+  }
+
+  /** CHECKPOINT-RECOVERY parity — the exactly-once fault-tolerance
+    * semantics (r11 verdict #1, top_next; previously the one core
+    * streaming behavior with zero coverage): a watermarked stateful
+    * aggregate writes through the parquet FileStreamSink with an
+    * explicit checkpointLocation, is STOPPED after consuming the first
+    * two of four chunk files, and a NEW query (same logical plan, same
+    * checkpoint, same sink) is started over the landing dir after the
+    * remaining two chunks arrive. The restart must restore source
+    * offsets (chunks 0–1 are never re-read — suite-asserted via batch
+    * ids and input-row counts), window STATE (windows straddling the
+    * stop point merge rows from both phases — any state loss
+    * under-counts them and fails the gate), the WATERMARK, and the
+    * sink's _spark_metadata commit log (pre-stop files stay committed
+    * exactly once; a from-scratch rerun would double-emit and fail the
+    * gate). Rides the TIME-ORDERED chunk layout, which makes the final
+    * output schedule-independent and therefore ≡ the uninterrupted
+    * run: no input is ever late (so no drop depends on the stop
+    * point), and a window emits iff the FINAL watermark (global max −
+    * 10 min) passed its end — the oracle is that one predicate, with
+    * no batch-protocol replay at all. At 100 TB recovery is not
+    * optional; this row is the resume-correctness contract. */
+  val streamRecoveryParity: Q = Q(
+    "stream_recovery_parity",
+    """WITH fin AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm_final
+      |  FROM events)
+      |SELECT epoch_ms(date_trunc('hour', ts)) AS w_ms, event_type,
+      |  count(*) AS n
+      |FROM events, fin
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < wm_final
+      |GROUP BY 1, 2 ORDER BY w_ms, event_type""".stripMargin) { (s, d) =>
+    val run = runRecovery(s, d)
+    s.read.parquet(run.outDir).orderBy("w_ms", "event_type")
+  }
+
   val all: Seq[Q] = Seq(streamFileParity, streamSlideParity,
     streamSessionParity, streamJoinParity, streamLeftJoinParity,
     streamFullJoinParity, streamSemiJoinParity, streamChainJoinParity,
     streamDedupParity, streamDedupWithinParity,
     streamWatermarkParity, streamUpsertParity, streamFileSinkParity,
-    streamStateParity, streamTimeoutParity)
+    streamStateParity, streamTimeoutParity, streamStaticJoinParity,
+    streamRecoveryParity)
 
   /** mapGroupsWithState parity — the CUSTOM-STATE API under the
     * declared gate (flatMapGroupsWithState sessionization is
