@@ -1348,17 +1348,24 @@ object GraphOps {
     val l0 = seeds.select(col("s"), col("s").as("v"), lit(1L).as("sig"))
       .persist(mem)
     // forward: σ-carrying frontier expansion. The raw (level-l node ×
-    // neighbor) edge stream is persisted ONCE per level and reused by
-    // the backward pass; the visited anti-join runs on the AGGREGATED
-    // (seed, node) level (≤ |seeds|·|V| rows), never on the edge
-    // stream — σ is unchanged (every contribution comes from level-l
-    // preds; edges into earlier levels are dropped node-wholesale)
-    // and the anti-join volume falls by the average degree.
+    // neighbor) edge stream — the query's data monster (23.7M rows /
+    // 248 MB at sf0.1 for level 3) — is repartitioned ONCE by the
+    // (seed, node) key BOTH consumers cluster on and persisted in that
+    // layout, so the forward σ-aggregate and the backward join each
+    // read the cache with ZERO further exchange (r12: this replaced a
+    // second full exchange+sort of the edge stream inside the backward
+    // SMJ — measured 11.7s → ~8.5s battery-idle). The visited
+    // anti-join runs on the AGGREGATED (seed, node) level (≤
+    // |seeds|·|V| rows), never on the edge stream — σ is unchanged
+    // (every contribution comes from level-l preds; edges into earlier
+    // levels are dropped node-wholesale) and the anti-join volume
+    // falls by the average degree.
     def expandTr(cur: DataFrame, visited: Seq[DataFrame],
         keepRaw: Boolean = true): (DataFrame, DataFrame) = {
       val raw0 = cur.join(adj, col("v") === col("c"))
         .select(col("s"), col("v").as("u"), col("sig"), col("n").as("w"))
-      val raw = if (keepRaw) raw0.persist(mem) else raw0
+      val raw = if (keepRaw) raw0.repartition(col("s"), col("w")).persist(mem)
+        else raw0
       val agg = raw.groupBy(col("s"), col("w"))
         .agg(sum("sig").as("sig"))
       val seen = visited.map(_.select(col("s"), col("v").as("w")))
@@ -1376,8 +1383,16 @@ object GraphOps {
     // joined against the NEXT level's (σ, δ) does the DAG filtering
     // implicitly (only true level-(l+1) successors match).
     def back(lv: DataFrame, tr: DataFrame, succ: DataFrame): DataFrame = {
+      // shuffle_hash, not sort-merge: the probe side is the data-sized
+      // raw edge stream (~20M rows at sf0.1) and SMJ would SORT it —
+      // the battery's single most expensive sort (measured 2.5s of the
+      // stage budget); the build side is the AGGREGATED (seed, node)
+      // level, bounded by |seeds|·|V|, which hashes in-memory per
+      // partition. Both sides still hash-partition on (s, w) — nothing
+      // is broadcast, driver traffic stays zero, and the build side
+      // stays partition-local at any scale.
       tr.join(succ.select(col("s").as("s2"), col("v").as("w2"),
-            col("sig").as("wsig"), col("dq").as("wdq")),
+            col("sig").as("wsig"), col("dq").as("wdq")).hint("shuffle_hash"),
           col("s") === col("s2") && col("w") === col("w2"))
         .select(col("s"), col("u").as("v"),
           expr(s"(sig * ($U + wdq)) DIV wsig").as("term"))
@@ -1388,10 +1403,11 @@ object GraphOps {
         .select(col("l.s").as("s"), col("l.v").as("v"),
           col("l.sig").as("sig"),
           coalesce(col("t.dqs"), lit(0L)).as("dq"))
-        .persist(mem)
     }
+    def backKeep(lv: DataFrame, tr: DataFrame, succ: DataFrame): DataFrame =
+      back(lv, tr, succ).persist(mem)
     val d3 = l3.withColumn("dq", lit(0L))
-    val d2 = back(l2, tr3, d3)
+    val d2 = backKeep(l2, tr3, d3)
     val d1 = back(l1, tr2, d2)
     d1.select("v", "dq")
       .unionAll(d2.select("v", "dq"))
