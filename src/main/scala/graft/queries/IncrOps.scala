@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
@@ -1153,9 +1155,407 @@ object IncrOps {
       .toDF("o_orderpriority", "n_items", "sum_qty", "cents")
   }
 
+  /** DYNAMIC partition pruning audit — the star-schema companion to
+    * [[partitionPruneAudit]]: there the pruning months are LITERALS the
+    * planner folds into the file listing; here they are only known by
+    * JOINING a dimension (the distinct ship months of a lineitem
+    * quarter), so static pruning is impossible and Spark's
+    * PartitionPruning rule instead plants a DynamicPruningExpression on
+    * the fact scan's partition filters — the broadcast built for the
+    * join is reused as an IN-filter over the partition column, and 77
+    * of 80 month directories are skipped AT RUNTIME before a byte of
+    * fact data is read. This is THE optimization that makes
+    * date-partitioned 100 TB star schemas queryable: the dim filter
+    * (not the analyst) decides which partitions exist for the query.
+    * The dim side is explicitly `broadcast()` — a months dimension is
+    * ≤ thousands of rows at ANY corpus size, and DPP's default
+    * reuseBroadcastOnly mode prunes for free exactly when the join
+    * side broadcasts. Round12OpsSuite asserts the executed scan carries
+    * the dynamicpruning partition filter, that it read only the 3
+    * surviving month files, and that disabling the rule removes the
+    * filter; this gate asserts the pruned plan loses nothing vs the
+    * DuckDB replay of the raw join. Exact integers only. */
+  val dppAudit: Q = Q(
+    "dpp_audit",
+    """WITH dim AS (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS s_month
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'),
+      |f AS (SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+      |  FROM orders)
+      |SELECT o_month, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM f JOIN dim ON o_month = s_month
+      |GROUP BY o_month ORDER BY o_month""".stripMargin) { (s, d) =>
+    dppJoinAgg(s, d)
+  }
+
+  /** The pruned join-agg behind [[dppAudit]], factored out so the suite
+    * can assert the executed plan (and its counterfactual with the rule
+    * disabled) on the same DataFrame shape. */
+  private[queries] def dppJoinAgg(s: SparkSession, d: String): DataFrame = {
+    val fact = s.read.parquet(partitionedOrders(s, d))
+    val dim = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("s_month"))
+      .distinct()
+    fact.join(broadcast(dim), col("o_month") === col("s_month"))
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      .orderBy("o_month")
+  }
+
+  /** The fact-dim join-agg behind [[aqeBhjAudit]], factored out so the
+    * suite can assert both plans under its own conf windows. The dim
+    * side (suppliers in 5 of 25 nations) is small at runtime but the
+    * static planner is denied that knowledge (broadcast threshold -1),
+    * so the initial plan is a SortMergeJoin. */
+  private[queries] def bhjJoinAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d).filter(col("s_nationkey") < 5)
+          .select(col("s_suppkey"),
+            col("s_nationkey").cast("long").as("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      .orderBy("s_nationkey")
+
+  /** Run `body` with AQE's runtime SMJ→BHJ demotion live: the STATIC
+    * broadcast threshold is -1 (the planner must not know the dim is
+    * small — at 100 TB its pre-filter size estimate routinely misses),
+    * while the ADAPTIVE threshold re-enables the conversion from the
+    * TRUE post-shuffle size AQE measures at runtime. Session confs
+    * restored after — the battery runs queries sequentially. */
+  private[queries] def withAqeBhj[A](s: SparkSession)(body: => A): A = {
+    val pins = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB",
+      "spark.sql.adaptive.localShuffleReader.enabled" -> "true")
+    val prev = pins.map { case (k, _) => k -> s.conf.getOption(k) }
+    pins.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** AQE runtime BROADCAST-DEMOTION audit — the optimistic half of the
+    * adaptive family ([[skewJoinAudit]] splits what turned out too BIG;
+    * this one broadcasts what turned out SMALL): the static planner,
+    * denied size knowledge (broadcast threshold -1 — the 100 TB
+    * situation whenever a selective dim filter defeats the stats),
+    * plans a SortMergeJoin; AQE measures the dim's true post-shuffle
+    * size after the first stage and REWRITES the join to a
+    * BroadcastHashJoin with a local (shuffle-free) read on the fact
+    * side — the probe side's exchange never crosses the network. The
+    * Round12 suite asserts the final adaptive plan carries the BHJ
+    * while the initial plan was an SMJ, and that pinning the adaptive
+    * threshold to -1 keeps the SMJ (the demotion is live, not
+    * incidental); this gate asserts the rewritten plan loses nothing
+    * vs the DuckDB replay. CONSTRUCTION IS EAGER (the
+    * runtime_filter_audit device): the rewrite happens during
+    * execution, so the conf window wraps a collect() and plan-only
+    * tools should skip this op. */
+  val aqeBhjAudit: Q = Q(
+    "aqe_bhj_audit",
+    """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_nationkey < 5
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+    val rows = withAqeBhj(s) { bhjJoinAgg(s, d).collect() }
+    import s.implicits._
+    rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .toDF("s_nationkey", "n_items", "sum_qty", "cents")
+  }
+
+  /** The wide-shuffle aggregate behind [[aqeCoalesceAudit]], factored
+    * out for the suite's plan assertions. */
+  private[queries] def coalesceAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linenumber").cast("long").as("l_linenumber"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      .orderBy("l_linenumber")
+
+  /** Run `body` with a deliberately over-provisioned shuffle (200
+    * reducers — the classic static-conf mistake) and AQE's partition
+    * coalescing live, so the runtime folds the hundreds of tiny
+    * post-shuffle partitions back to a handful of advisory-sized ones.
+    * Session confs restored after. */
+  private[queries] def withAqeCoalesce[A](s: SparkSession)(enabled: Boolean)(
+      body: => A): A = {
+    val pins = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> enabled.toString,
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.shuffle.partitions" -> "200")
+    val prev = pins.map { case (k, _) => k -> s.conf.getOption(k) }
+    pins.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** AQE partition-COALESCING audit — the third adaptive member
+    * (dynamic skew split, runtime broadcast demotion, and now the
+    * shuffle right-sizing every misconfigured cluster relies on
+    * daily): a 7-group aggregate shuffled across 200 static reducer
+    * partitions produces ~193 empty and 7 near-empty tasks; AQE
+    * measures the real map-output sizes and coalesces contiguous
+    * partitions up to the advisory size, so the reduce stage runs a
+    * handful of tasks instead of 200 (at 100 TB the same mechanism
+    * stops a mis-set `spark.sql.shuffle.partitions` from scheduling
+    * hundreds of thousands of no-op tasks — scheduling overhead IS a
+    * scale bottleneck). The Round12 suite asserts the final plan's
+    * AQEShuffleRead is `coalesced` with far fewer output partitions
+    * than 200, and that disabling coalescing keeps all 200; this gate
+    * asserts right-sizing loses nothing vs the DuckDB replay.
+    * CONSTRUCTION IS EAGER (conf window around a collect()); plan-only
+    * tools should skip this op. */
+  val aqeCoalesceAudit: Q = Q(
+    "aqe_coalesce_audit",
+    """SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM lineitem
+      |GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin) { (s, d) =>
+    val rows = withAqeCoalesce(s)(enabled = true) { coalesceAgg(s, d).collect() }
+    import s.implicits._
+    rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .toDF("l_linenumber", "n_items", "sum_qty", "cents")
+  }
+
+  /** Build (once per session × fixture) the small-file landing zone
+    * behind [[compactionAudit]]: orders sprayed round-robin across 64
+    * tiny parquet files — the layout every event-ingestion directory
+    * degrades into (one file per writer per trigger). Content-keyed,
+    * staged, atomically published like [[partitionedOrders]]. */
+  private def smallFileOrders(s: SparkSession, d: String): String =
+    synchronized {
+      val src = java.nio.file.Paths.get(s"$d/orders.parquet")
+      val id = s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}_${java.nio.file.Files.size(src)}"
+      val key = Integer.toHexString((d + "|" + id).hashCode)
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_smallfiles_$key")
+      val done = out.resolve("_SUCCESS")
+      if (!java.nio.file.Files.exists(done)) {
+        val staging = java.nio.file.Files
+          .createTempDirectory(s"graft_smallfiles_build_$key")
+        Tables.orders(s, d).repartition(64)
+          .write.mode("overwrite").parquet(staging.toString)
+        try java.nio.file.Files.move(staging, out,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.FileSystemException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+        }
+      }
+      out.toString
+    }
+
+  /** Target compacted file size. 1 MiB at fixture scale so the fixture
+    * genuinely bin-packs to >1 file; production uses 128–1024 MiB (one
+    * HDFS/object-store block) — the arithmetic is identical. */
+  private val CompactTargetBytes = 1L << 20
+
+  /** Compact the small-file zone: list the data files, size the output
+    * as ceil(totalBytes / target), and rewrite via `coalesce` — a
+    * file-merge compactor must NOT shuffle (the rows are worthless to
+    * co-locate; only the file count matters), and coalesce folds input
+    * partitions into output tasks with zero exchange. Returns the
+    * compacted dir. Content-keyed on the SOURCE zone so bench reps
+    * reuse the one-time rewrite. */
+  private[queries] def compactedOrders(s: SparkSession, d: String): String =
+    synchronized {
+      val srcDir = java.nio.file.Paths.get(smallFileOrders(s, d))
+      val dataFiles = java.nio.file.Files.list(srcDir).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+      val totalBytes = dataFiles.map(java.nio.file.Files.size).sum
+      val nOut = math.max(1L, (totalBytes + CompactTargetBytes - 1) / CompactTargetBytes).toInt
+      val out = srcDir.resolveSibling(srcDir.getFileName.toString + "_compacted")
+      val done = out.resolve("_SUCCESS")
+      if (!java.nio.file.Files.exists(done)) {
+        val staging = java.nio.file.Files
+          .createTempDirectory("graft_compact_build_")
+        s.read.parquet(srcDir.toString).coalesce(nOut)
+          .write.mode("overwrite").parquet(staging.toString)
+        try java.nio.file.Files.move(staging, out,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.FileSystemException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+        }
+      }
+      out.toString
+    }
+
+  /** Small-file COMPACTION audit — the #1 recurring maintenance job of
+    * any 100 TB lake: a 64-file ingestion spray of the orders table is
+    * bin-packed to ceil(totalBytes / targetFileSize) files via a
+    * shuffle-free `coalesce` rewrite (a compactor that shuffles pays
+    * the whole table over the network for nothing — rows need merging,
+    * not co-locating). The Round12 suite asserts the compacted zone
+    * has exactly the computed file count (≪ 64) and is row-for-row
+    * identical to the spray; this gate aggregates FROM THE COMPACTED
+    * FILES against the DuckDB replay over the raw table, so the
+    * rewrite provably lost nothing. At production block sizes the same
+    * arithmetic yields 128 MiB–1 GiB files — the difference between a
+    * scan scheduling 10⁶ splits and 10³. */
+  val compactionAudit: Q = Q(
+    "compaction_audit",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM orders
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    s.read.parquet(compactedOrders(s, d))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Build (once per session × fixture) the two-vintage layout behind
+    * [[schemaDriftAudit]]: vintage 1 (even order keys) was written
+    * BEFORE a migration added `o_orderpriority`; vintage 2 (odd keys)
+    * carries the new column. Plain subdirectories (not hive
+    * `key=value` names), so nothing is partition-inferred — the drift
+    * lives in the FILE schemas, which is the production situation. */
+  private[queries] def driftedOrders(s: SparkSession, d: String): String =
+    synchronized {
+      val src = java.nio.file.Paths.get(s"$d/orders.parquet")
+      val id = s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}_${java.nio.file.Files.size(src)}"
+      val key = Integer.toHexString((d + "|" + id).hashCode)
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_drift_$key")
+      val done = out.resolve("_SUCCESS")
+      if (!java.nio.file.Files.exists(done)) {
+        val staging = java.nio.file.Files
+          .createTempDirectory(s"graft_drift_build_$key")
+        Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(staging.resolve("batch_v1").toString)
+        Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(staging.resolve("batch_v2").toString)
+        java.nio.file.Files.createFile(staging.resolve("_SUCCESS"))
+        try java.nio.file.Files.move(staging, out,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.FileSystemException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+        }
+      }
+      out.toString
+    }
+
+  /** SCHEMA-DRIFT (evolution) audit — reading a table whose files
+    * straddle a column-adding migration, the situation every long-lived
+    * lake table is permanently in: vintage-1 files lack
+    * `o_orderpriority`, vintage-2 files carry it, and the scan must
+    * reconcile them (`mergeSchema` + recursive listing) into one
+    * DataFrame where pre-migration rows surface the new column as NULL
+    * — never dropped, never misaligned by ordinal. The aggregate groups
+    * on the drifted column with NULLs bucketed as '(pre-migration)',
+    * and the DuckDB replay derives the same bucketing from the raw
+    * table (even keys = vintage 1), so the gate proves schema
+    * reconciliation lost nothing. Per-file footer merge is
+    * embarrassingly parallel at 100 TB; production turns on exactly
+    * these two reader options. */
+  val schemaDriftAudit: Q = Q(
+    "schema_drift_audit",
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '(pre-migration)'
+      |  ELSE o_orderpriority END AS prio,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM orders
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    s.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true")
+      .parquet(driftedOrders(s, d))
+      .groupBy(coalesce(col("o_orderpriority"), lit("(pre-migration)"))
+        .as("prio"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      .orderBy("prio")
+  }
+
+  /** CDC changelog apply — materialize a snapshot from an insert/
+    * update/delete event log under AT-LEAST-ONCE delivery, the core op
+    * of every replication pipeline (Debezium → lake). The changelog is
+    * derived deterministically from orders: v1 INSERT for every key,
+    * v2 UPDATE (+500 cents) for keys ≡ 0 mod 3, v3 DELETE for keys ≡ 0
+    * mod 7 — and the v2 stream is delivered TWICE to model redelivery.
+    * Apply is ONE hash shuffle on the key: row_number() over
+    * (PARTITION BY key ORDER BY version DESC) picks the last writer,
+    * `op <> 'D'` drops deleted keys, and redelivered duplicates are
+    * harmless by construction (identical rows tie on version; whichever
+    * wins, the VALUES are equal — idempotence without a pre-dedup
+    * pass, which is exactly why CDC consumers key rank by version
+    * rather than dropDuplicates first: one shuffle instead of two). At
+    * 100 TB the same plan applies a day's changelog to a keyed
+    * snapshot in one exchange; the DuckDB replay computes the
+    * surviving state in closed form. Exact integer cents. */
+  val cdcApply: Q = Q(
+    "cdc_apply",
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |    + CASE WHEN o_orderkey % 3 = 0 THEN 500 ELSE 0 END)
+      |    AS BIGINT) AS cents
+      |FROM orders WHERE o_orderkey % 7 <> 0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"),
+      floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+    val ins = base.select(col("k"), lit(1L).as("version"),
+      lit("I").as("op"), col("st"), col("cents"))
+    val upd = base.filter(col("k") % 3 === 0)
+      .select(col("k"), lit(2L).as("version"), lit("U").as("op"),
+        col("st"), (col("cents") + 500).as("cents"))
+    val del = base.filter(col("k") % 7 === 0)
+      .select(col("k"), lit(3L).as("version"), lit("D").as("op"),
+        col("st"), lit(0L).as("cents"))
+    val log = ins.unionAll(upd).unionAll(upd).unionAll(del)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("version").desc)
+    log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .groupBy(col("st").as("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("cents"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(incrAggMerge, compactBins, tableStats, incrJoinDelta,
     snapshotDiff, kAnonymity, dqScorecard, lDiversity, tCloseness,
     zonemapAudit, zorderLayout, equidepthHistogram, columnEntropy,
     bucketJoinAudit, partitionPruneAudit, cascadeDeleteAudit,
-    runtimeFilterAudit, skewJoinAudit, catalogCoverage, broadcastAdvisor)
+    runtimeFilterAudit, skewJoinAudit, dppAudit, aqeBhjAudit,
+    aqeCoalesceAudit, compactionAudit, schemaDriftAudit, cdcApply,
+    catalogCoverage, broadcastAdvisor)
 }

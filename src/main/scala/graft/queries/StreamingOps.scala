@@ -1037,13 +1037,80 @@ object StreamingOps {
     s.read.parquet(run.outDir).orderBy("w_ms", "event_type")
   }
 
+  /** Run `body` with the RocksDB state store provider pinned —
+    * `transformWithState` requires it (the default HDFS-backed
+    * provider does not implement the state-v2 column families), and
+    * at 100 TB RocksDB is what a production deployment runs anyway
+    * (state spills to local SSD instead of executor heap). Conf
+    * restored after; the battery runs queries sequentially. */
+  private def withRocksDbState[A](s: org.apache.spark.sql.SparkSession)(
+      body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** transformWithState parity — the state-v2 ARBITRARY-STATE API
+    * (Spark 4's successor to mapGroupsWithState: named state variables
+    * against a StatefulProcessorHandle, RocksDB-backed, per-variable
+    * TTL) under the declared gate. The processor keeps ONE
+    * ValueState[(n, cents)] per user ([[graft.streaming.
+    * RunningTotalsProcessor]]) merged commutatively with each batch's
+    * partial sums, so the id-interleaved chunk layout's adversarial
+    * arrival order cannot perturb the fixpoint: after the finite
+    * stream drains, the last emission per user ≡ the batch group-by
+    * the oracle runs. Update-mode emissions are monotone in n_events,
+    * so max-n-per-user selects the fixpoint row exactly like
+    * stream_state_parity. The suite additionally proves the stream ran
+    * ≥ 4 micro-batches and that intermediate (non-final) emissions
+    * existed — the state merge is load-bearing, not a single-batch
+    * degenerate. */
+  lazy val streamTwsParity: Q = Q(
+    "stream_tws_parity",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val sink = s"stream_tws_parity_sink_${sinkId.incrementAndGet()}"
+    withRocksDbState(s) {
+      withStatePartitions(s, 8) {
+        val ev = fileStream(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.Event]
+        val q = ev.groupByKey(_.user_id)
+          .transformWithState(new graft.streaming.RunningTotalsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+    }
+    val emitted = s.table(sink)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    emitted.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("n_events"), col("total_cents"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(streamFileParity, streamSlideParity,
     streamSessionParity, streamJoinParity, streamLeftJoinParity,
     streamFullJoinParity, streamSemiJoinParity, streamChainJoinParity,
     streamDedupParity, streamDedupWithinParity,
     streamWatermarkParity, streamUpsertParity, streamFileSinkParity,
     streamStateParity, streamTimeoutParity, streamStaticJoinParity,
-    streamRecoveryParity)
+    streamRecoveryParity, streamTwsParity)
 
   /** mapGroupsWithState parity — the CUSTOM-STATE API under the
     * declared gate (flatMapGroupsWithState sessionization is

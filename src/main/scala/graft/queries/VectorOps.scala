@@ -572,10 +572,59 @@ object VectorOps {
       .orderBy("dim")
   }
 
+  /** FILTERED vector search (pre-filter ANN) — the production retrieval
+    * pattern every vector store ships: a metadata predicate restricts
+    * the candidate set BEFORE ranking, here "same label as the query,
+    * excluding self" (the tenant/namespace filter). Pre-filtering is
+    * exact at any k — post-filtering (rank first, filter the top-k
+    * after) silently returns < k or lower-recall results whenever the
+    * predicate is selective, which is why this op ranks only inside
+    * the filtered set. The plan is the scalable one: the ≤|V|/100
+    * query panel broadcasts with its label, the corpus streams once,
+    * and the label equi-condition prunes candidates AT THE JOIN (at
+    * 100 TB the same predicate prunes IVF/LSH buckets before distance
+    * evaluation — label is part of the bucket key). Ranking uses the
+    * 6-dp-rounded cosine with vec_id tie-break so both engines agree
+    * bit-for-bit. */
+  val annPrefilter: Q = Q(
+    "ann_prefilter",
+    """WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+      |    CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 100 = 0),
+      |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT qid, vec_id,
+      |    round(list_dot_product(qv, cv)
+      |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+      |  FROM q JOIN c ON qlabel = label AND qid <> vec_id)
+      |SELECT qid, vec_id, cos FROM (
+      |  SELECT qid, vec_id, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      |  FROM scored) t
+      |WHERE rn <= 3 ORDER BY qid, cos DESC, vec_id""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val q = emb(s, d).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        asDouble(col("embedding")).as("qv"))
+    val c = emb(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("cv"))
+    val scored = c.join(broadcast(q),
+        col("qlabel") === col("label") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.GraftFunctions.cosineNative(col("qv"), col("cv")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("qid", "vec_id", "cos")
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+  }
+
   val all: Seq[Q] =
     Seq(embedStats, cosineTopK, cosinePairs, gridSpatialJoin, dbscanGrid,
       moransI, getisOrd, embedIsotropy, mrlTruncation, embeddingWhiten,
-      quantizeRecall, mmdEmbeddings)
+      quantizeRecall, mmdEmbeddings, annPrefilter)
 
   /** Kernel two-sample test: unbiased MMD² between label-0 and
     * label-1 embeddings under an RBF kernel (bandwidth 2σ² = 2·dim —

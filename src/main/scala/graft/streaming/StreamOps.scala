@@ -253,3 +253,53 @@ final case class UserGap(
     n_events: Long,
     total_cents: Long,
     max_gap_us: Long)
+
+/** One per-user emission of [[RunningTotalsProcessor]]: the user's
+  * cumulative event count and exact cents total so far. */
+final case class UserTotals(
+    user_id: Long,
+    n_events: Long,
+    total_cents: Long)
+
+/** Per-user running totals via `transformWithState` — the state-v2
+  * arbitrary-state API (Spark 4's successor to mapGroupsWithState:
+  * named state variables created against a StatefulProcessorHandle,
+  * RocksDB-backed, with per-variable TTL). The state here is ONE
+  * ValueState[(n, cents)] per user — constant-size, merged
+  * commutatively with each batch's partial sums, so arrival order
+  * across micro-batches is irrelevant and the finite-stream fixpoint
+  * per user is exactly the batch group-by. Every update re-emits the
+  * user's cumulative row (Update output mode); emissions are monotone
+  * in n_events, so max-n-per-user selects the fixpoint. Exact integer
+  * cents only. At 100 TB state is hash-partitioned by user across the
+  * cluster's RocksDB stores and each micro-batch touches only the
+  * keys it carries — the same bound as the built-in aggregate, with
+  * arbitrary user logic. */
+final class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotals] {
+  @transient private var totals:
+    org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[UserTotals] = {
+    var n = 0L
+    var cents = 0L
+    rows.foreach { e =>
+      n += 1
+      cents += math.floor(e.value * 100 + 0.5).toLong
+    }
+    val (pn, pc) = if (totals.exists()) totals.get() else (0L, 0L)
+    val next = (pn + n, pc + cents)
+    totals.update(next)
+    Iterator.single(UserTotals(key, next._1, next._2))
+  }
+}

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -15,6 +17,25 @@ class Round12OpsSuite extends SparkSpec {
 
   private def run(name: String) =
     graft.SparkEntry.queries(name)(spark, sfDir)
+
+  /** Every node of an EXECUTED plan, descending through the adaptive
+    * wrappers `collect` treats as leaves (AdaptiveSparkPlanExec's
+    * current plan, materialized QueryStageExec bodies, reused
+    * exchanges) — the executed node instances, whose metrics are
+    * populated, live inside these. */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      case _ => p.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
 
   // ------------------------------------------------- skew_join_audit ---
 
@@ -173,5 +194,318 @@ class Round12OpsSuite extends SparkSpec {
       .orderBy("w_ms", "event_type")
       .collect().toSeq
     assert(fin.orderBy("w_ms", "event_type").collect().toSeq == exp)
+  }
+
+  // ------------------------------------------------------- dpp_audit ---
+
+  test("dpp_audit: the scan carries a DYNAMIC partition filter, reads " +
+    "only the 3 surviving month files, disabling the rule removes the " +
+    "filter, and the pruned join lost nothing") {
+    val df = IncrOps.dppJoinAgg(spark, sfDir)
+    val out = df.collect()
+    // the EXECUTED scan instance (inside the adaptive stages) carries
+    // both the dynamic filter and the populated metrics
+    val scan = allNodes(df.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.output.exists(_.name == "o_month") => f
+    }.getOrElse(fail("no partitioned-orders FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.exists(
+      _.toString.toLowerCase.contains("dynamicpruning")),
+      s"no DynamicPruningExpression on the fact scan: ${scan.partitionFilters}")
+    // runtime pruning actually happened: the scan's numFiles metric
+    // counts files READ, which with DPP is only the dim's months
+    assert(scan.metrics("numFiles").value == 3,
+      s"expected 3 files read after dynamic pruning, got " +
+        s"${scan.metrics("numFiles").value}")
+    val total = scan.relation.location.listFiles(Nil, Nil)
+    assert(total.length > 70,
+      s"fixture should have ~80 month partitions, got ${total.length}")
+
+    // counterfactual: with the rule off the scan has no dynamic filter
+    val key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val df2 = IncrOps.dppJoinAgg(spark, sfDir)
+      val noDpp = df2.collect()
+      val scan2 = allNodes(df2.queryExecution.executedPlan).collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.output.exists(_.name == "o_month") => f
+      }.get
+      assert(!scan2.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning")),
+        "dynamic filter present with the rule disabled — the audit " +
+          "asserts nothing")
+      assert(out.toSeq == noDpp.toSeq,
+        "pruned result diverges from the unpruned plan's result")
+    } finally spark.conf.set(key, prev)
+    assert(run("dpp_audit").collect().toSeq == out.toSeq)
+  }
+
+  // --------------------------------------------------- aqe_bhj_audit ---
+
+  test("aqe_bhj_audit: static plan is an SMJ, AQE demotes it to a " +
+    "BroadcastHashJoin at runtime, pinning the adaptive threshold off " +
+    "keeps the SMJ, and all three agree") {
+    val viaBhj = IncrOps.withAqeBhj(spark) {
+      val df = IncrOps.bhjJoinAgg(spark, sfDir)
+      val rows = df.collect().toSeq
+      // the INITIAL (pre-adaptive) physical plan must be the SMJ the
+      // static planner chose with broadcast denied
+      assert(df.queryExecution.sparkPlan.toString.contains("SortMergeJoin"),
+        "static plan is not a SortMergeJoin — the demotion has nothing " +
+          "to demote")
+      val fin = df.queryExecution.executedPlan.toString
+      assert(fin.contains("BroadcastHashJoin"),
+        "AQE did not rewrite the SMJ to a broadcast join:\n" + fin.take(2000))
+      assert(fin.contains("isFinalPlan=true"))
+      rows
+    }
+    // counterfactual: adaptive threshold off too -> the SMJ survives
+    val pins = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = pins.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pins.foreach { case (k, v) => spark.conf.set(k, v) }
+    val viaSmj = try {
+      val df2 = IncrOps.bhjJoinAgg(spark, sfDir)
+      val rows = df2.collect().toSeq
+      val fin2 = df2.queryExecution.executedPlan.toString
+      assert(fin2.contains("SortMergeJoin") && !fin2.contains("BroadcastHashJoin"),
+        "join broadcast with both thresholds off — the window asserts " +
+          "nothing")
+      rows
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    assert(viaBhj == viaSmj,
+      "demoted-join result diverges from the SMJ result")
+    assert(run("aqe_bhj_audit").collect().toSeq == viaBhj)
+  }
+
+  // ---------------------------------------------- aqe_coalesce_audit ---
+
+  test("aqe_coalesce_audit: AQE folds the 200 static reducers into a " +
+    "handful of coalesced partitions, disabling coalescing keeps all " +
+    "200, and both agree") {
+    import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+    def shuffleReadSpecs(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      allNodes(df.queryExecution.executedPlan).collect {
+        case r: AQEShuffleReadExec => r.partitionSpecs.length
+      }
+    val viaCoalesce = IncrOps.withAqeCoalesce(spark)(enabled = true) {
+      val df = IncrOps.coalesceAgg(spark, sfDir)
+      val rows = df.collect().toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("coalesced"),
+        "no coalesced AQEShuffleRead in the final plan:\n" + plan.take(2000))
+      val specs = shuffleReadSpecs(df)
+      assert(specs.nonEmpty && specs.forall(_ < 50),
+        s"shuffle reads not meaningfully coalesced (got $specs of 200)")
+      rows
+    }
+    val viaStatic = IncrOps.withAqeCoalesce(spark)(enabled = false) {
+      val df2 = IncrOps.coalesceAgg(spark, sfDir)
+      val rows = df2.collect().toSeq
+      assert(!df2.queryExecution.executedPlan.toString.contains("coalesced"),
+        "coalescing fired while disabled — the window asserts nothing")
+      rows
+    }
+    assert(viaCoalesce == viaStatic,
+      "coalesced result diverges from the static-200 result")
+    assert(run("aqe_coalesce_audit").collect().toSeq == viaCoalesce)
+  }
+
+  // ------------------------------------------------ compaction_audit ---
+
+  test("compaction_audit: the compacted zone has the bin-packed file " +
+    "count (<< 64 sprayed files) and is row-for-row identical to the " +
+    "spray") {
+    run("compaction_audit").collect() // force both layouts to exist
+    val compactedDir = IncrOps.compactedOrders(spark, sfDir)
+    val sprayDir = compactedDir.stripSuffix("_compacted")
+    def parquetFiles(dir: String) =
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    val sprayN = parquetFiles(sprayDir)
+    val compactN = parquetFiles(compactedDir)
+    assert(sprayN == 64, s"spray should be 64 files, got $sprayN")
+    assert(compactN < sprayN / 4,
+      s"compaction barely reduced the file count: $sprayN -> $compactN")
+    // bin-packing arithmetic: ceil(totalBytes / 1 MiB)
+    val totalBytes = java.nio.file.Files
+      .list(java.nio.file.Paths.get(sprayDir)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(java.nio.file.Files.size).sum
+    val expectN = math.max(1L, (totalBytes + (1L << 20) - 1) / (1L << 20))
+    assert(compactN == expectN,
+      s"expected ceil($totalBytes / 1MiB) = $expectN files, got $compactN")
+    // zero row loss, zero mutation
+    val spray = spark.read.parquet(sprayDir)
+    val compact = spark.read.parquet(compactedDir)
+    assert(spray.count() == compact.count())
+    assert(spray.exceptAll(compact).isEmpty && compact.exceptAll(spray).isEmpty,
+      "compacted rows differ from the spray")
+  }
+
+  // ----------------------------------------------- schema_drift_audit ---
+
+  test("schema_drift_audit: mergeSchema reconciles the two vintages — " +
+    "union schema, NULL o_orderpriority exactly on pre-migration keys, " +
+    "aggregate equals the raw replay") {
+    val out = run("schema_drift_audit").collect().toSeq
+    // the merged frame the query reads: union schema, NULLs only where
+    // vintage 1 (even keys) lacked the column
+    val merged = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true")
+      .parquet(IncrOps.driftedOrders(spark, sfDir))
+    assert(merged.schema.fieldNames.toSet ==
+      Set("o_orderkey", "o_totalprice", "o_orderpriority"),
+      s"merged schema wrong: ${merged.schema.fieldNames.mkString(",")}")
+    val badNulls = merged.filter(
+      (col("o_orderpriority").isNull && col("o_orderkey") % 2 =!= 0) ||
+        (col("o_orderpriority").isNotNull && col("o_orderkey") % 2 === 0))
+      .count()
+    assert(badNulls == 0,
+      s"$badNulls rows have the drifted column on the wrong vintage")
+    assert(merged.count() == graft.Tables.orders(spark, sfDir).count())
+    val expect = graft.Tables.orders(spark, sfDir)
+      .groupBy(when(col("o_orderkey") % 2 === 0, "(pre-migration)")
+        .otherwise(col("o_orderpriority")).as("prio"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      .orderBy("prio").collect().toSeq
+    assert(out == expect)
+    assert(out.exists(_.getString(0) == "(pre-migration)"),
+      "no pre-migration bucket — vintage 1 contributed nothing")
+    assert(out.length > 1, "drifted column never materialized")
+  }
+
+  // ------------------------------------------------------- cdc_apply ---
+
+  test("cdc_apply: one-shuffle last-writer-wins apply equals the naive " +
+    "driver-side changelog replay under duplicate delivery") {
+    val base = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    // naive replay: apply I, then U, then D in version order (dup U is
+    // idempotent); snapshot = surviving (status, cents)
+    val snapshot = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    base.foreach { case (k, st, c) => snapshot(k) = (st, c) }          // v1 I
+    base.foreach { case (k, st, c) =>                                  // v2 U x2
+      if (k % 3 == 0) { snapshot(k) = (st, c + 500); snapshot(k) = (st, c + 500) }
+    }
+    base.foreach { case (k, _, _) => if (k % 7 == 0) snapshot.remove(k) } // v3 D
+    val expect = snapshot.values.toSeq.groupBy(_._1).map { case (st, vs) =>
+      (st, vs.size.toLong, vs.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    val got = run("cdc_apply").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // the delete leg is live: some keys vanished
+    assert(expect.map(_._2).sum < base.length,
+      "no key was deleted — the D path is vacuous")
+  }
+
+  // ------------------------------------------------ stream_tws_parity ---
+
+  test("stream_tws_parity: transformWithState runs >= 4 micro-batches " +
+    "with real cross-batch state merging, fixpoint == batch group-by") {
+    val got = run("stream_tws_parity").collect().toSeq
+    val exp = graft.Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("total_cents"))
+      .orderBy("user_id").collect().toSeq
+    assert(got == exp)
+
+    // mechanism probe: rerun inline to reach the progress feed; the
+    // chunk layout interleaves every user across batches, so users MUST
+    // be emitted repeatedly (cumulative updates), proving the ValueState
+    // merge happened across batches rather than one degenerate batch
+    import spark.implicits._
+    val physical = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val streamed = spark.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(StreamingOps.chunkDir(spark, sfDir))
+    val src = if (physical("ts").dataType == LongType)
+      streamed.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else streamed
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = src.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[graft.streaming.Event]
+      val q = ev.groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.RunningTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .writeStream.format("memory").queryName("r12_tws_probe")
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        assert(dataBatches >= 4,
+          s"expected one micro-batch per chunk (4), saw $dataBatches")
+        val emitted = spark.table("r12_tws_probe")
+        val users = emitted.select("user_id").distinct().count()
+        assert(emitted.count() > users,
+          "every user emitted exactly once — no cross-batch state " +
+            "merge happened")
+      } finally q.stop()
+    } finally prevProvider match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  // --------------------------------------------------- ann_prefilter ---
+
+  test("ann_prefilter: neighbors respect the label predicate, match the " +
+    "brute-force filtered top-3, and differ from the UNfiltered top-3 " +
+    "for at least one query (the filter is load-bearing)") {
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val byId = vecs.map(v => v._1 -> v).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def top3(qid: Long, filtered: Boolean): Seq[(Long, Double)] = {
+      val (_, ql, qe) = byId(qid)
+      vecs.filter(v => v._1 != qid && (!filtered || v._2 == ql))
+        .map(v => (v._1, cos(qe, v._3)))
+        .sortBy { case (id, c) => (-c, id) }.take(3).toSeq
+    }
+    val queries = vecs.map(_._1).filter(_ % 100 == 0).sorted.toSeq
+    val expect = queries.flatMap(q => top3(q, filtered = true)
+      .map { case (id, c) => (q, id, c) })
+    val got = run("ann_prefilter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.sortBy(t => (t._1, -t._3, t._2)) ==
+      expect.sortBy(t => (t._1, -t._3, t._2)))
+    got.foreach { case (q, id, _) =>
+      assert(byId(id)._2 == byId(q)._2,
+        s"neighbor $id of query $q violates the label predicate")
+      assert(id != q, s"query $q returned itself")
+    }
+    assert(queries.exists(q =>
+      top3(q, filtered = true).map(_._1) != top3(q, filtered = false).map(_._1)),
+      "filtered and unfiltered top-3 agree for every query — the " +
+        "predicate never mattered (vacuous fixture)")
   }
 }
