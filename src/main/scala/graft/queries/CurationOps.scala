@@ -923,13 +923,56 @@ object CurationOps {
       .orderBy("source", "rn")
   }
 
+  /** ε-DIFFERENTIAL-PRIVACY noisy count release (Dwork et al. 2006
+    * Laplace mechanism) — the aggregate-publication step of a privacy
+    * pipeline, completing the audit family (k_anonymity / l_diversity
+    * / t_closeness measure the RAW data's risk; this op RELEASES a
+    * protected statistic): per-source document counts (sensitivity 1 —
+    * one document moves one count by one) plus Laplace(Δf/ε) noise at
+    * ε = 0.5, i.e. scale b = 2. The noise draw is the inverse-CDF
+    * transform b·sign(u−½)·ln(1−2|u−½|) of a DETERMINISTIC
+    * Knuth-multiplicative-hash uniform on the source index (the
+    * weighted_sample convention) — portable to the oracle, seeded like
+    * production DP systems seed their per-release PRNG; a cryptographic
+    * source swaps in without touching the plan. The utility audit
+    * (per-group |noise|) ships beside the release, as a DP system
+    * must. Pure map over the grouped result: at 100 TB the noise cost
+    * is per RELEASED AGGREGATE, not per row. 4-dp floor-rounding on
+    * both engines. */
+  lazy val dpCountNoise: Q = Q(
+    "dp_count_noise",
+    """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(substr(source, 4) AS BIGINT) AS k
+      |  FROM documents GROUP BY source),
+      |u AS (SELECT source, n,
+      |    (((k & 2147483647) * 2654435761) % 1000003 + 1) / 1000004.0 AS uu
+      |  FROM g),
+      |nz AS (SELECT source, n,
+      |    -2.0 * sign(uu - 0.5) * ln(1 - 2 * abs(uu - 0.5)) AS noise
+      |  FROM u)
+      |SELECT source, n,
+      |  floor((n + noise) * 10000 + 0.5) / 10000 AS noisy_n,
+      |  floor(abs(noise) * 10000 + 0.5) / 10000 AS abs_err
+      |FROM nz ORDER BY source""".stripMargin) { (s, d) =>
+    val g = docs(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k", substring(col("source"), 4, 16).cast("long"))
+    val u = ((col("k").bitwiseAND(lit(2147483647L)) * lit(2654435761L))
+      % 1000003 + 1) / lit(1000004.0)
+    val noise = lit(-2.0) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    g.select(col("source"), col("n"),
+        (floor((col("n") + noise) * 10000 + lit(0.5)) / 10000).as("noisy_n"),
+        (floor(abs(noise) * 10000 + lit(0.5)) / 10000).as("abs_err"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(asofJoin, asofJoinTolerance, asofJoinForward,
     decontamOverlap,
     decontamBloom, sampleStratified, sampleQuota, splitAssign, piiScrub,
     repetitionScore, lmPerplexity, qualityClassify, samplePriority,
     lmBackoffScore, dsirWeights, scoreCalibration, srmCheck, kneserNey,
     temperatureMix, fairnessParity, boilerplatePrefix, hamiltonApportion,
-    weightedSample)
+    weightedSample, dpCountNoise)
 
   /** Hamilton (largest-remainder) apportionment of a fixed sampling
     * budget across sources — the allocation step a mixture pipeline

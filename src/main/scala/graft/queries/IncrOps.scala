@@ -1551,11 +1551,53 @@ object IncrOps {
       .orderBy("o_orderstatus")
   }
 
+  /** The month-over-month self-join behind [[exchangeReuseAudit]],
+    * factored out for the suite's plan assertions: ONE aggregate view
+    * referenced twice (this month, previous month). */
+  private[queries] def momSelfJoin(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.orders(s, d)
+      .groupBy(expr("CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT)")
+        .as("idx"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .as("cents"))
+    m.as("a").join(m.as("b"), col("a.idx") === col("b.idx") + 1)
+      .select(col("a.idx").as("idx"), col("a.cents").as("cents"),
+        col("b.cents").as("prev_cents"))
+      .orderBy("idx")
+  }
+
+  /** EXCHANGE-REUSE audit — the plan-deduplication optimization behind
+    * every self-joined aggregate view (month-over-month, share-of-
+    * total, same-store sales): the monthly-revenue aggregate is
+    * referenced TWICE (current and previous month), and Spark's
+    * ReuseExchange rule (stage reuse under AQE) detects the two
+    * identical shuffles by canonical plan equality and computes the
+    * aggregate ONCE — the second reference reads the first's shuffle
+    * output. At 100 TB this halves the dominant cost of the most
+    * common reporting topology; a planner without it pays the fact
+    * scan + shuffle twice. The Round12 suite asserts ReusedExchange in
+    * the executed plan and that `spark.sql.exchange.reuse=false`
+    * removes it while leaving the result identical; this gate asserts
+    * the deduplicated plan matches the DuckDB replay of the CTE
+    * self-join. Exact integer cents. */
+  val exchangeReuseAudit: Q = Q(
+    "exchange_reuse_audit",
+    """WITH m AS (SELECT CAST(year(o_orderdate)*12 + month(o_orderdate)
+      |    AS BIGINT) AS idx,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1)
+      |SELECT a.idx AS idx, a.cents AS cents, b.cents AS prev_cents
+      |FROM m a JOIN m b ON a.idx = b.idx + 1
+      |ORDER BY idx""".stripMargin) { (s, d) =>
+    momSelfJoin(s, d)
+  }
+
   val all: Seq[Q] = Seq(incrAggMerge, compactBins, tableStats, incrJoinDelta,
     snapshotDiff, kAnonymity, dqScorecard, lDiversity, tCloseness,
     zonemapAudit, zorderLayout, equidepthHistogram, columnEntropy,
     bucketJoinAudit, partitionPruneAudit, cascadeDeleteAudit,
     runtimeFilterAudit, skewJoinAudit, dppAudit, aqeBhjAudit,
     aqeCoalesceAudit, compactionAudit, schemaDriftAudit, cdcApply,
-    catalogCoverage, broadcastAdvisor)
+    exchangeReuseAudit, catalogCoverage, broadcastAdvisor)
 }

@@ -579,18 +579,20 @@ object VectorOps {
     * exact at any k — post-filtering (rank first, filter the top-k
     * after) silently returns < k or lower-recall results whenever the
     * predicate is selective, which is why this op ranks only inside
-    * the filtered set. The plan is the scalable one: the ≤|V|/100
-    * query panel broadcasts with its label, the corpus streams once,
-    * and the label equi-condition prunes candidates AT THE JOIN (at
-    * 100 TB the same predicate prunes IVF/LSH buckets before distance
-    * evaluation — label is part of the bucket key). Ranking uses the
-    * 6-dp-rounded cosine with vec_id tie-break so both engines agree
-    * bit-for-bit. */
+    * the filtered set. The plan is the scalable one: the query panel
+    * is CAPPED at 50 vectors (vec_id % 100 = 0 AND vec_id < 5000 — a
+    * fixed request batch, not a corpus-proportional sample, so the
+    * broadcast and the total distance work stay O(corpus) at ANY
+    * size), the corpus streams once, and the label equi-condition
+    * prunes candidates AT THE JOIN (at 100 TB the same predicate
+    * prunes IVF/LSH buckets before distance evaluation — label is
+    * part of the bucket key). Ranking uses the 6-dp-rounded cosine
+    * with vec_id tie-break so both engines agree bit-for-bit. */
   val annPrefilter: Q = Q(
     "ann_prefilter",
     """WITH q AS (SELECT vec_id AS qid, label AS qlabel,
       |    CAST(embedding AS DOUBLE[]) AS qv
-      |  FROM embeddings WHERE vec_id % 100 = 0),
+      |  FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 5000),
       |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
       |  FROM embeddings),
       |scored AS (
@@ -604,7 +606,7 @@ object VectorOps {
       |  FROM scored) t
       |WHERE rn <= 3 ORDER BY qid, cos DESC, vec_id""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val q = emb(s, d).filter(col("vec_id") % 100 === 0)
+    val q = emb(s, d).filter(col("vec_id") % 100 === 0 && col("vec_id") < 5000)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         asDouble(col("embedding")).as("qv"))
     val c = emb(s, d)
@@ -621,10 +623,68 @@ object VectorOps {
       .orderBy(col("qid"), col("cos").desc, col("vec_id"))
   }
 
+  /** HARD-NEGATIVE MINING — the contrastive-training data op behind
+    * every retrieval/embedding model (DPR, SimCLR-style): for each
+    * anchor in the capped query panel, find the top-3 nearest vectors
+    * with a DIFFERENT label (near misses — the negatives that actually
+    * move the loss) and score each with its TRIPLET MARGIN pos_cos −
+    * neg_cos, where pos_cos is the anchor's nearest same-label cosine.
+    * A small (or negative) margin marks the hardest negatives. One
+    * corpus stream against the broadcast 50-anchor panel feeds both
+    * sides (the same-label positive argmax and the cross-label
+    * negative ranking); the positive scalars re-broadcast (≤ panel
+    * size). All cosines 6-dp-rounded with vec_id tie-break, margins
+    * rounded from the rounded inputs, so both engines agree
+    * bit-for-bit. At 100 TB the anchor panel stays a fixed request
+    * batch and the cross-label restriction prunes IVF/LSH buckets the
+    * same way [[annPrefilter]]'s predicate does. */
+  val hardNegatives: Q = Q(
+    "hard_negatives",
+    """WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+      |    CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 5000),
+      |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT qid, qlabel, vec_id, label,
+      |    round(list_dot_product(qv, cv)
+      |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+      |  FROM q JOIN c ON qid <> vec_id),
+      |pos AS (SELECT qid, max(cos) AS pos_cos FROM scored
+      |  WHERE label = qlabel GROUP BY qid),
+      |neg AS (SELECT qid, vec_id, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      |  FROM scored WHERE label <> qlabel)
+      |SELECT neg.qid AS qid, neg.vec_id AS neg_id, neg.cos AS neg_cos,
+      |  round(pos.pos_cos - neg.cos, 6) AS margin
+      |FROM neg JOIN pos ON neg.qid = pos.qid
+      |WHERE rn <= 3 ORDER BY qid, neg_cos DESC, neg_id""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val q = emb(s, d).filter(col("vec_id") % 100 === 0 && col("vec_id") < 5000)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        asDouble(col("embedding")).as("qv"))
+    val c = emb(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("cv"))
+    def scored = c.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        round(graft.functions.GraftFunctions.cosineNative(col("qv"), col("cv")), 6)
+          .as("cos"))
+    val pos = scored.filter(col("label") === col("qlabel"))
+      .groupBy("qid").agg(max("cos").as("pos_cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val neg = scored.filter(col("label") =!= col("qlabel"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    neg.join(broadcast(pos), "qid")
+      .select(col("qid"), col("vec_id").as("neg_id"), col("cos").as("neg_cos"),
+        round(col("pos_cos") - col("cos"), 6).as("margin"))
+      .orderBy(col("qid"), col("neg_cos").desc, col("neg_id"))
+  }
+
   val all: Seq[Q] =
     Seq(embedStats, cosineTopK, cosinePairs, gridSpatialJoin, dbscanGrid,
       moransI, getisOrd, embedIsotropy, mrlTruncation, embeddingWhiten,
-      quantizeRecall, mmdEmbeddings, annPrefilter)
+      quantizeRecall, mmdEmbeddings, annPrefilter, hardNegatives)
 
   /** Kernel two-sample test: unbiased MMD² between label-0 and
     * label-1 embeddings under an RBF kernel (bandwidth 2σ² = 2·dim —

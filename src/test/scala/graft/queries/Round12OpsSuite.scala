@@ -491,7 +491,8 @@ class Round12OpsSuite extends SparkSpec {
         .map(v => (v._1, cos(qe, v._3)))
         .sortBy { case (id, c) => (-c, id) }.take(3).toSeq
     }
-    val queries = vecs.map(_._1).filter(_ % 100 == 0).sorted.toSeq
+    val queries = vecs.map(_._1).filter(id => id % 100 == 0 && id < 5000)
+      .sorted.toSeq
     val expect = queries.flatMap(q => top3(q, filtered = true)
       .map { case (id, c) => (q, id, c) })
     val got = run("ann_prefilter").collect()
@@ -507,5 +508,109 @@ class Round12OpsSuite extends SparkSpec {
       top3(q, filtered = true).map(_._1) != top3(q, filtered = false).map(_._1)),
       "filtered and unfiltered top-3 agree for every query — the " +
         "predicate never mattered (vacuous fixture)")
+  }
+
+  // -------------------------------------------- exchange_reuse_audit ---
+
+  test("exchange_reuse_audit: the twice-referenced aggregate computes " +
+    "once (ReusedExchange in the executed plan), turning reuse off " +
+    "removes it without changing the result") {
+    val df = IncrOps.momSelfJoin(spark, sfDir)
+    val out = df.collect().toSeq
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "no ReusedExchange — the aggregate was computed twice or the " +
+        "plan shape changed")
+    val key = "spark.sql.exchange.reuse"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val df2 = IncrOps.momSelfJoin(spark, sfDir)
+      val noReuse = df2.collect().toSeq
+      assert(!df2.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+        "ReusedExchange present with reuse disabled — the audit " +
+          "asserts nothing")
+      assert(out == noReuse, "reused plan diverges from the plain plan")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // naive replay: driver-side month totals + lag
+    val monthly = graft.Tables.orders(spark, sfDir)
+      .select(expr("CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT)")
+        .as("idx"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (i, vs) => i -> vs.map(_._2).sum }
+    val expect = monthly.keys.toSeq.sorted.flatMap(i =>
+      monthly.get(i - 1).map(p => (i, monthly(i), p)))
+    assert(run("exchange_reuse_audit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == expect)
+  }
+
+  // -------------------------------------------------- hard_negatives ---
+
+  test("hard_negatives: top-3 cross-label neighbors with triplet " +
+    "margins match the brute-force replay; every negative has a " +
+    "different label than its anchor") {
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val byId = vecs.map(v => v._1 -> v).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val anchors = vecs.map(_._1).filter(id => id % 100 == 0 && id < 5000)
+    val expect = anchors.sorted.flatMap { q =>
+      val (_, ql, qe) = byId(q)
+      val posCos = vecs.filter(v => v._1 != q && v._2 == ql)
+        .map(v => cos(qe, v._3)).max
+      vecs.filter(v => v._2 != ql)
+        .map(v => (v._1, cos(qe, v._3)))
+        .sortBy { case (id, c) => (-c, id) }.take(3)
+        .map { case (id, c) => (q, id, c, r6(posCos - c)) }
+    }.toSeq
+    val got = run("hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expect)
+    got.foreach { case (q, id, _, _) =>
+      assert(byId(id)._2 != byId(q)._2,
+        s"negative $id of anchor $q shares its label")
+    }
+    assert(got.nonEmpty)
+  }
+
+  // -------------------------------------------------- dp_count_noise ---
+
+  test("dp_count_noise: noisy release replays the seeded Laplace " +
+    "inverse-CDF, noise is live on every group, and the exact counts " +
+    "survive beside it") {
+    val exact = graft.Tables.documents(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val expect = exact.keys.toSeq.sorted.map { src =>
+      val k = src.drop(3).toLong
+      val u = ((k & 2147483647L) * 2654435761L % 1000003 + 1) / 1000004.0
+      val noise = -2.0 * math.signum(u - 0.5) * math.log(1 - 2 * math.abs(u - 0.5))
+      (src, exact(src), r4(exact(src) + noise), r4(math.abs(noise)))
+    }
+    val got = run("dp_count_noise").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expect)
+    got.foreach { case (src, n, noisy, err) =>
+      assert(noisy != n.toDouble, s"$src drew zero noise — the release " +
+        "is the raw count (u hit exactly 0.5?)")
+      assert(err > 0 && math.abs(r4(math.abs(noisy - n)) - err) <= 2e-4,
+        s"$src: |noisy - n| inconsistent with the published abs_err")
+    }
   }
 }
