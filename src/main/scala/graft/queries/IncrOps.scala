@@ -1593,11 +1593,119 @@ object IncrOps {
     momSelfJoin(s, d)
   }
 
+  /** Build (once per session × fixture) the three ANALYZEd catalog
+    * tables behind [[cboJoinReorderAudit]] — row counts AND column
+    * stats (ndv, min/max), the inputs Spark's cost-based optimizer
+    * needs to estimate join cardinalities. Content-keyed names like
+    * [[bucketedTables]]; returns (lineitem, orders, customer) table
+    * names. */
+  private[queries] def cboTables(s: SparkSession, d: String)
+      : (String, String, String) = synchronized {
+    val src = java.nio.file.Paths.get(s"$d/lineitem.parquet")
+    val id = try s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}_${java.nio.file.Files.size(src)}"
+      catch { case _: Throwable => "nofile" }
+    // JVM-unique suffix: the in-memory catalog is per-session, but the
+    // default warehouse DIRECTORY is shared across concurrently-running
+    // JVMs (bench harness + test suite) — a fresh catalog creating a
+    // table over another process's leftover location fails with
+    // locationAlreadyExists, so both the names and the external paths
+    // carry the pid. The tables are 3 tiny projections; per-JVM rebuild
+    // is trivial.
+    val key = Integer.toHexString((d + "|" + id).hashCode) +
+      "_p" + ProcessHandle.current().pid()
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_cbo_$key")
+    val (li, or, cu) =
+      (s"graft_cbo_li_$key", s"graft_cbo_or_$key", s"graft_cbo_cu_$key")
+    def build(name: String, sub: String, df: => DataFrame): Unit =
+      if (!s.catalog.tableExists(name)) {
+        df.write.mode("overwrite")
+          .option("path", base.resolve(sub).toString).saveAsTable(name)
+        s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+        ()
+      }
+    build(li, "li", Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice"))
+    build(or, "or", Tables.orders(s, d).select("o_orderkey", "o_custkey"))
+    build(cu, "cu", Tables.customer(s, d).select("c_custkey", "c_mktsegment"))
+    (li, or, cu)
+  }
+
+  /** The deliberately mis-ordered 3-way star join behind
+    * [[cboJoinReorderAudit]] — written fact-first (lineitem ⋈ orders,
+    * THEN the selective customer filter), the order an analyst types
+    * and a syntactic planner executes. Returns the DataFrame plus the
+    * three table names so the suite can track join order in the
+    * optimized plan. */
+  private[queries] def cboStarJoin(s: SparkSession, d: String)
+      : (DataFrame, (String, String, String)) = {
+    val (li, or, cu) = cboTables(s, d)
+    val df = s.sql(
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS cents
+         |FROM $li JOIN $or ON l_orderkey = o_orderkey
+         |JOIN $cu ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    (df, (li, or, cu))
+  }
+
+  /** Run `body` with the cost-based optimizer and its join-reorder
+    * rule live (off by default in Spark — a production warehouse turns
+    * both on after ANALYZE). Session confs restored after. */
+  private[queries] def withCbo[A](s: SparkSession)(enabled: Boolean)(
+      body: => A): A = {
+    val pins = Seq(
+      "spark.sql.cbo.enabled" -> enabled.toString,
+      "spark.sql.cbo.joinReorder.enabled" -> enabled.toString)
+    val prev = pins.map { case (k, _) => k -> s.conf.getOption(k) }
+    pins.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** COST-BASED join-reorder audit — the optimizer family's LAST
+    * member, and the only one driven by CATALOG STATISTICS rather than
+    * runtime measurement: a 3-way star join written fact-first
+    * (lineitem ⋈ orders, then the selective one-segment customer
+    * filter — the order an analyst types) is REORDERED by Spark's CBO,
+    * which estimates from ANALYZE-collected ndv/min-max column stats
+    * that orders ⋈ σ(customer) is ~5× smaller than lineitem ⋈ orders
+    * and joins the dimensions first, so the fact table meets an
+    * already-reduced build side. At 100 TB written-order execution
+    * materializes a full-fact intermediate; the reorder is the
+    * difference between shuffling 100 TB twice and once. The Round12
+    * suite asserts the optimized join order CHANGES under CBO (dims
+    * first) and matches the written order without it, with equal
+    * results; this gate asserts the reordered plan loses nothing vs
+    * the DuckDB replay. CONSTRUCTION IS EAGER (the runtime_filter
+    * device): CBO runs at optimization time inside the conf window, so
+    * plan-only tools should skip this op. */
+  val cboJoinReorderAudit: Q = Q(
+    "cbo_join_reorder_audit",
+    """SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'""".stripMargin) { (s, d) =>
+    val rows = withCbo(s)(enabled = true) { cboStarJoin(s, d)._1.collect() }
+    import s.implicits._
+    rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toDF("n_items", "sum_qty", "cents")
+  }
+
   val all: Seq[Q] = Seq(incrAggMerge, compactBins, tableStats, incrJoinDelta,
     snapshotDiff, kAnonymity, dqScorecard, lDiversity, tCloseness,
     zonemapAudit, zorderLayout, equidepthHistogram, columnEntropy,
     bucketJoinAudit, partitionPruneAudit, cascadeDeleteAudit,
     runtimeFilterAudit, skewJoinAudit, dppAudit, aqeBhjAudit,
     aqeCoalesceAudit, compactionAudit, schemaDriftAudit, cdcApply,
-    exchangeReuseAudit, catalogCoverage, broadcastAdvisor)
+    exchangeReuseAudit, cboJoinReorderAudit, catalogCoverage,
+    broadcastAdvisor)
 }

@@ -613,4 +613,34 @@ class Round12OpsSuite extends SparkSpec {
         s"$src: |noisy - n| inconsistent with the published abs_err")
     }
   }
+
+  // ------------------------------------------- cbo_join_reorder_audit ---
+
+  test("cbo_join_reorder_audit: with ANALYZE stats the CBO joins the " +
+    "selective dimensions first (order changes vs the written plan), " +
+    "without it the written order survives, and both agree") {
+    def joinOrder(plan: String, t: (String, String, String)): Seq[String] = {
+      val (li, or, cu) = t
+      val pat = s"($li|$or|$cu)".r
+      pat.findAllIn(plan).toList.distinct
+    }
+    val (viaCbo, orderCbo, names) = IncrOps.withCbo(spark)(enabled = true) {
+      val (df, t) = IncrOps.cboStarJoin(spark, sfDir)
+      val rows = df.collect().toSeq
+      (rows, joinOrder(df.queryExecution.optimizedPlan.toString, t), t)
+    }
+    val (viaOff, orderOff) = IncrOps.withCbo(spark)(enabled = false) {
+      val (df, t) = IncrOps.cboStarJoin(spark, sfDir)
+      (df.collect().toSeq, joinOrder(df.queryExecution.optimizedPlan.toString, t))
+    }
+    assert(orderOff.head == names._1,
+      s"written order should scan the fact table first, got $orderOff")
+    assert(orderCbo != orderOff,
+      s"CBO did not reorder the join: $orderCbo == $orderOff — the " +
+        "audit is vacuous")
+    assert(orderCbo.head != names._1,
+      s"CBO still joins the fact table first: $orderCbo")
+    assert(viaCbo == viaOff, "reordered result diverges from written order")
+    assert(run("cbo_join_reorder_audit").collect().toSeq == viaCbo)
+  }
 }
