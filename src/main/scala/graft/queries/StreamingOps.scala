@@ -1104,13 +1104,94 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** transformWithState INITIAL-STATE parity — the lambda-architecture
+    * bootstrap seam: a BATCH aggregate over the historical half of the
+    * corpus (time-chunks 0–1, i.e. events at or before the ts median)
+    * seeds the streaming query's per-user ValueState via
+    * `transformWithState`'s initialState overload
+    * ([[graft.streaming.RunningTotalsWithInit]]); the stream then
+    * consumes ONLY the tail chunks (2–3, `pathGlobFilter`), and every
+    * emission for a bootstrapped user already carries its history —
+    * replaying months of history through the stream is replaced by one
+    * batch aggregate, which is how a 100 TB deployment actually stands
+    * a stateful stream up. `handleInitialState` is state-only (no
+    * emission), so the contract output is per-user totals over the
+    * WHOLE corpus for exactly the users active in the tail; the oracle
+    * replays the chunk boundary as the interpolated ts median (both
+    * engines compute the same exact double — the chunk builder used
+    * percentile(0.5) over unix-micros, all < 2^53) and the strict
+    * `> median` comparison matches the builder's `(q2, q3]` chunk
+    * assignment. Update-mode emissions are monotone in n_events;
+    * max-n-per-user selects the fixpoint. */
+  lazy val streamInitStateParity: Q = Q(
+    "stream_init_state_parity",
+    """WITH m AS (SELECT quantile_cont(CAST(epoch_us(ts) AS DOUBLE), 0.5)
+      |    AS med FROM events),
+      |tail_users AS (SELECT DISTINCT user_id FROM events, m
+      |  WHERE CAST(epoch_us(ts) AS DOUBLE) > med)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM events
+      |WHERE user_id IN (SELECT user_id FROM tail_users)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val chunks = timeChunkDir(s, d)
+    def loadChunks(glob: String) = {
+      val raw = s.read.option("pathGlobFilter", glob).parquet(chunks)
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    }
+    // batch bootstrap: historical per-user (n, cents) over chunks 0-1
+    val bootstrap = loadChunks("chunk_0[01].parquet")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+      .as[(Long, Long, Long)]
+      .map { case (u, n, c) => (u, (n, c)) }
+      .groupByKey(_._1).mapValues(_._2)
+    val sink = s"stream_init_state_sink_${sinkId.incrementAndGet()}"
+    withRocksDbState(s) {
+      withStatePartitions(s, 8) {
+        val physical = s.read.parquet(s"$d/events.parquet").schema
+        val streamed = s.readStream.schema(physical)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "chunk_0[23].parquet")
+          .parquet(chunks)
+        val src = if (physical("ts").dataType == LongType)
+          streamed.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else streamed
+        val ev = src.select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.Event]
+        val q = ev.groupByKey(_.user_id)
+          .transformWithState(new graft.streaming.RunningTotalsWithInit,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update(),
+            bootstrap)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+    }
+    val emitted = s.table(sink)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    emitted.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("n_events"), col("total_cents"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(streamFileParity, streamSlideParity,
     streamSessionParity, streamJoinParity, streamLeftJoinParity,
     streamFullJoinParity, streamSemiJoinParity, streamChainJoinParity,
     streamDedupParity, streamDedupWithinParity,
     streamWatermarkParity, streamUpsertParity, streamFileSinkParity,
     streamStateParity, streamTimeoutParity, streamStaticJoinParity,
-    streamRecoveryParity, streamTwsParity)
+    streamRecoveryParity, streamTwsParity, streamInitStateParity)
 
   /** mapGroupsWithState parity — the CUSTOM-STATE API under the
     * declared gate (flatMapGroupsWithState sessionization is

@@ -274,6 +274,70 @@ object TrainingPrep {
       .orderBy("lbl")
   }
 
+  /** T5-style SPAN-CORRUPTION masking statistics (Raffel et al. 2020) —
+    * the pretraining-objective prep step: every token position draws a
+    * DETERMINISTIC uniform (the weighted_sample Knuth-hash convention,
+    * keyed on doc_id·131071 + position so every position is an
+    * independent portable draw); positions with u < 0.05 START a
+    * 3-token corruption span, and a position is MASKED iff any of
+    * {pos, pos−1, pos−2} started a span — ~15% expected corruption in
+    * ~3-token spans, the T5 default shape. Output per doc: token
+    * count, span-start count, masked count, and the realized
+    * corruption rate (4-dp floor rounding both engines). The overlap
+    * union (spans that collide merge implicitly) is handled by the
+    * 3-way disjunction, NOT a sequential scan — so the whole op is one
+    * posexplode + integer hash arithmetic + a per-doc re-aggregate:
+    * map-shaped, embarrassingly parallel at 100 TB, and the seeded
+    * draw swaps for a cryptographic PRF without touching the plan. */
+  lazy val spanMaskStats: Q = Q(
+    "span_mask_stats",
+    """WITH t AS (SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |m AS (SELECT doc_id, n_tokens,
+      |    list_sum(list_transform(range(1, n_tokens + 1), p ->
+      |      CASE WHEN (((doc_id * 131071 + p) & 2147483647) * 2654435761)
+      |          % 1000003 + 1 < 0.05 * 1000004.0 THEN 1 ELSE 0 END))
+      |      AS n_spans,
+      |    list_sum(list_transform(range(1, n_tokens + 1), p ->
+      |      CASE WHEN
+      |        ((((doc_id * 131071 + p) & 2147483647) * 2654435761)
+      |          % 1000003 + 1 < 0.05 * 1000004.0)
+      |        OR (p >= 2 AND
+      |          (((doc_id * 131071 + p - 1) & 2147483647) * 2654435761)
+      |            % 1000003 + 1 < 0.05 * 1000004.0)
+      |        OR (p >= 3 AND
+      |          (((doc_id * 131071 + p - 2) & 2147483647) * 2654435761)
+      |            % 1000003 + 1 < 0.05 * 1000004.0)
+      |      THEN 1 ELSE 0 END)) AS n_masked
+      |  FROM t)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_spans AS BIGINT) AS n_spans,
+      |  CAST(n_masked AS BIGINT) AS n_masked,
+      |  floor(n_masked * 10000.0 / n_tokens + 0.5) / 10000 AS mask_rate
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // integer-only start test: u < 0.05 ⟺ hashResidue + 1 < 0.05·1000004
+    // (both sides exact — no double division in the hot loop)
+    def startsAt(p: org.apache.spark.sql.Column) =
+      (((col("doc_id") * 131071 + p).bitwiseAND(lit(2147483647L))
+        * lit(2654435761L)) % 1000003 + 1) < lit(0.05 * 1000004.0)
+    val toks = docs(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+    toks.select(col("doc_id"), col("n_tokens"),
+        posexplode(sequence(lit(1), col("n_tokens"))).as(Seq("i", "p")))
+      .select(col("doc_id"), col("n_tokens"),
+        startsAt(col("p")).cast("long").as("st"),
+        (startsAt(col("p")) ||
+          (col("p") >= 2 && startsAt(col("p") - 1)) ||
+          (col("p") >= 3 && startsAt(col("p") - 2))).cast("long").as("mk"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(sum("st").as("n_spans"), sum("mk").as("n_masked"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_spans"), col("n_masked"),
+        (floor(col("n_masked") * 10000.0 / col("n_tokens") + lit(0.5)) / 10000)
+          .as("mask_rate"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(docChunk, packSequences, embedQuantize, textNormalize,
-    mixtureAllocate, skipgramPairs)
+    mixtureAllocate, skipgramPairs, spanMaskStats)
 }

@@ -303,3 +303,47 @@ final class RunningTotalsProcessor
     Iterator.single(UserTotals(key, next._1, next._2))
   }
 }
+
+/** [[RunningTotalsProcessor]] with BATCH-BOOTSTRAPPED state — the
+  * lambda-architecture seam done right: a batch job computes each
+  * user's historical (n, cents) once, hands it to the streaming query
+  * as `transformWithState`'s initialState, and the stream continues
+  * the running totals over the tail only. `handleInitialState` runs
+  * exactly once per key BEFORE any input row and does not emit (the
+  * contract: bootstrap is state, not output — a key surfaces only when
+  * the tail touches it), so every emission for a bootstrapped user
+  * already includes history. At 100 TB this replaces replaying months
+  * of history through the stream with one batch aggregate. */
+final class RunningTotalsWithInit
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, Event, UserTotals, (Long, Long)] {
+  @transient private var totals:
+    org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInitialState(key: Long, initialState: (Long, Long),
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+    totals.update(initialState)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[UserTotals] = {
+    var n = 0L
+    var cents = 0L
+    rows.foreach { e =>
+      n += 1
+      cents += math.floor(e.value * 100 + 0.5).toLong
+    }
+    val (pn, pc) = if (totals.exists()) totals.get() else (0L, 0L)
+    val next = (pn + n, pc + cents)
+    totals.update(next)
+    Iterator.single(UserTotals(key, next._1, next._2))
+  }
+}

@@ -643,4 +643,83 @@ class Round12OpsSuite extends SparkSpec {
     assert(viaCbo == viaOff, "reordered result diverges from written order")
     assert(run("cbo_join_reorder_audit").collect().toSeq == viaCbo)
   }
+
+  // ------------------------------------------------- span_mask_stats ---
+
+  test("span_mask_stats: per-position replay of the seeded span " +
+    "corruption, mask rate lands near the T5 target, and overlapping " +
+    "spans union (masked < 3 x starts somewhere)") {
+    def starts(docId: Long, p: Long): Boolean =
+      ((docId * 131071 + p) & 2147483647L) * 2654435761L % 1000003 + 1 <
+        0.05 * 1000004.0
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+    val expect = docs.sortBy(_._1).map { case (id, n) =>
+      val st = (1L to n).count(p => starts(id, p)).toLong
+      val mk = (1L to n).count(p => starts(id, p) ||
+        (p >= 2 && starts(id, p - 1)) || (p >= 3 && starts(id, p - 2))).toLong
+      (id, n, st, mk, math.floor(mk * 10000.0 / n + 0.5) / 10000)
+    }.toSeq
+    val got = run("span_mask_stats").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expect)
+    val totalTok = expect.map(_._2).sum.toDouble
+    val rate = expect.map(_._4).sum / totalTok
+    assert(rate > 0.08 && rate < 0.22,
+      f"corpus mask rate $rate%.3f far from the ~15%% target")
+    assert(expect.exists(e => e._3 > 0 && e._4 < 3 * e._3),
+      "no document has overlapping/truncated spans — union semantics " +
+        "untested")
+    assert(expect.forall(e => e._4 <= 3 * e._3),
+      "masked count exceeds 3 x span starts — mask leaked outside spans")
+  }
+
+  // ------------------------------------- stream_init_state_parity ---
+
+  test("stream_init_state_parity: batch bootstrap seeds the stream's " +
+    "state (totals include pre-stream history), the stream reads only " +
+    "the 2 tail chunks, and the fixpoint equals the whole-corpus " +
+    "group-by for tail-active users") {
+    val got = run("stream_init_state_parity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val chunks = StreamingOps.timeChunkDir(spark, sfDir)
+    def load(glob: String) = {
+      val raw = spark.read.option("pathGlobFilter", glob).parquet(chunks)
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    }
+    def totals(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("c"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val boot = totals(load("chunk_0[01].parquet"))
+    val tail = totals(load("chunk_0[23].parquet"))
+    // contract: exactly the tail-active users, whole-corpus totals
+    val expect = tail.keys.toSeq.sorted.map { u =>
+      val (bn, bc) = boot.getOrElse(u, (0L, 0L))
+      val (tn, tc) = tail(u)
+      (u, bn + tn, bc + tc)
+    }
+    assert(got == expect)
+    // the bootstrap is load-bearing: some tail user carries history,
+    // and its emitted total EXCEEDS anything the tail alone could give
+    val carried = tail.keys.filter(u => boot.getOrElse(u, (0L, 0L))._1 > 0)
+    assert(carried.nonEmpty,
+      "no tail user has bootstrap history — initial state untested")
+    carried.take(5).foreach { u =>
+      val n = got.find(_._1 == u).get._2
+      assert(n > tail(u)._1,
+        s"user $u's total $n does not exceed its tail-only count " +
+          s"${tail(u)._1} — initial state was not loaded")
+    }
+    // bootstrap-only users (no tail activity) must NOT surface
+    val bootOnly = boot.keySet -- tail.keySet
+    assert(got.map(_._1).toSet.intersect(bootOnly).isEmpty,
+      "bootstrap-only users emitted — handleInitialState leaked output")
+  }
 }
