@@ -288,7 +288,11 @@ class ScaleOpsSuite extends SparkSpec {
       "kmv_set_ops",          // four 1-row relations in the report join
       "basket_rules",         // 1-row basket-total broadcast onto <=C(25,2)
       "revenue_gini",         // 1-row (n, tot) totals onto ranks + 1-row report
-      "cascade_delete_audit") // three 1-row cascade-count × 1-row total crosses
+      "cascade_delete_audit", // three 1-row cascade-count × 1-row total crosses
+      // round 12
+      "hard_negatives")       // <=50-anchor capped broadcast panel, theta join
+                              // (qid <> vec_id; the label partition is applied
+                              // as a filter on the panel pairs)
     // slo_burn_rate left the list in round 11: its 7-day window is now
     // the bounded ×7 day-key fan-out equi-join (no nested loop).
     // Dead whitelist entries hide rot: every name must still be declared.
