@@ -1700,12 +1700,68 @@ object IncrOps {
       .toDF("n_items", "sum_qty", "cents")
   }
 
+  /** Build (once per session × fixture) the ORC copy of orders behind
+    * [[orcRoundtrip]] — content-keyed, staged, atomically published
+    * like [[partitionedOrders]]. */
+  private[queries] def orcOrders(s: SparkSession, d: String): String =
+    synchronized {
+      val src = java.nio.file.Paths.get(s"$d/orders.parquet")
+      val id = s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}_${java.nio.file.Files.size(src)}"
+      val key = Integer.toHexString((d + "|" + id).hashCode)
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_orc_orders_$key")
+      val done = out.resolve("_SUCCESS")
+      if (!java.nio.file.Files.exists(done)) {
+        val staging = java.nio.file.Files
+          .createTempDirectory(s"graft_orc_build_$key")
+        Tables.orders(s, d).coalesce(4)
+          .write.mode("overwrite").orc(staging.toString)
+        try java.nio.file.Files.move(staging, out,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.FileSystemException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+        }
+      }
+      out.toString
+    }
+
+  /** ORC format ROUND-TRIP + pushdown audit — the second columnar
+    * format every multi-engine lake carries (Hive/Trino interop):
+    * orders is rewritten through Spark's native ORC writer and read
+    * back through the vectorized ORC reader with a selective predicate
+    * that must reach the ORC scan as a pushed filter (ORC evaluates it
+    * against stripe/row-group min-max indexes — the zonemap mechanism,
+    * format-native). The gate aggregates the high-value orders FROM
+    * THE ORC COPY against the DuckDB replay over the raw parquet, so
+    * the round-trip provably loses nothing — values, types, and NULL
+    * semantics all survive the format change bit-for-bit (doubles are
+    * IEEE in both formats; timestamps compared through the same UTC
+    * session). The Round12 suite additionally asserts the pushed
+    * filter on the executed ORC scan and full row-identity both ways.
+    * Exact integers in the output. */
+  val orcRoundtrip: Q = Q(
+    "orc_roundtrip",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM orders WHERE o_totalprice >= 150000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    s.read.orc(orcOrders(s, d))
+      .filter(col("o_totalprice") >= 150000)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(incrAggMerge, compactBins, tableStats, incrJoinDelta,
     snapshotDiff, kAnonymity, dqScorecard, lDiversity, tCloseness,
     zonemapAudit, zorderLayout, equidepthHistogram, columnEntropy,
     bucketJoinAudit, partitionPruneAudit, cascadeDeleteAudit,
     runtimeFilterAudit, skewJoinAudit, dppAudit, aqeBhjAudit,
     aqeCoalesceAudit, compactionAudit, schemaDriftAudit, cdcApply,
-    exchangeReuseAudit, cboJoinReorderAudit, catalogCoverage,
-    broadcastAdvisor)
+    exchangeReuseAudit, cboJoinReorderAudit, orcRoundtrip,
+    catalogCoverage, broadcastAdvisor)
 }

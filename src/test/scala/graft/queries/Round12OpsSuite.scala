@@ -722,4 +722,41 @@ class Round12OpsSuite extends SparkSpec {
     assert(got.map(_._1).toSet.intersect(bootOnly).isEmpty,
       "bootstrap-only users emitted — handleInitialState leaked output")
   }
+
+  // --------------------------------------------------- orc_roundtrip ---
+
+  test("orc_roundtrip: the ORC copy is row-identical to the parquet " +
+    "original, the predicate reaches the ORC scan as a pushed filter, " +
+    "and the gate aggregate matches the raw replay") {
+    val out = run("orc_roundtrip").collect().toSeq
+    val orc = spark.read.orc(IncrOps.orcOrders(spark, sfDir))
+    val raw = graft.Tables.orders(spark, sfDir)
+    assert(orc.schema == raw.schema,
+      s"ORC round-trip changed the schema:\n${orc.schema}\nvs\n${raw.schema}")
+    assert(orc.count() == raw.count())
+    assert(orc.exceptAll(raw).isEmpty && raw.exceptAll(orc).isEmpty,
+      "ORC rows differ from the parquet original")
+    // pushdown: the filter must appear on the ORC scan node
+    val df = orc.filter(col("o_totalprice") >= 150000)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec over the ORC dir"))
+    assert(scan.relation.fileFormat.toString.toLowerCase.contains("orc"),
+      s"scan is not ORC: ${scan.relation.fileFormat}")
+    assert(scan.dataFilters.exists(_.toString.contains("o_totalprice")),
+      s"predicate not pushed to the ORC scan: ${scan.dataFilters}")
+    assert(scan.metadata.get("PushedFilters").exists(p =>
+      p.contains("GreaterThanOrEqual(o_totalprice")),
+      s"PushedFilters missing the range predicate: ${scan.metadata.get("PushedFilters")}")
+    // gate replay
+    val expect = raw.filter(col("o_totalprice") >= 150000)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(out == expect)
+    assert(out.nonEmpty, "threshold filtered everything — gate vacuous")
+  }
 }
