@@ -938,7 +938,15 @@ object CurationOps {
     * (per-group |noise|) ships beside the release, as a DP system
     * must. Pure map over the grouped result: at 100 TB the noise cost
     * is per RELEASED AGGREGATE, not per row. 4-dp floor-rounding on
-    * both engines. */
+    * both engines.
+    *
+    * NOT A REAL DP RELEASE AS WRITTEN: the exact `n` and `abs_err`
+    * columns are published beside `noisy_n` purely as the oracle-
+    * portability / utility-audit device, and the Laplace draw is a
+    * deterministic hash of the group name. A production release MUST
+    * drop the `n`/`abs_err` columns and swap the seeded draw for
+    * fresh cryptographic randomness — only `noisy_n` leaves the
+    * trust boundary. */
   lazy val dpCountNoise: Q = Q(
     "dp_count_noise",
     """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
@@ -956,7 +964,11 @@ object CurationOps {
       |FROM nz ORDER BY source""".stripMargin) { (s, d) =>
     val g = docs(s, d).groupBy("source")
       .agg(count(lit(1)).as("n"))
-      .withColumn("k", substring(col("source"), 4, 16).cast("long"))
+      // 2-arg substring (position → end), matching the oracle's
+      // unbounded substr(source, 4) — a fixed length cap would
+      // silently diverge on source ids longer than the cap (r12
+      // advisor).
+      .withColumn("k", expr("substring(source, 4)").cast("long"))
     val u = ((col("k").bitwiseAND(lit(2147483647L)) * lit(2654435761L))
       % 1000003 + 1) / lit(1000004.0)
     val noise = lit(-2.0) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))

@@ -1232,7 +1232,13 @@ object IncrOps {
     * small — at 100 TB its pre-filter size estimate routinely misses),
     * while the ADAPTIVE threshold re-enables the conversion from the
     * TRUE post-shuffle size AQE measures at runtime. Session confs
-    * restored after — the battery runs queries sequentially. */
+    * restored after — the battery runs queries sequentially. NOTE
+    * (r12 advisor, applies to every set/restore conf window in this
+    * file plus withCbo/withRocksDbState): these windows mutate
+    * session-GLOBAL SQL confs and are safe only under the documented
+    * sequential battery; if declared queries ever run concurrently on
+    * one SparkSession, switch to per-query cloned sessions
+    * (SparkSession.newSession) instead of pin/restore. */
   private[queries] def withAqeBhj[A](s: SparkSession)(body: => A): A = {
     val pins = Seq(
       "spark.sql.adaptive.enabled" -> "true",
@@ -1389,8 +1395,14 @@ object IncrOps {
   private[queries] def compactedOrders(s: SparkSession, d: String): String =
     synchronized {
       val srcDir = java.nio.file.Paths.get(smallFileOrders(s, d))
-      val dataFiles = java.nio.file.Files.list(srcDir).iterator().asScala
-        .filter(_.toString.endsWith(".parquet")).toSeq
+      // Files.list holds an open directory fd until closed; this runs
+      // before the _SUCCESS short-circuit on EVERY invocation, so an
+      // unclosed stream leaks one fd per bench rep (r12 advisor).
+      val dataFiles = scala.util.Using.resource(
+        java.nio.file.Files.list(srcDir)) { st =>
+        st.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq
+      }
       val totalBytes = dataFiles.map(java.nio.file.Files.size).sum
       val nOut = math.max(1L, (totalBytes + CompactTargetBytes - 1) / CompactTargetBytes).toInt
       val out = srcDir.resolveSibling(srcDir.getFileName.toString + "_compacted")

@@ -1185,13 +1185,307 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** Everything the Round13 suite needs to prove an AvailableNow run
+    * was rate-limited, self-terminating, and idempotent from the
+    * checkpoint: per-run data-batch ids / input-row totals and whether
+    * each run terminated on its own (vs the 120s safety timeout). */
+  final case class AvailableNowRun(outDir: String,
+      run1BatchIds: Seq[Long], run1Rows: Long, run1SelfTerminated: Boolean,
+      run2DataBatches: Int, run2Rows: Long, run2SelfTerminated: Boolean)
+
+  /** Core of [[streamAvailableNowParity]], factored out so the suite
+    * can assert the trigger contract (≥4 rate-limited batches,
+    * self-termination, zero-input second run) beyond the result gate. */
+  private[graft] def runAvailableNow(s: org.apache.spark.sql.SparkSession,
+      d: String): AvailableNowRun = {
+    val chunks = timeChunkDir(s, d)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_availnow_ckpt_")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_availnow_out_")
+    def start() = {
+      val physical = s.read.parquet(s"$d/events.parquet").schema
+      val streamed = s.readStream.schema(physical)
+        .option("maxFilesPerTrigger", "1").parquet(chunks)
+      val src = if (physical("ts").dataType == LongType)
+        streamed.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else streamed
+      src.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("w.start")).as("w_ms"), col("event_type"),
+          col("n"))
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+    }
+    withStatePartitions(s, 8) {
+      // run 1: the backfill — must consume all four chunks in
+      // maxFilesPerTrigger-limited batches, then stop ITSELF (no
+      // processAllAvailable; 120s is a safety bound, not the stop
+      // signal — the suite asserts self-termination)
+      val q1 = start()
+      val t1 = q1.awaitTermination(120000)
+      if (!t1) q1.stop()
+      val pre = q1.recentProgress.toSeq.filter(_.numInputRows > 0)
+      // run 2: the idempotence contract — a second AvailableNow run
+      // from the same checkpoint finds zero new files and terminates
+      // without emitting anything
+      val q2 = start()
+      val t2 = q2.awaitTermination(120000)
+      if (!t2) q2.stop()
+      val post = q2.recentProgress.toSeq.filter(_.numInputRows > 0)
+      AvailableNowRun(outDir.toString,
+        pre.map(_.batchId), pre.map(_.numInputRows).sum, t1,
+        post.size, post.map(_.numInputRows).sum, t2)
+    }
+  }
+
+  /** `Trigger.AvailableNow` parity — the BACKFILL trigger every
+    * production 100 TB streaming deployment runs ("process everything
+    * that exists, rate-limited, then stop"; r12 verdict #2): the
+    * watermarked hourly aggregate consumes the time-ordered chunk
+    * layout under AvailableNow + maxFilesPerTrigger(1), so the engine
+    * must plan MULTIPLE rate-limited micro-batches (not one giant
+    * batch — the rate limit is what keeps a month-long backfill from
+    * building a month of state in one batch) and then terminate ON ITS
+    * OWN once the snapshot is drained. A SECOND AvailableNow run from
+    * the same checkpoint is the idempotent-catch-up contract: it reads
+    * ZERO new files and emits nothing (suite-asserted). Output ≡ the
+    * uninterrupted watermarked run on the same layout, so the oracle
+    * is the final-watermark predicate — identical semantics to
+    * stream_recovery_parity's gate. */
+  val streamAvailableNowParity: Q = Q(
+    "stream_available_now_parity",
+    """WITH fin AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm_final
+      |  FROM events)
+      |SELECT epoch_ms(date_trunc('hour', ts)) AS w_ms, event_type,
+      |  count(*) AS n
+      |FROM events, fin
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < wm_final
+      |GROUP BY 1, 2 ORDER BY w_ms, event_type""".stripMargin) { (s, d) =>
+    val run = runAvailableNow(s, d)
+    s.read.parquet(run.outDir).orderBy("w_ms", "event_type")
+  }
+
+  /** Phase metadata [[runEvolve]] hands the Round13 suite: batch ids
+    * and input-row totals per phase (the resume must be real — phase 2
+    * never re-reads phase 1's chunks) plus each phase's emission count
+    * from its memory sink. */
+  final case class EvolveRun(
+      result: org.apache.spark.sql.DataFrame,
+      preBatchIds: Seq[Long], preRows: Long, preEmits: Long,
+      postBatchIds: Seq[Long], postRows: Long)
+
+  /** Core of [[streamEvolveParity]]: phase 1 runs
+    * [[graft.streaming.RunningTotalsProcessor]] over the first two
+    * time-chunks, stops, and phase 2 restarts from the SAME checkpoint
+    * with the EVOLVED [[graft.streaming.RunningTotalsProcessorV2]]
+    * (same state variable + encoder, output row adds a derived
+    * column) over the remaining chunks. */
+  private[graft] def runEvolve(s: org.apache.spark.sql.SparkSession,
+      d: String): EvolveRun = {
+    import s.implicits._
+    val chunks = timeChunkDir(s, d)
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_evolve_landing_")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_evolve_ckpt_")
+    def link(i: Int): Unit = {
+      val nm = f"chunk_$i%02d.parquet"
+      java.nio.file.Files.createSymbolicLink(
+        landing.resolve(nm), java.nio.file.Paths.get(chunks, nm))
+      ()
+    }
+    def source() = {
+      val physical = s.read.parquet(s"$d/events.parquet").schema
+      val streamed = s.readStream.schema(physical)
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      val src = if (physical("ts").dataType == LongType)
+        streamed.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else streamed
+      src.select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.Event]
+    }
+    // foreachBatch parquet-append sinks: the memory sink REFUSES
+    // checkpoint recovery outside complete mode (exactly the restart
+    // this row exists to prove), while ForeachBatchSink is
+    // recovery-capable — and is also how a production deployment
+    // lands update-mode emissions in a lake table.
+    val emitDir1 = java.nio.file.Files
+      .createTempDirectory("graft_evolve_emits1_")
+    val emitDir2 = java.nio.file.Files
+      .createTempDirectory("graft_evolve_emits2_")
+    withRocksDbState(s) {
+      withStatePartitions(s, 8) {
+        link(0); link(1)
+        val q1 = source().groupByKey(_.user_id)
+          .transformWithState(new graft.streaming.RunningTotalsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[graft.streaming.UserTotals],
+             _: Long) =>
+              batch.write.mode("append").parquet(emitDir1.toString)
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("update").start()
+        try q1.processAllAvailable() finally q1.stop()
+        val pre = q1.recentProgress.toSeq.filter(_.numInputRows > 0)
+        val preEmits = s.read.parquet(emitDir1.toString).count()
+        link(2); link(3)
+        val q2 = source().groupByKey(_.user_id)
+          .transformWithState(new graft.streaming.RunningTotalsProcessorV2,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[graft.streaming.UserTotalsV2],
+             _: Long) =>
+              batch.write.mode("append").parquet(emitDir2.toString)
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("update").start()
+        try q2.processAllAvailable() finally q2.stop()
+        val post = q2.recentProgress.toSeq.filter(_.numInputRows > 0)
+        val emitted = s.read.parquet(emitDir2.toString)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("n_events").desc)
+        val result = emitted.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("n_events"), col("total_cents"),
+            col("cents_per_event"))
+          .orderBy("user_id")
+        EvolveRun(result, pre.map(_.batchId), pre.map(_.numInputRows).sum,
+          preEmits, post.map(_.batchId), post.map(_.numInputRows).sum)
+      }
+    }
+  }
+
+  /** For the Round13 suite ONLY (not a declared query): restart a
+    * checkpoint written by RunningTotalsProcessor with the
+    * state-INCOMPATIBLE [[graft.streaming.RunningTotalsBadState]]
+    * (same state name, widened value encoder) over fresh input, and
+    * return the loud failure the engine must raise — persisted state
+    * bytes are never silently reinterpreted. */
+  private[graft] def runEvolveBadRestart(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import s.implicits._
+    val chunks = timeChunkDir(s, d)
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_evolvebad_landing_")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_evolvebad_ckpt_")
+    def link(i: Int): Unit = {
+      val nm = f"chunk_$i%02d.parquet"
+      java.nio.file.Files.createSymbolicLink(
+        landing.resolve(nm), java.nio.file.Paths.get(chunks, nm))
+      ()
+    }
+    def source() = {
+      val physical = s.read.parquet(s"$d/events.parquet").schema
+      val streamed = s.readStream.schema(physical)
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      val src = if (physical("ts").dataType == LongType)
+        streamed.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else streamed
+      src.select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.Event]
+    }
+    val emitDir = java.nio.file.Files
+      .createTempDirectory("graft_evolvebad_emits_")
+    withRocksDbState(s) {
+      withStatePartitions(s, 8) {
+        link(0)
+        val q1 = source().groupByKey(_.user_id)
+          .transformWithState(new graft.streaming.RunningTotalsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[graft.streaming.UserTotals],
+             _: Long) =>
+              batch.write.mode("append").parquet(emitDir.toString)
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("update").start()
+        try q1.processAllAvailable() finally q1.stop()
+        link(1)
+        try {
+          val q2 = source().groupByKey(_.user_id)
+            .transformWithState(new graft.streaming.RunningTotalsBadState,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .writeStream
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[graft.streaming.UserTotals],
+               _: Long) =>
+                batch.write.mode("append").parquet(emitDir.toString)
+            }
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("update").start()
+          try q2.processAllAvailable() finally q2.stop()
+          "" // no failure raised — the suite fails on this
+        } catch {
+          case e: Throwable =>
+            def messages(t: Throwable): String =
+              if (t == null) ""
+              else s"${t.getClass.getName}: ${t.getMessage}\n" +
+                messages(t.getCause)
+            messages(e)
+        }
+      }
+    }
+  }
+
+  /** QUERY-EVOLUTION restart parity (r12 verdict #4 — completes the
+    * fault-tolerance contract stream_recovery_parity opened): a
+    * production stream is never restarted only with the identical
+    * plan — bug fixes and added derived columns restart long-lived
+    * checkpoints with CHANGED queries. Phase 1 runs the
+    * transformWithState running-totals processor over the first two
+    * time-chunks and stops; phase 2 restarts the SAME checkpoint with
+    * the EVOLVED processor — identical state variable and encoder,
+    * output row widened by a derived cents_per_event column (the
+    * SUPPORTED evolution: output schema is not persisted state) —
+    * over the remaining chunks. Emissions in phase 2 must carry phase
+    * 1's accumulated state (any state loss under-counts n_events and
+    * fails the gate), so the contract output is whole-corpus per-user
+    * totals for exactly the users active in the tail chunks — the
+    * same oracle shape as stream_init_state_parity, plus the evolved
+    * column. The UNSUPPORTED change (widened STATE encoder) is pinned
+    * by the suite via [[runEvolveBadRestart]]: it must fail loudly at
+    * the state-schema compatibility check, never reinterpret bytes. */
+  lazy val streamEvolveParity: Q = Q(
+    "stream_evolve_parity",
+    """WITH m AS (SELECT quantile_cont(CAST(epoch_us(ts) AS DOUBLE), 0.5)
+      |    AS med FROM events),
+      |tail_users AS (SELECT DISTINCT user_id FROM events, m
+      |  WHERE CAST(epoch_us(ts) AS DOUBLE) > med)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  CAST(floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 1.0
+      |    / count(*)) AS BIGINT) AS cents_per_event
+      |FROM events
+      |WHERE user_id IN (SELECT user_id FROM tail_users)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    runEvolve(s, d).result
+  }
+
   val all: Seq[Q] = Seq(streamFileParity, streamSlideParity,
     streamSessionParity, streamJoinParity, streamLeftJoinParity,
     streamFullJoinParity, streamSemiJoinParity, streamChainJoinParity,
     streamDedupParity, streamDedupWithinParity,
     streamWatermarkParity, streamUpsertParity, streamFileSinkParity,
     streamStateParity, streamTimeoutParity, streamStaticJoinParity,
-    streamRecoveryParity, streamTwsParity, streamInitStateParity)
+    streamRecoveryParity, streamTwsParity, streamInitStateParity,
+    streamAvailableNowParity, streamEvolveParity)
 
   /** mapGroupsWithState parity — the CUSTOM-STATE API under the
     * declared gate (flatMapGroupsWithState sessionization is

@@ -309,7 +309,7 @@ object TrainingPrep {
       |          (((doc_id * 131071 + p - 2) & 2147483647) * 2654435761)
       |            % 1000003 + 1 < 0.05 * 1000004.0)
       |      THEN 1 ELSE 0 END)) AS n_masked
-      |  FROM t)
+      |  FROM t WHERE n_tokens >= 1)
       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
       |  CAST(n_spans AS BIGINT) AS n_spans,
       |  CAST(n_masked AS BIGINT) AS n_masked,
@@ -322,6 +322,13 @@ object TrainingPrep {
         * lit(2654435761L)) % 1000003 + 1) < lit(0.05 * 1000004.0)
     val toks = docs(s, d)
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      // pin the empty-document behavior on BOTH engines (oracle has the
+      // matching WHERE): sequence(1, 0) in Spark defaults to step -1 and
+      // yields [1, 0], while DuckDB's range(1, 1) is empty — currently
+      // unreachable (split never returns 0 tokens for non-null text) but
+      // a latent parity divergence if null/empty docs enter the fixture
+      // (r12 advisor).
+      .filter(col("n_tokens") >= 1)
     toks.select(col("doc_id"), col("n_tokens"),
         posexplode(sequence(lit(1), col("n_tokens"))).as(Seq("i", "p")))
       .select(col("doc_id"), col("n_tokens"),

@@ -347,3 +347,91 @@ final class RunningTotalsWithInit
     Iterator.single(UserTotals(key, next._1, next._2))
   }
 }
+
+/** One per-user emission of [[RunningTotalsProcessorV2]] — the EVOLVED
+  * output row: [[UserTotals]] plus a derived integer-mean column. The
+  * state backing it is UNCHANGED ((n, cents) ValueState), so a
+  * checkpoint written by [[RunningTotalsProcessor]] restores under V2
+  * verbatim — output-schema evolution is the supported restart change
+  * (state-schema change is the unsupported one, see
+  * [[RunningTotalsBadState]]). */
+final case class UserTotalsV2(
+    user_id: Long,
+    n_events: Long,
+    total_cents: Long,
+    cents_per_event: Long)
+
+/** The EVOLVED [[RunningTotalsProcessor]]: identical state variable
+  * (same name, same (Long, Long) encoder — the checkpoint's state
+  * schema must match exactly for the restart to resume), evolved
+  * OUTPUT (adds floor(cents / n) as cents_per_event). This is the
+  * query-evolution contract a long-lived production stream exercises
+  * constantly: fix a bug / add a derived column in the emission logic,
+  * restart from the same checkpoint, keep the accumulated state. */
+final class RunningTotalsProcessorV2
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotalsV2] {
+  @transient private var totals:
+    org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[UserTotalsV2] = {
+    var n = 0L
+    var cents = 0L
+    rows.foreach { e =>
+      n += 1
+      cents += math.floor(e.value * 100 + 0.5).toLong
+    }
+    val (pn, pc) = if (totals.exists()) totals.get() else (0L, 0L)
+    val next = (pn + n, pc + cents)
+    totals.update(next)
+    Iterator.single(UserTotalsV2(key, next._1, next._2,
+      next._2 / next._1))
+  }
+}
+
+/** The UNSUPPORTED evolution, kept deliberately: same state variable
+  * NAME ("totals") but a WIDENED value encoder ((Long, Long, Long) vs
+  * the checkpoint's (Long, Long)). Restarting a checkpoint written by
+  * [[RunningTotalsProcessor]] with this processor must fail LOUDLY at
+  * the state-schema compatibility check (default UnsafeRow state
+  * encoding is strict) — never silently reinterpret persisted state
+  * bytes. Round13OpsSuite pins that failure mode; this class exists
+  * only for that spec. */
+final class RunningTotalsBadState
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotals] {
+  @transient private var totals:
+    org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[UserTotals] = {
+    var n = 0L
+    var cents = 0L
+    rows.foreach { e =>
+      n += 1
+      cents += math.floor(e.value * 100 + 0.5).toLong
+    }
+    val (pn, pc, _) = if (totals.exists()) totals.get() else (0L, 0L, 0L)
+    val next = (pn + n, pc + cents, 0L)
+    totals.update(next)
+    Iterator.single(UserTotals(key, next._1, next._2))
+  }
+}

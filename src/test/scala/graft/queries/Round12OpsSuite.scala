@@ -326,19 +326,22 @@ class Round12OpsSuite extends SparkSpec {
     run("compaction_audit").collect() // force both layouts to exist
     val compactedDir = IncrOps.compactedOrders(spark, sfDir)
     val sprayDir = compactedDir.stripSuffix("_compacted")
-    def parquetFiles(dir: String) =
-      java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    def parquetFiles(dir: String) = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir))) { st =>
+      st.iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
     val sprayN = parquetFiles(sprayDir)
     val compactN = parquetFiles(compactedDir)
     assert(sprayN == 64, s"spray should be 64 files, got $sprayN")
     assert(compactN < sprayN / 4,
       s"compaction barely reduced the file count: $sprayN -> $compactN")
     // bin-packing arithmetic: ceil(totalBytes / 1 MiB)
-    val totalBytes = java.nio.file.Files
-      .list(java.nio.file.Paths.get(sprayDir)).iterator().asScala
-      .filter(_.toString.endsWith(".parquet"))
-      .map(java.nio.file.Files.size).sum
+    val totalBytes = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(sprayDir))) { st =>
+      st.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+    }
     val expectN = math.max(1L, (totalBytes + (1L << 20) - 1) / (1L << 20))
     assert(compactN == expectN,
       s"expected ceil($totalBytes / 1MiB) = $expectN files, got $compactN")

@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Mechanism pins for the round-13 operators, at sf0.001 — the spec
+  * leg of the oracle+spec+plan discipline. The three new rows are the
+  * AvailableNow backfill trigger, the query-evolution restart (plus
+  * its pinned UNSUPPORTED state-schema change), and the SQL-text API
+  * parity; each spec proves the mechanism actually FIRED
+  * (anti-vacuity), not just that the result matched.
+  */
+class Round13OpsSuite extends SparkSpec {
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+
+  private def eventCount(): Long =
+    graft.Tables.events(spark, sfDir).count()
+
+  // -------------------------------------- stream_available_now_parity ---
+
+  test("stream_available_now_parity: the backfill is rate-limited " +
+    "(>= 4 data batches), SELF-terminates, and a second AvailableNow " +
+    "run from the same checkpoint is a zero-input no-op") {
+    val r = StreamingOps.runAvailableNow(spark, sfDir)
+    // rate limit honored: 4 chunk files under maxFilesPerTrigger=1 can
+    // never fold into one giant batch
+    assert(r.run1BatchIds.size >= 4,
+      s"expected >= 4 rate-limited data batches, got ${r.run1BatchIds}")
+    // the trigger's defining contract: the query stopped ITSELF after
+    // draining the snapshot (awaitTermination returned true, no stop()
+    // from the harness) — both runs
+    assert(r.run1SelfTerminated, "run 1 hit the 120s safety timeout " +
+      "instead of terminating itself")
+    assert(r.run2SelfTerminated, "run 2 hit the 120s safety timeout " +
+      "instead of terminating itself")
+    // run 1 consumed the whole fixture, exactly once
+    assert(r.run1Rows == eventCount(),
+      s"run 1 read ${r.run1Rows} rows, fixture has ${eventCount()}")
+    // idempotent catch-up: run 2 found the checkpoint current and read
+    // NOTHING (a from-scratch rerun would re-read all 4 chunks and
+    // double-emit into the sink)
+    assert(r.run2DataBatches == 0 && r.run2Rows == 0,
+      s"second AvailableNow run was not a no-op: " +
+        s"${r.run2DataBatches} data batches / ${r.run2Rows} rows")
+  }
+
+  // --------------------------------------------- stream_evolve_parity ---
+
+  test("stream_evolve_parity: the evolved restart RESUMES (batch ids " +
+    "advance, tail chunks only) and emissions carry phase-1 state") {
+    val r = StreamingOps.runEvolve(spark, sfDir)
+    // phase 1 really ran and emitted
+    assert(r.preBatchIds.nonEmpty && r.preEmits > 0)
+    // the restart resumed the checkpoint: batch ids continue past the
+    // stop point (a silent from-scratch rerun would reset to 0)
+    assert(r.postBatchIds.nonEmpty &&
+      r.postBatchIds.min > r.preBatchIds.max,
+      s"post-restart batch ids ${r.postBatchIds} did not advance past " +
+        s"pre-stop ids ${r.preBatchIds}")
+    // offsets restored: the two phases read the fixture exactly once
+    // between them (phase 2 never re-read chunks 0-1)
+    assert(r.preRows + r.postRows == eventCount(),
+      s"phases read ${r.preRows} + ${r.postRows} rows, " +
+        s"fixture has ${eventCount()}")
+    val rows = r.result.collect()
+    // the evolved output column is the derived integer mean
+    rows.foreach { row =>
+      assert(row.getLong(3) == row.getLong(2) / row.getLong(1),
+        s"cents_per_event mismatch on $row")
+    }
+    // STATE RESUME IS LOAD-BEARING: some user's final n_events exceeds
+    // what the tail chunks alone contain — phase-1 state flowed into
+    // phase-2 emissions (a state-less restart would equal the
+    // tail-only counts and also fail the oracle gate)
+    val chunks = StreamingOps.timeChunkDir(spark, sfDir)
+    val raw = spark.read.option("pathGlobFilter", "chunk_0[23].parquet")
+      .parquet(chunks)
+    val tailOnly = raw.groupBy("user_id")
+      .agg(count(lit(1)).as("tail_n"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val carried = rows.count(row =>
+      row.getLong(1) > tailOnly.getOrElse(row.getLong(0), 0L))
+    assert(carried > 0, "no emission carried phase-1 state — the " +
+      "restart was equivalent to a state-less rerun")
+    // and the emitted user set is exactly the tail-active users
+    assert(rows.map(_.getLong(0)).toSet == tailOnly.keySet)
+  }
+
+  test("stream_evolve_parity: the UNSUPPORTED evolution (widened STATE " +
+    "encoder under the same state name) fails LOUDLY at the " +
+    "state-schema compatibility check") {
+    val msg = StreamingOps.runEvolveBadRestart(spark, sfDir)
+    assert(msg.nonEmpty, "the incompatible restart did not fail at all")
+    assert(msg.contains("STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE"),
+      s"expected the state-schema error class, got:\n${msg.take(500)}")
+    // the error names both schemas — the operator tells the user WHAT
+    // changed, not just that something did
+    assert(msg.contains("_3,LongType") || msg.contains("_3"),
+      s"error does not name the widened field:\n${msg.take(500)}")
+  }
+
+  // ------------------------------------------------- sql_text_parity ---
+
+  test("sql_text_parity: the SQL text and the DataFrame DSL produce " +
+    "identical results, and the text path still reaches the parquet " +
+    "scan with pushed filters") {
+    val sqlForm = run("sql_text_parity")
+    // DSL twin of Relational.SqlTextParitySql — same front-end
+    // semantics, built through the typed API
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val ord = graft.Tables.orders(spark, sfDir)
+    val dsl = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderstatus") =!= "F" && col("l_quantity") < 45)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100 + lit(0.5)).cast("long")).as("revenue_cents"))
+      .orderBy("l_returnflag", "l_linestatus")
+    assert(sqlForm.exceptAll(dsl).isEmpty && dsl.exceptAll(sqlForm).isEmpty,
+      "SQL-text and DSL forms disagree")
+    // the SQL front-end must not cost pushdown: the quantity predicate
+    // reaches the lineitem scan
+    val explained = sqlForm.queryExecution.executedPlan.toString
+    assert(explained.contains("PushedFilters") &&
+      explained.contains("LessThan(l_quantity"),
+      s"l_quantity filter not pushed to the scan:\n" +
+        explained.linesIterator.filter(_.contains("PushedFilters"))
+          .mkString("\n"))
+  }
+}
