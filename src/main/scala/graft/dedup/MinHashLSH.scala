@@ -123,6 +123,48 @@ object MinHashLSH {
       .filter(col("jaccard") >= p.threshold)
   }
 
+  /** INCREMENTAL near-dedup: verified near-duplicate pairs between a
+    * NEW BATCH and an EXISTING CORPUS — (batch_id, corpus_id, jaccard)
+    * with exact Jaccard ≥ threshold. This is the shape a production
+    * pipeline runs daily: yesterday's corpus is already deduped, and
+    * only batch×corpus (plus batch×batch, handled separately by
+    * [[dedupPairs]] over the batch) pairs are ever generated — NEVER
+    * corpus×corpus, which would re-pay the whole history every day.
+    * Candidates come from the band-bucket join of batch bands against
+    * corpus bands; the skew guard counts COMBINED bucket occupancy so
+    * a degenerate band key is dropped no matter which side bloats it.
+    * At 100 TB the corpus signatures are computed once and persisted
+    * beside the corpus (signature computation is map-only, so inline
+    * recompute — as here — costs one corpus scan; a real deployment
+    * stores the (id, shingles, sig) relation and this function's
+    * corpus scan becomes a narrow parquet read). */
+  def dedupPairsAgainst(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, p: Params = Params()): DataFrame = {
+    val cs = signatures(corpus, idCol, textCol, p).cache()
+    val bs = signatures(batch, idCol, textCol, p).cache()
+    val cb = bands(cs, p)
+    val bb = bands(bs, p)
+    val smallBuckets = cb.unionAll(bb).groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("n")).filter(col("n") <= p.maxBucket)
+      .select("band_idx", "band_key")
+    val prunedC = cb.join(smallBuckets, Seq("band_idx", "band_key"))
+    val candidates = bb.as("x")
+      .join(prunedC.as("y"),
+        col("x.band_idx") === col("y.band_idx")
+          && col("x.band_key") === col("y.band_key"))
+      .select(col("x.id").as("batch_id"), col("y.id").as("corpus_id"))
+      .distinct()
+    candidates
+      .join(bs.select(col("id").as("batch_id"), col("shingles").as("sh_a")),
+        "batch_id")
+      .join(cs.select(col("id").as("corpus_id"), col("shingles").as("sh_b")),
+        "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= p.threshold)
+  }
+
   /** Keep-first dedup: drops every document that near-duplicates a
     * lower-id document (single-link, one hop — the standard streaming
     * approximation of connected components). */

@@ -1446,7 +1446,55 @@ object DedupAnn {
       .orderBy("vid_a", "rend_a", "vid_b", "rend_b")
   }
 
-  val all: Seq[Q] = Seq(minhashPairs, minhashKeepFirst, dedupComponents,
+  /** INCREMENTAL near-dedup (round 13): dedup a NEW BATCH against the
+    * EXISTING CORPUS — the shape a production 100 TB pipeline runs
+    * daily (the corpus is already deduped; only batch×corpus pairs may
+    * be generated, never corpus×corpus, which would re-pay the whole
+    * history every day — see [[graft.dedup.MinHashLSH.dedupPairsAgainst]]).
+    * Fixture split: even doc_ids are the corpus, odd doc_ids the
+    * arriving batch. Output: for every batch document that
+    * near-duplicates (exact Jaccard ≥ 0.8 after LSH banding) at least
+    * one corpus document, its BEST corpus match (max Jaccard, min
+    * corpus_id tie-break) — exactly the "is this new doc already in
+    * the corpus, and where" answer ingestion needs. The oracle replays
+    * the exact cross-parity Jaccard join and the same argmax; both
+    * engines compute identical doubles from identical integer set
+    * sizes, so the rank is deterministic. */
+  lazy val minhashIncremental: Q = Q(
+    "minhash_incremental",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-3, 0) + 2),
+      |    i -> array_to_string(ts[i:i+2], ' '))) AS grams
+      |  FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents) t),
+      |pairs AS (
+      |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+      |    CAST(len(list_intersect(b.grams, c.grams)) AS DOUBLE)
+      |      / len(list_distinct(b.grams || c.grams)) AS j
+      |  FROM sh b JOIN sh c ON b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+      |  WHERE CAST(len(list_intersect(b.grams, c.grams)) AS DOUBLE)
+      |      / len(list_distinct(b.grams || c.grams)) >= 0.8),
+      |best AS (SELECT batch_id, corpus_id, j,
+      |    row_number() OVER (PARTITION BY batch_id
+      |      ORDER BY j DESC, corpus_id) AS rk
+      |  FROM pairs)
+      |SELECT batch_id, corpus_id, round(j, 6) AS jaccard
+      |FROM best WHERE rk = 1 ORDER BY batch_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val pairs = graft.dedup.MinHashLSH
+      .dedupPairsAgainst(corpus, batch, "doc_id", "text", mhParams)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("batch_id")
+      .orderBy(col("jaccard").desc, col("corpus_id"))
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("batch_id")
+  }
+
+  val all: Seq[Q] = Seq(minhashIncremental, minhashPairs, minhashKeepFirst, dedupComponents,
     dedupKeepBest, simhashPairs, annTopK, cosineDedupStats, ivfTopK,
     pqEncode, pqAdcTopK, ivfpqTopK, setsimJoin, dupSpans, dupSpanBounds,
     mmrRerank,

@@ -76,10 +76,38 @@ object ScaleCheck {
   }
 
   private def buildBlowup(s: SparkSession, src: String, dst: String,
-      copies: Int = 10, lineitemOnly: Boolean = false): Unit = {
+      copies: Int = 10, lineitemOnly: Boolean = false,
+      docsOnly: Boolean = false): Unit = {
     val done = java.nio.file.Paths.get(dst, "_SUCCESS")
     if (java.nio.file.Files.exists(done)) return
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+
+    if (docsOnly) {
+      // the dedup-family 100x step (r12 verdict #5) measures the three
+      // documents-table dedup hot paths only; every other table passes
+      // through 1x so Tables.* resolves. Same disjoint-token-namespace
+      // construction as the 10x step: near-dup pair density scales
+      // linearly with copies, as in a real corpus of `copies` sources.
+      val docs0 = s.read.parquet(s"$src/documents.parquet")
+      val idMax0 = docs0.agg(max("doc_id")).head.getLong(0) + 1
+      (0 until copies).map { i =>
+        docs0
+          .withColumn("doc_id", col("doc_id") + lit(i * idMax0))
+          .withColumn("text", array_join(
+            expr(s"transform(split(text, ' '), t -> concat('c$i', '_', t))"),
+            " "))
+          .withColumn("n_chars", length(col("text")))
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings").foreach { t =>
+        s.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+      java.nio.file.Files.createFile(done)
+      return
+    }
 
     val li = s.read.parquet(s"$src/lineitem.parquet")
     val okMax = li.agg(max("l_orderkey")).head.getLong(0) + 1
@@ -167,7 +195,8 @@ object ScaleCheck {
     // the battery's two largest shuffles, instead of extrapolating
     // the 12x-at-10x bar two orders of magnitude.
     val mode100 = args.contains("100x")
-    if (!mode100) buildBlowup(s, sf01, blow)
+    val modeDocs100 = args.contains("docs100x")
+    if (!mode100 && !modeDocs100) buildBlowup(s, sf01, blow)
 
     def loadAvg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
@@ -196,14 +225,23 @@ object ScaleCheck {
     }
 
     val load0 = loadAvg()
-    if (mode100) {
-      val blow100 = "target/scale100"
-      buildBlowup(s, sf01, blow100, copies = 100, lineitemOnly = true)
+    if (mode100 || modeDocs100) {
+      // "docs100x" (r12 verdict #5): the dedup-family 100x points —
+      // documents blown up 100x (disjoint token namespaces), measured
+      // one query per JVM like the graph points.
+      val blow100 = if (modeDocs100) "target/scale100docs"
+        else "target/scale100"
+      if (modeDocs100)
+        buildBlowup(s, sf01, blow100, copies = 100, docsOnly = true)
+      else
+        buildBlowup(s, sf01, blow100, copies = 100, lineitemOnly = true)
       // Run ONE query per JVM by default (extra names after "100x"
       // select the set): a single 100x point spills ~40+ GB of shuffle
       // which only ages out with the context — two back-to-back 100x
       // queries in one JVM overflowed the 79 GB scratch volume.
-      val picked = args.filterNot(_ == "100x") match {
+      val picked = args.filterNot(a => a == "100x" || a == "docs100x") match {
+        case Array() if modeDocs100 =>
+          Seq("minhash_dedup_pairs", "dup_spans", "setsim_join")
         case Array() => Seq("harmonic_centrality", "clustering_coeff")
         case qs => qs.toSeq
       }

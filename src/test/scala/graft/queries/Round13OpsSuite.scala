@@ -102,6 +102,49 @@ class Round13OpsSuite extends SparkSpec {
       s"error does not name the widened field:\n${msg.take(500)}")
   }
 
+  // --------------------------------------------- minhash_incremental ---
+
+  test("minhash_incremental: batch-vs-corpus only (parity split " +
+    "respected), and the banded candidate path recalls EXACTLY the " +
+    "brute-force cross-parity pair set") {
+    val out = run("minhash_incremental").collect()
+    assert(out.nonEmpty, "no batch document matched the corpus — " +
+      "fixture has no cross-parity near-dups, gate is vacuous")
+    // incremental contract: flagged ids are batch (odd), matches are
+    // corpus (even) — no corpus x corpus or batch x batch pair leaks
+    out.foreach { r =>
+      assert(r.getLong(0) % 2 == 1, s"batch_id ${r.getLong(0)} not odd")
+      assert(r.getLong(1) % 2 == 0, s"corpus_id ${r.getLong(1)} not even")
+    }
+    // recall replay: the full banded+verified pair set equals the
+    // exact >= 0.8 cross-parity Jaccard join computed brute-force
+    val docs = graft.Tables.documents(spark, sfDir)
+    val p = graft.dedup.MinHashLSH.Params(
+      numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+    val banded = graft.dedup.MinHashLSH.dedupPairsAgainst(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", p)
+      .select("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select(col("doc_id"),
+      graft.dedup.MinHashLSH.shingleSet(col("text"), 3).as("grams"))
+    val exact = sh.as("b").filter(col("b.doc_id") % 2 === 1)
+      .crossJoin(sh.as("c").filter(col("c.doc_id") % 2 === 0))
+      .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"),
+        (size(array_intersect(col("b.grams"), col("c.grams"))).cast("double") /
+          size(array_union(col("b.grams"), col("c.grams")))).as("j"))
+      .filter(col("j") >= 0.8)
+      .select("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exact,
+      s"banded pair set diverges from brute force: " +
+        s"missing=${(exact -- banded).take(5)} " +
+        s"extra=${(banded -- exact).take(5)}")
+    // NOTE: the crossJoin above is the TEST's brute-force ground truth
+    // at sf0.001 (250 x 250 docs), never the operator's plan
+  }
+
   // ------------------------------------------------- sql_text_parity ---
 
   test("sql_text_parity: the SQL text and the DataFrame DSL produce " +
