@@ -52,6 +52,45 @@ object CosineDedup {
       .filter(col("cos") >= minCosine)
   }
 
+  /** INCREMENTAL embedding-space near-dedup: verified near-duplicate
+    * pairs between a NEW BATCH and the EXISTING CORPUS — the vector
+    * sibling of [[graft.dedup.MinHashLSH.dedupPairsAgainst]], and the
+    * daily production shape (embedding dedup of arriving documents
+    * against an already-deduped corpus; never corpus×corpus). Both
+    * sides index with the SAME seeded hyperplanes (AnnLsh.Params is
+    * deterministic), so bucket keys are comparable across the two
+    * index relations; candidates are the batch×corpus bucket join,
+    * then exact cosine ≥ minCosine verifies. At 100 TB the corpus
+    * index is computed once and persisted; the batch index is a
+    * map-only pass over the day's arrivals. */
+  def dedupPairsAgainst(corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, minCosine: Double = 0.95,
+      p: AnnLsh.Params = AnnLsh.Params(bitsPerTable = 8, tables = 12))
+      : DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val ci = AnnLsh.index(corpus.repartition(par), idCol, vecCol, p)
+      .drop("vec").cache()
+    val bi = AnnLsh.index(batch.repartition(par), idCol, vecCol, p)
+      .drop("vec").cache()
+    val candidates = bi.as("x")
+      .join(ci.as("y"),
+        col("x.table") === col("y.table")
+          && col("x.bucket") === col("y.bucket"))
+      .select(col("x.id").as("batch_id"), col("y.id").as("corpus_id"))
+      .distinct()
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val cv = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("vc"))
+    val bv = batch.select(col(idCol).as("batch_id"),
+      col(vecCol).cast("array<double>").as("vb"))
+    candidates
+      .join(bv, "batch_id")
+      .join(cv, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        GraftFunctions.cosineNative(col("vb"), col("vc")).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
   /** Keep-first policy, mirroring MinHashLSH.dedupKeepFirst. */
   def dedupKeepFirst(vectors: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95): DataFrame = {

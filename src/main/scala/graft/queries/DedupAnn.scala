@@ -1494,7 +1494,61 @@ object DedupAnn {
       .orderBy("batch_id")
   }
 
-  val all: Seq[Q] = Seq(minhashIncremental, minhashPairs, minhashKeepFirst, dedupComponents,
+  /** INCREMENTAL embedding-space dedup (round 13) — the vector sibling
+    * of [[minhashIncremental]]: a newly-arrived batch of embeddings
+    * deduped against the existing corpus via the sign-LSH bucket join
+    * (same seeded hyperplanes on both sides; never corpus×corpus),
+    * exact-cosine verified at ≥ 0.95. The batch is the RE-CRAWL
+    * scenario: every corpus vector re-appears under a new id
+    * (vec_id + 1e6) with a small deterministic encoder drift (+0.01 on
+    * every coordinate — worst-case angle 4.6° on the unit-norm
+    * fixture, cosine ≥ 0.9968, while all cross-document cosines stay
+    * ≤ ~0.53), so the op must flag EVERY batch vector and rank its
+    * own source first — a recall miss or a wrong argmax fails the
+    * gate, which makes this the non-vacuous embedding-dedup gate the
+    * raw fixture (no near-dup pairs at any SF) cannot express. Output:
+    * each batch vector's best corpus match. Both engines compute the
+    * identical perturbed floats and the identical double cosine
+    * (ordered dot product / norms — the ivf_cosine_topk contract). */
+  lazy val cosineIncremental: Q = Q(
+    "cosine_incremental",
+    """WITH c AS (SELECT vec_id AS corpus_id,
+      |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id + 1000000 AS batch_id,
+      |    CAST(list_transform(embedding,
+      |      x -> CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT)) AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |cn AS (SELECT corpus_id, v, sqrt(list_dot_product(v, v)) AS nv FROM c),
+      |bn AS (SELECT batch_id, v, sqrt(list_dot_product(v, v)) AS nv FROM b),
+      |p AS (SELECT bn.batch_id, cn.corpus_id,
+      |    list_dot_product(bn.v, cn.v) / (bn.nv * cn.nv) AS cs
+      |  FROM bn, cn
+      |  WHERE list_dot_product(bn.v, cn.v) / (bn.nv * cn.nv) >= 0.95),
+      |best AS (SELECT batch_id, corpus_id, cs,
+      |    row_number() OVER (PARTITION BY batch_id
+      |      ORDER BY cs DESC, corpus_id) AS rk
+      |  FROM p)
+      |SELECT batch_id, corpus_id, round(cs, 6) AS cos
+      |FROM best WHERE rk = 1 ORDER BY batch_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val batch = emb.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.01D AS FLOAT))")
+        .as("embedding"))
+    val pairs = CosineDedup.dedupPairsAgainst(
+      emb, batch, "vec_id", "embedding", 0.95)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("batch_id")
+      .orderBy(col("cos").desc, col("corpus_id"))
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("batch_id")
+  }
+
+  val all: Seq[Q] = Seq(minhashIncremental, cosineIncremental,
+    minhashPairs, minhashKeepFirst, dedupComponents,
     dedupKeepBest, simhashPairs, annTopK, cosineDedupStats, ivfTopK,
     pqEncode, pqAdcTopK, ivfpqTopK, setsimJoin, dupSpans, dupSpanBounds,
     mmrRerank,

@@ -1942,8 +1942,42 @@ object Relational {
     s.sql(SqlTextParitySql)
   }
 
+  /** [[sqlTextWindow]]'s shared text — window functions (row_number +
+    * a cumulative ROWS frame) and a derived-table filter through the
+    * ANSI-portable subset: the single most common SQL analytics shape
+    * (top-N-per-group with running totals). Money collapses to exact
+    * BIGINT cents per row before the frame sum, so both engines
+    * accumulate identical integers. */
+  private[graft] val SqlTextWindowSql: String =
+    """SELECT o_custkey, o_orderkey, rnk, cume_cents FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rnk,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cume_cents
+      |  FROM orders) t
+      |WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk""".stripMargin
+
+  /** SQL-text WINDOW surface (round 13, widening [[sqlTextParity]]):
+    * the identical text — row_number ranking, a cumulative ROWS-frame
+    * sum, a derived-table filter — runs through `spark.sql()` and the
+    * DuckDB oracle. Proves the text front end reaches Spark's window
+    * machinery (one hash-partitioned sort per o_custkey, the same
+    * physical Window exec the DSL rows use), not just scans and
+    * joins. */
+  lazy val sqlTextWindow: Q = Q(
+    "sql_text_window",
+    SqlTextWindowSql) { (s, d) =>
+    ord(s, d).createOrReplaceTempView("orders")
+    s.sql(SqlTextWindowSql)
+  }
+
   val all: Seq[Q] = Seq(
-    sqlTextParity,
+    sqlTextParity, sqlTextWindow,
     q118Skyline, q119AssocRules,
     q87Mode, q88StringAgg, q93OhlcBars, q94EwmaSmooth,
     q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert, q73Ecdf, q74RangeJoin,

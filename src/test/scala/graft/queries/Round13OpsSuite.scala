@@ -145,6 +145,46 @@ class Round13OpsSuite extends SparkSpec {
     // at sf0.001 (250 x 250 docs), never the operator's plan
   }
 
+  // ---------------------------------------------- cosine_incremental ---
+
+  test("cosine_incremental: every re-crawled batch vector is flagged " +
+    "and ranks its OWN source first at cosine >= 0.99") {
+    val out = run("cosine_incremental").collect()
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    // recall is total: the +0.01 drift keeps every pair inside 4.6
+    // degrees, so a single missing batch vector is an LSH recall bug
+    assert(out.length == n,
+      s"flagged ${out.length} of $n batch vectors — recall miss")
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - 1000000L,
+        s"batch ${r.getLong(0)} matched ${r.getLong(1)}, not its source")
+      assert(r.getDouble(2) >= 0.99,
+        s"self-match cosine ${r.getDouble(2)} below the drift bound")
+    }
+  }
+
+  // ------------------------------------------------- sql_text_window ---
+
+  test("sql_text_window: the text form runs Spark's Window exec and " +
+    "matches the DSL twin exactly") {
+    val sqlForm = run("sql_text_window")
+    assert(sqlForm.queryExecution.executedPlan.toString.contains("Window"),
+      "no Window exec in the SQL-text plan")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val dsl = graft.Tables.orders(spark, sfDir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cume_cents",
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "rnk", "cume_cents")
+    assert(sqlForm.exceptAll(dsl).isEmpty && dsl.exceptAll(sqlForm).isEmpty,
+      "SQL-text window form and DSL twin disagree")
+  }
+
   // ------------------------------------------------- sql_text_parity ---
 
   test("sql_text_parity: the SQL text and the DataFrame DSL produce " +
