@@ -1449,6 +1449,82 @@ object IncrOps {
       .orderBy("o_orderpriority")
   }
 
+  /** Build (once per session × fixture) the month-partitioned lake
+    * zone behind [[dynamicOverwriteAudit]], then apply ONE dynamic
+    * partition overwrite: the base layout partitions orders by month
+    * (`yyyy-MM` string); the "daily correction" rewrites ONLY the
+    * minimum month — its rows re-keyed to negated order keys, a pure
+    * integer content change with zero floating-point hazard — under
+    * `partitionOverwriteMode=dynamic`, so every other partition's
+    * files are physically untouched (Round13OpsSuite asserts the
+    * file listings). Content-keyed, staged, atomically published;
+    * the done-marker is `_GRAFT_DONE` because Spark itself writes
+    * `_SUCCESS` on every write into the zone. */
+  private[queries] def dynOverwrittenOrders(s: SparkSession, d: String)
+      : String = synchronized {
+    val src = java.nio.file.Paths.get(s"$d/orders.parquet")
+    val id = s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}_${java.nio.file.Files.size(src)}"
+    val key = Integer.toHexString((d + "|" + id).hashCode)
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_dynover_$key")
+    val done = out.resolve("_GRAFT_DONE")
+    if (!java.nio.file.Files.exists(done)) {
+      val staging = java.nio.file.Files
+        .createTempDirectory(s"graft_dynover_build_$key")
+      val ord = Tables.orders(s, d)
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      ord.write.mode("overwrite").partitionBy("month")
+        .parquet(staging.toString)
+      val minMonth = ord.agg(min("month")).head.getString(0)
+      ord.filter(col("month") === minMonth)
+        .withColumn("o_orderkey", -col("o_orderkey"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("month").parquet(staging.toString)
+      java.nio.file.Files.createFile(staging.resolve("_GRAFT_DONE"))
+      try java.nio.file.Files.move(staging, out,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.FileSystemException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      }
+    }
+    out.toString
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE audit (round 13, lake-maintenance
+    * family) — the daily-ETL idiom: re-materialize ONLY the partitions
+    * the day's correction touches, leaving every other partition's
+    * files physically in place. Static overwrite (Spark's default)
+    * would DELETE the whole table first — the suite proves that
+    * counterfactual on a throwaway copy (one partition survives) and
+    * proves dynamic mode leaves the untouched partitions' file
+    * listings byte-for-byte identical. The gate reads the final zone
+    * and checks per-month row counts and exact integer key sums
+    * against the oracle's replay of the correction (min month's keys
+    * negated). At 100 TB this is the difference between rewriting
+    * 80 TB nightly and rewriting one day's partition. */
+  lazy val dynamicOverwriteAudit: Q = Q(
+    "dynamic_overwrite_audit",
+    """WITH mm AS (SELECT strftime(min(date_trunc('month', o_orderdate)),
+      |    '%Y-%m') AS m FROM orders),
+      |base AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CASE WHEN strftime(o_orderdate, '%Y-%m') = (SELECT m FROM mm)
+      |      THEN -o_orderkey ELSE o_orderkey END AS k
+      |  FROM orders)
+      |SELECT month, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(k) AS BIGINT) AS key_sum,
+      |  CAST(min(k) AS BIGINT) AS min_key
+      |FROM base GROUP BY month ORDER BY month""".stripMargin) { (s, d) =>
+    s.read.parquet(dynOverwrittenOrders(s, d))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").as("key_sum"),
+        min("o_orderkey").as("min_key"))
+      .select(col("month"), col("n"), col("key_sum"), col("min_key"))
+      .orderBy("month")
+  }
+
   /** Build (once per session × fixture) the two-vintage layout behind
     * [[schemaDriftAudit]]: vintage 1 (even order keys) was written
     * BEFORE a migration added `o_orderpriority`; vintage 2 (odd keys)
@@ -1775,5 +1851,6 @@ object IncrOps {
     runtimeFilterAudit, skewJoinAudit, dppAudit, aqeBhjAudit,
     aqeCoalesceAudit, compactionAudit, schemaDriftAudit, cdcApply,
     exchangeReuseAudit, cboJoinReorderAudit, orcRoundtrip,
+    dynamicOverwriteAudit,
     catalogCoverage, broadcastAdvisor)
 }

@@ -1443,6 +1443,104 @@ object StreamingOps {
     }
   }
 
+  /** Everything the Round13 suite needs from a conf-pin restart: phase
+    * batch ids / rows (the resume must be real) and the state
+    * operator's ACTUAL shuffle-partition count in each phase (the
+    * checkpoint must pin it against the changed session conf). */
+  final case class ConfPinRun(outDir: String,
+      preBatchIds: Seq[Long], preRows: Long, preStateParts: Long,
+      postBatchIds: Seq[Long], postRows: Long, postStateParts: Long)
+
+  /** Core of [[streamConfPinParity]]: phase 1 runs the watermarked
+    * aggregate at 8 state partitions over the first two time-chunks
+    * and stops; phase 2 restarts the SAME checkpoint with the session
+    * conf set to 32 shuffle partitions. */
+  private[graft] def runConfPin(s: org.apache.spark.sql.SparkSession,
+      d: String): ConfPinRun = {
+    val chunks = timeChunkDir(s, d)
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_confpin_landing_")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_confpin_ckpt_")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_confpin_out_")
+    def link(i: Int): Unit = {
+      val nm = f"chunk_$i%02d.parquet"
+      java.nio.file.Files.createSymbolicLink(
+        landing.resolve(nm), java.nio.file.Paths.get(chunks, nm))
+      ()
+    }
+    def start() = {
+      val physical = s.read.parquet(s"$d/events.parquet").schema
+      val streamed = s.readStream.schema(physical)
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      val src = if (physical("ts").dataType == LongType)
+        streamed.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else streamed
+      src.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("w.start")).as("w_ms"), col("event_type"),
+          col("n"))
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+    }
+    def stateParts(
+        q: org.apache.spark.sql.streaming.StreamingQuery): Long = {
+      val ps = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+      if (ps.isEmpty) -1L else ps.map(_.numShufflePartitions).max
+    }
+    // phase 1 under 8 state partitions
+    val (pre, preParts) = withStatePartitions(s, 8) {
+      link(0); link(1)
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      (q1.recentProgress.toSeq.filter(_.numInputRows > 0), stateParts(q1))
+    }
+    // phase 2: the session now says 32 — the checkpoint must win
+    val (post, postParts) = withStatePartitions(s, 32) {
+      link(2); link(3)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      (q2.recentProgress.toSeq.filter(_.numInputRows > 0), stateParts(q2))
+    }
+    ConfPinRun(outDir.toString,
+      pre.map(_.batchId), pre.map(_.numInputRows).sum, preParts,
+      post.map(_.batchId), post.map(_.numInputRows).sum, postParts)
+  }
+
+  /** STATE-PARTITIONING conf-pin parity (round 13 — the operational
+    * contract beside recovery and evolution): a stateful query's state
+    * partition count is written into the checkpoint at FIRST start and
+    * must override the session's `spark.sql.shuffle.partitions` on
+    * every later restart — otherwise each of N state partitions would
+    * be asked for keys that hash elsewhere under the new modulus and
+    * the aggregate would silently drop or double-count. Phase 1 runs
+    * the watermarked hourly aggregate at 8 state partitions and stops
+    * mid-stream; phase 2 restarts the same checkpoint under a session
+    * conf of 32. The suite asserts the phase-2 state operator STILL
+    * ran 8 partitions (numShufflePartitions from the progress, both
+    * phases) and that the resume was real (batch ids advance, tail
+    * chunks only); the gate asserts the final output is exactly the
+    * uninterrupted run's — any state misrouting under-counts windows
+    * pending at the stop. At 100 TB this is the contract that makes
+    * cluster right-sizing safe: you can resize the CLUSTER, not a
+    * checkpoint's state layout (that needs offline state rebuild). */
+  lazy val streamConfPinParity: Q = Q(
+    "stream_conf_pin_parity",
+    """WITH fin AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm_final
+      |  FROM events)
+      |SELECT epoch_ms(date_trunc('hour', ts)) AS w_ms, event_type,
+      |  count(*) AS n
+      |FROM events, fin
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < wm_final
+      |GROUP BY 1, 2 ORDER BY w_ms, event_type""".stripMargin) { (s, d) =>
+    val run = runConfPin(s, d)
+    s.read.parquet(run.outDir).orderBy("w_ms", "event_type")
+  }
+
   /** QUERY-EVOLUTION restart parity (r12 verdict #4 — completes the
     * fault-tolerance contract stream_recovery_parity opened): a
     * production stream is never restarted only with the identical
@@ -1485,7 +1583,7 @@ object StreamingOps {
     streamWatermarkParity, streamUpsertParity, streamFileSinkParity,
     streamStateParity, streamTimeoutParity, streamStaticJoinParity,
     streamRecoveryParity, streamTwsParity, streamInitStateParity,
-    streamAvailableNowParity, streamEvolveParity)
+    streamAvailableNowParity, streamEvolveParity, streamConfPinParity)
 
   /** mapGroupsWithState parity — the CUSTOM-STATE API under the
     * declared gate (flatMapGroupsWithState sessionization is

@@ -61,7 +61,11 @@ object ScaleCheck {
     // round 11: sampled-source bounded-distance Brandes — the (seed,
     // node) σ-frontiers and 4-level anti-join chain are the same
     // superlinear-risk class as harmonic's pair frontiers
-    "k_betweenness")
+    "k_betweenness",
+    // round 13: the incremental batch-vs-corpus dedup pair — the
+    // bucket joins (LSH bands / sign-LSH tables) are the quadratic
+    // risk banding must suppress, same class as the self-dedup rows
+    "minhash_incremental", "cosine_incremental")
 
   private final class Shuffle extends SparkListener {
     val bytes = new AtomicLong(0)

@@ -145,6 +145,86 @@ class Round13OpsSuite extends SparkSpec {
     // at sf0.001 (250 x 250 docs), never the operator's plan
   }
 
+  // -------------------------------------------- stream_conf_pin_parity ---
+
+  test("stream_conf_pin_parity: the checkpoint pins 8 state " +
+    "partitions against a restart under conf 32, and the resume is " +
+    "real") {
+    val r = StreamingOps.runConfPin(spark, sfDir)
+    assert(r.preStateParts == 8,
+      s"phase 1 should run 8 state partitions, got ${r.preStateParts}")
+    // THE contract: the session said 32, the checkpoint must win
+    assert(r.postStateParts == 8,
+      s"restart re-partitioned state to ${r.postStateParts} — the " +
+        "checkpoint's layout must override the session conf")
+    assert(r.postBatchIds.nonEmpty &&
+      r.postBatchIds.min > r.preBatchIds.max,
+      s"post-restart batch ids ${r.postBatchIds} did not advance past " +
+        s"${r.preBatchIds}")
+    assert(r.preRows + r.postRows == eventCount(),
+      s"phases read ${r.preRows} + ${r.postRows} rows, " +
+        s"fixture has ${eventCount()}")
+  }
+
+  // ------------------------------------------ dynamic_overwrite_audit ---
+
+  test("dynamic_overwrite_audit: dynamic mode replaces ONLY the " +
+    "touched partition; static mode would drop every other partition") {
+    import scala.jdk.CollectionConverters._
+    def listing(dir: java.nio.file.Path): Map[String, Seq[String]] =
+      scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
+        st.iterator().asScala
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("month="))
+          .map { p =>
+            val files = scala.util.Using.resource(
+              java.nio.file.Files.list(p)) { fs =>
+              fs.iterator().asScala.map(f =>
+                s"${f.getFileName}:${java.nio.file.Files.size(f)}")
+                .toSeq.sorted
+            }
+            p.getFileName.toString -> files
+          }.toMap
+      }
+    val ord = graft.Tables.orders(spark, sfDir)
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+    val minMonth = ord.agg(min("month")).head.getString(0)
+    val upd = ord.filter(col("month") === minMonth)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+    // dynamic: only the min-month partition may change
+    val dynDir = tmpDir("dynover_dyn_")
+    ord.write.mode("overwrite").partitionBy("month").parquet(dynDir.toString)
+    val before = listing(dynDir)
+    assert(before.size > 1, s"fixture spans ${before.size} months — " +
+      "the audit needs untouched partitions to exist")
+    upd.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("month").parquet(dynDir.toString)
+    val after = listing(dynDir)
+    assert(after.keySet == before.keySet,
+      "dynamic overwrite changed the partition set")
+    val untouched = before.keySet - s"month=$minMonth"
+    untouched.foreach { m =>
+      assert(after(m) == before(m),
+        s"dynamic overwrite touched unrelated partition $m")
+    }
+    assert(after(s"month=$minMonth") != before(s"month=$minMonth"),
+      "the corrected partition was not rewritten")
+    // static counterfactual (Spark's default): the same write nukes
+    // every other partition — the failure mode dynamic mode exists
+    // to prevent
+    val statDir = tmpDir("dynover_static_")
+    ord.write.mode("overwrite").partitionBy("month")
+      .parquet(statDir.toString)
+    upd.write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("month").parquet(statDir.toString)
+    val statAfter = listing(statDir)
+    assert(statAfter.keySet == Set(s"month=$minMonth"),
+      s"static overwrite should leave ONLY month=$minMonth, " +
+        s"got ${statAfter.keySet}")
+  }
+
   // ---------------------------------------------- cosine_incremental ---
 
   test("cosine_incremental: every re-crawled batch vector is flagged " +
