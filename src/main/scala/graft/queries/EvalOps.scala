@@ -762,11 +762,61 @@ object EvalOps {
       .orderBy("brand")
   }
 
+  /** pass@k (round 13) — the standard code/reasoning-eval estimator
+    * (Chen et al. 2021, "Evaluating Large Language Models Trained on
+    * Code", eq. 1): for a problem with n samples of which c pass,
+    * the unbiased estimator is 1 − C(n−c, k)/C(n, k), computed in the
+    * numerically-stable product form 1 − Π_{i=0}^{k−1} (n−c−i)/(n−i)
+    * (never a factorial overflow), with the n−c < k branch pinned to
+    * exactly 1. Problems = users, samples = their events, a pass =
+    * event_type 'purchase' — the fixture mapping; the ESTIMATOR is the
+    * operator. Per k ∈ {1, 5, 10}: problems with n ≥ k, averaged.
+    * Pure map + explode over the per-user aggregate — no join of any
+    * kind, embarrassingly parallel at any scale; both engines fold the
+    * ≤10 product terms left-to-right in the same order. */
+  lazy val passAtK: Q = Q(
+    "pass_at_k",
+    """WITH s AS (SELECT user_id, count(*) AS n,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      |  FROM events GROUP BY user_id),
+      |x AS (SELECT k, n, c
+      |  FROM s CROSS JOIN (SELECT unnest([1, 5, 10]) AS k) ks
+      |  WHERE n >= k),
+      |p AS (SELECT k,
+      |    CASE WHEN n - c < k THEN 1.0
+      |    ELSE 1.0 - list_product(list_transform(range(0, k),
+      |      i -> ((n - c - i) / (n - i))))
+      |    END AS pass
+      |  FROM x)
+      |SELECT CAST(k AS BIGINT) AS k,
+      |  CAST(count(*) AS BIGINT) AS n_problems,
+      |  floor(avg(pass) * 1000000 + 0.5) / 1000000 AS pass_at_k
+      |FROM p GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("c"))
+    stats
+      .select(explode(array(lit(1L), lit(5L), lit(10L))).as("k"),
+        col("n"), col("c"))
+      .filter(col("n") >= col("k"))
+      .withColumn("pass",
+        when(col("n") - col("c") < col("k"), lit(1.0))
+          .otherwise(lit(1.0) - expr(
+            "aggregate(sequence(0, CAST(k AS INT) - 1), CAST(1.0 AS DOUBLE), " +
+              "(acc, i) -> acc * ((n - c - i) / (n - i)))")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_problems"),
+        (floor(avg(col("pass")) * 1000000 + lit(0.5)) / 1000000)
+          .as("pass_at_k"))
+      .orderBy("k")
+  }
+
   val all: Seq[Q] =
     Seq(aucRoc, prCurve, ndcgRetrieval, conformalInterval, miFeatures,
       isotonicCalibration, cohenKappa, eceCalibration, mcnemarTest,
       bradleyTerry, cateSegments, brierDecomposition, youdenMcc,
-      liftGain)
+      liftGain, passAtK)
 
   /** Cumulative gains / lift table: work the corpus from the highest
     * score bin down and report, per depth, the corpus share touched,

@@ -243,6 +243,38 @@ class Round13OpsSuite extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------- pass_at_k ---
+
+  test("pass_at_k: the product-form estimator equals the exact " +
+    "combinatorial definition 1 - C(n-c,k)/C(n,k) (BigInt replay)") {
+    val out = run("pass_at_k").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 5L, 10L))
+    val stats = graft.Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("c"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    def choose(n: Long, k: Long): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (0L until k).foldLeft(BigInt(1))((a, i) => a * (n - i) / (i + 1))
+    Seq(1L, 5L, 10L).foreach { k =>
+      val eligible = stats.filter(_._1 >= k)
+      val exact = eligible.map { case (n, c) =>
+        1.0 - (BigDecimal(choose(n - c, k)) / BigDecimal(choose(n, k)))
+          .toDouble
+      }
+      val mean = math.floor(exact.sum / exact.length * 1e6 + 0.5) / 1e6
+      val (nProblems, got) = out(k)
+      assert(nProblems == eligible.length,
+        s"k=$k: ${nProblems} problems declared, ${eligible.length} eligible")
+      assert(math.abs(got - mean) < 2e-6,
+        s"k=$k: estimator $got vs exact combinatorial $mean")
+      // anti-vacuity: the estimator must not be degenerate at either end
+      assert(got > 0.0 && got < 1.0, s"k=$k: degenerate pass@k $got")
+    }
+  }
+
   // ------------------------------------------------- sql_text_window ---
 
   test("sql_text_window: the text form runs Spark's Window exec and " +
