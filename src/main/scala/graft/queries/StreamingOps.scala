@@ -1443,6 +1443,60 @@ object StreamingOps {
     }
   }
 
+  /** CHAINED STATEFUL OPERATORS parity (round 13) — the hourly→daily
+    * rollup in ONE streaming query: a watermarked 1-hour windowed
+    * count re-aggregated by a SECOND stateful windowed aggregate into
+    * 1-day sums, the multiple-stateful-operator pipeline Spark
+    * supports natively since 3.4 (before that, production deployments
+    * chained two queries through an intermediate sink and paid a
+    * second checkpoint + sink round-trip). Rides the time-ordered
+    * chunk layout: a day emits iff the FINAL watermark passed its end,
+    * and every hour inside an emitted day has also ended before the
+    * watermark (hour end ≤ day end), so no partial day can emit and
+    * the oracle is one predicate over the raw events — no
+    * batch-protocol replay. The suite asserts TWO stateful operators
+    * in the executed streaming plan (the anti-vacuity: a planner that
+    * collapsed the rollup into one aggregate would not exercise the
+    * chained-state path) and ≥4 micro-batches. At 100 TB this halves
+    * the checkpoint traffic of every rollup cascade. */
+  lazy val streamChainedAggParity: Q = Q(
+    "stream_chained_agg_parity",
+    """WITH fin AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm_final
+      |  FROM events)
+      |SELECT epoch_ms(date_trunc('day', ts)) AS d_ms, event_type,
+      |  count(*) AS n_events,
+      |  count(DISTINCT date_trunc('hour', ts)) AS n_hours
+      |FROM events, fin
+      |WHERE date_trunc('day', ts) + INTERVAL 1 DAY < wm_final
+      |GROUP BY 1, 2 ORDER BY d_ms, event_type""".stripMargin) { (s, d) =>
+    val sink = s"stream_chained_agg_sink_${sinkId.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val hourly = timeOrderedFileStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("hw"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val daily = hourly
+        .groupBy(window(col("hw"), "1 day").as("dw"), col("event_type"))
+        .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_hours"))
+        .select(unix_millis(col("dw.start")).as("d_ms"), col("event_type"),
+          col("n_events"), col("n_hours"))
+      val q = daily.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        lastChainedPlan.set(q.lastProgress)
+      } finally q.stop()
+    }
+    s.table(sink).orderBy("d_ms", "event_type")
+  }
+
+  /** Last StreamingQueryProgress of the chained-agg query, for the
+    * Round13 suite's two-stateful-operator assertion (the progress
+    * carries one stateOperators entry per stateful exec). */
+  private[graft] val lastChainedPlan =
+    new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.streaming.StreamingQueryProgress](null)
+
   /** Everything the Round13 suite needs from a conf-pin restart: phase
     * batch ids / rows (the resume must be real) and the state
     * operator's ACTUAL shuffle-partition count in each phase (the
@@ -1583,7 +1637,8 @@ object StreamingOps {
     streamWatermarkParity, streamUpsertParity, streamFileSinkParity,
     streamStateParity, streamTimeoutParity, streamStaticJoinParity,
     streamRecoveryParity, streamTwsParity, streamInitStateParity,
-    streamAvailableNowParity, streamEvolveParity, streamConfPinParity)
+    streamAvailableNowParity, streamEvolveParity, streamConfPinParity,
+    streamChainedAggParity)
 
   /** mapGroupsWithState parity — the CUSTOM-STATE API under the
     * declared gate (flatMapGroupsWithState sessionization is

@@ -243,6 +243,33 @@ class Round13OpsSuite extends SparkSpec {
     }
   }
 
+  // ---------------------------------------- stream_chained_agg_parity ---
+
+  test("stream_chained_agg_parity: TWO stateful operators ran in one " +
+    "streaming query across >= 4 micro-batches") {
+    val out = run("stream_chained_agg_parity").collect()
+    assert(out.nonEmpty)
+    val prog = StreamingOps.lastChainedPlan.get()
+    assert(prog != null, "no progress captured")
+    // the anti-vacuity: the hourly agg and the daily rollup must BOTH
+    // be stateful operators in the same query (a collapsed single
+    // aggregate would report one)
+    assert(prog.stateOperators.length == 2,
+      s"expected 2 stateful operators, got " +
+        s"${prog.stateOperators.length}: " +
+        prog.stateOperators.map(_.operatorName).mkString(", "))
+    // and the run was genuinely multi-batch (4 chunk files,
+    // maxFilesPerTrigger = 1)
+    assert(prog.batchId >= 3,
+      s"expected >= 4 micro-batches, last batchId ${prog.batchId}")
+    // every emitted day aggregates a full day of hours: n_hours is
+    // bounded by 24 and every n_events >= n_hours
+    out.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 24, s"bad n_hours: $r")
+      assert(r.getLong(2) >= r.getLong(3), s"n_events < n_hours: $r")
+    }
+  }
+
   // ------------------------------------------------------- pass_at_k ---
 
   test("pass_at_k: the product-form estimator equals the exact " +
