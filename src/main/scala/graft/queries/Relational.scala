@@ -1976,8 +1976,44 @@ object Relational {
     s.sql(SqlTextWindowSql)
   }
 
+  /** [[sqlHintAudit]]'s shared text: the join-strategy HINT surface.
+    * A hint comment (slash-star-plus BROADCAST(nation) star-slash) is
+    * a Spark planner directive and an ignored comment to DuckDB — one
+    * string, two engines, zero translation. Result shape is
+    * hint-INdependent (hints may never change semantics); the Round13
+    * suite proves the directive is load-bearing by planning the same
+    * text under BROADCAST vs SHUFFLE_MERGE and asserting
+    * BroadcastHashJoin vs SortMergeJoin with identical results. */
+  private[graft] def sqlHintSql(hint: String): String =
+    s"""SELECT /*+ $hint */ n_name,
+       |  CAST(count(*) AS BIGINT) AS n_suppliers,
+       |  CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT))
+       |    AS BIGINT) AS acctbal_cents
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
+  /** SQL JOIN-HINT surface (round 13, widening the text front end a
+    * third step after [[sqlTextParity]]/[[sqlTextWindow]]): the query
+    * a SQL user writes when the optimizer's stats are stale and the
+    * dimension MUST broadcast — the BROADCAST(dim) hint comment.
+    * Hints are directives to Spark's planner and plain comments to
+    * DuckDB, so the identical string is the oracle. The gate proves
+    * the hinted plan still returns exactly the right rows; the suite
+    * proves the hint actually steered the physical join (BHJ under
+    * BROADCAST, SMJ under SHUFFLE_MERGE — same text otherwise) — at
+    * 100 TB the BROADCAST hint on a 25-row dim avoids a full fact
+    * shuffle no matter what the CBO estimates. */
+  lazy val sqlHintAudit: Q = Q(
+    "sql_hint_audit",
+    sqlHintSql("BROADCAST(nation)")) { (s, d) =>
+    sup(s, d).createOrReplaceTempView("supplier")
+    nat(s, d).createOrReplaceTempView("nation")
+    s.sql(sqlHintSql("BROADCAST(nation)"))
+  }
+
   val all: Seq[Q] = Seq(
-    sqlTextParity, sqlTextWindow,
+    sqlTextParity, sqlTextWindow, sqlHintAudit,
     q118Skyline, q119AssocRules,
     q87Mode, q88StringAgg, q93OhlcBars, q94EwmaSmooth,
     q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert, q73Ecdf, q74RangeJoin,

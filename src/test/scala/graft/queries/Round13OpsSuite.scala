@@ -324,6 +324,33 @@ class Round13OpsSuite extends SparkSpec {
       "SQL-text window form and DSL twin disagree")
   }
 
+  // -------------------------------------------------- sql_hint_audit ---
+
+  test("sql_hint_audit: the hint steers the physical join — BHJ under " +
+    "BROADCAST, SMJ under SHUFFLE_MERGE — with identical results") {
+    graft.Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    graft.Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    // pin the static threshold to -1 so the PLANNER would not
+    // broadcast on its own: the hint must be the only reason
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val bhj = spark.sql(Relational.sqlHintSql("BROADCAST(nation)"))
+      val smj = spark.sql(Relational.sqlHintSql("SHUFFLE_MERGE(nation)"))
+      val bhjPlan = bhj.queryExecution.executedPlan.toString
+      val smjPlan = smj.queryExecution.executedPlan.toString
+      assert(bhjPlan.contains("BroadcastHashJoin"),
+        s"BROADCAST hint did not produce a BHJ:\n${bhjPlan.take(400)}")
+      assert(!smjPlan.contains("BroadcastHashJoin") &&
+        smjPlan.contains("SortMergeJoin"),
+        s"SHUFFLE_MERGE hint did not produce an SMJ:\n${smjPlan.take(400)}")
+      // hints may never change semantics
+      assert(bhj.exceptAll(smj).isEmpty && smj.exceptAll(bhj).isEmpty,
+        "hinted plans disagree on results")
+    } finally spark.conf.set(key, prev)
+  }
+
   // ------------------------------------------------- sql_text_parity ---
 
   test("sql_text_parity: the SQL text and the DataFrame DSL produce " +
