@@ -1525,6 +1525,91 @@ object IncrOps {
       .orderBy("month")
   }
 
+  /** VARIANT semi-structured extraction (round 13) — Spark 4's
+    * headline type for JSON-shaped data: `parse_json` turns the props
+    * string into a binary VARIANT once, `variant_get` extracts typed
+    * fields WITHOUT re-tokenizing the JSON text per access (the
+    * engine-path difference vs q44's get_json_object, which re-parses
+    * the string for every path; with several extracted fields per row
+    * at 100 TB, parse-once is the difference between one and N parses
+    * per row). Gate: per-type aggregates of the extracted integer —
+    * count/sum/min/max, all exact. The Round13 suite asserts the
+    * VariantGet expression is really in the plan and that the variant
+    * path agrees with the string path row-for-row. */
+  lazy val variantAgg: Q = Q(
+    "variant_agg",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS BIGINT) AS k_sum,
+      |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS BIGINT) AS k_min,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS BIGINT) AS k_max
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+        min("k").as("k_min"), max("k").as("k_max"))
+      .orderBy("event_type")
+  }
+
+  private val obsId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** `Dataset.observe` metrics (round 13) — the production
+    * data-quality hook: named aggregate metrics that ride the SAME
+    * scan as the real query (zero extra passes — at 100 TB a second
+    * validation scan doubles the bill, which is exactly what observe
+    * exists to avoid). The real query here is the per-user purchase
+    * count; the observation collects row count, null-props count,
+    * value-threshold counts, and id bounds off the identical
+    * (pre-filter) scan, and the declared RESULT is the observed
+    * metrics themselves, gated against the oracle's straight
+    * aggregates — proving the piggybacked metrics equal what a
+    * dedicated scan would have computed. EAGER execution (scaladoc
+    * contract shared with the audit family): the noop action inside
+    * the builder is what materializes the observation; the returned
+    * DataFrame is the 5-row metric table. Integer metrics only — no
+    * accumulation-order hazard. */
+  lazy val observeMetrics: Q = Q(
+    "observe_metrics",
+    """SELECT * FROM (
+      |  SELECT 'max_id' AS metric, CAST(max(event_id) AS BIGINT) AS value
+      |    FROM events
+      |  UNION ALL
+      |  SELECT 'min_id', CAST(min(event_id) AS BIGINT) FROM events
+      |  UNION ALL
+      |  SELECT 'n_big_value', CAST(sum(CASE WHEN value >= 100 THEN 1
+      |    ELSE 0 END) AS BIGINT) FROM events
+      |  UNION ALL
+      |  SELECT 'n_null_props', CAST(sum(CASE WHEN props IS NULL THEN 1
+      |    ELSE 0 END) AS BIGINT) FROM events
+      |  UNION ALL
+      |  SELECT 'n_rows', CAST(count(*) AS BIGINT) FROM events
+      |) ORDER BY metric""".stripMargin) { (s, d) =>
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_dq_${obsId.incrementAndGet()}")
+    val observed = Tables.events(s, d)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("props").isNull, 1).otherwise(0)).as("n_null_props"),
+        sum(when(col("value") >= 100, 1).otherwise(0)).as("n_big_value"),
+        min("event_id").as("min_id"),
+        max("event_id").as("max_id"))
+    // the REAL query the metrics piggyback on (its result is not the
+    // declared output; the metric table is)
+    observed.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    val rows = Seq("max_id", "min_id", "n_big_value", "n_null_props",
+      "n_rows").map(k => (k, m(k).toString.toLong))
+    import s.implicits._
+    rows.toDF("metric", "value").orderBy("metric")
+  }
+
   /** Build (once per session × fixture) the two-vintage layout behind
     * [[schemaDriftAudit]]: vintage 1 (even order keys) was written
     * BEFORE a migration added `o_orderpriority`; vintage 2 (odd keys)
@@ -1851,6 +1936,6 @@ object IncrOps {
     runtimeFilterAudit, skewJoinAudit, dppAudit, aqeBhjAudit,
     aqeCoalesceAudit, compactionAudit, schemaDriftAudit, cdcApply,
     exchangeReuseAudit, cboJoinReorderAudit, orcRoundtrip,
-    dynamicOverwriteAudit,
+    dynamicOverwriteAudit, observeMetrics, variantAgg,
     catalogCoverage, broadcastAdvisor)
 }

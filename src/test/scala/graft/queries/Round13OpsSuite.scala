@@ -324,6 +324,51 @@ class Round13OpsSuite extends SparkSpec {
       "SQL-text window form and DSL twin disagree")
   }
 
+  // ------------------------------------------------- observe_metrics ---
+
+  test("observe_metrics: the piggybacked observation equals a " +
+    "dedicated scan, and the metrics rode the REAL query's execution") {
+    val out = run("observe_metrics").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = graft.Tables.events(spark, sfDir)
+    val dedicated = ev.agg(
+      count(lit(1)), sum(when(col("props").isNull, 1).otherwise(0)),
+      sum(when(col("value") >= 100, 1).otherwise(0)),
+      min("event_id"), max("event_id")).head
+    assert(out("n_rows") == dedicated.getLong(0))
+    assert(out("n_null_props") == dedicated.getLong(1))
+    assert(out("n_big_value") == dedicated.getLong(2))
+    assert(out("min_id") == dedicated.getLong(3))
+    assert(out("max_id") == dedicated.getLong(4))
+    // anti-vacuity: the thresholded metric must split the corpus (a
+    // metric that is 0 or n_rows proves nothing about the predicate)
+    assert(out("n_big_value") > 0 && out("n_big_value") < out("n_rows"),
+      s"n_big_value ${out("n_big_value")} degenerate vs ${out("n_rows")}")
+  }
+
+  // ----------------------------------------------------- variant_agg ---
+
+  test("variant_agg: the VARIANT path (parse_json + variant_get) is " +
+    "really in the plan and agrees with the string path row-for-row") {
+    val plan = graft.Tables.events(spark, sfDir)
+      .select(variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("variant_get") || plan.contains("VariantGet"),
+      s"no VariantGet in plan:\n${plan.take(300)}")
+    val viaVariant = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+    val viaString = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    assert(viaVariant.exceptAll(viaString).isEmpty &&
+      viaString.exceptAll(viaVariant).isEmpty,
+      "variant extraction disagrees with string extraction")
+    // sanity on the gated aggregate shape
+    val out = run("variant_agg").collect()
+    assert(out.length == 5 && out.forall(r => r.getLong(1) > 0))
+  }
+
   // -------------------------------------------------- sql_hint_audit ---
 
   test("sql_hint_audit: the hint steers the physical join — BHJ under " +
