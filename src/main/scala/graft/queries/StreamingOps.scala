@@ -1497,6 +1497,86 @@ object StreamingOps {
     new java.util.concurrent.atomic.AtomicReference[
       org.apache.spark.sql.streaming.StreamingQueryProgress](null)
 
+  /** What the Round13 suite needs from the sink-metadata audit: the
+    * sink dir, the row count the metadata-aware read sees, the count a
+    * raw glob read sees, and the stranger file's row count. */
+  final case class SinkMetadataRun(outDir: String,
+      metadataRows: Long, globRows: Long, strangerRows: Long)
+
+  /** Core of [[streamSinkMetadataAudit]]: run the watermarked
+    * aggregate through the parquet FileStreamSink, then smuggle a
+    * foreign parquet file (a copy of the sink's own first data file)
+    * into the directory BESIDE the `_spark_metadata` log. */
+  private[graft] def runSinkMetadata(s: org.apache.spark.sql.SparkSession,
+      d: String): SinkMetadataRun = {
+    val chunks = timeChunkDir(s, d)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sinkmeta_ckpt_")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_sinkmeta_out_")
+    withStatePartitions(s, 8) {
+      val physical = s.read.parquet(s"$d/events.parquet").schema
+      val streamed = s.readStream.schema(physical)
+        .option("maxFilesPerTrigger", "1").parquet(chunks)
+      val src = if (physical("ts").dataType == LongType)
+        streamed.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else streamed
+      val q = src.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("w.start")).as("w_ms"), col("event_type"),
+          col("n"))
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // the smuggled file: a byte-copy of the sink's own first data file,
+    // dropped into the dir WITHOUT a commit-log entry (what a naive
+    // out-of-band compactor or a stray distcp does to a sink dir)
+    val first = scala.util.Using.resource(
+      java.nio.file.Files.list(outDir)) { st =>
+      st.iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq.minBy(_.toString)
+    }
+    val stranger = outDir.resolve("part-99999-stranger.parquet")
+    java.nio.file.Files.copy(first, stranger)
+    val strangerRows = s.read.parquet(stranger.toString).count()
+    val metadataRows = s.read.parquet(outDir.toString).count()
+    // raw glob read bypasses the log by addressing files, not the dir
+    val globRows = s.read.parquet(s"$outDir/part-*.parquet").count()
+    SinkMetadataRun(outDir.toString, metadataRows, globRows, strangerRows)
+  }
+
+  /** FileStreamSink `_spark_metadata` CONTRACT audit (round 13) — the
+    * production pitfall every team hits once: a streaming sink
+    * directory is NOT a plain parquet directory. Reads of the dir are
+    * served from the sink's commit log (`_spark_metadata`), so files
+    * added out-of-band — a naive compactor, a stray copy, a
+    * half-failed task's orphan — are INVISIBLE to downstream readers
+    * (and conversely, that's what makes the sink exactly-once: an
+    * uncommitted file is never read). This row smuggles a copy of the
+    * sink's own first data file into the dir and declares the
+    * metadata-aware aggregate, which must equal the uninterrupted
+    * run's output — i.e. the stranger file must NOT be double-counted.
+    * The suite additionally proves the stranger IS physically there (a
+    * raw glob read sees exactly strangerRows more). At 100 TB this is
+    * why sink compaction must rewrite the metadata log, not just the
+    * files. */
+  lazy val streamSinkMetadataAudit: Q = Q(
+    "stream_sink_metadata_audit",
+    """WITH fin AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm_final
+      |  FROM events)
+      |SELECT epoch_ms(date_trunc('hour', ts)) AS w_ms, event_type,
+      |  count(*) AS n
+      |FROM events, fin
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < wm_final
+      |GROUP BY 1, 2 ORDER BY w_ms, event_type""".stripMargin) { (s, d) =>
+    val run = runSinkMetadata(s, d)
+    s.read.parquet(run.outDir).orderBy("w_ms", "event_type")
+  }
+
   /** Everything the Round13 suite needs from a conf-pin restart: phase
     * batch ids / rows (the resume must be real) and the state
     * operator's ACTUAL shuffle-partition count in each phase (the
@@ -1638,7 +1718,7 @@ object StreamingOps {
     streamStateParity, streamTimeoutParity, streamStaticJoinParity,
     streamRecoveryParity, streamTwsParity, streamInitStateParity,
     streamAvailableNowParity, streamEvolveParity, streamConfPinParity,
-    streamChainedAggParity)
+    streamChainedAggParity, streamSinkMetadataAudit)
 
   /** mapGroupsWithState parity — the CUSTOM-STATE API under the
     * declared gate (flatMapGroupsWithState sessionization is

@@ -324,6 +324,24 @@ class Round13OpsSuite extends SparkSpec {
       "SQL-text window form and DSL twin disagree")
   }
 
+  // ------------------------------------- stream_sink_metadata_audit ---
+
+  test("stream_sink_metadata_audit: the smuggled file is physically " +
+    "present (glob sees it) but invisible to the metadata-aware read") {
+    val r = StreamingOps.runSinkMetadata(spark, sfDir)
+    assert(r.strangerRows > 0, "stranger file is empty — vacuous")
+    // physically there: the raw glob read counts it
+    assert(r.globRows == r.metadataRows + r.strangerRows,
+      s"glob ${r.globRows} != metadata ${r.metadataRows} + " +
+        s"stranger ${r.strangerRows}")
+    // and the metadata-aware read equals the committed output alone —
+    // the gate re-checks this against the oracle; here we pin the
+    // MECHANISM (same dir, two different row counts)
+    assert(r.globRows > r.metadataRows,
+      "metadata-aware and glob reads agree — the commit log was not " +
+        "consulted, the audit is vacuous")
+  }
+
   // ------------------------------------------------- observe_metrics ---
 
   test("observe_metrics: the piggybacked observation equals a " +
