@@ -2012,8 +2012,45 @@ object Relational {
     s.sql(sqlHintSql("BROADCAST(nation)"))
   }
 
+  /** PARAMETERIZED SQL surface (round 13, the fourth text-front-end
+    * row): `spark.sql(text, args)` with named `:param` markers — the
+    * injection-safe way an APPLICATION calls SQL (string interpolation
+    * of user input into query text is the classic injection hole;
+    * named-parameter binding is the fix, and Spark supports it
+    * natively). The parameter values bind as typed literals into the
+    * parsed plan, so Catalyst still constant-folds and pushes the
+    * predicate to the scan exactly as if they were inline literals
+    * (Round13 suite asserts PushedFilters AND that the bound form
+    * equals the inline-literal form). The oracle inlines the same
+    * constants — semantics, not the binding mechanism, is what the
+    * gate can check; the suite covers the mechanism. */
+  private[graft] val SqlParamSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM orders
+      |WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  lazy val sqlParamParity: Q = Q(
+    "sql_param_parity",
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM orders
+      |WHERE o_totalprice >= 50000.0 AND o_orderstatus = 'O'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    ord(s, d).createOrReplaceTempView("orders")
+    s.sql(SqlParamSql,
+      Map("min_price" -> 50000.0, "status" -> "O"))
+  }
+
   val all: Seq[Q] = Seq(
-    sqlTextParity, sqlTextWindow, sqlHintAudit,
+    sqlTextParity, sqlTextWindow, sqlHintAudit, sqlParamParity,
     q118Skyline, q119AssocRules,
     q87Mode, q88StringAgg, q93OhlcBars, q94EwmaSmooth,
     q57Outliers, q58Zorder, q59Scd2, q63MergeUpsert, q73Ecdf, q74RangeJoin,

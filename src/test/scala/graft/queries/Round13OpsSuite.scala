@@ -387,6 +387,32 @@ class Round13OpsSuite extends SparkSpec {
     assert(out.length == 5 && out.forall(r => r.getLong(1) > 0))
   }
 
+  // ------------------------------------------------ sql_param_parity ---
+
+  test("sql_param_parity: named-parameter binding constant-folds like " +
+    "inline literals (pushed to the scan) and resists injection") {
+    graft.Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    val bound = spark.sql(Relational.SqlParamSql,
+      Map("min_price" -> 50000.0, "status" -> "O"))
+    val inline = spark.sql(Relational.SqlParamSql
+      .replace(":min_price", "50000.0").replace(":status", "'O'"))
+    assert(bound.exceptAll(inline).isEmpty &&
+      inline.exceptAll(bound).isEmpty,
+      "bound form and inline-literal form disagree")
+    // the bound predicate still reaches the parquet scan
+    val plan = bound.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(o_totalprice"),
+      "bound parameter predicate not pushed to the scan")
+    // the injection-safety contract: a hostile value binds as ONE
+    // string literal, never as SQL text
+    val hostile = spark.sql(Relational.SqlParamSql,
+      Map("min_price" -> 50000.0,
+        "status" -> "O' OR '1'='1"))
+    assert(hostile.collect().isEmpty,
+      "hostile parameter value was interpreted as SQL text — injection")
+  }
+
   // -------------------------------------------------- sql_hint_audit ---
 
   test("sql_hint_audit: the hint steers the physical join — BHJ under " +
