@@ -614,10 +614,19 @@ object CurationOps {
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-    val hb = tk.withColumn("b", expr(
-      "aggregate(transform(sequence(0, least(length(w), 8) - 1), " +
-        "j -> ascii(substring(w, j + 1, 1)) * CAST(pow(31, j) AS BIGINT)), " +
-        "0L, (a, x) -> a + x) % 1024"))
+    // Unrolled 8-char 31-polynomial bucket (optimization round 13, guide
+    // §"expressions and codegen"): the higher-order fold ran interpreted
+    // per TOKEN (every word of every document); eight flat
+    // ascii(substring) terms whole-stage-codegen. Positions past the
+    // word's end contribute ascii('') = 0 — exactly the terms the old
+    // least(length(w), 8) bound excluded — so the BIGINT bucket is
+    // bit-identical (exact-integer sum, order irrelevant).
+    val hb = tk.withColumn("b", {
+      val pow31 = Array.iterate(1L, 8)(_ * 31L)
+      (0 until 8).map(j =>
+        ascii(substring(col("w"), j + 1, 1)).cast("long") * lit(pow31(j)))
+        .reduce(_ + _) % lit(1024L)
+    })
     val db = hb.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cdw"))
     val rcnt = hb.groupBy("b").agg(count(lit(1)).as("rc"))
     val tcnt = hb.filter(col("lang") === "en")

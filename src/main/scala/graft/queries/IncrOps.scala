@@ -523,11 +523,17 @@ object IncrOps {
     // odd — one map-side expression, exact BIGINT. The projection is
     // cached because BOTH layouts rank it (2 × (count + range shuffle
     // + rank pass) = 6 scans uncached); ~20 MB at sf0.1.
-    val withZ = li0.withColumn("zv", expr(
-      """aggregate(sequence(0, 9), CAST(0 AS BIGINT),
-        |  (acc, b) -> acc
-        |    | shiftleft(shiftright(x, b) & 1, 2 * b)
-        |    | shiftleft(shiftright(y, b) & 1, 2 * b + 1))""".stripMargin))
+    // Unrolled Morton interleave (optimization round 13, guide
+    // §"expressions and codegen"): the former aggregate(sequence(0,9))
+    // higher-order fold was interpreted per ROW (600k rows); twenty flat
+    // shift/mask/OR terms whole-stage-codegen and the bitwise OR is
+    // order-independent, so the BIGINT result is bit-identical.
+    val withZ = li0.withColumn("zv",
+      (0 until 10).map { b =>
+        shiftleft(shiftright(col("x"), b).bitwiseAND(lit(1L)), 2 * b)
+          .bitwiseOR(
+            shiftleft(shiftright(col("y"), b).bitwiseAND(lit(1L)), 2 * b + 1))
+      }.reduce(_ bitwiseOR _))
       .cache()
     def layout(name: String, key: String) =
       graft.ops.DistributedNtile.ntile(

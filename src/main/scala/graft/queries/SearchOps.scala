@@ -70,10 +70,17 @@ object SearchOps {
       |           * CAST(pow(31, j) AS BIGINT)), 'sum') % 1000003) AS BIGINT)
       |  FROM o)
       |SELECT tbl, n_rows, fingerprint FROM fp ORDER BY tbl""".stripMargin) { (s, d) =>
-    val poly = (h: org.apache.spark.sql.Column) => expr(
-      "aggregate(transform(sequence(0, 7), " +
-        "j -> ascii(substring(h, CAST(j + 1 AS INT), 1)) * CAST(pow(31, j) AS BIGINT)), " +
-        "0L, (a, x) -> a + x) % 1000003")
+    // Unrolled 31-polynomial (optimization round 13, guide §"expressions
+    // and codegen"): the former aggregate(transform(sequence(0,7),...))
+    // higher-order form is interpreted per ROW (lambda eval + a boxed
+    // 8-element array per digest — 750k rows/scan here); eight flat
+    // ascii(substring) terms whole-stage-codegen. Exact-integer sum, so
+    // the result is bit-identical (addition order is irrelevant for
+    // BIGINTs) — oracle re-verified at both SFs in the same commit.
+    val pow31 = Array.iterate(1L, 8)(_ * 31L)
+    val poly = (h: org.apache.spark.sql.Column) =>
+      (0 until 8).map(j => ascii(substring(h, j + 1, 1)).cast("long") * lit(pow31(j)))
+        .reduce(_ + _) % lit(1000003L)
     def fp(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_rows"), sum(poly(col("h"))).as("fingerprint"))
         .select(lit(name).as("tbl"), col("n_rows"), col("fingerprint"))
