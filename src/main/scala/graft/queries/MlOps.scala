@@ -486,10 +486,19 @@ object MlOps {
        |ORDER BY sz.cid""".stripMargin) { (s, d) =>
     val dot = graft.functions.GraftFunctions.dotNative _
     val (a3, _, cleanup) = lloyd(s, d)
+    // Persisted: the cluster-bounded pair join reads `mem` TWICE (both
+    // sides) and the size aggregate a third time — each read otherwise
+    // re-executes the whole Lloyd assignment pass (RDD-backed, so
+    // exchange reuse can't dedupe it; the davies_bouldin finding). The
+    // relation is corpus-sized, so at 100 TB this persist IS the
+    // production shape (store the assignment, then self-join it); the
+    // battery harness sweeps it between queries like pagerank's
+    // adjacency. Measured ~1.7s -> ~1.2s at sf0.1.
     val mem = a3
       .withColumn("xd", expr("transform(xi, v -> CAST(v AS DOUBLE) / 1048576.0D)"))
       .withColumn("nx", sqrt(dot(col("xd"), col("xd"))))
       .select(col("id"), col("cid"), col("xd"), col("nx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = mem.select(col("cid"), col("id").as("id_a"),
       col("xd").as("xa"), col("nx").as("na"))
     val b = mem.select(col("cid"), col("id").as("id_b"),
@@ -1253,25 +1262,40 @@ object MlOps {
       .select(col("cid"), expr("aggregate(xi, 0L, (a, x) -> a + x * x)")
         .as("xx"))
       .groupBy("cid").agg(sum("xx").as("sxx"))
-    val si = c3f().join(sx, "cid")
+    // `si` is consumed THREE times (both sides of the 8x8 grid + the
+    // final projection) and `mx` twice; each reference re-executed the
+    // whole assign+aggregate subtree because the rank-free kmeans path
+    // is RDD-backed and exchange reuse cannot dedupe it (the
+    // q79_mad_outliers finding; the r13-opt plan dump showed the
+    // two-Exchange aggregation FIVE times). Both relations are k = 8
+    // rows, so the established bounded-driver-traffic materialization
+    // collapses the query to exactly ONE assignment pass. Measured
+    // 2.64s -> ~1.2s at sf0.1; results bit-identical (same rows,
+    // collected and re-emitted).
+    import scala.jdk.CollectionConverters._
+    def tiny(df: DataFrame): DataFrame = {
+      val rows = df.collect().toSeq // k = 8 rows, k-bounded
+      s.createDataFrame(rows.asJava, df.schema)
+    }
+    val si = tiny(c3f().join(sx, "cid")
       .withColumn("md", expr("transform(cs, v -> CAST(v AS DOUBLE) " +
         "/ CAST(cn AS DOUBLE) / 1048576.0D)"))
       .withColumn("s", sqrt((col("sxx").cast("double")
         - expr("aggregate(sequence(1, 64), 0D, (a, i) -> " +
           "a + CAST(cs[i - 1] AS DOUBLE) * cs[i - 1] / cn)"))
         / col("cn")) / 1048576.0)
-      .select("cid", "cn", "md", "s")
+      .select("cid", "cn", "md", "s"))
     val a = si.select(col("cid").as("ci"), col("cn"), col("md").as("mda"),
       col("s").as("sa"))
     val b = si.select(col("cid").as("cj"), col("md").as("mdb"),
       col("s").as("sb"))
-    val mx = a.join(broadcast(b), col("ci") =!= col("cj")) // 8x8 grid
+    val mx = tiny(a.join(broadcast(b), col("ci") =!= col("cj")) // 8x8 grid
       .withColumn("dij", sqrt(expr("aggregate(sequence(1, 64), 0D, " +
         "(a, i) -> a + (mda[i - 1] - mdb[i - 1]) " +
         "* (mda[i - 1] - mdb[i - 1]))")))
       .groupBy(col("ci").as("cid"))
       .agg(first("cn").as("n"),
-        max((col("sa") + col("sb")) / col("dij")).as("rmax"))
+        max((col("sa") + col("sb")) / col("dij")).as("rmax")))
     val db = mx.agg((expr("aggregate(transform(array_sort(" +
       "collect_list(struct(cid, rmax))), t -> t.rmax), 0D, (a, x) -> a + x)")
       / count(lit(1)).cast("double")).as("dbi"))
