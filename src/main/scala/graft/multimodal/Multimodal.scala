@@ -33,6 +33,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Spread the doc corpus across the session's parallelism BEFORE the
+    * per-row encode UDF (optimization round 13 — the CosineDedup.scala
+    * r12 discipline): the fixture is a single small parquet file, so
+    * the scan is ONE input split and every codec encode+decode ran on
+    * one core (measured: media_h264_pcm 2.9s at sf0.1, ~all of it a
+    * single-task stage). The repartition moves only (id, text) rows —
+    * payloads are synthesized after it, so the "payloads never
+    * shuffle" contract is untouched. At production file counts the
+    * scan is already wide and this is a no-op-sized safety net. */
+  private def spread(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
   /** media schema: (media_id, modality, payload, meta{width,height,
     * n_frames,sample_rate,format}). Fabricated deterministically from
     * any (id, text) corpus so every sf dir yields a media table. */
@@ -105,7 +117,7 @@ object Multimodal {
       }
     }
     val m = pmod(col(idCol), lit(3L))
-    docs.select(
+    spread(docs).select(
       col(idCol).as("media_id"),
       when(m === 0, "bmp").when(m === 1, "wav").otherwise("y4m").as("format"),
       // asNondeterministic is an OPTIMIZER FENCE, not a statement about
@@ -139,7 +151,7 @@ object Multimodal {
       val rgb = Array.tabulate(w * h * 3)(j => text.charAt(j % len).toByte)
       graft.multimodal.Codecs.pngEncode(w, h, rgb)
     }
-    docs.select(
+    spread(docs).select(
       col(idCol).as("media_id"),
       lit("png").as("format"),
       enc(col(idCol), col(textCol)).as("payload"))
@@ -171,7 +183,7 @@ object Multimodal {
         })
       GifCodec.gifEncode(w, h, frames)
     }
-    docs.select(
+    spread(docs).select(
       col(idCol).as("media_id"),
       lit("gif").as("format"),
       enc(col(idCol), col(textCol)).as("payload"))
@@ -206,7 +218,7 @@ object Multimodal {
       }
       H264Encoder.encode(32, 16, frames, qp = 26, allPcm = true)._1
     }
-    docs.select(
+    spread(docs).select(
       col(idCol).as("media_id"),
       lit("h264").as("format"),
       enc(col(idCol), col(textCol)).as("payload"))
