@@ -71,8 +71,18 @@ object AnnLsh {
     val buckets = array(hp.zipWithIndex.map { case (planes, t) =>
       struct(lit(t).as("table"), tableSig(v, planes).as("bucket"))
     }: _*)
-    vectors.select(col(idCol).as("id"), v.as("vec"),
-      explode(buckets).as("tb"))
+    // Spread the signature pass across the session's parallelism
+    // (optimization round 13 — the CosineDedup r12 discipline, moved
+    // into the index itself so EVERY consumer gets it): the pass is
+    // tables × bits hyperplane dots per vector — the index's hot loop —
+    // and a single-file fixture otherwise computes it on one core
+    // (measured: ann_cosine_topk's corpus signatures single-task). The
+    // repartition moves only (id, vec) rows; at production file counts
+    // the scan is already wide and this is a no-op-sized safety net.
+    vectors
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), v.as("vec"),
+        explode(buckets).as("tb"))
       .select(col("id"), col("tb.table"), col("tb.bucket"), col("vec"))
   }
 

@@ -23,17 +23,11 @@ object CosineDedup {
     // cached: the self-join reads the index twice, and the signature
     // pass (tables × bits hyperplane dots per vector) is the expensive
     // stage — at scale this materializes as a stored index instead.
-    // The input is repartitioned to the session's parallelism first:
-    // the signature pass is pure per-row CPU (the index's hot loop),
-    // and a single-file fixture otherwise computes it on ONE core —
-    // r12 measured 2×2.5s single-task stages (the self-join's two
-    // sides race the cold cache) collapsing to ~0.2s once spread; the
-    // repartition itself moves only |V|·dim doubles, trivial beside
-    // the compute it parallelizes. At 100 TB the input arrives in
-    // thousands of files and this is a no-op-sized safety net.
-    val idx = AnnLsh.index(
-      vectors.repartition(vectors.sparkSession.sparkContext.defaultParallelism),
-      idCol, vecCol, p).drop("vec").cache()
+    // The session-parallelism spread that r12 added here (single-file
+    // fixtures computed the signature pass on ONE core) now lives in
+    // AnnLsh.index itself (optimization round 13), so every index
+    // consumer gets it and this call site stays repartition-free.
+    val idx = AnnLsh.index(vectors, idCol, vecCol, p).drop("vec").cache()
     val candidates = idx.as("x")
       .join(idx.as("y"),
         col("x.table") === col("y.table")
@@ -67,11 +61,9 @@ object CosineDedup {
       idCol: String, vecCol: String, minCosine: Double = 0.95,
       p: AnnLsh.Params = AnnLsh.Params(bitsPerTable = 8, tables = 12))
       : DataFrame = {
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val ci = AnnLsh.index(corpus.repartition(par), idCol, vecCol, p)
-      .drop("vec").cache()
-    val bi = AnnLsh.index(batch.repartition(par), idCol, vecCol, p)
-      .drop("vec").cache()
+    // Session-parallelism spread now inside AnnLsh.index (round 13).
+    val ci = AnnLsh.index(corpus, idCol, vecCol, p).drop("vec").cache()
+    val bi = AnnLsh.index(batch, idCol, vecCol, p).drop("vec").cache()
     val candidates = bi.as("x")
       .join(ci.as("y"),
         col("x.table") === col("y.table")
