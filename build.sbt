@@ -31,17 +31,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // Throughput collector for the batch/bench JVM (optimization round 13,
-  // guide §1.2 step 3 + §5): the battery is a throughput workload with no
-  // pause-time goal, and G1's concurrent cycles tax the many short-lived
-  // allocation bursts local-mode Spark produces. Measured on a 10-query
-  // mixed subset at sf0.1 (min-of-3 per query): ParallelGC is 3-7% faster
-  // on every mid-tier query, neutral on the graph heavies, no regression
-  // anywhere; a 24g heap on top of it bought nothing (measured), so the
-  // default heap stays 8g. Overridable per-run via SPARK_GRAFT_JAVA_OPTS
-  // (e.g. "-XX:+UseG1GC"), and cluster deployments set their own GC in
-  // spark.executor.extraJavaOptions — this only sizes the LOCAL JVM.
-  "-XX:+UseParallelGC",
+  // GC default: G1 (the JVM default — no flag). A mid-build commit
+  // switched to ParallelGC off a 10-query subset claiming "neutral on
+  // graph heavies"; the r13 full-battery re-measure falsified that:
+  // solo min-of-4 at sf0.1 had ParallelGC LOSING the heavy iterative
+  // family (k_betweenness 10.87 vs 8.99s, clustering_coeff 6.25 vs
+  // 4.88s, graph_diameter 3.03 vs 2.77s) with full-GC stall outliers
+  // (a 22.6s harmonic_centrality rep), while winning only 0.05-0.2s on
+  // small queries — net regression, reverted (OPTIMIZATION_r13.md
+  // "Inherited state"). Per-run GC experiments go through
+  // SPARK_GRAFT_JAVA_OPTS; cluster deployments set their own GC in
+  // spark.executor.extraJavaOptions — this only affects the LOCAL JVM.
 ) ++
   // Optimization-round measurement hook (guide §1/§5): lets a local
   // experiment vary GC / heap-region flags per run without editing the

@@ -28,16 +28,93 @@ import org.apache.spark.sql.types.LongType
 object DistributedNtile {
 
   /** Adds `global_rank` (1-based, dense, contiguous) ordered by
-    * `sortCols`. One range shuffle + one reused-shuffle rank pass. */
-  def withGlobalRank(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    * `sortCols`. One range shuffle + one reused-shuffle rank pass.
+    *
+    * r13 optimization (guide §4 — keep hot paths in codegen): the
+    * original implementation went `sorted.rdd.zipWithIndex()` +
+    * `createDataFrame`, boxing every field of every row into external
+    * `Row` objects and back, and the RDD boundary hid the range
+    * exchange from ReuseExchange (GroupedPercentile reads the ranked
+    * relation twice — each read re-ran the whole boxed pipeline). The
+    * native form uses `monotonically_increasing_id`, whose documented
+    * layout is (partition id << 33) | record-number-in-partition: the
+    * low 33 bits ARE the within-partition index, so the global rank is
+    * offset(partition) + low-bits + 1 with zero row conversion. The
+    * per-partition row counts come from one tiny aggregate job (≤
+    * #partitions longs to the driver — the same bounded-traffic class
+    * as zipWithIndex's internal count job), and the offsets ride back
+    * as a broadcast-joined #partitions-row relation. Rank values are
+    * IDENTICAL to the zipWithIndex form (same partition layout, same
+    * within-partition order). A partition above 2^33 rows would wrap
+    * the record counter — 8.6 G rows in ONE task is far past any sane
+    * partition sizing (and the old form's Long index had the same
+    * practical bound through its single-partition scan). */
+  def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
+      reuse: Boolean = false): DataFrame =
+    if (reuse) withGlobalRankReused(df, sortCols)
+    else {
+      // Single-read/small-input form — the original zipWithIndex path:
+      // ONE range shuffle whose files both the internal count job and
+      // the rank pass share at the RDD level. The boxed-Row conversion
+      // it pays was measured CHEAPER here than either native variant
+      // (persist: +0.2s cache-materialization on zipf_fit's ~50k-row
+      // vocabulary; no-persist native: the per-partition-counts action
+      // re-runs the WHOLE upstream pipeline from the source scan,
+      // 0.23 → 0.84s). The reused form below wins only when the ranked
+      // relation is fact-sized AND read repeatedly (GroupedPercentile).
+      val spark = df.sparkSession
+      val sorted = df.repartitionByRange(sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+      val schema = df.schema.add("global_rank", LongType, nullable = false)
+      val ranked = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+        Row.fromSeq(row.toSeq :+ (idx + 1L))
+      }
+      spark.createDataFrame(ranked, schema)
+    }
+
+  /** Multi-read form: whole-stage-codegen rank over a PERSISTED sorted
+    * relation — zero Row boxing, and every downstream read shares one
+    * materialization (the zipWithIndex form re-ran the in-partition
+    * sort and the row boxing on EVERY read; GroupedPercentile reads the
+    * ranked relation twice more over a fact-sized input — measured win
+    * q114_winsorize 2.34→1.26s, ship_latency 2.24→1.52s, q54 1.39→1.05s).
+    * Mechanics: `monotonically_increasing_id`'s documented layout is
+    * (partition id << 33) | record-number-in-partition, so the low 33
+    * bits ARE the within-partition index; the global rank is
+    * offset(partition) + low-bits + 1. Per-partition row counts come
+    * from one tiny aggregate job over the persisted relation (≤
+    * #partitions longs to the driver), offsets ride back as a
+    * broadcast-joined #partitions-row relation. Rank values are
+    * IDENTICAL to the zipWithIndex form (same partition layout, same
+    * within-partition order). A partition above 2^33 rows would wrap
+    * the record counter — 8.6 G rows in ONE task is far past any sane
+    * partition sizing. Battery harness (Bench/Verify reset()) clears
+    * the persist between queries, the pagerank-adjacency discipline. */
+  private def withGlobalRankReused(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
+    val mask = (1L << 33) - 1
     val sorted = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    val schema = df.schema.add("global_rank", LongType, nullable = false)
-    val ranked = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (idx + 1L))
+      .select(col("*"), spark_partition_id().as("_gr_pid"),
+        monotonically_increasing_id().bitwiseAND(lit(mask)).as("_gr_ridx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one job: rows per partition (≤ #partitions rows to the driver);
+    // warms the persist every downstream read shares
+    val counts = sorted.groupBy("_gr_pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var running = 0L
+    val offsetRows = counts.map { case (pid, n) =>
+      val r = Row(pid, running); running += n; r
     }
-    spark.createDataFrame(ranked, schema)
+    import scala.jdk.CollectionConverters._
+    val offsets = spark.createDataFrame(
+      offsetRows.toSeq.asJava,
+      new org.apache.spark.sql.types.StructType()
+        .add("_gr_pid", org.apache.spark.sql.types.IntegerType, nullable = false)
+        .add("_gr_off", LongType, nullable = false))
+    sorted.join(broadcast(offsets), "_gr_pid")
+      .withColumn("global_rank", col("_gr_off") + col("_gr_ridx") + 1)
+      .select(df.columns.map(col).toSeq :+ col("global_rank"): _*)
   }
 
   /** Adds `bucket` = ntile(n) ordered globally by `sortCols`. The row

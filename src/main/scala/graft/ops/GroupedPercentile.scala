@@ -43,7 +43,7 @@ object GroupedPercentile {
       s"quantiles ${qs.map(_._1)} outside [0, 1]")
     val ranked = DistributedNtile.withGlobalRank(
       df.select(col(groupCol), col(valueCol).cast("double").as(valueCol)),
-      Seq(col(groupCol), col(valueCol)))
+      Seq(col(groupCol), col(valueCol)), reuse = true)
     // group extents in the global order — one small row per group
     var stats = ranked.groupBy(groupCol)
       .agg(min("global_rank").as("start"), count(lit(1)).as("n"))

@@ -152,6 +152,21 @@ object GraphOps {
       .select(col("e.u"), col("e.v")).distinct()
   }
 
+  /** Distinct ORDERED co-purchase adjacency (c ≠ n, both directions) —
+    * the symmetrized [[copurchaseEdges]]: u<v canonical pairs plus
+    * their swaps are exactly all ordered co-purchase pairs, the SET the
+    * li⋈li self-join used to build (r13 optimization: the group-explode
+    * builder is the measured ~2x cheaper physical path — one groupBy
+    * shuffle + executor-side fan-out instead of two shuffled self-join
+    * sides; k_betweenness proved set equality in r12 and the oracle SQL
+    * keeps stating the self-join form). The unionAll after the distinct
+    * is exchange-free: both branches read the same materialization. */
+  private def coAdjacency(s: SparkSession, d: String): DataFrame = {
+    val und = copurchaseEdges(s, d)
+    und.select(col("u").as("c"), col("v").as("n"))
+      .unionAll(und.select(col("v").as("c"), col("u").as("n")))
+  }
+
   /** Per-node triangle counts over the co-purchase graph plus the
     * degree relation — q75's oriented-wedge + bloom-prefilter pipeline
     * (see the scale commentary inline), factored out so
@@ -364,11 +379,9 @@ object GraphOps {
       |         WHERE adj.c IS NULL)
       |SELECT u, v, common FROM pred
       |ORDER BY common DESC, u, v LIMIT 20""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val adj = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("c"), col("b.pk").as("n")).distinct()
+    // adjacency via the group-explode builder (set ≡ the oracle's
+    // li⋈li self-join — see coAdjacency)
+    val adj = coAdjacency(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = adj.groupBy("c").agg(count(lit(1)).as("d"))
     val capped = adj.join(deg.filter(col("d") <= 64).select("c"), "c")
@@ -988,9 +1001,20 @@ object GraphOps {
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val pc = op.as("a").join(op.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    // pair counts via the group-explode builder (copurchaseEdges'
+    // measured-cheaper physical path; collect_set dedups per order so
+    // the per-(u,v) order count ≡ the oracle's op⋈op self-join count):
+    // ONE groupBy shuffle + executor-side u<v fan-out instead of two
+    // shuffled self-join sides (r13 optimization).
+    val pc = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
+      .select(explode(expr(
+        """flatten(transform(pks, (x, i) ->
+          |  transform(filter(pks, y -> y > x),
+          |            y -> struct(x AS u, y AS v))))""".stripMargin))
+        .as("e"))
+      .select(col("e.u"), col("e.v"))
       .groupBy("u", "v").agg(count(lit(1)).as("cnt"))
     val pop = op.groupBy("pk").agg(count(lit(1)).as("n"))
     val top = pop.orderBy(col("n").desc, col("pk")).limit(10)
@@ -1111,11 +1135,9 @@ object GraphOps {
       |FROM pred
       |ORDER BY floor(score * 1000000 + 0.5) / 1000000 DESC, u, v
       |LIMIT 20""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val adj = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("c"), col("b.pk").as("n")).distinct()
+    // adjacency via the group-explode builder (set ≡ the oracle's
+    // li⋈li self-join — see coAdjacency)
+    val adj = coAdjacency(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = adj.groupBy("c").agg(count(lit(1)).as("d"))
     val capped = adj.join(
@@ -1166,11 +1188,9 @@ object GraphOps {
       |       FROM deg LEFT JOIN p2 ON p2.node = deg.c)
       |SELECT node, CAST(katz16 AS BIGINT) AS katz16
       |FROM sc ORDER BY katz16 DESC, node LIMIT 25""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val adj = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("c"), col("b.pk").as("n")).distinct()
+    // adjacency via the group-explode builder (set ≡ the oracle's
+    // li⋈li self-join — see coAdjacency)
+    val adj = coAdjacency(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = adj.groupBy("c").agg(count(lit(1)).as("d"))
     // paths2(x) = Σ_{m∈N(x), deg(m)≤64} (deg(m)−1): |V|-sized degree
@@ -1229,6 +1249,13 @@ object GraphOps {
       |  CAST(6 * n1 + 3 * n2 + 2 * n3 AS BIGINT) AS h6
       |FROM cnt ORDER BY seed""".stripMargin) { (s, d) =>
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Adjacency DELIBERATELY stays the self-join form here (r13: the
+    // coAdjacency group-explode builder was tried and REVERTED with a
+    // measurement — 4.76 -> 8.64s solo min-of-4 at sf0.1; this query
+    // re-reads the persisted adjacency in three frontier expansions and
+    // the union-shaped cached plan regressed every downstream read,
+    // unlike the capped-wedge family where the builder is neutral-to-
+    // positive).
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val adj = li.as("a").join(li.as("b"),
@@ -1350,12 +1377,8 @@ object GraphOps {
     val U = 1000000L
     // same adjacency SET as harmonic's self-join form, built through
     // the group-explode edge builder (the measured 2x cheaper path —
-    // see copurchaseEdges) and symmetrized: u<v canonical pairs plus
-    // their swaps are exactly all ordered co-purchase pairs
-    val und = copurchaseEdges(s, d)
-    val adj = und.select(col("u").as("c"), col("v").as("n"))
-      .unionAll(und.select(col("v").as("c"), col("u").as("n")))
-      .persist(mem)
+    // see coAdjacency)
+    val adj = coAdjacency(s, d).persist(mem)
     val seeds = adj.filter(col("c") % 1000 === 0).select(col("c").as("s"))
       .distinct()
     val l0 = seeds.select(col("s"), col("s").as("v"), lit(1L).as("sig"))

@@ -224,13 +224,15 @@ object StatOps {
       |    / count(*) / 100 * 10000 + 0.5) / 10000 AS win_mean
       |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
-    def boundCents(q: Double, name: String) =
-      graft.ops.GroupedPercentile
-        .exact(li, "l_returnflag", "l_extendedprice", q, "raw")
-        .select(col("l_returnflag"),
-          floor(floor(col("raw") * 10000 + lit(0.5)) / 10000 * 100 + lit(0.5))
-            .cast("long").as(name))
-    val bounds = boundCents(0.05, "lo_c").join(boundCents(0.95, "hi_c"), "l_returnflag")
+    // ONE range shuffle serves both clip bounds (exactMulti — the
+    // ship_latency lesson; two exact() calls ran the rank pass twice)
+    def cents(raw: org.apache.spark.sql.Column) =
+      floor(floor(raw * 10000 + lit(0.5)) / 10000 * 100 + lit(0.5)).cast("long")
+    val bounds = graft.ops.GroupedPercentile
+      .exactMulti(li, "l_returnflag", "l_extendedprice",
+        Seq(0.05 -> "raw_lo", 0.95 -> "raw_hi"))
+      .select(col("l_returnflag"),
+        cents(col("raw_lo")).as("lo_c"), cents(col("raw_hi")).as("hi_c"))
     li.select(col("l_returnflag"),
         floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents"))
       .join(broadcast(bounds), "l_returnflag")
