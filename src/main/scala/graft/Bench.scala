@@ -128,6 +128,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Let the planner pick shuffled-hash join where its size
+      // conditions hold (guide §9/§3.1 — SMJ pays a per-partition sort
+      // SHJ skips; the OOM guard is Spark's own build-side size check,
+      // scale-independent). r13 A/B on a 10-query join-heavy subset,
+      // solo min-of-3 at sf0.1: clustering_coeff 6.17→5.08, q101_tpch_q9
+      // 0.99→0.77, q78_khop 4.74→4.40, graph_diameter 2.82→2.65,
+      // dedup_keep_best 1.38→1.21; no regression beyond run noise.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       // r6 post-mortem: a >10s driver pause dropped the local-mode
       // executor heartbeat and killed the context mid-battery. Give
