@@ -672,12 +672,22 @@ object EvalOps {
     val ip = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .agg(max(col("l_extendedprice")).as("pr"))
-    val pairs = ip.as("a").join(ip.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"),
-        when(col("a.pr") > col("b.pr") ||
-          (col("a.pr") === col("b.pr") && col("a.pk") < col("b.pk")), 1)
-          .otherwise(0).as("uw"))
+    // pair expansion via the group-explode builder (copurchaseEdges'
+    // measured-cheaper path, r13): ONE groupBy(ok) shuffle of the
+    // (pk, pr) rows + executor-side u<v fan-out instead of two shuffled
+    // self-join sides. pk is unique within ok (ip is grouped on it), so
+    // filter(b.pk > a.pk) emits each unordered pair exactly once with
+    // u < v — and the oracle's tie-break (a.pr = b.pr AND a.pk < b.pk)
+    // is always true in that orientation, i.e. uw = (a.pr >= b.pr).
+    val pairs = ip
+      .groupBy("ok").agg(collect_list(struct(col("pk"), col("pr"))).as("xs"))
+      .select(explode(expr(
+        """flatten(transform(xs, (a, i) ->
+          |  transform(filter(xs, b -> b.pk > a.pk),
+          |    b -> struct(a.pk AS u, b.pk AS v,
+          |                CASE WHEN a.pr >= b.pr THEN 1 ELSE 0 END AS uw))))"""
+          .stripMargin)).as("e"))
+      .select(col("e.u"), col("e.v"), col("e.uw"))
     val pg = pairs.groupBy("u", "v")
       .agg(count(lit(1)).as("n_uv"), sum("uw").as("u_wins"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
