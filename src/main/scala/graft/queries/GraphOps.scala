@@ -219,7 +219,18 @@ object GraphOps {
       .select(col("src"), col("b"), col("c"))
     val tri =
       if (nEdges <= 3000000L) {
-        wedgesUnfiltered.join(broadcast(closure), Seq("b", "c"))
+        // r13 re-measure: SHUFFLED-HASH, not broadcast. The broadcast
+        // probe of the 41M-row wedge stream (sf0.1) against the
+        // ~1.2M-pair hash relation missed DRAM on essentially every
+        // lookup (~100 MB map, random keys) and measured 4.9s; the
+        // shuffled-hash form partitions both sides on (b, c), so each
+        // task probes a ~37k-entry CACHE-RESIDENT build side — 2.5s
+        // measured, result identical. The wedge-stream exchange this
+        // buys is bounded by the branch guard (|E| ≤ 3M ⇒ wedges ≤
+        // Σoutdeg² with √E-capped outdeg); past the guard the bloom
+        // branch below already pays the same exchange after its ~95%
+        // prefilter.
+        wedgesUnfiltered.join(closure.hint("shuffle_hash"), Seq("b", "c"))
           .select(col("src").as("a"), col("b"), col("c"))
       } else {
         val bloomBytes = closure
