@@ -1879,10 +1879,20 @@ object Relational {
     val lp = li(s, d).select("l_orderkey", "l_partkey").distinct()
     val n = lp.agg(countDistinct("l_orderkey").as("n_orders"))
     val ic = lp.groupBy("l_partkey").agg(count(lit(1)).as("sup"))
-    val pc = lp.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(lp.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
+    // pair supports via the group-explode builder (GraphOps
+    // copurchaseEdges' measured-cheaper path, r13): ONE groupBy shuffle
+    // + executor-side pa<pb fan-out instead of two shuffled self-join
+    // sides; collect_set dedups per order so the per-pair order count
+    // ≡ the oracle's lp⋈lp form.
+    val pc = li(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
+      .select(explode(expr(
+        """flatten(transform(pks, (x, i) ->
+          |  transform(filter(pks, y -> y > x),
+          |            y -> struct(x AS pa, y AS pb))))""".stripMargin))
+        .as("e"))
+      .select(col("e.pa"), col("e.pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("sup_ab"))
       .filter(col("sup_ab") >= 3)
     val e = pc
